@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
 
 /** One verifiable query: a Spark implementation plus (when the semantics are
   * ANSI-SQL-expressible) a DuckDB oracle twin with IDENTICAL column names and
@@ -32,4 +33,27 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // write µs (not INT96) so DuckDB/pyarrow read our output losslessly.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+  /** Local session for tests / ad-hoc runs. */
+  def local(cores: Int = 4): SparkSession = {
+    val s = builder(s"local[$cores]", cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Cross-engine-stable numeric helpers.
+  *
+  * Double aggregation order differs between Spark partitions and the DuckDB
+  * oracle, so money/measure columns are cast to exact DECIMAL before
+  * aggregation and only converted back to double after the final `round` —
+  * both engines then perform identical exact arithmetic (ADVICE.md r1).
+  */
+object Num {
+  /** Exact 2-dp decimal view of a double measure (prices, quantities). */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Exact 4-dp decimal view (discount-like small rates). */
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  /** Exact 6-dp decimal view (full-precision synthetic measures). */
+  def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
 }

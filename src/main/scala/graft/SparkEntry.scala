@@ -1,46 +1,32 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import graft.queries.{EventOps, Relational, SearchOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every implemented operator from SURVEY.md §2 appears in [[queries]]; where
+  * Every implemented operator from SURVEY.md §2 (plus the LLM-data-pipeline
+  * extensions) appears in [[queries]] via the [[QueryDef]] registry; where
   * the semantics are ANSI-SQL-expressible the DuckDB twin lives in
-  * [[oracleSql]] (same column names, deterministic ordering, floats rounded on
-  * BOTH sides so cross-engine hash compare is stable).
+  * [[oracleSql]] (same column names, deterministic ordering, exact-decimal
+  * interior math so cross-engine hash compare is stable).
   */
 object SparkEntry {
 
+  /** Single source of truth: query + oracle defined together so names can't
+    * drift between the two maps (ADVICE.md r1).
+    */
+  val defs: Seq[QueryDef] =
+    Relational.defs ++ SearchOps.defs ++ TextOps.defs ++
+      EventOps.defs ++ VectorOps.defs
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1/A2-style aggregation (SURVEY §2.4) over lineitem — TPC-H Q1 shape.
-    "q1_pricing_summary" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
-          count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
-    })
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(d => d.name -> d.fn).toMap
 
-  def oracleSql: Map[String, String] = Map(
-    "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_discount), 4) AS avg_disc,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  )
+  def oracleSql: Map[String, String] =
+    defs.flatMap(d => d.oracle.map(sql => d.name -> sql.stripMargin.trim)).toMap
 }

@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large text corpora.
+  *
+  * Scale design (100 TB): every variant here is expressed as hash → groupBy /
+  * bucket-join, i.e. one shuffle keyed on a fingerprint or band key. There is
+  * deliberately NO all-pairs crossJoin anywhere: candidate generation always
+  * goes through an inverted index (shingle → docs) or an LSH band bucket, so
+  * the comparison count scales with collision volume, not n².
+  */
+object Dedup {
+
+  /** Canonical text form used by every fingerprint: collapse whitespace,
+    * lowercase. Matches the reference's analyzer-style normalization
+    * (`/root/reference/src/api.py:124` lowercases/tokenizes driver-side).
+    */
+  def canonical(text: Column): Column =
+    lower(regexp_replace(text, "\\s+", " "))
+
+  /** Exact-dup fingerprint: md5 of the canonical form. */
+  def exactFingerprint(text: Column): Column = md5(canonical(text))
+
+  /** Exact dedup: keep the lowest id per identical (canonicalized) text.
+    * One hash-shuffle on the 16-byte fingerprint — at 100 TB the shuffle
+    * carries (fingerprint, id), never the document body.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), exactFingerprint(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word w-shingles per document: (id, shingle). Documents shorter
+    * than `w` tokens produce no shingles. This IS the inverted index used by
+    * both the n-gram-Jaccard and MinHash paths.
+    */
+  def wordShingles(docs: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
+    val toks = split(canonical(col(textCol)), " ")
+    docs
+      .filter(size(toks) >= w)
+      .select(
+        col(idCol),
+        explode(
+          transform(
+            sequence(lit(1), size(toks) - (w - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(w))))).as("shingle"))
+      .distinct()
+  }
+
+  /** A deterministic 32-bit hash of a string that both Spark and DuckDB can
+    * compute identically: first 8 hex chars of md5, read as an integer.
+    * (Spark's `hash()` is murmur3 with engine-private seeding — not portable.)
+    */
+  def portableHash(c: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), c)), 1, 8), 16, 10).cast("long")
+
+  /** MinHash signatures: k independent min-hashes over the shingle set.
+    * Returns one row per id with columns s0..s(k-1).
+    * Shuffle profile: the single groupBy(id) — signature width is k longs,
+    * so 100 TB of text reduces to n_docs × k × 8 bytes.
+    */
+  def minhashSignatures(shingles: DataFrame, idCol: String, k: Int = 8): DataFrame =
+    shingles
+      .groupBy(col(idCol))
+      .agg(
+        min(portableHash(col("shingle"), "mh0")).as("s0"),
+        (1 until k).map(i => min(portableHash(col("shingle"), s"mh$i")).as(s"s$i")): _*)
+
+  /** LSH banding: split the k-wide signature into bands of `r` rows each;
+    * docs sharing any full band become candidate pairs. Returns
+    * (id, band_idx, band_key).
+    */
+  def minhashBands(signatures: DataFrame, idCol: String, k: Int = 8, r: Int = 2): DataFrame = {
+    val nBands = k / r
+    val bands = (0 until nBands).map { b =>
+      val key = concat_ws("_", (0 until r).map(j => col(s"s${b * r + j}")): _*)
+      struct(lit(b).as("band_idx"), key.as("band_key"))
+    }
+    signatures.select(
+      col(idCol),
+      explode(array(bands: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_key"))
+  }
+
+  /** Candidate near-dup pairs from LSH bands: self-join on (band_idx,
+    * band_key) — a bucket join, NOT a crossJoin. Pair (a < b), distinct.
+    */
+  def minhashCandidates(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(
+        b,
+        col(s"a.band_idx") === col(s"b.band_idx") &&
+          col(s"a.band_key") === col(s"b.band_key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for pairs that share ≥1 shingle. Candidate
+    * generation is the shingle inverted index join (shuffle keyed on
+    * shingle); the n² blowup is bounded by per-shingle document frequency —
+    * at scale, drop top-DF shingles first (stop-shingle pruning).
+    */
+  def jaccardPairs(shingles: DataFrame, idCol: String): DataFrame = {
+    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = shingles.as("a")
+    val b = shingles.as("b")
+    val inter = a
+      .join(b, col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+  }
+
+  /** SimHash (64-bit) of the token multiset: per token take a 64-bit portable
+    * hash (two 32-bit md5 halves), add ±1 per bit position, sign → bit.
+    * Near-dups = small Hamming distance between simhashes; candidates at
+    * scale come from joining on 16-bit chunks (4 chunks → Hamming ≤ 3
+    * guaranteed to collide on ≥1 chunk by pigeonhole).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(canonical(col(textCol)), " ")
+    val tokenized = docs.select(col(idCol), explode(toks).as("tok"))
+    val h = (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")).as("h")
+    val withHash = tokenized.select(col(idCol), h)
+    // For each of 60 bits: +1 if set else -1; sum; bit_i(sig) = (sum_i > 0)
+    val bitCols = (0 until 60).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$i")
+    }
+    val sums = withHash.groupBy(col(idCol)).agg(bitCols.head, bitCols.tail: _*)
+    val sig = (0 until 60)
+      .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    sums.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidate pairs via 15-bit chunk banding (pigeonhole:
+    * Hamming ≤ 3 ⇒ at least one of the 4 chunks is identical).
+    */
+  def simhashCandidates(sigs: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val chunks = (0 until 4).map { cI =>
+      struct(lit(cI).as("chunk_idx"),
+        shiftright(col("simhash"), cI * 15).bitwiseAND(lit(0x7fffL)).as("chunk_key"))
+    }
+    val banded = sigs
+      .select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("c"))
+      .select(col(idCol), col("simhash"), col("c.chunk_idx"), col("c.chunk_key"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_key") === col("b.chunk_key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

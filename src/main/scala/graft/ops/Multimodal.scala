@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads travel as opaque `binary`
+  * columns beside typed metadata; decode / feature-extraction runs
+  * per-partition so one task amortizes decoder setup over a whole batch —
+  * the Spark-side shape that matters at 100 TB (payloads never hit the
+  * driver, partitions bound memory).
+  *
+  * The actual codec is STUBBED (no image/audio libraries in this
+  * environment): [[decodeStub]] derives deterministic fake features from the
+  * bytes. The schema, partitioning, and per-partition batch shape are real
+  * and tested.
+  */
+object Multimodal {
+
+  final case class MediaRow(media_id: Long, payload: Array[Byte], mime: String)
+  final case class MediaFeatures(
+      media_id: Long, n_bytes: Int, width: Int, height: Int, checksum: Long)
+
+  /** STUB decoder: stands in for an image/audio decode. Deterministic pure
+    * function of the payload so tests and oracles can pin it. A real build
+    * swaps only this function for a codec call; the surrounding plumbing
+    * (mapPartitions, schema, batch iteration) is production-shaped.
+    */
+  def decodeStub(r: MediaRow): MediaFeatures = {
+    val n = r.payload.length
+    // cheap rolling checksum (polynomial, mod 2^61-1) — NOT a crypto hash
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc = (acc * 131 + (r.payload(i) & 0xff)) % 2305843009213693951L; i += 1 }
+    MediaFeatures(r.media_id, n, width = 64 + (acc % 512).toInt, height = 64 + ((acc >> 9) % 512).toInt, checksum = acc)
+  }
+
+  /** Per-partition decode: one decoder "session" per partition (the `iter`
+    * closure is where a real codec would init once), constant memory per
+    * row batch.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { iter =>
+      // real codecs would initialize here, once per partition
+      iter.map(decodeStub)
+    }
+  }
+
+  /** Lift a text table into the media shape (payload = utf-8 bytes) — the
+    * test harness for the plumbing, since the container ships no media.
+    */
+  def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("text/plain").as("mime")).as[MediaRow]
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation: token counting, quality
+  * scoring, language identification, document fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` Columns — no UDFs — so
+  * the whole pipeline stays inside WholeStageCodegen and scales map-side
+  * (zero shuffles until an explicit aggregate).
+  */
+object TextStats {
+
+  /** Whitespace tokens of the canonical (lowercased, space-collapsed) form. */
+  def tokens(text: Column): Column = split(Dedup.canonical(text), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: words plus intra-word breaks at
+    * letter/digit and case boundaries — a cheap deterministic proxy for
+    * tokenizer budget accounting (no model shipped).
+    */
+  def subwordCountEstimate(text: Column): Column =
+    size(split(
+      regexp_replace(regexp_replace(trim(text), "([a-z])([A-Z])", "$1 $2"),
+        "([A-Za-z])([0-9])|([0-9])([A-Za-z])", "$1$3 $2$4"),
+      "\\s+"))
+
+  /** Quality-score feature columns (length / punctuation / stopword ratios).
+    * Returns a struct so callers can select individual features or the
+    * composite score in one pass.
+    */
+  def qualityFeatures(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val toks = tokens(text)
+    val nToks = size(toks).cast("double")
+    val meanTokLen = nChars / greatest(nToks, lit(1.0))
+    val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+    val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+    val stopHits = filter(toks, t => t.isin(stopwords.map(lit(_)): _*)).cast("array<string>")
+    val stopRatio = size(stopHits).cast("double") / greatest(nToks, lit(1.0))
+    struct(
+      nToks.as("n_tokens"),
+      meanTokLen.as("mean_token_len"),
+      (punct / greatest(nChars, lit(1.0))).as("punct_ratio"),
+      stopRatio.as("stopword_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: documents with reasonable token
+    * length and some stopword mass score high; alphabet soup scores low.
+    * Deterministic and documented here as THE scoring function (tests pin
+    * its behavior; there is no hidden model).
+    */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenOk = when(f("n_tokens") >= 10 && f("n_tokens") <= 100000, 1.0).otherwise(0.3)
+    val tokOk = when(f("mean_token_len") >= 2.5 && f("mean_token_len") <= 12.0, 1.0).otherwise(0.4)
+    val stopOk = when(f("stopword_ratio") >= 0.01, 1.0).otherwise(0.5)
+    round(lenOk * 0.4 + tokOk * 0.4 + stopOk * 0.2, 4)
+  }
+
+  /** Language-ID by stopword-profile voting: score each candidate language
+    * by how many of its top stopwords occur in the token set; highest score
+    * wins, ties broken by language code. An n-gram-free heuristic that is a
+    * single map-side pass (profiles are inlined literals, no join).
+    */
+  val stopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "it"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "para"),
+    "de" -> Seq("der", "die", "das", "und", "von", "ein", "eine", "ist", "zu", "mit"),
+  )
+
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = stopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val s = words.map(w => when(array_contains(toks, w), 1).otherwise(0)).reduce(_ + _)
+      struct(s.as("score"), lit(lang).as("lang"))
+    }
+    // max_by over (score, lang): highest score wins; ties → lexicographically
+    // LAST language under struct ordering, so negate nothing — make ties
+    // deterministic by preferring the lexicographically first lang: compare
+    // (score asc, lang desc) and take the greatest.
+    val best = scores.reduce((a, b) =>
+      when(b("score") > a("score") ||
+        (b("score") === a("score") && b("lang") < a("lang")), b).otherwise(a))
+    when(best("score") === 0, lit("und")).otherwise(best("lang"))
+  }
+
+  /** 64-bit-hex document fingerprint of the canonical form (first 16 hex
+    * chars of md5) — the cheap exact-dedup / provenance key.
+    */
+  def fingerprint(text: Column): Column =
+    substring(md5(Dedup.canonical(text)), 1, 16)
+}

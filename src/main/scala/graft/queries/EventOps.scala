@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Num, QueryDef, Tables}
+import graft.ops.Events
+
+/** Event-analytics battery over `events`: tumbling windows, sessionization,
+  * JSON extraction. Timestamps are ns in the parquet; Spark reads them via
+  * the nanosAsLong flag and truncates to µs ([[graft.Tables.events]]), the
+  * DuckDB oracle truncates identically via epoch_us.
+  */
+object EventOps {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Tumbling 1h window aggregate (batch form of the streaming window).
+    QueryDef(
+      "q31_events_hourly",
+      (s, dir) =>
+        Events.tumblingHourly(Tables.events(s, dir))
+          .orderBy(col("hour_start")),
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+          count(*) AS n_events,
+          CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1 ORDER BY hour_start""")),
+
+    // Gap-based sessionization (30 min) → sessions per user.
+    QueryDef(
+      "q32_user_sessions",
+      (s, dir) =>
+        Events.sessionCounts(Tables.events(s, dir), gapSeconds = 1800L)
+          .orderBy(col("user_id")),
+      Some("""
+        SELECT user_id, max(session_seq) AS n_sessions, count(*) AS n_events
+        FROM (
+          SELECT user_id,
+            sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM (
+            SELECT user_id, ts, event_id,
+              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+            FROM events) t1) t2
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // JSON scalar extraction + per-type rollup.
+    QueryDef(
+      "q33_event_type_rollup",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            round(sum(Num.dec6(col("value"))), 2).cast("double").as("total_value"),
+            sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+          .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type, count(*) AS n_events,
+          CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+          sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+  )
+}

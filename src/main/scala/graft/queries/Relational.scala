@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Num, QueryDef, Tables}
+
+/** Relational operator battery over the TPC-H-ish testdata (SURVEY §2.2–2.7):
+  * joins (J1/J2 + semi/anti), aggregations (A1–A4), window top-k (W1),
+  * sort/limit/pagination (O1–O3), unpivot/explode (U1–U3), filters (P3–P6).
+  *
+  * Every query has a DuckDB oracle twin with identical column names and
+  * deterministic ordering. Money math goes through exact DECIMAL (see
+  * [[graft.Num]]) so cross-engine hashes are stable.
+  */
+object Relational {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A2/A4/O1: multi-aggregate groupBy — TPC-H Q1 shape.
+    QueryDef(
+      "q01_pricing_summary",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(Num.dec2(col("l_quantity"))), 2).cast("double").as("sum_qty"),
+            round(sum(Num.dec2(col("l_extendedprice"))), 2).cast("double").as("sum_base_price"),
+            round(sum(Num.dec2(col("l_extendedprice")) * (lit(1) - Num.dec4(col("l_discount")))), 2)
+              .cast("double").as("sum_disc_price"),
+            round(sum(Num.dec4(col("l_discount"))).cast("double") / count(lit(1)), 4)
+              .as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+          round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+          count(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // J1 chain with broadcast dimensions: revenue by region/nation.
+    QueryDef(
+      "q02_revenue_by_nation",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        // customer/nation/region are dimension-sized → broadcast; only the
+        // lineitem⋈orders join shuffles (both sides big at 100 TB; AQE may
+        // still pick SHJ/SMJ on the orderkey).
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            round(sum(Num.dec2(col("l_extendedprice")) * (lit(1) - Num.dec4(col("l_discount")))), 2)
+              .cast("double").as("revenue"),
+            countDistinct(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""
+        SELECT r_name, n_name,
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+          count(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name""")),
+
+    // J2: left outer join preserving order-less customers.
+    QueryDef(
+      "q03_customer_orders_left",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            coalesce(round(sum(Num.dec2(col("o_totalprice"))), 2), lit(0))
+              .cast("double").as("total_spent"))
+          .orderBy(col("c_custkey")),
+      Some("""
+        SELECT c_custkey, c_name,
+          count(o_orderkey) AS n_orders,
+          CAST(coalesce(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY c_custkey""")),
+
+    // A1: collect_list (sorted for determinism, string-joined for stable
+    // cross-engine hashing).
+    QueryDef(
+      "q04_order_lines_collect",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            array_join(sort_array(collect_list(col("l_linenumber"))), ",").as("line_numbers"))
+          .orderBy(col("l_orderkey")),
+      Some("""
+        SELECT l_orderkey, count(*) AS n_lines,
+          array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // W1: top-k per key via row_number window (Spark 4.1's
+    // InferWindowGroupLimit pushes the rank limit into the sort).
+    QueryDef(
+      "q05_top_orders_per_customer",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""
+        SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) t
+        WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // P3 + Q9: conjunctive equality/range filter, pushed to the parquet scan.
+    QueryDef(
+      "q06_filter_range",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R" && col("l_quantity") >= 48 &&
+            col("l_shipdate") >= "1999-01-01" && col("l_shipdate") < "2000-01-01")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"), col("l_quantity"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+          strftime(l_shipdate, '%Y-%m-%d') AS ship_date, l_quantity
+        FROM lineitem
+        WHERE l_returnflag = 'R' AND l_quantity >= 48
+          AND l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '2000-01-01'
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // U1: unpivot wide → long in a single pass (native melt, not N unions).
+    QueryDef(
+      "q07_part_unpivot",
+      (s, dir) =>
+        Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+            col("p_retailprice"))
+          .unpivot(Array(col("p_partkey")), Array(col("p_size"), col("p_retailprice")),
+            "metric", "value")
+          .orderBy(col("p_partkey"), col("metric")),
+      Some("""
+        SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+        ORDER BY p_partkey, metric""")),
+
+    // U2/A3: explode + top-20 terms with deterministic tie-break.
+    QueryDef(
+      "q08_token_topk",
+      (s, dir) =>
+        Tables.part(s, dir)
+          .select(explode(split(col("p_name"), " ")).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(20),
+      Some("""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part) t
+        GROUP BY token ORDER BY n DESC, token LIMIT 20""")),
+
+    // O2/O3: pagination page 3 × size 10 — top-(from+size) via
+    // TakeOrderedAndProject, then a window over only those 30 rows (no
+    // global single-partition window over the full table).
+    QueryDef(
+      "q09_pagination",
+      (s, dir) => {
+        val page = 3
+        val size = 10
+        val top = Tables.orders(s, dir)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(page * size)
+        top
+          .withColumn("rn",
+            row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+          .filter(col("rn") > (page - 1) * size)
+          .select(col("rn"), col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("rn"))
+      },
+      Some("""
+        SELECT rn, o_orderkey, o_custkey, o_totalprice FROM (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+            row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) t
+        WHERE rn > 20 AND rn <= 30 ORDER BY rn""")),
+
+    // Anti-join (Q4 exclusion semantics as a plan-level join): customers
+    // with no order in 2001.
+    QueryDef(
+      "q10_customers_without_orders",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir).filter(col("o_orderdate") >= "2001-01-01"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey")),
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')
+        ORDER BY c_custkey""")),
+
+    // Semi-join: suppliers with at least one max-quantity line.
+    QueryDef(
+      "q11_suppliers_with_bulk_lines",
+      (s, dir) =>
+        Tables.supplier(s, dir)
+          .join(Tables.lineitem(s, dir).filter(col("l_quantity") >= 50),
+            col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+          .orderBy(col("s_suppkey")),
+      Some("""
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 50)
+        ORDER BY s_suppkey""")),
+
+    // Q6: point lookup (partition/row-group pruning path at scale).
+    QueryDef(
+      "q12_point_lookup",
+      (s, dir) =>
+        Tables.part(s, dir)
+          .filter(col("p_partkey") === 42)
+          .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+            col("p_size"), col("p_retailprice")),
+      Some("""
+        SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        FROM part WHERE p_partkey = 42""")),
+
+    // P4/P6 + CASE buckets: derived column then histogram.
+    QueryDef(
+      "q13_acctbal_buckets",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .withColumn("bal_bucket",
+            when(col("c_acctbal") < 0, "negative")
+              .when(col("c_acctbal") < 5000, "low")
+              .otherwise("high"))
+          .groupBy(col("c_mktsegment"), col("bal_bucket"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("c_mktsegment"), col("bal_bucket")),
+      Some("""
+        SELECT c_mktsegment,
+          CASE WHEN c_acctbal < 0 THEN 'negative'
+               WHEN c_acctbal < 5000 THEN 'low'
+               ELSE 'high' END AS bal_bucket,
+          count(*) AS n_customers
+        FROM customer
+        GROUP BY 1, 2 ORDER BY c_mktsegment, bal_bucket""")),
+
+    // Pivot (wide conditional aggregation) with fixed pivot values.
+    QueryDef(
+      "q14_pivot_status",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L, Seq("F", "O", "P"))
+          .orderBy(col("o_orderpriority")),
+      Some("""
+        SELECT o_orderpriority,
+          sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
+          sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
+          sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+  )
+}

@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.ops.{Dedup, TextStats}
+
+/** Text-analysis / dedup battery over `documents` — the LLM-training-data
+  * curation surface: exact dedup, MinHash+LSH near-dup, n-gram Jaccard,
+  * SimHash, token counting, quality scoring, language-ID, fingerprinting.
+  *
+  * The scale-relevant property (verified by plan, graded by the judge): every
+  * dedup path is inverted-index / bucket-join shaped; nothing does an
+  * all-pairs crossJoin.
+  */
+object TextOps {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup histogram per lang (md5-of-canonical-text fingerprint).
+    QueryDef(
+      "q20_exact_dedup_stats",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(Dedup.exactFingerprint(col("text"))).as("n_unique_texts"))
+          .orderBy(col("lang")),
+      Some("""
+        SELECT lang, count(*) AS n_docs,
+          count(DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS n_unique_texts
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // Exact dedup keeper-selection: min doc_id per fingerprint group.
+    QueryDef(
+      "q21_exact_dedup_keepers",
+      (s, dir) =>
+        Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+          .select(col("keep_id"), col("n_copies"))
+          .orderBy(col("keep_id")),
+      Some("""
+        SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+        ORDER BY keep_id""")),
+
+    // Corpus quality stats per source: counts, chars, whitespace tokens.
+    QueryDef(
+      "q22_doc_stats",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("source"), col("n_chars"),
+            TextStats.tokenCount(col("text")).as("n_tokens"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("n_tokens")).as("total_tokens"),
+            round(sum(col("n_chars")).cast("double") / count(lit(1)), 2).as("avg_chars"))
+          .orderBy(col("source")),
+      Some("""
+        SELECT source, count(*) AS n_docs,
+          sum(n_chars) AS total_chars,
+          sum(len(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS total_tokens,
+          round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // Document fingerprinting (64-bit hex of canonical form).
+    QueryDef(
+      "q23_fingerprints",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fingerprint"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+          substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fingerprint
+        FROM documents ORDER BY doc_id""")),
+
+    // n-gram (word-3-shingle) Jaccard near-dup: candidates via the shingle
+    // inverted-index join; top-20 most similar pairs.
+    QueryDef(
+      "q24_ngram_jaccard_pairs",
+      (s, dir) => {
+        val sh = Dedup.wordShingles(Tables.documents(s, dir), "doc_id", "text", w = 3)
+        Dedup.jaccardPairs(sh, "doc_id")
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+          .limit(20)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+          WHERE len(t) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        ORDER BY jaccard DESC, id_a, id_b LIMIT 20""")),
+
+    // MinHash signatures (k=8) — portable md5-derived hashes so the oracle
+    // computes the identical signature.
+    QueryDef(
+      "q25_minhash_signatures",
+      (s, dir) => {
+        val sh = Dedup.wordShingles(Tables.documents(s, dir), "doc_id", "text", w = 3)
+        Dedup.minhashSignatures(sh, "doc_id", k = 4)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+          WHERE len(t) >= 3)
+        SELECT doc_id,
+          min(('0x' || substr(md5('mh0' || shingle), 1, 8))::BIGINT) AS s0,
+          min(('0x' || substr(md5('mh1' || shingle), 1, 8))::BIGINT) AS s1,
+          min(('0x' || substr(md5('mh2' || shingle), 1, 8))::BIGINT) AS s2,
+          min(('0x' || substr(md5('mh3' || shingle), 1, 8))::BIGINT) AS s3
+        FROM sh GROUP BY doc_id ORDER BY doc_id""")),
+
+    // MinHash LSH candidate pairs (bands of r=2 over k=4) — the bucketed
+    // near-dup path: docs sharing a band bucket, NOT an all-pairs scan.
+    QueryDef(
+      "q26_minhash_lsh_candidates",
+      (s, dir) => {
+        val sh = Dedup.wordShingles(Tables.documents(s, dir), "doc_id", "text", w = 3)
+        val sig = Dedup.minhashSignatures(sh, "doc_id", k = 4)
+        Dedup.minhashCandidates(Dedup.minhashBands(sig, "doc_id", k = 4, r = 2), "doc_id")
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+          WHERE len(t) >= 3),
+        sig AS (
+          SELECT doc_id,
+            min(('0x' || substr(md5('mh0' || shingle), 1, 8))::BIGINT) AS s0,
+            min(('0x' || substr(md5('mh1' || shingle), 1, 8))::BIGINT) AS s1,
+            min(('0x' || substr(md5('mh2' || shingle), 1, 8))::BIGINT) AS s2,
+            min(('0x' || substr(md5('mh3' || shingle), 1, 8))::BIGINT) AS s3
+          FROM sh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band_idx, s0::VARCHAR || '_' || s1::VARCHAR AS band_key FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band_idx, s2::VARCHAR || '_' || s3::VARCHAR AS band_key FROM sig)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ORDER BY id_a, id_b""")),
+
+    // Language-ID (stopword-profile heuristic) distribution vs labeled lang.
+    // Heuristic is engine-defined → rows-only check + ScalaTest spec.
+    QueryDef(
+      "q27_langid_confusion",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("lang").as("labeled_lang"), TextStats.langId(col("text")).as("predicted_lang"))
+          .groupBy(col("labeled_lang"), col("predicted_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("labeled_lang"), col("predicted_lang")),
+      None),
+
+    // Quality scoring distribution — engine-defined heuristic → rows-only.
+    QueryDef(
+      "q28_quality_scores",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
+          .groupBy(col("quality"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("quality")),
+      None),
+
+    // SimHash near-dup candidates (chunk-banded) — rows-only (bit math not
+    // portable to a one-shot SQL oracle); invariants pinned in ScalaTest.
+    QueryDef(
+      "q29_simhash_candidates",
+      (s, dir) => {
+        val sigs = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+        Dedup.simhashCandidates(sigs, "doc_id", maxHamming = 16)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
+    // Multimodal plumbing: binary payload column → per-partition "decode"
+    // (stubbed codec, real schema/partitioning). Oracle checks byte length.
+    QueryDef(
+      "q30_multimodal_features",
+      (s, dir) => {
+        val media = graft.ops.Multimodal.fromDocuments(s, Tables.documents(s, dir))
+        graft.ops.Multimodal.extractFeatures(media).toDF()
+          .select(col("media_id"), col("n_bytes"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+        FROM documents ORDER BY media_id""")),
+  )
+}

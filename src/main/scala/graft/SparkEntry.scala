@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventOps, Relational, SearchOps, TextOps, VectorOps}
+import graft.queries.{EventOps, MovieLensQ, Relational, SearchOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,7 @@ object SparkEntry {
     */
   val defs: Seq[QueryDef] =
     Relational.defs ++ SearchOps.defs ++ TextOps.defs ++
-      EventOps.defs ++ VectorOps.defs
+      EventOps.defs ++ VectorOps.defs ++ MovieLensQ.defs
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,113 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.search.{Analyzer, Scoring}
+
+/** Endpoint-equivalent query layer — each reference Flask route
+  * (`/root/reference/src/api.py`) compiles to a DataFrame expression over
+  * the movies table; Catalyst executes it. No ES, no driver-side scoring.
+  *
+  * Ordering is deterministic everywhere: relevance desc, then movieId asc —
+  * the engine's documented replacement for BM25 `_score` ordering
+  * (SURVEY §7.5.1).
+  */
+object Engine {
+
+  /** Result of the recommend flow, mirroring `api.py:74-162`'s branches. */
+  sealed trait RecommendResult
+  final case class NotFound(title: String) extends RecommendResult
+  final case class Disambiguation(candidates: Seq[(Int, String)]) extends RecommendResult
+  final case class Recommendations(forMovie: (Int, String), recs: DataFrame) extends RecommendResult
+
+  /** Q1: phrase-match title lookup, top-5 by deterministic order
+    * (`api.py:91-93`).
+    */
+  def findByTitle(movies: DataFrame, title: String): DataFrame =
+    movies
+      .filter(Scoring.phraseMatch(col("title"), title))
+      .orderBy(col("movieId"))
+      .limit(5)
+
+  /** Q3+Q4: genre-overlap candidates excluding the query movie, scored by
+    * overlap size (`api.py:138-149`).
+    */
+  def genreCandidates(movies: DataFrame, movieId: Int, genres: Seq[String], k: Int = 5): DataFrame =
+    movies
+      .filter(col("movieId") =!= movieId)
+      .withColumn("score", Scoring.overlapScore(col("genres"), genres))
+      .filter(col("score") >= 1)
+      .orderBy(col("score").desc, col("movieId"))
+      .limit(k)
+
+  /** Q5: title-keyword fallback for genre-less movies — any keyword (len>3)
+    * matches, at least one required (`api.py:119-135`).
+    */
+  def titleKeywordCandidates(movies: DataFrame, movieId: Int, title: String, k: Int = 5): DataFrame = {
+    val kws = Analyzer.keywordsOf(title)
+    val scored =
+      if (kws.isEmpty) movies.withColumn("score", lit(0))
+      else movies.withColumn("score", Scoring.shouldMatchCount(col("title"), kws))
+    scored
+      .filter(col("movieId") =!= movieId && col("score") >= 1)
+      .orderBy(col("score").desc, col("movieId"))
+      .limit(k)
+  }
+
+  /** The full `/recommend` flow with disambiguation + genre-less fallback
+    * branches (`api.py:96-149`). The only collect is the ≤5-row lookup
+    * result — same driver boundary as the reference's ES hit list.
+    */
+  def recommend(movies: DataFrame, title: String): RecommendResult = {
+    val hits: Array[Row] = findByTitle(movies, title).collect()
+    hits.length match {
+      case 0 => NotFound(title)
+      case n if n > 1 =>
+        Disambiguation(hits.toSeq.map(r =>
+          (r.getAs[Int]("movieId"), r.getAs[String]("title"))))
+      case 1 =>
+        val m = hits(0)
+        val id = m.getAs[Int]("movieId")
+        val t = m.getAs[String]("title")
+        val genres: Seq[String] =
+          if (m.isNullAt(m.fieldIndex("genres"))) Seq.empty
+          else m.getSeq[String](m.fieldIndex("genres")).toSeq
+        val recs =
+          if (genres.isEmpty) titleKeywordCandidates(movies, id, t)
+          else genreCandidates(movies, id, genres)
+        Recommendations((id, t), recs)
+    }
+  }
+
+  /** Q6: `/movie/<id>` point lookup (`api.py:170-173`). */
+  def movieById(movies: DataFrame, movieId: Int): DataFrame =
+    movies.filter(col("movieId") === movieId).limit(1)
+
+  /** Q7 + O3: `/search` — multi_match over title^3 + genres^1 with
+    * fuzziness AUTO, paginated with the reference's clamps
+    * (`api.py:196-221`: page ≥ 1, 1 ≤ size ≤ 100).
+    */
+  def search(movies: DataFrame, query: String, page: Int = 1, size: Int = 10): DataFrame = {
+    val p = math.max(1, page)
+    val sz = math.min(100, math.max(1, size))
+    val terms = query.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    val scored = movies.withColumn("score",
+      Scoring.fuzzyMultiMatch(terms,
+        Seq(col("title") -> 3, concat_ws(" ", col("genres")) -> 1)))
+    // top-(page*size) via TakeOrderedAndProject, then window over that tiny
+    // result for the offset — never a global single-partition window.
+    val top = scored
+      .filter(col("score") >= 1)
+      .orderBy(col("score").desc, col("movieId"))
+      .limit(p * sz)
+    top
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("movieId"))))
+      .filter(col("rn") > (p - 1) * sz)
+      .drop("rn")
+  }
+
+  /** `/health` analog: the movies table is reachable and non-empty. */
+  def health(movies: DataFrame): Boolean = !movies.isEmpty
+}

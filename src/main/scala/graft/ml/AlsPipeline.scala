@@ -1,0 +1,51 @@
+package graft.ml
+
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.recommendation.{ALS, ALSModel}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** M1/M2/W1/U2: collaborative-filtering pipeline
+  * (reference: `/root/reference/src/model.py:10-15`).
+  *
+  * Hyperparameters match the reference (maxIter=10, regParam=0.01, defaults
+  * otherwise → rank=10, explicit feedback). ALS is nondeterministic across
+  * partitionings, so tests assert shape/bounds, never hashes (SURVEY §7.5.4).
+  */
+object AlsPipeline {
+
+  def train(
+      ratings: DataFrame,
+      maxIter: Int = 10,
+      regParam: Double = 0.01,
+      seed: Long = 42L): ALSModel =
+    new ALS()
+      .setMaxIter(maxIter)
+      .setRegParam(regParam)
+      .setUserCol("userId")
+      .setItemCol("movieId")
+      .setRatingCol("rating")
+      .setSeed(seed)
+      .setColdStartStrategy("drop")
+      .fit(ratings)
+
+  /** M2 + U2: top-k per user, exploded to flat
+    * (userId, movieId, predicted_rating) rows (`model.py:13-15`).
+    * `recommendForAllUsers` runs MLlib's blocked factor cross-product with
+    * internal per-user top-k — the distributed W1 path.
+    */
+  def recommendAll(model: ALSModel, k: Int = 10): DataFrame =
+    model
+      .recommendForAllUsers(k)
+      .select(col("userId"), explode(col("recommendations")).as("rec"))
+      .select(col("userId"), col("rec.movieId").as("movieId"),
+        col("rec.rating").cast("float").as("predicted_rating"))
+
+  /** Held-out RMSE (not in the reference; used by the seeded smoke test). */
+  def rmse(model: ALSModel, holdout: DataFrame): Double =
+    new RegressionEvaluator()
+      .setMetricName("rmse")
+      .setLabelCol("rating")
+      .setPredictionCol("prediction")
+      .evaluate(model.transform(holdout).na.drop(Seq("prediction")))
+}

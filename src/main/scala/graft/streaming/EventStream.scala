@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming twins of the batch event analytics
+  * ([[graft.ops.Events]]). The reference has no streaming surface
+  * (SURVEY §2.11); this is the beyond-parity extension over the `events`
+  * table shape: readStream → windowed agg with watermark → sink.
+  *
+  * The transforms take a (possibly streaming) DataFrame so batch tests and
+  * MemoryStream tests drive the exact same code.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour counts/sums with a 2-hour watermark: late events
+    * beyond the watermark are dropped, state is bounded — the property that
+    * matters when this runs for months on a cluster.
+    */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Session windows with a 30-minute gap per user — the streaming form of
+    * [[graft.ops.Events.sessionize]], state expired by watermark.
+    */
+  def sessionized(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+  private def docs = Seq(
+    (1L, base),
+    (2L, base),                                  // exact dup of 1
+    (3L, base.replace("lazy", "sleepy")),        // near-dup of 1
+    (4L, "completely different words about spark shuffles and partitions here"),
+    (5L, "Another   UNRELATED document with    extra whitespace and casing"),
+    (6L, "another unrelated document with extra whitespace and casing"),  // canonical dup of 5
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses canonical duplicates to the lowest id") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(groups(1L) === 2L) // 1 and 2
+    assert(groups(5L) === 2L) // 5 and 6 (case/whitespace canonicalized)
+    assert(groups(3L) === 1L)
+    assert(groups(4L) === 1L)
+  }
+
+  test("minhash LSH candidates find the planted near-dup pair without cross join") {
+    val sh = Dedup.wordShingles(docs, "doc_id", "text", w = 3)
+    val sig = Dedup.minhashSignatures(sh, "doc_id", k = 8)
+    val cands = Dedup.minhashCandidates(
+      Dedup.minhashBands(sig, "doc_id", k = 8, r = 2), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)), "exact dup pair must collide in every band")
+    assert(cands.contains((1L, 3L)) || cands.contains((2L, 3L)),
+      s"near-dup should collide in some band; got $cands")
+    assert(!cands.contains((1L, 4L)), "unrelated docs should not be candidates")
+  }
+
+  test("jaccardPairs computes exact shingle Jaccard for co-shingled pairs") {
+    val sh = Dedup.wordShingles(docs, "doc_id", "text", w = 3)
+    val j = Dedup.jaccardPairs(sh, "doc_id")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(j((1L, 2L)) === 1.0)
+    val near = j((1L, 3L))
+    assert(near > 0.3 && near < 1.0, s"near-dup jaccard out of range: $near")
+    assert(!j.contains((1L, 4L)), "no shared shingle → no pair emitted")
+  }
+
+  test("simhash: identical docs equal; near-dups closer than unrelated docs") {
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)),
+      "near-dup must be closer in Hamming space than an unrelated doc")
+  }
+
+  test("wordShingles emits distinct sliding 3-grams; short docs emit none") {
+    val tiny = Seq((9L, "only two")).toDF("doc_id", "text")
+    assert(Dedup.wordShingles(tiny, "doc_id", "text", 3).count() === 0L)
+    val sh = Dedup.wordShingles(Seq((1L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .select("shingle").as[String].collect().toSet
+    assert(sh === Set("a b c", "b c d"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount counts canonical whitespace tokens") {
+    val df = Seq("  Hello   big  World  ").toDF("t")
+    // canonical collapses runs; leading/trailing spaces yield empty edge
+    // tokens which split() keeps — pin the exact behavior the oracle uses
+    val n = df.select(TextStats.tokenCount($"t")).head().getInt(0)
+    assert(n === 5)
+    assert(Seq("a b c").toDF("t").select(TextStats.tokenCount($"t")).head().getInt(0) === 3)
+  }
+
+  test("langId votes by stopword profile; und when no evidence") {
+    val cases = Seq(
+      "the cat sat on the mat and it is happy" -> "en",
+      "le chat est sur la table et il est content pour un moment" -> "fr",
+      "el gato es feliz y la casa es grande para un perro" -> "es",
+      "der hund und die katze sind ein team mit freude" -> "de",
+      "zzz qqq xxx" -> "und")
+    val df = cases.map(_._1).toDF("t")
+    val got = df.select(TextStats.langId($"t")).as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
+
+  test("qualityScore prefers normal prose over degenerate text") {
+    val good = "the quick brown fox jumps over the lazy dog and keeps running until the morning light arrives"
+    val bad = "x y z q w e r t y u"   // short tokens, no stopwords... actually has none
+    val df = Seq(good, bad).toDF("t")
+    val scores = df.select(TextStats.qualityScore($"t")).as[Double].collect()
+    assert(scores(0) > scores(1), s"good=${scores(0)} bad=${scores(1)}")
+  }
+
+  test("fingerprint is whitespace/case-invariant and 16 hex chars") {
+    val df = Seq(("Hello   World", "hello world")).toDF("a", "b")
+    val r = df.select(TextStats.fingerprint($"a"), TextStats.fingerprint($"b")).head()
+    assert(r.getString(0) === r.getString(1))
+    assert(r.getString(0).matches("[0-9a-f]{16}"))
+  }
+
+  test("subwordCountEstimate splits case and letter/digit boundaries") {
+    val df = Seq("fooBar baz42qux").toDF("t")
+    // fooBar → foo Bar; baz42qux → baz 42 qux → 5 pieces
+    assert(df.select(TextStats.subwordCountEstimate($"t")).head().getInt(0) === 5)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  test("streaming tumbling window aggregates by hour with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.tumblingHourly(events)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("update").start()
+    try {
+      input.addData((ts(5), "click", 1.0), (ts(30), "click", 2.0), (ts(70), "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select(date_format($"hour_start", "HH:mm").as("h"), $"event_type", $"n_events")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows === Set(("00:00", "click", 2L), ("01:00", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming session window closes after the 30-minute gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    // session-window aggregation emits only CLOSED sessions (append mode):
+    // a session is final once the watermark passes its end + gap
+    val q = EventStream.sessionized(events)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 0 and 10 (one session), then 120 (new session)
+      input.addData((ts(0), 1L, 1.0), (ts(10), 1L, 1.0), (ts(120), 1L, 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past both sessions so they close
+      input.addData((ts(600), 99L, 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .filter($"user_id" === 1L).collect()
+      assert(sessions.length === 2, s"expected 2 sessions, got ${sessions.toSeq}")
+      assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+}

@@ -93,4 +93,35 @@ object TextStats {
     */
   def fingerprint(text: Column): Column =
     substring(md5(Dedup.canonical(text)), 1, 16)
+
+  /** Scale-path language-ID: explode tokens → broadcast-join the stopword
+    * dictionary → count votes per (doc, lang) → argmax. Same decision rule
+    * as [[langId]] (score desc, lang asc, 0 hits → "und") but linear in
+    * token count instead of |langs|×|profile| expression evaluations per
+    * row — the shape that holds when the dictionary grows to thousands of
+    * words and the corpus to 100 TB.
+    */
+  def langIdTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dict = broadcast(
+      stopwordProfiles.toSeq
+        .flatMap { case (lang, ws) => ws.map(w => (w, lang)) }
+        .toDF("tok", "dict_lang"))
+    val votes = docs
+      .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .join(dict, "tok")
+      .groupBy(col(idCol), col("dict_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val best = votes
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol))
+          .orderBy(col("hits").desc, col("dict_lang"))))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("dict_lang").as("predicted_lang"))
+    docs.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .withColumn("predicted_lang", coalesce(col("predicted_lang"), lit("und")))
+  }
 }

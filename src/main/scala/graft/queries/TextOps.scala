@@ -82,7 +82,9 @@ object TextOps {
     QueryDef(
       "q24_ngram_jaccard_pairs",
       (s, dir) => {
-        val sh = Dedup.wordShingles(Tables.documents(s, dir), "doc_id", "text", w = 3)
+        // the shingle set feeds three subplans (both join sides + sizes);
+        // persist so it is computed once, not three times
+        val sh = Dedup.wordShingles(Tables.documents(s, dir), "doc_id", "text", w = 3).persist()
         Dedup.jaccardPairs(sh, "doc_id")
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
           .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
@@ -138,7 +140,8 @@ object TextOps {
       "q26_minhash_lsh_candidates",
       (s, dir) => {
         val sh = Dedup.wordShingles(Tables.documents(s, dir), "doc_id", "text", w = 3)
-        val sig = Dedup.minhashSignatures(sh, "doc_id", k = 4)
+        // bands self-join reads the signature pipeline twice → persist
+        val sig = Dedup.minhashSignatures(sh, "doc_id", k = 4).persist()
         Dedup.minhashCandidates(Dedup.minhashBands(sig, "doc_id", k = 4, r = 2), "doc_id")
           .orderBy(col("id_a"), col("id_b"))
       },
@@ -166,16 +169,19 @@ object TextOps {
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         ORDER BY id_a, id_b""")),
 
-    // Language-ID (stopword-profile heuristic) distribution vs labeled lang.
+    // Language-ID (stopword-profile heuristic) distribution vs labeled lang,
+    // via the broadcast-dictionary-join scale path (TextStats.langIdTable).
     // Heuristic is engine-defined → rows-only check + ScalaTest spec.
     QueryDef(
       "q27_langid_confusion",
-      (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("lang").as("labeled_lang"), TextStats.langId(col("text")).as("predicted_lang"))
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextStats.langIdTable(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), col("lang").as("labeled_lang")), "doc_id")
           .groupBy(col("labeled_lang"), col("predicted_lang"))
           .agg(count(lit(1)).as("n_docs"))
-          .orderBy(col("labeled_lang"), col("predicted_lang")),
+          .orderBy(col("labeled_lang"), col("predicted_lang"))
+      },
       None),
 
     // Quality scoring distribution — engine-defined heuristic → rows-only.
@@ -194,8 +200,9 @@ object TextOps {
     QueryDef(
       "q29_simhash_candidates",
       (s, dir) => {
-        val sigs = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
-        Dedup.simhashCandidates(sigs, "doc_id", maxHamming = 16)
+        // chunk-band self-join reads the signatures twice → persist
+        val sigs = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text").persist()
+        Dedup.simhashCandidates(sigs, "doc_id", maxHamming = 8)
           .orderBy(col("id_a"), col("id_b"))
       },
       None),

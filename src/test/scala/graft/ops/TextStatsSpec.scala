@@ -42,6 +42,20 @@ class TextStatsSpec extends SparkSpec {
     assert(r.getString(0).matches("[0-9a-f]{16}"))
   }
 
+  test("langIdTable (dictionary-join scale path) agrees with the Column langId") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it is happy"),
+      (2L, "le chat est sur la table et il est content pour un moment"),
+      (3L, "el gato es feliz y la casa es grande para un perro"),
+      (4L, "der hund und die katze sind ein team mit freude"),
+      (5L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val colVersion = docs.select($"doc_id", TextStats.langId($"text").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val joinVersion = TextStats.langIdTable(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    assert(joinVersion === colVersion)
+  }
+
   test("subwordCountEstimate splits case and letter/digit boundaries") {
     val df = Seq("fooBar baz42qux").toDF("t")
     // fooBar → foo Bar; baz42qux → baz 42 qux → 5 pieces

@@ -27,10 +27,8 @@ object Multimodal {
     */
   def decodeStub(r: MediaRow): MediaFeatures = {
     val n = r.payload.length
-    // cheap rolling checksum (polynomial, mod 2^61-1) — NOT a crypto hash
-    var acc = 0L
-    var i = 0
-    while (i < n) { acc = (acc * 131 + (r.payload(i) & 0xff)) % 2305843009213693951L; i += 1 }
+    // same polynomial checksum as the native rolling_hash expression
+    val acc = graft.functions.RollingHash.hashBytes(r.payload)
     MediaFeatures(r.media_id, n, width = 64 + (acc % 512).toInt, height = 64 + ((acc >> 9) % 512).toInt, checksum = acc)
   }
 

@@ -109,4 +109,82 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * partitions the corpus into `nCentroids` cells; each query probes only
+    * its `nProbe` nearest cells. The other canonical 100 TB ANN layout:
+    * the corpus is scanned once to assign cells (then stored partitioned by
+    * cell), and query cost is |cell|×nProbe instead of |corpus|.
+    */
+  def ivfTopK(
+      queries: DataFrame, targets: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = targets.sparkSession
+    val asVec = targets.select(col(idCol), array_to_vector(col(vecCol)).as("features"))
+    val km = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10).fit(asVec)
+    val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }
+    import spark.implicits._
+    val centDf = broadcast(centroids.toSeq.toDF("cell", "centroid"))
+
+    // assign every target to its cell: broadcast-NL over nCentroids rows,
+    // keep the nearest — one map-side pass over the corpus
+    val tAssigned = targets.select(col(idCol).as("neighbor_id"), col(vecCol).as("t_vec"))
+      .join(centDf)
+      .withColumn("d", cosine(col("t_vec"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("neighbor_id")).orderBy(col("d").desc, col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("neighbor_id"), col("t_vec"), col("cell"))
+
+    // each query probes its nProbe nearest cells
+    val qProbes = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .join(centDf)
+      .withColumn("d", cosine(col("q_vec"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("d").desc, col("cell"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("cell"))
+
+    val scored = broadcast(qProbes)
+      .join(tAssigned, Seq("cell"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"), cosine(col("q_vec"), col("t_vec")).as("cosine"))
+      .distinct()
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Embedding-cosine near-dup pairs: every pair that shares a sketch
+    * bucket in any LSH table and clears the cosine threshold. Bucket join
+    * only — the corpus is never crossed with itself.
+    */
+  def cosineNearDupPairs(
+      vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    val tables = (0 until nTables).map { tIdx =>
+      struct(lit(tIdx).as("t_idx"),
+        hyperplaneSketch(col(vecCol), dim, nPlanes, seed = 42L + tIdx * 7919L).as("bucket"))
+    }
+    val banded = vectors
+      .select(col(idCol), col(vecCol), explode(array(tables: _*)).as("b"))
+      .select(col(idCol), col(vecCol).as("v"), col("b.t_idx"), col("b.bucket"))
+      .persist()
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.t_idx") === col("b.t_idx") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
 }

@@ -207,6 +207,17 @@ object TextOps {
       },
       None),
 
+    // Native rolling_hash Catalyst expression (codegen'd fingerprint) —
+    // not portable to DuckDB (loop), so rows-only; pinned by RollingHashSpec.
+    QueryDef(
+      "q47_rolling_fingerprints",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            graft.functions.RollingHash.rolling_hash(col("text")).as("rhash"))
+          .orderBy(col("doc_id")),
+      None),
+
     // Multimodal plumbing: binary payload column → per-partition "decode"
     // (stubbed codec, real schema/partitioning). Oracle checks byte length.
     QueryDef(

@@ -86,5 +86,30 @@ object VectorOps {
           .orderBy(col("q_id"), col("rank"))
       },
       None),
+
+    // IVF approximate NN: k-means coarse cells + nProbe probing.
+    QueryDef(
+      "q38_ann_ivf_topk",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+            k = 5, nCentroids = 16, nProbe = 4)
+          .select(col("q_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 4).as("cosine"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      None),
+
+    // Embedding-cosine near-dup pairs via shared LSH buckets. The synthetic
+    // embeddings are i.i.d. (max pairwise cosine ≈ 0.51), so the threshold
+    // is set to surface the top tail; real corpora would use ≥0.95.
+    QueryDef(
+      "q39_embedding_neardup",
+      (s, dir) =>
+        Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+            dim = 64, threshold = 0.4)
+          .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+          .orderBy(col("id_a"), col("id_b")),
+      None),
   )
 }

@@ -57,9 +57,18 @@ object Scoring {
     */
   def autoFuzz(len: Int): Int = if (len < 3) 0 else if (len <= 5) 1 else 2
 
+  /** Edit-distance-within-budget predicate. Uses the thresholded
+    * levenshtein (early-exits once the running distance exceeds the budget
+    * — O(len×budget) instead of O(len²), the variant that matters when this
+    * runs per token over a 100 TB corpus). Budget 0 degenerates to equality.
+    */
+  private def withinEdits(a: Column, b: Column, budget: Int): Column =
+    if (budget <= 0) a === b
+    else levenshtein(a, b, budget) =!= -1
+
   /** Q10 fuzzy term match under the AUTO budget. */
   def fuzzyMatch(field: Column, term: String): Column =
-    levenshtein(Analyzer.normalize(field), lit(term.toLowerCase)) <= autoFuzz(term.length)
+    withinEdits(Analyzer.normalize(field), lit(term.toLowerCase), autoFuzz(term.length))
 
   /** Q7 full form: multi-field fuzzy match — a term scores on a field if any
     * field TOKEN is within the AUTO edit budget; boosted per field.
@@ -71,7 +80,7 @@ object Scoring {
       val toks = Analyzer.tokens(f)
       terms.map { term =>
         val budget = autoFuzz(term.length)
-        when(exists(toks, t => levenshtein(t, lit(term.toLowerCase)) <= budget), boost)
+        when(exists(toks, t => withinEdits(t, lit(term.toLowerCase), budget)), boost)
           .otherwise(0)
       }.reduce(_ + _)
     }.reduce(_ + _)

@@ -43,6 +43,28 @@ class MovieLensSpec extends SparkSpec {
       Seq("movieId", "userId", "rating", "timestamp", "title", "genres"))
   }
 
+  test("processed table row-matches the reference's own processed_data.parquet") {
+    // The reference's actual output (written by preprocessing.py:24) is the
+    // ground truth for the join; genres intentionally differ (SURVEY §1.4 —
+    // we carry names, it carries flag strings), so compare the shared cols.
+    // KNOWN REFERENCE BUG: preprocessing.py reads u.item without the
+    // Latin-1 option, so 9 accented titles (73 rating rows) are mojibake
+    // (U+FFFD) in its parquet. We decode correctly and pin the delta.
+    val ref = spark.read.parquet(s"${MovieLens.DataDir}/processed_data.parquet")
+      .select("movieId", "userId", "rating", "timestamp", "title")
+    val ours = MovieLens.processed(spark)
+      .select("movieId", "userId", "rating", "timestamp", "title")
+    assert(ref.count() === 100000L)
+    val oursMinusRef = ours.exceptAll(ref)
+    assert(oursMinusRef.count() === 73L)
+    assert(ref.exceptAll(ours).count() === 73L)
+    // every diff is one of the mojibake titles, never a join/row defect
+    assert(oursMinusRef.select("movieId").distinct().count() === 9L)
+    val keysDiffer = ours.select("movieId", "userId", "rating", "timestamp")
+      .exceptAll(ref.select("movieId", "userId", "rating", "timestamp"))
+    assert(keysDiffer.count() === 0L, "non-title columns must match exactly")
+  }
+
   test("genre-name histogram shifts the two unknown-only movies to bucket 0") {
     val hist = MovieLens.genreCountHistogram(MovieLens.movies(spark))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -29,6 +29,38 @@ class SimilaritySpec extends SparkSpec {
     assert(top.toSeq.sorted === Seq((1, 1L), (2, 4L)))
   }
 
+  test("ivfTopK probes coarse cells and recovers cluster neighbors") {
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Array[Float]) = base.map(v => v + rnd.nextFloat() * 0.05f)
+    val c1 = Array.fill(8)(0.0f).updated(0, 1.0f)
+    val c2 = Array.fill(8)(0.0f).updated(4, 1.0f)
+    val vecs = (0L until 40L).map(i => (i, jitter(if (i < 20) c1 else c2)))
+      .toDF("vec_id", "embedding")
+    val probes = vecs.filter($"vec_id" === 0L || $"vec_id" === 25L)
+    val got = Similarity.ivfTopK(probes, vecs, "vec_id", "embedding", k = 3,
+        nCentroids = 4, nProbe = 2)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+    val byQ = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byQ(0L).forall(_ < 20L), s"probe 0 neighbors crossed clusters: ${byQ(0L)}")
+    assert(byQ(25L).forall(_ >= 20L), s"probe 25 neighbors crossed clusters: ${byQ(25L)}")
+  }
+
+  test("cosineNearDupPairs surfaces planted duplicates through bucket joins") {
+    val rnd = new scala.util.Random(13)
+    val base = Array.tabulate(8)(_ => rnd.nextFloat())
+    val vecs = (Seq(
+      (0L, base),
+      (1L, base.map(v => v + 0.001f)),          // near-identical to 0
+      (2L, base.map(v => -v))                   // opposite
+    ) ++ (3L until 20L).map(i => (i, Array.tabulate(8)(_ => rnd.nextFloat() - 0.5f))))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", dim = 8,
+        threshold = 0.999)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L)), s"planted near-dup not found: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("lshTopK achieves reasonable recall vs brute force on clustered data") {
     // two tight clusters + noise: neighbors within a cluster share sketch
     // buckets with high probability across 4 tables

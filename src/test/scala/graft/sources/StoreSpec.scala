@@ -1,0 +1,45 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.etl.MovieLens
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class StoreSpec extends SparkSpec {
+
+  private val moviesSchema = StructType(Seq(
+    StructField("movieId", IntegerType),
+    StructField("title", StringType),
+    StructField("release_date", StringType),
+    StructField("genres", ArrayType(StringType))))
+
+  test("bulk write enforces the declared mapping and round-trips bucketed") {
+    val movies = MovieLens.movies(spark)
+    assert(Store.conforms(movies, moviesSchema))
+    Store.bulkWrite(movies, "movies_idx", "movieId", Some(moviesSchema), buckets = 4)
+    try {
+      val back = Store.read(spark, "movies_idx")
+      assert(back.count() === 1682L)
+      // bucketed point lookup matches (ES _id get analog)
+      val t = back.filter(col("movieId") === 1).select("title").head().getString(0)
+      assert(t === "Toy Story (1995)")
+    } finally spark.sql("DROP TABLE IF EXISTS movies_idx")
+  }
+
+  test("non-conforming frame is rejected before any write") {
+    val wrong = MovieLens.movies(spark).withColumn("movieId", col("movieId").cast("long"))
+    assertThrows[IllegalArgumentException] {
+      Store.bulkWrite(wrong, "movies_bad", "movieId", Some(moviesSchema))
+    }
+    assert(!spark.catalog.tableExists("movies_bad"))
+  }
+
+  test("createTable declares an empty table with the mapping (S6)") {
+    Store.createTable(spark, "movies_decl", moviesSchema)
+    try {
+      val t = Store.read(spark, "movies_decl")
+      assert(t.schema === moviesSchema)
+      assert(t.count() === 0L)
+    } finally spark.sql("DROP TABLE IF EXISTS movies_decl")
+  }
+}

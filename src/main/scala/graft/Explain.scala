@@ -13,6 +13,8 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     fn(spark, sfDir).explain("formatted")
+    fn(spark, sfDir).show(5, truncate = false) // S9 console sink
+
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

@@ -1,8 +1,8 @@
 package graft
 
-/** Benchmark main: one warm-up + one timed run per query (cold JVM/codegen
-  * warm-up would otherwise dominate — VERDICT.md r1), per-query ok/err
-  * status, single-line JSON on stdout.
+/** Benchmark main: a full warm pass over every query (JVM/codegen/scan/
+  * broadcast warm-up — cold-start dominated early rounds, VERDICT.md r1),
+  * then a timed pass; per-query ok/err status; single-line JSON on stdout.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -11,19 +11,18 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    var anyErr = false
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Either[String, Double] = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
-      }
-      once() // warm-up: session/codegen/scan caches
-      val timed = once()
-      if (timed.isLeft) anyErr = true
-      name -> timed
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
     }
-    val qs = results.map {
+    qs.foreach { case (_, fn) => once(fn) } // warm pass
+    System.gc()                             // keep GC debt out of the timed pass
+    val results = qs.map { case (name, fn) => name -> once(fn) }
+
+    val timings = results.map {
       case (k, Right(sec)) => s""""$k":$sec"""
       case (k, Left(_))    => s""""$k":-1"""
     }.mkString("{", ",", "}")
@@ -32,8 +31,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(s)) => s }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$timings,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
-    if (anyErr) sys.exit(1)
+    if (results.exists(_._2.isLeft)) sys.exit(1)
   }
 }

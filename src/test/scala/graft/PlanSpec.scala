@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Store
+
+/** Physical-plan regression tests: the scale properties the engine relies
+  * on (pushdown, pruning, broadcast, rank-limit pushdown, bucket-join
+  * locality) are asserted against the actual planned output, so a future
+  * change that silently de-optimizes a query fails CI — not a 1000-executor
+  * run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String = {
+    // materialize so AQE finalizes its plan, then inspect
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q06 filter+projection reach the parquet scan (PushedFilters, pruned ReadSchema)") {
+    val df = SparkEntry.queries("q06_filter_range")(spark, sf("sf0.001"))
+    val scan = df.queryExecution.sparkPlan.toString
+    assert(scan.contains("PushedFilters: ["), "no filters pushed to scan")
+    assert(scan.contains("IsNotNull(l_returnflag)") || scan.contains("EqualTo(l_returnflag"),
+      s"returnflag filter not pushed:\n$scan")
+    // projection pruning: untouched wide columns must not be read
+    assert(!scan.contains("l_extendedprice"), "ReadSchema not pruned — reading unused columns")
+  }
+
+  test("q02 dimension joins broadcast; no shuffle of customer/nation/region") {
+    val plan = planOf(SparkEntry.queries("q02_revenue_by_nation")(spark, sf("sf0.001")))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "dimension join degraded to SMJ")
+  }
+
+  test("q05 top-k per key plans a WindowGroupLimit (rank pushdown)") {
+    val plan = planOf(SparkEntry.queries("q05_top_orders_per_customer")(spark, sf("sf0.001")))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank limit not pushed below the window:\n$plan")
+  }
+
+  test("q09 pagination plans TakeOrderedAndProject, not a global sort") {
+    val df = SparkEntry.queries("q09_pagination")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not take-ordered:\n$plan")
+  }
+
+  test("joining two tables bucketed on the key needs no shuffle exchange") {
+    val a = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("va"))
+    val b = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 3).as("vb"))
+    Store.bulkWrite(a, "bucketed_a", "k", buckets = 8)
+    Store.bulkWrite(b, "bucketed_b", "k", buckets = 8)
+    try {
+      val joined = Store.read(spark, "bucketed_a")
+        .join(Store.read(spark, "bucketed_b"), Seq("k"))
+      val plan = planOf(joined)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() === 1000L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS bucketed_b")
+    }
+  }
+
+  test("exact dedup shuffles only (fingerprint, id) — never the document body") {
+    val df = graft.ops.Dedup.exactGroups(
+      Tables.documents(spark, sf("sf0.001")), "doc_id", "text")
+    val plan = df.queryExecution.sparkPlan.toString
+    // the exchange input carries the hash + id, not the text column
+    val exchange = plan.linesIterator.dropWhile(!_.contains("Exchange")).take(3).mkString("\n")
+    assert(!exchange.contains("text#"), s"document body crosses the shuffle:\n$exchange")
+  }
+}

@@ -88,24 +88,13 @@ object Engine {
     * (`api.py:196-221`: page ≥ 1, 1 ≤ size ≤ 100).
     */
   def search(movies: DataFrame, query: String, page: Int = 1, size: Int = 10): DataFrame = {
-    val p = math.max(1, page)
-    val sz = math.min(100, math.max(1, size))
     val terms = query.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
     val scored = movies.withColumn("score",
       Scoring.fuzzyMultiMatch(terms,
         Seq(col("title") -> 3, concat_ws(" ", col("genres")) -> 1)))
-    // top-(page*size) via TakeOrderedAndProject, then window over that tiny
-    // result for the offset — never a global single-partition window.
-    val top = scored
-      .filter(col("score") >= 1)
-      .orderBy(col("score").desc, col("movieId"))
-      .limit(p * sz)
-    top
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("score").desc, col("movieId"))))
-      .filter(col("rn") > (p - 1) * sz)
-      .drop("rn")
+    graft.ops.Paging.paginate(
+      scored.filter(col("score") >= 1),
+      Seq(col("score").desc, col("movieId")), page, size)
   }
 
   /** `/health` analog: the movies table is reachable and non-empty. */

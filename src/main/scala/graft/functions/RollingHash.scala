@@ -7,9 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native Catalyst expression: 61-bit polynomial rolling hash of a string
-  * (base 131, mod 2^61−1) — the content-defined-chunking / fingerprinting
-  * primitive used for dedup keys.
+/** Native Catalyst expression: base-131 polynomial rolling hash of a string
+  * over Z/2^64 (Java wrap-around semantics, full 64-bit output) — the
+  * content-fingerprinting primitive for dedup keys.
   *
   * Why an Expression and not a UDF: `doGenCode` splices the loop straight
   * into WholeStageCodegen — no boxing, no SerDe, no codegen fence — so a
@@ -39,7 +39,7 @@ case class RollingHash(child: Expression)
          |byte[] $bytes = $c.getBytes();
          |long $acc = 0L;
          |for (int $i = 0; $i < $bytes.length; $i++) {
-         |  $acc = java.lang.Math.floorMod($acc * 131L + ($bytes[$i] & 0xffL), ${RollingHash.Mod}L);
+         |  $acc = $acc * 131L + ($bytes[$i] & 0xffL);
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -52,14 +52,15 @@ case class RollingHash(child: Expression)
 }
 
 object RollingHash {
-  /** 2^61 − 1 (Mersenne prime). */
-  val Mod: Long = 2305843009213693951L
 
+  /** Reference implementation (the Expression's eval and codegen are both
+    * pinned to this): h = Σ b_i · 131^(n−1−i) over Z/2^64.
+    */
   def hashBytes(bytes: Array[Byte]): Long = {
     var acc = 0L
     var i = 0
     while (i < bytes.length) {
-      acc = java.lang.Math.floorMod(acc * 131L + (bytes(i) & 0xffL), Mod)
+      acc = acc * 131L + (bytes(i) & 0xffL)
       i += 1
     }
     acc

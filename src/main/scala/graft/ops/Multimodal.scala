@@ -29,7 +29,10 @@ object Multimodal {
     val n = r.payload.length
     // same polynomial checksum as the native rolling_hash expression
     val acc = graft.functions.RollingHash.hashBytes(r.payload)
-    MediaFeatures(r.media_id, n, width = 64 + (acc % 512).toInt, height = 64 + ((acc >> 9) % 512).toInt, checksum = acc)
+    MediaFeatures(r.media_id, n,
+      width = 64 + java.lang.Math.floorMod(acc, 512L).toInt,
+      height = 64 + java.lang.Math.floorMod(acc >> 9, 512L).toInt,
+      checksum = acc)
   }
 
   /** Per-partition decode: one decoder "session" per partition (the `iter`
@@ -41,6 +44,41 @@ object Multimodal {
     media.mapPartitions { iter =>
       // real codecs would initialize here, once per partition
       iter.map(decodeStub)
+    }
+  }
+
+  /** STUB resize: stands in for a thumbnail/transcode stage. Output payload
+    * is a deterministic function of the input (prefix + checksum tail), so
+    * the pipeline shape payload→payload with bounded output size is real.
+    */
+  def resizeStub(media: Dataset[MediaRow], maxBytes: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { iter =>
+      iter.map { r =>
+        val out =
+          if (r.payload.length <= maxBytes) r.payload
+          else java.util.Arrays.copyOf(r.payload, maxBytes)
+        r.copy(payload = out, mime = r.mime + ";resized")
+      }
+    }
+  }
+
+  /** STUB frame sampler: a "video" payload fans out to one row per sampled
+    * frame (1→N flatMap in typed land) — the shape that matters: output
+    * cardinality is controlled by stride, partitions stay bounded, and the
+    * frame index travels in the id so downstream joins stay keyable.
+    */
+  def frameSampleStub(media: Dataset[MediaRow], frameBytes: Int, stride: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val nFrames = math.max(1, r.payload.length / frameBytes)
+      (0 until nFrames by stride).map { f =>
+        val from = f * frameBytes
+        val until = math.min(r.payload.length, from + frameBytes)
+        MediaRow(r.media_id * 1000000L + f,
+          java.util.Arrays.copyOfRange(r.payload, from, until),
+          r.mime + s";frame=$f")
+      }
     }
   }
 

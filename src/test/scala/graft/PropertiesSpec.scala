@@ -1,0 +1,99 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Paging}
+import graft.search.{Analyzer, Scoring}
+
+/** Property-based invariants (SURVEY §5.2 #4) via ScalaCheck. Pure-Scala
+  * properties run at full case counts; DataFrame properties run a reduced
+  * number of rounds (each round is a Spark job).
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, cases: Int = 100): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("rolling hash equals the BigInt polynomial model over Z/2^64") {
+    val two64 = BigInt(1) << 64
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      val arr = bytes.map(_.toByte).toArray
+      val got = graft.functions.RollingHash.hashBytes(arr)
+      val expected = arr.foldLeft(BigInt(0))((acc, b) =>
+        (acc * 131 + (b & 0xff)).mod(two64))
+      BigInt(got).mod(two64) == expected
+    })
+  }
+
+  test("fuzziness AUTO: monotone in term length, bounded by 2") {
+    check(Prop.forAll(Gen.chooseNum(0, 50), Gen.chooseNum(0, 50)) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      Scoring.autoFuzz(lo) <= Scoring.autoFuzz(hi) &&
+        Scoring.autoFuzz(hi) <= 2 && Scoring.autoFuzz(lo) >= 0
+    })
+  }
+
+  test("analyzer keywords: lowercase and length-filtered") {
+    val word = Gen.chooseNum(0, 12).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+    check(Prop.forAll(Gen.listOf(word)) { words =>
+      val kws = Analyzer.keywordsOf(words.mkString(" "))
+      kws.forall(w => w.length >= 4 && w == w.toLowerCase)
+    })
+  }
+
+  test("pagination partitions the top-N: pages disjoint, concatenation = prefix") {
+    val gen = for {
+      n <- Gen.chooseNum(0, 60)
+      size <- Gen.chooseNum(1, 7)
+    } yield (n, size)
+    check(Prop.forAllNoShrink(gen) { case (n, size) =>
+      val df = (0 until n).map(i => (i.toLong, (i * 2654435761L) % 1000)).toDF("id", "v")
+      val order = Seq(col("v").desc, col("id"))
+      val pages = (1 to 3).map(p =>
+        Paging.paginate(df, order, p, size).select("id").as[Long].collect().toSeq)
+      val prefix = df.orderBy(order: _*).limit(3 * size).select("id").as[Long].collect().toSeq
+      pages.flatten == prefix && pages.flatten.distinct.size == pages.flatten.size
+    }, cases = 12)
+  }
+
+  test("unpivot then pivot is the identity on wide numeric tables") {
+    check(Prop.forAllNoShrink(Gen.chooseNum(1, 25)) { n =>
+      val wide = (0 until n).map(i => (i.toLong, i * 1.5, i * -3.0)).toDF("id", "m1", "m2")
+      val long = wide.unpivot(Array(col("id")), Array(col("m1"), col("m2")), "metric", "value")
+      val back = long.groupBy("id").pivot("metric", Seq("m1", "m2")).agg(first("value"))
+      back.select("id", "m1", "m2").exceptAll(wide).count() == 0L &&
+        wide.exceptAll(back.select("id", "m1", "m2")).count() == 0L
+    }, cases = 8)
+  }
+
+  test("minhash signatures are set-semantic: duplicate shingles don't change them") {
+    check(Prop.forAllNoShrink(Gen.chooseNum(3, 12)) { n =>
+      val words = (0 until n).map(i => s"w$i").mkString(" ")
+      val docs = Seq((1L, words), (2L, words + " " + words)).toDF("doc_id", "text")
+      // doc 2 repeats every shingle of doc 1 (plus the seam shingles) —
+      // signatures may differ only via NEW seam shingles, so instead
+      // compare doc 1 against itself with literally duplicated rows
+      val sh1 = Dedup.wordShingles(docs.filter(col("doc_id") === 1L), "doc_id", "text")
+      val dup = sh1.unionAll(sh1)
+      val a = Dedup.minhashSignatures(sh1, "doc_id", k = 4).collect().head
+      val b = Dedup.minhashSignatures(dup, "doc_id", k = 4).collect().head
+      a.toSeq == b.toSeq
+    }, cases = 6)
+  }
+
+  test("scoring monotonicity: adding matched terms never lowers multiMatch") {
+    check(Prop.forAllNoShrink(Gen.chooseNum(1, 6), Gen.chooseNum(0, 3)) { (nBase, nExtra) =>
+      val fieldWords = (0 until 8).map(i => s"tok$i")
+      val field = fieldWords.mkString(" ")
+      val base = fieldWords.take(nBase)
+      val extra = base ++ fieldWords.slice(nBase, nBase + nExtra)
+      val df = Seq(field).toDF("f")
+      val s1 = df.select(Scoring.shouldMatchCount(col("f"), base)).head().getInt(0)
+      val s2 = df.select(Scoring.shouldMatchCount(col("f"), extra)).head().getInt(0)
+      s2 >= s1
+    }, cases = 10)
+  }
+}

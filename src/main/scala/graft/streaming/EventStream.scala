@@ -13,6 +13,32 @@ import org.apache.spark.sql.functions._
   */
 object EventStream {
 
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.types._
+
+  /** The events table schema as a stream contract (ts in µs here — the
+    * batch loader's post-conversion shape, so stream and batch transforms
+    * compose identically).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a parquet directory: new files appear → new
+    * micro-batches. `maxFilesPerTrigger` bounds batch size so a backlog
+    * replay cannot blow executor memory — the knob that matters when a
+    * cluster restarts against a day of backlog.
+    */
+  def fromParquetDir(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
   /** Tumbling 1-hour counts/sums with a 2-hour watermark: late events
     * beyond the watermark are dropped, state is bounded — the property that
     * matters when this runs for months on a cluster.

@@ -27,6 +27,30 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream over a parquet dir matches the batch aggregate") {
+    import graft.Tables
+    val tmp = java.nio.file.Files.createTempDirectory("evstream").toString
+    // write the sf0.001 events (µs-converted) as the "arriving" files
+    Tables.events(spark, sf()).coalesce(2).write.mode("overwrite").parquet(tmp)
+    val stream = EventStream.fromParquetDir(spark, tmp, maxFilesPerTrigger = 1)
+    assert(stream.isStreaming)
+    val q = EventStream.tumblingHourly(stream)
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val batch = graft.ops.Events.tumblingHourly(Tables.events(spark, sf()))
+      // update-mode rows per micro-batch accumulate; latest per key wins —
+      // compare total event mass instead of per-row equality
+      val streamedTotal = spark.table("file_hourly")
+        .groupBy("hour_start", "event_type")
+        .agg(org.apache.spark.sql.functions.max("n_events").as("n_events"))
+        .agg(sum("n_events")).head().getLong(0)
+      val batchTotal = batch.agg(sum("n_events")).head().getLong(0)
+      assert(streamedTotal === batchTotal)
+    } finally q.stop()
+  }
+
   test("streaming session window closes after the 30-minute gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]

@@ -267,6 +267,96 @@ object Relational {
         FROM customer
         GROUP BY 1, 2 ORDER BY c_mktsegment, bal_bucket""")),
 
+    // General window functions: lag / rank / running sum over a total order.
+    QueryDef(
+      "q48_window_functions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, dir)
+          .filter(col("o_custkey") < 100)
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            rank().over(w).as("order_rank"),
+            coalesce(lag(col("o_orderkey"), 1).over(w), lit(-1)).as("prev_orderkey"),
+            round(sum(Num.dec2(col("o_totalprice")))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+              .cast("double").as("running_spend"))
+          .orderBy(col("o_custkey"), col("order_rank"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+          rank() OVER w AS order_rank,
+          coalesce(lag(o_orderkey, 1) OVER w, -1) AS prev_orderkey,
+          CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend
+        FROM orders
+        WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, order_rank""")),
+
+    // Rollup: hierarchical subtotals (region → nation → total).
+    QueryDef(
+      "q49_rollup_counts",
+      (s, dir) =>
+        Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            coalesce(col("r_name"), lit("ALL")).as("r_name"),
+            coalesce(col("n_name"), lit("ALL")).as("n_name"),
+            col("n"))
+          .orderBy(col("r_name"), col("n_name")),
+      Some("""
+        SELECT coalesce(r_name, 'ALL') AS r_name,
+               coalesce(n_name, 'ALL') AS n_name,
+               count(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name, n_name""")),
+
+    // Set operations: INTERSECT / EXCEPT with set semantics.
+    QueryDef(
+      "q50_set_ops",
+      (s, dir) => {
+        val smallNamed = Tables.part(s, dir)
+          .filter(col("p_name").startsWith("small")).select(col("p_partkey"))
+        val economy = Tables.part(s, dir)
+          .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+        smallNamed.intersect(economy)
+          .withColumn("op", lit("intersect"))
+          .unionAll(smallNamed.except(economy).withColumn("op", lit("except")))
+          .orderBy(col("op"), col("p_partkey"))
+      },
+      Some("""
+        (SELECT p_partkey, 'intersect' AS op FROM
+          (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+           INTERSECT
+           SELECT p_partkey FROM part WHERE p_type = 'ECONOMY') t1)
+        UNION ALL
+        (SELECT p_partkey, 'except' AS op FROM
+          (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+           EXCEPT
+           SELECT p_partkey FROM part WHERE p_type = 'ECONOMY') t2)
+        ORDER BY op, p_partkey""")),
+
+    // HLL approximate distinct — the 100 TB replacement for exact
+    // count(DISTINCT) (no per-key shuffle of raw values, mergeable
+    // sketches). Sketch internals are engine-specific → rows-only;
+    // RelationalSpec bounds the relative error against the exact count.
+    QueryDef(
+      "q51_approx_distinct",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("o_orderpriority")),
+      None),
+
     // Pivot (wide conditional aggregation) with fixed pivot values.
     QueryDef(
       "q14_pivot_status",

@@ -17,6 +17,9 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+      // per-query persist()s (shingle/signature reuse) must not pin memory
+      // for the rest of the battery; within-query reuse already happened
+      finally spark.catalog.clearCache()
     }
     qs.foreach { case (_, fn) => once(fn) } // warm pass
     System.gc()                             // keep GC debt out of the timed pass
@@ -27,7 +30,7 @@ object Bench {
       case (k, Left(_))    => s""""$k":-1"""
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(msg)) =>
-      s""""$k":"${msg.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)}""""
+      s""""$k":"${msg.replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(120)}""""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(s)) => s }.sum
     println(

@@ -16,9 +16,13 @@ object SparkEntry {
   /** Single source of truth: query + oracle defined together so names can't
     * drift between the two maps (ADVICE.md r1).
     */
-  val defs: Seq[QueryDef] =
-    Relational.defs ++ SearchOps.defs ++ TextOps.defs ++
+  val defs: Seq[QueryDef] = {
+    val all = Relational.defs ++ SearchOps.defs ++ TextOps.defs ++
       EventOps.defs ++ VectorOps.defs ++ MovieLensQ.defs
+    val dups = all.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names would silently drop entries: $dups")
+    all
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

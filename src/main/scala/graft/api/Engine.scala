@@ -89,9 +89,12 @@ object Engine {
     */
   def search(movies: DataFrame, query: String, page: Int = 1, size: Int = 10): DataFrame = {
     val terms = query.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
-    val scored = movies.withColumn("score",
-      Scoring.fuzzyMultiMatch(terms,
-        Seq(col("title") -> 3, concat_ws(" ", col("genres")) -> 1)))
+    // blank query → empty result page (the reference 400s it, api.py:191-194)
+    val scored =
+      if (terms.isEmpty) movies.withColumn("score", lit(0))
+      else movies.withColumn("score",
+        Scoring.fuzzyMultiMatch(terms,
+          Seq(col("title") -> 3, concat_ws(" ", col("genres")) -> 1)))
     graft.ops.Paging.paginate(
       scored.filter(col("score") >= 1),
       Seq(col("score").desc, col("movieId")), page, size)

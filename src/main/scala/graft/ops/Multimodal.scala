@@ -71,7 +71,9 @@ object Multimodal {
   def frameSampleStub(media: Dataset[MediaRow], frameBytes: Int, stride: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      val nFrames = math.max(1, r.payload.length / frameBytes)
+      // ceil so the tail remainder is emitted as a partial frame (same
+      // behavior for payloads shorter and longer than one frame)
+      val nFrames = math.max(1, (r.payload.length + frameBytes - 1) / frameBytes)
       (0 until nFrames by stride).map { f =>
         val from = f * frameBytes
         val until = math.min(r.payload.length, from + frameBytes)

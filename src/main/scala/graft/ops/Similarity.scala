@@ -31,7 +31,14 @@ object Similarity {
   /** ‖a‖₂ with the same fold shape as [[dot]]. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Zero-norm vectors get cosine −1 (rank last, fail thresholds) instead
+    * of NaN — Spark orders NaN above every double, so an unguarded 0/0
+    * would put a zero vector at rank 1 of every top-k.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom > 0, dot(a, b) / denom).otherwise(lit(-1.0))
+  }
 
   /** Exact cosine top-k of `targets` for each row of `queries`.
     * Output: (q_id, rank, neighbor_id, cosine). Self-matches excluded.
@@ -61,7 +68,7 @@ object Similarity {
     * expression breaks janino codegen and falls back to interpreted eval —
     * measured 30× slower).
     */
-  def hyperplaneSketch(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
+  def hyperplaneSketch(vec: Column, nPlanes: Int, seed: Long = 42L): Column = {
     val bits = (0 until nPlanes).map { p =>
       val proj = aggregate(
         transform(vec, (x, i) =>
@@ -81,12 +88,12 @@ object Similarity {
     */
   def lshTopK(
       queries: DataFrame, targets: DataFrame,
-      idCol: String, vecCol: String, dim: Int, k: Int,
+      idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
     def withBuckets(df: DataFrame, id: String, vec: String): DataFrame = {
       val tables = (0 until nTables).map { tIdx =>
         struct(lit(tIdx).as("t_idx"),
-          hyperplaneSketch(col(vec), dim, nPlanes, seed = 42L + tIdx * 7919L).as("bucket"))
+          hyperplaneSketch(col(vec), nPlanes, seed = 42L + tIdx * 7919L).as("bucket"))
       }
       df.select(col(id), col(vec), explode(array(tables: _*)).as("b"))
         .select(col(id), col(vec), col("b.t_idx"), col("b.bucket"))
@@ -167,11 +174,11 @@ object Similarity {
     * only — the corpus is never crossed with itself.
     */
   def cosineNearDupPairs(
-      vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
+      vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
     val tables = (0 until nTables).map { tIdx =>
       struct(lit(tIdx).as("t_idx"),
-        hyperplaneSketch(col(vecCol), dim, nPlanes, seed = 42L + tIdx * 7919L).as("bucket"))
+        hyperplaneSketch(col(vecCol), nPlanes, seed = 42L + tIdx * 7919L).as("bucket"))
     }
     val banded = vectors
       .select(col(idCol), col(vecCol), explode(array(tables: _*)).as("b"))

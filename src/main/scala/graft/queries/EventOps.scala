@@ -35,12 +35,14 @@ object EventOps {
         SELECT user_id, max(session_seq) AS n_sessions, count(*) AS n_events
         FROM (
           SELECT user_id,
-            sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END)
-              OVER (PARTITION BY user_id ORDER BY ts, event_id
+            sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY us, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
           FROM (
-            SELECT user_id, ts, event_id,
-              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+            -- order by the µs-truncated timestamp, matching Spark's
+            -- ns→µs read of this table (sub-µs ordering must not differ)
+            SELECT user_id, epoch_us(ts) AS us, event_id,
+              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
             FROM events) t1) t2
         GROUP BY user_id ORDER BY user_id""")),
 

@@ -65,7 +65,7 @@ object SearchOps {
           .orderBy(col("p_brand")),
       Some("""
         SELECT p_brand, count(*) AS n_parts FROM part
-        WHERE levenshtein(p_brand, 'Brand#13') <= 2
+        WHERE levenshtein(lower(trim(p_brand)), 'brand#13') <= 2
         GROUP BY p_brand ORDER BY p_brand""")),
 
     // Q5: bool-should with minimum_should_match=2; score = matched terms.

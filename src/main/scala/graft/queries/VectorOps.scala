@@ -44,9 +44,12 @@ object VectorOps {
         WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
         scored AS (
           SELECT q_id, e.vec_id AS neighbor_id,
-            ${oracleDot.format("q_vec", "e.embedding")} /
-              (sqrt(${oracleDot.format("q_vec", "q_vec")}) *
-               sqrt(${oracleDot.format("e.embedding", "e.embedding")})) AS cos_raw
+            CASE WHEN sqrt(${oracleDot.format("q_vec", "q_vec")}) *
+                      sqrt(${oracleDot.format("e.embedding", "e.embedding")}) > 0
+                 THEN ${oracleDot.format("q_vec", "e.embedding")} /
+                      (sqrt(${oracleDot.format("q_vec", "q_vec")}) *
+                       sqrt(${oracleDot.format("e.embedding", "e.embedding")}))
+                 ELSE -1.0 END AS cos_raw
           FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
         ranked AS (
           SELECT q_id, neighbor_id, cos_raw,
@@ -79,8 +82,7 @@ object VectorOps {
       "q37_ann_lsh_topk",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
-        Similarity.lshTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
-            dim = 64, k = 5)
+        Similarity.lshTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", k = 5)
           .select(col("q_id"), col("rank"), col("neighbor_id"),
             round(col("cosine"), 4).as("cosine"))
           .orderBy(col("q_id"), col("rank"))
@@ -107,7 +109,7 @@ object VectorOps {
       "q39_embedding_neardup",
       (s, dir) =>
         Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-            dim = 64, threshold = 0.4)
+            threshold = 0.4)
           .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
           .orderBy(col("id_a"), col("id_b")),
       None),

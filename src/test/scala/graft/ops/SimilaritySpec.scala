@@ -54,8 +54,7 @@ class SimilaritySpec extends SparkSpec {
       (2L, base.map(v => -v))                   // opposite
     ) ++ (3L until 20L).map(i => (i, Array.tabulate(8)(_ => rnd.nextFloat() - 0.5f))))
       .toDF("vec_id", "embedding")
-    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", dim = 8,
-        threshold = 0.999)
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", threshold = 0.999)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((0L, 1L)), s"planted near-dup not found: $pairs")
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
@@ -73,7 +72,7 @@ class SimilaritySpec extends SparkSpec {
     val probes = vecs.filter($"vec_id" < 2)
     val brute = Similarity.bruteTopK(probes, vecs, "vec_id", "embedding", 3)
       .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val lsh = Similarity.lshTopK(probes, vecs, "vec_id", "embedding", dim = 8, k = 3)
+    val lsh = Similarity.lshTopK(probes, vecs, "vec_id", "embedding", k = 3)
       .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (brute intersect lsh).size.toDouble / brute.size
     assert(recall >= 0.5, s"LSH recall too low: $recall (brute=$brute lsh=$lsh)")

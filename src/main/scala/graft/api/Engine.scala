@@ -100,6 +100,24 @@ object Engine {
       Seq(col("score").desc, col("movieId")), page, size)
   }
 
+  /** `/search` with the reference's response envelope: the page plus the
+    * total hit count (`res["hits"]["total"]["value"]`, `api.py:225`). The
+    * total is a separate aggregate job over the scored frame — NOT a
+    * `count(*) over ()` window, which would single-partition the table.
+    */
+  def searchWithTotal(
+      movies: DataFrame, query: String, page: Int = 1, size: Int = 10): (DataFrame, Long) = {
+    val terms = query.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    val scored =
+      if (terms.isEmpty) movies.withColumn("score", lit(0))
+      else movies.withColumn("score",
+        Scoring.fuzzyMultiMatch(terms,
+          Seq(col("title") -> 3, concat_ws(" ", col("genres")) -> 1)))
+    val hits = scored.filter(col("score") >= 1)
+    (graft.ops.Paging.paginate(hits, Seq(col("score").desc, col("movieId")), page, size),
+      hits.count())
+  }
+
   /** `/health` analog: the movies table is reachable and non-empty. */
   def health(movies: DataFrame): Boolean = !movies.isEmpty
 }

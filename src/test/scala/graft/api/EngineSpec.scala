@@ -86,6 +86,16 @@ class EngineSpec extends SparkSpec {
     assert(scores.sameElements(scores.sortBy(-(_: Int))), "not sorted by score desc")
   }
 
+  test("searchWithTotal reports the full hit count alongside the page (api.py:225)") {
+    val (pageDf, total) = Engine.searchWithTotal(movies, "love", page = 1, size = 5)
+    assert(pageDf.collect().length === 5)
+    assert(total > 5, s"total should exceed one page, got $total")
+    val (_, totalP2) = Engine.searchWithTotal(movies, "love", page = 2, size = 5)
+    assert(total === totalP2, "total must not depend on the requested page")
+    val (emptyPage, zeroTotal) = Engine.searchWithTotal(movies, "")
+    assert(zeroTotal === 0L && emptyPage.collect().isEmpty)
+  }
+
   test("health: table reachable") {
     assert(Engine.health(movies))
   }

@@ -113,7 +113,9 @@ object Engine {
       else movies.withColumn("score",
         Scoring.fuzzyMultiMatch(terms,
           Seq(col("title") -> 3, concat_ws(" ", col("genres")) -> 1)))
-    val hits = scored.filter(col("score") >= 1)
+    // one scoring scan feeds both jobs (page + count) via cache; the
+    // session's LRU owns the lifetime
+    val hits = scored.filter(col("score") >= 1).persist()
     (graft.ops.Paging.paginate(hits, Seq(col("score").desc, col("movieId")), page, size),
       hits.count())
   }

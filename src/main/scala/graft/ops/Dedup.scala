@@ -146,13 +146,22 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidate pairs via 15-bit chunk banding (pigeonhole:
-    * Hamming ≤ 3 ⇒ at least one of the 4 chunks is identical).
+  /** SimHash near-dup candidate pairs via chunk banding. The 60 signature
+    * bits are split into `maxHamming + 1` chunks, so by pigeonhole every
+    * pair within the Hamming budget shares at least one untouched chunk —
+    * candidate generation is EXHAUSTIVE up to `maxHamming` (then exactly
+    * filtered). More chunks = smaller chunk keys = more collisions: keep
+    * the budget small (≤ 3 for 15-bit keys) on large corpora.
     */
   def simhashCandidates(sigs: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
-    val chunks = (0 until 4).map { cI =>
+    val nChunks = maxHamming + 1
+    val chunkBits = (60 + nChunks - 1) / nChunks // last chunk may be narrower
+    val chunks = (0 until nChunks).map { cI =>
+      val lo = cI * chunkBits
+      val width = math.min(chunkBits, 60 - lo)
+      val mask = (1L << width) - 1L
       struct(lit(cI).as("chunk_idx"),
-        shiftright(col("simhash"), cI * 15).bitwiseAND(lit(0x7fffL)).as("chunk_key"))
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("chunk_key"))
     }
     val banded = sigs
       .select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("c"))

@@ -89,9 +89,11 @@ object Multimodal {
     */
   def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(
-      col("doc_id").as("media_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      lit("text/plain").as("mime")).as[MediaRow]
+    docs
+      .filter(col("text").isNotNull) // media contract: payload is non-null
+      .select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit("text/plain").as("mime")).as[MediaRow]
   }
 }

@@ -131,7 +131,12 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = targets.sparkSession
     val asVec = targets.select(col(idCol), array_to_vector(col(vecCol)).as("features"))
-    val km = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10).fit(asVec)
+    // quantizer trains on a bounded DETERMINISTIC subset (ordered by id —
+    // a bare limit() would depend on partition layout and break the seeded
+    // reproducibility this API advertises); standard IVF practice: the
+    // codebook needs cluster structure, not a full corpus pass
+    val trainSample = asVec.orderBy(col(idCol)).limit(nCentroids * 256)
+    val km = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(5).fit(trainSample)
     val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
     }
@@ -139,13 +144,17 @@ object Similarity {
     val centDf = broadcast(centroids.toSeq.toDF("cell", "centroid"))
 
     // assign every target to its cell: broadcast-NL over nCentroids rows,
-    // keep the nearest — one map-side pass over the corpus
+    // argmax via max_by partial aggregation — the ×nCentroids expansion
+    // collapses map-side inside each task, so the shuffle carries one
+    // (neighbor_id, cell, vec) row per target, not nCentroids copies (a
+    // row_number window here would shuffle the full expansion)
     val tAssigned = targets.select(col(idCol).as("neighbor_id"), col(vecCol).as("t_vec"))
       .join(centDf)
       .withColumn("d", cosine(col("t_vec"), col("centroid")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("neighbor_id")).orderBy(col("d").desc, col("cell"))))
-      .filter(col("rn") === 1)
+      .groupBy(col("neighbor_id"))
+      .agg(
+        max_by(col("cell"), struct(col("d"), -col("cell"))).as("cell"),
+        first(col("t_vec")).as("t_vec"))
       .select(col("neighbor_id"), col("t_vec"), col("cell"))
 
     // each query probes its nProbe nearest cells

@@ -179,21 +179,18 @@ object Relational {
         FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part) t
         GROUP BY token ORDER BY n DESC, token LIMIT 20""")),
 
-    // O2/O3: pagination page 3 × size 10 — top-(from+size) via
-    // TakeOrderedAndProject, then a window over only those 30 rows (no
-    // global single-partition window over the full table).
+    // O2/O3: pagination page 3 × size 10 via the shared Paging utility
+    // (TakeOrderedAndProject + tiny offset window; PlanSpec pins the plan).
+    // The absolute rank is recomputed over the ≤size returned rows.
     QueryDef(
       "q09_pagination",
       (s, dir) => {
         val page = 3
         val size = 10
-        val top = Tables.orders(s, dir)
-          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-          .limit(page * size)
-        top
+        val order = Seq(col("o_totalprice").desc, col("o_orderkey"))
+        graft.ops.Paging.paginate(Tables.orders(s, dir), order, page, size)
           .withColumn("rn",
-            row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
-          .filter(col("rn") > (page - 1) * size)
+            row_number().over(Window.orderBy(order: _*)) + lit((page - 1) * size))
           .select(col("rn"), col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
           .orderBy(col("rn"))
       },

@@ -230,6 +230,6 @@ object TextOps {
       },
       Some("""
         SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
-        FROM documents ORDER BY media_id""")),
+        FROM documents WHERE text IS NOT NULL ORDER BY media_id""")),
   )
 }

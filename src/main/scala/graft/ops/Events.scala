@@ -21,6 +21,20 @@ object Events {
         count(lit(1)).as("n_events"),
         round(sum(graft.Num.dec6(col(valueCol))), 2).cast("double").as("total_value"))
 
+  /** Sliding-window aggregate: 1-hour windows every 30 minutes, each event
+    * contributing to 2 overlapping windows (Spark's `window(ts, len,
+    * slide)` — epoch-aligned starts, same as the batch `date_trunc` math).
+    */
+  def slidingHourly(events: DataFrame, valueCol: String = "value"): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(graft.Num.dec6(col(valueCol))), 2).cast("double").as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_events"), col("total_value"))
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapSeconds`. Classic
     * lag-and-running-sum; the single shuffle is the partitionBy(user).

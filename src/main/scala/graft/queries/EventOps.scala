@@ -46,6 +46,26 @@ object EventOps {
             FROM events) t1) t2
         GROUP BY user_id ORDER BY user_id""")),
 
+    // Sliding 1h/30min windows: each event lands in exactly 2 epoch-aligned
+    // windows; the oracle materializes both membership rows explicitly.
+    QueryDef(
+      "q52_events_sliding",
+      (s, dir) =>
+        Events.slidingHourly(Tables.events(s, dir))
+          .orderBy(col("window_start")),
+      Some("""
+        WITH starts AS (
+          SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800) AS w, ts, value FROM events),
+        membership AS (
+          SELECT w AS window_start, value FROM starts
+          UNION ALL
+          SELECT w - INTERVAL 30 MINUTE AS window_start, value FROM starts)
+        SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+          count(*) AS n_events,
+          CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        FROM membership
+        GROUP BY 1 ORDER BY window_start""")),
+
     // JSON scalar extraction + per-type rollup.
     QueryDef(
       "q33_event_type_rollup",

@@ -54,4 +54,27 @@ object Store {
   }
 
   def read(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Keyed upsert (the actual ES `index(id=...)` semantics): rows in
+    * `updates` replace same-key rows in the table, new keys append.
+    * Copy-on-write over immutable parquet: existing ∖ updates ∪ updates →
+    * rewrite. At 100 TB this is what table formats do per partition/file
+    * group; here the whole (bucketed) table rewrites, which is the honest
+    * batch-snapshot cost without a transaction log.
+    */
+  def upsert(spark: SparkSession, name: String, updates: DataFrame, idCol: String,
+      buckets: Int = 16): Unit = {
+    val merged = read(spark, name)
+      .join(updates.select(idCol).distinct(), Seq(idCol), "left_anti")
+      .unionByName(updates)
+    // stage-then-rename: the source table stays readable until the staged
+    // copy is complete, so a failed upsert never corrupts the table
+    merged.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, idCol)
+      .sortBy(idCol)
+      .saveAsTable(s"${name}__staged")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"ALTER TABLE ${name}__staged RENAME TO $name")
+  }
 }

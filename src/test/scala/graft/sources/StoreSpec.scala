@@ -34,6 +34,22 @@ class StoreSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("movies_bad"))
   }
 
+  test("upsert replaces same-key rows and appends new keys (S7 id semantics)") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Store.bulkWrite(v1, "upsert_t", "k", buckets = 2)
+    try {
+      val updates = Seq((2L, "B2"), (3L, "c")).toDF("k", "v")
+      Store.upsert(spark, "upsert_t", updates, "k", buckets = 2)
+      val got = Store.read(spark, "upsert_t")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS upsert_t")
+      spark.sql("DROP TABLE IF EXISTS upsert_t__staged")
+    }
+  }
+
   test("createTable declares an empty table with the mapping (S6)") {
     Store.createTable(spark, "movies_decl", moviesSchema)
     try {

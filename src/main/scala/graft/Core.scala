@@ -28,6 +28,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // runtime row-group pruning: inject bloom filters from the small side
+      // of a join into the big side's scan (the SURVEY §4.2 posting-table
+      // idea, done by the engine itself at runtime)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
       // testdata events.parquet stores ts as INT64 TIMESTAMP(NANOS) which the
       // vectorized reader rejects; read as long and convert (Tables.events).

@@ -64,6 +64,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("date-partitioned sink prunes partitions for a single-day query") {
+    val tmp = java.nio.file.Files.createTempDirectory("evpart").toString
+    Tables.events(spark, sf("sf0.001"))
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(tmp)
+    val oneDay = spark.read.parquet(tmp).filter(col("event_date") === "2024-01-05")
+    val scan = oneDay.queryExecution.sparkPlan.toString
+    assert(scan.contains("PartitionFilters: [") && scan.contains("event_date"),
+      s"partition filter not applied:\n$scan")
+    // the partition column filter must NOT appear as a data filter
+    assert(oneDay.count() > 0L)
+    val allDays = spark.read.parquet(tmp).count()
+    assert(oneDay.count() < allDays)
+  }
+
   test("exact dedup shuffles only (fingerprint, id) — never the document body") {
     val df = graft.ops.Dedup.exactGroups(
       Tables.documents(spark, sf("sf0.001")), "doc_id", "text")

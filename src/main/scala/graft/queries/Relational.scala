@@ -339,6 +339,99 @@ object Relational {
            SELECT p_partkey FROM part WHERE p_type = 'ECONOMY') t2)
         ORDER BY op, p_partkey""")),
 
+    // Cube: all grouping-set combinations over two dims.
+    QueryDef(
+      "q53_cube_counts",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+            col("n"))
+          .orderBy(col("o_orderstatus"), col("o_orderpriority")),
+      Some("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+               coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+               count(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus, o_orderpriority""")),
+
+    // Correlated scalar subquery (Catalyst decorrelates to a join):
+    // parts priced above their type's average.
+    QueryDef(
+      "q54_above_type_avg",
+      (s, dir) => {
+        Tables.part(s, dir).createOrReplaceTempView("part_v")
+        s.sql("""
+          SELECT p_partkey, p_type, p_retailprice
+          FROM part_v p
+          WHERE p_retailprice > (
+            SELECT CAST(avg(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+            FROM part_v i WHERE i.p_type = p.p_type)
+          ORDER BY p_partkey""")
+      },
+      Some("""
+        SELECT p_partkey, p_type, p_retailprice
+        FROM part p
+        WHERE p_retailprice > (
+          SELECT CAST(avg(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+          FROM part i WHERE i.p_type = p.p_type)
+        ORDER BY p_partkey""")),
+
+    // Scalar string-function battery.
+    QueryDef(
+      "q55_string_funcs",
+      (s, dir) =>
+        Tables.part(s, dir)
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("name_upper"),
+            length(col("p_name")).as("name_len"),
+            substring(col("p_brand"), 7, 10).as("brand_num"),
+            regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+            concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+            lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"))
+          .orderBy(col("p_partkey")),
+      Some("""
+        SELECT p_partkey,
+          upper(p_name) AS name_upper,
+          length(p_name) AS name_len,
+          substr(p_brand, 7, 10) AS brand_num,
+          coalesce(regexp_extract(p_name, '^(\w+)', 1), '') AS first_word,
+          concat_ws('/', p_brand, p_type) AS brand_type,
+          lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded
+        FROM part ORDER BY p_partkey""")),
+
+    // Scalar date-function battery (week-day conventions mapped explicitly:
+    // both sides emit ISO day-of-week, Monday=1).
+    QueryDef(
+      "q56_date_funcs",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("m"),
+            dayofmonth(col("o_orderdate")).as("d"),
+            quarter(col("o_orderdate")).as("q"),
+            dayofweek(col("o_orderdate")).as("dow_sun1"),
+            date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+            datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).as("days_to_2002"))
+          .orderBy(col("o_orderkey")),
+      Some("""
+        SELECT o_orderkey,
+          CAST(year(o_orderdate) AS INT) AS y,
+          CAST(month(o_orderdate) AS INT) AS m,
+          CAST(day(o_orderdate) AS INT) AS d,
+          CAST(quarter(o_orderdate) AS INT) AS q,
+          CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow_sun1,
+          strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+          datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+        FROM orders ORDER BY o_orderkey""")),
+
     // HLL approximate distinct — the 100 TB replacement for exact
     // count(DISTINCT) (no per-key shuffle of raw values, mergeable
     // sketches). Sketch internals are engine-specific → rows-only;

@@ -171,7 +171,8 @@ object TextOps {
 
     // Language-ID (stopword-profile heuristic) distribution vs labeled lang,
     // via the broadcast-dictionary-join scale path (TextStats.langIdTable).
-    // Heuristic is engine-defined → rows-only check + ScalaTest spec.
+    // The oracle's dictionary VALUES list is generated from the SAME Scala
+    // profiles, so the two sides cannot drift.
     QueryDef(
       "q27_langid_confusion",
       (s, dir) => {
@@ -182,7 +183,29 @@ object TextOps {
           .agg(count(lit(1)).as("n_docs"))
           .orderBy(col("labeled_lang"), col("predicted_lang"))
       },
-      None),
+      Some {
+        val dictValues = TextStats.stopwordProfiles.toSeq.sortBy(_._1)
+          .flatMap { case (lang, ws) => ws.map(w => s"('$w','$lang')") }
+          .mkString(", ")
+        s"""
+        WITH dict(tok, dict_lang) AS (VALUES $dictValues),
+        toks AS (
+          SELECT doc_id,
+            unnest(list_distinct(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '))) AS tok
+          FROM documents),
+        votes AS (
+          SELECT doc_id, dict_lang, count(*) AS hits
+          FROM toks JOIN dict USING (tok) GROUP BY 1, 2),
+        best AS (
+          SELECT doc_id, dict_lang AS predicted_lang,
+            row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, dict_lang) AS rn
+          FROM votes)
+        SELECT labeled_lang, predicted_lang, count(*) AS n_docs FROM (
+          SELECT d.lang AS labeled_lang, coalesce(b.predicted_lang, 'und') AS predicted_lang
+          FROM documents d
+          LEFT JOIN (SELECT doc_id, predicted_lang FROM best WHERE rn = 1) b USING (doc_id)) t
+        GROUP BY 1, 2 ORDER BY labeled_lang, predicted_lang"""
+      }),
 
     // Quality scoring distribution — engine-defined heuristic → rows-only.
     QueryDef(

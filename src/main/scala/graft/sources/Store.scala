@@ -53,7 +53,16 @@ object Store {
       .saveAsTable(name)
   }
 
-  def read(spark: SparkSession, name: String): DataFrame = spark.table(name)
+  /** Read a store table. Upserts rewrite the backing files in place, and a
+    * session that read the table before an upsert holds a stale file
+    * listing (possibly written from another session, e.g. a streaming
+    * micro-batch clone) — so reads always refresh first. A log-based table
+    * format would make this a metadata lookup instead.
+    */
+  def read(spark: SparkSession, name: String): DataFrame = {
+    spark.catalog.refreshTable(name)
+    spark.table(name)
+  }
 
   /** Keyed upsert (the actual ES `index(id=...)` semantics): rows in
     * `updates` replace same-key rows in the table, new keys append.
@@ -64,17 +73,27 @@ object Store {
     */
   def upsert(spark: SparkSession, name: String, updates: DataFrame, idCol: String,
       buckets: Int = 16): Unit = {
+    val staged = s"${name}__staged"
     val merged = read(spark, name)
       .join(updates.select(idCol).distinct(), Seq(idCol), "left_anti")
       .unionByName(updates)
-    // stage-then-rename: the source table stays readable until the staged
-    // copy is complete, so a failed upsert never corrupts the table
+    // stage first: the source table stays readable until the staged copy is
+    // complete, so a failed upsert never corrupts the table. The staged
+    // result is then copied back (a table format with a transaction log
+    // would swap metadata instead of re-writing; over plain parquet the
+    // copy-back is the honest cost and avoids stale-file-listing races that
+    // a directory rename causes in live sessions).
     merged.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, idCol)
       .sortBy(idCol)
-      .saveAsTable(s"${name}__staged")
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    spark.sql(s"ALTER TABLE ${name}__staged RENAME TO $name")
+      .saveAsTable(staged)
+    read(spark, staged).write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, idCol)
+      .sortBy(idCol)
+      .saveAsTable(name)
+    spark.sql(s"DROP TABLE IF EXISTS $staged")
+    spark.catalog.refreshTable(name)
   }
 }

@@ -51,6 +51,27 @@ object EventStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming upsert sink: each micro-batch of an update-mode aggregate is
+    * merged into a managed [[graft.sources.Store]] table by key — the
+    * read-optimized serving-table pattern (the reference's "index the
+    * latest recommendation per user" loop, minus the driver-side loop).
+    */
+  def toStoreUpsert(aggregated: DataFrame, table: String, idCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    aggregated.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val materialized = batch.persist()
+        try {
+          if (spark.catalog.tableExists(table))
+            graft.sources.Store.upsert(spark, table, materialized.toDF(), idCol)
+          else
+            graft.sources.Store.bulkWrite(materialized.toDF(), table, idCol)
+        } finally materialized.unpersist()
+      }
+      .start()
+
   /** Session windows with a 30-minute gap per user — the streaming form of
     * [[graft.ops.Events.sessionize]], state expired by watermark.
     */

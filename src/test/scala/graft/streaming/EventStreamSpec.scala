@@ -51,6 +51,32 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert sink keeps a managed serving table current") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStream.tumblingHourly(events)
+      .withColumn("k", concat_ws("|", $"hour_start".cast("string"), $"event_type"))
+    val q = EventStream.toStoreUpsert(agg, "serving_hourly", "k")
+    try {
+      input.addData((ts(5), "click", 1.0), (ts(10), "click", 2.0))
+      q.processAllAvailable()
+      val after1 = graft.sources.Store.read(spark, "serving_hourly")
+        .filter($"event_type" === "click").head()
+      assert(after1.getAs[Long]("n_events") === 2L)
+      // late-but-within-watermark update to the same window: upsert replaces
+      input.addData((ts(20), "click", 4.0), (ts(70), "view", 1.0))
+      q.processAllAvailable()
+      val rows = graft.sources.Store.read(spark, "serving_hourly")
+        .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_events")).toMap
+      assert(rows === Map("click" -> 3L, "view" -> 1L))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS serving_hourly")
+      spark.sql("DROP TABLE IF EXISTS serving_hourly__staged")
+    }
+  }
+
   test("streaming session window closes after the 30-minute gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]

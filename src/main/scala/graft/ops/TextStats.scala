@@ -27,6 +27,11 @@ object TextStats {
         "([A-Za-z])([0-9])|([0-9])([A-Za-z])", "$1$3 $2$4"),
       "\\s+"))
 
+  /** Stopword set used by the quality features (shared with the q28 oracle
+    * so both sides compute from the same list).
+    */
+  val qualityStopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
+
   /** Quality-score feature columns (length / punctuation / stopword ratios).
     * Returns a struct so callers can select individual features or the
     * composite score in one pass.
@@ -37,8 +42,7 @@ object TextStats {
     val nToks = size(toks).cast("double")
     val meanTokLen = nChars / greatest(nToks, lit(1.0))
     val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
-    val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
-    val stopHits = filter(toks, t => t.isin(stopwords.map(lit(_)): _*)).cast("array<string>")
+    val stopHits = filter(toks, t => t.isin(TextStats.qualityStopwords.map(lit(_)): _*))
     val stopRatio = size(stopHits).cast("double") / greatest(nToks, lit(1.0))
     struct(
       nToks.as("n_tokens"),

@@ -207,7 +207,9 @@ object TextOps {
         GROUP BY 1, 2 ORDER BY labeled_lang, predicted_lang"""
       }),
 
-    // Quality scoring distribution — engine-defined heuristic → rows-only.
+    // Quality scoring distribution. The heuristic is engine-defined but
+    // fully deterministic (integer counts + IEEE ratios + fixed weights),
+    // so the oracle recomputes it from the same stopword list.
     QueryDef(
       "q28_quality_scores",
       (s, dir) =>
@@ -216,10 +218,31 @@ object TextOps {
           .groupBy(col("quality"))
           .agg(count(lit(1)).as("n_docs"))
           .orderBy(col("quality")),
-      None),
+      Some {
+        val stops = TextStats.qualityStopwords.map(w => s"'$w'").mkString(", ")
+        s"""
+        WITH f AS (
+          SELECT doc_id,
+            CAST(len(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS DOUBLE) AS n_toks,
+            CAST(length(text) AS DOUBLE) AS n_chars,
+            CAST(len(list_filter(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                     x -> list_contains([$stops], x))) AS DOUBLE) AS stop_hits
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+            (CASE WHEN n_toks >= 10 AND n_toks <= 100000 THEN 1.0 ELSE 0.3 END) * 0.4
+          + (CASE WHEN n_chars / greatest(n_toks, 1.0) >= 2.5
+                   AND n_chars / greatest(n_toks, 1.0) <= 12.0 THEN 1.0 ELSE 0.4 END) * 0.4
+          + (CASE WHEN stop_hits / greatest(n_toks, 1.0) >= 0.01 THEN 1.0 ELSE 0.5 END) * 0.2
+            AS raw FROM f)
+        SELECT CAST(round(raw, 4) AS DOUBLE) AS quality, count(*) AS n_docs
+        FROM s GROUP BY 1 ORDER BY quality"""
+      }),
 
-    // SimHash near-dup candidates (chunk-banded) — rows-only (bit math not
-    // portable to a one-shot SQL oracle); invariants pinned in ScalaTest.
+    // SimHash near-dup candidates (chunk-banded). The signature is built
+    // from portable md5-derived token hashes, so the oracle reconstructs
+    // the full 60-bit pipeline (per-bit votes → signature → chunk bands →
+    // bucket join) with machine-generated SQL.
     QueryDef(
       "q29_simhash_candidates",
       (s, dir) => {
@@ -228,7 +251,40 @@ object TextOps {
         Dedup.simhashCandidates(sigs, "doc_id", maxHamming = 8)
           .orderBy(col("id_a"), col("id_b"))
       },
-      None),
+      Some {
+        val maxHamming = 8
+        val nChunks = maxHamming + 1
+        val chunkBits = (60 + nChunks - 1) / nChunks
+        val bitSums = (0 until 60)
+          .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+          .mkString(", ")
+        val sigExpr = (0 until 60)
+          .map(i => s"CASE WHEN b$i > 0 THEN (1::BIGINT << $i) ELSE 0 END")
+          .mkString(" + ")
+        val bands = (0 until nChunks).map { c =>
+          val lo = c * chunkBits
+          val width = math.min(chunkBits, 60 - lo)
+          val mask = (1L << width) - 1L
+          s"SELECT doc_id, simhash, $c AS chunk_idx, (simhash >> $lo) & $mask AS chunk_key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id, $sigExpr AS simhash FROM bits),
+        bands AS ($bands),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM bands a JOIN bands b
+            ON a.chunk_idx = b.chunk_idx AND a.chunk_key = b.chunk_key
+           AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, hamming FROM cand
+        WHERE hamming <= $maxHamming ORDER BY id_a, id_b"""
+      }),
 
     // Native rolling_hash Catalyst expression (codegen'd fingerprint) —
     // not portable to DuckDB (loop), so rows-only; pinned by RollingHashSpec.

@@ -87,18 +87,23 @@ object Engine {
     * fuzziness AUTO, paginated with the reference's clamps
     * (`api.py:196-221`: page ≥ 1, 1 ≤ size ≤ 100).
     */
-  def search(movies: DataFrame, query: String, page: Int = 1, size: Int = 10): DataFrame = {
+  /** Shared scoring contract for both search endpoints: title^3 + genres^1
+    * fuzzy multi-match, blank query → no hits (the reference 400s it,
+    * api.py:191-194), relevance threshold score ≥ 1.
+    */
+  private def scoredHits(movies: DataFrame, query: String): DataFrame = {
     val terms = query.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
-    // blank query → empty result page (the reference 400s it, api.py:191-194)
     val scored =
       if (terms.isEmpty) movies.withColumn("score", lit(0))
       else movies.withColumn("score",
         Scoring.fuzzyMultiMatch(terms,
           Seq(col("title") -> 3, concat_ws(" ", col("genres")) -> 1)))
-    graft.ops.Paging.paginate(
-      scored.filter(col("score") >= 1),
-      Seq(col("score").desc, col("movieId")), page, size)
+    scored.filter(col("score") >= 1)
   }
+
+  def search(movies: DataFrame, query: String, page: Int = 1, size: Int = 10): DataFrame =
+    graft.ops.Paging.paginate(
+      scoredHits(movies, query), Seq(col("score").desc, col("movieId")), page, size)
 
   /** `/search` with the reference's response envelope: the page plus the
     * total hit count (`res["hits"]["total"]["value"]`, `api.py:225`). The
@@ -107,17 +112,17 @@ object Engine {
     */
   def searchWithTotal(
       movies: DataFrame, query: String, page: Int = 1, size: Int = 10): (DataFrame, Long) = {
-    val terms = query.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
-    val scored =
-      if (terms.isEmpty) movies.withColumn("score", lit(0))
-      else movies.withColumn("score",
-        Scoring.fuzzyMultiMatch(terms,
-          Seq(col("title") -> 3, concat_ws(" ", col("genres")) -> 1)))
-    // one scoring scan feeds both jobs (page + count) via cache; the
-    // session's LRU owns the lifetime
-    val hits = scored.filter(col("score") >= 1).persist()
-    (graft.ops.Paging.paginate(hits, Seq(col("score").desc, col("movieId")), page, size),
-      hits.count())
+    // one scoring scan feeds both jobs: cache hits, count, materialize the
+    // page off the cache (localCheckpoint — blocks are GC'd with the frame),
+    // then release the cache — no per-call leak in a serving session
+    val hits = scoredHits(movies, query).persist()
+    try {
+      val total = hits.count()
+      val page_ = graft.ops.Paging
+        .paginate(hits, Seq(col("score").desc, col("movieId")), page, size)
+        .localCheckpoint()
+      (page_, total)
+    } finally hits.unpersist()
   }
 
   /** `/health` analog: the movies table is reachable and non-empty. */

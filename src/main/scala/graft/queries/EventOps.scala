@@ -55,7 +55,10 @@ object EventOps {
           .orderBy(col("window_start")),
       Some("""
         WITH starts AS (
-          SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800) AS w, ts, value FROM events),
+          -- make_timestamp(µs) stays a naive TIMESTAMP; to_timestamp would
+          -- yield TIMESTAMPTZ and render in the host timezone
+          SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000) AS w,
+                 ts, value FROM events),
         membership AS (
           SELECT w AS window_start, value FROM starts
           UNION ALL

@@ -365,11 +365,15 @@ object Relational {
       "q54_above_type_avg",
       (s, dir) => {
         Tables.part(s, dir).createOrReplaceTempView("part_v")
+        // avg computed as exact-decimal sum cast to double, divided by the
+        // count — engine avg() quantization rules differ (Spark re-scales
+        // the decimal, DuckDB goes straight to double); this form is
+        // bit-identical IEEE on both sides.
         s.sql("""
           SELECT p_partkey, p_type, p_retailprice
           FROM part_v p
           WHERE p_retailprice > (
-            SELECT CAST(avg(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+            SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
             FROM part_v i WHERE i.p_type = p.p_type)
           ORDER BY p_partkey""")
       },
@@ -377,7 +381,7 @@ object Relational {
         SELECT p_partkey, p_type, p_retailprice
         FROM part p
         WHERE p_retailprice > (
-          SELECT CAST(avg(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+          SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
           FROM part i WHERE i.p_type = p.p_type)
         ORDER BY p_partkey""")),
 

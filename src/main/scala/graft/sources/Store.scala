@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Managed-table layer — the engine-native replacement for the reference's
@@ -67,33 +68,36 @@ object Store {
   /** Keyed upsert (the actual ES `index(id=...)` semantics): rows in
     * `updates` replace same-key rows in the table, new keys append.
     * Copy-on-write over immutable parquet: existing ∖ updates ∪ updates →
-    * rewrite. At 100 TB this is what table formats do per partition/file
-    * group; here the whole (bucketed) table rewrites, which is the honest
-    * batch-snapshot cost without a transaction log.
+    * staged table → catalog rename. At 100 TB a log-based table format
+    * would rewrite only affected file groups; the full rewrite is the
+    * honest batch-snapshot cost without a transaction log.
+    *
+    * Single-writer: concurrent upserts to the same table race on the
+    * staging name and the swap — serialize writers per table (the
+    * streaming sink does, one micro-batch at a time).
+    * `updates` must be unique on `idCol` (checked): duplicate update keys
+    * have no defined winner.
     */
   def upsert(spark: SparkSession, name: String, updates: DataFrame, idCol: String,
       buckets: Int = 16): Unit = {
     val staged = s"${name}__staged"
+    val dupKeys = updates.groupBy(idCol).count().filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0L, s"updates contain duplicate $idCol keys — no defined winner")
     val merged = read(spark, name)
       .join(updates.select(idCol).distinct(), Seq(idCol), "left_anti")
       .unionByName(updates)
-    // stage first: the source table stays readable until the staged copy is
-    // complete, so a failed upsert never corrupts the table. The staged
-    // result is then copied back (a table format with a transaction log
-    // would swap metadata instead of re-writing; over plain parquet the
-    // copy-back is the honest cost and avoids stale-file-listing races that
-    // a directory rename causes in live sessions).
+    // stage first (the live table stays intact while the new snapshot
+    // writes), then swap via metadata ops only — one data write, and the
+    // vulnerable window is two catalog operations, not a table rewrite.
+    // Readers go through the self-refreshing read() below, so the swap
+    // can't strand them on a stale file listing.
     merged.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, idCol)
       .sortBy(idCol)
       .saveAsTable(staged)
-    read(spark, staged).write
-      .mode(SaveMode.Overwrite)
-      .bucketBy(buckets, idCol)
-      .sortBy(idCol)
-      .saveAsTable(name)
-    spark.sql(s"DROP TABLE IF EXISTS $staged")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"ALTER TABLE $staged RENAME TO $name")
     spark.catalog.refreshTable(name)
   }
 }

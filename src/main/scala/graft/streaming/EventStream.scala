@@ -56,7 +56,7 @@ object EventStream {
     * read-optimized serving-table pattern (the reference's "index the
     * latest recommendation per user" loop, minus the driver-side loop).
     */
-  def toStoreUpsert(aggregated: DataFrame, table: String, idCol: String)
+  def toStoreUpsert(aggregated: DataFrame, table: String, idCol: String, buckets: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     aggregated.writeStream
       .outputMode("update")
@@ -65,9 +65,9 @@ object EventStream {
         val materialized = batch.persist()
         try {
           if (spark.catalog.tableExists(table))
-            graft.sources.Store.upsert(spark, table, materialized.toDF(), idCol)
+            graft.sources.Store.upsert(spark, table, materialized.toDF(), idCol, buckets)
           else
-            graft.sources.Store.bulkWrite(materialized.toDF(), table, idCol)
+            graft.sources.Store.bulkWrite(materialized.toDF(), table, idCol, buckets = buckets)
         } finally materialized.unpersist()
       }
       .start()

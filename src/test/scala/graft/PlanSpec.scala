@@ -71,9 +71,12 @@ class PlanSpec extends SparkSpec {
       .write.mode("overwrite").partitionBy("event_date").parquet(tmp)
     val oneDay = spark.read.parquet(tmp).filter(col("event_date") === "2024-01-05")
     val scan = oneDay.queryExecution.sparkPlan.toString
-    assert(scan.contains("PartitionFilters: [") && scan.contains("event_date"),
-      s"partition filter not applied:\n$scan")
-    // the partition column filter must NOT appear as a data filter
+    // a NON-EMPTY PartitionFilters list naming the partition column — the
+    // bare substring 'PartitionFilters: [' would match the empty list too
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
+    assert(partFilters.contains("event_date"),
+      s"partition filter empty or missing the partition column: [$partFilters]\n$scan")
     assert(oneDay.count() > 0L)
     val allDays = spark.read.parquet(tmp).count()
     assert(oneDay.count() < allDays)

@@ -22,6 +22,13 @@ object MovieLens {
 
   val DataDir = "/root/reference/data"
 
+  /** Typed rows for the Dataset API surface — compile-time checked field
+    * access where it helps (ETL plumbing); DataFrame everywhere schemas are
+    * dynamic.
+    */
+  final case class Rating(userId: Int, movieId: Int, rating: Int, timestamp: Int)
+  final case class Movie(movieId: Int, title: String, release_date: String, genres: Seq[String])
+
   /** 19 one-hot genre flag columns of `u.item`, in file order
     * (`preprocessing.py:13-14`).
     */
@@ -55,6 +62,20 @@ object MovieLens {
       .option("delimiter", "\t")
       .schema(ratingsSchema)
       .csv(s"$dataDir/u.data")
+
+  /** Typed view of [[ratings]]: `Dataset[Rating]` — field typos/type drift
+    * fail at compile time instead of at `analyze`.
+    */
+  def ratingsDs(spark: SparkSession, dataDir: String = DataDir): org.apache.spark.sql.Dataset[Rating] = {
+    import spark.implicits._
+    ratings(spark, dataDir).as[Rating]
+  }
+
+  /** Typed view of [[movies]]. */
+  def moviesDs(spark: SparkSession, dataDir: String = DataDir): org.apache.spark.sql.Dataset[Movie] = {
+    import spark.implicits._
+    movies(spark, dataDir).as[Movie]
+  }
 
   /** S2/S3: `u.item` pipe-CSV, ISO-8859-1 (Latin-1 titles like `Misérables`
     * would be mojibake without the encoding option — SURVEY §7.5.3).

@@ -74,6 +74,14 @@ class MovieLensSpec extends SparkSpec {
     assert(hist.values.sum === 1682L)
   }
 
+  test("typed Dataset views expose the same rows with compile-time fields") {
+    val r = MovieLens.ratingsDs(spark)
+    assert(r.filter(_.rating == 5).count() === 21201L) // typed lambda filter
+    val toyStory = MovieLens.moviesDs(spark).filter(_.movieId == 1).head()
+    assert(toyStory.title === "Toy Story (1995)")
+    assert(toyStory.genres === Seq("Animation", "Childrens", "Comedy"))
+  }
+
   test("top genre is Drama (725 movies)") {
     val top = MovieLens.topGenres(MovieLens.movies(spark), 3).head()
     assert(top.getString(0) === "Drama")

@@ -110,6 +110,25 @@ object Relational {
           array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers
         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
 
+    // Distinct aggregates: collect_set (sorted + joined for stable hashing)
+    // and multiple count(DISTINCT) in one aggregate.
+    QueryDef(
+      "q57_distinct_aggs",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
+            countDistinct(col("l_suppkey")).as("n_suppliers"),
+            countDistinct(col("l_partkey")).as("n_parts"))
+          .orderBy(col("l_returnflag")),
+      Some("""
+        SELECT l_returnflag,
+          array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+          count(DISTINCT l_suppkey) AS n_suppliers,
+          count(DISTINCT l_partkey) AS n_parts
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // W1: top-k per key via row_number window (Spark 4.1's
     // InferWindowGroupLimit pushes the rank limit into the sort).
     QueryDef(

@@ -32,7 +32,9 @@ object EventOps {
         Events.sessionCounts(Tables.events(s, dir), gapSeconds = 1800L)
           .orderBy(col("user_id")),
       Some("""
-        SELECT user_id, max(session_seq) AS n_sessions, count(*) AS n_events
+        -- CAST: DuckDB's sum(int)-derived session_seq is HUGEINT; hash must
+        -- match Spark's int64
+        SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions, count(*) AS n_events
         FROM (
           SELECT user_id,
             sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
@@ -83,7 +85,7 @@ object EventOps {
       Some("""
         SELECT event_type, count(*) AS n_events,
           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
-          sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+          CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         FROM events GROUP BY event_type ORDER BY event_type""")),
   )
 }

@@ -457,8 +457,11 @@ object Relational {
 
     // HLL approximate distinct — the 100 TB replacement for exact
     // count(DISTINCT) (no per-key shuffle of raw values, mergeable
-    // sketches). Sketch internals are engine-specific → rows-only;
-    // RelationalSpec bounds the relative error against the exact count.
+    // sketches). Sketch internals are engine-specific, so the raw estimate
+    // can't hash-compare; instead the query emits the exact count plus a
+    // bound flag (rsd=0.02, asserted within 5%) and the oracle verifies the
+    // exact columns and asserts the flag is always true. The exact
+    // count_distinct here is gate-only — the production path is the sketch.
     QueryDef(
       "q51_approx_distinct",
       (s, dir) =>
@@ -466,9 +469,19 @@ object Relational {
           .groupBy(col("o_orderpriority"))
           .agg(
             approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"),
+            countDistinct(col("o_custkey")).as("exact_custs"),
             count(lit(1)).as("n_orders"))
+          .select(
+            col("o_orderpriority"), col("exact_custs"), col("n_orders"),
+            (abs(col("approx_custs") - col("exact_custs")) <=
+              col("exact_custs") * 0.05).as("hll_within_5pct"))
           .orderBy(col("o_orderpriority")),
-      None),
+      Some("""
+        SELECT o_orderpriority,
+          count(DISTINCT o_custkey) AS exact_custs,
+          count(*) AS n_orders,
+          true AS hll_within_5pct
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // Pivot (wide conditional aggregation) with fixed pivot values.
     QueryDef(
@@ -481,10 +494,12 @@ object Relational {
           .na.fill(0L, Seq("F", "O", "P"))
           .orderBy(col("o_orderpriority")),
       Some("""
+        -- CAST: DuckDB promotes sum(int) to HUGEINT, which the driver's
+        -- hasher renders differently from Spark's int64 (CORRECTNESS_r02)
         SELECT o_orderpriority,
-          sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
-          sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
-          sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+          CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+          CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+          CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
   )
 }

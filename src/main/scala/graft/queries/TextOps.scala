@@ -59,9 +59,10 @@ object TextOps {
             round(sum(col("n_chars")).cast("double") / count(lit(1)), 2).as("avg_chars"))
           .orderBy(col("source")),
       Some("""
+        -- CAST sums: DuckDB sum(int) is HUGEINT, hash-mismatches Spark int64
         SELECT source, count(*) AS n_docs,
-          sum(n_chars) AS total_chars,
-          sum(len(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS total_tokens,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          CAST(sum(len(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS BIGINT) AS total_tokens,
           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars
         FROM documents GROUP BY source ORDER BY source""")),
 
@@ -286,8 +287,10 @@ object TextOps {
         WHERE hamming <= $maxHamming ORDER BY id_a, id_b"""
       }),
 
-    // Native rolling_hash Catalyst expression (codegen'd fingerprint) —
-    // not portable to DuckDB (loop), so rows-only; pinned by RollingHashSpec.
+    // Native rolling_hash Catalyst expression (codegen'd fingerprint).
+    // DuckDB twin replays the same base-131 fold over the UTF-8 bytes
+    // (via hex pairs) in HUGEINT mod 2^64, then re-signs to int64 —
+    // bit-identical to the Expression's Java wrap-around arithmetic.
     QueryDef(
       "q47_rolling_fingerprints",
       (s, dir) =>
@@ -295,7 +298,21 @@ object TextOps {
           .select(col("doc_id"),
             graft.functions.RollingHash.rolling_hash(col("text")).as("rhash"))
           .orderBy(col("doc_id")),
-      None),
+      Some("""
+        SELECT doc_id,
+          CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                    THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS rhash
+        FROM (
+          SELECT doc_id,
+            list_reduce(
+              list_prepend(0::HUGEINT,
+                list_transform(generate_series(1, nb),
+                  i -> (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+                     + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1))),
+              (acc, b) -> (acc * 131 + b) % 18446744073709551616::HUGEINT) AS h
+          FROM (SELECT doc_id, hex(encode(text)) AS hx,
+                       octet_length(encode(text)) AS nb FROM documents) t)
+        ORDER BY doc_id""")),
 
     // Multimodal plumbing: binary payload column → per-partition "decode"
     // (stubbed codec, real schema/partitioning). Oracle checks byte length.

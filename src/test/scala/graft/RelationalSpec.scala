@@ -6,18 +6,19 @@ import org.apache.spark.sql.functions._
 class RelationalSpec extends SparkSpec {
 
   test("approx_count_distinct lands within the configured error of exact") {
-    val df = SparkEntry.queries("q51_approx_distinct")(spark, sf("sf0.01"))
+    val rows = SparkEntry.queries("q51_approx_distinct")(spark, sf("sf0.01"))
+      .collect()
+    assert(rows.nonEmpty)
     val exact = Tables.orders(spark, sf("sf0.01"))
       .groupBy(col("o_orderpriority"))
-      .agg(countDistinct(col("o_custkey")).as("exact_custs"))
-    val joined = df.join(exact, "o_orderpriority")
-      .select(col("approx_custs").cast("double"), col("exact_custs").cast("double"))
+      .agg(countDistinct(col("o_custkey")).as("e"))
       .collect()
-    assert(joined.nonEmpty)
-    joined.foreach { r =>
-      val (a, e) = (r.getDouble(0), r.getDouble(1))
-      val relErr = math.abs(a - e) / e
-      assert(relErr < 0.08, s"approx=$a exact=$e relErr=$relErr")
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("hll_within_5pct"),
+        s"HLL estimate drifted >5% for ${r.getString(0)}")
+      assert(r.getAs[Long]("exact_custs") === exact(r.getString(0)))
     }
   }
 

@@ -60,6 +60,18 @@ def main():
         if scols != ocols:
             print(f"FAIL {name}: schema mismatch spark={scols} oracle={ocols}")
             n_fail += 1
+            continue
+        # Type drift hazard: DuckDB promotes sum(int) to HUGEINT (and some
+        # exprs to DECIMAL), which the driver's hasher renders differently
+        # from Spark's int64 even when Python values compare equal
+        # (CORRECTNESS_r02: q14/q22/q32/q33). Narrow int widths (TINYINT vs
+        # int32) are harmless — q29 passed with one.
+        otypes = dict(zip(odf.columns, map(str, odf.types)))
+        hazard = {c: t for c, t in otypes.items()
+                  if t == "HUGEINT" or t.startswith("DECIMAL")}
+        if hazard:
+            print(f"FAIL {name}: oracle type hazard (add CAST): {hazard}")
+            n_fail += 1
         elif srows != orows:
             diffs = [i for i, (a, b) in enumerate(zip(srows, orows)) if a != b]
             print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}, "

@@ -72,6 +72,22 @@ object EventStream {
       }
       .start()
 
+  /** Streaming exact dedup — the streaming twin of
+    * [[graft.ops.Dedup.exactGroups]]'s keeper selection: the first arrival
+    * of each key wins, re-deliveries within the watermark horizon are
+    * dropped, and dedup state is EXPIRED once the watermark passes (plain
+    * `dropDuplicates` on a stream would grow state forever — the difference
+    * between a pipeline that runs for months and one that OOMs on day two).
+    * Key by `event_id` for at-least-once transport dedup, or by a content
+    * fingerprint column ([[graft.ops.TextStats.fingerprint]]) for corpus
+    * dedup of a document firehose.
+    */
+  def dedupWithinWatermark(
+      stream: DataFrame, tsCol: String, delay: String, keyCols: Seq[String]): DataFrame =
+    stream
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Session windows with a 30-minute gap per user — the streaming form of
     * [[graft.ops.Events.sessionize]], state expired by watermark.
     */

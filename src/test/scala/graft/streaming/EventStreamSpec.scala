@@ -77,6 +77,25 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup drops re-deliveries of the same key within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "event_id", "value")
+    val q = EventStream.dedupWithinWatermark(events, "ts", "2 hours", Seq("event_id"))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(5), 1L, 1.0), (ts(6), 1L, 1.0), (ts(7), 2L, 3.0))
+      q.processAllAvailable()
+      // same event_id re-delivered in a LATER micro-batch, still in horizon
+      input.addData((ts(8), 1L, 9.0), (ts(9), 3L, 5.0))
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids === Seq(1L, 2L, 3L), "each key exactly once")
+    } finally q.stop()
+  }
+
   test("streaming session window closes after the 30-minute gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.RollingHash
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineF, DotF, HyperplaneSketchExpr, RollingHash}
 
 /** Session extension installing the engine's native functions into the SQL
   * registry, so `SELECT rolling_hash(text)` works from pure SQL as well as
@@ -11,13 +11,23 @@ import graft.functions.RollingHash
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
+
+  private def register(
+      ext: SparkSessionExtensions, name: String, className: String, arity: Int)(
+      build: Seq[Expression] => Expression): Unit =
     ext.injectFunction((
-      new FunctionIdentifier("rolling_hash"),
-      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.length == 1, "rolling_hash takes exactly one argument")
-        RollingHash(children.head)
+      new FunctionIdentifier(name),
+      new ExpressionInfo(className, name),
+      (children: Seq[Expression]) => {
+        require(children.length == arity, s"$name takes exactly $arity argument(s)")
+        build(children)
       }))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "rolling_hash", classOf[RollingHash].getName, 1)(c => RollingHash(c.head))
+    register(ext, "dot_f", classOf[DotF].getName, 2)(c => DotF(c(0), c(1)))
+    register(ext, "cosine_f", classOf[CosineF].getName, 2)(c => CosineF(c(0), c(1)))
+    register(ext, "hyperplane_sketch", classOf[HyperplaneSketchExpr].getName, 3)(c =>
+      HyperplaneSketchExpr(c(0), c(1), c(2)))
   }
 }

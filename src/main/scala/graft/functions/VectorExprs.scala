@@ -1,0 +1,221 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Shared scalar kernels for the vector expressions. Both the interpreted
+  * `eval` path and the generated (janino) code call THESE methods, so the two
+  * paths cannot drift — the same trick `RollingHash.hashBytes` uses, minus
+  * the inlined loop (a static call from generated code stays inside
+  * whole-stage codegen; only boxing/virtual-iterator shapes break it).
+  *
+  * All folds are strict left-to-right double accumulation, matching the
+  * DuckDB oracle twins (`list_sum(list_transform(generate_series ...))`)
+  * bit-for-bit — same guarantee the previous `aggregate(zip_with(...))`
+  * implementation gave, at ~100× less per-row cost (the higher-order
+  * functions are `CodegenFallback`: interpreted, allocating a lambda frame
+  * per element; VERDICT r3 measured ~1.8 ms per 64-dim cosine on that path).
+  */
+object VectorKernel {
+
+  @inline private def get(a: ArrayData, isFloat: Boolean, i: Int): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Σ aᵢ·bᵢ, left-to-right. */
+  def dot(a: ArrayData, aF: Boolean, b: ArrayData, bF: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += get(a, aF, i) * get(b, bF, i); i += 1 }
+    acc
+  }
+
+  /** Fused cosine: one pass accumulates dot, ‖a‖², ‖b‖². Each accumulator
+    * sees the same element order as three separate folds, so the result is
+    * bit-identical to dot/(√dot(a,a)·√dot(b,b)) composed from [[dot]].
+    * Zero-norm guard: −1.0 (rank last) instead of NaN — Spark sorts NaN
+    * above every double, so an unguarded 0/0 would win every top-k.
+    */
+  def cosine(a: ArrayData, aF: Boolean, b: ArrayData, bF: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = get(a, aF, i)
+      val y = get(b, bF, i)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom > 0) d / denom else -1.0
+  }
+
+  /** Pseudo-random hyperplane coefficient in [−1, 1] for (plane, element),
+    * derived from a splitmix64-style mix — deterministic on every executor
+    * with no coefficient matrix to ship, and cheap enough (4 multiplies)
+    * to fold straight into the projection loop.
+    */
+  def coef(seed: Long, p: Int, i: Int): Double = {
+    var z = seed + p * 0x9E3779B97F4A7C15L + i * 0xC2B2AE3D27D4EB4FL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    z.toDouble / Long.MaxValue.toDouble
+  }
+
+  /** Sign-bit sketch: bit p of the result is 1 iff the projection of the
+    * vector onto pseudo-random hyperplane p is ≥ 0.
+    */
+  def sketch(a: ArrayData, aF: Boolean, nPlanes: Int, seed: Long): Long = {
+    val n = a.numElements()
+    var bits = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) { proj += get(a, aF, i) * coef(seed, p, i); i += 1 }
+      if (proj >= 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+}
+
+/** Type plumbing shared by the binary vector expressions: both inputs must
+  * be `array<float>` or `array<double>` (mixed is fine — IVF compares a
+  * float corpus against float-cast centroids, but the check is per-child).
+  * Array elements are assumed non-null (embedding columns); a null ARRAY
+  * yields null via the standard null-safe path.
+  */
+trait VectorBinaryExpression extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  protected def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _                                    => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT|DOUBLE> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+}
+
+/** `dot_f(a, b)` — native codegen'd left-to-right dot product. */
+case class DotF(left: Expression, right: Expression) extends VectorBinaryExpression {
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernel.dot(
+      a.asInstanceOf[ArrayData], elemIsFloat(left),
+      b.asInstanceOf[ArrayData], elemIsFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernel.dot(" +
+        s"$a, ${elemIsFloat(left)}, $b, ${elemIsFloat(right)});")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotF =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_f"
+}
+
+/** `cosine_f(a, b)` — fused single-pass cosine with the zero-norm → −1
+  * guard (see [[VectorKernel.cosine]]).
+  */
+case class CosineF(left: Expression, right: Expression) extends VectorBinaryExpression {
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernel.cosine(
+      a.asInstanceOf[ArrayData], elemIsFloat(left),
+      b.asInstanceOf[ArrayData], elemIsFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernel.cosine(" +
+        s"$a, ${elemIsFloat(left)}, $b, ${elemIsFloat(right)});")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineF =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_f"
+}
+
+/** `hyperplane_sketch(vec, nPlanes, seed)` — LSH sign-bit sketch. `nPlanes`
+  * and `seed` must be foldable (they parameterize the plane family, fixed
+  * per query); they are baked into the generated code as constants, so the
+  * per-row work is exactly one fused projection loop.
+  */
+case class HyperplaneSketchExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = LongType
+
+  private lazy val nPlanes: Int = second.eval().asInstanceOf[Number].intValue()
+  private lazy val seed: Long = third.eval().asInstanceOf[Number].longValue()
+  private def vecIsFloat: Boolean =
+    first.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = first.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    def intOk(e: Expression) = e.foldable && (e.dataType match {
+      case IntegerType | LongType | ShortType | ByteType => true
+      case _                                             => false
+    })
+    if (!vecOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<FLOAT|DOUBLE> as first argument, got " +
+          first.dataType.catalogString)
+    else if (!intOk(second) || !intOk(third))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires foldable integral nPlanes and seed")
+    else if (second.eval().asInstanceOf[Number].intValue() < 1 ||
+             second.eval().asInstanceOf[Number].intValue() > 63)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName nPlanes must be in [1, 63]")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override protected def nullSafeEval(vec: Any, np: Any, sd: Any): Any =
+    VectorKernel.sketch(vec.asInstanceOf[ArrayData], vecIsFloat, nPlanes, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vec, _, _) =>
+      s"${ev.value} = graft.functions.VectorKernel.sketch(" +
+        s"$vec, $vecIsFloat, $nPlanes, ${seed}L);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): HyperplaneSketchExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "hyperplane_sketch"
+}
+
+/** Column-API entry points — resolve through the session registry
+  * (installed by [[graft.GraftExtensions]]), same path SQL takes.
+  */
+object VectorExprs {
+  import org.apache.spark.sql.functions.call_function
+
+  def dot_f(a: Column, b: Column): Column = call_function("dot_f", a, b)
+
+  def cosine_f(a: Column, b: Column): Column = call_function("cosine_f", a, b)
+
+  def hyperplane_sketch(vec: Column, nPlanes: Column, seed: Column): Column =
+    call_function("hyperplane_sketch", vec, nPlanes, seed)
+}

@@ -17,28 +17,27 @@ import org.apache.spark.sql.functions._
   *
   * All arithmetic is done in double with a left-to-right fold so the DuckDB
   * oracle (list_transform + list_sum over the same element order) produces
-  * bit-identical results.
+  * bit-identical results. The folds are native codegen'd Catalyst
+  * expressions ([[graft.functions.VectorKernel]]) — the `aggregate`/
+  * `zip_with` higher-order-function formulation they replaced is
+  * `CodegenFallback` (interpreted, one lambda frame per element; VERDICT r3
+  * measured ~1.8 ms per 64-dim cosine on that path vs ~µs fused).
   */
 object Similarity {
+  import graft.functions.VectorExprs
 
-  /** Σ aᵢ·bᵢ as an exact left-to-right double fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ as an exact left-to-right double fold (native expression). */
+  def dot(a: Column, b: Column): Column = VectorExprs.dot_f(a, b)
 
   /** ‖a‖₂ with the same fold shape as [[dot]]. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Zero-norm vectors get cosine −1 (rank last, fail thresholds) instead
     * of NaN — Spark orders NaN above every double, so an unguarded 0/0
-    * would put a zero vector at rank 1 of every top-k.
+    * would put a zero vector at rank 1 of every top-k. Fused single pass;
+    * bit-identical to `dot/(norm·norm)` composed from [[dot]].
     */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = norm(a) * norm(b)
-    when(denom > 0, dot(a, b) / denom).otherwise(lit(-1.0))
-  }
+  def cosine(a: Column, b: Column): Column = VectorExprs.cosine_f(a, b)
 
   /** Exact cosine top-k of `targets` for each row of `queries`.
     * Output: (q_id, rank, neighbor_id, cosine). Self-matches excluded.
@@ -62,24 +61,14 @@ object Similarity {
   }
 
   /** Sign-bit sketch under `nPlanes` fixed pseudo-random hyperplanes. The
-    * plane coefficient for (plane, element) is derived on the fly from
-    * xxhash64 — deterministic across executors with no matrix to ship, and
-    * the whole sketch stays a compact fold (a giant unrolled per-element
-    * expression breaks janino codegen and falls back to interpreted eval —
-    * measured 30× slower).
+    * plane coefficient for (plane, element) is a splitmix64 mix of
+    * (seed, plane, index) computed inside the fused projection loop —
+    * deterministic across executors with no matrix to ship. Native codegen'd
+    * expression; the previous HOF formulation evaluated 2,048 interpreted
+    * `xxhash64` calls per row (VERDICT r3: q37 slower than brute force).
     */
-  def hyperplaneSketch(vec: Column, nPlanes: Int, seed: Long = 42L): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        transform(vec, (x, i) =>
-          x.cast("double") *
-            (xxhash64(lit(seed + p), i).cast("double") / lit(Long.MaxValue.toDouble))),
-        lit(0.0),
-        (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((x, y) => x.bitwiseOR(y))
-  }
+  def hyperplaneSketch(vec: Column, nPlanes: Int, seed: Long = 42L): Column =
+    graft.functions.VectorExprs.hyperplane_sketch(vec, lit(nPlanes), lit(seed))
 
   /** LSH-bucketed approximate top-k: join queries and targets on their
     * hyperplane bucket (optionally multi-probe over `nTables` independent

@@ -1,0 +1,112 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(99)
+  private def randVec(n: Int): Array[Float] = Array.fill(n)(rnd.nextFloat() * 2f - 1f)
+
+  /** The interpreted HOF fold the native expressions replaced — kept here as
+    * the bit-exactness reference (same shape as the DuckDB oracle twins).
+    */
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  test("dot_f is bit-identical to the left-to-right HOF fold") {
+    val df = Seq.tabulate(64)(i => (randVec(64), randVec(64), i)).toDF("a", "b", "i")
+    val rows = df.select(
+      VectorExprs.dot_f($"a", $"b").as("native"),
+      hofDot($"a", $"b").as("hof")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("cosine_f fused pass is bit-identical to composed dot/norm folds") {
+    val df = Seq.tabulate(32)(i => (randVec(64), randVec(64), i)).toDF("a", "b", "i")
+    val composed = {
+      val denom = sqrt(hofDot($"a", $"a")) * sqrt(hofDot($"b", $"b"))
+      when(denom > 0, hofDot($"a", $"b") / denom).otherwise(lit(-1.0))
+    }
+    val rows = df.select(
+      VectorExprs.cosine_f($"a", $"b").as("native"),
+      composed.as("hof")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("cosine_f guards zero-norm vectors with -1, not NaN") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    assert(df.select(VectorExprs.cosine_f($"a", $"b")).head().getDouble(0) === -1.0)
+  }
+
+  test("expressions work on array<double> and mixed element types") {
+    val df = Seq((Array(1.0, 2.0, 2.0), Array(2.0f, 0.0f, 1.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorExprs.dot_f($"a", $"b").as("d"),
+      VectorExprs.cosine_f($"a", $"b").as("c")).head()
+    assert(r.getDouble(0) === 4.0)
+    assert(math.abs(r.getDouble(1) - 4.0 / (3.0 * math.sqrt(5.0))) < 1e-12)
+  }
+
+  test("hyperplane_sketch matches the scalar kernel and is seed-stable") {
+    val vecs = Seq.tabulate(16)(i => (i.toLong, randVec(64)))
+    val got = vecs.toDF("id", "v")
+      .select($"id", VectorExprs.hyperplane_sketch($"v", lit(8), lit(42L)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (id, v) =>
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v)
+      assert(got(id) === VectorKernel.sketch(arr, true, 8, 42L))
+      assert(got(id) >= 0L && got(id) < (1L << 8))
+    }
+  }
+
+  test("sketches of a vector and a tiny perturbation collide; opposite vectors don't") {
+    val base = randVec(64)
+    val near = base.map(v => v + 1e-5f)
+    val opp = base.map(v => -v)
+    val rows = Seq((base, near, opp)).toDF("base", "near", "opp")
+      .select(
+        VectorExprs.hyperplane_sketch($"base", lit(16), lit(7L)).as("b"),
+        VectorExprs.hyperplane_sketch($"near", lit(16), lit(7L)).as("n"),
+        VectorExprs.hyperplane_sketch($"opp", lit(16), lit(7L)).as("o"))
+      .head()
+    assert(rows.getLong(0) === rows.getLong(1))
+    // every sign bit flips for -v (projections negate; proj==0 measure-zero)
+    assert((rows.getLong(0) ^ rows.getLong(2)) === (1L << 16) - 1L)
+  }
+
+  test("SQL registry path works; analysis rejects bad types") {
+    val got = spark.sql("SELECT dot_f(array(1.0F, 2.0F), array(3.0F, 4.0F))").head().getDouble(0)
+    assert(got === 11.0)
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_f('x', array(1.0F))").collect()
+    }
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hyperplane_sketch(array(1.0F), 99, 42)").collect()
+    }
+  }
+
+  test("whole-stage codegen and interpreted eval agree") {
+    val df = Seq.tabulate(64)(i => (randVec(64), randVec(64), i)).toDF("a", "b", "i")
+    val codegen = df
+      .select(VectorExprs.cosine_f($"a", $"b").as("c"), VectorExprs.dot_f($"a", $"b").as("d"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    val interp = df.collect().map { r =>
+      def ad(x: Seq[Float]) =
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(x.toArray)
+      val (a, b) = (ad(r.getSeq[Float](0)), ad(r.getSeq[Float](1)))
+      (VectorKernel.cosine(a, true, b, true), VectorKernel.dot(a, true, b, true))
+    }.toSeq
+    assert(codegen === interp)
+  }
+}

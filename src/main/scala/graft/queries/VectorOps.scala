@@ -7,11 +7,69 @@ import graft.ops.Similarity
 /** Embedding / similarity-search battery over `embeddings` (array<float>,
   * dim 64). Dot products are left-to-right double folds on both engines so
   * the oracle is bit-stable (see [[graft.ops.Similarity]]).
+  *
+  * The approximate paths (q37 LSH, q38 IVF, q39 near-dup) are gated with
+  * PLANTED inputs: probes/duplicates are deterministic double-precision
+  * perturbations (x·1.001 + 0.0005) of corpus vectors, so the true nearest
+  * neighbor has cosine ≈ 1 — which an LSH sketch collides on in every
+  * table and an IVF probe finds in its top cell — while i.i.d. cross pairs
+  * stay ≤ ~0.51. That makes the approximate result exactly predictable and
+  * hash-verifiable in DuckDB (the r3 gate had no oracle at all for these;
+  * a recall-vs-brute flag can't work here because LSH recall on uniform
+  * random top-k is near zero BY MATH — θ ≈ 60° collides at ~2.5% per
+  * 8-plane table).
   */
 object VectorOps {
 
   private val oracleDot =
     "list_sum(list_transform(generate_series(1, 64), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)))"
+
+  /** Deterministic planted twin of a vector set: ids shifted by 100000,
+    * every element x → x·1.001 + 0.0005 in DOUBLE (bit-identical on both
+    * engines; float→double cast is exact).
+    */
+  private def planted(e: org.apache.spark.sql.DataFrame) =
+    e.select(
+      (col("vec_id") + lit(100000)).as("vec_id"),
+      transform(col("embedding"), x => x.cast("double") * lit(1.001) + lit(0.0005))
+        .as("embedding"))
+
+  /** DuckDB twin of [[planted]] + exact cosine against the original — the
+    * closed-form expected answer for the planted-NN queries (valid because
+    * i.i.d. cross-pair cosines max out near 0.51, far below both the 0.95
+    * near-dup threshold and any rank-1 contest).
+    */
+  private def plantedCosineSql(idFilter: String): String = {
+    val pv = "list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001 + 0.0005)"
+    val ov = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    s"""
+      WITH p AS (
+        SELECT vec_id, $pv AS pv, $ov AS ov
+        FROM embeddings $idFilter)
+      SELECT vec_id + 100000 AS q_id, vec_id AS neighbor_id,
+        round(${oracleDot.format("pv", "ov")} /
+          (sqrt(${oracleDot.format("pv", "pv")}) * sqrt(${oracleDot.format("ov", "ov")})),
+          4) AS cosine
+      FROM p ORDER BY q_id"""
+  }
+
+  /** q38's disk-backed IVF index, built once per (JVM, sfDir) — the index
+    * build is an offline job (VERDICT r3: a query must not train its own
+    * quantizer); the gate/bench measure the query path against the stored
+    * cell-partitioned index.
+    */
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfIndex]
+
+  private def ivfIndexFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    ivfCache.getOrElseUpdate(dir, {
+      val path = s"/tmp/graft_ivf/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Similarity.writeIvfIndex(
+        Similarity.buildIvfIndex(Tables.embeddings(s, dir), "vec_id", "embedding",
+          nCentroids = 16, seed = 42L),
+        path)
+      Similarity.readIvfIndex(s, path)
+    })
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -76,42 +134,63 @@ object VectorOps {
           max(CAST(embedding[1] AS DOUBLE)) AS max_first_dim
         FROM embeddings GROUP BY label ORDER BY label""")),
 
-    // LSH-bucketed approximate NN (the 100 TB path) — recall is data-
-    // dependent → rows-only; quality pinned against brute force in ScalaTest.
+    // LSH-bucketed approximate NN (the 100 TB path), gated as a planted-NN
+    // point lookup: each probe is a perturbed twin of a corpus vector; the
+    // rank-1 result must be that vector, with a bit-stable cosine — this
+    // exercises sketch → multi-table explode → bucket join → exact rerank
+    // end-to-end under a full hash oracle.
     QueryDef(
       "q37_ann_lsh_topk",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
-        Similarity.lshTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", k = 5)
-          .select(col("q_id"), col("rank"), col("neighbor_id"),
-            round(col("cosine"), 4).as("cosine"))
-          .orderBy(col("q_id"), col("rank"))
+        Similarity.lshTopK(planted(e.filter(col("vec_id") < 5)), e,
+            "vec_id", "embedding", k = 5)
+          .filter(col("rank") === 1)
+          .select(col("q_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+          .orderBy(col("q_id"))
       },
-      None),
+      Some(plantedCosineSql("WHERE vec_id < 5"))),
 
-    // IVF approximate NN: k-means coarse cells + nProbe probing.
+    // IVF approximate NN against the stored cell-partitioned index (build
+    // amortized offline — see ivfIndexFor): planted probes land in their
+    // source's cell; the rank-1 result is exactly predictable.
     QueryDef(
       "q38_ann_ivf_topk",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
-        Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
-            k = 5, nCentroids = 16, nProbe = 4)
-          .select(col("q_id"), col("rank"), col("neighbor_id"),
-            round(col("cosine"), 4).as("cosine"))
-          .orderBy(col("q_id"), col("rank"))
+        Similarity.ivfQuery(planted(e.filter(col("vec_id") < 5)), ivfIndexFor(s, dir),
+            "vec_id", "embedding", k = 5, nProbe = 4)
+          .filter(col("rank") === 1)
+          .select(col("q_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+          .orderBy(col("q_id"))
       },
-      None),
+      Some(plantedCosineSql("WHERE vec_id < 5"))),
 
-    // Embedding-cosine near-dup pairs via shared LSH buckets. The synthetic
-    // embeddings are i.i.d. (max pairwise cosine ≈ 0.51), so the threshold
-    // is set to surface the top tail; real corpora would use ≥0.95.
+    // Embedding-cosine near-dup pairs via shared LSH buckets, on a corpus
+    // with one planted near-dup per vector (cosine ≈ 1 ≥ 0.95; i.i.d.
+    // cross pairs ≤ ~0.51): the pair list is exactly the planted set, so
+    // the bucket-join pipeline carries a full hash oracle.
     QueryDef(
       "q39_embedding_neardup",
-      (s, dir) =>
-        Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-            threshold = 0.4)
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val orig = e.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        Similarity.cosineNearDupPairs(orig.unionByName(planted(e)), "vec_id", "embedding",
+            threshold = 0.95)
           .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
-          .orderBy(col("id_a"), col("id_b")),
-      None),
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val pv = "list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001 + 0.0005)"
+        val ov = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        s"""
+          WITH p AS (SELECT vec_id, $pv AS pv, $ov AS ov FROM embeddings)
+          SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+            round(${oracleDot.format("pv", "ov")} /
+              (sqrt(${oracleDot.format("pv", "pv")}) * sqrt(${oracleDot.format("ov", "ov")})),
+              4) AS cosine
+          FROM p ORDER BY id_a"""
+      }),
   )
 }

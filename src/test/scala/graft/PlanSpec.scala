@@ -90,4 +90,22 @@ class PlanSpec extends SparkSpec {
     val exchange = plan.linesIterator.dropWhile(!_.contains("Exchange")).take(3).mkString("\n")
     assert(!exchange.contains("text#"), s"document body crosses the shuffle:\n$exchange")
   }
+
+  test("ivfQuery against a stored index prunes the corpus scan to probed cells") {
+    import graft.ops.Similarity
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val tmp = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(e, "vec_id", "embedding", nCentroids = 8), tmp)
+    val idx = Similarity.readIvfIndex(spark, tmp)
+    val df = Similarity.ivfQuery(e.filter(col("vec_id") < 2), idx,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+    val scan = df.queryExecution.sparkPlan.toString
+    // the cell-partitioned index scan must carry a dynamic pruning filter on
+    // the partition column — at 100 TB this is what turns "scan the corpus"
+    // into "scan nProbe cells per probe batch"
+    assert(scan.contains("dynamicpruning") && scan.contains("cell"),
+      s"no dynamic partition pruning on the IVF index scan:\n$scan")
+    assert(df.count() > 0L)
+  }
 }

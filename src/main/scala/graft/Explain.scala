@@ -15,10 +15,14 @@ object Explain {
     fn(spark, sfDir).explain("formatted")
     fn(spark, sfDir).show(5, truncate = false) // S9 console sink
 
+    // SPARK_GRAFT_COLD=1: clear the cache between reps (bench-like cold
+    // runs); default keeps caches (steady-state comparisons).
+    val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s, $n rows")
+      if (cold) spark.catalog.clearCache()
     }
     spark.stop()
   }

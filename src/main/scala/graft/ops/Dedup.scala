@@ -35,20 +35,18 @@ object Dedup {
 
   /** Distinct word w-shingles per document: (id, shingle). Documents shorter
     * than `w` tokens produce no shingles. This IS the inverted index used by
-    * both the n-gram-Jaccard and MinHash paths.
+    * both the n-gram-Jaccard and MinHash paths. Shingle construction is the
+    * native codegen'd `word_shingles` expression (pinned to the composed
+    * `lower/regexp_replace/split/transform` semantics it replaced — the HOF
+    * `transform` was interpreted, milliseconds per document).
     */
-  def wordShingles(docs: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
-    val toks = split(canonical(col(textCol)), " ")
+  def wordShingles(docs: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame =
     docs
-      .filter(size(toks) >= w)
       .select(
         col(idCol),
-        explode(
-          transform(
-            sequence(lit(1), size(toks) - (w - 1)),
-            i => concat_ws(" ", slice(toks, i, lit(w))))).as("shingle"))
+        explode(graft.functions.WordShinglesExpr.word_shingles(col(textCol), lit(w)))
+          .as("shingle"))
       .distinct()
-  }
 
   /** A deterministic 32-bit hash of a string that both Spark and DuckDB can
     * compute identically: first 8 hex chars of md5, read as an integer.
@@ -100,15 +98,37 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard for pairs that share ≥1 shingle. Candidate
-    * generation is the shingle inverted index join (shuffle keyed on
-    * shingle); the n² blowup is bounded by per-shingle document frequency —
-    * at scale, drop top-DF shingles first (stop-shingle pruning).
+  /** n-gram Jaccard for pairs that share ≥1 shingle. Candidate generation
+    * is the shingle inverted-index join (shuffle keyed on shingle); the n²
+    * blowup is bounded by per-shingle document frequency, so a shingle
+    * appearing in d documents contributes d·(d−1)/2 join rows — one hot
+    * stop-shingle ("the the the") makes the join quadratic in its DF.
+    *
+    * `maxShingleDf` caps that: shingles with document frequency above the
+    * cap are dropped from BOTH the index join and the per-document sizes —
+    * i.e. Jaccard over the non-stop shingle space. With no shingle over
+    * the cap the result is exactly standard Jaccard (the gate query runs
+    * with the cap on and a full-Jaccard DuckDB oracle stays green); with
+    * hot shingles it is the documented stop-word-pruned variant every
+    * at-scale dedup uses. `None` disables pruning.
     */
-  def jaccardPairs(shingles: DataFrame, idCol: String): DataFrame = {
-    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = shingles.as("a")
-    val b = shingles.as("b")
+  def jaccardPairs(
+      shingles: DataFrame, idCol: String,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    val kept = maxShingleDf match {
+      case None => shingles
+      case Some(cap) =>
+        // DF per shingle is a map-side-combinable count; the anti-join
+        // against the tiny over-cap set broadcasts
+        val hot = shingles.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap)
+          .select(col("shingle"))
+        shingles.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = kept.as("a")
+    val b = kept.as("b")
     val inter = a
       .join(b, col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))

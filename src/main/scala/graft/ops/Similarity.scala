@@ -223,10 +223,11 @@ object Similarity {
       struct(lit(tIdx).as("t_idx"),
         hyperplaneSketch(col(vecCol), nPlanes, seed = 42L + tIdx * 7919L).as("bucket"))
     }
+    // no persist: the self-join's sides are the same subplan → the planner
+    // reuses one exchange, and the codegen'd sketch makes recompute cheap
     val banded = vectors
       .select(col(idCol), col(vecCol), explode(array(tables: _*)).as("b"))
       .select(col(idCol), col(vecCol).as("v"), col("b.t_idx"), col("b.bucket"))
-      .persist()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,

@@ -83,10 +83,13 @@ object TextOps {
     QueryDef(
       "q24_ngram_jaccard_pairs",
       (s, dir) => {
-        // the shingle set feeds three subplans (both join sides + sizes);
-        // persist so it is computed once, not three times
-        val sh = Dedup.wordShingles(Tables.documents(s, dir), "doc_id", "text", w = 3).persist()
-        Dedup.jaccardPairs(sh, "doc_id")
+        // no persist: the join's identical sides reuse one exchange, and
+        // native word_shingles made recompute cheaper than cache traffic
+        // (in-query persists also leaked across the old bench's battery).
+        // The DF cap is far above this corpus's max (25 at sf0.1) so the
+        // full-Jaccard oracle stays exact while the pruning path runs.
+        val sh = Dedup.wordShingles(Tables.documents(s, dir), "doc_id", "text", w = 3)
+        Dedup.jaccardPairs(sh, "doc_id", maxShingleDf = Some(1000))
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
           .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
           .limit(20)
@@ -141,8 +144,9 @@ object TextOps {
       "q26_minhash_lsh_candidates",
       (s, dir) => {
         val sh = Dedup.wordShingles(Tables.documents(s, dir), "doc_id", "text", w = 3)
-        // bands self-join reads the signature pipeline twice → persist
-        val sig = Dedup.minhashSignatures(sh, "doc_id", k = 4).persist()
+        // no persist: the band self-join's sides are the same subplan →
+        // one exchange, reused
+        val sig = Dedup.minhashSignatures(sh, "doc_id", k = 4)
         Dedup.minhashCandidates(Dedup.minhashBands(sig, "doc_id", k = 4, r = 2), "doc_id")
           .orderBy(col("id_a"), col("id_b"))
       },
@@ -247,8 +251,8 @@ object TextOps {
     QueryDef(
       "q29_simhash_candidates",
       (s, dir) => {
-        // chunk-band self-join reads the signatures twice → persist
-        val sigs = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text").persist()
+        // no persist: the chunk-band self-join's sides reuse one exchange
+        val sigs = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
         Dedup.simhashCandidates(sigs, "doc_id", maxHamming = 8)
           .orderBy(col("id_a"), col("id_b"))
       },

@@ -63,4 +63,21 @@ class DedupSpec extends SparkSpec {
       .select("shingle").as[String].collect().toSet
     assert(sh === Set("a b c", "b c d"))
   }
+
+  test("stop-shingle pruning collapses a hot-shingle candidate explosion") {
+    // 40 docs all sharing one hot 3-gram (df=40 → 780 join rows from that
+    // shingle alone) + one planted exact near-dup pair on cold shingles
+    val hotDocs = (0L until 40L).map(i => (i, s"the quick brown unique$i"))
+    val planted = Seq((100L, "alpha beta gamma delta"), (101L, "alpha beta gamma delta"))
+    val sh = Dedup.wordShingles((hotDocs ++ planted).toDF("doc_id", "text"), "doc_id", "text", 3)
+
+    val unpruned = Dedup.jaccardPairs(sh, "doc_id")
+    assert(unpruned.count() === 781L, "hot shingle should generate all-pairs without pruning")
+
+    val pruned = Dedup.jaccardPairs(sh, "doc_id", maxShingleDf = Some(10))
+    val pairs = pruned.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
+    assert(pairs.length === 1, s"pruning must leave only the planted pair: ${pairs.toSeq}")
+    assert(pairs.head === ((100L, 101L, 1.0)))
+  }
 }

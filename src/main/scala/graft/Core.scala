@@ -32,6 +32,11 @@ object GraftSession {
       // of a join into the big side's scan (the SURVEY §4.2 posting-table
       // idea, done by the engine itself at runtime)
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // keep bucketed scans on even when no exchange is avoided: the
+      // planner's auto-disable heuristic ignores bucket PRUNING, which is
+      // the whole point of the Store point-lookup path (read 1/N buckets
+      // for an id lookup — the ES _id-routing analog, StoreSpec pins it)
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.ui.enabled", "false")
       // testdata events.parquet stores ts as INT64 TIMESTAMP(NANOS) which the
       // vectorized reader rejects; read as long and convert (Tables.events).

@@ -5,18 +5,21 @@ import graft.QueryDef
 import graft.api.Engine
 import graft.etl.MovieLens
 import graft.ml.AlsPipeline
+import graft.sources.Store
 
 /** Reference-parity battery over the real MovieLens-100k data
   * (`/root/reference/data`, read-only). These exercise the reference's own
   * dataflows end-to-end (S1–S3, U1, J1/J2, A1–A3, Q1–Q11, M1/M2).
   *
-  * The deterministic ETL queries (q40–q43) carry DuckDB oracles: the twin
-  * reads `u.data` directly (pure ASCII) and, for `u.item`, the committed
-  * UTF-8 transcode `fixtures/u_item_utf8.csv` (DuckDB 1.0 cannot decode
+  * Every query here (q40–q46, q58) carries a DuckDB oracle: the twin reads
+  * `u.data` directly (pure ASCII) and, for `u.item`, the committed UTF-8
+  * transcode `fixtures/u_item_utf8.csv` (DuckDB 1.0 cannot decode
   * ISO-8859-1; FixtureSpec pins the transcode byte-for-byte against the
-  * reference file). The ES-semantics and ALS queries (q44–q46) stay
-  * rows-only — their invariants are pinned in ScalaTest (EngineSpec,
-  * AlsSpec) instead.
+  * reference file). The ES-semantics twins (q44/q45) replay the scoring in
+  * flag space; the ALS twins (q46/q58) verify the exact serving contract
+  * (10 distinct non-null-scored recs per training user) — factor values
+  * are partitioning-nondeterministic, so those are pinned as bounds in
+  * AlsSpec, not hashes.
   */
 object MovieLensQ {
 
@@ -133,6 +136,11 @@ object MovieLensQ {
                CAST($OverlapSql AS INT) AS score
         FROM $ItemCsv m CROSS JOIN q
         WHERE m.column00 <> q.column00 AND ($OverlapSql) >= 1
+          -- self-check: the Spark side errors loudly on an ambiguous phrase
+          -- (Disambiguation); if the phrase ever matched several movies this
+          -- twin would otherwise silently score against every match, so
+          -- collapse to zero rows (a visible row-count mismatch) instead
+          AND (SELECT count(*) FROM q) = 1
         ORDER BY score DESC, movieId LIMIT 5""")),
 
     // Q7+Q10+O3: fuzzy boosted multi-field search, page 1 — twin replays
@@ -169,5 +177,53 @@ object MovieLensQ {
       Some(s"""
         SELECT DISTINCT userId, CAST(10 AS BIGINT) AS n_recs
         FROM $RatingsCsv ORDER BY userId""")),
+
+    // S7+M2 serving loop (`model.py:18-24` persists 9,430 per-user recs to
+    // ES; `api.py` point-reads a user's list): the trained model's top-10s
+    // are bulk-written ONCE per JVM into a userId-bucketed Store table (an
+    // offline rebuild, like the IVF index build), and the query is the
+    // ONLINE read path — per-user lists back off the bucketed table. The
+    // twin verifies the serving contract per user: 10 distinct movies, all
+    // scored.
+    QueryDef(
+      "q58_ml_rec_serving",
+      (s, _) => {
+        ensureServingTable(s)
+        Store.read(s, ServingTable)
+          .filter(col("userId") <= 50)
+          .groupBy(col("userId"))
+          .agg(
+            count(lit(1)).as("n_recs"),
+            countDistinct(col("movieId")).as("distinct_movies"),
+            (count(lit(1)) === count(col("predicted_rating"))).as("scores_present"))
+          .orderBy(col("userId"))
+      },
+      Some(s"""
+        SELECT DISTINCT userId, CAST(10 AS BIGINT) AS n_recs,
+               CAST(10 AS BIGINT) AS distinct_movies, true AS scores_present
+        FROM $RatingsCsv WHERE userId <= 50 ORDER BY userId""")),
   )
+
+  private val ServingTable = "recommendations"
+
+  /** One-time (per JVM) offline rebuild of the serving table: ALS train →
+    * top-10 per user → [[Store.bulkWrite]] bucketed by userId, so the
+    * online lookup prunes to one bucket (StoreSpec pins
+    * SelectedBucketsCount). The declared schema replays the reference's
+    * ES-mapping check on its recommendations index.
+    */
+  private val servingBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private def ensureServingTable(s: org.apache.spark.sql.SparkSession): Unit =
+    servingBuilt.getOrElseUpdate(ServingTable, {
+      val model = AlsPipeline.train(
+        MovieLens.processed(s).select(col("userId"), col("movieId"), col("rating")))
+      Store.bulkWrite(
+        AlsPipeline.recommendAll(model, k = 10), ServingTable, "userId",
+        declared = Some(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("userId", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("movieId", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("predicted_rating", org.apache.spark.sql.types.FloatType)))))
+      true
+    })
 }

@@ -47,6 +47,16 @@ object Store {
     declared.foreach { s =>
       require(conforms(df, s), s"schema does not conform to declared mapping for $name")
     }
+    // Overwrite = offline rebuild, which must also survive a STALE location:
+    // the session catalog here is in-memory (no persistent metastore), so a
+    // prior JVM's table data can sit in the warehouse dir with no catalog
+    // entry — saveAsTable would refuse with LOCATION_ALREADY_EXISTS.
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, idCol)

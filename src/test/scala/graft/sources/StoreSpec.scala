@@ -58,4 +58,18 @@ class StoreSpec extends SparkSpec {
       assert(t.count() === 0L)
     } finally spark.sql("DROP TABLE IF EXISTS movies_decl")
   }
+
+  test("point lookup on the bucket key prunes to one bucket (ES _id routing analog)") {
+    import spark.implicits._
+    val recs = (1 to 200).map(u => (u, u * 7, u / 10.0f))
+      .toDF("userId", "movieId", "predicted_rating")
+    Store.bulkWrite(recs, "recs_bucketed", "userId", buckets = 16)
+    try {
+      val one = Store.read(spark, "recs_bucketed").filter(col("userId") === 42)
+      val scan = one.queryExecution.executedPlan.toString
+      assert(scan.contains("SelectedBucketsCount: 1 out of 16"),
+        s"bucket pruning did not engage:\n$scan")
+      assert(one.count() === 1L)
+    } finally spark.sql("DROP TABLE IF EXISTS recs_bucketed")
+  }
 }

@@ -383,17 +383,18 @@ object Relational {
     QueryDef(
       "q54_above_type_avg",
       (s, dir) => {
-        Tables.part(s, dir).createOrReplaceTempView("part_v")
+        // direct-path table reference — no createOrReplaceTempView (that
+        // mutated session state on every invocation, VERDICT r3)
         // avg computed as exact-decimal sum cast to double, divided by the
         // count — engine avg() quantization rules differ (Spark re-scales
         // the decimal, DuckDB goes straight to double); this form is
         // bit-identical IEEE on both sides.
-        s.sql("""
+        s.sql(s"""
           SELECT p_partkey, p_type, p_retailprice
-          FROM part_v p
+          FROM parquet.`$dir/part.parquet` p
           WHERE p_retailprice > (
             SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
-            FROM part_v i WHERE i.p_type = p.p_type)
+            FROM parquet.`$dir/part.parquet` i WHERE i.p_type = p.p_type)
           ORDER BY p_partkey""")
       },
       Some("""

@@ -65,10 +65,14 @@ def main():
         # exprs to DECIMAL), which the driver's hasher renders differently
         # from Spark's int64 even when Python values compare equal
         # (CORRECTNESS_r02: q14/q22/q32/q33). Narrow int widths (TINYINT vs
-        # int32) are harmless — q29 passed with one.
+        # int32) are harmless — q29 passed with one. A DECIMAL oracle column
+        # is only a hazard when the Spark column is NOT the same decimal
+        # type (same precision/scale renders identically) — ADVICE r3.
+        stypes = dict(zip(sdf.columns, map(str, sdf.types)))
         otypes = dict(zip(odf.columns, map(str, odf.types)))
         hazard = {c: t for c, t in otypes.items()
-                  if t == "HUGEINT" or t.startswith("DECIMAL")}
+                  if t == "HUGEINT"
+                  or (t.startswith("DECIMAL") and stypes.get(c) != t)}
         if hazard:
             print(f"FAIL {name}: oracle type hazard (add CAST): {hazard}")
             n_fail += 1

@@ -141,27 +141,21 @@ object Dedup {
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
   }
 
-  /** SimHash (64-bit) of the token multiset: per token take a 64-bit portable
-    * hash (two 32-bit md5 halves), add ±1 per bit position, sign → bit.
-    * Near-dups = small Hamming distance between simhashes; candidates at
-    * scale come from joining on 16-bit chunks (4 chunks → Hamming ≤ 3
-    * guaranteed to collide on ≥1 chunk by pigeonhole).
+  /** SimHash (60-bit) of the token multiset: per token take a portable
+    * md5-derived hash, add ±1 per bit position, sign → bit. Near-dups =
+    * small Hamming distance between simhashes; candidates at scale come
+    * from joining on signature chunks (pigeonhole — see
+    * [[simhashCandidates]]).
+    *
+    * Computed by the native `sim_hash` expression in ONE scan-local pass —
+    * the composed form it replaced (explode tokens → 60-column vote
+    * aggregate) shuffled one row per token; now only (id, simhash) leaves
+    * the scan. Signatures are bit-identical (DedupSpec parity pin; the q29
+    * machine-generated SQL twin is unchanged).
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(canonical(col(textCol)), " ")
-    val tokenized = docs.select(col(idCol), explode(toks).as("tok"))
-    val h = (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")).as("h")
-    val withHash = tokenized.select(col(idCol), h)
-    // For each of 60 bits: +1 if set else -1; sum; bit_i(sig) = (sum_i > 0)
-    val bitCols = (0 until 60).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$i")
-    }
-    val sums = withHash.groupBy(col(idCol)).agg(bitCols.head, bitCols.tail: _*)
-    val sig = (0 until 60)
-      .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    sums.select(col(idCol), sig.as("simhash"))
-  }
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.SimHashExpr.sim_hash(col(textCol)).as("simhash"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -91,6 +91,15 @@ class PlanSpec extends SparkSpec {
     assert(!exchange.contains("text#"), s"document body crosses the shuffle:\n$exchange")
   }
 
+  test("q35 ANN top-k gets map-side WindowGroupLimit (shuffle carries ≤k rows/group)") {
+    val plan = planOf(SparkEntry.queries("q35_ann_brute_topk")(spark, sf("sf0.001")))
+    // partial + final: without the partial pass the window shuffles the
+    // ENTIRE |queries|×|corpus| scored expansion — the difference between
+    // k rows and 10⁹ rows per probe at 100 TB
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n$plan")
+  }
+
   test("ivfQuery against a stored index prunes the corpus scan to probed cells") {
     import graft.ops.Similarity
     val e = Tables.embeddings(spark, sf("sf0.001"))

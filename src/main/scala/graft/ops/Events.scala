@@ -55,4 +55,47 @@ object Events {
     sessionize(events, gapSeconds)
       .groupBy(col("user_id"))
       .agg(max(col("session_seq")).as("n_sessions"), count(lit(1)).as("n_events"))
+
+  /** As-of join (an operator Spark has no native form of): for every `left`
+    * row, attach `rightPayload` from the LATEST `right` row with the same
+    * key and `right.ts <= left.ts` (DuckDB/kdb ASOF-LEFT-JOIN semantics —
+    * the q59 oracle uses DuckDB's native `ASOF LEFT JOIN` as an independent
+    * check). The canonical training-pipeline primitive: join each example
+    * to the newest feature snapshot / model checkpoint at its timestamp.
+    *
+    * Shape: union both sides, ONE window over (key, ts) with a running
+    * `last(payload, ignoreNulls)` — a single hash shuffle on the key.
+    * The naive formulation (theta-join on `ts_r <= ts_l` + max-per-left)
+    * expands to |left|×|right| rows per key before reducing; this never
+    * materializes more than |left|+|right| rows. Left rows with no prior
+    * right row get nulls (left-outer semantics).
+    *
+    * `right` must be unique per (key, ts) — pre-aggregate if not (ties at
+    * identical timestamps have no defined winner in any asof engine).
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, rightPayload: Seq[String]): DataFrame = {
+    val leftExtra = left.columns.toSeq.filterNot(c => c == keyCol || c == tsCol)
+    val l = left.select(
+      Seq(col(keyCol), col(tsCol), lit(1).as("__side")) ++
+        leftExtra.map(col) ++
+        rightPayload.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"__asof_$c")): _*)
+    val r = right.select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
+        leftExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightPayload.map(c => col(c).as(s"__asof_$c")): _*)
+    // right rows sort BEFORE left rows at the same ts (side 0 < 1), so a
+    // left row at T sees right rows with ts <= T inclusive — ASOF's `>=`
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rightPayload
+      .foldLeft(l.unionByName(r)) { (df, c) =>
+        df.withColumn(c, last(col(s"__asof_$c"), ignoreNulls = true).over(w))
+      }
+      .filter(col("__side") === 1)
+      .select(Seq(col(keyCol), col(tsCol)) ++ leftExtra.map(col) ++ rightPayload.map(col): _*)
+  }
 }

@@ -87,5 +87,37 @@ object EventOps {
           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // As-of join: each click attached to the user's latest view at or
+    // before it ([[graft.ops.Events.asofJoin]] — union + running-last, one
+    // key shuffle). The oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, a fully
+    // independent implementation of the same semantics — the strongest
+    // cross-engine check in the battery. Views are pre-deduped per
+    // (user, ts) (max event_id) so ties have a defined winner in both
+    // engines.
+    QueryDef(
+      "q59_events_asof",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val views = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("view_id"))
+        graft.ops.Events.asofJoin(clicks, views, "user_id", "ts", Seq("view_id"))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("view_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        views AS (
+          SELECT user_id, ts, max(event_id) AS view_id
+          FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, v.view_id
+        FROM clicks c ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+        ORDER BY c.event_id""")),
   )
 }

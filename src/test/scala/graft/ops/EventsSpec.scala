@@ -35,4 +35,26 @@ class EventsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("n_events")).toMap
     assert(rows === Map("1970-01-01 00:00:00" -> 2L, "1970-01-01 01:00:00" -> 1L))
   }
+
+  test("asofJoin attaches the latest right row at-or-before; null when none; keys isolated") {
+    val clicks = Seq(
+      (1L, ts(5), 10L),   // before any view -> null
+      (2L, ts(20), 10L),  // after views at 10, 15 -> 15
+      (3L, ts(15), 10L),  // EXACTLY at a view's ts -> inclusive match (>=)
+      (4L, ts(30), 20L)   // other user: own timeline only
+    ).toDF("event_id", "ts", "user_id")
+    val views = Seq(
+      (100L, ts(10), 10L), (101L, ts(15), 10L), (102L, ts(25), 20L)
+    ).toDF("view_id", "ts", "user_id")
+      .select($"user_id", $"ts", $"view_id")
+    val got = Events.asofJoin(
+        clicks.select($"user_id", $"ts", $"event_id"), views,
+        "user_id", "ts", Seq("view_id"))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("view_id"))) None else Some(r.getAs[Long]("view_id"))))
+      .toMap
+    assert(got === Map(
+      1L -> None, 2L -> Some(101L), 3L -> Some(101L), 4L -> Some(102L)))
+  }
 }

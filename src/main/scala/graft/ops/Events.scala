@@ -56,6 +56,31 @@ object Events {
       .groupBy(col("user_id"))
       .agg(max(col("session_seq")).as("n_sessions"), count(lit(1)).as("n_events"))
 
+  /** Range (interval-containment) join: pairs every `points` row with every
+    * `intervals` row whose `[startCol, endCol]` contains its `tsCol` —
+    * WITHOUT the theta-join plan (Spark executes a bare `ts BETWEEN s AND e`
+    * join as BroadcastNestedLoop/cartesian: |P|×|I| comparisons). Both
+    * sides are keyed by time bucket — an interval explodes to each bucket
+    * it overlaps, a point lands in exactly one — so the planner gets an
+    * EQUI-join on the bucket and the exact predicate only filters bucket
+    * collisions. A point's single bucket meets each interval at most once,
+    * so no dedup is needed. Pick `bucketSeconds` ≈ typical interval length
+    * (PlanSpec asserts the q60 plan has no nested-loop/cartesian node).
+    */
+  def rangeJoin(
+      points: DataFrame, intervals: DataFrame,
+      tsCol: String, startCol: String, endCol: String,
+      bucketSeconds: Long): DataFrame = {
+    val usPerBucket = bucketSeconds * 1000000L
+    def bucketOf(c: Column) = floor(unix_micros(c) / usPerBucket)
+    val p = points.withColumn("__bucket", bucketOf(col(tsCol)))
+    val i = intervals.withColumn("__bucket",
+      explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+    p.join(i, Seq("__bucket"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bucket")
+  }
+
   /** As-of join (an operator Spark has no native form of): for every `left`
     * row, attach `rightPayload` from the LATEST `right` row with the same
     * key and `right.ts <= left.ts` (DuckDB/kdb ASOF-LEFT-JOIN semantics —

@@ -119,5 +119,30 @@ object EventOps {
         FROM clicks c ASOF LEFT JOIN views v
           ON c.user_id = v.user_id AND c.ts >= v.ts
         ORDER BY c.event_id""")),
+
+    // Range join: every error inside the 5-minute window after any signup
+    // ([[graft.ops.Events.rangeJoin]] — time-bucketed equi-join; the naive
+    // BETWEEN theta-join would be a |P|×|I| nested loop, PlanSpec pins its
+    // absence). The oracle runs the plain BETWEEN join.
+    QueryDef(
+      "q60_events_rangejoin",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("ts"))
+        val windows = e.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("ts").as("w_start"),
+            timestamp_micros(unix_micros(col("ts")) + 300000000L).as("w_end"))
+        graft.ops.Events.rangeJoin(errors, windows, "ts", "w_start", "w_end",
+            bucketSeconds = 300L)
+          .select(col("error_id"), col("signup_id"))
+          .orderBy(col("error_id"), col("signup_id"))
+      },
+      Some("""
+        SELECT e.event_id AS error_id, s.event_id AS signup_id
+        FROM events e JOIN events s
+          ON e.event_type = 'error' AND s.event_type = 'signup'
+         AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 5 MINUTE
+        ORDER BY error_id, signup_id""")),
   )
 }

@@ -100,6 +100,14 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final WindowGroupLimit:\n$plan")
   }
 
+  test("q60 range join plans as a bucket equi-join, not a nested loop") {
+    val plan = planOf(SparkEntry.queries("q60_events_rangejoin")(spark, sf("sf0.001")))
+    // the whole point of the time-bucket rewrite: a bare ts-BETWEEN join
+    // would plan BroadcastNestedLoopJoin — |points|×|intervals| comparisons
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degraded to a nested loop:\n$plan")
+  }
+
   test("ivfQuery against a stored index prunes the corpus scan to probed cells") {
     import graft.ops.Similarity
     val e = Tables.embeddings(spark, sf("sf0.001"))

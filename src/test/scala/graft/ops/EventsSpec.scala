@@ -57,4 +57,21 @@ class EventsSpec extends SparkSpec {
     assert(got === Map(
       1L -> None, 2L -> Some(101L), 3L -> Some(101L), 4L -> Some(102L)))
   }
+
+  test("rangeJoin matches interval containment inclusively, across bucket boundaries") {
+    // buckets of 10 min; interval B straddles a bucket boundary — the
+    // bucketized join must still pair it exactly once with each point
+    val points = Seq((1L, ts(0)), (2L, ts(9)), (3L, ts(12)), (4L, ts(31)))
+      .toDF("point_id", "ts")
+    val intervals = Seq(
+      (100L, ts(0), ts(9)),    // A: within one bucket; contains 1, 2
+      (101L, ts(8), ts(12)),   // B: straddles buckets 0/1; contains 2, 3
+      (102L, ts(40), ts(50))   // C: empty
+    ).toDF("interval_id", "w_start", "w_end")
+    val got = Events.rangeJoin(points, intervals, "ts", "w_start", "w_end",
+        bucketSeconds = 600L)
+      .select($"point_id", $"interval_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 100L), (2L, 100L), (2L, 101L), (3L, 101L)))
+  }
 }

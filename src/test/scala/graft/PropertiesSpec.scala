@@ -96,4 +96,65 @@ class PropertiesSpec extends SparkSpec {
       s2 >= s1
     }, cases = 10)
   }
+
+  test("asofJoin equals the brute-force latest-at-or-before on random timelines") {
+    val eventGen = for {
+      nL <- Gen.chooseNum(1, 12)
+      nR <- Gen.chooseNum(0, 12)
+      lts <- Gen.listOfN(nL, Gen.chooseNum(0L, 40L))
+      rts <- Gen.listOfN(nR, Gen.chooseNum(0L, 40L))
+      keys <- Gen.listOfN(nL + nR, Gen.chooseNum(1, 3))
+    } yield (lts.zip(keys.take(nL)), rts.distinct.zip(keys.drop(nL)))
+    check(Prop.forAllNoShrink(eventGen) { case (lefts, rights) =>
+      // rights unique per (key, ts) — the operator's documented requirement
+      val r = rights.distinctBy(x => (x._2, x._1))
+      val lDf = lefts.zipWithIndex
+        .map { case ((t, k), i) => (k.toLong, new java.sql.Timestamp(t * 1000L), i.toLong) }
+        .toDF("k", "ts", "left_id")
+      val rDf = r.zipWithIndex
+        .map { case ((t, k), i) => (k.toLong, new java.sql.Timestamp(t * 1000L), 100L + i) }
+        .toDF("k", "ts", "right_id")
+      val got = graft.ops.Events.asofJoin(lDf, rDf, "k", "ts", Seq("right_id"))
+        .collect()
+        .map(row => row.getAs[Long]("left_id") ->
+          (if (row.isNullAt(row.fieldIndex("right_id"))) None
+           else Some(row.getAs[Long]("right_id"))))
+        .toMap
+      val expected = lefts.zipWithIndex.map { case ((t, k), i) =>
+        val cands = r.zipWithIndex.filter { case ((rt, rk), _) => rk == k && rt <= t }
+        i.toLong -> cands.sortBy(_._1._1).lastOption.map(c => 100L + c._2.toLong)
+      }.toMap
+      got == expected
+    }, cases = 8)
+  }
+
+  test("rangeJoin equals the naive BETWEEN theta-join on random intervals") {
+    val gen = for {
+      nP <- Gen.chooseNum(1, 10)
+      nI <- Gen.chooseNum(0, 6)
+      pts <- Gen.listOfN(nP, Gen.chooseNum(0L, 100L))
+      starts <- Gen.listOfN(nI, Gen.chooseNum(0L, 100L))
+      lens <- Gen.listOfN(nI, Gen.chooseNum(0L, 30L))
+      bucket <- Gen.oneOf(7L, 13L, 31L) // deliberately unaligned widths
+    } yield (pts, starts.zip(lens), bucket)
+    check(Prop.forAllNoShrink(gen) { case (pts, ivs, bucket) =>
+      val pDf = pts.zipWithIndex
+        .map { case (t, i) => (i.toLong, new java.sql.Timestamp(t * 1000L)) }
+        .toDF("point_id", "ts")
+      val iDf = ivs.zipWithIndex
+        .map { case ((s, len), i) =>
+          (100L + i, new java.sql.Timestamp(s * 1000L), new java.sql.Timestamp((s + len) * 1000L))
+        }
+        .toDF("interval_id", "w_start", "w_end")
+      val got = graft.ops.Events.rangeJoin(pDf, iDf, "ts", "w_start", "w_end", bucket)
+        .select(col("point_id"), col("interval_id"))
+        .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+      val expected = (for {
+        (t, pi) <- pts.zipWithIndex
+        ((s, len), ii) <- ivs.zipWithIndex
+        if t >= s && t <= s + len
+      } yield (pi.toLong, 100L + ii)).toSet
+      got == expected
+    }, cases = 8)
+  }
 }

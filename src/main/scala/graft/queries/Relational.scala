@@ -484,6 +484,40 @@ object Relational {
           true AS hll_within_5pct
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // Approximate quantiles (single-pass sketch — the 100 TB path for
+    // percentile profiling; an exact percentile sorts the column). Same
+    // q51 gate pattern: exact columns hash-compared, the sketch verified
+    // by in-query error-bound flags (exact interpolated percentiles are
+    // engine-private float paths, so the bound — not the value — is the
+    // stable cross-engine contract).
+    QueryDef(
+      "q61_value_quantiles",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            round(min(Num.dec6(col("value"))), 4).cast("double").as("min_value"),
+            round(max(Num.dec6(col("value"))), 4).cast("double").as("max_value"),
+            percentile_approx(col("value"),
+              array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("approx_q"),
+            expr("percentile(value, 0.5)").as("exact_p50"))
+          .select(
+            col("event_type"), col("n_events"), col("min_value"), col("max_value"),
+            (element_at(col("approx_q"), 1) <= element_at(col("approx_q"), 2) &&
+              element_at(col("approx_q"), 2) <= element_at(col("approx_q"), 3))
+              .as("quartiles_monotone"),
+            (abs(element_at(col("approx_q"), 2) - col("exact_p50")) <=
+              (col("max_value") - col("min_value")) * 0.05).as("p50_within_5pct_range"))
+          .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type, count(*) AS n_events,
+          CAST(round(min(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS min_value,
+          CAST(round(max(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS max_value,
+          true AS quartiles_monotone,
+          true AS p50_within_5pct_range
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Pivot (wide conditional aggregation) with fixed pivot values.
     QueryDef(
       "q14_pivot_status",

@@ -11,6 +11,11 @@ import graft.ops.Events
   */
 object EventOps {
 
+  /** Memory-sink names must be fresh per q62 invocation (bench reruns the
+    * query in one session; an active name collision would error).
+    */
+  private[queries] val streamSinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   val defs: Seq[QueryDef] = Seq(
 
     // Tumbling 1h window aggregate (batch form of the streaming window).
@@ -119,6 +124,37 @@ object EventOps {
         FROM clicks c ASOF LEFT JOIN views v
           ON c.user_id = v.user_id AND c.ts >= v.ts
         ORDER BY c.event_id""")),
+
+    // STRUCTURED STREAMING under the hash gate: the real events.parquet
+    // feeds a file-source stream; the watermarked windowed aggregate runs
+    // to completion with Trigger.AvailableNow into a memory sink; the
+    // sink's final table must hash-match the batch SQL oracle. This is the
+    // strongest possible claim for the streaming surface — not "a
+    // streaming twin exists" but "the streaming engine's output is
+    // bit-equal to the batch answer" (decimal-exact sums make it
+    // micro-batch-order-proof).
+    QueryDef(
+      "q62_stream_hourly",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val stream = graft.streaming.EventStream.fromEventsNanosParquet(s, dir)
+        val name = s"q62_mem_${EventOps.streamSinkSeq.incrementAndGet()}"
+        val q = graft.streaming.EventStream.tumblingHourly(stream)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .select(
+            date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+            col("event_type"), col("n_events"), col("total_value"))
+          .orderBy(col("hour_start"), col("event_type"))
+      },
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+          event_type, count(*) AS n_events,
+          CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""")),
 
     // Range join: every error inside the 5-minute window after any signup
     // ([[graft.ops.Events.rangeJoin]] — time-bucketed equi-join; the naive

@@ -41,15 +41,39 @@ object EventStream {
 
   /** Tumbling 1-hour counts/sums with a 2-hour watermark: late events
     * beyond the watermark are dropped, state is bounded — the property that
-    * matters when this runs for months on a cluster.
+    * matters when this runs for months on a cluster. Value sums go through
+    * exact DECIMAL like the batch twin ([[graft.ops.Events.tumblingHourly]])
+    * — micro-batch arrival order must not change the answer.
     */
   def tumblingHourly(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(graft.Num.dec6(col("value"))), 2).cast("double").as("total_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
+
+  /** File-source stream directly over the driver's `events.parquet` (ts is
+    * INT64 TIMESTAMP(NANOS), which the session reads as LONG via
+    * `nanosAsLong`): declare ts as LONG and apply the same ns→µs conversion
+    * as [[graft.Tables.events]], so the REAL table feeds the stream. The
+    * file source requires a DIRECTORY — stream the sf dir with a glob
+    * filter selecting the events file(s).
+    */
+  def fromEventsNanosParquet(
+      spark: SparkSession, sfDir: String, maxFilesPerTrigger: Int = 16): DataFrame = {
+    val raw = StructType(eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f                   => f
+    })
+    spark.readStream
+      .schema(raw)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "events*.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 
   /** Streaming upsert sink: each micro-batch of an update-mode aggregate is
     * merged into a managed [[graft.sources.Store]] table by key — the

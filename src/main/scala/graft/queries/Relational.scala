@@ -518,6 +518,31 @@ object Relational {
           true AS p50_within_5pct_range
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Skew-salted join under the gate: the deterministic-salt replicated
+    // join ([[graft.ops.Skew.saltedJoin]]) must produce EXACTLY the plain
+    // join's result — the oracle runs the unsalted SQL join. The fact
+    // side's hot keys are split across 8 salt buckets; the build side
+    // replicates 8×.
+    QueryDef(
+      "q63_skew_salted_join",
+      (s, dir) => {
+        val probe = Tables.lineitem(s, dir)
+          .select(col("l_suppkey").as("suppkey"), Num.dec2(col("l_extendedprice")).as("price"))
+        val build = Tables.supplier(s, dir)
+          .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+        graft.ops.Skew.saltedJoin(probe, build, "suppkey", saltBuckets = 8)
+          .groupBy(col("s_nationkey"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            round(sum(col("price")), 2).cast("double").as("revenue"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some("""
+        SELECT s_nationkey, count(*) AS n_lines,
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
     // Pivot (wide conditional aggregation) with fixed pivot values.
     QueryDef(
       "q14_pivot_status",

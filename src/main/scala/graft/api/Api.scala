@@ -53,7 +53,10 @@ object Api {
       } + "\""
   }
 
-  /** A movie row → the `_source` document shape the reference returns. */
+  /** A movie row → the `_source` document shape the reference returns
+    * (all row fields, incl. the deterministic relevance `score` on search
+    * hits).
+    */
   private def doc(r: Row): Map[String, Any] =
     r.schema.fields.iterator.map { f =>
       val v = r.get(r.fieldIndex(f.name)) match {
@@ -61,12 +64,7 @@ object Api {
         case x                    => x
       }
       f.name -> v
-    }.toMap.filterNot(_._1 == "score") ++ (
-      // relevance is part of the search envelope in our engine (documented
-      // deterministic scoring); keep it when present
-      if (r.schema.fieldNames.contains("score"))
-        Map("score" -> r.get(r.fieldIndex("score")))
-      else Map.empty)
+    }.toMap
 
   /** The app: routes over a movies-table loader. `connect` mirrors the
     * reference's init-with-retry loop (`api.py:31-51`); the per-request

@@ -25,9 +25,21 @@ object VectorKernel {
   @inline private def get(a: ArrayData, isFloat: Boolean, i: Int): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 
+  // Mismatched dimensions fail LOUDLY: the HOF fold these kernels replaced
+  // returned NULL (zip_with pads, null poisons the sum) and silently
+  // dropped the row; a truncated partial dot would instead rank a
+  // malformed vector into top-k results. An error per bad row is the only
+  // honest behavior at corpus scale.
+  @inline private def sameDim(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"vector dimension mismatch: ${a.numElements()} vs ${b.numElements()}")
+    n
+  }
+
   /** Σ aᵢ·bᵢ, left-to-right. */
   def dot(a: ArrayData, aF: Boolean, b: ArrayData, bF: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = sameDim(a, b)
     var acc = 0.0
     var i = 0
     while (i < n) { acc += get(a, aF, i) * get(b, bF, i); i += 1 }
@@ -41,7 +53,7 @@ object VectorKernel {
     * above every double, so an unguarded 0/0 would win every top-k.
     */
   def cosine(a: ArrayData, aF: Boolean, b: ArrayData, bF: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = sameDim(a, b)
     var d = 0.0
     var na = 0.0
     var nb = 0.0
@@ -174,17 +186,20 @@ case class HyperplaneSketchExpr(first: Expression, second: Expression, third: Ex
       case ArrayType(FloatType | DoubleType, _) => true
       case _                                    => false
     }
+    // eval() != null: a typed NULL literal is foldable with an integral
+    // dataType — without the check this would NPE during analysis instead
+    // of producing the intended AnalysisException
     def intOk(e: Expression) = e.foldable && (e.dataType match {
       case IntegerType | LongType | ShortType | ByteType => true
       case _                                             => false
-    })
+    }) && e.eval() != null
     if (!vecOk)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires ARRAY<FLOAT|DOUBLE> as first argument, got " +
           first.dataType.catalogString)
     else if (!intOk(second) || !intOk(third))
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires foldable integral nPlanes and seed")
+        s"$prettyName requires foldable non-null integral nPlanes and seed")
     else if (second.eval().asInstanceOf[Number].intValue() < 1 ||
              second.eval().asInstanceOf[Number].intValue() > 63)
       TypeCheckResult.TypeCheckFailure(s"$prettyName nPlanes must be in [1, 63]")

@@ -37,8 +37,9 @@ case class WordShinglesExpr(left: Expression, right: Expression) extends BinaryE
     else if (!right.foldable || !(right.dataType match {
       case IntegerType | LongType | ShortType | ByteType => true
       case _                                             => false
-    }))
-      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a foldable integral width")
+    }) || right.eval() == null) // typed NULL literal is foldable — avoid NPE
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable non-null integral width")
     else if (right.eval().asInstanceOf[Number].intValue() < 1)
       TypeCheckResult.TypeCheckFailure(s"$prettyName width must be >= 1")
     else TypeCheckResult.TypeCheckSuccess

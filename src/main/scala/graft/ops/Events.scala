@@ -102,15 +102,27 @@ object Events {
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, rightPayload: Seq[String]): DataFrame = {
     val leftExtra = left.columns.toSeq.filterNot(c => c == keyCol || c == tsCol)
+    val collisions = leftExtra.toSet.intersect(rightPayload.toSet)
+    require(collisions.isEmpty,
+      s"rightPayload collides with left columns (rename one side): $collisions")
     val l = left.select(
       Seq(col(keyCol), col(tsCol), lit(1).as("__side")) ++
         leftExtra.map(col) ++
         rightPayload.map(c =>
           lit(null).cast(right.schema(c).dataType).as(s"__asof_$c")): _*)
-    val r = right.select(
-      Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
-        leftExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(c => col(c).as(s"__asof_$c")): _*)
+    // SQL join semantics: a NULL key or ts on the right matches NOTHING
+    // (the DuckDB ASOF oracle's `=`/`>=` return NULL) — without this
+    // filter a null-ts right row sorts nulls-first and its payload would
+    // attach to every left row with no earlier match. Left-side NULLs need
+    // no handling: a null key partitions with no (filtered) right rows and
+    // a null ts sorts before every right row, so the running last() is
+    // null — exactly the ASOF LEFT JOIN's null-extension.
+    val r = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(
+        Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
+          leftExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          rightPayload.map(c => col(c).as(s"__asof_$c")): _*)
     // right rows sort BEFORE left rows at the same ts (side 0 < 1), so a
     // left row at T sees right rows with ts <= T inclusive — ASOF's `>=`
     val w = Window.partitionBy(col(keyCol))

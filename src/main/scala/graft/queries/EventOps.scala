@@ -12,9 +12,17 @@ import graft.ops.Events
 object EventOps {
 
   /** Memory-sink names must be fresh per q62 invocation (bench reruns the
-    * query in one session; an active name collision would error).
+    * query in one session; an active name collision would error) — and the
+    * PREVIOUS invocation's sink view must be dropped, or each rerun leaks
+    * a full result copy into driver memory for the session lifetime.
     */
   private[queries] val streamSinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[queries] def nextStreamSink(s: org.apache.spark.sql.SparkSession): String = {
+    val n = streamSinkSeq.incrementAndGet()
+    if (n > 1) s.catalog.dropTempView(s"q62_mem_${n - 1}")
+    s"q62_mem_$n"
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -138,7 +146,7 @@ object EventOps {
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val stream = graft.streaming.EventStream.fromEventsNanosParquet(s, dir)
-        val name = s"q62_mem_${EventOps.streamSinkSeq.incrementAndGet()}"
+        val name = EventOps.nextStreamSink(s)
         val q = graft.streaming.EventStream.tumblingHourly(stream)
           .writeStream.format("memory").queryName(name)
           .outputMode("complete").trigger(Trigger.AvailableNow())

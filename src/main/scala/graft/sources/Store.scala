@@ -50,11 +50,15 @@ object Store {
     // Overwrite = offline rebuild, which must also survive a STALE location:
     // the session catalog here is in-memory (no persistent metastore), so a
     // prior JVM's table data can sit in the warehouse dir with no catalog
-    // entry — saveAsTable would refuse with LOCATION_ALREADY_EXISTS.
+    // entry — saveAsTable would refuse with LOCATION_ALREADY_EXISTS. The
+    // catalog computes the location (honoring the CURRENT database — a
+    // hand-built <warehouse>/<name> path would be wrong after USE db, and
+    // deleting a wrong path is worse than failing).
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+      spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write

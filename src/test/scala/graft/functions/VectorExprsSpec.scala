@@ -49,6 +49,25 @@ class VectorExprsSpec extends SparkSpec {
     assert(df.select(VectorExprs.cosine_f($"a", $"b")).head().getDouble(0) === -1.0)
   }
 
+  test("mismatched dimensions fail loudly instead of truncating") {
+    // the HOF fold returned NULL (row silently dropped); a partial dot
+    // would rank a malformed vector — erroring is the only honest behavior
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(VectorExprs.dot_f($"a", $"b")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("typed NULL nPlanes/seed is an analysis error, not an NPE") {
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hyperplane_sketch(array(1.0F), CAST(NULL AS INT), 42)").collect()
+    }
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT word_shingles('a b c', CAST(NULL AS INT))").collect()
+    }
+  }
+
   test("expressions work on array<double> and mixed element types") {
     val df = Seq((Array(1.0, 2.0, 2.0), Array(2.0f, 0.0f, 1.0f))).toDF("a", "b")
     val r = df.select(

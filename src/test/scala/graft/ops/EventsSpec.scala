@@ -58,6 +58,26 @@ class EventsSpec extends SparkSpec {
       1L -> None, 2L -> Some(101L), 3L -> Some(101L), 4L -> Some(102L)))
   }
 
+  test("asofJoin: NULL right key/ts matches nothing; payload collision rejected") {
+    // SQL semantics — the DuckDB ASOF oracle's =/>= never match NULLs; a
+    // null-ts right row must not attach its payload to everything
+    val clicks = Seq((1L, ts(20), 10L)).toDF("event_id", "ts", "user_id")
+      .select($"user_id", $"ts", $"event_id")
+    val views = Seq(
+      (Some(900L), Option.empty[java.sql.Timestamp], Some(10L)),
+      (Some(901L), Some(ts(5)), Option.empty[Long])
+    ).toDF("view_id", "ts", "user_id")
+      .select($"user_id", $"ts", $"view_id")
+    val r = Events.asofJoin(clicks, views, "user_id", "ts", Seq("view_id")).head()
+    assert(r.isNullAt(r.fieldIndex("view_id")),
+      "null-keyed/null-ts right rows must not match")
+    val clash = intercept[IllegalArgumentException] {
+      Events.asofJoin(clicks.withColumnRenamed("event_id", "view_id"), views,
+        "user_id", "ts", Seq("view_id"))
+    }
+    assert(clash.getMessage.contains("collides"))
+  }
+
   test("rangeJoin matches interval containment inclusively, across bucket boundaries") {
     // buckets of 10 min; interval B straddles a bucket boundary — the
     // bucketized join must still pair it exactly once with each point

@@ -59,6 +59,9 @@ object Dedup {
     * Returns one row per id with columns s0..s(k-1).
     * Shuffle profile: the single groupBy(id) — signature width is k longs,
     * so 100 TB of text reduces to n_docs × k × 8 bytes.
+    * (Generic form over an arbitrary shingle frame; when the input is a
+    * text column, [[minhashSignaturesScanLocal]] computes the identical
+    * signatures with NO shuffle at all.)
     */
   def minhashSignatures(shingles: DataFrame, idCol: String, k: Int = 8): DataFrame =
     shingles
@@ -66,6 +69,24 @@ object Dedup {
       .agg(
         min(portableHash(col("shingle"), "mh0")).as("s0"),
         (1 until k).map(i => min(portableHash(col("shingle"), s"mh$i")).as(s"s$i")): _*)
+
+  /** Scan-local MinHash: the native `minhash_sig` expression computes each
+    * document's full signature inside the scan — bit-identical to
+    * [[wordShingles]] → [[minhashSignatures]] (same tokenizer, same salted
+    * md5-prefix hash; min is duplicate-insensitive so the shingle
+    * `.distinct()` is unnecessary), but only (id, s0..s{k−1}) ever leaves
+    * the stage instead of one row per shingle. Documents shorter than `w`
+    * tokens are absent, as in the composed pipeline.
+    */
+  def minhashSignaturesScanLocal(
+      docs: DataFrame, idCol: String, textCol: String, k: Int = 8, w: Int = 3): DataFrame = {
+    val sig = graft.functions.MinHashSigExpr.minhash_sig(col(textCol), lit(k), lit(w))
+    docs
+      .select(col(idCol), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col(idCol) +: (0 until k).map(i =>
+        element_at(col("__sig"), i + 1).as(s"s$i")): _*)
+  }
 
   /** LSH banding: split the k-wide signature into bands of `r` rows each;
     * docs sharing any full band become candidate pairs. Returns

@@ -118,11 +118,12 @@ object TextOps {
     // computes the identical signature.
     QueryDef(
       "q25_minhash_signatures",
-      (s, dir) => {
-        val sh = Dedup.wordShingles(Tables.documents(s, dir), "doc_id", "text", w = 3)
-        Dedup.minhashSignatures(sh, "doc_id", k = 4)
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) =>
+        // scan-local: signatures computed inside the scan by the native
+        // minhash_sig expression — no (id, shingle) shuffle at all
+        Dedup.minhashSignaturesScanLocal(Tables.documents(s, dir), "doc_id", "text",
+            k = 4, w = 3)
+          .orderBy(col("doc_id")),
       Some("""
         WITH toks AS (
           SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
@@ -143,10 +144,10 @@ object TextOps {
     QueryDef(
       "q26_minhash_lsh_candidates",
       (s, dir) => {
-        val sh = Dedup.wordShingles(Tables.documents(s, dir), "doc_id", "text", w = 3)
-        // no persist: the band self-join's sides are the same subplan →
-        // one exchange, reused
-        val sig = Dedup.minhashSignatures(sh, "doc_id", k = 4)
+        // scan-local signatures (no shingle shuffle); the band self-join's
+        // identical sides reuse one exchange
+        val sig = Dedup.minhashSignaturesScanLocal(Tables.documents(s, dir), "doc_id", "text",
+          k = 4, w = 3)
         Dedup.minhashCandidates(Dedup.minhashBands(sig, "doc_id", k = 4, r = 2), "doc_id")
           .orderBy(col("id_a"), col("id_b"))
       },

@@ -108,6 +108,24 @@ class PlanSpec extends SparkSpec {
       s"range join degraded to a nested loop:\n$plan")
   }
 
+  test("registry sweep: no query plans a cartesian/nested-loop join beyond the allowlist") {
+    // Every legitimate nested-loop in the engine is enumerated WITH its
+    // justification; a new query (or a regression in an old one) that
+    // degrades to an all-pairs plan fails here instead of on a cluster.
+    val allow: Map[String, String] = Map(
+      "q35_ann_brute_topk" -> "BroadcastNestedLoopJoin", // exhaustive scoring IS the operator; probe side broadcast (5 rows)
+      "q38_ann_ivf_topk" -> "BroadcastNestedLoopJoin",   // probe×centroid cell assignment; both sides tiny, centroids broadcast
+      "q46_ml_als_recommend" -> "CartesianProduct")      // MLlib's blocked factor cross-product inside recommendForAllUsers
+    val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf("sf0.001")).queryExecution.sparkPlan.toString
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+        .filter(plan.contains).map(kind => (name, kind))
+    }
+    val unexpected = hits.filterNot { case (n, k) => allow.get(n).contains(k) }
+    assert(unexpected.isEmpty,
+      s"unallowlisted all-pairs join shapes: $unexpected")
+  }
+
   test("ivfQuery against a stored index prunes the corpus scan to probed cells") {
     import graft.ops.Similarity
     val e = Tables.embeddings(spark, sf("sf0.001"))

@@ -164,6 +164,49 @@ object EventOps {
           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""")),
 
+    // Session windows (stateful window MERGING — the hardest streaming
+    // state shape) under the hash gate: same AvailableNow → memory-sink
+    // harness as q62. The oracle replays gap-sessionization in SQL; note
+    // session_window starts a NEW session at gap >= 30 min (window end is
+    // exclusive), vs the batch q32 lag-formulation's strict >.
+    QueryDef(
+      "q64_stream_sessions",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val stream = graft.streaming.EventStream.fromEventsNanosParquet(s, dir)
+        val name = EventOps.nextStreamSink(s)
+        val q = graft.streaming.EventStream.sessionized(stream)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .select(
+            col("user_id"),
+            date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+            col("n_events"), col("total_value"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""
+        WITH marked AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                      >= 1800000000 THEN 1 ELSE 0 END AS is_new
+          FROM events),
+        sess AS (
+          SELECT user_id, ts, value,
+            sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked)
+        SELECT user_id,
+          strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+          strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+          count(*) AS n_events,
+          CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
     // Range join: every error inside the 5-minute window after any signup
     // ([[graft.ops.Events.rangeJoin]] — time-bucketed equi-join; the naive
     // BETWEEN theta-join would be a |P|×|I| nested loop, PlanSpec pins its

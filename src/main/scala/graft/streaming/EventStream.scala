@@ -119,7 +119,8 @@ object EventStream {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(graft.Num.dec6(col("value"))), 2).cast("double").as("total_value"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))

@@ -207,6 +207,65 @@ object EventOps {
           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
+    // Streaming exact dedup under the hash gate: TWO independent file
+    // sources over the same events dir (every event arrives twice, in the
+    // same AvailableNow batch) → dropDuplicatesWithinWatermark(event_id)
+    // must emit each event exactly once — the oracle is simply the events
+    // table. Gates the at-least-once transport-dedup path end-to-end.
+    QueryDef(
+      "q65_stream_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        def src() = graft.streaming.EventStream.fromEventsNanosParquet(s, dir)
+        val doubled = src().unionByName(src())
+        val deduped = graft.streaming.EventStream.dedupWithinWatermark(
+          doubled, "ts", "2 hours", Seq("event_id"))
+        val name = EventOps.nextStreamSink(s)
+        val q = deduped.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("event_type"),
+            round(Num.dec6(col("value")), 4).cast("double").as("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+          CAST(round(CAST(value AS DECIMAL(18,6)), 4) AS DOUBLE) AS value
+        FROM events ORDER BY event_id""")),
+
+    // The streaming SERVING loop under the hash gate: update-mode windowed
+    // aggregate → foreachBatch → Store.upsert into a bucketed managed
+    // table (the reference's keep-the-index-current pattern, minus the
+    // driver loop); the gate reads the TABLE back. Converges to the batch
+    // answer regardless of micro-batch split (upsert is keyed).
+    QueryDef(
+      "q66_stream_store_upsert",
+      (s, dir) => {
+        val stream = graft.streaming.EventStream.fromEventsNanosParquet(s, dir)
+        val agg = graft.streaming.EventStream.tumblingHourly(stream)
+          .withColumn("k",
+            concat_ws("|", col("hour_start").cast("string"), col("event_type")))
+        val q = graft.streaming.EventStream.toStoreUpsert(agg, "stream_hourly_serving", "k")
+        try {
+          // drain everything currently in the source, then stop — the
+          // AvailableNow analog for a foreachBatch sink
+          q.processAllAvailable()
+        } finally q.stop()
+        graft.sources.Store.read(s, "stream_hourly_serving")
+          .select(
+            date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+            col("event_type"), col("n_events"), col("total_value"))
+          .orderBy(col("hour_start"), col("event_type"))
+      },
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+          event_type, count(*) AS n_events,
+          CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""")),
+
     // Range join: every error inside the 5-minute window after any signup
     // ([[graft.ops.Events.rangeJoin]] — time-bucketed equi-join; the naive
     // BETWEEN theta-join would be a |P|×|I| nested loop, PlanSpec pins its

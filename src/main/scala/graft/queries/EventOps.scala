@@ -244,16 +244,34 @@ object EventOps {
     QueryDef(
       "q66_stream_store_upsert",
       (s, dir) => {
-        val stream = graft.streaming.EventStream.fromEventsNanosParquet(s, dir)
+        // run the stream on a tuned child session: a stateful streaming agg
+        // creates one state-store instance per shuffle partition, and each
+        // commits delta files to the checkpoint per batch — 32 stores for a
+        // ~3,600-key aggregate is pure fixed overhead. 8 matches the state
+        // size; the scan-side partial aggregation is map-side and unaffected.
+        // (The serving table lives in the SHARED external catalog, so the
+        // gate still reads it through `s`.)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val stream = graft.streaming.EventStream.fromEventsNanosParquet(ss, dir)
         val agg = graft.streaming.EventStream.tumblingHourly(stream)
           .withColumn("k",
             concat_ws("|", col("hour_start").cast("string"), col("event_type")))
-        val q = graft.streaming.EventStream.toStoreUpsert(agg, "stream_hourly_serving", "k")
-        try {
-          // drain everything currently in the source, then stop — the
-          // AvailableNow analog for a foreachBatch sink
-          q.processAllAvailable()
-        } finally q.stop()
+        // fresh checkpoint per invocation: the gate measures a from-scratch
+        // run; a production deployment passes a DURABLE dir here and
+        // restarts resume from committed offsets (EventStreamSpec pins it)
+        val ckpt = java.nio.file.Files.createTempDirectory("q66ckpt").toString
+        // small layout (4×4): the serving table is one row per (hour, type)
+        // key — a handful of thousands of keys; 16×16 would mean 256 files
+        // of ~14 rows each
+        // processAllAvailable + stop measured FASTER here than an
+        // AvailableNow run-to-termination (which pays an extra wrap-up
+        // batch); both drain the same single-file backlog
+        val q = graft.streaming.EventStream.toStoreUpsert(
+          agg, "stream_hourly_serving", "k", buckets = 4,
+          checkpointLocation = Some(ckpt), parts = 4)
+        try q.processAllAvailable()
+        finally q.stop()
         graft.sources.Store.read(s, "stream_hourly_serving")
           .select(
             date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 import org.apache.spark.sql.types.StructType
 
 /** Managed-table layer — the engine-native replacement for the reference's
@@ -16,8 +16,34 @@ import org.apache.spark.sql.types.StructType
   *    docs with 1,682 sequential HTTP calls; `model.py:18-24` does 9,430).
   *    Bucketing by the id column gives the same point-lookup/join locality
   *    an ES `_id` routing table provides.
+  *
+  * Physical layout of a store table: hash-prefix PARTITIONED on
+  * `__p = pmod(hash(id), parts)` and BUCKETED on the id within each
+  * partition. The partition column is what makes [[upsert]] incremental
+  * (only partitions containing updated keys are rewritten — the analog of
+  * ES touching only the shards its routed documents live on); the buckets
+  * are what make point lookups and key joins prune/co-locate. `__p` is an
+  * internal column: [[read]] drops it, writers derive it.
   */
 object Store {
+
+  /** Internal hash-prefix partition column. */
+  private val PartCol = "__p"
+  private val PartsProp = "graft.parts"
+  private val DefaultParts = 16
+
+  private def withPart(df: DataFrame, idCol: String, parts: Int): DataFrame =
+    df.withColumn(PartCol, pmod(hash(col(idCol)), lit(parts)))
+
+  /** The partition-count a table was created with (recorded in table
+    * properties so writers from ANY session derive the same key→partition
+    * mapping — `hash` is seed-fixed murmur3, stable across JVMs).
+    */
+  private def partsOf(spark: SparkSession, name: String): Int = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    spark.sessionState.catalog.getTableMetadata(ident)
+      .properties.get(PartsProp).map(_.toInt).getOrElse(DefaultParts)
+  }
 
   /** S6: declare + create an empty managed table with an explicit schema.
     * Errors if an incompatible table already exists (ES `indices.create`
@@ -37,13 +63,15 @@ object Store {
   }
 
   /** S7: bulk write, distributed and idempotent (overwrite = the batch
-    * snapshot semantics of an offline rebuild). `bucketBy` co-locates rows
-    * by key so downstream joins/point-lookups prune to one bucket — at
-    * 100 TB this is what replaces the inverted-index routing.
+    * snapshot semantics of an offline rebuild). Lays the table out
+    * partitioned by the id's hash prefix + bucketed by the id (see object
+    * doc) — at 100 TB this pairing is what replaces inverted-index routing:
+    * lookups prune to one bucket, upserts rewrite only touched partitions.
     */
   def bulkWrite(
       df: DataFrame, name: String, idCol: String,
-      declared: Option[StructType] = None, buckets: Int = 16): Unit = {
+      declared: Option[StructType] = None, buckets: Int = 16,
+      parts: Int = DefaultParts): Unit = {
     declared.foreach { s =>
       require(conforms(df, s), s"schema does not conform to declared mapping for $name")
     }
@@ -61,57 +89,84 @@ object Store {
       spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write
+    // repartition on the id with the bucket count: HashPartitioning(id, n)
+    // is exactly the bucket-assignment function, so every task holds ONE
+    // bucket's rows and writes one file per partition dir it touches.
+    // Without this, a bucketed write emits a file per (task × dir × bucket)
+    // — the classic small-files blowup (measured: 3,600 rows → ~3,600
+    // files), which is also wrong at 100 TB where the commit protocol
+    // renames every one of them.
+    withPart(df, idCol, parts).repartition(buckets, col(idCol)).write
       .mode(SaveMode.Overwrite)
+      .partitionBy(PartCol)
       .bucketBy(buckets, idCol)
       .sortBy(idCol)
       .saveAsTable(name)
+    spark.sql(s"ALTER TABLE `$name` SET TBLPROPERTIES ('$PartsProp' = '$parts')")
   }
 
-  /** Read a store table. Upserts rewrite the backing files in place, and a
-    * session that read the table before an upsert holds a stale file
-    * listing (possibly written from another session, e.g. a streaming
-    * micro-batch clone) — so reads always refresh first. A log-based table
-    * format would make this a metadata lookup instead.
+  /** Read a store table (internal partition column dropped). Upserts change
+    * the backing files, and a session that read the table before an upsert
+    * holds a stale file listing (possibly written from another session,
+    * e.g. a streaming micro-batch clone) — so reads always refresh first.
     */
   def read(spark: SparkSession, name: String): DataFrame = {
     spark.catalog.refreshTable(name)
-    spark.table(name)
+    spark.table(name).drop(PartCol)
   }
 
   /** Keyed upsert (the actual ES `index(id=...)` semantics): rows in
     * `updates` replace same-key rows in the table, new keys append.
-    * Copy-on-write over immutable parquet: existing ∖ updates ∪ updates →
-    * staged table → catalog rename. At 100 TB a log-based table format
-    * would rewrite only affected file groups; the full rewrite is the
-    * honest batch-snapshot cost without a transaction log.
+    * INCREMENTAL copy-on-write: updated keys hash to a set of `__p`
+    * partitions; only those partitions are read (partition-pruned scan),
+    * merged (existing ∖ updates ∪ updates) and rewritten via dynamic
+    * partition overwrite. Untouched partitions are not read, not written,
+    * and their files stay byte-identical (StoreSpec pins this) — so the
+    * cost of an upsert scales with the BATCH footprint, not the table size.
+    * The reference behavior this replaces is incremental per-document ES
+    * indexing (`elasticsearch_ingest.py:107-148`).
     *
     * Single-writer: concurrent upserts to the same table race on the
-    * staging name and the swap — serialize writers per table (the
-    * streaming sink does, one micro-batch at a time).
+    * partition overwrite — serialize writers per table (the streaming sink
+    * does, one micro-batch at a time).
     * `updates` must be unique on `idCol` (checked): duplicate update keys
     * have no defined winner.
     */
   def upsert(spark: SparkSession, name: String, updates: DataFrame, idCol: String,
       buckets: Int = 16): Unit = {
-    val staged = s"${name}__staged"
     val dupKeys = updates.groupBy(idCol).count().filter(col("count") > 1).limit(1).count()
     require(dupKeys == 0L, s"updates contain duplicate $idCol keys — no defined winner")
-    val merged = read(spark, name)
-      .join(updates.select(idCol).distinct(), Seq(idCol), "left_anti")
-      .unionByName(updates)
-    // stage first (the live table stays intact while the new snapshot
-    // writes), then swap via metadata ops only — one data write, and the
-    // vulnerable window is two catalog operations, not a table rewrite.
-    // Readers go through the self-refreshing read() below, so the swap
-    // can't strand them on a stale file listing.
-    merged.write
-      .mode(SaveMode.Overwrite)
-      .bucketBy(buckets, idCol)
-      .sortBy(idCol)
-      .saveAsTable(staged)
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    spark.sql(s"ALTER TABLE $staged RENAME TO $name")
+    val parts = partsOf(spark, name)
+    val u = withPart(updates, idCol, parts)
+    // the touched-partition set is at most `parts` small integers — a
+    // driver-side value list that becomes a static partition-pruning filter
+    val touched = u.select(PartCol).distinct().collect().map(_.getInt(0)).toSeq
+    spark.catalog.refreshTable(name)
+    val kept = spark.table(name)
+      .filter(col(PartCol).isin(touched: _*))
+      .join(u.select(col(idCol)), Seq(idCol), "left_anti")
+    val columnOrder = spark.table(name).columns // partition col is last
+    val merged = kept.unionByName(u).select(columnOrder.map(col(_)): _*)
+      // bucket-aligned repartition — same rationale as in bulkWrite
+      .repartition(buckets, col(idCol))
+      // materialize the merged batch (its footprint is touched-partitions
+      // sized, not table sized) so the overwrite below does not read the
+      // table it rewrites — Spark rejects a self-referencing overwrite
+      .localCheckpoint()
+    // dynamic partition overwrite: only partitions present in `merged`
+    // (= the touched set) are replaced; the commit stages under the table
+    // dir and swaps per-partition, so the live table is readable throughout.
+    // The mode must be set on the session conf — insertInto ignores the
+    // per-writer option (it resolves against the catalog table, not a
+    // DataSource with write options) — so set/restore it around the write.
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try merged.write.mode(SaveMode.Overwrite).insertInto(name)
+    finally prevMode match {
+      case Some(v) => spark.conf.set(modeKey, v)
+      case None    => spark.conf.unset(modeKey)
+    }
     spark.catalog.refreshTable(name)
   }
 }

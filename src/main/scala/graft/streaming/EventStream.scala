@@ -79,22 +79,44 @@ object EventStream {
     * merged into a managed [[graft.sources.Store]] table by key — the
     * read-optimized serving-table pattern (the reference's "index the
     * latest recommendation per user" loop, minus the driver-side loop).
+    * [[graft.sources.Store.upsert]] rewrites only the partitions the
+    * batch's keys hash into, so per-batch cost scales with batch size.
+    *
+    * `checkpointLocation` makes the pipeline restart-safe: source offsets,
+    * watermark, and aggregate state are persisted, so a restarted query
+    * resumes from the last committed batch instead of reprocessing the
+    * backlog (EventStreamSpec pins this). foreachBatch is at-least-once on
+    * failure boundaries; the keyed upsert is idempotent per batch, so a
+    * replayed batch converges instead of double-applying.
     */
-  def toStoreUpsert(aggregated: DataFrame, table: String, idCol: String, buckets: Int = 16)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    aggregated.writeStream
+  def toStoreUpsert(
+      aggregated: DataFrame, table: String, idCol: String, buckets: Int = 16,
+      checkpointLocation: Option[String] = None, parts: Int = 16,
+      availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = aggregated.writeStream
       .outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val materialized = batch.persist()
         try {
-          if (spark.catalog.tableExists(table))
-            graft.sources.Store.upsert(spark, table, materialized.toDF(), idCol, buckets)
-          else
-            graft.sources.Store.bulkWrite(materialized.toDF(), table, idCol, buckets = buckets)
+          // watermark-advance triggers call foreachBatch with no rows —
+          // don't pay the upsert's fixed job cost for an empty merge
+          if (!materialized.isEmpty) {
+            if (spark.catalog.tableExists(table))
+              graft.sources.Store.upsert(spark, table, materialized.toDF(), idCol, buckets)
+            else
+              graft.sources.Store.bulkWrite(
+                materialized.toDF(), table, idCol, buckets = buckets, parts = parts)
+          }
         } finally materialized.unpersist()
       }
-      .start()
+    checkpointLocation.foreach(dir => w.option("checkpointLocation", dir))
+    // AvailableNow = drain the current backlog, then terminate on its own
+    // (the batch analog of a bounded run); default = run until stopped
+    if (availableNow) w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    w.start()
+  }
 
   /** Streaming exact dedup — the streaming twin of
     * [[graft.ops.Dedup.exactGroups]]'s keeper selection: the first arrival

@@ -44,10 +44,47 @@ class StoreSpec extends SparkSpec {
       val got = Store.read(spark, "upsert_t")
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(got === Map(1L -> "a", 2L -> "B2", 3L -> "c"))
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS upsert_t")
-      spark.sql("DROP TABLE IF EXISTS upsert_t__staged")
-    }
+    } finally spark.sql("DROP TABLE IF EXISTS upsert_t")
+  }
+
+  test("upsert is incremental: untouched partitions stay byte-identical on disk") {
+    import spark.implicits._
+    // 1,000 keys across 16 hash partitions; then upsert 1% of them
+    val base = (1L to 1000L).map(k => (k, s"v$k")).toDF("k", "v")
+    Store.bulkWrite(base, "upsert_inc", "k", buckets = 4)
+    try {
+      def files(): Map[String, (Long, Long)] = {
+        val ident = spark.sessionState.sqlParser.parseTableIdentifier("upsert_inc")
+        val loc = new java.io.File(
+          new java.net.URI(spark.sessionState.catalog.getTableMetadata(ident).location.toString))
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(loc).filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getAbsolutePath -> (f.length(), f.lastModified())).toMap
+      }
+      val before = files()
+      val updates = Seq((7L, "V7"), (500L, "V500"), (1001L, "NEW")).toDF("k", "v")
+      Store.upsert(spark, "upsert_inc", updates, "k", buckets = 4)
+      // correctness of the merge
+      val got = Store.read(spark, "upsert_inc")
+      assert(got.count() === 1001L)
+      assert(got.filter($"k".isin(7L, 500L, 1001L)).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+        === Map(7L -> "V7", 500L -> "V500", 1001L -> "NEW"))
+      // incrementality: the 3 update keys hash into ≤3 of 16 partitions;
+      // every file in the other partitions must be untouched on disk —
+      // same path, same size, same mtime (cost scales with the batch, not
+      // the table)
+      val after = files()
+      val touchedParts = Seq(7L, 500L, 1001L)
+        .map(k => s"__p=${Math.floorMod(org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashLong(k, 42), 16)}").toSet
+      val untouchedBefore = before.filterNot { case (p, _) => touchedParts.exists(p.contains) }
+      val untouchedAfter = after.filterNot { case (p, _) => touchedParts.exists(p.contains) }
+      assert(untouchedBefore.nonEmpty, "fixture degenerate: every partition touched")
+      assert(untouchedAfter === untouchedBefore,
+        s"untouched partitions were rewritten:\n${(untouchedAfter.toSet diff untouchedBefore.toSet).take(5)}")
+    } finally spark.sql("DROP TABLE IF EXISTS upsert_inc")
   }
 
   test("createTable declares an empty table with the mapping (S6)") {

@@ -73,8 +73,57 @@ class EventStreamSpec extends SparkSpec {
     } finally {
       q.stop()
       spark.sql("DROP TABLE IF EXISTS serving_hourly")
-      spark.sql("DROP TABLE IF EXISTS serving_hourly__staged")
     }
+  }
+
+  test("checkpointed upsert pipeline resumes after restart without reprocessing") {
+    import graft.Tables
+    val srcDir = java.nio.file.Files.createTempDirectory("ckptsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val all = Tables.events(spark, sf())
+    // split by TIME, not row index: phase-2 arrivals must sit at or above
+    // the phase-1 watermark (max ts − 2 h), or the restarted stream would
+    // legitimately drop them as late while the batch twin counts them
+    val n = all.count()
+    val cut = all.select($"ts").orderBy($"ts").limit((n / 2).toInt)
+      .agg(max($"ts")).head().getTimestamp(0)
+    val phase1 = all.filter($"ts" <= cut)
+    val phase2 = all.filter($"ts" > cut)
+    // phase 1: only the older half of the data exists; run to completion
+    phase1.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    def startQuery() = {
+      val stream = EventStream.fromParquetDir(spark, srcDir, maxFilesPerTrigger = 1)
+      val agg = EventStream.tumblingHourly(stream)
+        .withColumn("k", concat_ws("|", $"hour_start".cast("string"), $"event_type"))
+      EventStream.toStoreUpsert(agg, "ckpt_serving", "k",
+        checkpointLocation = Some(ckpt))
+    }
+    try {
+      val q1 = startQuery()
+      try { q1.processAllAvailable() } finally q1.stop()
+      // phase 2: "restart" — new files arrive while the query is down
+      phase2.coalesce(1).write.mode("append").parquet(srcDir)
+      val q2 = startQuery()
+      try {
+        q2.processAllAvailable()
+        // the restarted query must have consumed ONLY the new file(s):
+        // committed offsets live in the checkpoint, so the phase-1 file is
+        // not reprocessed (its rows would double the counts — caught below
+        // anyway — but pin the input volume explicitly too)
+        val reprocessed = q2.recentProgress.map(_.numInputRows).sum
+        assert(reprocessed === phase2.count(),
+          s"restart reprocessed committed batches: $reprocessed input rows")
+      } finally q2.stop()
+      // final serving table == batch answer over the full dataset
+      val batch = graft.ops.Events.tumblingHourly(
+        spark.read.schema(EventStream.eventSchema).parquet(srcDir))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val served = graft.sources.Store.read(spark, "ckpt_serving")
+        .select(date_format($"hour_start", "yyyy-MM-dd HH:mm:ss"), $"event_type", $"n_events")
+        .collect()
+        .groupBy(_.getString(0)).map { case (h, rs) => h -> rs.map(_.getLong(2)).sum }
+      assert(served === batch)
+    } finally spark.sql("DROP TABLE IF EXISTS ckpt_serving")
   }
 
   test("streaming dedup drops re-deliveries of the same key within the watermark") {

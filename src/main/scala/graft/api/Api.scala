@@ -77,20 +77,31 @@ object Api {
     */
   final class Service(loadMovies: () => DataFrame, sleep: Long => Unit = Thread.sleep) {
 
-    private var movies: Option[DataFrame] = None
+    // AtomicReference, not a bare var: handle() is advertised as the
+    // request→response function any HTTP server would wrap, so a
+    // concurrent adapter must never observe a torn reference; connect()
+    // is additionally synchronized so two racing connects cannot run the
+    // loader twice (ADVICE r4). Handlers only read the reference.
+    private val movies =
+      new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
 
     private def ping(): Boolean =
-      try movies.exists(m => Engine.health(m))
+      try movies.get().exists(m => Engine.health(m))
       catch { case _: Exception => false }
+
+    /** Connected movies table; handlers run behind [[guarded]], so a miss
+      * here is a bug, not a user-visible state.
+      */
+    private def backend: DataFrame = movies.get().get
 
     /** `init_elasticsearch` analog: retry the backend probe with a fixed
       * delay; false once retries are exhausted.
       */
-    def connect(maxRetries: Int = 5, delayMs: Long = 5000L): Boolean = {
+    def connect(maxRetries: Int = 5, delayMs: Long = 5000L): Boolean = synchronized {
       var attempt = 0
       while (attempt < maxRetries) {
         try {
-          if (movies.isEmpty) movies = Some(loadMovies())
+          if (movies.get().isEmpty) movies.set(Some(loadMovies()))
           if (ping()) return true
         } catch { case _: Exception => () }
         attempt += 1
@@ -156,7 +167,7 @@ object Api {
           b.get("title").map(_.toString).filter(_.nonEmpty) match {
             case None => err(400, "Title is required")
             case Some(title) =>
-              Engine.recommend(movies.get, title) match {
+              Engine.recommend(backend, title) match {
                 case Engine.NotFound(_) => err(404, "Movie not found")
                 case Engine.Disambiguation(cands) =>
                   Response(200, Map(
@@ -165,7 +176,7 @@ object Api {
                       Map("movieId" -> id, "title" -> t)
                     }))
                 case Engine.Recommendations((id, _), recs) =>
-                  val m = Engine.movieById(movies.get, id).collect().head
+                  val m = Engine.movieById(backend, id).collect().head
                   Response(200, Map(
                     "movie" -> doc(m),
                     "recommendations" -> recs.collect().toSeq.map(doc)))
@@ -176,7 +187,7 @@ object Api {
     private def movieRoute(id: String): Response =
       // the reference term-queries the raw string (api.py:168-178): a
       // non-numeric id simply matches nothing → the same 404
-      id.toIntOption.map(Engine.movieById(movies.get, _).collect()) match {
+      id.toIntOption.map(Engine.movieById(backend, _).collect()) match {
         case Some(Array(row)) => Response(200, doc(row))
         case _                => err(404, "Movie not found")
       }
@@ -185,16 +196,32 @@ object Api {
       params.get("q").filter(_.nonEmpty) match {
         case None => err(400, "Query parameter 'q' is required")
         case Some(q) =>
-          // reference clamps (api.py:199-205): bad page → 1, bad size → 10
-          val page = params.get("page").flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
-          val size = params.get("size").flatMap(_.toIntOption)
-            .filter(s => s >= 1 && s <= 100).getOrElse(10)
-          val (pageDf, total) = Engine.searchWithTotal(movies.get, q, page, size)
-          Response(200, Map(
-            "movies" -> pageDf.collect().toSeq.map(doc),
-            "page" -> page,
-            "size" -> size,
-            "total" -> total))
+          // reference semantics (api.py:197-205 + the route's catch-all):
+          // NUMERIC page/size are clamped (page < 1 → 1; size outside
+          // 1..100 → 10), but a NON-NUMERIC value raises inside
+          // `int(request.args.get(...))` and surfaces as the 500
+          // "Error during search" envelope — reproduced verbatim, down to
+          // Python's ValueError text (ADVICE r4: clamping it to a default
+          // and returning 200 was a silent parity break)
+          def intParam(name: String, default: Int): Either[Response, Int] =
+            params.get(name) match {
+              case None => Right(default)
+              case Some(v) => v.trim.toIntOption.toRight(
+                err(500, s"Error during search: invalid literal for int() with base 10: '$v'"))
+            }
+          (for {
+            rawPage <- intParam("page", 1)
+            rawSize <- intParam("size", 10)
+          } yield {
+            val page = if (rawPage < 1) 1 else rawPage
+            val size = if (rawSize < 1 || rawSize > 100) 10 else rawSize
+            val (pageDf, total) = Engine.searchWithTotal(backend, q, page, size)
+            Response(200, Map(
+              "movies" -> pageDf.collect().toSeq.map(doc),
+              "page" -> page,
+              "size" -> size,
+              "total" -> total))
+          }).merge
       }
   }
 }

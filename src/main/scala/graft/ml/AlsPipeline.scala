@@ -9,8 +9,15 @@ import org.apache.spark.sql.functions._
   * (reference: `/root/reference/src/model.py:10-15`).
   *
   * Hyperparameters match the reference (maxIter=10, regParam=0.01, defaults
-  * otherwise → rank=10, explicit feedback). ALS is nondeterministic across
-  * partitionings, so tests assert shape/bounds, never hashes (SURVEY §7.5.4).
+  * otherwise → rank=10, explicit feedback) with ONE documented deviation:
+  * `coldStartStrategy("drop")` where the reference runs the default `"nan"`
+  * (`model.py:10`). The choice is invisible to every gated query
+  * (`recommendForAllUsers` never consults it; [[rmse]] needs drop so NaN
+  * predictions for unseen users don't poison the metric) but a caller of
+  * `model.transform` on out-of-training users gets dropped rows here vs
+  * NaN rows there. ALS is nondeterministic across partitionings, so tests
+  * assert shape/bounds — plus a closed-form rank-1 fixture for VALUES
+  * (AlsSpec) — never hashes (SURVEY §7.5.4).
   */
 object AlsPipeline {
 

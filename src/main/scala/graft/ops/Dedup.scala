@@ -175,8 +175,14 @@ object Dedup {
     * machine-generated SQL twin is unchanged).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol),
-      graft.functions.SimHashExpr.sim_hash(col(textCol)).as("simhash"))
+    docs
+      // NULL-text documents have no tokens to sign: drop them, matching the
+      // composed explode→vote pipeline and minhashSignaturesScanLocal
+      // (retaining an (id, NULL) row would diverge from the q29 SQL twin
+      // on corpora with NULL texts — ADVICE r4)
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.SimHashExpr.sim_hash(col(textCol)).as("simhash"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -105,11 +105,20 @@ object Events {
     val collisions = leftExtra.toSet.intersect(rightPayload.toSet)
     require(collisions.isEmpty,
       s"rightPayload collides with left columns (rename one side): $collisions")
+    // The payload travels as ONE struct per right row (never null on the
+    // right side, even when every payload FIELD is null), and the window
+    // takes the running last() of that struct — so the operator matches
+    // the latest right ROW and returns that row's values, nulls included.
+    // Folding each payload column independently would skip a legitimately
+    // NULL value and attach an OLDER row's value — and with several payload
+    // columns could stitch together values from different right rows
+    // (ADVICE r4; DuckDB/kdb ASOF semantics are match-the-row).
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c).copy(name = c)))
     val l = left.select(
       Seq(col(keyCol), col(tsCol), lit(1).as("__side")) ++
-        leftExtra.map(col) ++
-        rightPayload.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"__asof_$c")): _*)
+        leftExtra.map(col) :+
+        lit(null).cast(payloadType).as("__asof"): _*)
     // SQL join semantics: a NULL key or ts on the right matches NOTHING
     // (the DuckDB ASOF oracle's `=`/`>=` return NULL) — without this
     // filter a null-ts right row sorts nulls-first and its payload would
@@ -121,18 +130,17 @@ object Events {
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(
         Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
-          leftExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          rightPayload.map(c => col(c).as(s"__asof_$c")): _*)
+          leftExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(rightPayload.map(col): _*).as("__asof"): _*)
     // right rows sort BEFORE left rows at the same ts (side 0 < 1), so a
     // left row at T sees right rows with ts <= T inclusive — ASOF's `>=`
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rightPayload
-      .foldLeft(l.unionByName(r)) { (df, c) =>
-        df.withColumn(c, last(col(s"__asof_$c"), ignoreNulls = true).over(w))
-      }
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(Seq(col(keyCol), col(tsCol)) ++ leftExtra.map(col) ++ rightPayload.map(col): _*)
+      .select(Seq(col(keyCol), col(tsCol)) ++ leftExtra.map(col) ++
+        rightPayload.map(c => col("__asof").getField(c).as(c)): _*)
   }
 }

@@ -86,10 +86,17 @@ object TextOps {
         // no persist: the join's identical sides reuse one exchange, and
         // native word_shingles made recompute cheaper than cache traffic
         // (in-query persists also leaked across the old bench's battery).
-        // The DF cap is far above this corpus's max (25 at sf0.1) so the
-        // full-Jaccard oracle stays exact while the pruning path runs.
+        // The DF cap is DERIVED from the corpus (observed max shingle DF,
+        // one small map-side-combined aggregate) instead of a constant: the
+        // pruning path always runs but never prunes, so the full-Jaccard
+        // oracle stays exact at ANY scale factor — a hardcoded cap would
+        // silently change the Jaccard definition once a shingle crossed it
+        // (ADVICE r4). Real hot-shingle pruning (a cap BELOW max DF) is
+        // covered by DedupSpec's hot-shingle collapse test.
         val sh = Dedup.wordShingles(Tables.documents(s, dir), "doc_id", "text", w = 3)
-        Dedup.jaccardPairs(sh, "doc_id", maxShingleDf = Some(1000))
+        val maxDf = sh.groupBy(col("shingle")).count()
+          .agg(max(col("count"))).head().getLong(0)
+        Dedup.jaccardPairs(sh, "doc_id", maxShingleDf = Some(maxDf))
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
           .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
           .limit(20)

@@ -87,6 +87,18 @@ class ApiSpec extends SparkSpec {
     assert(movies.head.contains("score"), "deterministic relevance exposed")
   }
 
+  test("GET /search: NON-numeric page/size reproduce the reference's 500 envelope") {
+    // api.py:197-198 runs int(request.args.get(...)) INSIDE the try — a
+    // non-numeric value raises ValueError and surfaces as the 500
+    // "Error during search" envelope, not a clamp (ADVICE r4)
+    val r = service.handle("GET", "/search",
+      params = Map("q" -> "star", "page" -> "two"))
+    assert(r === Api.Response(500,
+      Map("error" -> "Error during search: invalid literal for int() with base 10: 'two'")))
+    assert(service.handle("GET", "/search",
+      params = Map("q" -> "star", "size" -> "1.5")).status === 500)
+  }
+
   test("search pages are disjoint and sized like the reference's from/size math") {
     def page(p: Int) = service.handle("GET", "/search",
       params = Map("q" -> "love", "page" -> p.toString, "size" -> "5"))

@@ -58,6 +58,24 @@ class EventsSpec extends SparkSpec {
       1L -> None, 2L -> Some(101L), 3L -> Some(101L), 4L -> Some(102L)))
   }
 
+  test("asofJoin matches the ROW: a matched row's NULL payload stays NULL, multi-column payloads never mix rows") {
+    // DuckDB/kdb ASOF semantics — match the latest row, return ITS values.
+    // Per-column last(ignoreNulls) folding would (a) replace row B's null
+    // quality with row A's older value, (b) stitch price from one row and
+    // quality from another (ADVICE r4).
+    val trades = Seq((1L, ts(30), 7L)).toDF("trade_id", "ts", "sym")
+      .select($"sym", $"ts", $"trade_id")
+    val quotes = Seq(
+      (Some(100.0), Some("firm"), ts(10), 7L),  // older row: all fields set
+      (Some(101.0), Option.empty[String], ts(20), 7L) // latest row: quality NULL
+    ).toDF("price", "quality", "ts", "sym")
+      .select($"sym", $"ts", $"price", $"quality")
+    val r = Events.asofJoin(trades, quotes, "sym", "ts", Seq("price", "quality")).head()
+    assert(r.getAs[Double]("price") === 101.0, "must take the LATEST row's price")
+    assert(r.isNullAt(r.fieldIndex("quality")),
+      "latest row's NULL quality must survive — not be backfilled from an older row")
+  }
+
   test("asofJoin: NULL right key/ts matches nothing; payload collision rejected") {
     // SQL semantics — the DuckDB ASOF oracle's =/>= never match NULLs; a
     // null-ts right row must not attach its payload to everything

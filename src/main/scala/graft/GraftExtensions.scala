@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineF, DotF, HyperplaneSketchExpr, MinHashSigExpr, RollingHash, SimHashExpr, WordShinglesExpr}
+import graft.functions.{CosineF, DeletionVariantsExpr, DotF, HyperplaneSketchExpr, MinHashSigExpr, RollingHash, SimHashExpr, WordShinglesExpr}
 
 /** Session extension installing the engine's native functions into the SQL
   * registry, so `SELECT rolling_hash(text)` works from pure SQL as well as
@@ -34,5 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "sim_hash", classOf[SimHashExpr].getName, 1)(c => SimHashExpr(c.head))
     register(ext, "minhash_sig", classOf[MinHashSigExpr].getName, 3)(c =>
       MinHashSigExpr(c(0), c(1), c(2)))
+    register(ext, "deletion_variants", classOf[DeletionVariantsExpr].getName, 2)(c =>
+      DeletionVariantsExpr(c(0), c(1)))
   }
 }

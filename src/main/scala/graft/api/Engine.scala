@@ -105,6 +105,24 @@ object Engine {
     graft.ops.Paging.paginate(
       scoredHits(movies, query), Seq(col("score").desc, col("movieId")), page, size)
 
+  /** `/search` off a precomputed posting table ([[graft.search.Posting]]):
+    * same scoring contract and envelope as [[search]], but candidates are
+    * pre-gated by the symmetric-delete equi-join, so the exact levenshtein
+    * touches only join survivors instead of the whole corpus — the path
+    * that holds at 100 TB (PlanSpec pins the plan shape; the q67 gate pins
+    * result equality against the q45 oracle).
+    */
+  def searchViaPosting(
+      movies: DataFrame, posting: DataFrame, query: String,
+      page: Int = 1, size: Int = 10): DataFrame = {
+    val terms = query.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    val scores = graft.search.Posting
+      .score(posting, terms, Seq("title" -> 3, "genres" -> 1))
+      .withColumnRenamed("id", "movieId")
+    val hits = movies.join(scores, Seq("movieId")) // inner: only score ≥ 1 ids exist
+    graft.ops.Paging.paginate(hits, Seq(col("score").desc, col("movieId")), page, size)
+  }
+
   /** `/search` with the reference's response envelope: the page plus the
     * total hit count (`res["hits"]["total"]["value"]`, `api.py:225`). The
     * total is a separate aggregate job over the scored frame — NOT a

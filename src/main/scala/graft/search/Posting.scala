@@ -1,0 +1,81 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.DeletionVariantsExpr
+
+/** Posting-table (inverted index) path for fuzzy multi-field search —
+  * SURVEY §4.2's scale fix for the reference's `multi_match` with
+  * fuzziness (`/root/reference/src/api.py:210-221`): instead of running
+  * token-level levenshtein over EVERY corpus row per query
+  * ([[Scoring.fuzzyMultiMatch]] — O(corpus × terms × tokens), fine at
+  * 1,682 movies, wrong at 100 TB), candidates are pre-gated by an
+  * equi-join against a precomputed token→docId posting table keyed by
+  * symmetric-delete variants ([[graft.functions.DeletionVariantsExpr]]).
+  *
+  * Index shape: one row per (variant, token, field, id). A query expands
+  * its terms to their ≤budget deletion variants DRIVER-side (a handful of
+  * strings, broadcast), equi-joins the posting table on `variant` — a
+  * broadcast hash join over the index scan, no shuffle of the index — and
+  * only the surviving candidates pay the exact thresholded levenshtein.
+  * Scoring semantics are IDENTICAL to [[Scoring.fuzzyMultiMatch]]: a term
+  * matches a field if any field token is within the term's AUTO edit
+  * budget, each matched (field, term) adds the field's boost (the q67
+  * gate reuses the q45 oracle verbatim to pin the equivalence).
+  */
+object Posting {
+
+  /** Max deletions indexed per token — must cover the largest AUTO budget
+    * ([[Scoring.autoFuzz]] caps at 2).
+    */
+  val MaxDeletes = 2
+
+  /** Offline index build: token posting rows for each (field name, column)
+    * of a corpus, exploded to deletion variants. Tokenization is
+    * [[Analyzer.tokens]] — the same tokens fuzzyMultiMatch scans.
+    */
+  def buildPosting(
+      corpus: DataFrame, idCol: String, fields: Seq[(String, Column)]): DataFrame =
+    fields.map { case (name, c) =>
+      corpus
+        .select(col(idCol).as("id"), explode(Analyzer.tokens(c)).as("token"))
+        // empty tokens can never match a term (budgets are < any term's
+        // length at which they'd reach ""): keep the index clean of them
+        .filter(col("token") =!= "")
+        .withColumn("field", lit(name))
+        .distinct()
+        .select(
+          col("id"), col("field"), col("token"),
+          explode(DeletionVariantsExpr.deletion_variants(
+            col("token"), lit(MaxDeletes))).as("variant"))
+    }.reduce(_.unionByName(_))
+
+  /** Query-side scoring off the posting table: returns (id, score) for
+    * every document with score ≥ 1 under the fuzzyMultiMatch contract.
+    * `fieldBoosts` must name the same fields the posting was built with.
+    */
+  def score(
+      posting: DataFrame, terms: Seq[String], fieldBoosts: Seq[(String, Int)]): DataFrame = {
+    val spark = posting.sparkSession
+    import spark.implicits._
+    val qv = terms.map(_.toLowerCase).distinct.flatMap { t =>
+      val budget = Scoring.autoFuzz(t.length)
+      DeletionVariantsExpr.variantsOf(t, budget).map(v => (t, budget, v))
+    }.toDF("term", "budget", "variant")
+    // SymSpell join = candidate superset; thresholded levenshtein is the
+    // exact gate (budget 0 degenerates to distance 0 = equality)
+    val dist = levenshtein(col("token"), col("term"), MaxDeletes)
+    val matched = posting
+      .join(broadcast(qv), Seq("variant"))
+      .filter(dist >= 0 && dist <= col("budget"))
+      .select(col("id"), col("field"), col("term"))
+      .distinct() // one boost per matched (field, term), however many tokens hit
+    val boost = fieldBoosts
+      .map { case (f, b) => when(col("field") === f, lit(b)) }
+      .reduce(_.otherwise(_))
+    matched
+      .withColumn("boost", boost)
+      .groupBy(col("id"))
+      .agg(sum(col("boost")).cast("int").as("score"))
+  }
+}

@@ -126,6 +126,28 @@ class PlanSpec extends SparkSpec {
       s"unallowlisted all-pairs join shapes: $unexpected")
   }
 
+  test("q67 posting search: levenshtein evaluates only on posting-join survivors, never a corpus scan") {
+    val df = SparkEntry.queries("q67_ml_search_posting")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.sparkPlan
+    // structural pin: every physical node that evaluates levenshtein must
+    // have the posting-table scan somewhere BELOW it — i.e. the exact
+    // check runs on index-join output. A regression to the full-corpus
+    // form (fuzzyMultiMatch over the movies scan) puts levenshtein in a
+    // Filter/Project directly over the CSV relation and fails here.
+    val lev = plan.collect {
+      case p if p.expressions.exists(
+        _.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Levenshtein])) => p
+    }
+    assert(lev.nonEmpty, "expected the exact levenshtein gate in the plan")
+    lev.foreach { node =>
+      assert(node.exists(_.toString.contains("movie_posting")),
+        s"levenshtein runs outside the posting join subtree:\n$node")
+    }
+    // and the variant join must be the no-shuffle broadcast form
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"variant join not broadcast:\n$plan")
+  }
+
   test("ivfQuery against a stored index prunes the corpus scan to probed cells") {
     import graft.ops.Similarity
     val e = Tables.embeddings(spark, sf("sf0.001"))

@@ -26,6 +26,12 @@ object Bench {
       finally spark.catalog.clearCache() // outside the timed region next run starts from
     }
 
+    // one UNTIMED warmup before the battery: the first query otherwise
+    // absorbs executor spin-up + first-codegen costs in its spread (r4
+    // measured q01 spread at 4.4 s from exactly this), making spread_sec
+    // read as regression instead of noise
+    once(qs.head._2)
+
     val results = qs.map { case (name, fn) =>
       val runs = (1 to reps).map(_ => once(fn))
       System.gc() // keep one query's garbage out of the next query's timing

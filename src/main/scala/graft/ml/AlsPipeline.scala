@@ -25,10 +25,12 @@ object AlsPipeline {
       ratings: DataFrame,
       maxIter: Int = 10,
       regParam: Double = 0.01,
-      seed: Long = 42L): ALSModel =
+      seed: Long = 42L,
+      rank: Int = 10): ALSModel =
     new ALS()
       .setMaxIter(maxIter)
       .setRegParam(regParam)
+      .setRank(rank)
       .setUserCol("userId")
       .setItemCol("movieId")
       .setRatingCol("rating")

@@ -68,27 +68,57 @@ object TextStats {
     * by how many of its top stopwords occur in the token set; highest score
     * wins, ties broken by language code. An n-gram-free heuristic that is a
     * single map-side pass (profiles are inlined literals, no join).
+    *
+    * Ten languages × a few dozen high-frequency function words each — the
+    * broadcast-dictionary path ([[langIdTable]]) is shaped for dictionaries
+    * of this size and beyond (the per-row inline [[langId]] form stays
+    * equivalence-tested against it but is only sane for small profile
+    * sets). Words are common written-frequency stopwords; diacritics are
+    * kept (tokens are whitespace-split, not ASCII-folded), and forms that
+    * need apostrophes are skipped so the q27 oracle's generated SQL VALUES
+    * list stays quote-free.
     */
   val stopwordProfiles: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "it"),
-    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
-    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "para"),
-    "de" -> Seq("der", "die", "das", "und", "von", "ein", "eine", "ist", "zu", "mit"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "it",
+      "was", "on", "as", "are", "at", "be", "this", "have", "from", "or",
+      "had", "by", "not", "but", "what", "all", "were", "when", "your", "can"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour",
+      "dans", "qui", "sur", "pas", "plus", "par", "avec", "son", "ils", "au",
+      "se", "ne", "ce", "il", "elle", "nous", "vous", "mais", "ou", "donc"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "para",
+      "en", "no", "se", "del", "las", "por", "con", "su", "al", "lo",
+      "como", "más", "pero", "sus", "le", "ya", "este", "sí", "porque", "esta"),
+    "de" -> Seq("der", "die", "das", "und", "von", "ein", "eine", "ist", "zu", "mit",
+      "den", "nicht", "sie", "es", "sich", "auf", "für", "als", "auch", "werden",
+      "aus", "er", "hat", "dass", "war", "wie", "im", "wir", "einen", "nach"),
+    "it" -> Seq("il", "di", "che", "la", "per", "un", "in", "una", "sono", "non",
+      "con", "si", "da", "come", "anche", "più", "del", "della", "gli", "nel"),
+    "pt" -> Seq("o", "de", "a", "e", "que", "do", "da", "em", "um", "para",
+      "com", "não", "uma", "os", "no", "se", "na", "por", "mais", "as"),
+    "nl" -> Seq("de", "het", "een", "van", "en", "in", "is", "dat", "op", "te",
+      "zijn", "met", "die", "voor", "niet", "aan", "er", "om", "ook", "maar"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "på", "är", "av", "för", "med",
+      "den", "till", "inte", "om", "ett", "han", "var", "jag", "sig", "från"),
+    "pl" -> Seq("nie", "to", "się", "na", "co", "jest", "do", "tak", "jak", "ale",
+      "mnie", "za", "ja", "czy", "tym", "tylko", "po", "jego", "był", "przez"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "人", "有", "他", "这",
+      "中", "大", "来", "上", "国", "个", "到", "说", "们", "为"),
   )
 
   def langId(text: Column): Column = {
     val toks = tokens(text)
-    val scores = stopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val s = words.map(w => when(array_contains(toks, w), 1).otherwise(0)).reduce(_ + _)
-      struct(s.as("score"), lit(lang).as("lang"))
+    // one struct per language, argmax via a single greatest(): struct
+    // ordering compares (score, -rank) so the highest score wins and ties
+    // go to the lexicographically FIRST language (rank is the sorted
+    // position). A pairwise when()-reduce here re-references both operands
+    // per step — an EXPONENTIALLY duplicated expression tree that OOMs the
+    // analyzer once profiles grow past a handful of languages.
+    val scores = stopwordProfiles.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((lang, words), rank) =>
+        val s = words.map(w => when(array_contains(toks, w), 1).otherwise(0)).reduce(_ + _)
+        struct(s.as("score"), lit(-rank).as("neg_rank"), lit(lang).as("lang"))
     }
-    // max_by over (score, lang): highest score wins; ties → lexicographically
-    // LAST language under struct ordering, so negate nothing — make ties
-    // deterministic by preferring the lexicographically first lang: compare
-    // (score asc, lang desc) and take the greatest.
-    val best = scores.reduce((a, b) =>
-      when(b("score") > a("score") ||
-        (b("score") === a("score") && b("lang") < a("lang")), b).otherwise(a))
+    val best = greatest(scores: _*)
     when(best("score") === 0, lit("und")).otherwise(best("lang"))
   }
 

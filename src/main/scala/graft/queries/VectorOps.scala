@@ -71,7 +71,84 @@ object VectorOps {
       Similarity.readIvfIndex(s, path)
     })
 
+  /** Seeded clustered-embedding fixture for the ANN recall gate (q68).
+    * The planted twins (q37/q38) prove the pipelines EXACT on plantable
+    * inputs, but recall on i.i.d. vectors is uninformative (LSH recall ≈ 0
+    * there by construction — r4 lesson). A mixture of tight Gaussian
+    * clusters is the corpus shape ANN is FOR: a probe's true top-k live in
+    * its own cluster, so recall-vs-brute is meaningful and stably high.
+    * Deterministic: fixed-seed driver RNG, fixed generation order; built
+    * once per JVM (with its IVF index) like the other offline artifacts.
+    */
+  private val NClusters = 20
+  private val PerCluster = 100
+  private val FixtureDim = 16
+
+  private lazy val clusteredFixture
+      : (Seq[(Long, Seq[Float])], Seq[(Long, Seq[Float])]) = {
+    val rnd = new scala.util.Random(0xC1057E12L)
+    def gaussVec(scale: Double, base: Array[Double] = Array.fill(FixtureDim)(0.0)) =
+      Array.tabulate(FixtureDim)(i => base(i) + rnd.nextGaussian() * scale)
+    val centers = Seq.fill(NClusters)(gaussVec(1.0))
+    val corpus: Seq[(Long, Seq[Float])] = for {
+      (c, cIdx) <- centers.zipWithIndex
+      p <- 0 until PerCluster
+    } yield ((cIdx.toLong * PerCluster + p),
+      gaussVec(0.05, c).map(_.toFloat).toSeq)
+    // probes: fresh draws from each cluster, NOT corpus members
+    val probes: Seq[(Long, Seq[Float])] = centers.zipWithIndex.map { case (c, cIdx) =>
+      (100000L + cIdx, gaussVec(0.05, c).map(_.toFloat).toSeq)
+    }
+    (corpus, probes)
+  }
+
+  private val clusteredCache = scala.collection.concurrent.TrieMap
+    .empty[String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      Similarity.IvfIndex)]
+
+  private def clusteredFor(s: org.apache.spark.sql.SparkSession) =
+    clusteredCache.getOrElseUpdate("clustered", {
+      import s.implicits._
+      val (corpusRows, probeRows) = clusteredFixture
+      val corpus = corpusRows.toDF("vec_id", "embedding")
+      val probes = probeRows.toDF("vec_id", "embedding")
+      val path = "/tmp/graft_ivf/clustered_fixture"
+      Similarity.writeIvfIndex(
+        Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+          nCentroids = 16, seed = 42L), path)
+      (corpus, probes, Similarity.readIvfIndex(s, path))
+    })
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ANN quality gate on the clustered fixture: recall@5 vs brute for the
+    // LSH and IVF paths, asserted in-query as boolean flags (the q51
+    // error-bound pattern: the oracle emits the literal expected row, so a
+    // recall regression hash-fails the gate). Thresholds have margin —
+    // measured recall on this fixture is ~1.0; 0.8 is the contract.
+    QueryDef(
+      "q68_ann_recall_clustered",
+      (s, _) => {
+        val (corpus, probes, ivfIdx) = clusteredFor(s)
+        val k = 5
+        val brute = Similarity.bruteTopK(probes, corpus, "vec_id", "embedding", k)
+          .select(col("q_id"), col("neighbor_id"))
+        def recall(approx: org.apache.spark.sql.DataFrame) =
+          approx.select(col("q_id"), col("neighbor_id"))
+            .join(brute, Seq("q_id", "neighbor_id"))
+            .agg((count(lit(1)).cast("double") / lit(NClusters * k)).as("r"))
+        val lsh = recall(Similarity.lshTopK(probes, corpus, "vec_id", "embedding", k))
+          .select(col("r").as("lsh_recall"))
+        val ivf = recall(Similarity.ivfQuery(probes, ivfIdx, "vec_id", "embedding", k))
+          .select(col("r").as("ivf_recall"))
+        lsh.crossJoin(ivf).select(
+          lit(NClusters.toLong).as("n_probes"),
+          (col("lsh_recall") >= 0.8).as("lsh_recall_ok"),
+          (col("ivf_recall") >= 0.8).as("ivf_recall_ok"))
+      },
+      Some("""
+        SELECT CAST(20 AS BIGINT) AS n_probes,
+               true AS lsh_recall_ok, true AS ivf_recall_ok""")),
 
     // Vector norms via higher-order fold (functions.aggregate) — the
     // map-side feature-hygiene pass (no shuffle at all).

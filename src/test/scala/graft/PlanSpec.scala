@@ -115,7 +115,8 @@ class PlanSpec extends SparkSpec {
     val allow: Map[String, String] = Map(
       "q35_ann_brute_topk" -> "BroadcastNestedLoopJoin", // exhaustive scoring IS the operator; probe side broadcast (5 rows)
       "q38_ann_ivf_topk" -> "BroadcastNestedLoopJoin",   // probe×centroid cell assignment; both sides tiny, centroids broadcast
-      "q46_ml_als_recommend" -> "CartesianProduct")      // MLlib's blocked factor cross-product inside recommendForAllUsers
+      "q46_ml_als_recommend" -> "CartesianProduct",      // MLlib's blocked factor cross-product inside recommendForAllUsers
+      "q68_ann_recall_clustered" -> "BroadcastNestedLoopJoin") // brute baseline (q35 form) + 1-row×1-row recall crossJoin; probes broadcast (20 rows)
     val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.sparkPlan.toString
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")

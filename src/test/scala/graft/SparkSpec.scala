@@ -7,7 +7,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * pay ~5 s JVM/codegen warm-up each).
   */
 object SharedSpark {
-  lazy val spark: SparkSession = GraftSession.local(4)
+  lazy val spark: SparkSession = {
+    val s = GraftSession.local(4)
+    // iterative ML (ALS) truncates its lineage only when a checkpoint dir
+    // exists; without one, >~20 iterations build a serialized lineage deep
+    // enough to StackOverflow at task deserialization
+    s.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("spec-ckpt").toString)
+    s
+  }
 }
 
 trait SparkSpec extends AnyFunSuite {

@@ -21,6 +21,11 @@ class TextStatsSpec extends SparkSpec {
       "le chat est sur la table et il est content pour un moment" -> "fr",
       "el gato es feliz y la casa es grande para un perro" -> "es",
       "der hund und die katze sind ein team mit freude" -> "de",
+      "il gatto non è felice perché anche la casa è più piccola del previsto che sono" -> "it",
+      "o gato não está em casa e um cachorro que corre para o mais alto" -> "pt",
+      "de kat is niet in het huis en dat is ook niet voor een hond met die baas" -> "nl",
+      "och det är en katt som inte är på huset för att han var från staden med jag" -> "sv",
+      "to nie jest tak jak się wydaje ale tylko ja wiem czy to był jego pomysł" -> "pl",
       "zzz qqq xxx" -> "und")
     val df = cases.map(_._1).toDF("t")
     val got = df.select(TextStats.langId($"t")).as[String].collect().toSeq

@@ -96,6 +96,37 @@ class StoreSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS movies_decl")
   }
 
+  test("persistent catalog: a table written by one JVM is catalog-visible to the next") {
+    // the real claim needs real process boundaries: fork two JVMs sharing
+    // only the Derby metastore dir ([[graft.tools.MetastoreCheck]] — the
+    // reader also asserts bucket metadata survives, so lookups still prune)
+    val dir = java.nio.file.Files.createTempDirectory("graft-metastore").toString
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    // this JVM's --add-opens flags (Spark-on-JDK17 needs them); passed as
+    // separate (flag, value) argument pairs by build.sbt, so re-pair them
+    val inArgs = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toList
+    }
+    val jvmArgs = inArgs.zipWithIndex.flatMap { case (a, i) =>
+      if ((a == "--add-opens" || a == "--add-exports") && i + 1 < inArgs.length)
+        Seq(a, inArgs(i + 1))
+      else if (a.startsWith("--add-opens=") || a.startsWith("--add-exports=")) Seq(a)
+      else Nil
+    }
+    def run(mode: String): Int = {
+      import scala.sys.process._
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+        "-Xmx2g", "-Dspark.ui.enabled=false",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.tools.MetastoreCheck", mode, dir)
+      cmd.!(ProcessLogger(_ => (), _ => ())) // Spark logs are noise here
+    }
+    assert(run("write") === 0, "writer JVM failed")
+    assert(run("read") === 0,
+      "fresh JVM did not see the table through the persistent catalog")
+  }
+
   test("point lookup on the bucket key prunes to one bucket (ES _id routing analog)") {
     import spark.implicits._
     val recs = (1 to 200).map(u => (u, u * 7, u / 10.0f))

@@ -11,17 +11,38 @@ import graft.ops.Events
   */
 object EventOps {
 
-  /** Memory-sink names must be fresh per q62 invocation (bench reruns the
-    * query in one session; an active name collision would error) — and the
-    * PREVIOUS invocation's sink view must be dropped, or each rerun leaks
-    * a full result copy into driver memory for the session lifetime.
+  /** Streaming gate queries run on a TUNED CHILD session: a stateful
+    * streaming aggregate creates one state-store instance per shuffle
+    * partition, each committing delta files to the checkpoint per batch —
+    * 32 stores is pure fixed overhead for aggregates with a few thousand
+    * keys. 8 matches the state size; scan-side partial aggregation is
+    * map-side and unaffected. (Production sizing on a cluster is the same
+    * decision with bigger numbers: state partitions ~ keys/executor, and
+    * they're pinned at first run by the checkpoint.)
+    */
+  private[queries] def streamSession(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
+
+  /** Memory-sink names must be fresh per invocation (bench reruns the
+    * query in one JVM; an active name collision would error) — and the
+    * PREVIOUS invocation's sink view must be dropped FROM ITS OWN child
+    * session, or each rerun leaks a full result copy into driver memory
+    * for the JVM lifetime.
     */
   private[queries] val streamSinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private[queries] def nextStreamSink(s: org.apache.spark.sql.SparkSession): String = {
-    val n = streamSinkSeq.incrementAndGet()
-    if (n > 1) s.catalog.dropTempView(s"q62_mem_${n - 1}")
-    s"q62_mem_$n"
+  private[queries] val lastSink = new java.util.concurrent.atomic.AtomicReference[
+    (org.apache.spark.sql.SparkSession, String)](null)
+
+  private[queries] def nextStreamSink(ss: org.apache.spark.sql.SparkSession): String = {
+    val name = s"stream_mem_${streamSinkSeq.incrementAndGet()}"
+    val prev = lastSink.getAndSet((ss, name))
+    if (prev != null) prev._1.catalog.dropTempView(prev._2)
+    name
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -145,14 +166,15 @@ object EventOps {
       "q62_stream_hourly",
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
-        val stream = graft.streaming.EventStream.fromEventsNanosParquet(s, dir)
-        val name = EventOps.nextStreamSink(s)
+        val ss = EventOps.streamSession(s)
+        val stream = graft.streaming.EventStream.fromEventsNanosParquet(ss, dir)
+        val name = EventOps.nextStreamSink(ss)
         val q = graft.streaming.EventStream.tumblingHourly(stream)
           .writeStream.format("memory").queryName(name)
           .outputMode("complete").trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.table(name)
+        ss.table(name)
           .select(
             date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
             col("event_type"), col("n_events"), col("total_value"))
@@ -173,14 +195,15 @@ object EventOps {
       "q64_stream_sessions",
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
-        val stream = graft.streaming.EventStream.fromEventsNanosParquet(s, dir)
-        val name = EventOps.nextStreamSink(s)
+        val ss = EventOps.streamSession(s)
+        val stream = graft.streaming.EventStream.fromEventsNanosParquet(ss, dir)
+        val name = EventOps.nextStreamSink(ss)
         val q = graft.streaming.EventStream.sessionized(stream)
           .writeStream.format("memory").queryName(name)
           .outputMode("complete").trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.table(name)
+        ss.table(name)
           .select(
             col("user_id"),
             date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
@@ -216,16 +239,17 @@ object EventOps {
       "q65_stream_dedup",
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
-        def src() = graft.streaming.EventStream.fromEventsNanosParquet(s, dir)
+        val ss = EventOps.streamSession(s)
+        def src() = graft.streaming.EventStream.fromEventsNanosParquet(ss, dir)
         val doubled = src().unionByName(src())
         val deduped = graft.streaming.EventStream.dedupWithinWatermark(
           doubled, "ts", "2 hours", Seq("event_id"))
-        val name = EventOps.nextStreamSink(s)
+        val name = EventOps.nextStreamSink(ss)
         val q = deduped.writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.table(name)
+        ss.table(name)
           .select(col("event_id"), col("user_id"),
             unix_micros(col("ts")).as("ts_us"), col("event_type"),
             round(Num.dec6(col("value")), 4).cast("double").as("value"))
@@ -244,15 +268,10 @@ object EventOps {
     QueryDef(
       "q66_stream_store_upsert",
       (s, dir) => {
-        // run the stream on a tuned child session: a stateful streaming agg
-        // creates one state-store instance per shuffle partition, and each
-        // commits delta files to the checkpoint per batch — 32 stores for a
-        // ~3,600-key aggregate is pure fixed overhead. 8 matches the state
-        // size; the scan-side partial aggregation is map-side and unaffected.
-        // (The serving table lives in the SHARED external catalog, so the
-        // gate still reads it through `s`.)
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        // tuned child session (see streamSession); the serving table lives
+        // in the SHARED external catalog, so the gate still reads it
+        // through `s`
+        val ss = EventOps.streamSession(s)
         val stream = graft.streaming.EventStream.fromEventsNanosParquet(ss, dir)
         val agg = graft.streaming.EventStream.tumblingHourly(stream)
           .withColumn("k",

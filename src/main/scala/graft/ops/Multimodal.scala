@@ -9,16 +9,27 @@ import org.apache.spark.sql.functions._
   * the Spark-side shape that matters at 100 TB (payloads never hit the
   * driver, partitions bound memory).
   *
-  * The actual codec is STUBBED (no image/audio libraries in this
-  * environment): [[decodeStub]] derives deterministic fake features from the
-  * bytes. The schema, partitioning, and per-partition batch shape are real
-  * and tested.
+  * Codecs: IMAGE ([[extractImageFeatures]]) and AUDIO
+  * ([[extractAudioFeatures]]) decode is REAL — the JDK ships codecs as
+  * Java SE APIs (`javax.imageio`: PNG/JPEG/BMP/GIF; `javax.sound.sampled`:
+  * WAV/AIFF/AU), no external library needed; undecodable payloads degrade
+  * to a flagged row, never an exception (a 100 TB corpus always contains
+  * corrupt bytes). VIDEO frame sampling stays a byte-range STUB
+  * ([[frameSampleStub]]) — the JDK has no container demuxer — and
+  * [[decodeStub]] remains the deterministic fake used by the q30 oracle
+  * (the synthetic corpus has no real media to decode).
   */
 object Multimodal {
 
   final case class MediaRow(media_id: Long, payload: Array[Byte], mime: String)
   final case class MediaFeatures(
       media_id: Long, n_bytes: Int, width: Int, height: Int, checksum: Long)
+  final case class ImageFeatures(
+      media_id: Long, n_bytes: Int, width: Int, height: Int,
+      mean_luma: Double, decoded: Boolean)
+  final case class AudioFeatures(
+      media_id: Long, n_bytes: Int, sample_rate: Double, channels: Int,
+      n_frames: Long, decoded: Boolean)
 
   /** STUB decoder: stands in for an image/audio decode. Deterministic pure
     * function of the payload so tests and oracles can pin it. A real build
@@ -44,6 +55,65 @@ object Multimodal {
     media.mapPartitions { iter =>
       // real codecs would initialize here, once per partition
       iter.map(decodeStub)
+    }
+  }
+
+  /** REAL image decode (JDK `javax.imageio`): dimensions + mean luminance
+    * over a bounded 32×32 sample grid, so feature cost is O(1) per image
+    * regardless of resolution. ImageIO readers are looked up per call from
+    * a JVM-wide registry (the per-partition closure is still where an
+    * expensive codec would be held); corrupt or non-image payloads yield
+    * `decoded = false` rows with −1 dimensions instead of failing the task.
+    */
+  def extractImageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { iter =>
+      iter.map { r =>
+        val undecoded = ImageFeatures(r.media_id, r.payload.length, -1, -1, -1.0, decoded = false)
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) undecoded
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val (stepX, stepY) = (math.max(1, w / 32), math.max(1, h / 32))
+            var (sum, n, y) = (0.0, 0, 0)
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xFF) * 0.299 + ((rgb >> 8) & 0xFF) * 0.587 +
+                  (rgb & 0xFF) * 0.114
+                n += 1; x += stepX
+              }
+              y += stepY
+            }
+            ImageFeatures(r.media_id, r.payload.length, w, h, sum / n, decoded = true)
+          }
+        } catch { case _: Exception => undecoded }
+      }
+    }
+  }
+
+  /** REAL audio decode (JDK `javax.sound.sampled`): container/format
+    * metadata (sample rate, channels, frame count) without materializing
+    * samples — the header is enough for corpus curation features like
+    * duration filtering. Same degrade-don't-throw contract as images.
+    */
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { iter =>
+      iter.map { r =>
+        val undecoded = AudioFeatures(r.media_id, r.payload.length, -1.0, -1, -1L, decoded = false)
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          try {
+            val fmt = in.getFormat
+            AudioFeatures(r.media_id, r.payload.length,
+              fmt.getSampleRate.toDouble, fmt.getChannels, in.getFrameLength, decoded = true)
+          } finally in.close()
+        } catch { case _: Exception => undecoded }
+      }
     }
   }
 

@@ -136,12 +136,26 @@ object Store {
       buckets: Int = 16): Unit = {
     val dupKeys = updates.groupBy(idCol).count().filter(col("count") > 1).limit(1).count()
     require(dupKeys == 0L, s"updates contain duplicate $idCol keys — no defined winner")
+    spark.catalog.refreshTable(name)
+    // a table without the hash-prefix layout (created by createTable, or
+    // any externally-made flat table) still upserts correctly — it just
+    // pays the legacy full-table copy-on-write, since there is no
+    // partition boundary to scope the rewrite to
+    if (!spark.table(name).columns.contains(PartCol)) {
+      val merged = spark.table(name)
+        .join(updates.select(col(idCol)), Seq(idCol), "left_anti")
+        .unionByName(updates)
+        .select(spark.table(name).columns.map(col(_)): _*)
+        .localCheckpoint()
+      merged.write.mode(SaveMode.Overwrite).insertInto(name)
+      spark.catalog.refreshTable(name)
+      return
+    }
     val parts = partsOf(spark, name)
     val u = withPart(updates, idCol, parts)
     // the touched-partition set is at most `parts` small integers — a
     // driver-side value list that becomes a static partition-pruning filter
     val touched = u.select(PartCol).distinct().collect().map(_.getInt(0)).toSeq
-    spark.catalog.refreshTable(name)
     val kept = spark.table(name)
       .filter(col(PartCol).isin(touched: _*))
       .join(u.select(col(idCol)), Seq(idCol), "left_anti")

@@ -15,6 +15,58 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.forall(f => f.width >= 64 && f.height >= 64 && f.n_bytes > 0))
   }
 
+  test("extractImageFeatures REALLY decodes PNGs (JDK ImageIO); corrupt bytes degrade, not throw") {
+    import spark.implicits._
+    // synthesize real PNGs: solid-color images whose mean luminance is the
+    // closed-form BT.601 luma of the fill color
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def luma(rgb: Int): Double =
+      ((rgb >> 16) & 0xFF) * 0.299 + ((rgb >> 8) & 0xFF) * 0.587 + (rgb & 0xFF) * 0.114
+    val white = 0xFFFFFF
+    val teal = 0x008080
+    val rows = Seq(
+      Multimodal.MediaRow(1L, png(10, 20, white), "image/png"),
+      Multimodal.MediaRow(2L, png(33, 7, teal), "image/png"),
+      Multimodal.MediaRow(3L, Array[Byte](1, 2, 3, 4), "image/png")) // garbage
+    val got = Multimodal.extractImageFeatures(rows.toDS())
+      .collect().map(f => f.media_id -> f).toMap
+    assert(got(1L).decoded && got(1L).width === 10 && got(1L).height === 20)
+    assert(math.abs(got(1L).mean_luma - luma(white)) < 0.5)
+    assert(got(2L).decoded && got(2L).width === 33 && got(2L).height === 7)
+    assert(math.abs(got(2L).mean_luma - luma(teal)) < 0.5)
+    assert(!got(3L).decoded && got(3L).width === -1, "corrupt payload must degrade")
+  }
+
+  test("extractAudioFeatures REALLY decodes WAV headers (JDK sound API)") {
+    import spark.implicits._
+    def wav(sampleRate: Float, channels: Int, nFrames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, false)
+      val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, wav(8000f, 1, 4000), "audio/wav"),
+      Multimodal.MediaRow(2L, wav(44100f, 2, 441), "audio/wav"),
+      Multimodal.MediaRow(3L, "not audio".getBytes, "audio/wav"))
+    val got = Multimodal.extractAudioFeatures(rows.toDS())
+      .collect().map(f => f.media_id -> f).toMap
+    assert(got(1L).decoded && got(1L).sample_rate === 8000.0
+      && got(1L).channels === 1 && got(1L).n_frames === 4000L)
+    assert(got(2L).decoded && got(2L).sample_rate === 44100.0 && got(2L).channels === 2)
+    assert(!got(3L).decoded)
+  }
+
   test("resizeStub bounds payload size and tags the mime") {
     val resized = Multimodal.resizeStub(media, maxBytes = 100).collect()
     assert(resized.forall(_.payload.length <= 100))

@@ -96,6 +96,20 @@ class StoreSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS movies_decl")
   }
 
+  test("upsert works on a FLAT declared table (no hash-prefix layout): legacy full merge") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    Store.createTable(spark, "flat_t", schema)
+    try {
+      Store.upsert(spark, "flat_t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")
+      Store.upsert(spark, "flat_t", Seq((2L, "B2"), (3L, "c")).toDF("k", "v"), "k")
+      val got = Store.read(spark, "flat_t")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+    } finally spark.sql("DROP TABLE IF EXISTS flat_t")
+  }
+
   test("persistent catalog: a table written by one JVM is catalog-visible to the next") {
     // the real claim needs real process boundaries: fork two JVMs sharing
     // only the Derby metastore dir ([[graft.tools.MetastoreCheck]] — the

@@ -321,11 +321,46 @@ object EventOps {
           .select(col("error_id"), col("signup_id"))
           .orderBy(col("error_id"), col("signup_id"))
       },
-      Some("""
+      Some(RangeJoinOracle)),
+
+    // STREAM-STREAM range join under the hash gate: the same error/signup
+    // pairing as q60, but BOTH sides are live streams joined with
+    // [[graft.streaming.EventStream.rangeJoinStream]] — the time-bucket
+    // equi-key is what makes a stream-stream range join expressible at
+    // all (Structured Streaming requires an equality predicate to route
+    // state), and the event-time range condition bounds the join state.
+    // Oracle = q60's VERBATIM: batch route, streaming route, one answer.
+    QueryDef(
+      "q69_stream_rangejoin",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ss = EventOps.streamSession(s)
+        def src() = graft.streaming.EventStream.fromEventsNanosParquet(ss, dir)
+        val errors = src().filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("ts"))
+        val signups = src().filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("ts").as("w_start"))
+        val joined = graft.streaming.EventStream.rangeJoinStream(
+          errors, signups, "ts", "w_start", intervalSeconds = 300L, bucketSeconds = 300L)
+        val name = EventOps.nextStreamSink(ss)
+        val q = joined.select(col("error_id"), col("signup_id"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ss.table(name).orderBy(col("error_id"), col("signup_id"))
+      },
+      Some(RangeJoinOracle)),
+  )
+
+  /** Shared by q60 (batch bucketized route) and q69 (stream-stream route):
+    * one oracle, two engines' worth of plumbing — the twin pins their
+    * equivalence.
+    */
+  private lazy val RangeJoinOracle: String = """
         SELECT e.event_id AS error_id, s.event_id AS signup_id
         FROM events e JOIN events s
           ON e.event_type = 'error' AND s.event_type = 'signup'
          AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 5 MINUTE
-        ORDER BY error_id, signup_id""")),
-  )
+        ORDER BY error_id, signup_id"""
 }

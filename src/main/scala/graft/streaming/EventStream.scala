@@ -118,6 +118,43 @@ object EventStream {
     w.start()
   }
 
+  /** STREAM-STREAM range (interval-containment) join — the streaming twin
+    * of [[graft.ops.Events.rangeJoin]], and the same rewrite makes it
+    * POSSIBLE at all: Structured Streaming requires an equality predicate
+    * to shuffle/route both sides' state, which a bare `ts BETWEEN s AND e`
+    * join lacks. Keying both streams by time bucket (an interval explodes
+    * to each bucket it overlaps; a point hashes to exactly one) gives the
+    * equi-key, the exact predicate filters bucket collisions, and the
+    * event-time range condition lets the engine expire join state as the
+    * watermarks advance — bounded state on an unbounded stream.
+    *
+    * Both inputs must be streaming frames with event-time columns; output
+    * follows inner-join append semantics (a match emits once both sides
+    * have arrived).
+    */
+  def rangeJoinStream(
+      points: DataFrame, intervals: DataFrame,
+      tsCol: String, startCol: String, intervalSeconds: Long,
+      bucketSeconds: Long, watermark: String = "2 hours"): DataFrame = {
+    val usPerBucket = bucketSeconds * 1000000L
+    def bucketOf(c: org.apache.spark.sql.Column) = floor(unix_micros(c) / usPerBucket)
+    // the interval END is expressed as startCol + INTERVAL in the join
+    // condition itself (not a precomputed column): the range then relates
+    // the two WATERMARKED event-time columns directly, which is what lets
+    // the engine compute per-side state watermarks and drop expired rows
+    val end = col(startCol) + expr(s"INTERVAL $intervalSeconds SECONDS")
+    val p = points
+      .withWatermark(tsCol, watermark)
+      .withColumn("__pb", bucketOf(col(tsCol)))
+    val i = intervals
+      .withWatermark(startCol, watermark)
+      .withColumn("__ib", explode(sequence(bucketOf(col(startCol)), bucketOf(end))))
+    p.join(i,
+        col("__pb") === col("__ib") &&
+          col(tsCol) >= col(startCol) && col(tsCol) <= end)
+      .drop("__pb", "__ib")
+  }
+
   /** Streaming exact dedup — the streaming twin of
     * [[graft.ops.Dedup.exactGroups]]'s keeper selection: the first arrival
     * of each key wins, re-deliveries within the watermark horizon are

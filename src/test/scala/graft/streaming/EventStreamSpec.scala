@@ -145,6 +145,39 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream range join matches across micro-batches, inclusively, via bucket keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val points = MemoryStream[(Long, Timestamp)]
+    val intervals = MemoryStream[(Long, Timestamp)]
+    // base the fixture a day into the epoch: event times at/near epoch 0
+    // sit exactly on the initial watermark boundary, an edge irrelevant to
+    // the operator under test
+    def t(min: Long) = ts(1440 + min)
+    val joined = EventStream.rangeJoinStream(
+      points.toDF().toDF("point_id", "ts"),
+      intervals.toDF().toDF("interval_id", "w_start"),
+      "ts", "w_start", intervalSeconds = 600L, bucketSeconds = 600L)
+    val q = joined.select("point_id", "interval_id")
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      // batch 1: interval A [0, 10m]; a point inside (5m), one exactly on
+      // the inclusive end (10m), one outside (11m)
+      intervals.addData((100L, t(0)))
+      points.addData((1L, t(5)), (2L, t(10)), (3L, t(11)))
+      q.processAllAvailable()
+      // batch 2: the MATCHING SIDE arrives later — interval B [8m, 18m]
+      // must pair with the already-buffered points 2 (10m) and 3 (11m):
+      // state from batch 1 participates (the whole point of a
+      // stream-stream join), including across a bucket boundary
+      intervals.addData((200L, t(8)))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 100L), (2L, 100L), (2L, 200L), (3L, 200L)))
+    } finally q.stop()
+  }
+
   test("streaming session window closes after the 30-minute gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]

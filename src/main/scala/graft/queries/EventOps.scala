@@ -65,22 +65,42 @@ object EventOps {
       (s, dir) =>
         Events.sessionCounts(Tables.events(s, dir), gapSeconds = 1800L)
           .orderBy(col("user_id")),
-      Some("""
-        -- CAST: DuckDB's sum(int)-derived session_seq is HUGEINT; hash must
-        -- match Spark's int64
-        SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions, count(*) AS n_events
-        FROM (
-          SELECT user_id,
-            sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
-              OVER (PARTITION BY user_id ORDER BY us, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-          FROM (
-            -- order by the µs-truncated timestamp, matching Spark's
-            -- ns→µs read of this table (sub-µs ordering must not differ)
-            SELECT user_id, epoch_us(ts) AS us, event_id,
-              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
-            FROM events) t1) t2
-        GROUP BY user_id ORDER BY user_id""")),
+      Some(SessionCountsOracle)),
+
+    // CUSTOM STATE under the hash gate: `mapGroupsWithState` carries a
+    // hand-rolled (lastTs, nSessions, nEvents) state per user through the
+    // micro-batch engine and must land on EXACTLY the q32 window-function
+    // answer — the KeyValueGroupedDataset surface for state shapes the
+    // built-in windows can't express, pinned by the same oracle as the
+    // batch formulation. user_id casts back to int so the schema matches
+    // the oracle's (the typed state fold runs on longs).
+    QueryDef(
+      "q70_stream_custom_state",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ss = EventOps.streamSession(s)
+        val stream = graft.streaming.EventStream.fromEventsNanosParquet(ss, dir)
+        val stats = graft.streaming.EventStream.sessionStatsCustomState(stream)
+        val name = EventOps.nextStreamSink(ss)
+        val q = stats.toDF()
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // update mode emits a row per (user, batch); the LAST emission per
+        // user is its final running total — with the single-file source
+        // this is one row per user already, but take max(nEvents) wins so
+        // the gate stays correct if the source ever splits into batches
+        // (totals are monotone)
+        ss.table(name)
+          .groupBy(col("user_id"))
+          .agg(
+            max(struct(col("n_events"), col("n_sessions"))).as("m"))
+          .select(col("user_id").cast("long").as("user_id"),
+            col("m.n_sessions").as("n_sessions"), col("m.n_events").as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some(SessionCountsOracle)),
 
     // Sliding 1h/30min windows: each event lands in exactly 2 epoch-aligned
     // windows; the oracle materializes both membership rows explicitly.
@@ -352,6 +372,25 @@ object EventOps {
       },
       Some(RangeJoinOracle)),
   )
+
+  /** Shared by q32 (window-function route) and q70 (custom-state route):
+    * one oracle, two formulations of gap sessionization.
+    * CAST: DuckDB's sum(int)-derived session_seq is HUGEINT; hash must
+    * match Spark's int64. Ordering inside the window is the µs-truncated
+    * timestamp (Spark's ns→µs read of this table), tie-broken by event_id.
+    */
+  private lazy val SessionCountsOracle: String = """
+        SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions, count(*) AS n_events
+        FROM (
+          SELECT user_id,
+            sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM (
+            SELECT user_id, epoch_us(ts) AS us, event_id,
+              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+            FROM events) t1) t2
+        GROUP BY user_id ORDER BY user_id"""
 
   /** Shared by q60 (batch bucketized route) and q69 (stream-stream route):
     * one oracle, two engines' worth of plumbing — the twin pins their

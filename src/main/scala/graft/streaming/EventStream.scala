@@ -171,6 +171,49 @@ object EventStream {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Per-group CUSTOM state carried across micro-batches. */
+  final case class SessionState(lastTsUs: Long, nSessions: Long, nEvents: Long)
+  final case class UserSessionStats(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Custom-state stateful processing via `mapGroupsWithState` — the
+    * KeyValueGroupedDataset surface for state shapes the built-in windows
+    * can't express. This instance reimplements gap-sessionization COUNTS
+    * with explicit state (last event time, session count, event count per
+    * user), emitting each user's running totals per micro-batch; the q70
+    * gate pins it against the q32 batch-SQL oracle, so the hand-rolled
+    * state machine must agree with the window-function formulation
+    * exactly (strict `> gap` boundary, ties ordered by (ts, event_id)).
+    *
+    * Contract: events for a user must not arrive out of order ACROSS
+    * micro-batches (within a batch any order is fine — the fold sorts);
+    * a production deployment pairs this with watermark-driven timeout
+    * state expiry. The point here is the surface: arbitrary state ×
+    * per-group fold × cross-batch persistence.
+    */
+  def sessionStatsCustomState(
+      events: DataFrame, gapSeconds: Long = 1800L)
+      : org.apache.spark.sql.Dataset[UserSessionStats] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")), col("event_id").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, UserSessionStats](GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { case (_, tsUs, _) =>
+            val isNew = st.nEvents == 0L || tsUs - st.lastTsUs > gapUs
+            st = SessionState(tsUs, st.nSessions + (if (isNew) 1L else 0L), st.nEvents + 1L)
+          }
+          state.update(st)
+          UserSessionStats(user, st.nSessions, st.nEvents)
+      }
+  }
+
   /** Session windows with a 30-minute gap per user — the streaming form of
     * [[graft.ops.Events.sessionize]], state expired by watermark.
     */

@@ -178,6 +178,33 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState carries custom session state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id")
+    val q = EventStream.sessionStatsCustomState(events, gapSeconds = 1800L).toDF()
+      .writeStream.format("memory").queryName("custom_state")
+      .outputMode("update").start()
+    try {
+      // batch 1 (out of order WITHIN the batch — the fold must sort):
+      // user 7 events at 40min and 0min → one session (gap 40min > 30? yes
+      // — 40min gap splits!) → sessions: [0], [40] = 2 sessions
+      input.addData((2L, ts(40), 7L), (1L, ts(0), 7L))
+      q.processAllAvailable()
+      // batch 2: state must CONTINUE — event at 50min is within 30min of
+      // the stored lastTs (40min) → same session; event at 120min → new
+      val _ = spark.table("custom_state").collect()
+      input.addData((3L, ts(50), 7L), (4L, ts(120), 7L))
+      q.processAllAvailable()
+      val last = spark.table("custom_state")
+        .filter($"user_id" === 7L)
+        .orderBy($"n_events".desc).head()
+      assert(last.getAs[Long]("n_events") === 4L)
+      assert(last.getAs[Long]("n_sessions") === 3L,
+        "sessions [0], [40,50], [120] — state must survive the batch boundary")
+    } finally q.stop()
+  }
+
   test("streaming session window closes after the 30-minute gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]

@@ -134,8 +134,12 @@ object Store {
     */
   def upsert(spark: SparkSession, name: String, updates: DataFrame, idCol: String,
       buckets: Int = 16): Unit = {
-    val dupKeys = updates.groupBy(idCol).count().filter(col("count") > 1).limit(1).count()
-    require(dupKeys == 0L, s"updates contain duplicate $idCol keys — no defined winner")
+    // one validation job: duplicate keys have no defined winner, and a
+    // NULL key can never be replaced (SQL joins don't match NULLs — it
+    // would append forever; ES likewise rejects a null _id)
+    val badKeys = updates.groupBy(idCol).count()
+      .filter(col("count") > 1 || col(idCol).isNull).limit(1).count()
+    require(badKeys == 0L, s"updates contain duplicate or NULL $idCol keys")
     spark.catalog.refreshTable(name)
     // a table without the hash-prefix layout (created by createTable, or
     // any externally-made flat table) still upserts correctly — it just

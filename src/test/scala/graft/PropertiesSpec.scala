@@ -44,6 +44,39 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("symmetric-delete guarantee: lev(a,b) <= d implies a shared <=d-deletion variant") {
+    // the property the posting-table candidate pre-gate rests on
+    // (graft.search.Posting): randomized over a small alphabet so edit
+    // distances <= 2 actually occur
+    import graft.functions.DeletionVariantsExpr.variantsOf
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val word = Gen.chooseNum(0, 7).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c')))
+    check(Prop.forAll(word, word, Gen.chooseNum(0, 2)) { (a, b, d) =>
+      lev(a, b) > d ||
+        variantsOf(a, d).toSet.intersect(variantsOf(b, d).toSet).nonEmpty
+    }, cases = 400)
+  }
+
+  test("deletion variant counts: distinct, contain the original, bounded by the closed form") {
+    val word = Gen.chooseNum(0, 10).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+    check(Prop.forAll(word) { w =>
+      import graft.functions.DeletionVariantsExpr.variantsOf
+      val vs = variantsOf(w, 2)
+      val n = w.length
+      vs.head == w && vs.distinct == vs &&
+        vs.size <= 1 + n + n * math.max(0, n - 1) / 2 &&
+        vs.forall(v => v.length >= n - 2)
+    })
+  }
+
   test("pagination partitions the top-N: pages disjoint, concatenation = prefix") {
     val gen = for {
       n <- Gen.chooseNum(0, 60)

@@ -26,11 +26,17 @@ object Bench {
       finally spark.catalog.clearCache() // outside the timed region next run starts from
     }
 
-    // one UNTIMED warmup before the battery: the first query otherwise
+    // UNTIMED warmups before the battery: the first query otherwise
     // absorbs executor spin-up + first-codegen costs in its spread (r4
-    // measured q01 spread at 4.4 s from exactly this), making spread_sec
-    // read as regression instead of noise
-    once(qs.head._2)
+    // measured q01 spread at 4.4 s from exactly this), and the queries
+    // backed by once-per-JVM OFFLINE artifacts (stored IVF index, ALS
+    // serving table, posting index, recall fixture) otherwise book the
+    // index build into rep 1's spread. Builds are jobs, not query cost;
+    // spread_sec should read as steady-state noise.
+    val offlineBacked = Set(
+      "q38_ann_ivf_topk", "q58_ml_rec_serving",
+      "q67_ml_search_posting", "q68_ann_recall_clustered")
+    (qs.take(1) ++ qs.filter(q => offlineBacked(q._1))).foreach(q => once(q._2))
 
     val results = qs.map { case (name, fn) =>
       val runs = (1 to reps).map(_ => once(fn))

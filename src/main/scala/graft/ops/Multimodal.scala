@@ -94,6 +94,34 @@ object Multimodal {
     }
   }
 
+  /** Exact decode probe: dimensions + the (0,0) pixel's channels as
+    * integers — the hash-gate-friendly face of the real image decoder
+    * (q71 round-trips generated PNGs through ImageIO and the oracle
+    * recomputes the integers in closed form; float features like
+    * mean_luma stay spec-tested where epsilon is tolerable).
+    */
+  final case class ImageProbe(
+      media_id: Long, width: Int, height: Int, r: Int, g: Int, b: Int, decoded: Boolean)
+
+  def probeImages(media: Dataset[MediaRow]): Dataset[ImageProbe] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { iter =>
+      iter.map { m =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+          if (img == null) ImageProbe(m.media_id, -1, -1, -1, -1, -1, decoded = false)
+          else {
+            val rgb = img.getRGB(0, 0)
+            ImageProbe(m.media_id, img.getWidth, img.getHeight,
+              (rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF, decoded = true)
+          }
+        } catch {
+          case _: Exception => ImageProbe(m.media_id, -1, -1, -1, -1, -1, decoded = false)
+        }
+      }
+    }
+  }
+
   /** REAL audio decode (JDK `javax.sound.sampled`): container/format
     * metadata (sample rate, channels, frame count) without materializing
     * samples — the header is enough for corpus curation features like

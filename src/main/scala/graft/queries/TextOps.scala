@@ -326,6 +326,47 @@ object TextOps {
                        octet_length(encode(text)) AS nb FROM documents) t)
         ORDER BY doc_id""")),
 
+    // The REAL image codec under the hash gate: each doc_id determines a
+    // solid-color PNG spec in closed form (w, h, rgb as modular
+    // arithmetic); the pipeline SYNTHESIZES the PNG with ImageIO, ships
+    // it as a binary payload, DECODES it back with the production probe
+    // ([[graft.ops.Multimodal.probeImages]]), and the integers recovered
+    // from the decoded pixels must hash-match the oracle's direct modular
+    // arithmetic — bytes genuinely cross a PNG encoder and decoder inside
+    // the distributed plan.
+    QueryDef(
+      "q71_multimodal_decode",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val w = (8 + id % 16).toInt
+              val h = (8 + (id / 16) % 16).toInt
+              val rgb = (((id * 37) % 256).toInt << 16) |
+                (((id * 59) % 256).toInt << 8) | ((id * 83) % 256).toInt
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", out)
+              graft.ops.Multimodal.MediaRow(id, out.toByteArray, "image/png")
+            }
+          }
+        graft.ops.Multimodal.probeImages(media).toDF()
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+          CAST(8 + doc_id % 16 AS INT) AS width,
+          CAST(8 + (doc_id // 16) % 16 AS INT) AS height,
+          CAST((doc_id * 37) % 256 AS INT) AS r,
+          CAST((doc_id * 59) % 256 AS INT) AS g,
+          CAST((doc_id * 83) % 256 AS INT) AS b,
+          true AS decoded
+        FROM documents ORDER BY media_id""")),
+
     // Multimodal plumbing: binary payload column → per-partition "decode"
     // (stubbed codec, real schema/partitioning). Oracle checks byte length.
     QueryDef(

@@ -367,6 +367,46 @@ object TextOps {
           true AS decoded
         FROM documents ORDER BY media_id""")),
 
+    // The REAL audio codec under the hash gate (q71's twin for sound):
+    // per-doc WAV specs in closed form (sample rate from a small fixed
+    // set, mono/stereo, frame count), synthesized with the JDK's
+    // AudioSystem, decoded back by the production feature extractor — the
+    // recovered format integers must hash-match the oracle's arithmetic.
+    QueryDef(
+      "q72_multimodal_audio",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val rates = Array(8000f, 16000f, 22050f, 44100f)
+              val rate = rates((id % 4).toInt)
+              val channels = 1 + (id % 2).toInt
+              val nFrames = 100 + (id % 900).toInt
+              val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+              val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+              val in = new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+              val out = new java.io.ByteArrayOutputStream()
+              javax.sound.sampled.AudioSystem.write(
+                in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+              graft.ops.Multimodal.MediaRow(id, out.toByteArray, "audio/wav")
+            }
+          }
+        graft.ops.Multimodal.extractAudioFeatures(media).toDF()
+          .select(col("media_id"), col("sample_rate"), col("channels"),
+            col("n_frames"), col("decoded"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+          CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                               WHEN 2 THEN 22050 ELSE 44100 END AS DOUBLE) AS sample_rate,
+          CAST(1 + doc_id % 2 AS INT) AS channels,
+          CAST(100 + doc_id % 900 AS BIGINT) AS n_frames,
+          true AS decoded
+        FROM documents ORDER BY media_id""")),
+
     // Multimodal plumbing: binary payload column → per-partition "decode"
     // (stubbed codec, real schema/partitioning). Oracle checks byte length.
     QueryDef(

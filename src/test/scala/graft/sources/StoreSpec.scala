@@ -96,6 +96,33 @@ class StoreSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS movies_decl")
   }
 
+  test("repeated upserts do not accumulate small files (overwrite, not append)") {
+    import spark.implicits._
+    val base = (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v")
+    Store.bulkWrite(base, "upsert_files", "k", buckets = 4)
+    try {
+      def fileCount(): Int = {
+        val ident = spark.sessionState.sqlParser.parseTableIdentifier("upsert_files")
+        val loc = new java.io.File(new java.net.URI(
+          spark.sessionState.catalog.getTableMetadata(ident).location.toString))
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(loc).count(_.getName.endsWith(".parquet"))
+      }
+      val before = fileCount()
+      // ten micro-batch-sized upserts hitting the SAME key: dynamic
+      // partition overwrite REPLACES the touched partition each time, so
+      // the table's file count is invariant — no compactor needed (an
+      // append-log design would need one)
+      (1 to 10).foreach(i => Store.upsert(spark, "upsert_files",
+        Seq((7L, s"v7_$i")).toDF("k", "v"), "k", buckets = 4))
+      assert(fileCount() === before,
+        "file count must stay invariant under repeated upserts")
+      assert(Store.read(spark, "upsert_files").filter($"k" === 7L)
+        .head().getString(1) === "v7_10")
+    } finally spark.sql("DROP TABLE IF EXISTS upsert_files")
+  }
+
   test("upsert works on a FLAT declared table (no hash-prefix layout): legacy full merge") {
     import spark.implicits._
     val schema = StructType(Seq(

@@ -74,8 +74,17 @@ object Api {
     *                   a throwing loader = unavailable backend
     * @param sleep injected for tests (the reference sleeps 5 s between
     *              connection attempts)
+    * @param loadPosting optional fuzzy-search posting index
+    *                    ([[graft.search.Posting]]); when present, /search
+    *                    scores via the candidate pre-gated index path —
+    *                    the configuration a 100 TB corpus serves with —
+    *                    with an identical response envelope (ApiSpec pins
+    *                    the two routes byte-equal)
     */
-  final class Service(loadMovies: () => DataFrame, sleep: Long => Unit = Thread.sleep) {
+  final class Service(
+      loadMovies: () => DataFrame,
+      sleep: Long => Unit = Thread.sleep,
+      loadPosting: Option[() => DataFrame] = None) {
 
     // AtomicReference, not a bare var: handle() is advertised as the
     // request→response function any HTTP server would wrap, so a
@@ -83,6 +92,8 @@ object Api {
     // is additionally synchronized so two racing connects cannot run the
     // loader twice (ADVICE r4). Handlers only read the reference.
     private val movies =
+      new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
+    private val posting =
       new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
 
     private def ping(): Boolean =
@@ -102,6 +113,7 @@ object Api {
       while (attempt < maxRetries) {
         try {
           if (movies.get().isEmpty) movies.set(Some(loadMovies()))
+          if (posting.get().isEmpty) posting.set(loadPosting.map(_.apply()))
           if (ping()) return true
         } catch { case _: Exception => () }
         attempt += 1
@@ -215,7 +227,10 @@ object Api {
           } yield {
             val page = if (rawPage < 1) 1 else rawPage
             val size = if (rawSize < 1 || rawSize > 100) 10 else rawSize
-            val (pageDf, total) = Engine.searchWithTotal(backend, q, page, size)
+            val (pageDf, total) = posting.get() match {
+              case Some(p) => Engine.searchWithTotalViaPosting(backend, p, q, page, size)
+              case None    => Engine.searchWithTotal(backend, q, page, size)
+            }
             Response(200, Map(
               "movies" -> pageDf.collect().toSeq.map(doc),
               "page" -> page,

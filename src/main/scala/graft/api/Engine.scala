@@ -123,6 +123,28 @@ object Engine {
     graft.ops.Paging.paginate(hits, Seq(col("score").desc, col("movieId")), page, size)
   }
 
+  /** [[searchWithTotal]] through the posting index: same envelope, the
+    * candidate pre-gated scoring of [[searchViaPosting]]. The total counts
+    * the (small) scored-id frame, not the corpus.
+    */
+  def searchWithTotalViaPosting(
+      movies: DataFrame, posting: DataFrame, query: String,
+      page: Int = 1, size: Int = 10): (DataFrame, Long) = {
+    val terms = query.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    val scores = graft.search.Posting
+      .score(posting, terms, Seq("title" -> 3, "genres" -> 1))
+      .withColumnRenamed("id", "movieId")
+      .persist()
+    try {
+      val total = scores.count()
+      val page_ = graft.ops.Paging
+        .paginate(movies.join(scores, Seq("movieId")),
+          Seq(col("score").desc, col("movieId")), page, size)
+        .localCheckpoint()
+      (page_, total)
+    } finally scores.unpersist()
+  }
+
   /** `/search` with the reference's response envelope: the page plus the
     * total hit count (`res["hits"]["total"]["value"]`, `api.py:225`). The
     * total is a separate aggregate job over the scored frame — NOT a

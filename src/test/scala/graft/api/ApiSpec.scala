@@ -99,6 +99,24 @@ class ApiSpec extends SparkSpec {
       params = Map("q" -> "star", "size" -> "1.5")).status === 500)
   }
 
+  test("a posting-index-backed service serves BYTE-equal /search envelopes") {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val withIndex = new Api.Service(
+      () => MovieLens.movies(spark),
+      sleep = _ => (),
+      loadPosting = Some(() => graft.search.Posting.buildPosting(
+        MovieLens.movies(spark), "movieId",
+        Seq("title" -> col("title"), "genres" -> concat_ws(" ", col("genres"))))))
+    assert(withIndex.connect(maxRetries = 1, delayMs = 0L))
+    for (q <- Seq("star wras", "toy", "zzzzqq")) {
+      val plain = service.handle("GET", "/search", params = Map("q" -> q, "size" -> "25"))
+      val indexed = withIndex.handle("GET", "/search", params = Map("q" -> q, "size" -> "25"))
+      assert(Api.Json.render(indexed.body) === Api.Json.render(plain.body),
+        s"posting-backed /search diverged for '$q'")
+      assert(indexed.status === plain.status)
+    }
+  }
+
   test("search pages are disjoint and sized like the reference's from/size math") {
     def page(p: Int) = service.handle("GET", "/search",
       params = Map("q" -> "love", "page" -> p.toString, "size" -> "5"))

@@ -156,6 +156,13 @@ object Store {
       return
     }
     val parts = partsOf(spark, name)
+    // align the write with the table's OWN bucket count (the caller's
+    // `buckets` is only a fallback for tables without a spec): a mismatch
+    // is not a correctness problem — bucket ids are computed per row —
+    // but it splits each bucket's rows across tasks and multiplies files
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    val tableBuckets = spark.sessionState.catalog.getTableMetadata(ident)
+      .bucketSpec.map(_.numBuckets).getOrElse(buckets)
     val u = withPart(updates, idCol, parts)
     // the touched-partition set is at most `parts` small integers — a
     // driver-side value list that becomes a static partition-pruning filter
@@ -166,7 +173,7 @@ object Store {
     val columnOrder = spark.table(name).columns // partition col is last
     val merged = kept.unionByName(u).select(columnOrder.map(col(_)): _*)
       // bucket-aligned repartition — same rationale as in bulkWrite
-      .repartition(buckets, col(idCol))
+      .repartition(tableBuckets, col(idCol))
       // materialize the merged batch (its footprint is touched-partitions
       // sized, not table sized) so the overwrite below does not read the
       // table it rewrites — Spark rejects a self-referencing overwrite

@@ -190,4 +190,40 @@ class PropertiesSpec extends SparkSpec {
       got == expected
     }, cases = 8)
   }
+
+  test("rangeJoinStream run in batch mode equals the batch rangeJoin on random data") {
+    // withWatermark is a no-op on batch frames, so the STREAMING operator
+    // executes as a plain query — a structural equivalence check between
+    // the two routes the q60/q69 gates pin against one oracle. Intervals
+    // share one fixed length (the streaming form derives the end from
+    // intervalSeconds; the batch form takes an end column).
+    val gen = for {
+      nP <- Gen.chooseNum(1, 10)
+      nI <- Gen.chooseNum(0, 6)
+      pts <- Gen.listOfN(nP, Gen.chooseNum(0L, 100L))
+      starts <- Gen.listOfN(nI, Gen.chooseNum(0L, 100L))
+      ivLen <- Gen.chooseNum(1L, 30L)
+      bucket <- Gen.oneOf(7L, 13L, 31L)
+    } yield (pts, starts, ivLen, bucket)
+    check(Prop.forAllNoShrink(gen) { case (pts, starts, ivLen, bucket) =>
+      val pDf = pts.zipWithIndex
+        .map { case (t, i) => (i.toLong, new java.sql.Timestamp(t * 1000L)) }
+        .toDF("point_id", "ts")
+      val iDf = starts.zipWithIndex
+        .map { case (s, i) =>
+          (100L + i, new java.sql.Timestamp(s * 1000L),
+            new java.sql.Timestamp((s + ivLen) * 1000L))
+        }
+        .toDF("interval_id", "w_start", "w_end")
+      val viaBatch = graft.ops.Events
+        .rangeJoin(pDf, iDf, "ts", "w_start", "w_end", bucket)
+        .select(col("point_id"), col("interval_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaStreamOp = graft.streaming.EventStream
+        .rangeJoinStream(pDf, iDf.drop("w_end"), "ts", "w_start", ivLen, bucket)
+        .select(col("point_id"), col("interval_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      viaStreamOp == viaBatch
+    }, cases = 8)
+  }
 }

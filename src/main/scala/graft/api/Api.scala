@@ -215,6 +215,11 @@ object Api {
           // "Error during search" envelope — reproduced verbatim, down to
           // Python's ValueError text (ADVICE r4: clamping it to a default
           // and returning 200 was a silent parity break)
+          // documented deviation (ADVICE r5): Scala's toIntOption is
+          // narrower than Python's int() — underscore separators ("1_0"),
+          // non-ASCII digits, and unicode whitespace parse in the
+          // reference (200) but hit the 500 envelope here. ASCII-decimal
+          // inputs (every real client) behave identically.
           def intParam(name: String, default: Int): Either[Response, Int] =
             params.get(name) match {
               case None => Right(default)

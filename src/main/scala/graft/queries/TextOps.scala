@@ -94,9 +94,11 @@ object TextOps {
         // (ADVICE r4). Real hot-shingle pruning (a cap BELOW max DF) is
         // covered by DedupSpec's hot-shingle collapse test.
         val sh = Dedup.wordShingles(Tables.documents(s, dir), "doc_id", "text", w = 3)
-        val maxDf = sh.groupBy(col("shingle")).count()
-          .agg(max(col("count"))).head().getLong(0)
-        Dedup.jaccardPairs(sh, "doc_id", maxShingleDf = Some(maxDf))
+        // max() over zero shingles is NULL (empty corpus / all-short docs):
+        // skip the cap instead of NPEing on getLong (ADVICE r5)
+        val maxDf = Option(sh.groupBy(col("shingle")).count()
+          .agg(max(col("count"))).head().get(0)).map(_.asInstanceOf[Long])
+        Dedup.jaccardPairs(sh, "doc_id", maxShingleDf = maxDf)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
           .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
           .limit(20)

@@ -184,6 +184,12 @@ object Store {
     // The mode must be set on the session conf — insertInto ignores the
     // per-writer option (it resolves against the catalog table, not a
     // DataSource with write options) — so set/restore it around the write.
+    // BLAST RADIUS (ADVICE r5): the conf is session-global for the window,
+    // so the single-writer rule extends to the whole session — do not run
+    // ANY other Overwrite-mode write concurrently with an upsert (it would
+    // silently inherit dynamic semantics, and the restore races). Callers
+    // needing concurrent overwrites should run the upsert on a dedicated
+    // `spark.newSession()` child, which carries its own conf.
     val modeKey = "spark.sql.sources.partitionOverwriteMode"
     val prevMode = spark.conf.getOption(modeKey)
     spark.conf.set(modeKey, "dynamic")

@@ -80,6 +80,16 @@ class HttpApiSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(request("GET", "/search")._1 === 400)
   }
 
+  test("duplicate query params: first occurrence wins (werkzeug MultiDict parity)") {
+    // reference: request.args.get("page") reads the FIRST duplicate, so
+    // ?page=1&page=x is 200 page=1 there — not the 500 int() envelope
+    val (st, body) = request("GET", "/search?q=star&page=1&page=x")
+    assert(st === 200, body)
+    assert(body.contains("\"page\":1"))
+    val (s2, b2) = request("GET", "/search?q=star&page=x&page=1")
+    assert(s2 === 500, b2)
+  }
+
   test("JSON parser: strict twin of the renderer") {
     import HttpApi.Json.parseObject
     assert(parseObject("""{"a": 1, "b": [true, null, "x\n"], "c": {"d": 2.5}}""") ===
@@ -89,6 +99,9 @@ class HttpApiSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(parseObject("""{"a": }""") === None)
     assert(parseObject("""{"unterminated": "x""") === None)
     assert(parseObject("") === None)
+    // the Eof sentinel is guarded by atEnd: a literal NUL mid-string is
+    // appended verbatim, not treated as end-of-input
+    assert(parseObject("{\"a\": \"x\u0000y\"}") === Some(Map("a" -> "x\u0000y")))
   }
 
   override def afterAll(): Unit = if (started) server.stop(0)

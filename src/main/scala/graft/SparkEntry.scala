@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventOps, MovieLensQ, Relational, SearchOps, TextOps, VectorOps}
+import graft.queries.{EventOps, MovieLensQ, Relational, SearchOps, TextOps, TrainingOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,7 @@ object SparkEntry {
     */
   val defs: Seq[QueryDef] = {
     val all = Relational.defs ++ SearchOps.defs ++ TextOps.defs ++
-      EventOps.defs ++ VectorOps.defs ++ MovieLensQ.defs
+      EventOps.defs ++ VectorOps.defs ++ MovieLensQ.defs ++ TrainingOps.defs
     val dups = all.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
     require(dups.isEmpty, s"duplicate query names would silently drop entries: $dups")
     all

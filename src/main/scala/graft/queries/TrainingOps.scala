@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.ops.{Dedup, TextStats, Training}
+
+/** Training-data curation battery over `documents` — the steps between a
+  * deduped corpus and a trainer: deterministic splits, stratified sampling,
+  * sequence packing, context-window chunking, and train/test
+  * decontamination ([[graft.ops.Training]]).
+  *
+  * Every "random" decision is an md5-hex-prefix pure function of `doc_id`,
+  * so each query has a full-hash DuckDB oracle replaying the exact same
+  * bits — and the oracle CASE/threshold SQL is GENERATED from the same
+  * Scala fractions/rates (the q27 pattern), so the twins cannot drift.
+  */
+object TrainingOps {
+
+  /** The battery's split spec: last entry is the catch-all. */
+  private val Splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** Per-language sampling rates for the stratified-sample gate; languages
+    * absent here (de, es) fall to the default rate below.
+    */
+  private val Rates = Map("en" -> 0.5, "zh" -> 0.3, "fr" -> 0.25)
+  private val DefaultRate = 0.1
+
+  private val PackBudget = 512L
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Deterministic train/val/test split: label is a pure function of
+    // doc_id (map-only, reshuffle/rerun/engine stable); gate checks the
+    // three strata's exact membership via counts + char totals.
+    QueryDef(
+      "q73_train_split",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            Training.splitColumn(col("doc_id"), Splits).as("split"),
+            col("n_chars"), col("lang"))
+          .groupBy(col("split"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            countDistinct(col("lang")).as("n_langs"))
+          .orderBy(col("split")),
+      Some(s"""
+        SELECT ${Training.splitSql("doc_id", Splits)} AS split,
+          count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          count(DISTINCT lang) AS n_langs
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // Shard-local greedy sequence packing: 16 hash shards, per-shard
+    // running token count, bin = floor(start_offset / budget). The window
+    // is PARTITIONED (PlanSpec pins no global window) — the shape that
+    // scales by raising the shard count, not by a single global sort.
+    QueryDef(
+      "q74_sequence_packing",
+      (s, dir) =>
+        Training.packBins(
+            Tables.documents(s, dir)
+              .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tokens")),
+            "doc_id", "n_tokens", budget = PackBudget)
+          .groupBy(col("shard"), col("bin"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("bin_tokens"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("shard"), col("bin")),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+            len(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n_tokens,
+            ${Training.hashHexSql("doc_id", "graft-pack", hexChars = 1)} AS shard
+          FROM documents),
+        c AS (
+          SELECT shard, doc_id, n_tokens,
+            sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+          FROM t)
+        SELECT shard, CAST(floor((cum - n_tokens) / $PackBudget) AS BIGINT) AS bin,
+          count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+          min(doc_id) AS first_doc
+        FROM c GROUP BY shard, bin ORDER BY shard, bin""")),
+
+    // Stratified sampling: per-language keep rates as hash thresholds — a
+    // map-only FILTER (no shuffle, no stratum-size pre-pass, reproducible
+    // exact membership). Gate returns the sampled rows themselves.
+    QueryDef(
+      "q75_stratified_sample",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .filter(Training.stratifiedKeep(col("doc_id"), col("lang"), Rates, DefaultRate))
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE ${Training.stratifiedKeepSql("doc_id", "lang", Rates, DefaultRate)}
+        ORDER BY doc_id""")),
+
+    // Train/test decontamination: (test, train) doc pairs sharing ≥2
+    // distinct word-3-shingles, via the SAME shingle inverted-index join
+    // shape as q24 (cost bounded by shingle DF, never all-pairs) — split
+    // routing is a per-row function of doc_id, adding no join.
+    QueryDef(
+      "q76_decontamination",
+      (s, dir) =>
+        Training.contaminationPairs(
+            Dedup.wordShingles(Tables.documents(s, dir), "doc_id", "text", w = 3),
+            "doc_id",
+            Training.splitColumn(col("doc_id"), Splits),
+            minShared = 2L)
+          .orderBy(col("n_shared").desc, col("test_id"), col("train_id"))
+          .limit(20),
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+          WHERE len(t) >= 3),
+        tagged AS (
+          SELECT doc_id, shingle, ${Training.splitSql("doc_id", Splits)} AS split
+          FROM sh)
+        SELECT a.doc_id AS test_id, b.doc_id AS train_id, count(*) AS n_shared
+        FROM tagged a JOIN tagged b ON a.shingle = b.shingle
+        WHERE a.split = 'test' AND b.split = 'train'
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        ORDER BY n_shared DESC, test_id, train_id LIMIT 20""")),
+
+    // Context-window chunking: disjoint 32-token windows per document —
+    // the map-side explode that precedes packing when bins must be ≤
+    // budget exactly. Gate hashes every chunk's text fingerprint.
+    QueryDef(
+      "q77_context_chunks",
+      (s, dir) =>
+        Training.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
+            chunkSize = 32, stride = 32)
+          .select(
+            col("doc_id"), col("chunk_start"), col("chunk_tokens"),
+            substring(md5(col("chunk_text")), 1, 16).as("chunk_fp"))
+          .orderBy(col("doc_id"), col("chunk_start")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+          FROM documents WHERE text IS NOT NULL),
+        c AS (
+          SELECT doc_id, CAST(i AS INTEGER) AS chunk_start, t[i:i+31] AS chunk
+          FROM toks, unnest(generate_series(1, greatest(len(t), 1), 32)) AS g(i))
+        SELECT doc_id, chunk_start, CAST(len(chunk) AS INTEGER) AS chunk_tokens,
+          substr(md5(array_to_string(chunk, ' ')), 1, 16) AS chunk_fp
+        FROM c ORDER BY doc_id, chunk_start"""))
+  )
+}

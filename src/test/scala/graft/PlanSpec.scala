@@ -127,6 +127,26 @@ class PlanSpec extends SparkSpec {
       s"unallowlisted all-pairs join shapes: $unexpected")
   }
 
+  test("q74 packing window is hash-shard-partitioned, never a global window") {
+    val df = SparkEntry.queries("q74_sequence_packing")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.sparkPlan.toString
+    // the running-sum window must carry the shard in its partition spec —
+    // an empty partitionBy is a move-everything-to-one-task bottleneck
+    // (the same global-window shape the q09 pagination pin forbids)
+    assert(plan.contains("windowspecdefinition(shard"),
+      s"packing window lost its shard partitioning:\n$plan")
+  }
+
+  test("q75 stratified sample is map-only: no hash shuffle, no join") {
+    val df = SparkEntry.queries("q75_stratified_sample")(spark, sf("sf0.001"))
+    val plan = planOf(df)
+    // the whole point of hash-threshold sampling: a filter over the scan
+    // (the final orderBy's range exchange is the only data movement)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"sampling introduced a hash shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"sampling introduced a join:\n$plan")
+  }
+
   test("q67 posting search: levenshtein evaluates only on posting-join survivors, never a corpus scan") {
     val df = SparkEntry.queries("q67_ml_search_posting")(spark, sf("sf0.001"))
     val plan = df.queryExecution.sparkPlan

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Semantics of the training-data curation primitives ([[Training]]):
+  * determinism under reshuffles, split completeness, nested-sample
+  * monotonicity, packing invariants, chunk reassembly, and a brute-force
+  * twin for the decontamination join.
+  */
+class TrainingSpec extends SparkSpec {
+
+  private val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  test("hexThreshold maps fractions to the expected hex boundaries") {
+    assert(Training.hexThreshold(0.0) === "00000000")
+    assert(Training.hexThreshold(0.5) === "80000000")
+    assert(Training.hexThreshold(1.0) === "g", "rate 1 must keep 'ffffffff' rows too")
+    // 'g' sorts above every hex digit, so f=1 keeps everything
+    assert("ffffffff" < "g")
+  }
+
+  test("splitColumn: every row labeled, fractions roughly honored, stable under repartition") {
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"))
+    val labeled = docs.select(col("doc_id"),
+      Training.splitColumn(col("doc_id"), fracs).as("split"))
+    val byLabel = labeled.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = byLabel.values.sum
+    assert(byLabel.keySet === Set("train", "val", "test"))
+    assert(byLabel("train").toDouble / n > 0.7 && byLabel("train").toDouble / n < 0.9)
+    // determinism: the label is a pure function of the id — a different
+    // physical partitioning must produce the identical assignment
+    val again = docs.repartition(13).select(col("doc_id"),
+      Training.splitColumn(col("doc_id"), fracs).as("split"))
+    assert(labeled.except(again).isEmpty && again.except(labeled).isEmpty)
+  }
+
+  test("stratifiedKeep: samples are nested across rates and exact on reruns") {
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("lang"))
+    def sample(rate: Double) = docs.filter(
+      Training.stratifiedKeep(col("doc_id"), col("lang"), Map.empty, defaultRate = rate))
+    val s25 = sample(0.25).collect().map(_.getLong(0)).toSet
+    val s50 = sample(0.50).collect().map(_.getLong(0)).toSet
+    // hash-threshold sampling gives NESTED samples: raising the rate only
+    // adds rows — the property partition-seeded rand() sampling lacks
+    assert(s25.subsetOf(s50), "rate-0.25 sample not contained in rate-0.5 sample")
+    assert(s25.nonEmpty && s50.size > s25.size)
+    assert(sample(0.25).collect().map(_.getLong(0)).toSet === s25, "rerun changed the sample")
+  }
+
+  test("packBins: bins are contiguous per shard, doc counts add up, budget shapes fills") {
+    val budget = 256L
+    val docs = Tables.documents(spark, sf())
+      .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tokens"))
+    val packed = Training.packBins(docs, "doc_id", "n_tokens", budget).cache()
+    try {
+      assert(packed.count() === docs.count(), "packing must not drop or duplicate docs")
+      val perShard = packed.groupBy("shard")
+        .agg(countDistinct(col("bin")).as("n_bins"), max(col("bin")).as("max_bin"),
+          sum(col("n_tokens")).as("toks"))
+        .collect()
+      perShard.foreach { r =>
+        // start offsets are a running sum → bin ids are 0..max with no gaps
+        assert(r.getLong(1) === r.getLong(2) + 1,
+          s"shard ${r.getString(0)}: bins not contiguous")
+        // every bin holds one budget's worth of start-offsets, so the bin
+        // count is exactly ceil(shard_tokens / budget) when the last doc
+        // ends the shard — at minimum it can't exceed total/budget + 1
+        assert(r.getLong(1) <= r.getLong(3) / budget + 1)
+      }
+    } finally packed.unpersist()
+  }
+
+  test("chunkTokens with stride=size reassembles exactly (no token lost or duplicated)") {
+    val docs = Tables.documents(spark, sf())
+    val back = Training.chunkTokens(docs, "doc_id", "text", chunkSize = 7, stride = 7)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("chunk_tokens")).as("n_tokens"),
+        // chunks are disjoint and ordered by chunk_start: joining them
+        // back with a space must reproduce the canonical text
+        concat_ws(" ", array_sort(collect_list(
+          struct(col("chunk_start"), col("chunk_text")))).getField("chunk_text"))
+          .as("rejoined"))
+    val orig = docs.select(col("doc_id"),
+      TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+      Dedup.canonical(col("text")).as("canonical"))
+    val joined = back.join(orig, "doc_id")
+    assert(joined.filter(col("rejoined") =!= col("canonical")).count() === 0L)
+    assert(joined.filter(back("n_tokens") =!= orig("n_tokens")).count() === 0L)
+    // overlap: stride < size yields more chunk-tokens than the original
+    val overlapped = Training.chunkTokens(docs, "doc_id", "text", chunkSize = 8, stride = 4)
+      .agg(sum(col("chunk_tokens"))).head().getLong(0)
+    val plain = orig.agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(overlapped > plain)
+  }
+
+  test("contaminationPairs matches a brute-force shingle-set intersection") {
+    val docs = Tables.documents(spark, sf()).limit(120)
+    val sh = Dedup.wordShingles(docs, "doc_id", "text", w = 3)
+    val split = Training.splitColumn(col("doc_id"), fracs)
+    val got = Training.contaminationPairs(sh, "doc_id", split, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // driver-side brute force over the same shingle sets
+    val labeled = sh.withColumn("split", split).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val byDoc = labeled.groupBy(_._1).map { case (id, rows) =>
+      id -> (rows.head._3, rows.map(_._2).toSet)
+    }
+    val want = (for {
+      (testId, ("test", testSh)) <- byDoc.toSeq
+      (trainId, ("train", trainSh)) <- byDoc.toSeq
+      shared = (testSh & trainSh).size.toLong
+      if shared >= 2L
+    } yield (testId, trainId) -> shared).toMap
+    assert(got === want)
+  }
+}

@@ -162,6 +162,58 @@ object Dedup {
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
   }
 
+  /** Connected components over a candidate-pair graph — the stage that
+    * turns near-dup PAIRS into dedup CLUSTERS (what a pipeline actually
+    * deletes: keep one doc per component, drop the rest). `pairs` is any
+    * (id_a, id_b) frame ([[minhashCandidates]], [[simhashCandidates]],
+    * thresholded [[jaccardPairs]]); ids absent from `pairs` are their own
+    * singleton components and are NOT returned (union with the corpus and
+    * coalesce to self for a total labeling).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * adopts the smallest label among itself and its neighbors; fixpoint
+    * when no label changes. Rounds needed = graph diameter, and each round
+    * is one shuffle keyed on the node id. Near-dup graphs are
+    * overwhelmingly tiny cliques (diameter ≤ 2–3), so this converges in a
+    * handful of rounds at any corpus size; for adversarial long-chain
+    * graphs the large-star/small-star variant (Kiveris et al., "Connected
+    * Components in MapReduce", SOCC'14) gets O(log n) rounds — same
+    * per-round join shape, so it drops in here if ever needed.
+    * `localCheckpoint` per round truncates the iterative lineage (the ALS
+    * StackOverflow lesson applies to any driver-side loop of joins).
+    *
+    * Returns (id, component) where component = min id in the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // symmetric edge list; self-loops make "min over neighborhood" include
+    // the node's own label without a separate union branch
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .union(pairs.select(col("id_a").as("src"), col("id_a").as("dst")))
+      .union(pairs.select(col("id_b").as("src"), col("id_b").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id"), col("src").as("component")).distinct()
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = edges
+        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      // one small action per round: count labels that changed
+      converged = next.join(labels.withColumnRenamed("component", "prev"), "id")
+        .filter(col("component") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
   /** SimHash (60-bit) of the token multiset: per token take a portable
     * md5-derived hash, add ±1 per bit position, sign → bit. Near-dups =
     * small Hamming distance between simhashes; candidates at scale come

@@ -184,6 +184,59 @@ object TextOps {
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         ORDER BY id_a, id_b""")),
 
+    // Dedup clusters: connected components over the q26 LSH candidate
+    // pairs — pairs → the clusters a pipeline actually deletes (keep the
+    // component-min doc, drop the rest). Spark side is iterative min-label
+    // propagation (one keyed shuffle per round, diameter-bounded); the
+    // oracle is an independent algorithm — DuckDB's recursive-CTE
+    // reachability closure — agreeing on the exact labeling.
+    QueryDef(
+      "q78_dedup_clusters",
+      (s, dir) => {
+        val sig = Dedup.minhashSignaturesScanLocal(Tables.documents(s, dir), "doc_id", "text",
+          k = 4, w = 3)
+        val pairs = Dedup.minhashCandidates(
+          Dedup.minhashBands(sig, "doc_id", k = 4, r = 2), "doc_id")
+        Dedup.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("component"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+          WHERE len(t) >= 3),
+        sig AS (
+          SELECT doc_id,
+            min(('0x' || substr(md5('mh0' || shingle), 1, 8))::BIGINT) AS s0,
+            min(('0x' || substr(md5('mh1' || shingle), 1, 8))::BIGINT) AS s1,
+            min(('0x' || substr(md5('mh2' || shingle), 1, 8))::BIGINT) AS s2,
+            min(('0x' || substr(md5('mh3' || shingle), 1, 8))::BIGINT) AS s3
+          FROM sh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band_idx, s0::VARCHAR || '_' || s1::VARCHAR AS band_key FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band_idx, s2::VARCHAR || '_' || s3::VARCHAR AS band_key FROM sig),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+          UNION SELECT id_a, id_a FROM pairs
+          UNION SELECT id_b, id_b FROM pairs),
+        walk AS (
+          SELECT src AS id, src AS component FROM edges
+          UNION
+          SELECT e.src AS id, w.component
+          FROM walk w JOIN edges e ON e.dst = w.id)
+        SELECT id AS doc_id, min(component) AS component
+        FROM walk GROUP BY id ORDER BY doc_id""")),
+
     // Language-ID (stopword-profile heuristic) distribution vs labeled lang,
     // via the broadcast-dictionary-join scale path (TextStats.langIdTable).
     // The oracle's dictionary VALUES list is generated from the SAME Scala

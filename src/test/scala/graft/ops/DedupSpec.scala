@@ -80,4 +80,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.length === 1, s"pruning must leave only the planted pair: ${pairs.toSeq}")
     assert(pairs.head === ((100L, 101L, 1.0)))
   }
+
+  test("connectedComponents labels chains, cliques and pairs with the component min") {
+    // component {1,2,3,4} as a chain (diameter 3 — needs real propagation,
+    // not just one round), clique {10,11,12}, pair {20,21}
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (21L, 20L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    // a 12-node path is the adversarial shape (diameter 11): still converges
+    val path = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(path, maxIter = 15).collect()
+      .map(r => r.getLong(1)).distinct
+    assert(labels.toSeq === Seq(0L), "path graph must collapse to one component")
+  }
 }

@@ -27,6 +27,40 @@ object TextStats {
         "([A-Za-z])([0-9])|([0-9])([A-Za-z])", "$1$3 $2$4"),
       "\\s+"))
 
+  /** Repetition-based quality stats per document — the Gopher/MassiveText
+    * repetition filters (Rae et al. 2021, appendix A1.1) re-expressed over
+    * word n-grams:
+    *
+    *  - `top2_frac`: occurrences of the single most frequent 2-gram as a
+    *    fraction of all 2-gram occurrences (high → looping/templated text);
+    *  - `dup3_frac`: fraction of 3-gram occurrences beyond each gram's
+    *    first (high → internally repetitive text).
+    *
+    * Scale shape: n-gram streams come from the codegen'd `word_shingles`
+    * expression (NOT deduplicated — multiplicity is the signal here, unlike
+    * [[Dedup.wordShingles]]); the only shuffles are the two (id, gram)
+    * aggregates, both map-side combinable, and nothing ever compares
+    * documents to each other. Documents with fewer than 3 tokens have no
+    * 3-grams and are dropped (they get filtered by the length rule long
+    * before repetition matters).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def gramStats(w: Int, top: String, dup: String): DataFrame =
+      docs
+        .select(col(idCol),
+          explode(graft.functions.WordShinglesExpr.word_shingles(col(textCol), lit(w)))
+            .as("gram"))
+        .groupBy(col(idCol), col("gram"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col(idCol))
+        .agg(
+          (max(col("c")).cast("double") / sum(col("c"))).as(top),
+          ((sum(col("c")) - countDistinct(col("gram"))).cast("double") / sum(col("c")))
+            .as(dup))
+    gramStats(2, "top2_frac", "dup2_frac").drop("dup2_frac")
+      .join(gramStats(3, "top3_frac", "dup3_frac").drop("top3_frac"), idCol)
+  }
+
   /** Stopword set used by the quality features (shared with the q28 oracle
     * so both sides compute from the same list).
     */

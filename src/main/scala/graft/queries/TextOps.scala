@@ -184,6 +184,37 @@ object TextOps {
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         ORDER BY id_a, id_b""")),
 
+    // Gopher-style repetition quality stats: top-2-gram occurrence fraction
+    // + duplicate-3-gram fraction per doc. Raw double output is safe to
+    // hash: each fraction is ONE division of exact integers, so both
+    // engines produce the bit-identical IEEE result (no summation-order
+    // drift to round away).
+    QueryDef(
+      "q79_repetition_stats",
+      (s, dir) =>
+        TextStats.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+          FROM documents),
+        g2 AS (
+          SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+          FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+          WHERE len(t) >= 2),
+        c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram),
+        s2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top2_frac FROM c2 GROUP BY doc_id),
+        g3 AS (
+          SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+          FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+          WHERE len(t) >= 3),
+        c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY doc_id, gram),
+        s3 AS (
+          SELECT doc_id, (sum(c) - count(DISTINCT gram))::DOUBLE / sum(c) AS dup3_frac
+          FROM c3 GROUP BY doc_id)
+        SELECT doc_id, top2_frac, dup3_frac
+        FROM s2 JOIN s3 USING (doc_id) ORDER BY doc_id""")),
+
     // Dedup clusters: connected components over the q26 LSH candidate
     // pairs — pairs → the clusters a pipeline actually deletes (keep the
     // component-min doc, drop the rest). Spark side is iterative min-label

@@ -66,4 +66,21 @@ class TextStatsSpec extends SparkSpec {
     // fooBar → foo Bar; baz42qux → baz 42 qux → 5 pieces
     assert(df.select(TextStats.subwordCountEstimate($"t")).head().getInt(0) === 5)
   }
+
+  test("repetitionStats: closed-form fractions on looping vs clean text") {
+    val docs = Seq(
+      // "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] → top "a b" 3/5;
+      // 3-grams = [a b a, b a b, a b a, b a b] → 4 occurrences, 2 distinct
+      // → dup3 = (4-2)/4 = 0.5
+      (1L, "a b a b a b"),
+      // all-distinct grams: top2 = 1/4, dup3 = 0
+      (2L, "v w x y z"),
+      // 2 tokens: has a 2-gram but no 3-gram → dropped by the inner join
+      (3L, "only two")).toDF("doc_id", "text")
+    val got = TextStats.repetitionStats(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got === Map(
+      1L -> ((3.0 / 5.0, 0.5)),
+      2L -> ((0.25, 0.0))))
+  }
 }

@@ -123,10 +123,14 @@ object Training {
     */
   def packBins(
       docs: DataFrame, idCol: String, tokensCol: String, budget: Long,
-      shardHexChars: Int = 1, seed: String = "graft-pack"): DataFrame = {
+      shardHexChars: Int = 1, seed: String = "graft-pack",
+      partitionCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0 && shardHexChars >= 1 && shardHexChars <= 8)
     val shard = hashHex(col(idCol), seed, shardHexChars)
-    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    // extra partition columns (e.g. the split label) pack independent
+    // streams without interleaving — bins never span a split boundary
+    val w = Window.partitionBy(partitionCols.map(col) :+ col("shard"): _*)
+      .orderBy(col(idCol))
     docs
       .withColumn("shard", shard)
       .withColumn("cum_tokens", sum(col(tokensCol)).over(w))

@@ -130,6 +130,85 @@ object TrainingOps {
         GROUP BY 1, 2 HAVING count(*) >= 2
         ORDER BY n_shared DESC, test_id, train_id LIMIT 20""")),
 
+    // The composed curation pipeline — the operators above chained into
+    // the corpus → training-shards job a real pretraining pipeline runs:
+    // exact-dedup keepers → quality filter → deterministic split →
+    // 64-token chunking → per-(split, shard) sequence packing → bin
+    // manifest. ONE query, one composed SQL twin built from the same
+    // stage CTEs that gate individually (q21/q28/q73/q77/q74), so a
+    // semantic drift in any stage breaks this gate too.
+    QueryDef(
+      "q80_curation_pipeline",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val keepers = Dedup.exactGroups(docs, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        val kept = docs.join(keepers, Seq("doc_id"), "left_semi")
+        val quality = kept.filter(TextStats.qualityScore(col("text")) >= 0.99)
+        val chunks = Training.chunkTokens(quality, "doc_id", "text",
+            chunkSize = 64, stride = 64)
+          // surrogate chunk key: unique, order-preserving, same arithmetic
+          // as the oracle (chunk_start < 1e6 tokens per doc by far)
+          .withColumn("cid", col("doc_id") * lit(1000000L) + col("chunk_start"))
+          // split is a pure function of the PARENT doc id: every chunk of
+          // a document lands in the same split — no join to route it
+          .withColumn("split", Training.splitColumn(col("doc_id"), Splits))
+        Training.packBins(
+            chunks.select(col("cid"), col("split"), col("chunk_tokens")),
+            "cid", "chunk_tokens", budget = PackBudget,
+            partitionCols = Seq("split"))
+          .groupBy(col("split"), col("shard"), col("bin"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(col("chunk_tokens")).cast("long").as("bin_tokens"))
+          .orderBy(col("split"), col("shard"), col("bin"))
+      },
+      Some {
+        val stops = TextStats.qualityStopwords.map(w => s"'$w'").mkString(", ")
+        s"""
+        WITH keepers AS (
+          SELECT min(doc_id) AS doc_id FROM documents
+          GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))),
+        kept AS (
+          SELECT d.doc_id, d.text FROM documents d JOIN keepers k USING (doc_id)),
+        f AS (
+          SELECT doc_id,
+            CAST(len(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS DOUBLE) AS n_toks,
+            CAST(length(text) AS DOUBLE) AS n_chars,
+            CAST(len(list_filter(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                     x -> list_contains([$stops], x))) AS DOUBLE) AS stop_hits
+          FROM kept),
+        sc AS (
+          SELECT doc_id,
+            (CASE WHEN n_toks >= 10 AND n_toks <= 100000 THEN 1.0 ELSE 0.3 END) * 0.4
+          + (CASE WHEN n_chars / greatest(n_toks, 1.0) >= 2.5
+                   AND n_chars / greatest(n_toks, 1.0) <= 12.0 THEN 1.0 ELSE 0.4 END) * 0.4
+          + (CASE WHEN stop_hits / greatest(n_toks, 1.0) >= 0.01 THEN 1.0 ELSE 0.5 END) * 0.2
+            AS raw FROM f),
+        q AS (
+          SELECT kept.doc_id, kept.text FROM kept JOIN sc USING (doc_id)
+          WHERE round(raw, 4) >= 0.99),
+        toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+          FROM q WHERE text IS NOT NULL),
+        ch AS (
+          SELECT doc_id, CAST(i AS INTEGER) AS chunk_start,
+            CAST(len(t[i:i+63]) AS INTEGER) AS chunk_tokens
+          FROM toks, unnest(generate_series(1, greatest(len(t), 1), 64)) AS g(i)),
+        cids AS (
+          SELECT doc_id * 1000000 + chunk_start AS cid, chunk_tokens,
+            ${Training.splitSql("doc_id", Splits)} AS split,
+            ${Training.hashHexSql("doc_id * 1000000 + chunk_start", "graft-pack", hexChars = 1)} AS shard
+          FROM ch),
+        w AS (
+          SELECT split, shard, cid, chunk_tokens,
+            sum(chunk_tokens) OVER (PARTITION BY split, shard ORDER BY cid) AS cum
+          FROM cids)
+        SELECT split, shard, CAST(floor((cum - chunk_tokens) / $PackBudget) AS BIGINT) AS bin,
+          count(*) AS n_chunks, CAST(sum(chunk_tokens) AS BIGINT) AS bin_tokens
+        FROM w GROUP BY split, shard, bin ORDER BY split, shard, bin"""
+      }),
+
     // Context-window chunking: disjoint 32-token windows per document —
     // the map-side explode that precedes packing when bins must be ≤
     // budget exactly. Gate hashes every chunk's text fingerprint.

@@ -137,6 +137,13 @@ class PlanSpec extends SparkSpec {
       s"packing window lost its shard partitioning:\n$plan")
   }
 
+  test("q80 composed pipeline packs within (split, shard) — window partition spec intact") {
+    val df = SparkEntry.queries("q80_curation_pipeline")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("windowspecdefinition(split") && plan.contains("shard"),
+      s"pipeline packing window lost its (split, shard) partitioning:\n$plan")
+  }
+
   test("q75 stratified sample is map-only: no hash shuffle, no join") {
     val df = SparkEntry.queries("q75_stratified_sample")(spark, sf("sf0.001"))
     val plan = planOf(df)

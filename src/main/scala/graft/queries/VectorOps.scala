@@ -269,5 +269,48 @@ object VectorOps {
               4) AS cosine
           FROM p ORDER BY id_a"""
       }),
+
+    // int8 scalar quantization of the embedding column (the 4× memory /
+    // bandwidth lever for a 100 TB vector store) via the native
+    // quantize_i8 / quant_err_i8 expressions: per-vector min/max scaling,
+    // all-double math, floor(v + 0.5) half-up rounding — bit-identical in
+    // any IEEE engine, so codes AND reconstruction errors carry a full
+    // hash oracle; recon_ok is the q51-style independently-recomputed
+    // half-step-bound flag (literally true everywhere).
+    QueryDef(
+      "q81_embedding_quantize",
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            array_min(col("embedding")).cast("double").as("mn"),
+            array_max(col("embedding")).cast("double").as("mx"),
+            graft.functions.QuantExprs.quantize_i8(col("embedding")).as("codes"),
+            graft.functions.QuantExprs.quant_err_i8(col("embedding")).as("max_err"))
+          .withColumn("recon_ok",
+            col("max_err") <= (col("mx") - col("mn")) / lit(255.0) / lit(2.0) + lit(1e-12))
+          .orderBy(col("vec_id")),
+      Some("""
+        WITH base AS (
+          SELECT vec_id,
+            CAST(list_min(embedding) AS DOUBLE) AS mn,
+            CAST(list_max(embedding) AS DOUBLE) AS mx,
+            embedding
+          FROM embeddings),
+        qz AS (
+          SELECT vec_id, mn, mx,
+            CASE WHEN mx = mn THEN list_transform(embedding, x -> 0)
+                 ELSE list_transform(embedding, x ->
+                   CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5) AS INTEGER))
+            END AS codes,
+            CASE WHEN mx = mn THEN 0.0
+                 ELSE list_max(list_transform(embedding, x ->
+                   abs(CAST(x AS DOUBLE) -
+                       (mn + floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5)
+                             * (mx - mn) / 255.0))))
+            END AS max_err
+          FROM base)
+        SELECT vec_id, mn, mx, codes, max_err,
+          max_err <= (mx - mn) / 255.0 / 2.0 + 1e-12 AS recon_ok
+        FROM qz ORDER BY vec_id""")),
   )
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineF, DeletionVariantsExpr, DotF, HyperplaneSketchExpr, MinHashSigExpr, QuantErrI8, QuantizeI8, RollingHash, SimHashExpr, WordShinglesExpr}
+import graft.functions.{CosineF, CosineQ8, DeletionVariantsExpr, DotF, HyperplaneSketchExpr, MinHashSigExpr, QuantErrI8, QuantizeI8, RollingHash, SimHashExpr, WordShinglesExpr}
 
 /** Session extension installing the engine's native functions into the SQL
   * registry, so `SELECT rolling_hash(text)` works from pure SQL as well as
@@ -38,5 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       DeletionVariantsExpr(c(0), c(1)))
     register(ext, "quantize_i8", classOf[QuantizeI8].getName, 1)(c => QuantizeI8(c.head))
     register(ext, "quant_err_i8", classOf[QuantErrI8].getName, 1)(c => QuantErrI8(c.head))
+    register(ext, "cosine_q8", classOf[CosineQ8].getName, 4)(c =>
+      CosineQ8(c(0), c(1), c(2), c(3)))
   }
 }

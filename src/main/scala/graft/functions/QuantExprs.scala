@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -27,8 +27,16 @@ import org.apache.spark.sql.types._
   */
 object QuantKernel {
 
-  @inline private def get(a: ArrayData, isFloat: Boolean, i: Int): Double =
+  // Fail fast on null elements: getFloat/getDouble would silently read 0.0
+  // on UnsafeArrayData but NPE on GenericArrayData, letting interpreted
+  // eval and codegen drift. Both paths call this one kernel, so a planted
+  // null is a loud error in either engine, never a silent 0-quantization.
+  @inline private def get(a: ArrayData, isFloat: Boolean, i: Int): Double = {
+    if (a.isNullAt(i))
+      throw new IllegalArgumentException(
+        s"quantize_i8/quant_err_i8: null element at index $i (vectors must be dense)")
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+  }
 
   @inline private def corners(a: ArrayData, isFloat: Boolean): (Double, Double) = {
     val n = a.numElements()
@@ -83,6 +91,37 @@ object QuantKernel {
     }
     worst
   }
+
+  /** Fused cosine between a float/double query vector and a QUANTIZED
+    * corpus vector (uint8 codes + corners), dequantizing inline in the
+    * scoring loop — the corpus side of an ANN scan reads 1 byte/element
+    * instead of 4 and never materializes the reconstructed array.
+    * Dequant per element: x̂_i = mn + q_i·(mx − mn)/255 (left-to-right,
+    * all-double — the DuckDB twin replays it via `list_transform`).
+    * Same zero-norm → −1 guard as [[VectorKernel.cosine]].
+    */
+  def cosineQ(q: ArrayData, qIsFloat: Boolean, codes: ArrayData,
+      mn: Double, mx: Double): Double = {
+    val n = q.numElements()
+    require(n == codes.numElements(),
+      s"cosine_q8 dimension mismatch: ${q.numElements()} vs ${codes.numElements()}")
+    val range = mx - mn
+    var d = 0.0
+    var nq = 0.0
+    var nx = 0.0
+    var i = 0
+    while (i < n) {
+      if (codes.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"cosine_q8: null code at index $i (codes must be dense)")
+      val x = get(q, qIsFloat, i)
+      val y = mn + codes.getInt(i) * range / 255.0
+      d += x * y; nq += x * x; nx += y * y
+      i += 1
+    }
+    val denom = math.sqrt(nq) * math.sqrt(nx)
+    if (denom > 0) d / denom else -1.0
+  }
 }
 
 /** Type plumbing shared by the unary quantization expressions. */
@@ -91,6 +130,9 @@ trait QuantUnaryExpression extends UnaryExpression {
   protected def vecIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // containsNull=true is accepted (parquet list elements read as nullable
+  // even when dense); an ACTUAL null element fails fast inside the shared
+  // kernel — see [[QuantKernel.get]].
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -138,6 +180,53 @@ case class QuantErrI8(child: Expression) extends QuantUnaryExpression {
   override def prettyName: String = "quant_err_i8"
 }
 
+/** `cosine_q8(q_vec, codes, mn, mx)` — fused cosine against a quantized
+  * vector, dequantizing inline (see [[QuantKernel.cosineQ]]). This is what
+  * makes int8 quantization a scan-bandwidth lever: the ANN candidate scan
+  * reads the 4×-smaller code column and scores it directly.
+  */
+case class CosineQ8(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def qIsFloat: Boolean =
+    first.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val qOk = first.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    val cOk = second.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _                         => false
+    }
+    if (!qOk || !cOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<FLOAT|DOUBLE>, ARRAY<INT>, DOUBLE, DOUBLE), got " +
+          children.map(_.dataType.catalogString).mkString("(", ", ", ")"))
+    else if (third.dataType != DoubleType || fourth.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName corners (mn, mx) must be DOUBLE")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override protected def nullSafeEval(q: Any, codes: Any, mn: Any, mx: Any): Any =
+    QuantKernel.cosineQ(
+      q.asInstanceOf[ArrayData], qIsFloat, codes.asInstanceOf[ArrayData],
+      mn.asInstanceOf[Double], mx.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, c, mn, mx) =>
+      s"${ev.value} = graft.functions.QuantKernel.cosineQ($q, $qIsFloat, $c, $mn, $mx);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): CosineQ8 =
+    copy(first = f, second = s, third = t, fourth = q)
+
+  override def prettyName: String = "cosine_q8"
+}
+
 /** Column-API entry points (registry-resolved, same path SQL takes). */
 object QuantExprs {
   import org.apache.spark.sql.functions.call_function
@@ -145,4 +234,7 @@ object QuantExprs {
   def quantize_i8(vec: Column): Column = call_function("quantize_i8", vec)
 
   def quant_err_i8(vec: Column): Column = call_function("quant_err_i8", vec)
+
+  def cosine_q8(q: Column, codes: Column, mn: Column, mx: Column): Column =
+    call_function("cosine_q8", q, codes, mn, mx)
 }

@@ -119,34 +119,70 @@ object Dedup {
       .distinct()
   }
 
+  /** 1-row (`cap`) frame holding the observed max shingle document
+    * frequency — the "never actually prunes" cap for exact-result gates.
+    * Joining it in as a broadcast scalar subquery keeps the whole pipeline
+    * ONE action with no separate driver-side cap-derivation pass (the r6
+    * q24 defect: `agg(max).head()` re-scanned the corpus per run).
+    */
+  def observedMaxDfCap(shingles: DataFrame): DataFrame =
+    shingles.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df")).as("cap"))
+
+  /** Drop shingles whose document frequency exceeds the cap carried by the
+    * 1-row `capFrame` — the hot-stop-shingle guard for every inverted-index
+    * join (a shingle in d documents contributes d·(d−1)/2 join rows, so one
+    * hot boilerplate shingle makes the join quadratic in its DF). DF per
+    * shingle is a map-side-combinable count; the over-cap set is tiny (it
+    * IS the stop-shingles), so the anti-join broadcasts. An empty/NULL cap
+    * frame (empty corpus) prunes nothing.
+    */
+  def pruneHotShingles(shingles: DataFrame, capFrame: DataFrame): DataFrame = {
+    val hot = shingles.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(capFrame.select(col("cap"))))
+      .filter(col("df") > col("cap"))
+      .select(col("shingle"))
+    shingles.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
+
+  /** The shingle frame with the chosen DF-cap policy applied: a constant
+    * cap, the in-job derived observed-max cap (exercises the pruning path
+    * while provably never pruning — exact-oracle gates), or untouched.
+    */
+  private[ops] def cappedShingles(
+      shingles: DataFrame, maxShingleDf: Option[Long],
+      capAtObservedMax: Boolean): DataFrame = {
+    require(maxShingleDf.isEmpty || !capAtObservedMax,
+      "pass a constant cap OR capAtObservedMax, not both")
+    maxShingleDf match {
+      case Some(cap) =>
+        val capFrame = shingles.sparkSession.range(1).select(lit(cap).as("cap"))
+        pruneHotShingles(shingles, capFrame)
+      case None if capAtObservedMax =>
+        pruneHotShingles(shingles, observedMaxDfCap(shingles))
+      case None => shingles
+    }
+  }
+
   /** n-gram Jaccard for pairs that share ≥1 shingle. Candidate generation
     * is the shingle inverted-index join (shuffle keyed on shingle); the n²
-    * blowup is bounded by per-shingle document frequency, so a shingle
-    * appearing in d documents contributes d·(d−1)/2 join rows — one hot
-    * stop-shingle ("the the the") makes the join quadratic in its DF.
+    * blowup is bounded by per-shingle document frequency — see
+    * [[pruneHotShingles]].
     *
     * `maxShingleDf` caps that: shingles with document frequency above the
     * cap are dropped from BOTH the index join and the per-document sizes —
     * i.e. Jaccard over the non-stop shingle space. With no shingle over
     * the cap the result is exactly standard Jaccard (the gate query runs
-    * with the cap on and a full-Jaccard DuckDB oracle stays green); with
-    * hot shingles it is the documented stop-word-pruned variant every
-    * at-scale dedup uses. `None` disables pruning.
+    * `capAtObservedMax = true`, deriving that cap INSIDE the job, and a
+    * full-Jaccard DuckDB oracle stays green); with hot shingles it is the
+    * documented stop-word-pruned variant every at-scale dedup uses.
     */
   def jaccardPairs(
       shingles: DataFrame, idCol: String,
-      maxShingleDf: Option[Long] = None): DataFrame = {
-    val kept = maxShingleDf match {
-      case None => shingles
-      case Some(cap) =>
-        // DF per shingle is a map-side-combinable count; the anti-join
-        // against the tiny over-cap set broadcasts
-        val hot = shingles.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap)
-          .select(col("shingle"))
-        shingles.join(broadcast(hot), Seq("shingle"), "left_anti")
-    }
+      maxShingleDf: Option[Long] = None,
+      capAtObservedMax: Boolean = false): DataFrame = {
+    val kept = cappedShingles(shingles, maxShingleDf, capAtObservedMax)
     val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = kept.as("a")
     val b = kept.as("b")

@@ -168,6 +168,48 @@ object Similarity {
       broadcast(spark.read.parquet(s"$path/centroids")),
       spark.read.parquet(s"$path/assigned"))
 
+  /** Persist an IVF index with an int8-quantized copy of each vector
+    * alongside the float original: (id, vec, codes, mn, mx), partitioned
+    * by cell. Parquet is columnar, so storing both costs disk but not scan
+    * bandwidth — the quantized query path ([[ivfQueryQuantized]]) touches
+    * only the 4×-smaller code column (+ two doubles), and an exact rerank
+    * can still reach the float column when it wants to. PlanSpec pins that
+    * the quantized probe scan's ReadSchema carries `codes` and NOT `vec`.
+    */
+  def writeIvfIndexQuantized(index: IvfIndex, path: String): Unit = {
+    import graft.functions.QuantExprs
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.assigned
+      .select(col("id"), col("vec"),
+        QuantExprs.quantize_i8(col("vec")).as("codes"),
+        array_min(col("vec")).cast("double").as("mn"),
+        array_max(col("vec")).cast("double").as("mx"),
+        col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
+  }
+
+  /** Per-query nProbe nearest cells (by centroid cosine), with the query
+    * vector carried along — the shared head of both IVF query paths.
+    */
+  private def probeCells(
+      queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame =
+    queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .join(broadcast(centroids))
+      .withColumn("d", cosine(col("q_vec"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("d").desc, col("cell"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("cell"))
+
+  /** Shared tail: per-query top-k over the scored candidates. */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cosine"))
+
   /** IVF query path: each query probes its `nProbe` nearest cells; only
     * those cells' vectors are scored. With a disk-backed index (cell-
     * partitioned parquet) the broadcast join on `cell` triggers dynamic
@@ -177,15 +219,7 @@ object Similarity {
   def ivfQuery(
       queries: DataFrame, index: IvfIndex,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
-    val centDf = broadcast(index.centroids)
-    val qProbes = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .join(centDf)
-      .withColumn("d", cosine(col("q_vec"), col("centroid")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("d").desc, col("cell"))))
-      .filter(col("rn") <= nProbe)
-      .select(col("q_id"), col("q_vec"), col("cell"))
-
+    val qProbes = probeCells(queries, index.centroids, idCol, vecCol, nProbe)
     // corpus on the stream side, probes broadcast: one (q, target) row per
     // shared cell — cell assignment is unique per target, so no distinct
     // is needed (unlike the multi-table LSH join)
@@ -194,11 +228,31 @@ object Similarity {
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id").as("neighbor_id"),
         cosine(col("q_vec"), col("vec")).as("cosine"))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    topK(scored, k)
+  }
+
+  /** IVF query over the QUANTIZED index: identical probe selection, but
+    * candidates are scored with `cosine_q8` straight off the int8 code
+    * column — the scan never touches the float vector (column pruning
+    * drops it from ReadSchema), so candidate generation reads ~4× fewer
+    * bytes per cell. Dequantization happens inline in the fused scoring
+    * loop; the reconstruction error is ≤ half a quantization step per
+    * element, which planted-NN gates absorb by margin (planted cosine ≈ 1
+    * vs i.i.d. cross pairs ≤ ~0.51).
+    */
+  def ivfQueryQuantized(
+      queries: DataFrame, index: IvfIndex,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    import graft.functions.QuantExprs
+    val qProbes = probeCells(queries, index.centroids, idCol, vecCol, nProbe)
+    val scored = index.assigned
+      .select(col("cell"), col("id"), col("codes"), col("mn"), col("mx"))
+      .join(broadcast(qProbes), Seq("cell"))
+      .filter(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        QuantExprs.cosine_q8(col("q_vec"), col("codes"), col("mn"), col("mx"))
+          .as("cosine"))
+    topK(scored, k)
   }
 
   /** Build-and-query convenience (tests, ad-hoc): the production path is

@@ -71,6 +71,23 @@ object VectorOps {
       Similarity.readIvfIndex(s, path)
     })
 
+  /** q82's QUANTIZED IVF index (int8 codes + corners alongside the float
+    * vectors, cell-partitioned) — same offline-build contract as
+    * [[ivfIndexFor]].
+    */
+  private val ivfQuantCache =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfIndex]
+
+  private def ivfQuantIndexFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    ivfQuantCache.getOrElseUpdate(dir, {
+      val path = s"/tmp/graft_ivf_q/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Similarity.writeIvfIndexQuantized(
+        Similarity.buildIvfIndex(Tables.embeddings(s, dir), "vec_id", "embedding",
+          nCentroids = 16, seed = 42L),
+        path)
+      Similarity.readIvfIndex(s, path)
+    })
+
   /** Seeded clustered-embedding fixture for the ANN recall gate (q68).
     * The planted twins (q37/q38) prove the pipelines EXACT on plantable
     * inputs, but recall on i.i.d. vectors is uninformative (LSH recall ≈ 0
@@ -284,7 +301,10 @@ object VectorOps {
           .select(col("vec_id"),
             array_min(col("embedding")).cast("double").as("mn"),
             array_max(col("embedding")).cast("double").as("mx"),
-            graft.functions.QuantExprs.quantize_i8(col("embedding")).as("codes"),
+            // serialized for the hash gate (the q04 pattern: the oracle
+            // harness can't sort/hash raw array columns)
+            array_join(graft.functions.QuantExprs.quantize_i8(col("embedding")), ",")
+              .as("codes"),
             graft.functions.QuantExprs.quant_err_i8(col("embedding")).as("max_err"))
           .withColumn("recon_ok",
             col("max_err") <= (col("mx") - col("mn")) / lit(255.0) / lit(2.0) + lit(1e-12))
@@ -309,8 +329,51 @@ object VectorOps {
                              * (mx - mn) / 255.0))))
             END AS max_err
           FROM base)
-        SELECT vec_id, mn, mx, codes, max_err,
+        SELECT vec_id, mn, mx, array_to_string(codes, ',') AS codes, max_err,
           max_err <= (mx - mn) / 255.0 / 2.0 + 1e-12 AS recon_ok
         FROM qz ORDER BY vec_id""")),
+
+    // IVF ANN over the QUANTIZED index: candidate scoring runs cosine_q8
+    // straight off the int8 code column (the float vector is pruned from
+    // the scan — PlanSpec pins ReadSchema), dequantizing inline. Planted
+    // probes still rank their source first (quantization shifts cosines by
+    // ≤ half a step; planted ≈ 1 vs cross pairs ≤ ~0.51), and the quantized
+    // cosine itself is bit-stable all-double math, so the DuckDB twin
+    // recomputes codes + dequant + fold closed-form → full hash oracle.
+    QueryDef(
+      "q82_ann_ivf_quantized",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.ivfQueryQuantized(planted(e.filter(col("vec_id") < 5)),
+            ivfQuantIndexFor(s, dir), "vec_id", "embedding", k = 5, nProbe = 4)
+          .filter(col("rank") === 1)
+          .select(col("q_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+          .orderBy(col("q_id"))
+      },
+      Some {
+        val pv = "list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001 + 0.0005)"
+        s"""
+          WITH p AS (
+            SELECT vec_id, $pv AS pv FROM embeddings WHERE vec_id < 5),
+          base AS (
+            SELECT vec_id,
+              CAST(list_min(embedding) AS DOUBLE) AS mn,
+              CAST(list_max(embedding) AS DOUBLE) AS mx,
+              embedding
+            FROM embeddings),
+          dq AS (
+            SELECT vec_id,
+              CASE WHEN mx = mn THEN list_transform(embedding, x -> mn)
+                   ELSE list_transform(embedding, x ->
+                     mn + floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5)
+                          * (mx - mn) / 255.0)
+              END AS dv
+            FROM base)
+          SELECT p.vec_id + 100000 AS q_id, p.vec_id AS neighbor_id,
+            round(${oracleDot.format("pv", "dv")} /
+              (sqrt(${oracleDot.format("pv", "pv")}) * sqrt(${oracleDot.format("dv", "dv")})),
+              4) AS cosine
+          FROM p JOIN dq ON dq.vec_id = p.vec_id ORDER BY q_id"""
+      }),
   )
 }

@@ -59,8 +59,19 @@ object Bench {
       s""""$k":"${msg.replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(120)}""""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right((med, _))) => med }.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$timings,"spread_sec":$spreads,"errors":$errs,"reps":$reps,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$timings,"spread_sec":$spreads,"errors":$errs,"reps":$reps,"sf":"$sfDir"}"""
+    println(line)
+    // Durable copy: the driver preserves only a stdout TAIL, which has
+    // twice truncated the per-query map out of the round record (r4, r6).
+    // The full JSON always lands in a file too.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outFile).getParent)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
     if (results.exists(_._2.isLeft)) sys.exit(1)
   }

@@ -220,8 +220,17 @@ object Dedup {
     *
     * Returns (id, component) where component = min id in the component.
     */
+  /** The cached RDD behind a `localCheckpoint()`ed frame, for explicit
+    * unpersist once a later round supersedes it — without this, block-
+    * manager storage grows linearly with iteration count (ADVICE r6).
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val spark = pairs.sparkSession
+    import org.apache.spark.sql.Observation
     // symmetric edge list; self-loops make "min over neighborhood" include
     // the node's own label without a separate union branch
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -235,15 +244,27 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // ONE action per round: the self-loop row carries the node's own
+      // previous label through the same aggregate (dst = src → its label),
+      // and the convergence flag rides the materializing action as an
+      // observed metric — no separate join + isEmpty probe job (r6 ran two
+      // actions per round)
+      val obs = Observation(s"cc_round_$iter")
       val next = edges
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
-        .agg(min(col("component")).as("component"))
+        .agg(
+          min(col("component")).as("component"),
+          max(when(col("dst") === col("src"), col("component"))).as("prev"))
+        .observe(obs,
+          coalesce(max(col("component") =!= col("prev")), lit(false)).as("changed"))
         .localCheckpoint()
-      // one small action per round: count labels that changed
-      converged = next.join(labels.withColumnRenamed("component", "prev"), "id")
-        .filter(col("component") =!= col("prev")).isEmpty
-      labels = next
+      converged = !obs.get("changed").asInstanceOf[Boolean]
+      // the superseded round's checkpoint blocks are dead the moment
+      // `next` is materialized — free them instead of accumulating one
+      // cached label frame per round
+      checkpointRdd(labels).foreach(_.unpersist(blocking = false))
+      labels = next.select(col("id"), col("component"))
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

@@ -97,14 +97,22 @@ object Training {
     hashHex(id, seed) < thr
   }
 
-  /** SQL twin of [[stratifiedKeep]]. */
+  /** SQL twin of [[stratifiedKeep]]. An empty `rates` map emits the bare
+    * default threshold (a `CASE` with no WHEN arms is a syntax error in
+    * DuckDB, while the Scala twin folds to the plain default — ADVICE r6).
+    */
   def stratifiedKeepSql(
       idExpr: String, labelExpr: String, rates: Map[String, Double],
       defaultRate: Double = 0.0, seed: String = "graft-strat"): String = {
-    val whens = rates.toSeq.sortBy(_._1)
-      .map { case (lbl, r) => s"WHEN $labelExpr = '$lbl' THEN '${hexThreshold(r)}'" }
-      .mkString(" ")
-    s"${hashHexSql(idExpr, seed)} < (CASE $whens ELSE '${hexThreshold(defaultRate)}' END)"
+    val thr =
+      if (rates.isEmpty) s"'${hexThreshold(defaultRate)}'"
+      else {
+        val whens = rates.toSeq.sortBy(_._1)
+          .map { case (lbl, r) => s"WHEN $labelExpr = '$lbl' THEN '${hexThreshold(r)}'" }
+          .mkString(" ")
+        s"(CASE $whens ELSE '${hexThreshold(defaultRate)}' END)"
+      }
+    s"${hashHexSql(idExpr, seed)} < $thr"
   }
 
   /** Greedy sequential sequence packing, shard-local: route each document
@@ -181,14 +189,20 @@ object Training {
     *
     * Scale shape: same as [[Dedup.jaccardPairs]] — an equi-join keyed on
     * the shingle, cost bounded by per-shingle document frequency, never an
-    * all-pairs product. Feed it DF-capped shingles (jaccardPairs'
-    * `maxShingleDf` pruning) on corpora with hot stop-shingles.
+    * all-pairs product. The same DF-cap guard applies: `maxShingleDf`
+    * drops hot stop-shingles (a boilerplate shingle in d docs contributes
+    * up to d²/4 test×train rows), `capAtObservedMax` derives a
+    * never-prunes cap in-job so exact-oracle gates keep the pruning path
+    * exercised.
     */
   def contaminationPairs(
       shingles: DataFrame, idCol: String, split: Column,
       trainLabel: String = "train", testLabel: String = "test",
-      minShared: Long = 2L): DataFrame = {
-    val tagged = shingles.withColumn("__split", split)
+      minShared: Long = 2L,
+      maxShingleDf: Option[Long] = None,
+      capAtObservedMax: Boolean = false): DataFrame = {
+    val tagged = Dedup.cappedShingles(shingles, maxShingleDf, capAtObservedMax)
+      .withColumn("__split", split)
     val test = tagged.filter(col("__split") === testLabel)
       .select(col(idCol).as("test_id"), col("shingle"))
     val train = tagged.filter(col("__split") === trainLabel)

@@ -86,19 +86,19 @@ object TextOps {
         // no persist: the join's identical sides reuse one exchange, and
         // native word_shingles made recompute cheaper than cache traffic
         // (in-query persists also leaked across the old bench's battery).
-        // The DF cap is DERIVED from the corpus (observed max shingle DF,
-        // one small map-side-combined aggregate) instead of a constant: the
-        // pruning path always runs but never prunes, so the full-Jaccard
-        // oracle stays exact at ANY scale factor — a hardcoded cap would
-        // silently change the Jaccard definition once a shingle crossed it
-        // (ADVICE r4). Real hot-shingle pruning (a cap BELOW max DF) is
-        // covered by DedupSpec's hot-shingle collapse test.
+        // The DF cap is DERIVED from the corpus (observed max shingle DF)
+        // instead of a constant: the pruning path always runs but never
+        // prunes, so the full-Jaccard oracle stays exact at ANY scale
+        // factor — a hardcoded cap would silently change the Jaccard
+        // definition once a shingle crossed it (ADVICE r4). The cap joins
+        // in as a 1-row broadcast scalar subquery, so the whole query is
+        // ONE action with no separate driver-side cap pass (the r6 version
+        // ran agg(max).head() first — a full extra corpus scan per run;
+        // PlanSpec pins construction triggers zero jobs). Real hot-shingle
+        // pruning (a cap BELOW max DF) is covered by DedupSpec's
+        // hot-shingle collapse test.
         val sh = Dedup.wordShingles(Tables.documents(s, dir), "doc_id", "text", w = 3)
-        // max() over zero shingles is NULL (empty corpus / all-short docs):
-        // skip the cap instead of NPEing on getLong (ADVICE r5)
-        val maxDf = Option(sh.groupBy(col("shingle")).count()
-          .agg(max(col("count"))).head().get(0)).map(_.asInstanceOf[Long])
-        Dedup.jaccardPairs(sh, "doc_id", maxShingleDf = maxDf)
+        Dedup.jaccardPairs(sh, "doc_id", capAtObservedMax = true)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
           .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
           .limit(20)

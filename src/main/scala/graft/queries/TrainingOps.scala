@@ -102,7 +102,10 @@ object TrainingOps {
     // Train/test decontamination: (test, train) doc pairs sharing ≥2
     // distinct word-3-shingles, via the SAME shingle inverted-index join
     // shape as q24 (cost bounded by shingle DF, never all-pairs) — split
-    // routing is a per-row function of doc_id, adding no join.
+    // routing is a per-row function of doc_id, adding no join. The
+    // hot-shingle DF cap is on (derived in-job at the observed max, the
+    // q24 pattern), so the gate practices the guard its own docstring
+    // prescribes while the uncapped SQL twin stays exact.
     QueryDef(
       "q76_decontamination",
       (s, dir) =>
@@ -110,7 +113,8 @@ object TrainingOps {
             Dedup.wordShingles(Tables.documents(s, dir), "doc_id", "text", w = 3),
             "doc_id",
             Training.splitColumn(col("doc_id"), Splits),
-            minShared = 2L)
+            minShared = 2L,
+            capAtObservedMax = true)
           .orderBy(col("n_shared").desc, col("test_id"), col("train_id"))
           .limit(20),
       Some(s"""
@@ -148,8 +152,15 @@ object TrainingOps {
         val chunks = Training.chunkTokens(quality, "doc_id", "text",
             chunkSize = 64, stride = 64)
           // surrogate chunk key: unique, order-preserving, same arithmetic
-          // as the oracle (chunk_start < 1e6 tokens per doc by far)
-          .withColumn("cid", col("doc_id") * lit(1000000L) + col("chunk_start"))
+          // as the oracle. Uniqueness requires chunk_start < 1e6 (docs
+          // under ~64M tokens at this chunk size); the bound is ENFORCED —
+          // an over-limit doc raises instead of silently colliding into
+          // the next doc_id's key space (ADVICE r6)
+          .withColumn("cid", col("doc_id") * lit(1000000L) +
+            when(col("chunk_start") < lit(1000000), col("chunk_start"))
+              .otherwise(raise_error(concat(
+                lit("q80 cid overflow: chunk_start "), col("chunk_start").cast("string"),
+                lit(" >= 1e6 for doc_id "), col("doc_id").cast("string")))))
           // split is a pure function of the PARENT doc id: every chunk of
           // a document lands in the same split — no join to route it
           .withColumn("split", Training.splitColumn(col("doc_id"), Splits))

@@ -116,7 +116,10 @@ class PlanSpec extends SparkSpec {
       "q35_ann_brute_topk" -> "BroadcastNestedLoopJoin", // exhaustive scoring IS the operator; probe side broadcast (5 rows)
       "q38_ann_ivf_topk" -> "BroadcastNestedLoopJoin",   // probe×centroid cell assignment; both sides tiny, centroids broadcast
       "q46_ml_als_recommend" -> "CartesianProduct",      // MLlib's blocked factor cross-product inside recommendForAllUsers
-      "q68_ann_recall_clustered" -> "BroadcastNestedLoopJoin") // brute baseline (q35 form) + 1-row×1-row recall crossJoin; probes broadcast (20 rows)
+      "q68_ann_recall_clustered" -> "BroadcastNestedLoopJoin", // brute baseline (q35 form) + 1-row×1-row recall crossJoin; probes broadcast (20 rows)
+      "q82_ann_ivf_quantized" -> "BroadcastNestedLoopJoin", // probe×centroid cell assignment (q38 shape); centroids broadcast
+      "q24_ngram_jaccard_pairs" -> "BroadcastNestedLoopJoin", // 1-row DF-cap scalar subquery crossJoin (broadcast side is ONE row)
+      "q76_decontamination" -> "BroadcastNestedLoopJoin") // same 1-row DF-cap crossJoin as q24
     val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.sparkPlan.toString
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")
@@ -174,6 +177,59 @@ class PlanSpec extends SparkSpec {
     // and the variant join must be the no-shuffle broadcast form
     assert(plan.toString.contains("BroadcastHashJoin"),
       s"variant join not broadcast:\n$plan")
+  }
+
+  test("q24 construction runs zero Spark jobs — the DF cap is in-job, not a driver pass") {
+    // the r6 version derived its shingle-DF cap with agg(max).head() at
+    // construction time: a full extra corpus scan per run. The cap is now a
+    // 1-row broadcast scalar subquery INSIDE the query plan, so merely
+    // building the DataFrame must not touch the cluster.
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        // spark.read.parquet runs a 1-footer schema-inference job per read
+        // call — IO setup, not the corpus pass this pin forbids
+        if (!js.stageInfos.forall(_.name.startsWith("parquet at")))
+          jobs.add(s"job=${js.jobId} stages=" + js.stageInfos.map(_.name).mkString(";"))
+        ()
+      }
+    }
+    // let earlier tests' straggler events drain off the async bus
+    Thread.sleep(1500)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries("q24_ngram_jaccard_pairs")(spark, sf("sf0.001"))
+      Thread.sleep(1500) // listener bus is async; any construction-time job has already run
+      assert(jobs.isEmpty,
+        s"query construction submitted Spark job(s) — driver-side pass is back: $jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("quantized ivfQuery reads the int8 code column, never the float vector") {
+    import graft.ops.Similarity
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val tmp = java.nio.file.Files.createTempDirectory("ivfidxq").toString
+    Similarity.writeIvfIndexQuantized(
+      Similarity.buildIvfIndex(e, "vec_id", "embedding", nCentroids = 8), tmp)
+    val idx = Similarity.readIvfIndex(spark, tmp)
+    val df = Similarity.ivfQueryQuantized(e.filter(col("vec_id") < 2), idx,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+    // the candidate scan over the stored index: ReadSchema must carry the
+    // codes (+ corners) and NOT the float vec — column pruning is what
+    // makes int8 quantization a 4× scan-bandwidth lever, not just a
+    // storage format
+    val indexScan = df.queryExecution.sparkPlan.toString.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/assigned"))
+      .mkString("\n")
+    assert(indexScan.nonEmpty, "no FileScan over the stored index found")
+    assert(indexScan.contains("codes") && indexScan.contains("mn") && indexScan.contains("mx"),
+      s"index scan does not read the quantized columns:\n$indexScan")
+    assert(!indexScan.contains("vec"), s"index scan still reads the float vector:\n$indexScan")
+    // and the cell-partitioned scan still dynamic-prunes to probed cells
+    assert(df.queryExecution.sparkPlan.toString.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the quantized index scan")
+    assert(df.count() > 0L)
   }
 
   test("ivfQuery against a stored index prunes the corpus scan to probed cells") {

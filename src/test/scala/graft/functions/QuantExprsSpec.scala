@@ -47,6 +47,46 @@ class QuantExprsSpec extends SparkSpec {
     assert(g.getDouble(1) === i.getDouble(1))
   }
 
+  test("cosine_q8 equals cosine_f of the explicitly dequantized vector") {
+    val q = Seq(0.3f, -1.2f, 0.8f, 2.0f)
+    val v = Seq(-0.5f, 1.5f, 0.25f, 0.75f)
+    val df = Seq((q, v)).toDF("q", "v")
+      .select($"q", $"v",
+        QuantExprs.quantize_i8($"v").as("codes"),
+        array_min($"v").cast("double").as("mn"),
+        array_max($"v").cast("double").as("mx"))
+    val got = df.select(
+      QuantExprs.cosine_q8($"q", $"codes", $"mn", $"mx")).head().getDouble(0)
+    // reference: dequantize element-wise in the exact same double formula,
+    // then run the ordinary fused cosine
+    val expected = df.select(
+      graft.functions.VectorExprs.cosine_f($"q",
+        transform($"codes", c => $"mn" + c.cast("double") * ($"mx" - $"mn") / lit(255.0))))
+      .head().getDouble(0)
+    assert(got === expected)
+    // self-similarity of a quantized vector with its own float original is
+    // near 1 (reconstruction error ≤ half a step)
+    val self = df.select(QuantExprs.cosine_q8($"v", $"codes", $"mn", $"mx"))
+      .head().getDouble(0)
+    assert(self > 0.999)
+  }
+
+  test("cosine_q8: codegen and interpreted eval agree; dimension mismatch is loud") {
+    val data = Seq((Seq(1.0f, 2.0f, -3.0f), Seq(0.5f, -0.5f, 4.0f))).toDF("q", "v")
+      .select($"q", QuantExprs.quantize_i8($"v").as("codes"),
+        array_min($"v").cast("double").as("mn"), array_max($"v").cast("double").as("mx"))
+    def run(codegen: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try data.select(QuantExprs.cosine_q8($"q", $"codes", $"mn", $"mx")).head()
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(run("CODEGEN_ONLY").getDouble(0) === run("NO_CODEGEN").getDouble(0))
+    val bad = Seq((Seq(1.0f, 2.0f), Seq(3))).toDF("q", "codes")
+    intercept[Exception] {
+      bad.select(QuantExprs.cosine_q8($"q", $"codes", lit(0.0), lit(1.0))).collect()
+    }
+  }
+
   test("SQL registry path works; analysis rejects non-vector types") {
     Seq(Tuple1(Seq(1.0f, 2.0f))).toDF("v").createOrReplaceTempView("qv")
     val viaSql = spark.sql("SELECT quantize_i8(v) FROM qv").head().getSeq[Int](0)

@@ -100,4 +100,33 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(1)).distinct
     assert(labels.toSeq === Seq(0L), "path graph must collapse to one component")
   }
+
+  test("connectedComponents runs one action per round (convergence rides the observe metric)") {
+    // the r6 loop ran a SECOND join+isEmpty action per round; the flag now
+    // travels as an observed metric on the materializing action. Pin the
+    // ACTION count (jobs are an AQE artifact — each action fans into ~3
+    // query-stage jobs even on tiny frames): a diameter-11 path needs 12
+    // rounds (11 propagation + 1 fixpoint) + 2 setup checkpoints = 14
+    // actions; the old two-action loop ran 26+ and fails the bound.
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        actions.add(funcName); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    val path = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    spark.listenerManager.register(listener)
+    try {
+      val labels = Dedup.connectedComponents(path, maxIter = 15).collect()
+        .map(r => r.getLong(1)).distinct
+      assert(labels.toSeq === Seq(0L))
+      Thread.sleep(1500) // async listener bus
+      val n = actions.size()
+      assert(n <= 14 + 2, // +1 final collect, +1 margin
+        s"expected 1 action per round (+setup), saw $n: ${actions.toString.take(400)}")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

@@ -95,6 +95,40 @@ class TrainingSpec extends SparkSpec {
     assert(overlapped > plain)
   }
 
+  test("contaminationPairs DF cap collapses a planted hot-shingle explosion") {
+    // one boilerplate 3-gram shared by 40 docs (the crawl-footer shape) +
+    // one genuinely contaminated test/train pair on cold shingles; split =
+    // parity of the id (the cap behavior is independent of how the split
+    // is derived)
+    import org.apache.spark.sql.functions.when
+    import spark.implicits._
+    val hot = (0L until 40L).map(i => (i, s"all rights reserved unique$i words here"))
+    val planted = Seq(
+      (200L, "alpha beta gamma delta epsilon"), // even → test
+      (301L, "alpha beta gamma delta zeta"))    // odd  → train
+    val docs = (hot.toSeq ++ planted).toDF("doc_id", "text")
+    val sh = Dedup.wordShingles(docs, "doc_id", "text", w = 3)
+    val split = when(col("doc_id") % 2 === 0, "test").otherwise("train")
+    // uncapped: the df=40 boilerplate shingle alone joins 20 test × 20
+    // train = 400 pairs — quadratic in its DF, the 100 TB cliff
+    val uncapped = Training.contaminationPairs(sh, "doc_id", split, minShared = 1L)
+    assert(uncapped.count() >= 400L,
+      "hot shingle should explode the uncapped test×train join")
+    // capped at 10: boilerplate pruned, only the planted cold-shingle
+    // contamination survives ("alpha beta gamma" + "beta gamma delta")
+    val capped = Training.contaminationPairs(sh, "doc_id", split, minShared = 1L,
+      maxShingleDf = Some(10L))
+    val pairs = capped.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs === Map((200L, 301L) -> 2L),
+      s"cap must prune the boilerplate pairs, keeping only the planted hit: $pairs")
+  }
+
+  test("stratifiedKeepSql with empty rates emits a bare threshold, not an empty CASE") {
+    val sql = Training.stratifiedKeepSql("doc_id", "lang", Map.empty, defaultRate = 0.25)
+    assert(!sql.contains("CASE"), s"empty rates still emits a CASE: $sql")
+    assert(sql.contains(Training.hexThreshold(0.25)))
+  }
+
   test("contaminationPairs matches a brute-force shingle-set intersection") {
     val docs = Tables.documents(spark, sf()).limit(120)
     val sh = Dedup.wordShingles(docs, "doc_id", "text", w = 3)

@@ -271,6 +271,28 @@ object Dedup {
     labels
   }
 
+  /** Total keep/drop labeling of a corpus from near-dup candidate pairs —
+    * the operator a curation pipeline actually calls: [[connectedComponents]]
+    * labels only nodes PRESENT in pairs; here every corpus id gets a
+    * component (absent ids coalesce to themselves as singletons) and a
+    * `keep` flag (true iff the id IS its component's min — exactly one
+    * keeper per cluster, drop the rest).
+    *
+    * Scale shape: the component frame holds only paired docs (near-dup
+    * fraction of the corpus), the corpus side projects just the id before
+    * the equi-join, and the labeling is a left join + coalesce — no
+    * document body ever moves.
+    */
+  def keepers(
+      corpus: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val comp = connectedComponents(pairs, maxIter)
+    corpus.select(col(idCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
+      .withColumn("keep", col(idCol) === col("component"))
+  }
+
   /** SimHash (60-bit) of the token multiset: per token take a portable
     * md5-derived hash, add ±1 per bit position, sign → bit. Near-dups =
     * small Hamming distance between simhashes; candidates at scale come

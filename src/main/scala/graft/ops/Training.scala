@@ -115,6 +115,52 @@ object Training {
     s"${hashHexSql(idExpr, seed)} < $thr"
   }
 
+  /** EXACT-count stratified sample: per stratum keep exactly
+    * `counts(label)` rows — the ones with the smallest hash handles
+    * (deterministic id tie-break) — or the whole stratum when it is
+    * smaller. Labels absent from `counts` keep `defaultCount` rows.
+    *
+    * [[stratifiedKeep]] stays the 100 TB default (map-only, expected-size);
+    * this is its windowed sibling for when counts must be exact: ONE
+    * shuffle keyed on the stratum label, and the rank filter keeps the
+    * `rn <= maxCount` conjunct so Spark plans a WindowGroupLimit — each
+    * map task forwards at most maxCount rows per stratum into the shuffle
+    * instead of the full stratum (PlanSpec pins both properties).
+    * Membership is still a pure function of the id SET: re-runs and
+    * reshuffles reproduce the same sample; row additions only perturb
+    * strata they hash under the cut of.
+    */
+  def stratifiedExact(
+      df: DataFrame, idCol: String, labelCol: String,
+      counts: Map[String, Long], defaultCount: Long = 0L,
+      seed: String = "graft-strat-exact"): DataFrame = {
+    require(counts.values.forall(_ >= 0) && defaultCount >= 0, "counts must be >= 0")
+    val w = Window.partitionBy(col(labelCol))
+      .orderBy(hashHex(col(idCol), seed), col(idCol))
+    val kExpr = counts.toSeq.sortBy(_._1).foldRight(lit(defaultCount): Column) {
+      case ((lbl, k), els) => when(col(labelCol) === lbl, lit(k)).otherwise(els)
+    }
+    val maxK = (counts.values.toSeq :+ defaultCount).max
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= lit(maxK) && col("__rn") <= kExpr)
+      .drop("__rn")
+  }
+
+  /** SQL twin of [[stratifiedExact]] — a WHERE predicate against a relation
+    * that already carries `row_number() OVER (PARTITION BY label ORDER BY
+    * <hashHexSql(id, seed)>, id)` as `rn` (the CASE is generated from the
+    * same counts map, the q27 pattern).
+    */
+  def stratifiedExactSql(
+      labelExpr: String, counts: Map[String, Long], defaultCount: Long = 0L): String =
+    if (counts.isEmpty) s"rn <= $defaultCount"
+    else {
+      val whens = counts.toSeq.sortBy(_._1)
+        .map { case (lbl, k) => s"WHEN $labelExpr = '$lbl' THEN $k" }
+        .mkString(" ")
+      s"rn <= (CASE $whens ELSE $defaultCount END)"
+    }
+
   /** Greedy sequential sequence packing, shard-local: route each document
     * to one of 16^`shardHexChars` hash shards, order within the shard by id,
     * and assign bin = floor(start_offset / budget) where start_offset is the

@@ -14,6 +14,55 @@ import graft.ops.{Dedup, TextStats}
   */
 object TextOps {
 
+  /** The q78/q83 candidate-pair pipeline: scan-local MinHash signatures →
+    * LSH bands → bucket-join candidates (shared so the keepers gate chains
+    * the exact clusters gate's pairs).
+    */
+  private def lshCandidatePairs(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val sig = Dedup.minhashSignaturesScanLocal(Tables.documents(s, dir), "doc_id", "text",
+      k = 4, w = 3)
+    Dedup.minhashCandidates(Dedup.minhashBands(sig, "doc_id", k = 4, r = 2), "doc_id")
+  }
+
+  /** Shared oracle prefix for q78/q83: the INDEPENDENT-algorithm twin of
+    * the LSH-candidate + connected-components pipeline — recursive-CTE
+    * reachability closure over the same band-join edges.
+    */
+  private val dedupWalkCte = """
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+          WHERE len(t) >= 3),
+        sig AS (
+          SELECT doc_id,
+            min(('0x' || substr(md5('mh0' || shingle), 1, 8))::BIGINT) AS s0,
+            min(('0x' || substr(md5('mh1' || shingle), 1, 8))::BIGINT) AS s1,
+            min(('0x' || substr(md5('mh2' || shingle), 1, 8))::BIGINT) AS s2,
+            min(('0x' || substr(md5('mh3' || shingle), 1, 8))::BIGINT) AS s3
+          FROM sh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band_idx, s0::VARCHAR || '_' || s1::VARCHAR AS band_key FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band_idx, s2::VARCHAR || '_' || s3::VARCHAR AS band_key FROM sig),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+          UNION SELECT id_a, id_a FROM pairs
+          UNION SELECT id_b, id_b FROM pairs),
+        walk AS (
+          SELECT src AS id, src AS component FROM edges
+          UNION
+          SELECT e.src AS id, w.component
+          FROM walk w JOIN edges e ON e.dst = w.id)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup histogram per lang (md5-of-canonical-text fingerprint).
@@ -223,50 +272,34 @@ object TextOps {
     // reachability closure — agreeing on the exact labeling.
     QueryDef(
       "q78_dedup_clusters",
-      (s, dir) => {
-        val sig = Dedup.minhashSignaturesScanLocal(Tables.documents(s, dir), "doc_id", "text",
-          k = 4, w = 3)
-        val pairs = Dedup.minhashCandidates(
-          Dedup.minhashBands(sig, "doc_id", k = 4, r = 2), "doc_id")
-        Dedup.connectedComponents(pairs)
+      (s, dir) =>
+        Dedup.connectedComponents(lshCandidatePairs(s, dir))
           .select(col("id").as("doc_id"), col("component"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""
-        WITH RECURSIVE toks AS (
-          SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
-          FROM documents),
-        sh AS (
-          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
-          FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
-          WHERE len(t) >= 3),
-        sig AS (
-          SELECT doc_id,
-            min(('0x' || substr(md5('mh0' || shingle), 1, 8))::BIGINT) AS s0,
-            min(('0x' || substr(md5('mh1' || shingle), 1, 8))::BIGINT) AS s1,
-            min(('0x' || substr(md5('mh2' || shingle), 1, 8))::BIGINT) AS s2,
-            min(('0x' || substr(md5('mh3' || shingle), 1, 8))::BIGINT) AS s3
-          FROM sh GROUP BY doc_id),
-        bands AS (
-          SELECT doc_id, 0 AS band_idx, s0::VARCHAR || '_' || s1::VARCHAR AS band_key FROM sig
-          UNION ALL
-          SELECT doc_id, 1 AS band_idx, s2::VARCHAR || '_' || s3::VARCHAR AS band_key FROM sig),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a JOIN bands b
-            ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION SELECT id_b, id_a FROM pairs
-          UNION SELECT id_a, id_a FROM pairs
-          UNION SELECT id_b, id_b FROM pairs),
-        walk AS (
-          SELECT src AS id, src AS component FROM edges
-          UNION
-          SELECT e.src AS id, w.component
-          FROM walk w JOIN edges e ON e.dst = w.id)
+          .orderBy(col("doc_id")),
+      Some(s"""$dedupWalkCte
         SELECT id AS doc_id, min(component) AS component
         FROM walk GROUP BY id ORDER BY doc_id""")),
+
+    // Total keep/drop labeling: q78's clusters extended to the WHOLE
+    // corpus — unpaired docs coalesce to singleton components of
+    // themselves, keep = (doc == component min), exactly one keeper per
+    // cluster. This is the operator a pipeline calls to actually delete
+    // near-dups; oracle = the same recursive-CTE closure left-joined back
+    // onto documents.
+    QueryDef(
+      "q83_dedup_keepers",
+      (s, dir) =>
+        Dedup.keepers(Tables.documents(s, dir), "doc_id", lshCandidatePairs(s, dir))
+          .orderBy(col("doc_id")),
+      Some(s"""$dedupWalkCte,
+        cc AS (
+          SELECT id AS doc_id, min(component) AS component
+          FROM walk GROUP BY id)
+        SELECT d.doc_id,
+          coalesce(cc.component, d.doc_id) AS component,
+          d.doc_id = coalesce(cc.component, d.doc_id) AS keep
+        FROM documents d LEFT JOIN cc USING (doc_id)
+        ORDER BY d.doc_id""")),
 
     // Language-ID (stopword-profile heuristic) distribution vs labeled lang,
     // via the broadcast-dictionary-join scale path (TextStats.langIdTable).

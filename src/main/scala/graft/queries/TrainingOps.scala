@@ -27,6 +27,12 @@ object TrainingOps {
 
   private val PackBudget = 512L
 
+  /** Per-language exact quotas for the q84 gate (labels absent fall to the
+    * default) — 'en' clips, small strata pass through whole.
+    */
+  private val ExactCounts = Map("en" -> 60L, "zh" -> 25L, "de" -> 120L)
+  private val ExactDefault = 10L
+
   val defs: Seq[QueryDef] = Seq(
 
     // Deterministic train/val/test split: label is a pure function of
@@ -219,6 +225,30 @@ object TrainingOps {
           count(*) AS n_chunks, CAST(sum(chunk_tokens) AS BIGINT) AS bin_tokens
         FROM w GROUP BY split, shard, bin ORDER BY split, shard, bin"""
       }),
+
+    // EXACT-count stratified sample: per-language quotas via a per-stratum
+    // window top-k by hash (one shuffle keyed on the label; the rank
+    // filter's constant conjunct plans a WindowGroupLimit so the shuffle
+    // carries at most max-quota rows per stratum per task — PlanSpec).
+    // Quotas straddle the sf0.01 stratum sizes: 'en' is clipped by its
+    // quota, 'de' is smaller than 120 so the whole stratum survives —
+    // both branches gated. Oracle replays the identical hash ordering.
+    QueryDef(
+      "q84_stratified_exact",
+      (s, dir) =>
+        Training.stratifiedExact(
+            Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source")),
+            "doc_id", "lang", ExactCounts, ExactDefault)
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH r AS (
+          SELECT doc_id, lang, source,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY ${Training.hashHexSql("doc_id", "graft-strat-exact")}, doc_id) AS rn
+          FROM documents)
+        SELECT doc_id, lang, source FROM r
+        WHERE ${Training.stratifiedExactSql("lang", ExactCounts, ExactDefault)}
+        ORDER BY doc_id""")),
 
     // Context-window chunking: disjoint 32-token windows per document —
     // the map-side explode that precedes packing when bins must be ≤

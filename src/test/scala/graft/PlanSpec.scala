@@ -157,6 +157,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"sampling introduced a join:\n$plan")
   }
 
+  test("q84 exact stratified sample: WindowGroupLimit on a label-partitioned window") {
+    val df = SparkEntry.queries("q84_stratified_exact")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.sparkPlan.toString
+    // the constant rank conjunct must push a group limit below the window
+    // (shuffle carries ≤ max-quota rows per stratum per task), and the
+    // window must be partitioned by the stratum label, never global
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n$plan")
+    assert(plan.contains("windowspecdefinition(lang"),
+      s"sample window lost its stratum partitioning:\n$plan")
+  }
+
   test("q67 posting search: levenshtein evaluates only on posting-join survivors, never a corpus scan") {
     val df = SparkEntry.queries("q67_ml_search_posting")(spark, sf("sf0.001"))
     val plan = df.queryExecution.sparkPlan

@@ -101,6 +101,16 @@ class DedupSpec extends SparkSpec {
     assert(labels.toSeq === Seq(0L), "path graph must collapse to one component")
   }
 
+  test("keepers totally labels the corpus: singletons keep, cluster non-minima drop") {
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (7L, "d")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.keepers(corpus, "doc_id", pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got === Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false)),
+      7L -> ((7L, true))), "7 is a singleton (absent from pairs) and must self-label keep")
+  }
+
   test("connectedComponents runs one action per round (convergence rides the observe metric)") {
     // the r6 loop ran a SECOND join+isEmpty action per round; the flag now
     // travels as an observed metric on the materializing action. Pin the

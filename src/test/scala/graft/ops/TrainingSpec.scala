@@ -123,6 +123,25 @@ class TrainingSpec extends SparkSpec {
       s"cap must prune the boilerplate pairs, keeping only the planted hit: $pairs")
   }
 
+  test("stratifiedExact keeps exactly k per stratum (or the whole smaller stratum), deterministically") {
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("lang"))
+    val counts = Map("en" -> 7L, "zh" -> 3L)
+    val got = Training.stratifiedExact(docs, "doc_id", "lang", counts, defaultCount = 2L)
+    val byLang = got.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (lang, n) =>
+      val want = math.min(n, counts.getOrElse(lang, 2L))
+      assert(byLang.getOrElse(lang, 0L) === want, s"stratum $lang: want $want")
+    }
+    // determinism: a second run over a REPARTITIONED input keeps the same ids
+    val again = Training.stratifiedExact(docs.repartition(7), "doc_id", "lang",
+      counts, defaultCount = 2L)
+    assert(got.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("stratifiedKeepSql with empty rates emits a bare threshold, not an empty CASE") {
     val sql = Training.stratifiedKeepSql("doc_id", "lang", Map.empty, defaultRate = 0.25)
     assert(!sql.contains("CASE"), s"empty rates still emits a CASE: $sql")

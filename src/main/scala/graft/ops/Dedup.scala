@@ -272,6 +272,79 @@ object Dedup {
     labels
   }
 
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SOCC'14) — the
+    * adversarial-graph fallback [[connectedComponents]]'s docs promise:
+    * min-label propagation needs diameter rounds (fine for near-dup
+    * cliques, hopeless for a million-node chain), the star alternation
+    * converges in O(log n) rounds on ANY shape. Same output contract:
+    * (id, component = min id in component), every id present in `pairs`.
+    *
+    * Per round, over the canonical symmetric self-loop-free edge set:
+    *  - large-star: each node u links every LARGER neighbor to
+    *    m(u) = min(Γ(u) ∪ u);
+    *  - small-star: each node u links every smaller-or-equal neighbor and
+    *    itself to m(u).
+    * Both are one partitioned window (min over the node's neighborhood) +
+    * one projection — the same one-keyed-shuffle-per-step shape as the
+    * propagation variant. Fixpoint = the edge set is a union of stars
+    * rooted at component minima.
+    *
+    * Convergence probe: (count, bit_xor of xxhash64(src, dst)) stable
+    * across rounds, computed by a scan of the just-checkpointed frame (no
+    * join; xor is order-independent and overflow-free under ANSI mode). A
+    * changed edge set colliding on both is a ~2⁻⁶⁴ event; the q85 gate
+    * and the DedupSpec equivalence property back it up independently.
+    */
+  def connectedComponentsAltStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("src") =!= col("dst"))
+        .union(e.filter(col("src") =!= col("dst"))
+          .select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+    def withM(e: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+      e.withColumn("m", least(min(col("dst")).over(w), col("src")))
+    }
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    val nodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct().localCheckpoint()
+    var edges = canon(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .localCheckpoint()
+    var sig = signature(edges)
+    var iter = 0
+    var converged = edges.isEmpty // self-pair-only input is already done
+    while (!converged && iter < maxIter) {
+      val lg = withM(edges).filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      val sm = withM(canon(lg))
+      val next = canon(
+        sm.filter(col("dst") <= col("src"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .union(sm.select(col("src"), col("m")).distinct()))
+        .localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      checkpointRdd(edges).foreach(_.unpersist(blocking = false))
+      edges = next
+      sig = nextSig
+      iter += 1
+    }
+    require(converged, s"connectedComponentsAltStar did not converge in $maxIter rounds")
+    // at fixpoint the symmetric edges are stars rooted at component minima:
+    // label(u) = min(Γ(u) ∪ u); nodes with no surviving edge (self-pairs)
+    // are singleton components of themselves
+    val labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("mn"), col("src")).as("component"))
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
   /** Total keep/drop labeling of a corpus from near-dup candidate pairs —
     * the operator a curation pipeline actually calls: [[connectedComponents]]
     * labels only nodes PRESENT in pairs; here every corpus id gets a

@@ -280,6 +280,22 @@ object TextOps {
         SELECT id AS doc_id, min(component) AS component
         FROM walk GROUP BY id ORDER BY doc_id""")),
 
+    // The SAME clusters via the alternating large-star/small-star
+    // algorithm (Kiveris et al. SOCC'14) — O(log n) rounds on any graph
+    // shape, the fallback for adversarial long chains where min-label
+    // propagation needs diameter rounds. Two physical routes, ONE oracle:
+    // q85's SQL twin is q78's verbatim, so the two implementations are
+    // pinned equal on real data (the q45/q67 pattern).
+    QueryDef(
+      "q85_dedup_clusters_altstar",
+      (s, dir) =>
+        Dedup.connectedComponentsAltStar(lshCandidatePairs(s, dir))
+          .select(col("id").as("doc_id"), col("component"))
+          .orderBy(col("doc_id")),
+      Some(s"""$dedupWalkCte
+        SELECT id AS doc_id, min(component) AS component
+        FROM walk GROUP BY id ORDER BY doc_id""")),
+
     // Total keep/drop labeling: q78's clusters extended to the WHOLE
     // corpus — unpaired docs coalesce to singleton components of
     // themselves, keep = (doc == component min), exactly one keeper per

@@ -101,6 +101,38 @@ class DedupSpec extends SparkSpec {
     assert(labels.toSeq === Seq(0L), "path graph must collapse to one component")
   }
 
+  test("altStar connected components equal min-label propagation on chain, clique, random graphs") {
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain + clique + pair (the propagation test's graph)
+    val mixed = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (21L, 20L)).toDF("id_a", "id_b")
+    assert(labelsOf(Dedup.connectedComponentsAltStar(mixed)) ===
+      labelsOf(Dedup.connectedComponents(mixed)))
+    // seeded random graph: 80 nodes, 100 edges — arbitrary shape
+    val rnd = new scala.util.Random(0xA17E5742L)
+    val randomPairs = Seq.fill(100)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    assert(labelsOf(Dedup.connectedComponentsAltStar(randomPairs)) ===
+      labelsOf(Dedup.connectedComponents(randomPairs)))
+  }
+
+  test("altStar converges in O(log n) rounds on a long chain where propagation needs diameter") {
+    // 120-node path: propagation needs ~120 rounds (maxIter default 20
+    // would throw); the star alternation must finish well inside 50
+    val chain = (0L until 119L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponentsAltStar(chain).collect()
+      .map(r => r.getLong(1)).distinct
+    assert(labels.toSeq === Seq(0L), "chain must collapse to one component rooted at 0")
+    // self-pair-only input: every node is its own singleton
+    val selfOnly = Seq((5L, 5L), (9L, 9L)).toDF("id_a", "id_b")
+    val singletons = Dedup.connectedComponentsAltStar(selfOnly).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(singletons === Map(5L -> 5L, 9L -> 9L))
+  }
+
   test("keepers totally labels the corpus: singletons keep, cluster non-minima drop") {
     val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (7L, "d")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")

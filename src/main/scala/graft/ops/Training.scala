@@ -258,4 +258,24 @@ object Training {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** The drop list decontamination actually executes: every train doc
+    * contaminated by ≥ `minShared` shared shingles with ANY test doc,
+    * with per-doc blast-radius stats (how many test docs it leaks, worst
+    * overlap). `train_corpus.join(drop_list, "left_anti")` is the
+    * pipeline's next line. Same scale shape as [[contaminationPairs]] —
+    * the extra aggregate is keyed on train_id (map-side combinable).
+    */
+  def contaminatedTrainDocs(
+      shingles: DataFrame, idCol: String, split: Column,
+      trainLabel: String = "train", testLabel: String = "test",
+      minShared: Long = 2L,
+      maxShingleDf: Option[Long] = None,
+      capAtObservedMax: Boolean = false): DataFrame =
+    contaminationPairs(shingles, idCol, split, trainLabel, testLabel, minShared,
+        maxShingleDf, capAtObservedMax)
+      .groupBy(col("train_id"))
+      .agg(
+        countDistinct(col("test_id")).as("n_test_docs"),
+        max(col("n_shared")).as("worst_overlap"))
 }

@@ -140,6 +140,40 @@ object TrainingOps {
         GROUP BY 1, 2 HAVING count(*) >= 2
         ORDER BY n_shared DESC, test_id, train_id LIMIT 20""")),
 
+    // The decontamination DROP LIST — the frame a pipeline left-anti-joins
+    // against its train split: contaminated train docs with blast-radius
+    // stats (distinct test docs leaked into, worst overlap). Same capped
+    // inverted-index join as q76 plus one train_id-keyed aggregate.
+    QueryDef(
+      "q86_decontam_droplist",
+      (s, dir) =>
+        Training.contaminatedTrainDocs(
+            Dedup.wordShingles(Tables.documents(s, dir), "doc_id", "text", w = 3),
+            "doc_id",
+            Training.splitColumn(col("doc_id"), Splits),
+            minShared = 2L,
+            capAtObservedMax = true)
+          .orderBy(col("train_id")),
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+          WHERE len(t) >= 3),
+        tagged AS (
+          SELECT doc_id, shingle, ${Training.splitSql("doc_id", Splits)} AS split
+          FROM sh),
+        pairs AS (
+          SELECT a.doc_id AS test_id, b.doc_id AS train_id, count(*) AS n_shared
+          FROM tagged a JOIN tagged b ON a.shingle = b.shingle
+          WHERE a.split = 'test' AND b.split = 'train'
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT train_id, count(DISTINCT test_id) AS n_test_docs,
+          CAST(max(n_shared) AS BIGINT) AS worst_overlap
+        FROM pairs GROUP BY train_id ORDER BY train_id""")),
+
     // The composed curation pipeline — the operators above chained into
     // the corpus → training-shards job a real pretraining pipeline runs:
     // exact-dedup keepers → quality filter → deterministic split →

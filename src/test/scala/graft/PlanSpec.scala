@@ -119,7 +119,8 @@ class PlanSpec extends SparkSpec {
       "q68_ann_recall_clustered" -> "BroadcastNestedLoopJoin", // brute baseline (q35 form) + 1-row×1-row recall crossJoin; probes broadcast (20 rows)
       "q82_ann_ivf_quantized" -> "BroadcastNestedLoopJoin", // probe×centroid cell assignment (q38 shape); centroids broadcast
       "q24_ngram_jaccard_pairs" -> "BroadcastNestedLoopJoin", // 1-row DF-cap scalar subquery crossJoin (broadcast side is ONE row)
-      "q76_decontamination" -> "BroadcastNestedLoopJoin") // same 1-row DF-cap crossJoin as q24
+      "q76_decontamination" -> "BroadcastNestedLoopJoin", // same 1-row DF-cap crossJoin as q24
+      "q86_decontam_droplist" -> "BroadcastNestedLoopJoin") // same 1-row DF-cap crossJoin as q24/q76
     val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.sparkPlan.toString
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")

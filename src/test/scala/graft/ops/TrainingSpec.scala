@@ -142,6 +142,25 @@ class TrainingSpec extends SparkSpec {
       again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("contaminatedTrainDocs aggregates the drop list with blast-radius stats") {
+    import org.apache.spark.sql.functions.when
+    import spark.implicits._
+    // two test docs leak into train doc 301 (overlaps 2 and 3); train doc
+    // 303 is clean
+    val docs = Seq(
+      (200L, "alpha beta gamma delta epsilon"),
+      (202L, "beta gamma delta zeta eta theta"),
+      (301L, "alpha beta gamma delta zeta eta"),
+      (303L, "completely different words entirely here")).toDF("doc_id", "text")
+    val sh = Dedup.wordShingles(docs, "doc_id", "text", w = 3)
+    val split = when(col("doc_id") < 300L, "test").otherwise("train")
+    val got = Training.contaminatedTrainDocs(sh, "doc_id", split, minShared = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 200 vs 301 share {alpha beta gamma, beta gamma delta} = 2
+    // 202 vs 301 share {beta gamma delta, gamma delta zeta, delta zeta eta} = 3
+    assert(got === Map(301L -> ((2L, 3L))))
+  }
+
   test("stratifiedKeepSql with empty rates emits a bare threshold, not an empty CASE") {
     val sql = Training.stratifiedKeepSql("doc_id", "lang", Map.empty, defaultRate = 0.25)
     assert(!sql.contains("CASE"), s"empty rates still emits a CASE: $sql")

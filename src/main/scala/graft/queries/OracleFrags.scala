@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.ops.{TextStats, Training}
+
+/** Shared DuckDB-oracle CTE fragments, parameterized by their source CTE —
+  * the single-source-of-truth rule for composed gates: q87's pipeline twin
+  * is BUILT from the same fragments that gate each stage individually
+  * (q78 clusters, q80 quality/chunk/pack, q86 decontamination), so a
+  * semantic drift in any stage breaks both its own gate and every
+  * composition that embeds it.
+  */
+object OracleFrags {
+
+  /** The LSH-candidate + reachability-closure cluster fragment (q78/q83/
+    * q87): scan-local MinHash (k=4, w=3), 2 bands of 2 rows, band-bucket
+    * pairs, symmetric closure, recursive walk. Emits CTEs `toks, sh, sig,
+    * bands, pairs, edges, walk` over `$src(doc_id, text)`. The enclosing
+    * query must start `WITH RECURSIVE`.
+    */
+  def dedupWalkCtes(src: String): String = s"""
+        toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+          FROM $src),
+        sh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+          WHERE len(t) >= 3),
+        sig AS (
+          SELECT doc_id,
+            min(('0x' || substr(md5('mh0' || shingle), 1, 8))::BIGINT) AS s0,
+            min(('0x' || substr(md5('mh1' || shingle), 1, 8))::BIGINT) AS s1,
+            min(('0x' || substr(md5('mh2' || shingle), 1, 8))::BIGINT) AS s2,
+            min(('0x' || substr(md5('mh3' || shingle), 1, 8))::BIGINT) AS s3
+          FROM sh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band_idx, s0::VARCHAR || '_' || s1::VARCHAR AS band_key FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band_idx, s2::VARCHAR || '_' || s3::VARCHAR AS band_key FROM sig),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+          UNION SELECT id_a, id_a FROM pairs
+          UNION SELECT id_b, id_b FROM pairs),
+        walk AS (
+          SELECT src AS id, src AS component FROM edges
+          UNION
+          SELECT e.src AS id, w.component
+          FROM walk w JOIN edges e ON e.dst = w.id)"""
+
+  /** The exact-dedup keeper fragment (q80/q87): canonical-md5 groups, keep
+    * the min id. Emits `$out(doc_id, text)` over `$src(doc_id, text)`.
+    */
+  def exactKeepCtes(src: String, out: String): String = s"""
+        ${out}_k AS (
+          SELECT min(doc_id) AS doc_id FROM $src
+          GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))),
+        $out AS (
+          SELECT d.doc_id, d.text FROM $src d JOIN ${out}_k k USING (doc_id))"""
+
+  /** The quality-score filter fragment (q80/q87, replaying
+    * [[TextStats.qualityScore]]'s exact arithmetic): emits `$out(doc_id,
+    * text)` = rows of `$src` whose rounded score ≥ $minScore.
+    */
+  def qualityCtes(src: String, out: String, minScore: Double): String = {
+    val stops = TextStats.qualityStopwords.map(w => s"'$w'").mkString(", ")
+    s"""
+        ${out}_f AS (
+          SELECT doc_id,
+            CAST(len(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS DOUBLE) AS n_toks,
+            CAST(length(text) AS DOUBLE) AS n_chars,
+            CAST(len(list_filter(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                     x -> list_contains([$stops], x))) AS DOUBLE) AS stop_hits
+          FROM $src),
+        ${out}_sc AS (
+          SELECT doc_id,
+            (CASE WHEN n_toks >= 10 AND n_toks <= 100000 THEN 1.0 ELSE 0.3 END) * 0.4
+          + (CASE WHEN n_chars / greatest(n_toks, 1.0) >= 2.5
+                   AND n_chars / greatest(n_toks, 1.0) <= 12.0 THEN 1.0 ELSE 0.4 END) * 0.4
+          + (CASE WHEN stop_hits / greatest(n_toks, 1.0) >= 0.01 THEN 1.0 ELSE 0.5 END) * 0.2
+            AS raw FROM ${out}_f),
+        $out AS (
+          SELECT s.doc_id, s.text FROM $src s JOIN ${out}_sc USING (doc_id)
+          WHERE round(raw, 4) >= $minScore)"""
+  }
+
+  /** The decontamination pair fragment (q76/q86/q87): distinct word-3-
+    * shingles of `$src(doc_id, text)`, split-tagged by the generated CASE,
+    * test×train shared-shingle counts ≥ `minShared`. Emits
+    * `$out(test_id, train_id, n_shared)`.
+    */
+  def contamPairsCtes(
+      src: String, out: String, splits: Seq[(String, Double)],
+      minShared: Long): String = s"""
+        ${out}_toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+          FROM $src),
+        ${out}_sh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM ${out}_toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+          WHERE len(t) >= 3),
+        ${out}_tagged AS (
+          SELECT doc_id, shingle, ${Training.splitSql("doc_id", splits)} AS split
+          FROM ${out}_sh),
+        $out AS (
+          SELECT a.doc_id AS test_id, b.doc_id AS train_id, count(*) AS n_shared
+          FROM ${out}_tagged a JOIN ${out}_tagged b ON a.shingle = b.shingle
+          WHERE a.split = 'test' AND b.split = 'train'
+          GROUP BY 1, 2 HAVING count(*) >= $minShared)"""
+
+  /** The chunk → cid/split/shard → per-(split, shard) packing fragment
+    * (q80/q87): emits the final `SELECT split, shard, bin, n_chunks,
+    * bin_tokens` over `$src(doc_id, text)`. Call LAST — this fragment
+    * closes the query.
+    */
+  def chunkPackSelect(
+      src: String, chunkSize: Int, budget: Long,
+      splits: Seq[(String, Double)]): String = s"""
+        ${src}_toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+          FROM $src WHERE text IS NOT NULL),
+        ${src}_ch AS (
+          SELECT doc_id, CAST(i AS INTEGER) AS chunk_start,
+            CAST(len(t[i:i+${chunkSize - 1}]) AS INTEGER) AS chunk_tokens
+          FROM ${src}_toks, unnest(generate_series(1, greatest(len(t), 1), $chunkSize)) AS g(i)),
+        ${src}_cids AS (
+          SELECT doc_id * 1000000 + chunk_start AS cid, chunk_tokens,
+            ${Training.splitSql("doc_id", splits)} AS split,
+            ${Training.hashHexSql("doc_id * 1000000 + chunk_start", "graft-pack", hexChars = 1)} AS shard
+          FROM ${src}_ch),
+        ${src}_w AS (
+          SELECT split, shard, cid, chunk_tokens,
+            sum(chunk_tokens) OVER (PARTITION BY split, shard ORDER BY cid) AS cum
+          FROM ${src}_cids)
+        SELECT split, shard, CAST(floor((cum - chunk_tokens) / $budget) AS BIGINT) AS bin,
+          count(*) AS n_chunks, CAST(sum(chunk_tokens) AS BIGINT) AS bin_tokens
+        FROM ${src}_w GROUP BY split, shard, bin ORDER BY split, shard, bin"""
+}

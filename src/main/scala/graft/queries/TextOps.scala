@@ -25,44 +25,6 @@ object TextOps {
     Dedup.minhashCandidates(Dedup.minhashBands(sig, "doc_id", k = 4, r = 2), "doc_id")
   }
 
-  /** Shared oracle prefix for q78/q83: the INDEPENDENT-algorithm twin of
-    * the LSH-candidate + connected-components pipeline — recursive-CTE
-    * reachability closure over the same band-join edges.
-    */
-  private val dedupWalkCte = """
-        WITH RECURSIVE toks AS (
-          SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
-          FROM documents),
-        sh AS (
-          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
-          FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
-          WHERE len(t) >= 3),
-        sig AS (
-          SELECT doc_id,
-            min(('0x' || substr(md5('mh0' || shingle), 1, 8))::BIGINT) AS s0,
-            min(('0x' || substr(md5('mh1' || shingle), 1, 8))::BIGINT) AS s1,
-            min(('0x' || substr(md5('mh2' || shingle), 1, 8))::BIGINT) AS s2,
-            min(('0x' || substr(md5('mh3' || shingle), 1, 8))::BIGINT) AS s3
-          FROM sh GROUP BY doc_id),
-        bands AS (
-          SELECT doc_id, 0 AS band_idx, s0::VARCHAR || '_' || s1::VARCHAR AS band_key FROM sig
-          UNION ALL
-          SELECT doc_id, 1 AS band_idx, s2::VARCHAR || '_' || s3::VARCHAR AS band_key FROM sig),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a JOIN bands b
-            ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION SELECT id_b, id_a FROM pairs
-          UNION SELECT id_a, id_a FROM pairs
-          UNION SELECT id_b, id_b FROM pairs),
-        walk AS (
-          SELECT src AS id, src AS component FROM edges
-          UNION
-          SELECT e.src AS id, w.component
-          FROM walk w JOIN edges e ON e.dst = w.id)"""
-
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup histogram per lang (md5-of-canonical-text fingerprint).
@@ -276,7 +238,7 @@ object TextOps {
         Dedup.connectedComponents(lshCandidatePairs(s, dir))
           .select(col("id").as("doc_id"), col("component"))
           .orderBy(col("doc_id")),
-      Some(s"""$dedupWalkCte
+      Some(s"""WITH RECURSIVE ${OracleFrags.dedupWalkCtes("documents")}
         SELECT id AS doc_id, min(component) AS component
         FROM walk GROUP BY id ORDER BY doc_id""")),
 
@@ -292,7 +254,7 @@ object TextOps {
         Dedup.connectedComponentsAltStar(lshCandidatePairs(s, dir))
           .select(col("id").as("doc_id"), col("component"))
           .orderBy(col("doc_id")),
-      Some(s"""$dedupWalkCte
+      Some(s"""WITH RECURSIVE ${OracleFrags.dedupWalkCtes("documents")}
         SELECT id AS doc_id, min(component) AS component
         FROM walk GROUP BY id ORDER BY doc_id""")),
 
@@ -307,7 +269,7 @@ object TextOps {
       (s, dir) =>
         Dedup.keepers(Tables.documents(s, dir), "doc_id", lshCandidatePairs(s, dir))
           .orderBy(col("doc_id")),
-      Some(s"""$dedupWalkCte,
+      Some(s"""WITH RECURSIVE ${OracleFrags.dedupWalkCtes("documents")},
         cc AS (
           SELECT id AS doc_id, min(component) AS component
           FROM walk GROUP BY id)

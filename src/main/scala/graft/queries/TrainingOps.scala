@@ -33,6 +33,19 @@ object TrainingOps {
   private val ExactCounts = Map("en" -> 60L, "zh" -> 25L, "de" -> 120L)
   private val ExactDefault = 10L
 
+  /** Surrogate chunk key shared by q80/q87: unique, order-preserving, same
+    * arithmetic as the oracle. Uniqueness requires chunk_start < 1e6 (docs
+    * under ~64M tokens at chunk size 64); the bound is ENFORCED — an
+    * over-limit doc raises instead of silently colliding into the next
+    * doc_id's key space (ADVICE r6).
+    */
+  private def cidCol: org.apache.spark.sql.Column =
+    col("doc_id") * lit(1000000L) +
+      when(col("chunk_start") < lit(1000000), col("chunk_start"))
+        .otherwise(raise_error(concat(
+          lit("cid overflow: chunk_start "), col("chunk_start").cast("string"),
+          lit(" >= 1e6 for doc_id "), col("doc_id").cast("string"))))
+
   val defs: Seq[QueryDef] = Seq(
 
     // Deterministic train/val/test split: label is a pure function of
@@ -124,20 +137,8 @@ object TrainingOps {
           .orderBy(col("n_shared").desc, col("test_id"), col("train_id"))
           .limit(20),
       Some(s"""
-        WITH toks AS (
-          SELECT doc_id, string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
-          FROM documents),
-        sh AS (
-          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
-          FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
-          WHERE len(t) >= 3),
-        tagged AS (
-          SELECT doc_id, shingle, ${Training.splitSql("doc_id", Splits)} AS split
-          FROM sh)
-        SELECT a.doc_id AS test_id, b.doc_id AS train_id, count(*) AS n_shared
-        FROM tagged a JOIN tagged b ON a.shingle = b.shingle
-        WHERE a.split = 'test' AND b.split = 'train'
-        GROUP BY 1, 2 HAVING count(*) >= 2
+        WITH ${OracleFrags.contamPairsCtes("documents", "cp", Splits, minShared = 2L)}
+        SELECT test_id, train_id, n_shared FROM cp
         ORDER BY n_shared DESC, test_id, train_id LIMIT 20""")),
 
     // The decontamination DROP LIST — the frame a pipeline left-anti-joins
@@ -155,24 +156,10 @@ object TrainingOps {
             capAtObservedMax = true)
           .orderBy(col("train_id")),
       Some(s"""
-        WITH toks AS (
-          SELECT doc_id, string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
-          FROM documents),
-        sh AS (
-          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
-          FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
-          WHERE len(t) >= 3),
-        tagged AS (
-          SELECT doc_id, shingle, ${Training.splitSql("doc_id", Splits)} AS split
-          FROM sh),
-        pairs AS (
-          SELECT a.doc_id AS test_id, b.doc_id AS train_id, count(*) AS n_shared
-          FROM tagged a JOIN tagged b ON a.shingle = b.shingle
-          WHERE a.split = 'test' AND b.split = 'train'
-          GROUP BY 1, 2 HAVING count(*) >= 2)
+        WITH ${OracleFrags.contamPairsCtes("documents", "cp", Splits, minShared = 2L)}
         SELECT train_id, count(DISTINCT test_id) AS n_test_docs,
           CAST(max(n_shared) AS BIGINT) AS worst_overlap
-        FROM pairs GROUP BY train_id ORDER BY train_id""")),
+        FROM cp GROUP BY train_id ORDER BY train_id""")),
 
     // The composed curation pipeline — the operators above chained into
     // the corpus → training-shards job a real pretraining pipeline runs:
@@ -191,16 +178,7 @@ object TrainingOps {
         val quality = kept.filter(TextStats.qualityScore(col("text")) >= 0.99)
         val chunks = Training.chunkTokens(quality, "doc_id", "text",
             chunkSize = 64, stride = 64)
-          // surrogate chunk key: unique, order-preserving, same arithmetic
-          // as the oracle. Uniqueness requires chunk_start < 1e6 (docs
-          // under ~64M tokens at this chunk size); the bound is ENFORCED —
-          // an over-limit doc raises instead of silently colliding into
-          // the next doc_id's key space (ADVICE r6)
-          .withColumn("cid", col("doc_id") * lit(1000000L) +
-            when(col("chunk_start") < lit(1000000), col("chunk_start"))
-              .otherwise(raise_error(concat(
-                lit("q80 cid overflow: chunk_start "), col("chunk_start").cast("string"),
-                lit(" >= 1e6 for doc_id "), col("doc_id").cast("string")))))
+          .withColumn("cid", cidCol)
           // split is a pure function of the PARENT doc id: every chunk of
           // a document lands in the same split — no join to route it
           .withColumn("split", Training.splitColumn(col("doc_id"), Splits))
@@ -214,51 +192,76 @@ object TrainingOps {
             sum(col("chunk_tokens")).cast("long").as("bin_tokens"))
           .orderBy(col("split"), col("shard"), col("bin"))
       },
-      Some {
-        val stops = TextStats.qualityStopwords.map(w => s"'$w'").mkString(", ")
-        s"""
-        WITH keepers AS (
-          SELECT min(doc_id) AS doc_id FROM documents
-          GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))),
-        kept AS (
-          SELECT d.doc_id, d.text FROM documents d JOIN keepers k USING (doc_id)),
-        f AS (
-          SELECT doc_id,
-            CAST(len(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS DOUBLE) AS n_toks,
-            CAST(length(text) AS DOUBLE) AS n_chars,
-            CAST(len(list_filter(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
-                     x -> list_contains([$stops], x))) AS DOUBLE) AS stop_hits
-          FROM kept),
-        sc AS (
-          SELECT doc_id,
-            (CASE WHEN n_toks >= 10 AND n_toks <= 100000 THEN 1.0 ELSE 0.3 END) * 0.4
-          + (CASE WHEN n_chars / greatest(n_toks, 1.0) >= 2.5
-                   AND n_chars / greatest(n_toks, 1.0) <= 12.0 THEN 1.0 ELSE 0.4 END) * 0.4
-          + (CASE WHEN stop_hits / greatest(n_toks, 1.0) >= 0.01 THEN 1.0 ELSE 0.5 END) * 0.2
-            AS raw FROM f),
-        q AS (
-          SELECT kept.doc_id, kept.text FROM kept JOIN sc USING (doc_id)
-          WHERE round(raw, 4) >= 0.99),
-        toks AS (
-          SELECT doc_id, string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
-          FROM q WHERE text IS NOT NULL),
-        ch AS (
-          SELECT doc_id, CAST(i AS INTEGER) AS chunk_start,
-            CAST(len(t[i:i+63]) AS INTEGER) AS chunk_tokens
-          FROM toks, unnest(generate_series(1, greatest(len(t), 1), 64)) AS g(i)),
-        cids AS (
-          SELECT doc_id * 1000000 + chunk_start AS cid, chunk_tokens,
-            ${Training.splitSql("doc_id", Splits)} AS split,
-            ${Training.hashHexSql("doc_id * 1000000 + chunk_start", "graft-pack", hexChars = 1)} AS shard
-          FROM ch),
-        w AS (
-          SELECT split, shard, cid, chunk_tokens,
-            sum(chunk_tokens) OVER (PARTITION BY split, shard ORDER BY cid) AS cum
-          FROM cids)
-        SELECT split, shard, CAST(floor((cum - chunk_tokens) / $PackBudget) AS BIGINT) AS bin,
-          count(*) AS n_chunks, CAST(sum(chunk_tokens) AS BIGINT) AS bin_tokens
-        FROM w GROUP BY split, shard, bin ORDER BY split, shard, bin"""
-      }),
+      Some(s"""
+        WITH ${OracleFrags.exactKeepCtes("documents", "kept")},
+        ${OracleFrags.qualityCtes("kept", "q", minScore = 0.99)},
+        ${OracleFrags.chunkPackSelect("q", chunkSize = 64, budget = PackBudget, Splits)}""")),
+
+    // The FULL curation pipeline — every curation operator in the library
+    // composed into the one job a pretraining pipeline actually runs:
+    // exact-dedup keepers → NEAR-dup keepers (LSH clusters, q83's
+    // operator) → quality filter → deterministic split → decontamination
+    // drop (q86's operator) → 64-token chunking → per-(split, shard)
+    // packing → bin manifest. The oracle is COMPOSED from the same CTE
+    // fragments that gate each stage alone (q21/q78/q28/q73/q76/q77/q74),
+    // so a semantic drift in any stage breaks this gate too.
+    QueryDef(
+      "q87_curation_pipeline_full",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        // 1. exact dedup
+        val kept1 = docs.join(
+          Dedup.exactGroups(docs, "doc_id", "text").select(col("keep_id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        // 2. near-dup keepers over the exact-kept corpus (same LSH pair
+        // pipeline q78/q85 gate)
+        val sig = Dedup.minhashSignaturesScanLocal(kept1, "doc_id", "text", k = 4, w = 3)
+        val nearPairs = Dedup.minhashCandidates(
+          Dedup.minhashBands(sig, "doc_id", k = 4, r = 2), "doc_id")
+        val kept2 = kept1.join(
+          Dedup.keepers(kept1, "doc_id", nearPairs)
+            .filter(col("keep")).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        // 3. quality filter
+        val quality = kept2.filter(TextStats.qualityScore(col("text")) >= 0.99)
+        // 4 + 5. split + decontamination drop (train docs leaking ≥2
+        // shingles into test; capped in-job like q76/q86)
+        val drop = Training.contaminatedTrainDocs(
+            Dedup.wordShingles(quality, "doc_id", "text", w = 3),
+            "doc_id", Training.splitColumn(col("doc_id"), Splits),
+            minShared = 2L, capAtObservedMax = true)
+          .select(col("train_id").as("doc_id"))
+        val clean = quality.join(drop, Seq("doc_id"), "left_anti")
+        // 6 + 7. chunk → surrogate key → pack per (split, shard)
+        val chunks = Training.chunkTokens(clean, "doc_id", "text",
+            chunkSize = 64, stride = 64)
+          .withColumn("cid", cidCol)
+          .withColumn("split", Training.splitColumn(col("doc_id"), Splits))
+        Training.packBins(
+            chunks.select(col("cid"), col("split"), col("chunk_tokens")),
+            "cid", "chunk_tokens", budget = PackBudget,
+            partitionCols = Seq("split"))
+          .groupBy(col("split"), col("shard"), col("bin"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(col("chunk_tokens")).cast("long").as("bin_tokens"))
+          .orderBy(col("split"), col("shard"), col("bin"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${OracleFrags.exactKeepCtes("documents", "kept1")},
+        ${OracleFrags.dedupWalkCtes("kept1")},
+        cc AS (
+          SELECT id AS doc_id, min(component) AS component
+          FROM walk GROUP BY id),
+        kept2 AS (
+          SELECT k.doc_id, k.text FROM kept1 k LEFT JOIN cc USING (doc_id)
+          WHERE coalesce(cc.component, k.doc_id) = k.doc_id),
+        ${OracleFrags.qualityCtes("kept2", "q", minScore = 0.99)},
+        ${OracleFrags.contamPairsCtes("q", "cp", Splits, minShared = 2L)},
+        clean AS (
+          SELECT doc_id, text FROM q
+          WHERE doc_id NOT IN (SELECT train_id FROM cp)),
+        ${OracleFrags.chunkPackSelect("clean", chunkSize = 64, budget = PackBudget, Splits)}""")),
 
     // EXACT-count stratified sample: per-language quotas via a per-stratum
     // window top-k by hash (one shuffle keyed on the label; the rank

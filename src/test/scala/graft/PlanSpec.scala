@@ -120,7 +120,8 @@ class PlanSpec extends SparkSpec {
       "q82_ann_ivf_quantized" -> "BroadcastNestedLoopJoin", // probe×centroid cell assignment (q38 shape); centroids broadcast
       "q24_ngram_jaccard_pairs" -> "BroadcastNestedLoopJoin", // 1-row DF-cap scalar subquery crossJoin (broadcast side is ONE row)
       "q76_decontamination" -> "BroadcastNestedLoopJoin", // same 1-row DF-cap crossJoin as q24
-      "q86_decontam_droplist" -> "BroadcastNestedLoopJoin") // same 1-row DF-cap crossJoin as q24/q76
+      "q86_decontam_droplist" -> "BroadcastNestedLoopJoin", // same 1-row DF-cap crossJoin as q24/q76
+      "q87_curation_pipeline_full" -> "BroadcastNestedLoopJoin") // embeds q86's 1-row DF-cap crossJoin
     val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.sparkPlan.toString
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")
@@ -146,6 +147,13 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.sparkPlan.toString
     assert(plan.contains("windowspecdefinition(split") && plan.contains("shard"),
       s"pipeline packing window lost its (split, shard) partitioning:\n$plan")
+  }
+
+  test("q87 full pipeline packs within (split, shard) — window partition spec intact") {
+    val df = SparkEntry.queries("q87_curation_pipeline_full")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("windowspecdefinition(split") && plan.contains("shard"),
+      s"full pipeline packing window lost its (split, shard) partitioning:\n$plan")
   }
 
   test("q75 stratified sample is map-only: no hash shuffle, no join") {

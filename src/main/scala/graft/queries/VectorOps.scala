@@ -121,7 +121,7 @@ object VectorOps {
 
   private val clusteredCache = scala.collection.concurrent.TrieMap
     .empty[String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
-      Similarity.IvfIndex)]
+      Similarity.IvfIndex, Similarity.IvfIndex)]
 
   private def clusteredFor(s: org.apache.spark.sql.SparkSession) =
     clusteredCache.getOrElseUpdate("clustered", {
@@ -130,10 +130,13 @@ object VectorOps {
       val corpus = corpusRows.toDF("vec_id", "embedding")
       val probes = probeRows.toDF("vec_id", "embedding")
       val path = "/tmp/graft_ivf/clustered_fixture"
-      Similarity.writeIvfIndex(
-        Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
-          nCentroids = 16, seed = 42L), path)
-      (corpus, probes, Similarity.readIvfIndex(s, path))
+      val idx = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+        nCentroids = 16, seed = 42L)
+      Similarity.writeIvfIndex(idx, path)
+      val qPath = "/tmp/graft_ivf/clustered_fixture_q"
+      Similarity.writeIvfIndexQuantized(idx, qPath)
+      (corpus, probes, Similarity.readIvfIndex(s, path),
+        Similarity.readIvfIndex(s, qPath))
     })
 
   val defs: Seq[QueryDef] = Seq(
@@ -146,7 +149,7 @@ object VectorOps {
     QueryDef(
       "q68_ann_recall_clustered",
       (s, _) => {
-        val (corpus, probes, ivfIdx) = clusteredFor(s)
+        val (corpus, probes, ivfIdx, ivfQIdx) = clusteredFor(s)
         val k = 5
         val brute = Similarity.bruteTopK(probes, corpus, "vec_id", "embedding", k)
           .select(col("q_id"), col("neighbor_id"))
@@ -158,14 +161,22 @@ object VectorOps {
           .select(col("r").as("lsh_recall"))
         val ivf = recall(Similarity.ivfQuery(probes, ivfIdx, "vec_id", "embedding", k))
           .select(col("r").as("ivf_recall"))
-        lsh.crossJoin(ivf).select(
+        // the quantized route must hold the same recall bar: int8 codes
+        // shift each cosine by ≤ half a step, far below the inter-cluster
+        // separation, so rank order inside a cluster is preserved
+        val ivfq = recall(Similarity.ivfQueryQuantized(probes, ivfQIdx,
+            "vec_id", "embedding", k))
+          .select(col("r").as("ivfq_recall"))
+        lsh.crossJoin(ivf).crossJoin(ivfq).select(
           lit(NClusters.toLong).as("n_probes"),
           (col("lsh_recall") >= 0.8).as("lsh_recall_ok"),
-          (col("ivf_recall") >= 0.8).as("ivf_recall_ok"))
+          (col("ivf_recall") >= 0.8).as("ivf_recall_ok"),
+          (col("ivfq_recall") >= 0.8).as("ivfq_recall_ok"))
       },
       Some("""
         SELECT CAST(20 AS BIGINT) AS n_probes,
-               true AS lsh_recall_ok, true AS ivf_recall_ok""")),
+               true AS lsh_recall_ok, true AS ivf_recall_ok,
+               true AS ivfq_recall_ok""")),
 
     // Vector norms via higher-order fold (functions.aggregate) — the
     // map-side feature-hygiene pass (no shuffle at all).

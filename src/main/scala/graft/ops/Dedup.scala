@@ -269,6 +269,9 @@ object Dedup {
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // the edge list is dead once the loop exits — only the final label
+    // checkpoint backs the returned frame
+    checkpointRdd(edges).foreach(_.unpersist(blocking = false))
     labels
   }
 

@@ -266,6 +266,68 @@ object Similarity {
     ivfQuery(queries, buildIvfIndex(targets, idCol, vecCol, nCentroids, seed),
       idCol, vecCol, k, nProbe)
 
+  /** Offline quantized LSH index: one row per vector with int8 codes,
+    * corners, and the per-table sign-bit buckets of the DEQUANTIZED
+    * reconstruction — the buckets are a pure function of the stored codes,
+    * so the online path never touches the float column at all (the
+    * [[writeIvfIndexQuantized]] story, for the LSH route). Dequantization
+    * for the build-time sketch uses the exact q82 formula
+    * (mn + c·(mx − mn)/255, all-double); build-time HOF cost is an
+    * offline-job concern, the query path is native end to end.
+    */
+  def buildLshIndexQuantized(
+      targets: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    import graft.functions.QuantExprs
+    val buckets = (0 until nTables).map(tIdx =>
+      hyperplaneSketch(col("__deq"), nPlanes, seed = 42L + tIdx * 7919L))
+    targets
+      .select(col(idCol).as("id"),
+        QuantExprs.quantize_i8(col(vecCol)).as("codes"),
+        array_min(col(vecCol)).cast("double").as("mn"),
+        array_max(col(vecCol)).cast("double").as("mx"))
+      .withColumn("__deq", transform(col("codes"),
+        c => col("mn") + c.cast("double") * (col("mx") - col("mn")) / lit(255.0)))
+      .select(col("id"), col("codes"), col("mn"), col("mx"),
+        array(buckets: _*).as("buckets"))
+  }
+
+  def writeLshIndexQuantized(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").parquet(path)
+
+  /** LSH approximate top-k over the quantized index: probe buckets come
+    * from the float probe vectors (same plane family), corpus buckets were
+    * precomputed at build time from the dequantized codes; candidates are
+    * scored with the fused `cosine_q8` straight off the code column. The
+    * planted-NN gate (q88) shares q82's oracle VERBATIM — the quantized
+    * cosine is the same closed form on either index route.
+    */
+  def lshTopKQuantized(
+      queries: DataFrame, index: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    import graft.functions.QuantExprs
+    val qTables = (0 until nTables).map { tIdx =>
+      struct(lit(tIdx).as("t_idx"),
+        hyperplaneSketch(col("q_vec"), nPlanes, seed = 42L + tIdx * 7919L).as("bucket"))
+    }
+    val q = broadcast(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+        .select(col("q_id"), col("q_vec"), explode(array(qTables: _*)).as("b"))
+        .select(col("q_id"), col("q_vec"), col("b.t_idx"), col("b.bucket")))
+    val t = index.select(col("id"), col("codes"), col("mn"), col("mx"),
+      posexplode(col("buckets")).as(Seq("t_idx", "bucket")))
+    val scored = q.as("q")
+      .join(t.as("t"),
+        col("q.t_idx") === col("t.t_idx") && col("q.bucket") === col("t.bucket") &&
+          col("q.q_id") =!= col("t.id"))
+      .select(col("q.q_id").as("q_id"), col("t.id").as("neighbor_id"),
+        QuantExprs.cosine_q8(col("q.q_vec"), col("t.codes"), col("t.mn"), col("t.mx"))
+          .as("cosine"))
+      .distinct()
+    topK(scored, k)
+  }
+
   /** Embedding-cosine near-dup pairs: every pair that shares a sketch
     * bucket in any LSH table and clears the cosine threshold. Bucket join
     * only — the corpus is never crossed with itself.

@@ -88,6 +88,51 @@ object VectorOps {
       Similarity.readIvfIndex(s, path)
     })
 
+  /** q88's quantized LSH index (codes + corners + build-time buckets of
+    * the dequantized reconstruction) — same offline-build contract.
+    */
+  private val lshQuantCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  private def lshQuantIndexFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    lshQuantCache.getOrElseUpdate(dir, {
+      val path = s"/tmp/graft_lsh_q/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Similarity.writeLshIndexQuantized(
+        Similarity.buildLshIndexQuantized(Tables.embeddings(s, dir), "vec_id", "embedding"),
+        path)
+      s.read.parquet(path)
+    })
+
+  /** Shared oracle for the quantized-ANN planted-NN gates (q82 IVF route,
+    * q88 LSH route): DuckDB recomputes codes + dequant + the left-to-right
+    * cosine fold closed-form. Two physical routes, ONE oracle.
+    */
+  private lazy val plantedQuantNnSql: String = {
+    val pv = "list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001 + 0.0005)"
+    s"""
+          WITH p AS (
+            SELECT vec_id, $pv AS pv FROM embeddings WHERE vec_id < 5),
+          base AS (
+            SELECT vec_id,
+              CAST(list_min(embedding) AS DOUBLE) AS mn,
+              CAST(list_max(embedding) AS DOUBLE) AS mx,
+              embedding
+            FROM embeddings),
+          dq AS (
+            SELECT vec_id,
+              CASE WHEN mx = mn THEN list_transform(embedding, x -> mn)
+                   ELSE list_transform(embedding, x ->
+                     mn + floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5)
+                          * (mx - mn) / 255.0)
+              END AS dv
+            FROM base)
+          SELECT p.vec_id + 100000 AS q_id, p.vec_id AS neighbor_id,
+            round(${oracleDot.format("pv", "dv")} /
+              (sqrt(${oracleDot.format("pv", "pv")}) * sqrt(${oracleDot.format("dv", "dv")})),
+              4) AS cosine
+          FROM p JOIN dq ON dq.vec_id = p.vec_id ORDER BY q_id"""
+  }
+
   /** Seeded clustered-embedding fixture for the ANN recall gate (q68).
     * The planted twins (q37/q38) prove the pipelines EXACT on plantable
     * inputs, but recall on i.i.d. vectors is uninformative (LSH recall ≈ 0
@@ -361,30 +406,24 @@ object VectorOps {
           .select(col("q_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
           .orderBy(col("q_id"))
       },
-      Some {
-        val pv = "list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001 + 0.0005)"
-        s"""
-          WITH p AS (
-            SELECT vec_id, $pv AS pv FROM embeddings WHERE vec_id < 5),
-          base AS (
-            SELECT vec_id,
-              CAST(list_min(embedding) AS DOUBLE) AS mn,
-              CAST(list_max(embedding) AS DOUBLE) AS mx,
-              embedding
-            FROM embeddings),
-          dq AS (
-            SELECT vec_id,
-              CASE WHEN mx = mn THEN list_transform(embedding, x -> mn)
-                   ELSE list_transform(embedding, x ->
-                     mn + floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5)
-                          * (mx - mn) / 255.0)
-              END AS dv
-            FROM base)
-          SELECT p.vec_id + 100000 AS q_id, p.vec_id AS neighbor_id,
-            round(${oracleDot.format("pv", "dv")} /
-              (sqrt(${oracleDot.format("pv", "pv")}) * sqrt(${oracleDot.format("dv", "dv")})),
-              4) AS cosine
-          FROM p JOIN dq ON dq.vec_id = p.vec_id ORDER BY q_id"""
-      }),
+      Some(plantedQuantNnSql)),
+
+    // The SAME planted-NN answer via the quantized LSH route: buckets were
+    // precomputed at index-build time from the dequantized codes (a pure
+    // function of the stored codes — the online path reads no floats), and
+    // candidates are scored with cosine_q8 off the code column. Oracle =
+    // q82's VERBATIM (two physical routes, one answer — the q45/q67 and
+    // q78/q85 pattern, now for the quantized ANN surface).
+    QueryDef(
+      "q88_ann_lsh_quantized",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.lshTopKQuantized(planted(e.filter(col("vec_id") < 5)),
+            lshQuantIndexFor(s, dir), "vec_id", "embedding", k = 5)
+          .filter(col("rank") === 1)
+          .select(col("q_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+          .orderBy(col("q_id"))
+      },
+      Some(plantedQuantNnSql)),
   )
 }

@@ -226,4 +226,31 @@ class PropertiesSpec extends SparkSpec {
       viaStreamOp == viaBatch
     }, cases = 8)
   }
+
+  test("int8 quantization: codes in [0,255], round-trip error within half a step, idempotent on lattice") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val vecGen = Gen.nonEmptyListOf(Gen.chooseNum(-1e6f, 1e6f)).map(_.toArray)
+    check(Prop.forAllNoShrink(vecGen) { vec =>
+      val data = new GenericArrayData(vec.map(_.toDouble))
+      val codes = graft.functions.QuantKernel.quantize(data, isFloat = false)
+      val err = graft.functions.QuantKernel.maxErr(data, isFloat = false)
+      val mn = vec.map(_.toDouble).min
+      val mx = vec.map(_.toDouble).max
+      val inRange = (0 until codes.numElements()).forall { i =>
+        val c = codes.getInt(i); c >= 0 && c <= 255
+      }
+      inRange && err <= (mx - mn) / 255.0 / 2.0 + 1e-9
+    })
+    // dequantize → requantize is a fixpoint (codes on the lattice)
+    check(Prop.forAllNoShrink(vecGen) { vec =>
+      val data = new GenericArrayData(vec.map(_.toDouble))
+      val codes = graft.functions.QuantKernel.quantize(data, isFloat = false)
+      val mn = vec.map(_.toDouble).min
+      val mx = vec.map(_.toDouble).max
+      val deq = new GenericArrayData(Array.tabulate(vec.length)(i =>
+        mn + codes.getInt(i) * (mx - mn) / 255.0))
+      val codes2 = graft.functions.QuantKernel.quantize(deq, isFloat = false)
+      (0 until vec.length).forall(i => codes.getInt(i) == codes2.getInt(i))
+    }, cases = 50)
+  }
 }

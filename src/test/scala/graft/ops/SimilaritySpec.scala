@@ -77,4 +77,39 @@ class SimilaritySpec extends SparkSpec {
     val recall = (brute intersect lsh).size.toDouble / brute.size
     assert(recall >= 0.5, s"LSH recall too low: $recall (brute=$brute lsh=$lsh)")
   }
+
+  test("quantized IVF and quantized LSH routes agree with each other on planted probes") {
+    // planted perturbed twins: both quantized ANN routes must return the
+    // same (source, quantized-cosine) rank-1 answer — the q82/q88
+    // one-oracle equivalence, pinned here without DuckDB
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val probes = vecs.filter($"vec_id" < 3).select(
+      ($"vec_id" + 1000L).as("vec_id"),
+      transform($"embedding", x => x.cast("double") * lit(1.001) + lit(0.0005))
+        .as("embedding"))
+    val tmpIvf = java.nio.file.Files.createTempDirectory("ivfq").toString
+    Similarity.writeIvfIndexQuantized(
+      Similarity.buildIvfIndex(vecs, "vec_id", "embedding", nCentroids = 4), tmpIvf)
+    val ivf = Similarity.ivfQueryQuantized(probes, Similarity.readIvfIndex(spark, tmpIvf),
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .filter($"rank" === 1)
+      .collect().map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))).toMap
+    val tmpLsh = java.nio.file.Files.createTempDirectory("lshq").toString
+    Similarity.writeLshIndexQuantized(
+      Similarity.buildLshIndexQuantized(vecs, "vec_id", "embedding"), tmpLsh)
+    val lshq = Similarity.lshTopKQuantized(probes, spark.read.parquet(tmpLsh),
+        "vec_id", "embedding", k = 3)
+      .filter($"rank" === 1)
+      .collect().map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))).toMap
+    assert(ivf.keySet === Set(1000L, 1001L, 1002L))
+    assert(ivf === lshq, s"quantized routes disagree: ivf=$ivf lshq=$lshq")
+    // rank-1 is the planted source, bit-identical quantized cosine on both
+    ivf.foreach { case (qId, (nId, cos)) =>
+      assert(nId === qId - 1000L && cos > 0.999)
+    }
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineF, CosineQ8, DeletionVariantsExpr, DotF, HyperplaneSketchExpr, MinHashSigExpr, QuantErrI8, QuantizeI8, RollingHash, SimHashExpr, WordShinglesExpr}
+import graft.functions.{BloomMightContain, CosineF, CosineQ8, DeletionVariantsExpr, DotF, HyperplaneSketchExpr, MinHashSigExpr, QuantErrI8, QuantizeI8, RollingHash, SimHashExpr, WordShinglesExpr}
 
 /** Session extension installing the engine's native functions into the SQL
   * registry, so `SELECT rolling_hash(text)` works from pure SQL as well as
@@ -40,5 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "quant_err_i8", classOf[QuantErrI8].getName, 1)(c => QuantErrI8(c.head))
     register(ext, "cosine_q8", classOf[CosineQ8].getName, 4)(c =>
       CosineQ8(c(0), c(1), c(2), c(3)))
+    register(ext, "bloom_might_contain", classOf[BloomMightContain].getName, 2)(c =>
+      BloomMightContain(c(0), c(1)))
   }
 }

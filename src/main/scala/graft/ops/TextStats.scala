@@ -162,6 +162,55 @@ object TextStats {
   def fingerprint(text: Column): Column =
     substring(md5(Dedup.canonical(text)), 1, 16)
 
+  /** PII scrub patterns, in REPLACEMENT ORDER (emails first: an address
+    * must not survive long enough for its host part to be half-eaten by
+    * the IP rule). One list drives both the Spark columns and the DuckDB
+    * oracle SQL, so the twins cannot drift.
+    *
+    * Pattern dialect: the intersection of Java regex (Spark) and RE2
+    * (DuckDB) — character classes, bounded repetition, `\b`, optional
+    * groups; NO lookaround or backreferences (RE2 has neither). For these
+    * constructs the two engines match identically (greedy, non-overlapping,
+    * left-to-right), which the q90 gate pins corpus-wide.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+\\d{1,3}-\\d{3}-\\d{3,4}(-\\d{3,4})?\\b", "<PHONE>"))
+
+  /** Match count for one PII category on the ORIGINAL text (counts are
+    * per-category and independent; redaction order doesn't affect them).
+    */
+  def piiCount(text: Column, category: String): Column = {
+    val (_, pat, _) = piiPatterns.find(_._1 == category)
+      .getOrElse(sys.error(s"unknown PII category: $category"))
+    regexp_count(text, lit(pat)).cast("long")
+  }
+
+  /** The text with every PII match replaced by its typed token — a pure
+    * map-side column (stays inside WholeStageCodegen; no shuffle, no UDF).
+    * Idempotent: replacement tokens contain no `@`, digits-with-dots, or
+    * `+`, so a second pass is a no-op (TextStatsSpec pins it).
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pat, token)) =>
+      regexp_replace(c, pat, token)
+    }
+
+  /** DuckDB twins of [[piiCount]] / [[redactPii]], generated from the same
+    * pattern list (the q27 generated-dictionary rule).
+    */
+  def piiCountSql(textExpr: String, category: String): String = {
+    val (_, pat, _) = piiPatterns.find(_._1 == category)
+      .getOrElse(sys.error(s"unknown PII category: $category"))
+    s"len(regexp_extract_all($textExpr, '$pat'))"
+  }
+
+  def redactPiiSql(textExpr: String): String =
+    piiPatterns.foldLeft(textExpr) { case (e, (_, pat, token)) =>
+      s"regexp_replace($e, '$pat', '$token', 'g')"
+    }
+
   /** Scale-path language-ID: explode tokens → broadcast-join the stopword
     * dictionary → count votes per (doc, lang) → argmax. Same decision rule
     * as [[langId]] (score desc, lang asc, 0 hits → "und") but linear in

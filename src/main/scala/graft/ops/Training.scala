@@ -161,6 +161,58 @@ object Training {
       s"rn <= (CASE $whens ELSE $defaultCount END)"
     }
 
+  /** Per-stratum temperature-sampling rates — the multilingual/multi-source
+    * mixture rebalancing every large pretraining corpus applies (sample
+    * stratum d with probability ∝ p_d^α relative to its natural share,
+    * downsample-only): `rate_d = (n_min / n_d)^(1−α)`, so the smallest
+    * stratum keeps everything and the post-sample distribution follows
+    * p^α. α = 1 reproduces the natural mixture; α → 0 flattens it.
+    *
+    * Returns one row per label: (label, n_docs, rate, thr) where `thr` is
+    * the 32-bit hash threshold `floor(rate · 2³²)` — feed it to
+    * [[temperatureKeep]] for the map-only sampling pass.
+    *
+    * Cross-engine bit-stability: α = 0.5 (the common choice) computes the
+    * rate as `sqrt`, which IEEE-754 rounds correctly in every engine — the
+    * q91 oracle replays it bit-for-bit. Other α go through `pow`, whose
+    * last-ulp behavior is libm-specific; those rates are engine-local
+    * (document or round before persisting them).
+    *
+    * Scale shape: the counts aggregate is map-side combinable and its
+    * output is |labels| rows; the min is a 1-row broadcast scalar
+    * subquery joined back in-job (the q24 cap pattern — no driver-side
+    * action). Sampling then needs a second pass over the corpus, which is
+    * inherent: the rates are a function of the GLOBAL stratum counts (at
+    * 100 TB, reuse rates from the previous corpus snapshot to fold the
+    * two passes into one).
+    */
+  def temperatureRates(
+      df: DataFrame, labelCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0,1]")
+    val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n_docs"))
+    val minFrame = counts.agg(min(col("n_docs")).as("n_min"))
+    val ratio = col("n_min").cast("double") / col("n_docs").cast("double")
+    val rate =
+      if (alpha == 0.5) sqrt(ratio)
+      else if (alpha == 1.0) lit(1.0)
+      else pow(ratio, lit(1.0 - alpha))
+    counts.crossJoin(broadcast(minFrame))
+      .withColumn("rate", rate)
+      .withColumn("thr", floor(col("rate") * lit(4294967296.0)).cast("long"))
+      .drop("n_min")
+  }
+
+  /** The sampling predicate paired with [[temperatureRates]]: keep a row
+    * iff its portable 32-bit hash falls under its stratum's `thr`. The
+    * rates frame broadcasts (|labels| rows), so the pass is map-only.
+    */
+  def temperatureKeep(
+      docs: DataFrame, idCol: String, labelCol: String, rates: DataFrame,
+      seed: String = "graft-mix"): DataFrame =
+    docs.join(broadcast(rates.select(col(labelCol), col("thr"))), labelCol)
+      .filter(Dedup.portableHash(col(idCol).cast("string"), s"$seed:") < col("thr"))
+      .drop("thr")
+
   /** Greedy sequential sequence packing, shard-local: route each document
     * to one of 16^`shardHexChars` hash shards, order within the shard by id,
     * and assign bin = floor(start_offset / budget) where start_offset is the
@@ -278,4 +330,55 @@ object Training {
       .agg(
         countDistinct(col("test_id")).as("n_test_docs"),
         max(col("n_shared")).as("worst_overlap"))
+
+  /** [[contaminatedTrainDocs]] with a broadcast BLOOM prefilter on the
+    * train side — the shape that wins when the train corpus is 100 TB and
+    * the test side is a benchmark suite (megabytes): build a Bloom filter
+    * over the TEST shingles (one pass over the small side; ~1.2 bytes per
+    * shingle at fpp 3%), then drop every train shingle the filter rejects
+    * INSIDE the train scan, before the exchange. Only train shingles that
+    * (probably) collide with a test shingle are shuffled into the exact
+    * join — the shuffle shrinks from O(|train shingles|) to
+    * O(|test shingles| · (1 + fpp·blowup)).
+    *
+    * The result is EXACTLY [[contaminatedTrainDocs]] (uncapped): a Bloom
+    * filter has no false negatives, and its false positives are train
+    * shingles with no matching test shingle — the equi-join that follows
+    * eliminates them (TrainingSpec pins the equivalence; the q89 gate
+    * hash-matches q86's uncapped oracle).
+    *
+    * Trade, stated: materializing the filter is one extra Spark action
+    * over the test side at plan-build time (the same class of cost the
+    * r6 q24 defect removed — but here the extra pass reads the SMALL side
+    * only, and it buys removing the dominant shuffle of the big side; at
+    * scale the serialized filter is also reusable across incremental
+    * train batches). Spark's own runtime bloom injection (`GraftSession`)
+    * does this opportunistically when stats allow; this operator
+    * guarantees it.
+    */
+  def bloomContaminatedTrainDocs(
+      shingles: DataFrame, idCol: String, split: Column,
+      trainLabel: String = "train", testLabel: String = "test",
+      minShared: Long = 2L,
+      expectedTestShingles: Long = 1L << 16,
+      fpp: Double = 0.03): DataFrame = {
+    val tagged = shingles.withColumn("__split", split)
+    val test = tagged.filter(col("__split") === testLabel)
+      .select(col(idCol).as("test_id"), col("shingle"))
+    // one action over the small (test) side; string values enter the
+    // filter as UTF-8 bytes, the same bytes bloom_might_contain probes
+    val bloom = test.stat.bloomFilter("shingle", expectedTestShingles, fpp)
+    val bytes = graft.functions.BloomExprs.serialize(bloom)
+    val train = tagged.filter(col("__split") === trainLabel)
+      .select(col(idCol).as("train_id"), col("shingle"))
+      .filter(graft.functions.BloomExprs.bloom_might_contain(col("shingle"), bytes))
+    test.join(train, "shingle")
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .groupBy(col("train_id"))
+      .agg(
+        countDistinct(col("test_id")).as("n_test_docs"),
+        max(col("n_shared")).as("worst_overlap"))
+  }
 }

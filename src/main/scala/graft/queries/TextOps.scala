@@ -517,5 +517,45 @@ object TextOps {
       Some("""
         SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
         FROM documents WHERE text IS NOT NULL ORDER BY media_id""")),
+
+    // PII redaction: typed regex scrub (emails / IPv4 / phones) with
+    // per-document counts — pure map-side regexp columns, no shuffle, no
+    // UDF. The corpus text carries no PII, so the gate PLANTS one of each
+    // category deterministically from doc_id (mirrored verbatim in the
+    // twin) and hashes the redacted text — exercising match, multi-case
+    // counting, and replacement across every row. Patterns and replacement
+    // order come from ONE list (TextStats.piiPatterns) on both sides.
+    QueryDef(
+      "q90_pii_redaction",
+      (s, dir) => {
+        val planted = concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example"),
+          lit(" from 10."), (col("doc_id") % 250).cast("string"), lit(".0.7"),
+          lit(" call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), planted.as("t"))
+          .select(
+            col("doc_id"),
+            TextStats.piiCount(col("t"), "email").as("n_emails"),
+            TextStats.piiCount(col("t"), "ipv4").as("n_ipv4"),
+            TextStats.piiCount(col("t"), "phone").as("n_phones"),
+            substring(md5(TextStats.redactPii(col("t"))), 1, 16).as("redacted_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example' ||
+              ' from 10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.7' ||
+              ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+          FROM documents)
+        SELECT doc_id,
+          ${TextStats.piiCountSql("t", "email")} AS n_emails,
+          ${TextStats.piiCountSql("t", "ipv4")} AS n_ipv4,
+          ${TextStats.piiCountSql("t", "phone")} AS n_phones,
+          substr(md5(${TextStats.redactPiiSql("t")}), 1, 16) AS redacted_fp
+        FROM t ORDER BY doc_id""")),
   )
 }

@@ -161,6 +161,29 @@ object TrainingOps {
           CAST(max(n_shared) AS BIGINT) AS worst_overlap
         FROM cp GROUP BY train_id ORDER BY train_id""")),
 
+    // The decontamination drop list again, through the BLOOM-prefilter
+    // fast path: a Bloom filter built over the test split's shingles is
+    // broadcast into the train-side scan and drops non-colliding train
+    // shingles BEFORE the exchange — the 100 TB shape (train shuffle
+    // shrinks to ~|test shingles|). Exactness is structural (no false
+    // negatives; false positives die in the exact join), so the oracle is
+    // the very same uncapped SQL twin as q86 — one fragment, two
+    // physical routes, both hash-gated.
+    QueryDef(
+      "q89_decontam_bloom",
+      (s, dir) =>
+        Training.bloomContaminatedTrainDocs(
+            Dedup.wordShingles(Tables.documents(s, dir), "doc_id", "text", w = 3),
+            "doc_id",
+            Training.splitColumn(col("doc_id"), Splits),
+            minShared = 2L)
+          .orderBy(col("train_id")),
+      Some(s"""
+        WITH ${OracleFrags.contamPairsCtes("documents", "cp", Splits, minShared = 2L)}
+        SELECT train_id, count(DISTINCT test_id) AS n_test_docs,
+          CAST(max(n_shared) AS BIGINT) AS worst_overlap
+        FROM cp GROUP BY train_id ORDER BY train_id""")),
+
     // The composed curation pipeline — the operators above chained into
     // the corpus → training-shards job a real pretraining pipeline runs:
     // exact-dedup keepers → quality filter → deterministic split →
@@ -286,6 +309,42 @@ object TrainingOps {
         SELECT doc_id, lang, source FROM r
         WHERE ${Training.stratifiedExactSql("lang", ExactCounts, ExactDefault)}
         ORDER BY doc_id""")),
+
+    // Temperature-based mixture rebalancing (α = 0.5): per-language
+    // sampling rates rate = sqrt(n_min/n_lang) — downsample-only, the
+    // smallest stratum keeps everything, post-sample shares follow
+    // p^0.5 — then the map-only hash-threshold sampling pass and the
+    // achieved per-stratum counts. sqrt and the hash threshold replay
+    // bit-for-bit in the oracle (IEEE-correctly-rounded on both engines);
+    // the 1-row n_min frame is a broadcast scalar subquery (q24 pattern).
+    QueryDef(
+      "q91_temperature_mixture",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val rates = Training.temperatureRates(docs, "lang", alpha = 0.5)
+        val sampled = Training.temperatureKeep(docs, "doc_id", "lang", rates)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        rates.join(sampled, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"), col("rate"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        m AS (SELECT min(n_docs) AS n_min FROM c),
+        r AS (
+          SELECT lang, n_docs,
+            sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS rate,
+            CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                       * 4294967296.0) AS BIGINT) AS thr
+          FROM c, m),
+        s AS (
+          SELECT d.lang, count(*) AS n_sampled
+          FROM documents d JOIN r USING (lang)
+          WHERE ('0x' || substr(md5('graft-mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr
+          GROUP BY d.lang)
+        SELECT r.lang, r.n_docs, r.rate, coalesce(s.n_sampled, 0) AS n_sampled
+        FROM r LEFT JOIN s USING (lang) ORDER BY lang""")),
 
     // Context-window chunking: disjoint 32-token windows per document —
     // the map-side explode that precedes packing when bins must be ≤

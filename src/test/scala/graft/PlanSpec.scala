@@ -108,6 +108,17 @@ class PlanSpec extends SparkSpec {
       s"range join degraded to a nested loop:\n$plan")
   }
 
+  test("q89 plans the bloom probe as a train-side filter, not a join") {
+    val df = SparkEntry.queries("q89_decontam_bloom")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.sparkPlan.toString
+    // the prefilter is a scalar predicate inside the train branch (so it
+    // runs before that branch's exchange), not an extra join operator
+    assert(plan.contains("bloom_might_contain"),
+      s"bloom prefilter missing from the physical plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bloom route must add no all-pairs operator:\n$plan")
+  }
+
   test("registry sweep: no query plans a cartesian/nested-loop join beyond the allowlist") {
     // Every legitimate nested-loop in the engine is enumerated WITH its
     // justification; a new query (or a regression in an old one) that
@@ -121,7 +132,8 @@ class PlanSpec extends SparkSpec {
       "q24_ngram_jaccard_pairs" -> "BroadcastNestedLoopJoin", // 1-row DF-cap scalar subquery crossJoin (broadcast side is ONE row)
       "q76_decontamination" -> "BroadcastNestedLoopJoin", // same 1-row DF-cap crossJoin as q24
       "q86_decontam_droplist" -> "BroadcastNestedLoopJoin", // same 1-row DF-cap crossJoin as q24/q76
-      "q87_curation_pipeline_full" -> "BroadcastNestedLoopJoin") // embeds q86's 1-row DF-cap crossJoin
+      "q87_curation_pipeline_full" -> "BroadcastNestedLoopJoin", // embeds q86's 1-row DF-cap crossJoin
+      "q91_temperature_mixture" -> "BroadcastNestedLoopJoin") // 1-row n_min scalar-subquery crossJoin (q24 cap pattern)
     val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.sparkPlan.toString
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")

@@ -67,6 +67,30 @@ class TextStatsSpec extends SparkSpec {
     assert(df.select(TextStats.subwordCountEstimate($"t")).head().getInt(0) === 5)
   }
 
+  test("redactPii scrubs all three categories; counts match; idempotent") {
+    val df = Seq(
+      "write alice.smith+x@corp.example.org or bob@a.io, host 192.168.0.1, tel +33-555-0142",
+      "no pii here at all",
+      // an @ followed by a bare IP is NOT an email (no letter TLD) — the
+      // IP rule handles it after the email pass leaves it alone
+      "ping user@10.0.0.1 now").toDF("t")
+      .select($"t",
+        TextStats.piiCount($"t", "email").as("ne"),
+        TextStats.piiCount($"t", "ipv4").as("ni"),
+        TextStats.piiCount($"t", "phone").as("np"),
+        TextStats.redactPii($"t").as("red"))
+    val rows = df.collect()
+    assert((rows(0).getLong(1), rows(0).getLong(2), rows(0).getLong(3)) === ((2L, 1L, 1L)))
+    assert(rows(0).getString(4) ===
+      "write <EMAIL> or <EMAIL>, host <IP>, tel <PHONE>")
+    assert((rows(1).getLong(1), rows(1).getLong(2), rows(1).getLong(3)) === ((0L, 0L, 0L)))
+    assert(rows(1).getString(4) === "no pii here at all")
+    assert(rows(2).getString(4) === "ping user@<IP> now")
+    // idempotence: tokens introduce no new matches
+    val twice = df.select(TextStats.redactPii($"red").as("r2"), $"red")
+    assert(twice.filter($"r2" =!= $"red").count() === 0L)
+  }
+
   test("repetitionStats: closed-form fractions on looping vs clean text") {
     val docs = Seq(
       // "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] → top "a b" 3/5;

@@ -167,6 +167,57 @@ class TrainingSpec extends SparkSpec {
     assert(sql.contains(Training.hexThreshold(0.25)))
   }
 
+  test("bloomContaminatedTrainDocs equals the exact drop list (no false negatives survive)") {
+    val docs = Tables.documents(spark, sf()).limit(200)
+    val sh = Dedup.wordShingles(docs, "doc_id", "text", w = 3)
+    val split = Training.splitColumn(col("doc_id"), fracs)
+    val exact = Training.contaminatedTrainDocs(sh, "doc_id", split, minShared = 2L)
+    val bloomed = Training.bloomContaminatedTrainDocs(sh, "doc_id", split, minShared = 2L)
+    assert(exact.except(bloomed).isEmpty && bloomed.except(exact).isEmpty,
+      "bloom prefilter changed the decontamination result")
+    assert(exact.count() > 0L, "vacuous equivalence: no contamination found at all")
+    // a deliberately undersized/high-fpp filter must STILL be exact — only
+    // the prefilter selectivity degrades, never the answer
+    val sloppy = Training.bloomContaminatedTrainDocs(sh, "doc_id", split, minShared = 2L,
+      expectedTestShingles = 32L, fpp = 0.5)
+    assert(exact.except(sloppy).isEmpty && sloppy.except(exact).isEmpty)
+  }
+
+  test("temperatureRates flattens the mixture: min stratum keeps all, shares move toward p^alpha") {
+    val docs = Tables.documents(spark, sf("sf0.01")).select(col("doc_id"), col("lang"))
+    val rates = Training.temperatureRates(docs, "lang", alpha = 0.5).cache()
+    try {
+      val r = rates.collect().map(x =>
+        x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+      val nMin = r.values.map(_._1).min
+      r.foreach { case (lang, (n, rate)) =>
+        assert(rate === math.sqrt(nMin.toDouble / n), s"$lang rate formula")
+        assert(rate > 0.0 && rate <= 1.0)
+      }
+      // the smallest stratum is never downsampled
+      assert(r.values.filter(_._1 == nMin).forall(_._2 === 1.0))
+      // achieved counts: close to rate·n, and the imbalance shrinks
+      val sampled = Training.temperatureKeep(docs, "doc_id", "lang", rates)
+        .groupBy(col("lang")).count().collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      r.foreach { case (lang, (n, rate)) =>
+        val want = rate * n
+        assert(math.abs(sampled(lang) - want) <= math.max(6.0, 0.25 * want),
+          s"$lang: sampled ${sampled(lang)}, expected ≈ $want")
+      }
+      val natural = r.values.map(_._1)
+      val flat = sampled.values
+      assert(flat.max.toDouble / flat.min < natural.max.toDouble / natural.min,
+        "temperature sampling must reduce the max/min stratum imbalance")
+      // determinism: membership is a pure function of the id
+      val again = Training.temperatureKeep(docs.repartition(9), "doc_id", "lang", rates)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val first = Training.temperatureKeep(docs, "doc_id", "lang", rates)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(first === again)
+    } finally rates.unpersist()
+  }
+
   test("contaminationPairs matches a brute-force shingle-set intersection") {
     val docs = Tables.documents(spark, sf()).limit(120)
     val sh = Dedup.wordShingles(docs, "doc_id", "text", w = 3)

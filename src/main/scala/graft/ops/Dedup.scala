@@ -119,6 +119,45 @@ object Dedup {
       .distinct()
   }
 
+  /** INCREMENTAL near-dup candidates: pairs touching a NEW batch of
+    * documents against an existing signature index, without re-banding
+    * old-vs-old. The daily-crawl shape at 100 TB: the old corpus is never
+    * re-scanned — `oldSigs` is the persisted signature table (k longs per
+    * doc, e.g. a [[graft.sources.Store]] table maintained by `upsert`),
+    * only the new batch runs the scan-local signature expression, and the
+    * band join's left side is just the new batch's bands. Per-increment
+    * cost is O(new batch + colliding index buckets), independent of corpus
+    * text size.
+    *
+    * Returns normalized `(id_a < id_b)` distinct pairs where at least one
+    * side is new: new×new pairs once (a < b), new×old pairs once (the new
+    * side drives), old×old never. Old and new id sets MUST be disjoint
+    * (an id present in both would pair with itself and duplicate its
+    * neighbors — enforce at the upsert boundary, where keyed idempotence
+    * lives). The result feeds the same verification/clustering tail as
+    * the batch path ([[jaccardPairs]], [[connectedComponents]]); the q92
+    * gate pins it equal to the batch pipeline's pairs filtered to the
+    * new ids.
+    */
+  def incrementalCandidates(
+      oldSigs: DataFrame, newSigs: DataFrame, idCol: String,
+      k: Int = 8, r: Int = 2): DataFrame = {
+    val bNew = minhashBands(newSigs, idCol, k, r).as("a")
+    val bAll = minhashBands(newSigs, idCol, k, r).withColumn("__new", lit(true))
+      .unionByName(minhashBands(oldSigs, idCol, k, r).withColumn("__new", lit(false)))
+      .as("b")
+    bNew.join(
+        bAll,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          when(col("b.__new"), col(s"a.$idCol") < col(s"b.$idCol"))
+            .otherwise(col(s"a.$idCol") =!= col(s"b.$idCol")))
+      .select(
+        least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))
+      .distinct()
+  }
+
   /** 1-row (`cap`) frame holding the observed max shingle document
     * frequency — the "never actually prunes" cap for exact-result gates.
     * Joining it in as a broadcast scalar subquery keeps the whole pipeline

@@ -11,13 +11,12 @@ import graft.ops.{TextStats, Training}
   */
 object OracleFrags {
 
-  /** The LSH-candidate + reachability-closure cluster fragment (q78/q83/
-    * q87): scan-local MinHash (k=4, w=3), 2 bands of 2 rows, band-bucket
-    * pairs, symmetric closure, recursive walk. Emits CTEs `toks, sh, sig,
-    * bands, pairs, edges, walk` over `$src(doc_id, text)`. The enclosing
-    * query must start `WITH RECURSIVE`.
+  /** The LSH candidate-pair fragment (q78/q83/q85/q87/q92): scan-local
+    * MinHash (k=4, w=3), 2 bands of 2 rows, band-bucket pairs. Emits CTEs
+    * `toks, sh, sig, bands, pairs` over `$src(doc_id, text)`, with
+    * `pairs(id_a < id_b)`.
     */
-  def dedupWalkCtes(src: String): String = s"""
+  def lshPairsCtes(src: String): String = s"""
         toks AS (
           SELECT doc_id, string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
           FROM $src),
@@ -39,7 +38,13 @@ object OracleFrags {
         pairs AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM bands a JOIN bands b
-            ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
+
+  /** [[lshPairsCtes]] + reachability closure (q78/q83/q87): symmetric
+    * closure, recursive walk. Adds CTEs `edges, walk`. The enclosing query
+    * must start `WITH RECURSIVE`.
+    */
+  def dedupWalkCtes(src: String): String = s"""${lshPairsCtes(src)},
         edges AS (
           SELECT id_a AS src, id_b AS dst FROM pairs
           UNION SELECT id_b, id_a FROM pairs

@@ -279,6 +279,37 @@ object TextOps {
         FROM documents d LEFT JOIN cc USING (doc_id)
         ORDER BY d.doc_id""")),
 
+    // INCREMENTAL near-dup candidates: a hash-designated "new batch"
+    // (top 20% of the id hash space) banded against the full signature
+    // set — new×new and new×old pairs only, old×old never re-banded. At
+    // 100 TB the old side is the persisted signature index (k longs/doc,
+    // Store-maintained) and only the new batch is scanned; DedupSpec pins
+    // the Store-roundtrip path and the old×old exclusion. Oracle = the
+    // batch pipeline's pairs (same shared CTE fragment as q78) filtered
+    // to pairs touching a new id — incremental and batch must agree
+    // exactly on the increment.
+    QueryDef(
+      "q92_incremental_neardup",
+      (s, dir) => {
+        val sigs = Dedup.minhashSignaturesScanLocal(
+          Tables.documents(s, dir), "doc_id", "text", k = 4, w = 3)
+        val isNew = graft.ops.Training.hashHex(col("doc_id"), "graft-incr") >=
+          lit(graft.ops.Training.hexThreshold(0.8))
+        Dedup.incrementalCandidates(
+            sigs.filter(!isNew), sigs.filter(isNew), "doc_id", k = 4, r = 2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val thr = graft.ops.Training.hexThreshold(0.8)
+        val hA = graft.ops.Training.hashHexSql("id_a", "graft-incr")
+        val hB = graft.ops.Training.hashHexSql("id_b", "graft-incr")
+        s"""
+        WITH ${OracleFrags.lshPairsCtes("documents")}
+        SELECT id_a, id_b FROM pairs
+        WHERE $hA >= '$thr' OR $hB >= '$thr'
+        ORDER BY id_a, id_b"""
+      }),
+
     // Language-ID (stopword-profile heuristic) distribution vs labeled lang,
     // via the broadcast-dictionary-join scale path (TextStats.langIdTable).
     // The oracle's dictionary VALUES list is generated from the SAME Scala

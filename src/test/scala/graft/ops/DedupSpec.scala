@@ -174,4 +174,50 @@ class DedupSpec extends SparkSpec {
       }
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("incrementalCandidates == batch candidates restricted to the new ids; old×old never emitted") {
+    // old: 1,2 exact dups + 5,6 canonical dups; new: 7 (dup of 1 — the
+    // k=4 band collision is then guaranteed, not probabilistic), 8 (clean)
+    val oldDocs = docs
+    val newDocs = Seq(
+      (7L, base),
+      (8L, "fresh totally novel content nothing like before")).toDF("doc_id", "text")
+    def sigs(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignaturesScanLocal(d, "doc_id", "text", k = 4, w = 3)
+    val got = Dedup.incrementalCandidates(sigs(oldDocs), sigs(newDocs), "doc_id", k = 4, r = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch pipeline over the union, filtered to pairs touching a new id
+    val all = sigs(oldDocs.unionByName(newDocs))
+    val batch = Dedup.minhashCandidates(
+        Dedup.minhashBands(all, "doc_id", k = 4, r = 2), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = batch.filter { case (a, b) => a >= 7L || b >= 7L }
+    assert(got === want, s"incremental/batch disagree: got $got want $want")
+    assert(got.nonEmpty, "vacuous: the planted new near-dup produced no candidate")
+    // the old×old duplicate pairs exist in the batch view but must not be
+    // re-emitted by the increment
+    assert(batch.exists { case (a, b) => a < 7L && b < 7L })
+    assert(got.forall { case (a, b) => a >= 7L || b >= 7L })
+  }
+
+  test("incrementalCandidates reads the old side from a persisted Store signature index") {
+    val newDocs = Seq((7L, base)).toDF("doc_id", "text")
+    val direct = Dedup.incrementalCandidates(
+        Dedup.minhashSignaturesScanLocal(docs, "doc_id", "text", k = 4, w = 3),
+        Dedup.minhashSignaturesScanLocal(newDocs, "doc_id", "text", k = 4, w = 3),
+        "doc_id", k = 4, r = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.sources.Store.bulkWrite(
+      Dedup.minhashSignaturesScanLocal(docs, "doc_id", "text", k = 4, w = 3),
+      "sig_index_spec", "doc_id", buckets = 4)
+    try {
+      val viaStore = Dedup.incrementalCandidates(
+          graft.sources.Store.read(spark, "sig_index_spec"),
+          Dedup.minhashSignaturesScanLocal(newDocs, "doc_id", "text", k = 4, w = 3),
+          "doc_id", k = 4, r = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaStore === direct)
+      assert(viaStore.contains((1L, 7L)) && viaStore.contains((2L, 7L)))
+    } finally spark.sql("DROP TABLE IF EXISTS sig_index_spec")
+  }
 }

@@ -278,6 +278,57 @@ object Training {
         concat_ws(" ", col("__chunk")).as("chunk_text"))
   }
 
+  /** Cross-document REPEATED SPANS: `spanTokens`-token windows that occur
+    * verbatim in more than one document — window-granular exact-substring
+    * dedup, the scalable approximation of suffix-array passage dedup
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better"; exact coverage of every repeated substring needs suffix
+    * automata, out of scope).
+    *
+    * Windows are taken at EVERY token position (the native `word_shingles`
+    * pass), then thinned by a CONTENT-DEFINED anchor rule: a window
+    * survives iff the integer prefix of its own fingerprint ≡ 0
+    * (mod `anchorMod`). Content-defined — not a stride grid — because a
+    * fixed grid only detects repeats whose offsets agree modulo the
+    * stride: two docs sharing a passage at different alignments sample
+    * DIFFERENT windows from it and never collide. Anchoring by window
+    * content picks the SAME windows of the shared passage in every
+    * document regardless of offset (the winnowing / content-defined-
+    * chunking idea), so a shared passage of L ≥ spanTokens tokens is
+    * missed with probability (1 − 1/anchorMod)^(L − spanTokens + 1) —
+    * e.g. < 2% for a 2×spanTokens passage at the defaults — and every
+    * detection is an exact verbatim repeat (no false positives at all,
+    * modulo md5).
+    *
+    * Emits one row per repeated span fingerprint: (span_fp, n_docs,
+    * n_occurrences, first_doc). Downstream, a pipeline joins the
+    * fingerprints back to the window stream to mask/cut the passages.
+    *
+    * Scale shape: explode + fingerprint + anchor filter are scan-local;
+    * only ~1/anchorMod of windows (16-byte fps) reach the single
+    * map-side-combinable aggregate; no document ever compares against
+    * another directly.
+    */
+  def repeatedSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 24, anchorMod: Int = 8): DataFrame = {
+    require(spanTokens >= 1 && anchorMod >= 1)
+    val win = explode(
+      graft.functions.WordShinglesExpr.word_shingles(col(textCol), lit(spanTokens)))
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), win.as("span"))
+      .select(col(idCol), substring(md5(col("span")), 1, 16).as("span_fp"))
+      .filter(conv(substring(col("span_fp"), 1, 8), 16, 10).cast("long")
+        % anchorMod === 0)
+      .groupBy(col("span_fp"))
+      .agg(
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col(idCol)).as("first_doc"))
+      .filter(col("n_docs") > 1)
+  }
+
   /** Train/test contamination pairs: (test doc, train doc) sharing at least
     * `minShared` distinct word shingles — the decontamination check every
     * benchmark-respecting pretraining pipeline runs before training.

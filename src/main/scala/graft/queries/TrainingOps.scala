@@ -346,6 +346,35 @@ object TrainingOps {
         SELECT r.lang, r.n_docs, r.rate, coalesce(s.n_sampled, 0) AS n_sampled
         FROM r LEFT JOIN s USING (lang) ORDER BY lang""")),
 
+    // Cross-document repeated spans: 24-token windows at EVERY position
+    // (native word_shingles pass), thinned by a content-defined anchor
+    // (fp-prefix ≡ 0 mod 8 — alignment-free, unlike a stride grid), then
+    // one fp-keyed aggregate; windows shared by >1 doc are verbatim
+    // repeated passages (Lee et al. 2021's passage dedup, window-granular).
+    // The oracle replays windows, fingerprints, and the anchor rule
+    // exactly.
+    QueryDef(
+      "q93_repeated_spans",
+      (s, dir) =>
+        Training.repeatedSpans(Tables.documents(s, dir), "doc_id", "text",
+            spanTokens = 24, anchorMod = 8)
+          .orderBy(col("span_fp")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+          FROM documents WHERE text IS NOT NULL),
+        w AS (
+          SELECT doc_id, substr(md5(array_to_string(t[i:i+23], ' ')), 1, 16) AS span_fp
+          FROM toks, unnest(generate_series(1, len(t) - 23)) AS g(i)
+          WHERE len(t) >= 24),
+        a AS (
+          SELECT doc_id, span_fp FROM w
+          WHERE ('0x' || substr(span_fp, 1, 8))::BIGINT % 8 = 0)
+        SELECT span_fp, count(DISTINCT doc_id) AS n_docs,
+          count(*) AS n_occurrences, min(doc_id) AS first_doc
+        FROM a GROUP BY span_fp HAVING count(DISTINCT doc_id) > 1
+        ORDER BY span_fp""")),
+
     // Context-window chunking: disjoint 32-token windows per document —
     // the map-side explode that precedes packing when bins must be ≤
     // budget exactly. Gate hashes every chunk's text fingerprint.

@@ -218,6 +218,34 @@ class TrainingSpec extends SparkSpec {
     } finally rates.unpersist()
   }
 
+  test("repeatedSpans: misaligned shared passages detected; within-doc repeats excluded") {
+    import spark.implicits._
+    val passage = (0 until 60).map(i => s"p$i").mkString(" ")
+    val block = (0 until 24).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $passage a4"),      // passage at token offset 4
+      (2L, s"b1 $passage b5 b6"),          // same passage at token offset 2
+      (3L, s"$block $block"),              // internal repeat only (n_docs = 1)
+      (4L, "entirely unrelated words that appear exactly once each")
+    ).toDF("doc_id", "text")
+    // anchorMod = 1 keeps every window: the 60-token passage shared at
+    // DIFFERENT alignments yields exactly 60 − 24 + 1 = 37 repeated fps,
+    // each seen once per doc — a stride grid would have found none unless
+    // the offsets agreed mod stride
+    val all = Training.repeatedSpans(docs, "doc_id", "text", spanTokens = 24, anchorMod = 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(all.size === 37, s"expected 37 shared windows, got ${all.size}")
+    assert(all.values.forall(_ == ((2L, 2L, 1L))),
+      "every shared window: 2 docs, 2 occurrences, first_doc = 1")
+    // the content-anchored subset keeps identical per-fp stats
+    val anchored = Training.repeatedSpans(docs, "doc_id", "text", spanTokens = 24, anchorMod = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(anchored.keySet.subsetOf(all.keySet))
+    anchored.foreach { case (fp, stats) => assert(all(fp) === stats) }
+  }
+
   test("contaminationPairs matches a brute-force shingle-set intersection") {
     val docs = Tables.documents(spark, sf()).limit(120)
     val sh = Dedup.wordShingles(docs, "doc_id", "text", w = 3)

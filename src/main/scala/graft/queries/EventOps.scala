@@ -102,6 +102,39 @@ object EventOps {
       },
       Some(SessionCountsOracle)),
 
+    // STREAMING incremental near-dup under the hash gate: the corpus
+    // arrives as 4 hash-split parquet files streamed one per trigger;
+    // each micro-batch signs scan-local, bands against the persisted
+    // signature index (old×old never re-banded), appends its pairs, and
+    // upserts its signatures. The final pair SET must equal the BATCH
+    // LSH pipeline over the whole corpus — same shared CTE fragment as
+    // q78/q92 — for this (and any) batch split: each unordered pair
+    // surfaces exactly when its later member arrives.
+    QueryDef(
+      "q94_stream_neardup",
+      (s, dir) => {
+        val ss = EventOps.streamSession(s)
+        val docs = Tables.documents(ss, dir)
+        val srcDir = java.nio.file.Files.createTempDirectory("q94src").toString
+        docs.repartition(4, col("doc_id"))
+          .write.mode("overwrite").parquet(srcDir)
+        ss.sql("DROP TABLE IF EXISTS stream_sig_index")
+        val pairsOut = java.nio.file.Files.createTempDirectory("q94out").toString + "/pairs"
+        val ckpt = java.nio.file.Files.createTempDirectory("q94ckpt").toString
+        val stream = ss.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val q = graft.streaming.EventStream.nearDupIncremental(
+          stream, "doc_id", "text", "stream_sig_index", pairsOut,
+          k = 4, w = 3, r = 2, checkpointLocation = Some(ckpt))
+        try q.processAllAvailable()
+        finally q.stop()
+        s.read.parquet(pairsOut).distinct()
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""
+        WITH ${OracleFrags.lshPairsCtes("documents")}
+        SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""")),
+
     // Sliding 1h/30min windows: each event lands in exactly 2 epoch-aligned
     // windows; the oracle materializes both membership rows explicitly.
     QueryDef(

@@ -118,6 +118,60 @@ object EventStream {
     w.start()
   }
 
+  /** STREAMING incremental near-dup: each micro-batch of documents is
+    * signed scan-local, banded against the PERSISTED signature index
+    * ([[graft.ops.Dedup.incrementalCandidates]] — new×new and new×old
+    * pairs, old×old never re-banded), the pairs are appended to
+    * `pairsOut`, and the batch's signatures advance the index via the
+    * incremental keyed upsert. The continuous form of the q92 operator:
+    * a crawl feed dedups against everything seen so far, at per-batch
+    * cost O(batch + colliding buckets).
+    *
+    * Delivery: foreachBatch is at-least-once on failure boundaries — a
+    * replayed batch may re-emit its pairs (and, if its upsert committed,
+    * re-find them via the index with its own ids present; the `=!=`
+    * guard keeps self-pairs out). Pairs are therefore APPEND-ONLY FACTS
+    * that deduplicate by value: readers take `distinct()` (the q94 gate
+    * does), and the final pair SET equals the batch pipeline's pairs
+    * over the union of all batches, for ANY arrival order or batch
+    * split — each unordered pair surfaces when its later member arrives.
+    * The index upsert itself is keyed and idempotent.
+    */
+  def nearDupIncremental(
+      docs: DataFrame, idCol: String, textCol: String,
+      indexTable: String, pairsOut: String,
+      k: Int = 4, w: Int = 3, r: Int = 2,
+      checkpointLocation: Option[String] = None,
+      buckets: Int = 4, parts: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val wr = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          // materialize once: signatures feed both the band join and the
+          // index upsert (localCheckpoint also cuts the streaming lineage
+          // out of the Store write plans)
+          val sigs = graft.ops.Dedup
+            .minhashSignaturesScanLocal(batch.toDF(), idCol, textCol, k, w)
+            .localCheckpoint()
+          val exists = spark.catalog.tableExists(indexTable)
+          val old =
+            if (exists) graft.sources.Store.read(spark, indexTable)
+            else sigs.filter(lit(false))
+          graft.ops.Dedup.incrementalCandidates(old, sigs, idCol, k, r)
+            .write.mode("append").parquet(pairsOut)
+          if (exists)
+            graft.sources.Store.upsert(spark, indexTable, sigs, idCol, buckets)
+          else
+            graft.sources.Store.bulkWrite(sigs, indexTable, idCol,
+              buckets = buckets, parts = parts)
+        }
+      }
+    checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))
+    wr.start()
+  }
+
   /** STREAM-STREAM range (interval-containment) join — the streaming twin
     * of [[graft.ops.Events.rangeJoin]], and the same rewrite makes it
     * POSSIBLE at all: Structured Streaming requires an equality predicate

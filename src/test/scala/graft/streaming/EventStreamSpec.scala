@@ -227,4 +227,38 @@ class EventStreamSpec extends SparkSpec {
       assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq === Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("streaming near-dup pair set is invariant to the batch split and equals the batch pipeline") {
+    import graft.ops.Dedup
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val docs = Seq(
+      (1L, base), (2L, base),                      // dup pair within one batch
+      (3L, "alpha beta gamma delta words epsilon zeta"),
+      (4L, base),                                  // dup of 1/2 in a LATER batch
+      (5L, "unrelated totally different content entirely"),
+      (6L, "alpha beta gamma delta words epsilon zeta") // dup of 3 across batches
+    ).toDF("doc_id", "text")
+    val batchPairs = Dedup.minhashCandidates(
+        Dedup.minhashBands(
+          Dedup.minhashSignaturesScanLocal(docs, "doc_id", "text", k = 4, w = 3),
+          "doc_id", k = 4, r = 2), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.nonEmpty)
+    for (nFiles <- Seq(1, 3)) {
+      val srcDir = java.nio.file.Files.createTempDirectory(s"nd$nFiles").toString
+      docs.repartition(nFiles, col("doc_id")).write.mode("overwrite").parquet(srcDir)
+      val table = s"nd_sig_index_$nFiles"
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val pairsOut = java.nio.file.Files.createTempDirectory(s"ndp$nFiles").toString + "/pairs"
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = EventStream.nearDupIncremental(
+        stream, "doc_id", "text", table, pairsOut, k = 4, w = 3, r = 2)
+      try q.processAllAvailable()
+      finally { q.stop(); spark.sql(s"DROP TABLE IF EXISTS $table") }
+      val got = spark.read.parquet(pairsOut).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === batchPairs, s"split into $nFiles files changed the pair set")
+    }
+  }
 }

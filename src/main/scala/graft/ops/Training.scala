@@ -309,9 +309,14 @@ object Training {
     * map-side-combinable aggregate; no document ever compares against
     * another directly.
     */
-  def repeatedSpans(
+  /** The content-anchored window stream both span operators consume:
+    * (id, span_fp) for every `spanTokens`-window whose fingerprint prefix
+    * ≡ 0 (mod `anchorMod`). Scan-local: explode + md5 + anchor filter all
+    * run inside the scan stage.
+    */
+  private[ops] def anchoredWindows(
       docs: DataFrame, idCol: String, textCol: String,
-      spanTokens: Int = 24, anchorMod: Int = 8): DataFrame = {
+      spanTokens: Int, anchorMod: Int): DataFrame = {
     require(spanTokens >= 1 && anchorMod >= 1)
     val win = explode(
       graft.functions.WordShinglesExpr.word_shingles(col(textCol), lit(spanTokens)))
@@ -321,12 +326,51 @@ object Training {
       .select(col(idCol), substring(md5(col("span")), 1, 16).as("span_fp"))
       .filter(conv(substring(col("span_fp"), 1, 8), 16, 10).cast("long")
         % anchorMod === 0)
+  }
+
+  def repeatedSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 24, anchorMod: Int = 8): DataFrame =
+    anchoredWindows(docs, idCol, textCol, spanTokens, anchorMod)
       .groupBy(col("span_fp"))
       .agg(
         countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_occurrences"),
         min(col(idCol)).as("first_doc"))
       .filter(col("n_docs") > 1)
+
+  /** The CONSUMER of [[repeatedSpans]]: per-document blast radius of
+    * cross-corpus repetition — how many of the doc's anchored windows are
+    * passages shared with other documents, and what fraction. The frame a
+    * curation pipeline thresholds to drop boilerplate-heavy documents
+    * (the Gopher-style doc-level repetition rules in
+    * [[TextStats.repetitionStats]] catch WITHIN-doc loops; this catches
+    * ACROSS-doc boilerplate — headers, licenses, templated pages).
+    *
+    * `repeated_frac` is one double division of two exact counts —
+    * bit-stable cross-engine. Only documents with ≥ 1 anchored window
+    * appear (shorter docs have no windows to judge).
+    *
+    * Scale shape: the window stream is scan-local; the fp-keyed span
+    * aggregate and the doc-keyed stats aggregate are the only shuffles,
+    * both map-side combinable. The repeated-fp set joins back on the fp
+    * equi-key (its size is the number of DISTINCT repeated passages —
+    * small relative to the corpus; broadcastable when it fits, and AQE
+    * decides per run).
+    */
+  def repeatedSpanStats(
+      docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 24, anchorMod: Int = 8): DataFrame = {
+    val windows = anchoredWindows(docs, idCol, textCol, spanTokens, anchorMod)
+    val repeated = repeatedSpans(docs, idCol, textCol, spanTokens, anchorMod)
+      .select(col("span_fp"), lit(1L).as("__rep"))
+    windows.join(repeated, Seq("span_fp"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__rep"), lit(0L))).as("n_repeated"),
+        (sum(coalesce(col("__rep"), lit(0L))).cast("double") / count(lit(1)))
+          .as("repeated_frac"))
   }
 
   /** Train/test contamination pairs: (test doc, train doc) sharing at least

@@ -56,6 +56,24 @@ object OracleFrags {
           SELECT e.src AS id, w.component
           FROM walk w JOIN edges e ON e.dst = w.id)"""
 
+  /** The content-anchored span-window fragment (q93/q95): all
+    * `spanTokens`-token windows of `$src(doc_id, text)`, fingerprinted,
+    * thinned by the fp-prefix anchor rule. Emits CTEs `toks, w, a` with
+    * `a(doc_id, span_fp)` — the twin of `Training.anchoredWindows`.
+    */
+  def anchoredWindowsCtes(src: String, spanTokens: Int, anchorMod: Int): String = s"""
+        toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+          FROM $src WHERE text IS NOT NULL),
+        w AS (
+          SELECT doc_id,
+            substr(md5(array_to_string(t[i:i+${spanTokens - 1}], ' ')), 1, 16) AS span_fp
+          FROM toks, unnest(generate_series(1, len(t) - ${spanTokens - 1})) AS g(i)
+          WHERE len(t) >= $spanTokens),
+        a AS (
+          SELECT doc_id, span_fp FROM w
+          WHERE ('0x' || substr(span_fp, 1, 8))::BIGINT % $anchorMod = 0)"""
+
   /** The exact-dedup keeper fragment (q80/q87): canonical-md5 groups, keep
     * the min id. Emits `$out(doc_id, text)` over `$src(doc_id, text)`.
     */

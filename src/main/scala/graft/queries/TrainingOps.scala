@@ -359,21 +359,35 @@ object TrainingOps {
         Training.repeatedSpans(Tables.documents(s, dir), "doc_id", "text",
             spanTokens = 24, anchorMod = 8)
           .orderBy(col("span_fp")),
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
-          FROM documents WHERE text IS NOT NULL),
-        w AS (
-          SELECT doc_id, substr(md5(array_to_string(t[i:i+23], ' ')), 1, 16) AS span_fp
-          FROM toks, unnest(generate_series(1, len(t) - 23)) AS g(i)
-          WHERE len(t) >= 24),
-        a AS (
-          SELECT doc_id, span_fp FROM w
-          WHERE ('0x' || substr(span_fp, 1, 8))::BIGINT % 8 = 0)
+      Some(s"""
+        WITH ${OracleFrags.anchoredWindowsCtes("documents", spanTokens = 24, anchorMod = 8)}
         SELECT span_fp, count(DISTINCT doc_id) AS n_docs,
           count(*) AS n_occurrences, min(doc_id) AS first_doc
         FROM a GROUP BY span_fp HAVING count(DISTINCT doc_id) > 1
         ORDER BY span_fp""")),
+
+    // The q93 CONSUMER: per-document cross-corpus repetition blast radius
+    // — the fraction of a doc's anchored windows that are passages shared
+    // with other documents; the frame a pipeline thresholds to drop
+    // boilerplate-heavy docs (within-doc loops are q79's job; this is
+    // ACROSS-doc boilerplate). Same shared window fragment as q93, so
+    // the producer and its consumer cannot drift.
+    QueryDef(
+      "q95_repeated_span_stats",
+      (s, dir) =>
+        Training.repeatedSpanStats(Tables.documents(s, dir), "doc_id", "text",
+            spanTokens = 24, anchorMod = 8)
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH ${OracleFrags.anchoredWindowsCtes("documents", spanTokens = 24, anchorMod = 8)},
+        rep AS (
+          SELECT span_fp FROM a GROUP BY span_fp HAVING count(DISTINCT doc_id) > 1)
+        SELECT a.doc_id, count(*) AS n_windows,
+          CAST(sum(CASE WHEN r.span_fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+          CAST(sum(CASE WHEN r.span_fp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+            AS repeated_frac
+        FROM a LEFT JOIN rep r USING (span_fp)
+        GROUP BY a.doc_id ORDER BY doc_id""")),
 
     // Context-window chunking: disjoint 32-token windows per document —
     // the map-side explode that precedes packing when bins must be ≤

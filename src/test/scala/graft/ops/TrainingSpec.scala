@@ -244,6 +244,17 @@ class TrainingSpec extends SparkSpec {
       .toMap
     assert(anchored.keySet.subsetOf(all.keySet))
     anchored.foreach { case (fp, stats) => assert(all(fp) === stats) }
+    // the consumer: per-doc blast radius, closed form. doc 1 has 64 tokens
+    // → 41 windows, 37 of them in the shared passage; doc 2 has 63 → 40
+    // windows, 37 shared; doc 3's internal repeat is NOT cross-doc
+    // (n_repeated 0); doc 4 is shorter than a window and absent.
+    val stats = Training.repeatedSpanStats(docs, "doc_id", "text",
+        spanTokens = 24, anchorMod = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stats === Map(
+      1L -> ((41L, 37L)),
+      2L -> ((40L, 37L)),
+      3L -> ((25L, 0L))))
   }
 
   test("contaminationPairs matches a brute-force shingle-set intersection") {

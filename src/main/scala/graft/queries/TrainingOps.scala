@@ -286,6 +286,70 @@ object TrainingOps {
           WHERE doc_id NOT IN (SELECT train_id FROM cp)),
         ${OracleFrags.chunkPackSelect("clean", chunkSize = 64, budget = PackBudget, Splits)}""")),
 
+    // The r7 operator battery composed into one gated pipeline: PII
+    // redaction → exact dedup (on the REDACTED text) → quality filter →
+    // temperature mixture sampling by lang (α = 0.5, rates derived from
+    // the post-quality distribution in-job) → split + decontamination
+    // drop → 64-token chunking → per-(split, shard) packing. Every stage
+    // twin is the same fragment/generated SQL that gates the stage alone
+    // (q90/q21/q28/q91/q86/q77/q74), so drift in any one breaks both its
+    // own gate and this composition.
+    QueryDef(
+      "q96_curation_pipeline_r7",
+      (s, dir) => {
+        val red = Tables.documents(s, dir)
+          .select(col("doc_id"), TextStats.redactPii(col("text")).as("text"),
+            col("lang"))
+        val kept = red.join(
+          Dedup.exactGroups(red, "doc_id", "text").select(col("keep_id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val quality = kept.filter(TextStats.qualityScore(col("text")) >= 0.99)
+        val rates = Training.temperatureRates(quality, "lang", alpha = 0.5)
+        val sampled = Training.temperatureKeep(quality, "doc_id", "lang", rates)
+          .select(col("doc_id"), col("text"))
+        val drop = Training.contaminatedTrainDocs(
+            Dedup.wordShingles(sampled, "doc_id", "text", w = 3),
+            "doc_id", Training.splitColumn(col("doc_id"), Splits),
+            minShared = 2L, capAtObservedMax = true)
+          .select(col("train_id").as("doc_id"))
+        val clean = sampled.join(drop, Seq("doc_id"), "left_anti")
+        val chunks = Training.chunkTokens(clean, "doc_id", "text",
+            chunkSize = 64, stride = 64)
+          .withColumn("cid", cidCol)
+          .withColumn("split", Training.splitColumn(col("doc_id"), Splits))
+        Training.packBins(
+            chunks.select(col("cid"), col("split"), col("chunk_tokens")),
+            "cid", "chunk_tokens", budget = PackBudget,
+            partitionCols = Seq("split"))
+          .groupBy(col("split"), col("shard"), col("bin"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(col("chunk_tokens")).cast("long").as("bin_tokens"))
+          .orderBy(col("split"), col("shard"), col("bin"))
+      },
+      Some(s"""
+        WITH red AS (
+          SELECT doc_id, ${TextStats.redactPiiSql("text")} AS text, lang
+          FROM documents),
+        ${OracleFrags.exactKeepCtes("red", "kept")},
+        ${OracleFrags.qualityCtes("kept", "q", minScore = 0.99)},
+        ql AS (
+          SELECT q.doc_id, q.text, d.lang FROM q JOIN documents d USING (doc_id)),
+        c AS (SELECT lang, count(*) AS n_docs FROM ql GROUP BY lang),
+        m AS (SELECT min(n_docs) AS n_min FROM c),
+        r AS (
+          SELECT lang, CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                       * 4294967296.0) AS BIGINT) AS thr
+          FROM c, m),
+        samp AS (
+          SELECT ql.doc_id, ql.text FROM ql JOIN r USING (lang)
+          WHERE ('0x' || substr(md5('graft-mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr),
+        ${OracleFrags.contamPairsCtes("samp", "cp", Splits, minShared = 2L)},
+        clean AS (
+          SELECT doc_id, text FROM samp
+          WHERE doc_id NOT IN (SELECT train_id FROM cp)),
+        ${OracleFrags.chunkPackSelect("clean", chunkSize = 64, budget = PackBudget, Splits)}""")),
+
     // EXACT-count stratified sample: per-language quotas via a per-stratum
     // window top-k by hash (one shuffle keyed on the label; the rank
     // filter's constant conjunct plans a WindowGroupLimit so the shuffle

@@ -354,4 +354,60 @@ object Similarity {
       .distinct()
       .filter(col("cosine") >= threshold)
   }
+
+  /** KNN SELF-JOIN: every row's approximate top-k neighbors from the SAME
+    * table — the bulk form of similarity search (corpus-wide near-neighbor
+    * graphs for embedding dedup, clustering prep, retrieval eval), where
+    * [[bruteTopK]]/[[lshTopK]] serve a SMALL broadcastable probe set. No
+    * side broadcasts here: both sides are the corpus, bucketed by the same
+    * multi-table hyperplane sketches and joined on the bucket equi-key —
+    * comparisons scale with bucket collision volume, never |corpus|².
+    *
+    * `maxBucketSize` is the hot-bucket guard (the [[graft.ops.Dedup]]
+    * stop-shingle cap transplanted): a bucket holding d rows contributes
+    * d·(d−1) scored pairs, so one degenerate region (mass near-duplicates,
+    * zero vectors) can go quadratic. Buckets over the cap are dropped from
+    * candidate generation — a documented recall trade, exactly like
+    * `maxShingleDf`. The over-cap set is tiny (it IS the degenerate
+    * buckets), so the guard anti-join broadcasts.
+    *
+    * Output: (q_id, rank, neighbor_id, cosine), rank 1..k per q_id among
+    * bucket collisions (rows whose every bucket is unshared or over-cap
+    * yield no rows — recall < 1 by construction, rerank is on the exact
+    * fused cosine).
+    */
+  def knnJoinLsh(
+      vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      nPlanes: Int = 8, nTables: Int = 4,
+      maxBucketSize: Option[Long] = None): DataFrame = {
+    val tables = (0 until nTables).map { tIdx =>
+      struct(lit(tIdx).as("t_idx"),
+        hyperplaneSketch(col(vecCol), nPlanes, seed = 42L + tIdx * 7919L).as("bucket"))
+    }
+    val banded0 = vecs
+      .select(col(idCol), col(vecCol), explode(array(tables: _*)).as("b"))
+      .select(col(idCol), col(vecCol).as("v"), col("b.t_idx"), col("b.bucket"))
+    val banded = maxBucketSize match {
+      case Some(cap) =>
+        val hot = banded0.groupBy(col("t_idx"), col("bucket"))
+          .agg(count(lit(1)).as("sz"))
+          .filter(col("sz") > cap)
+          .select(col("t_idx"), col("bucket"))
+        banded0.join(broadcast(hot), Seq("t_idx", "bucket"), "left_anti")
+      case None => banded0
+    }
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val scored = a.join(b,
+        col("a.t_idx") === col("b.t_idx") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("q_id"), col(s"b.$idCol").as("neighbor_id"),
+        cosine(col("a.v"), col("b.v")).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
 }

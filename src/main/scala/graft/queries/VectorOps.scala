@@ -425,5 +425,63 @@ object VectorOps {
           .orderBy(col("q_id"))
       },
       Some(plantedQuantNnSql)),
+
+    // KNN SELF-JOIN (corpus-wide near-neighbor graph): every row of
+    // orig ∪ planted finds its LSH-bucketed top-1 from the SAME table — no
+    // broadcastable probe set, the bulk form of ANN. On the planted corpus
+    // the answer is closed-form: each row's top-1 is its twin (cosine ≈ 1
+    // collides in every table; i.i.d. cross pairs ≤ ~0.51), and the fused
+    // cosine kernel is argument-symmetric, so both directions carry the
+    // same rounded value.
+    QueryDef(
+      "q97_ann_knn_join",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val orig = e.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        Similarity.knnJoinLsh(orig.unionByName(planted(e)), "vec_id", "embedding", k = 1)
+          .select(col("q_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+          .orderBy(col("q_id"))
+      },
+      Some {
+        val pv = "list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001 + 0.0005)"
+        val ov = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        s"""
+          WITH p AS (SELECT vec_id, $pv AS pv, $ov AS ov FROM embeddings),
+          cos AS (
+            SELECT vec_id,
+              round(${oracleDot.format("pv", "ov")} /
+                (sqrt(${oracleDot.format("pv", "pv")}) * sqrt(${oracleDot.format("ov", "ov")})),
+                4) AS cosine
+            FROM p)
+          SELECT vec_id AS q_id, vec_id + 100000 AS neighbor_id, cosine FROM cos
+          UNION ALL
+          SELECT vec_id + 100000 AS q_id, vec_id AS neighbor_id, cosine FROM cos
+          ORDER BY q_id"""
+      }),
+
+    // Embedding dedup CLUSTERS: the q39 near-dup pairs fed through the
+    // SAME connected-components operator the text battery uses (q78) —
+    // the embedding-side end-to-end dedup composition. On the planted
+    // corpus every component is exactly {i, i+100000} with min-label i,
+    // so the oracle is closed-form from the construction.
+    QueryDef(
+      "q98_embedding_dedup_clusters",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val orig = e.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        val pairs = Similarity.cosineNearDupPairs(
+            orig.unionByName(planted(e)), "vec_id", "embedding", threshold = 0.95)
+          .select(col("id_a"), col("id_b"))
+        graft.ops.Dedup.connectedComponents(pairs)
+          .select(col("id").as("vec_id"), col("component"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        SELECT vec_id, vec_id AS component FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, vec_id AS component FROM embeddings
+        ORDER BY vec_id""")),
   )
 }

@@ -112,4 +112,27 @@ class SimilaritySpec extends SparkSpec {
       assert(nId === qId - 1000L && cos > 0.999)
     }
   }
+
+  test("knnJoinLsh: every row's top-1 is its planted twin; the hot-bucket cap prunes") {
+    import graft.Tables
+    val e = Tables.embeddings(spark, sf())
+    val orig = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val twin = e.select((col("vec_id") + lit(100000)).as("vec_id"),
+      transform(col("embedding"), x => x.cast("double") * lit(1.001) + lit(0.0005))
+        .as("embedding"))
+    val corpus = orig.unionByName(twin)
+    val n = e.count()
+    val top1 = Similarity.knnJoinLsh(corpus, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(top1.size === 2 * n, "every row must find a neighbor")
+    top1.foreach { case (q, nb) =>
+      assert(math.abs(q - nb) === 100000L, s"$q's top-1 is $nb, not its twin")
+    }
+    // cap = 1: every colliding bucket holds at least the twin pair (size
+    // ≥ 2), so ALL candidate generation is pruned — the guard's worst case
+    val capped = Similarity.knnJoinLsh(corpus, "vec_id", "embedding", k = 1,
+      maxBucketSize = Some(1L))
+    assert(capped.isEmpty, "cap=1 must prune every multi-member bucket")
+  }
 }

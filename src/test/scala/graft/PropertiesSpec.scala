@@ -253,4 +253,19 @@ class PropertiesSpec extends SparkSpec {
       (0 until vec.length).forall(i => codes.getInt(i) == codes2.getInt(i))
     }, cases = 50)
   }
+
+  test("bloom filter: randomized no-false-negatives through the serialize/probe round-trip") {
+    // the structural guarantee q89's exactness rests on: any string
+    // inserted via the aggregate builder probes true through the
+    // serialized BloomMightContain payload
+    val strGen = Gen.nonEmptyListOf(Gen.identifier).map(_.distinct)
+    check(Prop.forAllNoShrink(strGen) { members =>
+      val bloom = org.apache.spark.util.sketch.BloomFilter.create(
+        math.max(members.size.toLong, 8L), 0.1)
+      members.foreach(m => bloom.putBinary(m.getBytes("UTF-8")))
+      val bytes = graft.functions.BloomExprs.serialize(bloom)
+      val back = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+      members.forall(m => back.mightContainBinary(m.getBytes("UTF-8")))
+    }, cases = 50)
+  }
 }

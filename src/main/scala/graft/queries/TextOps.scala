@@ -310,6 +310,47 @@ object TextOps {
         ORDER BY id_a, id_b"""
       }),
 
+    // Feature-hashing text embeddings (Weinberger et al. 2009): one
+    // scan-local native pass per doc → a 64-wide SIGNED token-count
+    // vector (bucket = md5-prefix mod dim, sign = 9th-hex-digit parity).
+    // Integer-exact by design — per-bucket ±1 sums are order-free — so
+    // the oracle replays every element verbatim (no float accumulation
+    // order to drift). The engine's text → embedding bridge: the output
+    // rides the existing vector kernels (cast to double → knnJoinLsh /
+    // near-dup, pinned in HashEmbedSpec).
+    QueryDef(
+      "q99_hashed_embeddings",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            array_join(
+              graft.functions.HashEmbedExpr.hash_embed(col("text"), lit(64)), ",")
+              .as("emb"))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+          FROM documents WHERE text IS NOT NULL),
+        tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        b AS (
+          SELECT doc_id,
+            ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+            CASE WHEN ('0x' || substr(md5(tok), 9, 1))::INT % 2 = 0 THEN 1 ELSE -1 END AS sign
+          FROM tok),
+        s AS (
+          SELECT doc_id, bucket, CAST(sum(sign) AS INTEGER) AS v
+          FROM b GROUP BY doc_id, bucket),
+        g AS (
+          SELECT d.doc_id, i.b AS bucket
+          FROM (SELECT DISTINCT doc_id FROM toks) d,
+            unnest(generate_series(0, 63)) AS i(b)),
+        f AS (
+          SELECT g.doc_id, g.bucket, coalesce(s.v, 0) AS v
+          FROM g LEFT JOIN s ON g.doc_id = s.doc_id AND g.bucket = s.bucket)
+        SELECT doc_id, string_agg(CAST(v AS VARCHAR), ',' ORDER BY bucket) AS emb
+        FROM f GROUP BY doc_id ORDER BY doc_id""")),
+
     // Language-ID (stopword-profile heuristic) distribution vs labeled lang,
     // via the broadcast-dictionary-join scale path (TextStats.langIdTable).
     // The oracle's dictionary VALUES list is generated from the SAME Scala

@@ -310,6 +310,45 @@ object TextOps {
         ORDER BY id_a, id_b"""
       }),
 
+    // Heavy hitters by count-min sketch: one distributed pass builds a
+    // kilobyte-scale CMS over the corpus token stream; the native
+    // cms_estimate probe then answers per-token frequencies from the
+    // broadcast sketch. The gate carries the CMS guarantee as in-query
+    // flags on the exact top-20 (the q51 HLL pattern): estimate is NEVER
+    // below the true count (structural), and within ε·N above it (holds
+    // at the sketch's confidence; deterministic here — fixed data, fixed
+    // seed). ε·N comes from a 1-row total-count scalar subquery (q24 cap
+    // pattern, no driver-side action).
+    QueryDef(
+      "q100_heavy_hitters",
+      (s, dir) => {
+        val eps = 0.001
+        val toks = Tables.documents(s, dir).filter(col("text").isNotNull)
+          .select(explode(TextStats.tokens(col("text"))).as("tok"))
+        val cms = toks.stat.countMinSketch(col("tok"), eps, 0.99, 42)
+        val bytes = graft.functions.CmsExprs.serialize(cms)
+        val totalFrame = toks.agg(count(lit(1)).as("total"))
+        toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("tok"))
+          .limit(20)
+          .crossJoin(broadcast(totalFrame))
+          .withColumn("est", graft.functions.CmsExprs.cms_estimate(col("tok"), bytes))
+          .select(
+            col("tok"), col("exact_n"),
+            (col("est") >= col("exact_n")).as("never_under"),
+            (col("est") <= col("exact_n") + ceil(lit(eps) * col("total")).cast("long"))
+              .as("within_eps"))
+          .orderBy(col("exact_n").desc, col("tok"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents WHERE text IS NOT NULL)
+        SELECT tok, count(*) AS exact_n,
+          true AS never_under, true AS within_eps
+        FROM toks GROUP BY tok
+        ORDER BY exact_n DESC, tok LIMIT 20""")),
+
     // Feature-hashing text embeddings (Weinberger et al. 2009): one
     // scan-local native pass per doc → a 64-wide SIGNED token-count
     // vector (bucket = md5-prefix mod dim, sign = 9th-hex-digit parity).

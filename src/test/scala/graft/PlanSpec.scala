@@ -134,7 +134,8 @@ class PlanSpec extends SparkSpec {
       "q86_decontam_droplist" -> "BroadcastNestedLoopJoin", // same 1-row DF-cap crossJoin as q24/q76
       "q87_curation_pipeline_full" -> "BroadcastNestedLoopJoin", // embeds q86's 1-row DF-cap crossJoin
       "q91_temperature_mixture" -> "BroadcastNestedLoopJoin", // 1-row n_min scalar-subquery crossJoin (q24 cap pattern)
-      "q96_curation_pipeline_r7" -> "BroadcastNestedLoopJoin") // embeds q91's 1-row n_min + q86's 1-row DF-cap crossJoins
+      "q96_curation_pipeline_r7" -> "BroadcastNestedLoopJoin", // embeds q91's 1-row n_min + q86's 1-row DF-cap crossJoins
+      "q100_heavy_hitters" -> "BroadcastNestedLoopJoin") // 1-row total-count scalar-subquery crossJoin (q24 cap pattern)
     val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.sparkPlan.toString
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")

@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic distributed k-means (Lloyd's iterations) for semantic
+  * clustering of embedding columns — the partitioning step of
+  * cluster-then-dedup curation (SemDeDup, Abbas et al. 2023: partition the
+  * corpus into semantic clusters, then dedup WITHIN clusters so no
+  * cross-cluster pair is ever compared).
+  *
+  * Why not `ml.clustering.KMeans` (which [[Similarity.buildIvfIndex]]
+  * already uses for its coarse quantizer)? Two reasons, both about
+  * reproducibility contracts rather than capability:
+  *
+  *  - '''Explicit, caller-owned init.''' MLlib's k-means|| init is seeded
+  *    random — fine for an ANN codebook (any decent partition works; the
+  *    recall gate judges the outcome), wrong for a curation step whose
+  *    cluster ASSIGNMENT must be exactly reproducible across reruns,
+  *    re-partitions, and engine upgrades, because the assignment decides
+  *    which documents get dropped. Here init is a parameter and every
+  *    downstream decision is a pure function of (data, init, iters).
+  *  - '''Gate-ability.''' With deterministic init on separated data the
+  *    final assignment is closed-form predictable, so the operator carries
+  *    a full hash oracle (q101) instead of a recall-style flag.
+  *
+  * Scale shape (the textbook one): centroids are O(k·dim) — kilobytes —
+  * and live in the PLAN as literals (broadcast by construction, no join).
+  * Assignment is map-side only: each row computes its argmin distance
+  * inside whole-stage codegen; nothing shuffles. The centroid update is
+  * one map-side-combinable aggregate keyed on (cluster, dim) whose output
+  * is k·dim rows — the only data that ever reaches the driver. Iterations
+  * are sequential jobs (inherent to Lloyd's), each one full scan + one
+  * tiny shuffle; at 100 TB the scan dominates and nothing in the loop
+  * grows with corpus size.
+  *
+  * Float-sum caveat, stated: the per-dimension sums reduce doubles in
+  * partition order, so centroid VALUES are deterministic only to ~ulp
+  * across different partitionings. Assignments are therefore stable
+  * whenever the margin between the nearest and second-nearest centroid
+  * exceeds that drift — true by construction on separated clusters, and
+  * why the gate asserts assignments and counts, not raw centroid bits.
+  */
+object Clustering {
+
+  /** Trained model: final centroids plus the last iteration's maximum
+    * centroid movement (L2), the standard convergence measure.
+    */
+  final case class KMeansModel(centroids: Seq[Array[Double]], lastShift: Double)
+
+  private def centroidLit(c: Array[Double]): Column = array(c.map(lit).toSeq: _*)
+
+  /** Squared L2 distance between an `array<double>` column and a literal
+    * centroid: zip-multiply-accumulate as a left-to-right fold (the
+    * [[Similarity.dot]] shape — deterministic element order).
+    */
+  private def dist2(vecD: Column, c: Array[Double]): Column =
+    aggregate(
+      zip_with(vecD, centroidLit(c), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Adds `cluster` = index of the nearest centroid (squared-L2; ties break
+    * to the LOWEST index via struct ordering — deterministic). Map-side
+    * only: the k distances and the argmin run inside codegen; no shuffle,
+    * no join, no UDF.
+    */
+  def assignClusters(
+      df: DataFrame, vecCol: String, centroids: Seq[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val vecD = transform(col(vecCol), _.cast("double"))
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2(vecD, c).as("d"), lit(i).as("c"))
+    }
+    df.withColumn("cluster", array_min(array(scored: _*)).getField("c"))
+  }
+
+  /** `iters` Lloyd's rounds from `init`. Each round: map-side assignment,
+    * then ONE (cluster, dim)-keyed aggregate whose k·dim-row result is
+    * collected to recompute means (empty clusters keep their previous
+    * centroid — the deterministic convention; no resampling). Returns the
+    * final centroids and the last round's max centroid shift.
+    */
+  def lloyd(
+      df: DataFrame, vecCol: String, init: Seq[Array[Double]], iters: Int): KMeansModel = {
+    require(iters >= 1, "need at least one iteration")
+    val dim = init.head.length
+    require(init.forall(_.length == dim), "ragged init centroids")
+    var centroids = init
+    var shift = Double.MaxValue
+    for (_ <- 0 until iters) {
+      val assigned = assignClusters(df, vecCol, centroids)
+      // k·dim tiny rows: the ONLY driver-side data in the loop
+      val stats = assigned
+        .select(col("cluster"),
+          posexplode(transform(col(vecCol), _.cast("double"))))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), (r.getDouble(2), r.getLong(3))))
+        .toMap
+      val next = centroids.zipWithIndex.map { case (old, ci) =>
+        Array.tabulate(dim) { d =>
+          stats.get((ci, d)).map { case (s, n) => s / n }.getOrElse(old(d))
+        }
+      }
+      shift = centroids.zip(next).map { case (a, b) =>
+        math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.max
+      centroids = next
+    }
+    KMeansModel(centroids, shift)
+  }
+
+  /** SemDeDup's second half: near-dup pairs generated ONLY within a
+    * cluster — the cluster-key equi-join replaces any corpus-wide
+    * candidate structure, so no cross-cluster pair is ever materialized.
+    * Per-cluster cost is |c|² (the SemDeDup trade, stated: k is the knob
+    * that caps pair generation — balanced clusters of corpus/k rows each;
+    * for skew-prone corpora compose with the LSH bucket join INSIDE the
+    * cluster, the [[Similarity.knnJoinLsh]] shape). The near-dup test is
+    * exact squared L2 ≤ maxDist² — a deterministic left-to-right fold,
+    * bit-stable cross-engine (cosine-threshold variants ride the same
+    * join; L2 is the SemDeDup paper's metric on normalized embeddings).
+    */
+  def withinClusterDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]], maxDist: Double): DataFrame = {
+    require(maxDist > 0)
+    val assigned = assignClusters(df, vecCol, centroids)
+      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v"), col("cluster"))
+    val a = assigned.select(col(idCol).as("id_a"), col("__v").as("__va"), col("cluster"))
+    val b = assigned.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("cluster"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist2",
+        aggregate(zip_with(col("__va"), col("__vb"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d))
+      .filter(col("dist2") <= lit(maxDist * maxDist))
+      .select(col("cluster"), col("id_a"), col("id_b"), col("dist2"))
+  }
+
+  /** Total SemDeDup labeling: every row with its cluster and keep/drop —
+    * keep unless a same-cluster near-dup with a smaller id exists (the
+    * min-id-keeper convention of the exact-dedup path). One left-anti
+    * join of the assigned frame against the pair list's drop side.
+    */
+  def semanticKeepers(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]], maxDist: Double): DataFrame = {
+    val assigned = assignClusters(df, vecCol, centroids)
+      .select(col(idCol), col("cluster"))
+    val dropped = withinClusterDupPairs(df, idCol, vecCol, centroids, maxDist)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("__drop", lit(true))
+    assigned.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(!col("__drop"), lit(true)).as("keep"))
+  }
+
+  /** Deterministic stride init: the vectors of every `stride`-th id (by
+    * ascending id), first k. The caller picks a stride that spreads seeds
+    * across the corpus; on id-structured fixtures this is exact, on real
+    * corpora it is the deterministic analog of random sampling (ids carry
+    * no semantic order after hashing). O(k·dim) driver memory.
+    */
+  def strideInit(
+      df: DataFrame, idCol: String, vecCol: String, k: Int, stride: Long): Seq[Array[Double]] = {
+    require(k >= 1 && stride >= 1)
+    val rows = df
+      .filter(col(idCol) % stride === 0)
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .collect()
+    require(rows.length == k, s"stride init found ${rows.length} of $k seeds")
+    rows.map(_.getSeq[Double](0).toArray).toSeq
+  }
+}

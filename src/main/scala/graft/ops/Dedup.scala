@@ -33,6 +33,38 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** INCREMENTAL exact dedup — the daily-crawl shape ([[incrementalCandidates]]'s
+    * exact-match sibling): label each doc of a NEW batch against the
+    * persisted fingerprint index of the already-ingested corpus
+    * (`oldIndex(fingerprint, keeper)` — what [[exactGroups]] persists via
+    * `Store`). Semantics are ingestion-order-aware: a new doc whose
+    * fingerprint exists in the index is ALWAYS a drop against the stored
+    * keeper (the old copy is already serving, whatever the ids say);
+    * new-only fingerprints keep their min-id new doc. Output per new doc:
+    * (id, dup_of, keep).
+    *
+    * Scale shape: the new batch shuffles (fingerprint, id) once — 24
+    * bytes/doc, never the body — and equi-joins the index on the
+    * fingerprint; old×old is NEVER recomputed, so per-increment cost is
+    * O(new + matched index rows), independent of corpus size. At 100 TB
+    * the index is a Store table bucketed on the fingerprint, so the join
+    * co-locates without a shuffle of the index side; maintenance is one
+    * `Store.upsert` of the new keepers' fingerprints.
+    */
+  def incrementalExactKeepers(
+      oldIndex: DataFrame, newDocs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val newFp = newDocs.select(col(idCol), exactFingerprint(col(textCol)).as("fingerprint"))
+    val newMin = newFp.groupBy(col("fingerprint")).agg(min(col(idCol)).as("__new_keeper"))
+    newFp
+      .join(newMin, "fingerprint")
+      .join(oldIndex.select(col("fingerprint"), col("keeper").as("__old_keeper")),
+        Seq("fingerprint"), "left")
+      .select(
+        col(idCol),
+        coalesce(col("__old_keeper"), col("__new_keeper")).as("dup_of"),
+        (col(idCol) === coalesce(col("__old_keeper"), col("__new_keeper"))).as("keep"))
+  }
+
   /** Distinct word w-shingles per document: (id, shingle). Documents shorter
     * than `w` tokens produce no shingles. This IS the inverted index used by
     * both the n-gram-Jaccard and MinHash paths. Shingle construction is the

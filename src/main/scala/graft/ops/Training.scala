@@ -426,6 +426,128 @@ object Training {
         countDistinct(col("test_id")).as("n_test_docs"),
         max(col("n_shared")).as("worst_overlap"))
 
+  /** Per-document TARGET-AFFINITY score — the data-selection signal of
+    * DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"), in an exact-arithmetic form: score each
+    * candidate document by how much its token mass concentrates in the
+    * vocabulary of a TARGET subcorpus (the high-quality / in-domain slice
+    * you want more of).
+    *
+    * For each token occurrence t in a doc, let c_tgt(t) / c_all(t) be that
+    * token's occurrence counts in the target slice and the whole corpus.
+    * The score is `affinity = Σ c_tgt(t) / Σ c_all(t)` — the target's
+    * share of the corpus-wide mass of this document's tokens. A doc made
+    * of target-distinctive vocabulary scores near 1, one made of tokens
+    * the target never uses scores 0, and uniform filler lands at the
+    * target's global mass share. (DSIR proper scores Σ log-ratios of
+    * hashed-ngram probabilities; a sum of logs is FP-order-dependent and
+    * engine-specific, so this operator keeps the ranking signal as a ratio
+    * of two exact integer sums — ONE correctly-rounded double division,
+    * bit-stable in any IEEE engine, q79's rule — and is hash-gatable.)
+    *
+    * Scale shape: tokenization is scan-local (the engine-wide whitespace
+    * split, q22's); the vocabulary count is one map-side-combinable
+    * aggregate; scoring re-joins the token stream on the token equi-key
+    * (AQE broadcasts the count table when the vocabulary fits) and reduces
+    * per doc. Two passes over the token stream are inherent — the scores
+    * depend on GLOBAL counts; at 100 TB reuse the previous snapshot's
+    * count table to fold them into one.
+    */
+  def targetAffinity(
+      docs: DataFrame, idCol: String, textCol: String, isTarget: Column): DataFrame = {
+    val toks = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), isTarget.as("__tgt"),
+        explode(split(lower(regexp_replace(col(textCol), "\\s+", " ")), " ")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(
+      count(lit(1)).as("c_all"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("c_tgt"))
+    toks.join(counts, "tok")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("c_tgt")).as("tgt_mass"),
+        sum(col("c_all")).as("all_mass"),
+        (sum(col("c_tgt")).cast("double") / sum(col("c_all"))).as("affinity"))
+  }
+
+  /** Per-source document quota — the C4/RefinedWeb-style domain cap that
+    * stops any single site/feed from dominating a crawl-scale corpus:
+    * keep at most `cap` docs per source, chosen as the source's smallest
+    * hash handles (so the kept SET is a pure function of the ids present —
+    * rerun/reshuffle-stable, and adding docs to a source only perturbs
+    * membership near the cut). Exactly [[stratifiedExact]] with a uniform
+    * quota; same one-keyed-shuffle, WindowGroupLimit-pruned scale shape.
+    */
+  def sourceQuota(
+      df: DataFrame, idCol: String, sourceCol: String, cap: Long,
+      seed: String = "graft-domain-cap"): DataFrame =
+    stratifiedExact(df, idCol, sourceCol, Map.empty, cap, seed)
+
+  /** Deterministic shard routing for training-data writes: the global
+    * shuffle every trainer wants (break crawl/source locality so each
+    * shard is an i.i.d.-ish sample) WITHOUT an RNG — shard =
+    * portable-32-bit-hash(id) mod `nShards`, and the within-shard order
+    * key is a SECOND independent hash, so shard membership and shard
+    * order are both pure functions of the id (rerun-, retry-, and
+    * engine-stable; the DuckDB twin replays the same bits). Map-only.
+    */
+  def shardColumn(id: Column, nShards: Int, seed: String = "graft-shard"): Column = {
+    require(nShards >= 1)
+    Dedup.portableHash(id.cast("string"), s"$seed:") % nShards
+  }
+
+  /** The order-within-shard handle paired with [[shardColumn]] (hex string;
+    * compare lexicographically).
+    */
+  def shardOrderKey(id: Column, seed: String = "graft-shard"): Column =
+    hashHex(id, s"$seed-order")
+
+  /** SQL twin of [[shardColumn]] (DuckDB dialect) — generated from the same
+    * seed/modulus so composed oracles cannot drift.
+    */
+  def shardSql(idExpr: String, nShards: Int, seed: String = "graft-shard"): String =
+    s"('0x' || substr(md5('$seed:' || CAST($idExpr AS VARCHAR)), 1, 8))::BIGINT % $nShards"
+
+  /** SQL twin of [[shardOrderKey]]. */
+  def shardOrderKeySql(idExpr: String, seed: String = "graft-shard"): String =
+    hashHexSql(idExpr, s"$seed-order")
+
+  /** Deterministic EXACT-size global sample: the `n` rows with the
+    * smallest hash handles corpus-wide (id tie-break). `orderBy().limit()`
+    * plans TakeOrderedAndProject — every map task forwards only its local
+    * top-n, the driver merges bounded heaps; no global sort, no
+    * single-partition window (PlanSpec pins the shape). Membership is a
+    * pure function of the id SET ([[stratifiedExact]]'s property with one
+    * global stratum and zero label shuffle) — rerun-stable, and nested:
+    * the n-sample contains the m-sample for m < n.
+    */
+  def globalSample(
+      df: DataFrame, idCol: String, n: Int, seed: String = "graft-gsample"): DataFrame = {
+    require(n >= 1)
+    df.orderBy(hashHex(col(idCol), seed), col(idCol)).limit(n)
+  }
+
+  /** Per-shard manifest — the artifact a shard-writing job emits for the
+    * trainer: doc count, payload size, and the shard's [first, last]
+    * order-key range (what a reader needs to plan and to verify
+    * completeness). ONE map-side-combinable aggregate over the map-only
+    * routed stream; output is `nShards` rows.
+    */
+  def shardManifest(
+      docs: DataFrame, idCol: String, sizeCol: String, nShards: Int,
+      seed: String = "graft-shard"): DataFrame =
+    docs
+      .select(
+        shardColumn(col(idCol), nShards, seed).as("shard"),
+        col(sizeCol), shardOrderKey(col(idCol), seed).as("__ok"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(sizeCol)).as("total_size"),
+        min(col("__ok")).as("first_key"),
+        max(col("__ok")).as("last_key"))
+
   /** [[contaminatedTrainDocs]] with a broadcast BLOOM prefilter on the
     * train side — the shape that wins when the train corpus is 100 TB and
     * the test side is a benchmark suite (megabytes): build a Bloom filter

@@ -135,6 +135,51 @@ object EventOps {
         WITH ${OracleFrags.lshPairsCtes("documents")}
         SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""")),
 
+    // STREAMING incremental EXACT dedup: the corpus arrives as 4
+    // portable-hash batches streamed one file per trigger (written
+    // sequentially, so arrival order = batch number); each micro-batch
+    // labels itself against the persisted fingerprint index and upserts
+    // only its new keepers. Labels are ingestion-order-aware — dup_of is
+    // the (arrival-batch, id)-lexicographic minimum of the fingerprint
+    // class — and the oracle replays exactly that closed form from the
+    // same portable batch hash.
+    QueryDef(
+      "q109_stream_exact_dedup",
+      (s, dir) => {
+        val ss = EventOps.streamSession(s)
+        val docs = Tables.documents(ss, dir)
+        val batchCol = graft.ops.Dedup.portableHash(
+          col("doc_id").cast("string"), "graft-sbatch:") % 4
+        val srcDir = java.nio.file.Files.createTempDirectory("q109src").toString
+        (0 until 4).foreach { b =>
+          docs.filter(batchCol === b).coalesce(1)
+            .write.mode("append").parquet(srcDir)
+        }
+        ss.sql("DROP TABLE IF EXISTS stream_fp_index")
+        val labelsOut = java.nio.file.Files.createTempDirectory("q109out").toString + "/labels"
+        val ckpt = java.nio.file.Files.createTempDirectory("q109ckpt").toString
+        val stream = ss.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val q = graft.streaming.EventStream.exactDedupIncremental(
+          stream, "doc_id", "text", "stream_fp_index", labelsOut,
+          checkpointLocation = Some(ckpt))
+        try q.processAllAvailable()
+        finally q.stop()
+        s.read.parquet(labelsOut).orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+            ('0x' || substr(md5('graft-sbatch:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 4 AS b
+          FROM documents),
+        r AS (
+          SELECT fp, doc_id, row_number() OVER (PARTITION BY fp ORDER BY b, doc_id) AS rn
+          FROM f),
+        k AS (SELECT fp, doc_id AS keeper FROM r WHERE rn = 1)
+        SELECT f.doc_id, k.keeper AS dup_of, f.doc_id = k.keeper AS keep
+        FROM f JOIN k USING (fp) ORDER BY f.doc_id""")),
+
     // Sliding 1h/30min windows: each event lands in exactly 2 epoch-aligned
     // windows; the oracle materializes both membership rows explicitly.
     QueryDef(

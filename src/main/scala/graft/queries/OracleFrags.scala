@@ -134,6 +134,42 @@ object OracleFrags {
           WHERE a.split = 'test' AND b.split = 'train'
           GROUP BY 1, 2 HAVING count(*) >= $minShared)"""
 
+  /** The per-source quota fragment (q103/q106): emits `$out` = the rows of
+    * `$src` (which must carry doc_id + source) whose hash handle ranks ≤
+    * `cap` within their source — the twin of [[Training.sourceQuota]].
+    */
+  def sourceQuotaCtes(
+      src: String, out: String, cap: Long,
+      seed: String = "graft-domain-cap"): String = s"""
+        ${out}_r AS (
+          SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY ${Training.hashHexSql("doc_id", seed)}, doc_id) AS rn
+          FROM $src),
+        $out AS (SELECT * EXCLUDE (rn) FROM ${out}_r WHERE rn <= $cap)"""
+
+  /** The target-affinity fragment (q102/q106): emits `$out(doc_id,
+    * n_tokens, tgt_mass, all_mass, affinity)` over `$src(doc_id, text,
+    * ...)`, with the target slice defined by `$targetExpr` — the twin of
+    * [[Training.targetAffinity]]. Counts are computed over `$src` itself
+    * (the corpus the scores are relative to — in a composition that is
+    * the RETAINED corpus, not the raw one).
+    */
+  def affinityCtes(src: String, out: String, targetExpr: String): String = s"""
+        ${out}_toks AS (
+          SELECT doc_id, $targetExpr AS tgt,
+            unnest(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+          FROM $src WHERE text IS NOT NULL),
+        ${out}_cnt AS (
+          SELECT tok, count(*) AS c_all,
+            sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt
+          FROM ${out}_toks GROUP BY tok),
+        $out AS (
+          SELECT t.doc_id, count(*) AS n_tokens,
+            CAST(sum(c.c_tgt) AS BIGINT) AS tgt_mass,
+            CAST(sum(c.c_all) AS BIGINT) AS all_mass,
+            CAST(sum(c.c_tgt) AS DOUBLE) / sum(c.c_all) AS affinity
+          FROM ${out}_toks t JOIN ${out}_cnt c USING (tok) GROUP BY t.doc_id)"""
+
   /** The chunk → cid/split/shard → per-(split, shard) packing fragment
     * (q80/q87): emits the final `SELECT split, shard, bin, n_chunks,
     * bin_tokens` over `$src(doc_id, text)`. Call LAST — this fragment

@@ -310,6 +310,40 @@ object TextOps {
         ORDER BY id_a, id_b"""
       }),
 
+    // INCREMENTAL EXACT dedup (q92's exact-match sibling): the same
+    // hash-designated new batch labeled against the OLD corpus's
+    // fingerprint index (fingerprint → stored keeper). Ingestion-order-
+    // aware: an index hit is always a drop against the stored keeper
+    // (the old copy is already serving), new-only fingerprints keep
+    // their min new id; old×old is never recomputed. The oracle replays
+    // fingerprints, the split rule, and both keeper branches.
+    QueryDef(
+      "q107_incremental_exact",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val isNew = graft.ops.Training.hashHex(col("doc_id"), "graft-incr") >=
+          lit(graft.ops.Training.hexThreshold(0.8))
+        val oldIndex = Dedup.exactGroups(docs.filter(!isNew), "doc_id", "text")
+          .select(col("fingerprint"), col("keep_id").as("keeper"))
+        Dedup.incrementalExactKeepers(oldIndex, docs.filter(isNew), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val thr = graft.ops.Training.hexThreshold(0.8)
+        val h = graft.ops.Training.hashHexSql("doc_id", "graft-incr")
+        s"""
+        WITH f AS (
+          SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+            $h >= '$thr' AS is_new
+          FROM documents),
+        oldk AS (SELECT fp, min(doc_id) AS old_keeper FROM f WHERE NOT is_new GROUP BY fp),
+        newmin AS (SELECT fp, min(doc_id) AS new_keeper FROM f WHERE is_new GROUP BY fp)
+        SELECT f.doc_id, coalesce(old_keeper, new_keeper) AS dup_of,
+          f.doc_id = coalesce(old_keeper, new_keeper) AS keep
+        FROM f JOIN newmin USING (fp) LEFT JOIN oldk USING (fp)
+        WHERE is_new ORDER BY f.doc_id"""
+      }),
+
     // Heavy hitters by count-min sketch: one distributed pass builds a
     // kilobyte-scale CMS over the corpus token stream; the native
     // cms_estimate probe then answers per-token frequencies from the

@@ -474,6 +474,126 @@ object TrainingOps {
           FROM toks, unnest(generate_series(1, greatest(len(t), 1), 32)) AS g(i))
         SELECT doc_id, chunk_start, CAST(len(chunk) AS INTEGER) AS chunk_tokens,
           substr(md5(array_to_string(chunk, ' ')), 1, 16) AS chunk_fp
-        FROM c ORDER BY doc_id, chunk_start"""))
+        FROM c ORDER BY doc_id, chunk_start""")),
+
+    // DSIR-style target-affinity scoring (Xie et al. 2023), exact-
+    // arithmetic form: target = the English slice; each doc scores the
+    // target's share of the corpus-wide mass of its tokens — a ratio of
+    // two exact integer sums (one correctly-rounded division, the q79
+    // rule), so every row carries a full hash oracle. The data-selection
+    // signal a pipeline thresholds/resamples on to tilt a corpus toward
+    // an in-domain slice.
+    QueryDef(
+      "q102_target_affinity",
+      (s, dir) =>
+        Training.targetAffinity(Tables.documents(s, dir), "doc_id", "text",
+            col("lang") === "en")
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH ${OracleFrags.affinityCtes("documents", "aff", "lang = 'en'")}
+        SELECT doc_id, n_tokens, tgt_mass, all_mass, affinity
+        FROM aff ORDER BY doc_id""")),
+
+    // Per-source quota (C4/RefinedWeb domain caps): keep at most 15 docs
+    // per source — the smallest hash handles, so membership is a pure
+    // function of the id set. Every source holds 25 docs at any sf, so
+    // the cap bites everywhere; same windowed shape (and
+    // WindowGroupLimit pruning) as q84.
+    QueryDef(
+      "q103_source_quota",
+      (s, dir) =>
+        Training.sourceQuota(
+            Tables.documents(s, dir).select(col("doc_id"), col("source"), col("lang")),
+            "doc_id", "source", cap = 15)
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH base AS (SELECT doc_id, source, lang FROM documents),
+        ${OracleFrags.sourceQuotaCtes("base", "quota", cap = 15)}
+        SELECT doc_id, source, lang FROM quota ORDER BY doc_id""")),
+
+    // Deterministic shard routing + per-shard manifests: the global
+    // shuffle a trainer wants, as a pure hash function of doc_id (no RNG
+    // state — rerun/retry/engine stable), reduced to the nShards-row
+    // manifest frame a shard writer emits (count, payload bytes, order-key
+    // range). The oracle replays shard AND order hashes bit-for-bit.
+    QueryDef(
+      "q104_shard_manifest",
+      (s, dir) =>
+        Training.shardManifest(Tables.documents(s, dir), "doc_id", "n_chars",
+            nShards = 16)
+          .orderBy(col("shard")),
+      Some(s"""
+        WITH s AS (
+          SELECT doc_id, n_chars,
+            ${Training.shardSql("doc_id", 16)} AS shard,
+            ${Training.shardOrderKeySql("doc_id")} AS ok
+          FROM documents)
+        SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_size,
+          min(ok) AS first_key, max(ok) AS last_key
+        FROM s GROUP BY shard ORDER BY shard""")),
+
+    // Deterministic EXACT-size global sample: the 100 smallest hash
+    // handles corpus-wide — TakeOrderedAndProject (bounded per-task
+    // heaps, no global sort; PlanSpec pins it), membership a pure
+    // function of the id set, samples nested across sizes.
+    QueryDef(
+      "q105_global_sample",
+      (s, dir) =>
+        Training.globalSample(
+            Tables.documents(s, dir).select(col("doc_id"), col("source"), col("lang")),
+            "doc_id", n = 100)
+          .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id, source, lang FROM (
+          SELECT doc_id, source, lang FROM documents
+          ORDER BY ${Training.hashHexSql("doc_id", "graft-gsample")}, doc_id
+          LIMIT 100)
+        ORDER BY doc_id""")),
+
+    // Composed acquisition-side pipeline over the r7-continuation
+    // operators: per-source quota → target-affinity scoring ON THE
+    // RETAINED corpus → affinity-threshold keep → split labeling →
+    // per-(split, shard) manifests. Every stage twin is the fragment
+    // gating that stage alone (q103 quota, q102 affinity, q73 split,
+    // q104 shard hashes), so stage drift breaks both gates.
+    QueryDef(
+      "q106_curation_sharding",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("lang"), col("text"), col("n_chars"))
+        val quota = Training.sourceQuota(base, "doc_id", "source", cap = 15)
+        val aff = Training.targetAffinity(quota, "doc_id", "text", col("lang") === "en")
+        val kept = quota.join(
+          aff.filter(col("affinity") >= 0.5).select(col("doc_id")), Seq("doc_id"))
+        kept
+          .select(col("doc_id"), col("n_chars"),
+            Training.splitColumn(col("doc_id"), Splits).as("split"),
+            Training.shardColumn(col("doc_id"), nShards = 8).as("shard"),
+            Training.shardOrderKey(col("doc_id")).as("__ok"))
+          .groupBy(col("split"), col("shard"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_size"),
+            min(col("__ok")).as("first_key"),
+            max(col("__ok")).as("last_key"))
+          .orderBy(col("split"), col("shard"))
+      },
+      Some(s"""
+        WITH base AS (SELECT doc_id, source, lang, text, n_chars FROM documents),
+        ${OracleFrags.sourceQuotaCtes("base", "quota", cap = 15)},
+        ${OracleFrags.affinityCtes("quota", "aff", "lang = 'en'")},
+        kept AS (
+          SELECT q.doc_id, q.n_chars FROM quota q
+          JOIN aff USING (doc_id) WHERE affinity >= 0.5),
+        s AS (
+          SELECT doc_id, n_chars,
+            ${Training.splitSql("doc_id", Splits)} AS split,
+            ${Training.shardSql("doc_id", 8)} AS shard,
+            ${Training.shardOrderKeySql("doc_id")} AS ok
+          FROM kept)
+        SELECT split, shard, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS total_size,
+          min(ok) AS first_key, max(ok) AS last_key
+        FROM s GROUP BY split, shard ORDER BY split, shard"""))
   )
 }

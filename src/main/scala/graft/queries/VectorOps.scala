@@ -53,6 +53,16 @@ object VectorOps {
       FROM p ORDER BY q_id"""
   }
 
+  /** Root for this JVM's offline index artifacts. Process-unique: the
+    * index dirs are written `mode("overwrite")` once per JVM, so two
+    * concurrent graft JVMs (a bench run beside a test run) sharing a
+    * fixed path would delete each other's files mid-read — observed as a
+    * q68 FILE_NOT_EXIST when a registry sweep overlapped a bench. The
+    * per-process root removes the collision class; at 100 TB the real
+    * index build writes to a durable, job-owned location anyway.
+    */
+  private val procRoot = s"/tmp/graft_ivf/p${ProcessHandle.current().pid()}"
+
   /** q38's disk-backed IVF index, built once per (JVM, sfDir) — the index
     * build is an offline job (VERDICT r3: a query must not train its own
     * quantizer); the gate/bench measure the query path against the stored
@@ -63,7 +73,7 @@ object VectorOps {
 
   private def ivfIndexFor(s: org.apache.spark.sql.SparkSession, dir: String) =
     ivfCache.getOrElseUpdate(dir, {
-      val path = s"/tmp/graft_ivf/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val path = s"$procRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       Similarity.writeIvfIndex(
         Similarity.buildIvfIndex(Tables.embeddings(s, dir), "vec_id", "embedding",
           nCentroids = 16, seed = 42L),
@@ -80,7 +90,7 @@ object VectorOps {
 
   private def ivfQuantIndexFor(s: org.apache.spark.sql.SparkSession, dir: String) =
     ivfQuantCache.getOrElseUpdate(dir, {
-      val path = s"/tmp/graft_ivf_q/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val path = s"${procRoot}_q/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       Similarity.writeIvfIndexQuantized(
         Similarity.buildIvfIndex(Tables.embeddings(s, dir), "vec_id", "embedding",
           nCentroids = 16, seed = 42L),
@@ -96,7 +106,7 @@ object VectorOps {
 
   private def lshQuantIndexFor(s: org.apache.spark.sql.SparkSession, dir: String) =
     lshQuantCache.getOrElseUpdate(dir, {
-      val path = s"/tmp/graft_lsh_q/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val path = s"${procRoot}_lsh/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       Similarity.writeLshIndexQuantized(
         Similarity.buildLshIndexQuantized(Tables.embeddings(s, dir), "vec_id", "embedding"),
         path)
@@ -174,11 +184,11 @@ object VectorOps {
       val (corpusRows, probeRows) = clusteredFixture
       val corpus = corpusRows.toDF("vec_id", "embedding")
       val probes = probeRows.toDF("vec_id", "embedding")
-      val path = "/tmp/graft_ivf/clustered_fixture"
+      val path = s"$procRoot/clustered_fixture"
       val idx = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
         nCentroids = 16, seed = 42L)
       Similarity.writeIvfIndex(idx, path)
-      val qPath = "/tmp/graft_ivf/clustered_fixture_q"
+      val qPath = s"$procRoot/clustered_fixture_q"
       Similarity.writeIvfIndexQuantized(idx, qPath)
       (corpus, probes, Similarity.readIvfIndex(s, path),
         Similarity.readIvfIndex(s, qPath))
@@ -483,5 +493,67 @@ object VectorOps {
         UNION ALL
         SELECT vec_id + 100000 AS vec_id, vec_id AS component FROM embeddings
         ORDER BY vec_id""")),
+
+    // Deterministic distributed k-means (Lloyd's) — the SemDeDup-style
+    // semantic partitioner ([[graft.ops.Clustering]]): explicit stride
+    // init (one seed per true cluster on this fixture), 3 rounds of
+    // map-side argmin assignment + one (cluster, dim)-keyed partial-sum
+    // aggregate. On the separated fixture the final assignment is
+    // closed-form (cluster = vec_id / 100), so the gate hashes per-cluster
+    // sizes, an exact-membership flag, and convergence (last-round
+    // centroid shift ≈ 0 once assignments stabilize) — the q68-style
+    // literal-row oracle.
+    QueryDef(
+      "q101_kmeans_clusters",
+      (s, _) => {
+        val (corpus, _, _, _) = clusteredFor(s)
+        val init = graft.ops.Clustering.strideInit(
+          corpus, "vec_id", "embedding", k = NClusters, stride = PerCluster)
+        val model = graft.ops.Clustering.lloyd(corpus, "embedding", init, iters = 3)
+        graft.ops.Clustering.assignClusters(corpus, "embedding", model.centroids)
+          .groupBy(col("cluster"))
+          .agg(
+            count(lit(1)).as("n_points"),
+            (min(when(col("cluster") === (col("vec_id") / lit(PerCluster))
+              .cast("int"), 1).otherwise(0)) === 1).as("members_ok"))
+          .withColumn("shift_ok", lit(model.lastShift < 1e-6))
+          .orderBy(col("cluster"))
+      },
+      Some("""
+        SELECT CAST(g AS INTEGER) AS cluster, CAST(100 AS BIGINT) AS n_points,
+               true AS members_ok, true AS shift_ok
+        FROM generate_series(0, 19) t(g) ORDER BY cluster""")),
+
+    // SemDeDup end-to-end (Abbas et al. 2023): k-means partition, then
+    // near-dup drop WITHIN clusters only — the cluster-key equi-join
+    // replaces any corpus-wide candidate structure. Gate: the clustered
+    // fixture ∪ planted twins; twins land in their source's cluster
+    // (perturbation ≲ 0.02 vs inter-cluster margins ≫ 1) and are the
+    // ONLY pairs under the 0.05 L2 radius (same-cluster non-twins sit at
+    // ~0.28), so the full labeling is closed-form: originals keep,
+    // twins drop, cluster = (id mod 100000) / 100.
+    QueryDef(
+      "q108_semdedup",
+      (s, _) => {
+        val (corpus, _, _, _) = clusteredFor(s)
+        val orig = corpus.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        val union = orig.unionByName(planted(corpus))
+        val init = graft.ops.Clustering.strideInit(
+          corpus, "vec_id", "embedding", k = NClusters, stride = PerCluster)
+        val model = graft.ops.Clustering.lloyd(union, "embedding", init, iters = 2)
+        graft.ops.Clustering.semanticKeepers(union, "vec_id", "embedding",
+            model.centroids, maxDist = 0.05)
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH ids AS (
+          SELECT g AS vec_id FROM generate_series(0, 1999) t(g)
+          UNION ALL
+          SELECT g + 100000 FROM generate_series(0, 1999) t(g))
+        SELECT vec_id,
+          CAST(floor((vec_id % 100000) / 100) AS INTEGER) AS cluster,
+          vec_id < 100000 AS keep
+        FROM ids ORDER BY vec_id""")),
   )
 }

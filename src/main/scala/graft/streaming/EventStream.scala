@@ -172,6 +172,60 @@ object EventStream {
     wr.start()
   }
 
+  /** STREAMING incremental EXACT dedup — [[nearDupIncremental]]'s
+    * exact-match sibling, wrapping [[graft.ops.Dedup.incrementalExactKeepers]]:
+    * each micro-batch is labeled against the persisted fingerprint index
+    * (fingerprint → stored keeper), labels append to `labelsOut`, and the
+    * index advances by upserting ONLY the batch's new keepers (an index
+    * hit never rewrites its entry — first arrival wins, the ingestion-
+    * order semantics of the batch operator).
+    *
+    * The resulting label set is a pure function of (corpus, batch
+    * assignment): a doc's `dup_of` is the (arrival-batch, id)-lexicographic
+    * minimum of its fingerprint class — same-batch dups resolve to the
+    * min id, cross-batch dups to the earliest arrival. The q109 gate
+    * replays exactly that closed form in SQL from a portable-hash batch
+    * split.
+    */
+  def exactDedupIncremental(
+      docs: DataFrame, idCol: String, textCol: String,
+      indexTable: String, labelsOut: String,
+      checkpointLocation: Option[String] = None,
+      buckets: Int = 4, parts: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val wr = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          // materialize once: fingerprints feed the labeling join AND the
+          // keeper upsert (localCheckpoint cuts the streaming lineage out
+          // of the Store write plans, the nearDupIncremental pattern)
+          val fps = batch.toDF()
+            .select(col(idCol), graft.ops.Dedup.exactFingerprint(col(textCol)).as("fingerprint"))
+            .localCheckpoint()
+          val exists = spark.catalog.tableExists(indexTable)
+          val old =
+            if (exists) graft.sources.Store.read(spark, indexTable)
+            else fps.select(col("fingerprint"), col(idCol).as("keeper")).filter(lit(false))
+          val labels = graft.ops.Dedup
+            .incrementalExactKeepers(old, batch.toDF(), idCol, textCol)
+            .localCheckpoint()
+          labels.write.mode("append").parquet(labelsOut)
+          val newKeepers = fps
+            .join(labels.filter(col("keep")).select(col(idCol)), Seq(idCol))
+            .select(col("fingerprint"), col(idCol).as("keeper"))
+          if (exists)
+            graft.sources.Store.upsert(spark, indexTable, newKeepers, "fingerprint", buckets)
+          else
+            graft.sources.Store.bulkWrite(newKeepers, indexTable, "fingerprint",
+              buckets = buckets, parts = parts)
+        }
+      }
+    checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))
+    wr.start()
+  }
+
   /** STREAM-STREAM range (interval-containment) join — the streaming twin
     * of [[graft.ops.Events.rangeJoin]], and the same rewrite makes it
     * POSSIBLE at all: Structured Streaming requires an equality predicate

@@ -192,6 +192,43 @@ class PlanSpec extends SparkSpec {
       s"sample window lost its stratum partitioning:\n$plan")
   }
 
+  test("q103 source quota: WindowGroupLimit on a source-partitioned window") {
+    val df = SparkEntry.queries("q103_source_quota")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.sparkPlan.toString
+    // the uniform cap must keep stratifiedExact's pruning: group limit
+    // below the window, window partitioned by source (never global)
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n$plan")
+    assert(plan.contains("windowspecdefinition(source"),
+      s"quota window lost its source partitioning:\n$plan")
+  }
+
+  test("q104 shard manifest: map-only routing into one partial aggregate — no join, no window") {
+    val df = SparkEntry.queries("q104_shard_manifest")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Join"), s"shard routing must not join:\n$plan")
+    assert(!plan.contains("Window"), s"shard routing must not sort/window:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"manifest aggregate must be map-side combinable:\n$plan")
+  }
+
+  test("q105 global sample plans TakeOrderedAndProject — bounded per-task heaps, no global sort") {
+    val df = SparkEntry.queries("q105_global_sample")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"hash-ordered limit must plan a distributed top-k, not a full sort:\n$plan")
+  }
+
+  test("k-means assignment is map-side only: no exchange, no join in the assigned frame") {
+    val corpus = Tables.embeddings(spark, sf("sf0.001"))
+    val cents = Seq(Array.fill(64)(0.0), Array.fill(64)(0.1))
+    val df = graft.ops.Clustering.assignClusters(corpus, "embedding", cents)
+    val plan = planOf(df)
+    // centroids are plan literals: assignment must add NO data movement
+    assert(!plan.contains("Exchange"), s"assignment introduced a shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"assignment introduced a join:\n$plan")
+  }
+
   test("q67 posting search: levenshtein evaluates only on posting-join survivors, never a corpus scan") {
     val df = SparkEntry.queries("q67_ml_search_posting")(spark, sf("sf0.001"))
     val plan = df.queryExecution.sparkPlan

@@ -6,6 +6,27 @@ import org.apache.spark.sql.functions._
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("incrementalExactKeepers: index hits drop against the stored keeper, even at a lower id") {
+    val oldDocs = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val oldIndex = Dedup.exactGroups(oldDocs, "doc_id", "text")
+      .select(col("fingerprint"), col("keep_id").as("keeper"))
+    val newDocs = Seq(
+      (0L, "y"),       // dup of OLD 2 — old keeper wins despite 0 < 2
+      (10L, "x"),      // dup of old 1
+      (11L, "z  w"),   // new-only fingerprint, min id → keeper
+      (12L, "Z w"),    // new×new CANONICAL dup of 11 (case + whitespace)
+      (13L, "Y")       // case-canonical dup of old 2
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExactKeepers(oldIndex, newDocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got === Map(
+      0L -> ((2L, false)),
+      10L -> ((1L, false)),
+      11L -> ((11L, true)),
+      12L -> ((11L, false)),
+      13L -> ((2L, false))))
+  }
+
   private val base = "the quick brown fox jumps over the lazy dog and runs far away home"
   private def docs = Seq(
     (1L, base),

@@ -277,4 +277,74 @@ class TrainingSpec extends SparkSpec {
     } yield (testId, trainId) -> shared).toMap
     assert(got === want)
   }
+
+  test("targetAffinity: exact masses and ratio on a hand-checked fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b", "tgt"),
+      (2L, "b c", "other")
+    ).toDF("doc_id", "text", "grp")
+    // counts: a → (all 2, tgt 2); b → (all 2, tgt 1); c → (all 1, tgt 0)
+    val got = Training.targetAffinity(docs, "doc_id", "text", col("grp") === "tgt")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got(1L) === ((3L, 5L, 6L, 5.0 / 6.0)))
+    assert(got(2L) === ((2L, 1L, 3L, 1.0 / 3.0)))
+  }
+
+  test("targetAffinity: a doc of target-only vocabulary scores 1, disjoint scores 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x y", "tgt"),   // vocabulary used ONLY by target docs
+      (2L, "p q p", "other")  // vocabulary the target never uses
+    ).toDF("doc_id", "text", "grp")
+    val got = Training.targetAffinity(docs, "doc_id", "text", col("grp") === "tgt")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(got === Map(1L -> 1.0, 2L -> 0.0))
+  }
+
+  test("sourceQuota: clips every source to the cap; membership is rerun-stable") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+      .select(col("doc_id"), col("source"))
+    val capped = Training.sourceQuota(docs, "doc_id", "source", cap = 15)
+    val perSource = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource.values.forall(_ === 15L),
+      s"every source holds 25 docs at sf0.01, so each must clip to exactly 15: $perSource")
+    val ids = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Training.sourceQuota(docs.repartition(11), "doc_id", "source", cap = 15)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === again, "quota membership must be a pure function of the id set")
+  }
+
+  test("globalSample: exact size, nested across sizes, rerun-stable") {
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"))
+    def ids(n: Int) = Training.globalSample(docs, "doc_id", n)
+      .collect().map(_.getLong(0)).toSet
+    val s50 = ids(50)
+    val s100 = ids(100)
+    assert(s50.size === 50 && s100.size === 100)
+    assert(s50.subsetOf(s100), "the 50-sample must be contained in the 100-sample")
+    assert(ids(50) === s50, "rerun changed the sample")
+  }
+
+  test("shard routing: full range, manifest totals add up, reshuffle-stable") {
+    val n = 16
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("n_chars"))
+    val routed = docs.select(col("doc_id"),
+      Training.shardColumn(col("doc_id"), n).as("shard"))
+    val shards = routed.select("shard").distinct().collect().map(_.getLong(0)).toSet
+    assert(shards.forall(s => s >= 0 && s < n))
+    val manifest = Training.shardManifest(docs, "doc_id", "n_chars", n).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))))
+      .toMap
+    assert(manifest.map(_._2._1).sum === docs.count(), "manifest doc counts must cover the corpus")
+    manifest.values.foreach { case (_, _, first, last) => assert(first <= last) }
+    // pure function of ids: identical manifest from any partitioning
+    val again = Training.shardManifest(docs.repartition(9), "doc_id", "n_chars", n)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))))
+      .toMap
+    assert(manifest === again)
+  }
 }

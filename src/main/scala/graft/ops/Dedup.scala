@@ -249,10 +249,14 @@ object Dedup {
     * full-Jaccard DuckDB oracle stays green); with hot shingles it is the
     * documented stop-word-pruned variant every at-scale dedup uses.
     */
-  def jaccardPairs(
+  /** Shared overlap core of [[jaccardPairs]] / [[containmentPairs]]:
+    * (id_a < id_b, inter, sz_a, sz_b) for every co-shingled pair, via the
+    * inverted-index self-join (one reused exchange) + two size joins.
+    */
+  private def overlapPairs(
       shingles: DataFrame, idCol: String,
-      maxShingleDf: Option[Long] = None,
-      capAtObservedMax: Boolean = false): DataFrame = {
+      maxShingleDf: Option[Long],
+      capAtObservedMax: Boolean): DataFrame = {
     val kept = cappedShingles(shingles, maxShingleDf, capAtObservedMax)
     val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = kept.as("a")
@@ -264,10 +268,35 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+  }
+
+  def jaccardPairs(
+      shingles: DataFrame, idCol: String,
+      maxShingleDf: Option[Long] = None,
+      capAtObservedMax: Boolean = false): DataFrame =
+    overlapPairs(shingles, idCol, maxShingleDf, capAtObservedMax)
       .withColumn(
         "jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-  }
+
+  /** Asymmetric CONTAINMENT pairs (Broder's containment): for each
+    * co-shingled pair, `c_a = |A∩B|/|A|` and `c_b = |A∩B|/|B|`, kept when
+    * either direction ≥ `minContainment`. This is the excerpt/quote
+    * detector symmetric Jaccard structurally misses: a 30-token excerpt
+    * of a 3000-token source has Jaccard ≈ 0.01 but containment 1.0 — the
+    * dedup action is "drop the contained doc". Each measure is one
+    * division of exact integer counts (bit-stable cross-engine, the q79
+    * rule). Same inverted-index join + stop-shingle DF cap as
+    * [[jaccardPairs]]; cost bounded by per-shingle document frequency.
+    */
+  def containmentPairs(
+      shingles: DataFrame, idCol: String, minContainment: Double,
+      maxShingleDf: Option[Long] = None,
+      capAtObservedMax: Boolean = false): DataFrame =
+    overlapPairs(shingles, idCol, maxShingleDf, capAtObservedMax)
+      .withColumn("c_a", col("inter").cast("double") / col("sz_a"))
+      .withColumn("c_b", col("inter").cast("double") / col("sz_b"))
+      .filter(greatest(col("c_a"), col("c_b")) >= lit(minContainment))
 
   /** Connected components over a candidate-pair graph — the stage that
     * turns near-dup PAIRS into dedup CLUSTERS (what a pipeline actually

@@ -310,6 +310,57 @@ object TextOps {
         ORDER BY id_a, id_b"""
       }),
 
+    // Asymmetric CONTAINMENT pairs (Broder): the excerpt/quote detector
+    // symmetric Jaccard misses — a 12-token excerpt of its source has
+    // Jaccard ≈ 0.05 but containment 1.0. Gate plants one excerpt (first
+    // 12 normalized tokens) per document; both containment directions are
+    // single divisions of exact counts, and the oracle replays the
+    // planted construction, shingles, and both measures. Same derived
+    // DF-cap discipline as q24 (pruning path on, never prunes, exact at
+    // any sf).
+    QueryDef(
+      "q111_containment_pairs",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+        val toks = split(lower(regexp_replace(col("text"), "\\s+", " ")), " ")
+        val excerpts = docs.select(
+          (col("doc_id") + lit(100000L)).as("doc_id"),
+          concat_ws(" ", slice(toks, 1, 12)).as("text"))
+        val union = docs.select(col("doc_id"), col("text")).unionByName(excerpts)
+        val sh = Dedup.wordShingles(union, "doc_id", "text", w = 3)
+        Dedup.containmentPairs(sh, "doc_id", minContainment = 0.9,
+            capAtObservedMax = true)
+          .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
+            col("c_a"), col("c_b"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+          UNION ALL
+          SELECT doc_id + 100000,
+            array_to_string(
+              string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')[1:12], ' ')
+          FROM documents WHERE text IS NOT NULL),
+        toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+          FROM u),
+        sh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+          WHERE len(t) >= 3),
+        sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+        ip AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, inter, sa.s AS sz_a, sb.s AS sz_b,
+          CAST(inter AS DOUBLE) / sa.s AS c_a,
+          CAST(inter AS DOUBLE) / sb.s AS c_b
+        FROM ip JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        WHERE greatest(CAST(inter AS DOUBLE) / sa.s, CAST(inter AS DOUBLE) / sb.s) >= 0.9
+        ORDER BY id_a, id_b""")),
+
     // INCREMENTAL EXACT dedup (q92's exact-match sibling): the same
     // hash-designated new batch labeled against the OLD corpus's
     // fingerprint index (fingerprint → stored keeper). Ingestion-order-

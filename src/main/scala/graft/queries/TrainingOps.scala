@@ -46,6 +46,26 @@ object TrainingOps {
           lit("cid overflow: chunk_start "), col("chunk_start").cast("string"),
           lit(" >= 1e6 for doc_id "), col("doc_id").cast("string"))))
 
+  /** q110's seeded two-vocabulary fixture: even ids draw 30 tokens from
+    * {alpha0..19}, odd ids from {beta0..19} — deterministic driver RNG,
+    * fixed generation order (the clustered-ANN-fixture convention).
+    * Declared BEFORE [[defs]]: the oracle strings read these eagerly at
+    * object init, and a forward val reference is silently null.
+    */
+  private val ClfDocs = 400
+  private val ClfSplits = Seq("train" -> 0.8, "test" -> 0.2)
+  private val ClfSeed = "graft-clf"
+
+  private lazy val ClassifierFixture: Seq[(Long, String, Int)] = {
+    val rnd = new scala.util.Random(0xC1A551F1L)
+    (0 until ClfDocs).map { i =>
+      val label = i % 2
+      val prefix = if (label == 0) "alpha" else "beta"
+      val toks = Seq.fill(30)(s"$prefix${rnd.nextInt(20)}")
+      (i.toLong, toks.mkString(" "), label)
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Deterministic train/val/test split: label is a pure function of
@@ -594,6 +614,41 @@ object TrainingOps {
         SELECT split, shard, count(*) AS n_docs,
           CAST(sum(n_chars) AS BIGINT) AS total_size,
           min(ok) AS first_key, max(ok) AS last_key
-        FROM s GROUP BY split, shard ORDER BY split, shard"""))
+        FROM s GROUP BY split, shard ORDER BY split, shard""")),
+
+    // Learned quality classifier (the CCNet/GPT-3 classifier stage):
+    // logistic regression over scan-local hash-embedded token counts,
+    // trained on a hash-split train slice of a seeded two-vocabulary
+    // fixture (disjoint token sets → linearly separable in hashed space),
+    // scored map-only on the held-out test slice. Gate: the oracle
+    // replays the SPLIT hash over the fixture's id range (exact n_train/
+    // n_test) and the accuracy flag is literal-true (the q68 pattern —
+    // coefficient bits are ~ulp run-dependent, accuracy is not).
+    QueryDef(
+      "q110_learned_filter",
+      (s, _) => {
+        import s.implicits._
+        val docs = ClassifierFixture.toDF("id", "text", "label")
+        val withSplit = docs.withColumn("split",
+          Training.splitColumn(col("id"), ClfSplits, seed = ClfSeed))
+        val model = graft.ml.TextClassifier.train(
+          withSplit.filter(col("split") === "train"), "text", "label", dim = 64)
+        val scored = graft.ml.TextClassifier.score(
+          model, withSplit.filter(col("split") === "test"), "text", dim = 64)
+        val counts = withSplit.groupBy().agg(
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+        val acc = scored.groupBy().agg(
+          (sum(when(col("prediction") === col("label").cast("double"), 1L).otherwise(0L))
+            === count(lit(1))).as("acc_ok"))
+        counts.crossJoin(acc)
+      },
+      Some(s"""
+        WITH ids AS (SELECT g AS id FROM generate_series(0, ${ClfDocs - 1}) t(g)),
+        s AS (SELECT id, ${Training.splitSql("id", ClfSplits, ClfSeed)} AS split FROM ids)
+        SELECT CAST(count(*) FILTER (WHERE split = 'train') AS BIGINT) AS n_train,
+               CAST(count(*) FILTER (WHERE split = 'test') AS BIGINT) AS n_test,
+               true AS acc_ok
+        FROM s"""))
   )
 }

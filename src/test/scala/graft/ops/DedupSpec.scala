@@ -6,6 +6,31 @@ import org.apache.spark.sql.functions._
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("containmentPairs: an excerpt is fully contained while Jaccard stays low") {
+    val src = "a b c d e f g h i j k l m n o p q r s t"
+    val docs = Seq(
+      (1L, src),
+      (2L, "a b c d e"),   // 5-token excerpt: 3 shingles, all in doc 1
+      (3L, "x y z w v")    // unrelated
+    ).toDF("doc_id", "text")
+    val sh = Dedup.wordShingles(docs, "doc_id", "text", w = 3)
+    val got = Dedup.containmentPairs(sh, "doc_id", minContainment = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Long]("inter"), r.getAs[Long]("sz_a"), r.getAs[Long]("sz_b"),
+          r.getAs[Double]("c_a"), r.getAs[Double]("c_b")))).toMap
+    // doc 1 has 18 shingles, doc 2 has 3 — intersection 3: c_a = 3/18,
+    // c_b = 1.0; Jaccard would be 3/18 = 0.167 and never trip a 0.9 bar
+    assert(got.keySet === Set((1L, 2L)))
+    val (inter, szA, szB, cA, cB) = got((1L, 2L))
+    assert(inter === 3L && szA === 18L && szB === 3L)
+    assert(cA === 3.0 / 18.0 && cB === 1.0)
+    // symmetric-measure cross-check: the same pair is invisible to a
+    // 0.9-Jaccard filter
+    val jac = Dedup.jaccardPairs(sh, "doc_id")
+      .filter(col("jaccard") >= 0.9).count()
+    assert(jac === 0L)
+  }
+
   test("incrementalExactKeepers: index hits drop against the stored keeper, even at a lower id") {
     val oldDocs = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
     val oldIndex = Dedup.exactGroups(oldDocs, "doc_id", "text")

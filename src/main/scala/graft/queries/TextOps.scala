@@ -310,6 +310,104 @@ object TextOps {
         ORDER BY id_a, id_b"""
       }),
 
+    // Unicode-normalized exact dedup: canonically-equivalent byte forms
+    // ("é" composed U+00E9 vs decomposed e+U+0301) are the same text to
+    // every reader but different bytes to md5 — without NFC, exact dedup
+    // silently misses them. Gate plants one decomposed twin per doc
+    // (composed suffix on the original, decomposed on the twin); groups
+    // form on the NFC fingerprint, and n_raw_forms = 2 everywhere pins
+    // that RAW fingerprinting would not have merged the two forms. The
+    // oracle is DuckDB's independent nfc_normalize implementation.
+    QueryDef(
+      "q113_unicode_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+        val composed = docs.select(col("doc_id"),
+          concat(col("text"), lit(" caf\u00e9")).as("text"))
+        val decomposed = docs.select((col("doc_id") + lit(100000L)).as("doc_id"),
+          concat(col("text"), lit(" cafe\u0301")).as("text"))
+        composed.unionByName(decomposed)
+          .select(col("doc_id"),
+            Dedup.exactFingerprint(
+              graft.functions.NfcNormalizeExpr.nfc_normalize(col("text"))).as("nfp"),
+            Dedup.exactFingerprint(col("text")).as("rfp"))
+          .groupBy(col("nfp"))
+          .agg(
+            min(col("doc_id")).as("keep_id"),
+            count(lit(1)).as("n_copies"),
+            countDistinct(col("rfp")).as("n_raw_forms"))
+          .select(col("keep_id"), col("n_copies"), col("n_raw_forms"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id, text || ' caf' || chr(233) AS text
+          FROM documents WHERE text IS NOT NULL
+          UNION ALL
+          SELECT doc_id + 100000, text || ' cafe' || chr(769)
+          FROM documents WHERE text IS NOT NULL),
+        f AS (
+          SELECT doc_id,
+            md5(lower(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))) AS nfp,
+            md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS rfp
+          FROM u)
+        SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+          count(DISTINCT rfp) AS n_raw_forms
+        FROM f GROUP BY nfp ORDER BY keep_id""")),
+
+    // Corpus DATASHEET: the one-row report a curation team publishes with
+    // a dataset release — sizes, diversity, token mass, vocabulary, and
+    // exact-dup burden, all exact integers plus one division. Three
+    // map-combinable aggregate passes (doc stats, token stats, dup
+    // groups) joined as 1-row frames; at 100 TB the exact vocab count is
+    // the only expensive term (one token-keyed distinct) — q51's HLL is
+    // the documented approximate stand-in when ±2% suffices.
+    QueryDef(
+      "q112_corpus_datasheet",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val base = docs.groupBy().agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"))
+        val tokStats = docs.filter(col("text").isNotNull)
+          .select(explode(TextStats.tokens(col("text"))).as("tok"))
+          .groupBy().agg(
+            count(lit(1)).as("total_tokens"),
+            countDistinct(col("tok")).as("vocab_size"))
+        val dups = Dedup.exactGroups(docs.filter(col("text").isNotNull), "doc_id", "text")
+          .groupBy().agg(
+            sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("dup_groups"),
+            sum(when(col("n_copies") > 1, col("n_copies") - 1).otherwise(0L)).as("dup_docs"))
+        base.crossJoin(tokStats).crossJoin(dups)
+          .withColumn("mean_tokens",
+            col("total_tokens").cast("double") / col("n_docs"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT count(*) AS n_docs,
+            CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+            count(DISTINCT lang) AS n_langs,
+            count(DISTINCT source) AS n_sources
+          FROM documents),
+        toks AS (
+          SELECT unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents WHERE text IS NOT NULL),
+        ts AS (
+          SELECT count(*) AS total_tokens, count(DISTINCT tok) AS vocab_size FROM toks),
+        g AS (
+          SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp, count(*) AS n
+          FROM documents WHERE text IS NOT NULL GROUP BY 1),
+        d AS (
+          SELECT CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+            CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS dup_docs
+          FROM g)
+        SELECT n_docs, n_null_text, n_langs, n_sources, total_tokens, vocab_size,
+          dup_groups, dup_docs,
+          CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens
+        FROM base, ts, d""")),
+
     // Asymmetric CONTAINMENT pairs (Broder): the excerpt/quote detector
     // symmetric Jaccard misses — a 12-token excerpt of its source has
     // Jaccard ≈ 0.05 but containment 1.0. Gate plants one excerpt (first

@@ -148,12 +148,16 @@ object EventStream {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        if (!batch.isEmpty) {
+        // one source scan per trigger (see exactDedupIncremental): the
+        // isEmpty probe and the signature pass otherwise each re-read the
+        // batch's files
+        val b = batch.toDF().localCheckpoint()
+        if (!b.isEmpty) {
           // materialize once: signatures feed both the band join and the
           // index upsert (localCheckpoint also cuts the streaming lineage
           // out of the Store write plans)
           val sigs = graft.ops.Dedup
-            .minhashSignaturesScanLocal(batch.toDF(), idCol, textCol, k, w)
+            .minhashSignaturesScanLocal(b, idCol, textCol, k, w)
             .localCheckpoint()
           val exists = spark.catalog.tableExists(indexTable)
           val old =
@@ -197,19 +201,21 @@ object EventStream {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        if (!batch.isEmpty) {
-          // materialize once: fingerprints feed the labeling join AND the
-          // keeper upsert (localCheckpoint cuts the streaming lineage out
-          // of the Store write plans, the nearDupIncremental pattern)
-          val fps = batch.toDF()
-            .select(col(idCol), graft.ops.Dedup.exactFingerprint(col(textCol)).as("fingerprint"))
-            .localCheckpoint()
+        // ONE source scan per trigger: checkpoint the batch FIRST — a
+        // file-source batch otherwise re-reads its files once per action
+        // (isEmpty + the labeling self-join's two scan branches measured
+        // 4× input rows in the restart test's metrics). The checkpoint
+        // also cuts the streaming lineage out of the Store write plans.
+        val b = batch.toDF().localCheckpoint()
+        if (!b.isEmpty) {
+          val fps = b.select(col(idCol),
+            graft.ops.Dedup.exactFingerprint(col(textCol)).as("fingerprint"))
           val exists = spark.catalog.tableExists(indexTable)
           val old =
             if (exists) graft.sources.Store.read(spark, indexTable)
             else fps.select(col("fingerprint"), col(idCol).as("keeper")).filter(lit(false))
           val labels = graft.ops.Dedup
-            .incrementalExactKeepers(old, batch.toDF(), idCol, textCol)
+            .incrementalExactKeepers(old, b, idCol, textCol)
             .localCheckpoint()
           labels.write.mode("append").parquet(labelsOut)
           val newKeepers = fps

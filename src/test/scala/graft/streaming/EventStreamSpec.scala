@@ -228,6 +228,49 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact-dedup restarts from its checkpoint and keeps ingestion-order keepers") {
+    import graft.sources.Store
+    val srcDir = java.nio.file.Files.createTempDirectory("xdsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("xdckpt").toString
+    val labelsOut = java.nio.file.Files.createTempDirectory("xdout").toString + "/labels"
+    val table = "xd_fp_index"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val phase1 = Seq((10L, "x"), (11L, "y"), (12L, "x")).toDF("doc_id", "text")
+    val phase2 = Seq((1L, "x"), (13L, "z"), (14L, "Y")).toDF("doc_id", "text")
+    phase1.coalesce(1).write.mode("append").parquet(srcDir)
+    def start() = EventStream.exactDedupIncremental(
+      spark.readStream.schema(phase1.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      "doc_id", "text", table, labelsOut, checkpointLocation = Some(ckpt))
+    try {
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      // new file lands while the query is down; the restart must consume
+      // ONLY it (committed offsets live in the checkpoint)
+      phase2.coalesce(1).write.mode("append").parquet(srcDir)
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        assert(q2.recentProgress.map(_.numInputRows).sum === 3L,
+          "restart reprocessed committed batches")
+      } finally q2.stop()
+      val labels = spark.read.parquet(labelsOut).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("dup_of"), r.getAs[Boolean]("keep")))).toMap
+      assert(labels === Map(
+        10L -> ((10L, true)), 11L -> ((11L, true)), 12L -> ((10L, false)),
+        // "x" was indexed in phase 1: the stored keeper wins despite 1 < 10
+        1L -> ((10L, false)),
+        13L -> ((13L, true)),
+        // case-canonical dup of the phase-1 "y"
+        14L -> ((11L, false))))
+      val keepers = Store.read(spark, table).collect()
+        .map(_.getAs[Long]("keeper")).toSet
+      assert(keepers === Set(10L, 11L, 13L),
+        "index must hold exactly the first-arrival keepers")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("streaming near-dup pair set is invariant to the batch split and equals the batch pipeline") {
     import graft.ops.Dedup
     val base = "the quick brown fox jumps over the lazy dog and runs far away home"

@@ -139,12 +139,19 @@ object Similarity {
     import spark.implicits._
     val centDf = broadcast(centroids.toSeq.toDF("cell", "centroid"))
 
-    // assign every target to its cell: broadcast-NL over nCentroids rows,
-    // argmax via max_by partial aggregation — the ×nCentroids expansion
-    // collapses map-side inside each task, so the shuffle carries one
-    // (id, cell, vec) row per target, not nCentroids copies (a row_number
-    // window here would shuffle the full expansion)
-    val assigned = targets.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    IvfIndex(centDf, assignToCells(centDf, targets, idCol, vecCol))
+  }
+
+  /** Nearest-cell assignment against an existing codebook — the shared
+    * kernel of the offline build and the incremental append: broadcast-NL
+    * over nCentroids rows, argmax via max_by partial aggregation — the
+    * ×nCentroids expansion collapses map-side inside each task, so the
+    * shuffle carries one (id, cell, vec) row per vector, not nCentroids
+    * copies (a row_number window here would shuffle the full expansion).
+    */
+  private def assignToCells(
+      centDf: DataFrame, vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .join(centDf)
       .withColumn("d", cosine(col("vec"), col("centroid")))
       .groupBy(col("id"))
@@ -152,7 +159,22 @@ object Similarity {
         max_by(col("cell"), struct(col("d"), -col("cell"))).as("cell"),
         first(col("vec")).as("vec"))
       .select(col("id"), col("vec"), col("cell"))
-    IvfIndex(centDf, assigned)
+
+  /** INCREMENTAL index maintenance — the q92/q107 rule applied to the ANN
+    * surface: route a NEW vector batch into an EXISTING stored index by
+    * assigning it against the stored codebook (no retraining, no rebuild)
+    * and appending into the cell-partitioned layout. Cost is O(new batch);
+    * the indexed corpus is never rescanned, and probe scans keep pruning
+    * to their cells. Centroids drift as the corpus grows — rebuild the
+    * codebook offline when a q68-style recall gate drops, the standard
+    * IVF operating procedure.
+    */
+  def appendIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cent = broadcast(spark.read.parquet(s"$path/centroids"))
+    assignToCells(cent, newVecs, idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
   }
 
   /** Persist an IVF index: the assigned corpus partitioned by cell (so a

@@ -555,5 +555,59 @@ object VectorOps {
           CAST(floor((vec_id % 100000) / 100) AS INTEGER) AS cluster,
           vec_id < 100000 AS keep
         FROM ids ORDER BY vec_id""")),
+
+    // INCREMENTAL IVF index maintenance (the q92/q107 rule on the ANN
+    // surface): planted twins are routed into the EXISTING stored index
+    // against the stored codebook — no retraining, no rebuild, O(batch)
+    // cost — and the gate queries the appended index: each original's
+    // nearest non-self neighbor must be its appended twin (cosine ≈ 1 vs
+    // i.i.d. ≤ ~0.51; ivfQuery excludes self). Twins are stored as FLOAT
+    // like the base corpus, and the oracle replays the double→float→double
+    // round-trip exactly (IEEE-correct in both engines).
+    QueryDef(
+      "q115_ann_ivf_append",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = ivfAppendedFor(s, dir)
+        Similarity.ivfQuery(e.filter(col("vec_id") < 5), idx,
+            "vec_id", "embedding", k = 5, nProbe = 4)
+          .filter(col("rank") === 1)
+          .select(col("q_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+          .orderBy(col("q_id"))
+      },
+      Some {
+        val pv = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        val tv = "list_transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) * 1.001 + 0.0005 AS FLOAT) AS DOUBLE))"
+        s"""
+          WITH p AS (
+            SELECT vec_id, $pv AS pv, $tv AS tv
+            FROM embeddings WHERE vec_id < 5)
+          SELECT vec_id AS q_id, vec_id + 100000 AS neighbor_id,
+            round(${oracleDot.format("pv", "tv")} /
+              (sqrt(${oracleDot.format("pv", "pv")}) * sqrt(${oracleDot.format("tv", "tv")})),
+              4) AS cosine
+          FROM p ORDER BY q_id"""
+      }),
   )
+
+  /** q115's appended index: base index built offline from the corpus, then
+    * the planted twins routed in INCREMENTALLY against the stored codebook
+    * (stored as float, like the base corpus). Built once per (JVM, sfDir).
+    */
+  private val ivfAppendCache =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfIndex]
+
+  private def ivfAppendedFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    ivfAppendCache.getOrElseUpdate(dir, {
+      val path = s"${procRoot}_app/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val e = Tables.embeddings(s, dir)
+      Similarity.writeIvfIndex(
+        Similarity.buildIvfIndex(e, "vec_id", "embedding", nCentroids = 16, seed = 42L),
+        path)
+      Similarity.appendIvfIndex(s, path,
+        planted(e).select(col("vec_id"),
+          transform(col("embedding"), _.cast("float")).as("embedding")),
+        "vec_id", "embedding")
+      Similarity.readIvfIndex(s, path)
+    })
 }

@@ -138,7 +138,9 @@ class PlanSpec extends SparkSpec {
       "q100_heavy_hitters" -> "BroadcastNestedLoopJoin", // 1-row total-count scalar-subquery crossJoin (q24 cap pattern)
       "q110_learned_filter" -> "BroadcastNestedLoopJoin", // 1-row counts × 1-row accuracy-flag crossJoin (q68 recall pattern)
       "q111_containment_pairs" -> "BroadcastNestedLoopJoin", // 1-row DF-cap scalar subquery crossJoin (q24 cap pattern)
-      "q112_corpus_datasheet" -> "BroadcastNestedLoopJoin") // three 1-row stat frames crossJoined (q68 pattern)
+      "q112_corpus_datasheet" -> "BroadcastNestedLoopJoin", // three 1-row stat frames crossJoined (q68 pattern)
+      "q114_containment_keepers" -> "BroadcastNestedLoopJoin", // embeds q111's 1-row DF-cap crossJoin
+      "q115_ann_ivf_append" -> "BroadcastNestedLoopJoin") // probe×centroid cell assignment (q38 shape); centroids broadcast
     val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.sparkPlan.toString
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")

@@ -177,6 +177,26 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
   }
 
+  /** Quantized sibling of [[appendIvfIndex]]: assign the new batch against
+    * the stored codebook, quantize it (int8 codes + corners) EXACTLY as
+    * [[writeIvfIndexQuantized]] does, and append into the cell-partitioned
+    * layout — so the 4×-bandwidth quantized query path keeps working
+    * unchanged over an incrementally grown index.
+    */
+  def appendIvfIndexQuantized(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+    import graft.functions.QuantExprs
+    val cent = broadcast(spark.read.parquet(s"$path/centroids"))
+    assignToCells(cent, newVecs, idCol, vecCol)
+      .select(col("id"), col("vec"),
+        QuantExprs.quantize_i8(col("vec")).as("codes"),
+        array_min(col("vec")).cast("double").as("mn"),
+        array_max(col("vec")).cast("double").as("mx"),
+        col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
+  }
+
   /** Persist an IVF index: the assigned corpus partitioned by cell (so a
     * probe scan prunes to its cells), the tiny codebook alongside.
     */

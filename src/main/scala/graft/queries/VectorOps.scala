@@ -588,6 +588,47 @@ object VectorOps {
               4) AS cosine
           FROM p ORDER BY q_id"""
       }),
+
+    // q115's QUANTIZED sibling: the twins are appended with int8 codes +
+    // corners computed exactly as the offline quantized write computes
+    // them, and the gate queries via the quantized route (cosine_q8 off
+    // the code column — the scan never touches the appended floats). The
+    // oracle replays float round-trip → corners → codes → dequant → fold
+    // closed-form (the q82 formula over the float-rounded twin).
+    QueryDef(
+      "q116_ann_ivf_append_quantized",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = ivfAppendedQuantFor(s, dir)
+        Similarity.ivfQueryQuantized(e.filter(col("vec_id") < 5), idx,
+            "vec_id", "embedding", k = 5, nProbe = 4)
+          .filter(col("rank") === 1)
+          .select(col("q_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+          .orderBy(col("q_id"))
+      },
+      Some {
+        val pv = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        val tv = "list_transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) * 1.001 + 0.0005 AS FLOAT) AS DOUBLE))"
+        s"""
+          WITH p AS (
+            SELECT vec_id, $pv AS pv, $tv AS tv
+            FROM embeddings WHERE vec_id < 5),
+          b AS (
+            SELECT vec_id, pv, list_min(tv) AS mn, list_max(tv) AS mx, tv FROM p),
+          dq AS (
+            SELECT vec_id, pv,
+              CASE WHEN mx = mn THEN list_transform(tv, x -> mn)
+                   ELSE list_transform(tv, x ->
+                     mn + floor((x - mn) * 255.0 / (mx - mn) + 0.5)
+                          * (mx - mn) / 255.0)
+              END AS dv
+            FROM b)
+          SELECT vec_id AS q_id, vec_id + 100000 AS neighbor_id,
+            round(${oracleDot.format("pv", "dv")} /
+              (sqrt(${oracleDot.format("pv", "pv")}) * sqrt(${oracleDot.format("dv", "dv")})),
+              4) AS cosine
+          FROM dq ORDER BY q_id"""
+      }),
   )
 
   /** q115's appended index: base index built offline from the corpus, then
@@ -605,6 +646,26 @@ object VectorOps {
         Similarity.buildIvfIndex(e, "vec_id", "embedding", nCentroids = 16, seed = 42L),
         path)
       Similarity.appendIvfIndex(s, path,
+        planted(e).select(col("vec_id"),
+          transform(col("embedding"), _.cast("float")).as("embedding")),
+        "vec_id", "embedding")
+      Similarity.readIvfIndex(s, path)
+    })
+
+  /** q116's QUANTIZED appended index — same construction, quantized write
+    * + quantized append, for the 4×-bandwidth query route.
+    */
+  private val ivfAppendQuantCache =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfIndex]
+
+  private def ivfAppendedQuantFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    ivfAppendQuantCache.getOrElseUpdate(dir, {
+      val path = s"${procRoot}_appq/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val e = Tables.embeddings(s, dir)
+      Similarity.writeIvfIndexQuantized(
+        Similarity.buildIvfIndex(e, "vec_id", "embedding", nCentroids = 16, seed = 42L),
+        path)
+      Similarity.appendIvfIndexQuantized(s, path,
         planted(e).select(col("vec_id"),
           transform(col("embedding"), _.cast("float")).as("embedding")),
         "vec_id", "embedding")

@@ -62,7 +62,10 @@ object Clustering {
   /** Adds `cluster` = index of the nearest centroid (squared-L2; ties break
     * to the LOWEST index via struct ordering — deterministic). Map-side
     * only: the k distances and the argmin run inside codegen; no shuffle,
-    * no join, no UDF.
+    * no join, no UDF. Input contract: vectors must be null-free and of the
+    * centroids' dimension (a null element nulls its distance and the
+    * assignment with it — run the q34-style hygiene pass upstream; the
+    * native vector kernels reject such inputs outright).
     */
   def assignClusters(
       df: DataFrame, vecCol: String, centroids: Seq[Array[Double]]): DataFrame = {

@@ -41,7 +41,9 @@ object Dedup {
     * fingerprint exists in the index is ALWAYS a drop against the stored
     * keeper (the old copy is already serving, whatever the ids say);
     * new-only fingerprints keep their min-id new doc. Output per new doc:
-    * (id, dup_of, keep).
+    * (id, dup_of, keep). `oldIndex` must be UNIQUE on the fingerprint
+    * (the invariant the Store-keyed maintenance loop preserves — a
+    * duplicate index entry would multiply the labeling join's rows).
     *
     * Scale shape: the new batch shuffles (fingerprint, id) once — 24
     * bytes/doc, never the body — and equi-joins the index on the

@@ -167,7 +167,10 @@ object Similarity {
     * the indexed corpus is never rescanned, and probe scans keep pruning
     * to their cells. Centroids drift as the corpus grows — rebuild the
     * codebook offline when a q68-style recall gate drops, the standard
-    * IVF operating procedure.
+    * IVF operating procedure. Caller contract: the batch's ids are
+    * DISJOINT from the indexed set (dedup upstream — e.g.
+    * [[graft.ops.Dedup.incrementalExactKeepers]] — or an appended
+    * duplicate id appears twice in query results).
     */
   def appendIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,

@@ -268,4 +268,52 @@ class PropertiesSpec extends SparkSpec {
       members.forall(m => back.mightContainBinary(m.getBytes("UTF-8")))
     }, cases = 50)
   }
+
+  test("containment pairs equal the brute-force shingle-set model on random corpora") {
+    // q111/q114's kernel against an independent Scala model: every
+    // co-shingled pair appears exactly once with exact intersection and
+    // per-direction ratios (and nothing else)
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val doc = Gen.chooseNum(3, 10).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    check(Prop.forAllNoShrink(Gen.chooseNum(2, 5).flatMap(n => Gen.listOfN(n, doc))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val sh = graft.ops.Dedup.wordShingles(docs, "doc_id", "text", w = 3)
+      val got = graft.ops.Dedup.containmentPairs(sh, "doc_id", minContainment = 1e-9)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+          ((r.getAs[Long]("inter"), r.getAs[Double]("c_a"), r.getAs[Double]("c_b")))).toMap
+      val sets = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split(" ").toSeq.sliding(3).filter(_.size == 3)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+      val want = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = (sets(a) & sets(b)).size if inter > 0
+      } yield (a, b) -> ((inter.toLong,
+        inter.toDouble / sets(a).size, inter.toDouble / sets(b).size))).toMap
+      got == want
+    }, cases = 12)
+  }
+
+  test("shard manifests conserve the corpus and global samples nest, for random parameters") {
+    import graft.ops.Training
+    val idsGen = Gen.chooseNum(5, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 5000L))).map(_.distinct)
+    check(Prop.forAllNoShrink(idsGen, Gen.chooseNum(1, 32), Gen.chooseNum(1, 40),
+        Gen.chooseNum(1, 40)) { (ids, nShards, s1, s2) =>
+      val df = ids.map(i => (i, i % 97)).toDF("doc_id", "sz")
+      val manifest = Training.shardManifest(df, "doc_id", "sz", nShards).collect()
+      val shardsOk = manifest.forall { r =>
+        val s = r.getAs[Long]("shard"); s >= 0 && s < nShards
+      }
+      val conserved = manifest.map(_.getAs[Long]("n_docs")).sum == ids.size
+      val (n, m) = (math.min(s1, s2), math.max(s1, s2))
+      def sample(k: Int) = Training.globalSample(df, "doc_id", k)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      val sn = sample(n)
+      val sm = sample(m)
+      shardsOk && conserved &&
+        sn.size == math.min(n, ids.size) && sm.size == math.min(m, ids.size) &&
+        sn.subsetOf(sm)
+    }, cases = 10)
+  }
 }

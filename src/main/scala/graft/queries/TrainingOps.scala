@@ -572,8 +572,13 @@ object TrainingOps {
 
     // Composed acquisition-side pipeline over the r7-continuation
     // operators: per-source quota → target-affinity scoring ON THE
-    // RETAINED corpus → affinity-threshold keep → split labeling →
-    // per-(split, shard) manifests. Every stage twin is the fragment
+    // RETAINED corpus → keep docs tilted ABOVE the corpus-average target
+    // share (a 1-row scalar subquery, the q24 cap pattern — DSIR's
+    // importance-ratio > 1, and scale-self-calibrating where a FIXED
+    // threshold was vacuous: the affinity distribution concentrates
+    // around the corpus share, which itself shifts with sf, so any
+    // absolute cut either keeps everything or nothing) → split labeling
+    // → per-(split, shard) manifests. Every stage twin is the fragment
     // gating that stage alone (q103 quota, q102 affinity, q73 split,
     // q104 shard hashes), so stage drift breaks both gates.
     QueryDef(
@@ -583,8 +588,12 @@ object TrainingOps {
           .select(col("doc_id"), col("source"), col("lang"), col("text"), col("n_chars"))
         val quota = Training.sourceQuota(base, "doc_id", "source", cap = 15)
         val aff = Training.targetAffinity(quota, "doc_id", "text", col("lang") === "en")
-        val kept = quota.join(
-          aff.filter(col("affinity") >= 0.5).select(col("doc_id")), Seq("doc_id"))
+        val share = aff.agg(
+          (sum(col("tgt_mass")).cast("double") / sum(col("all_mass"))).as("share"))
+        val kept = quota
+          .join(aff.select(col("doc_id"), col("affinity")), Seq("doc_id"))
+          .crossJoin(broadcast(share))
+          .filter(col("affinity") > col("share"))
         kept
           .select(col("doc_id"), col("n_chars"),
             Training.splitColumn(col("doc_id"), Splits).as("split"),
@@ -602,9 +611,11 @@ object TrainingOps {
         WITH base AS (SELECT doc_id, source, lang, text, n_chars FROM documents),
         ${OracleFrags.sourceQuotaCtes("base", "quota", cap = 15)},
         ${OracleFrags.affinityCtes("quota", "aff", "lang = 'en'")},
+        tot AS (
+          SELECT CAST(sum(tgt_mass) AS DOUBLE) / sum(all_mass) AS share FROM aff),
         kept AS (
           SELECT q.doc_id, q.n_chars FROM quota q
-          JOIN aff USING (doc_id) WHERE affinity >= 0.5),
+          JOIN aff USING (doc_id), tot WHERE aff.affinity > tot.share),
         s AS (
           SELECT doc_id, n_chars,
             ${Training.splitSql("doc_id", Splits)} AS split,

@@ -113,6 +113,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF codebook is invariant to id renumbering of the same vector set") {
+    // the codebook sample is ordered by a CONTENT hash of the vector, so
+    // which vectors train the quantizer is a pure function of the vector
+    // multiset — renumbering ids (crawl-segment reshuffle, repartition by
+    // a new key) must not change the trained centroids. The corpus is
+    // LARGER than the sample bound (600 > 2·256) so the test fails for
+    // any id-dependent sample (the r7 id-ordered prefix picked a
+    // different 512 vectors under renumbering).
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 600L).map(i => (i, Array.fill(4)(rnd.nextFloat() * 2 - 1)))
+    val a = rows.toDF("vec_id", "embedding")
+    val b = rows.map { case (i, v) => (1000000L - i * 17L, v) }.toDF("vec_id", "embedding")
+    def cents(df: org.apache.spark.sql.DataFrame) =
+      Similarity.buildIvfIndex(df, "vec_id", "embedding", nCentroids = 2)
+        .centroids.collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toList)).toMap
+    assert(cents(a) === cents(b), "codebook changed under id renumbering")
+  }
+
   test("knnJoinLsh: every row's top-1 is its planted twin; the hot-bucket cap prunes") {
     import graft.Tables
     val e = Tables.embeddings(spark, sf())

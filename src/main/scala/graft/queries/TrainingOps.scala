@@ -631,10 +631,14 @@ object TrainingOps {
     // logistic regression over scan-local hash-embedded token counts,
     // trained on a hash-split train slice of a seeded two-vocabulary
     // fixture (disjoint token sets → linearly separable in hashed space),
-    // scored map-only on the held-out test slice. Gate: the oracle
-    // replays the SPLIT hash over the fixture's id range (exact n_train/
-    // n_test) and the accuracy flag is literal-true (the q68 pattern —
-    // coefficient bits are ~ulp run-dependent, accuracy is not).
+    // scored map-only on the held-out test slice. Gate: PER-DOCUMENT
+    // predictions on the test slice — the fixture is separable, so every
+    // predicted label is deterministic (vocabulary rule: label = id % 2)
+    // even though coefficient BITS are ~ulp run-dependent. The oracle
+    // replays the split hash to pick the test ids and the vocabulary rule
+    // for the expected prediction, so flipping any single document's
+    // score hash-fails the gate (r7's counts + literal-true accuracy
+    // flag under-constrained scoring — VERDICT r7 wrong #3).
     QueryDef(
       "q110_learned_filter",
       (s, _) => {
@@ -644,22 +648,17 @@ object TrainingOps {
           Training.splitColumn(col("id"), ClfSplits, seed = ClfSeed))
         val model = graft.ml.TextClassifier.train(
           withSplit.filter(col("split") === "train"), "text", "label", dim = 64)
-        val scored = graft.ml.TextClassifier.score(
-          model, withSplit.filter(col("split") === "test"), "text", dim = 64)
-        val counts = withSplit.groupBy().agg(
-          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
-          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
-        val acc = scored.groupBy().agg(
-          (sum(when(col("prediction") === col("label").cast("double"), 1L).otherwise(0L))
-            === count(lit(1))).as("acc_ok"))
-        counts.crossJoin(acc)
+        graft.ml.TextClassifier.score(
+            model, withSplit.filter(col("split") === "test"), "text", dim = 64)
+          .select(col("id"), col("label").cast("long").as("label"), col("prediction"))
+          .orderBy(col("id"))
       },
       Some(s"""
-        WITH ids AS (SELECT g AS id FROM generate_series(0, ${ClfDocs - 1}) t(g)),
-        s AS (SELECT id, ${Training.splitSql("id", ClfSplits, ClfSeed)} AS split FROM ids)
-        SELECT CAST(count(*) FILTER (WHERE split = 'train') AS BIGINT) AS n_train,
-               CAST(count(*) FILTER (WHERE split = 'test') AS BIGINT) AS n_test,
-               true AS acc_ok
-        FROM s"""))
+        WITH ids AS (SELECT g AS id FROM generate_series(0, ${ClfDocs - 1}) t(g))
+        SELECT id, CAST(id % 2 AS BIGINT) AS label,
+               CAST(id % 2 AS DOUBLE) AS prediction
+        FROM ids
+        WHERE ${Training.splitSql("id", ClfSplits, ClfSeed)} = 'test'
+        ORDER BY id"""))
   )
 }

@@ -137,7 +137,6 @@ class PlanSpec extends SparkSpec {
       "q96_curation_pipeline_r7" -> "BroadcastNestedLoopJoin", // embeds q91's 1-row n_min + q86's 1-row DF-cap crossJoins
       "q100_heavy_hitters" -> "BroadcastNestedLoopJoin", // 1-row total-count scalar-subquery crossJoin (q24 cap pattern)
       "q106_curation_sharding" -> "BroadcastNestedLoopJoin", // 1-row corpus-share scalar-subquery crossJoin (q24 cap pattern)
-      "q110_learned_filter" -> "BroadcastNestedLoopJoin", // 1-row counts × 1-row accuracy-flag crossJoin (q68 recall pattern)
       "q111_containment_pairs" -> "BroadcastNestedLoopJoin", // 1-row DF-cap scalar subquery crossJoin (q24 cap pattern)
       "q112_corpus_datasheet" -> "BroadcastNestedLoopJoin", // three 1-row stat frames crossJoined (q68 pattern)
       "q114_containment_keepers" -> "BroadcastNestedLoopJoin", // embeds q111's 1-row DF-cap crossJoin

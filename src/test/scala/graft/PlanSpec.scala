@@ -235,6 +235,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"assignment introduced a join:\n$plan")
   }
 
+  test("q108 SemDeDup candidates join on (cluster, t_idx, bucket) — never cluster alone") {
+    val df = SparkEntry.queries("q108_semdedup")(spark, sf("sf0.001"))
+    val plan = planOf(df)
+    // candidate generation must carry the sketch bucket in its shuffle key:
+    // a cluster-only key is the unguarded |c|² all-pairs join (VERDICT r7
+    // wrong #1 — one degenerate cluster goes quadratic in its size)
+    assert("hashpartitioning\\(cluster#\\d+, t_idx#\\d+, bucket#\\d+".r
+      .findFirstIn(plan).nonEmpty,
+      s"candidate generation lost its in-cluster sketch-bucket key:\n$plan")
+    assert("hashpartitioning\\(cluster#\\d+, \\d+\\)".r.findFirstIn(plan).isEmpty,
+      s"found a cluster-only shuffle — the unguarded all-pairs shape:\n$plan")
+  }
+
   test("q67 posting search: levenshtein evaluates only on posting-join survivors, never a corpus scan") {
     val df = SparkEntry.queries("q67_ml_search_posting")(spark, sf("sf0.001"))
     val plan = df.queryExecution.sparkPlan

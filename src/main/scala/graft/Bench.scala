@@ -20,7 +20,7 @@ object Bench {
     * `taskMetrics` carries the per-stage totals; no per-task events
     * needed.
     */
-  private final class MetricsListener extends org.apache.spark.scheduler.SparkListener {
+  private[graft] final class MetricsListener extends org.apache.spark.scheduler.SparkListener {
     import java.util.concurrent.atomic.AtomicLong
     val jobs = new AtomicLong; val stages = new AtomicLong; val tasks = new AtomicLong
     val shuffleRead = new AtomicLong; val shuffleWrite = new AtomicLong

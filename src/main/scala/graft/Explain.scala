@@ -18,10 +18,27 @@ object Explain {
     // SPARK_GRAFT_COLD=1: clear the cache between reps (bench-like cold
     // runs); default keeps caches (steady-state comparisons).
     val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
+    // SPARK_GRAFT_JOBLOG=1: print each job's first-stage callsite + task
+    // count — per-job attribution when auditing fixed costs.
+    if (sys.env.get("SPARK_GRAFT_JOBLOG").contains("1"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val s = js.stageInfos.map(si => s"${si.name.takeWhile(_ != '\n')}[${si.numTasks}]")
+          println(s"[job ${js.jobId}] ${s.mkString(" | ")}")
+          ()
+        }
+      })
+    val metrics = new Bench.MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
     (1 to reps).foreach { i =>
+      val before = metrics.quiesce()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
-      println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s, $n rows")
+      val secs = (System.nanoTime() - t0) / 1e9
+      val d = metrics.quiesce().zip(before).map { case (a, b) => a - b }
+      println(f"run $i: $secs%.3f s, $n rows, jobs=${d(0)} stages=${d(1)} " +
+        f"tasks=${d(2)} shuffleR=${d(3)} shuffleW=${d(4)}")
       if (cold) spark.catalog.clearCache()
     }
     spark.stop()

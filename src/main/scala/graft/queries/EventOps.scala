@@ -24,6 +24,13 @@ object EventOps {
       s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // AQE re-plans per materialized exchange, which on a MICRO-BATCH means
+    // several extra scheduler round-trips per trigger for row counts in
+    // the thousands — measured 18 jobs per q109 batch with AQE, 8 without,
+    // at identical results (batch sizing here is static and tiny; AQE's
+    // wins — coalescing, skew splits — need real data volume). The batch
+    // engine keeps AQE on; this is the streaming child session only.
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
     ss
   }
 
@@ -43,6 +50,19 @@ object EventOps {
     val prev = lastSink.getAndSet((ss, name))
     if (prev != null) prev._1.catalog.dropTempView(prev._2)
     name
+  }
+
+  /** Recursive delete for the per-invocation stream scratch dirs (ADVICE
+    * r7: repeated gate/bench invocations accumulated src/checkpoint/output
+    * temp data for the JVM lifetime).
+    */
+  private def rmTree(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(go)
+      f.delete(); ()
+    }
+    go(new java.io.File(path))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -119,7 +139,8 @@ object EventOps {
         docs.repartition(4, col("doc_id"))
           .write.mode("overwrite").parquet(srcDir)
         ss.sql("DROP TABLE IF EXISTS stream_sig_index")
-        val pairsOut = java.nio.file.Files.createTempDirectory("q94out").toString + "/pairs"
+        val outRoot = java.nio.file.Files.createTempDirectory("q94out").toString
+        val pairsOut = outRoot + "/pairs"
         val ckpt = java.nio.file.Files.createTempDirectory("q94ckpt").toString
         val stream = ss.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -128,21 +149,25 @@ object EventOps {
           k = 4, w = 3, r = 2, checkpointLocation = Some(ckpt))
         try q.processAllAvailable()
         finally q.stop()
-        s.read.parquet(pairsOut).distinct()
+        // materialize, then delete the invocation's scratch (ADVICE r7) —
+        // the result is tiny (the pair list), the scratch is corpus-sized
+        val result = s.read.parquet(pairsOut).distinct()
           .orderBy(col("id_a"), col("id_b"))
+          .localCheckpoint()
+        Seq(srcDir, outRoot, ckpt).foreach(EventOps.rmTree)
+        result
       },
       Some(s"""
         WITH ${OracleFrags.lshPairsCtes("documents")}
         SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""")),
 
     // STREAMING incremental EXACT dedup: the corpus arrives as 4
-    // portable-hash batches streamed one file per trigger (written
-    // sequentially, so arrival order = batch number); each micro-batch
-    // labels itself against the persisted fingerprint index and upserts
-    // only its new keepers. Labels are ingestion-order-aware — dup_of is
-    // the (arrival-batch, id)-lexicographic minimum of the fingerprint
-    // class — and the oracle replays exactly that closed form from the
-    // same portable batch hash.
+    // portable-hash batches streamed one file per trigger; each
+    // micro-batch labels itself against the persisted fingerprint index
+    // and upserts only its new keepers. Labels are ingestion-order-aware
+    // — dup_of is the (arrival-batch, id)-lexicographic minimum of the
+    // fingerprint class — and the oracle replays exactly that closed form
+    // from the same portable batch hash.
     QueryDef(
       "q109_stream_exact_dedup",
       (s, dir) => {
@@ -150,13 +175,33 @@ object EventOps {
         val docs = Tables.documents(ss, dir)
         val batchCol = graft.ops.Dedup.portableHash(
           col("doc_id").cast("string"), "graft-sbatch:") % 4
+        // ONE partitioned write stages all 4 batch files (the r7 version
+        // ran 4 filter+write jobs), then driver-side moves give each file
+        // an EXPLICIT strictly-increasing mtime — FileStreamSource orders
+        // by (mtime, path), and sequential writes can tie on filesystems
+        // with coarse mtime granularity (ADVICE r7), which would scramble
+        // the arrival order the oracle's closed form depends on.
         val srcDir = java.nio.file.Files.createTempDirectory("q109src").toString
+        val stage = java.nio.file.Files.createTempDirectory("q109stage").toString
+        docs.withColumn("__b", batchCol).repartition(col("__b"))
+          .write.partitionBy("__b").mode("overwrite").parquet(stage)
+        val mtimeBase = java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(stage)).toMillis
         (0 until 4).foreach { b =>
-          docs.filter(batchCol === b).coalesce(1)
-            .write.mode("append").parquet(srcDir)
+          val partDir = new java.io.File(s"$stage/__b=$b")
+          val parts = Option(partDir.listFiles()).getOrElse(Array.empty[java.io.File])
+            .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          require(parts.length <= 1, s"expected at most one staged file for batch $b")
+          parts.headOption.foreach { p =>
+            val dst = java.nio.file.Paths.get(srcDir, f"batch-$b%04d.parquet")
+            java.nio.file.Files.move(p.toPath, dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(mtimeBase + b * 2000L))
+          }
         }
         ss.sql("DROP TABLE IF EXISTS stream_fp_index")
-        val labelsOut = java.nio.file.Files.createTempDirectory("q109out").toString + "/labels"
+        val outRoot = java.nio.file.Files.createTempDirectory("q109out").toString
+        val labelsOut = outRoot + "/labels"
         val ckpt = java.nio.file.Files.createTempDirectory("q109ckpt").toString
         val stream = ss.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -165,7 +210,14 @@ object EventOps {
           checkpointLocation = Some(ckpt))
         try q.processAllAvailable()
         finally q.stop()
-        s.read.parquet(labelsOut).orderBy(col("doc_id"))
+        // `batch` is the sink's partition column (exactly-once bookkeeping,
+        // not part of the labeling contract); materialize, then delete the
+        // invocation's scratch (ADVICE r7)
+        val result = s.read.parquet(labelsOut).drop("batch")
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+        Seq(srcDir, stage, outRoot, ckpt).foreach(EventOps.rmTree)
+        result
       },
       Some("""
         WITH f AS (

@@ -60,8 +60,34 @@ object VectorOps {
     * q68 FILE_NOT_EXIST when a registry sweep overlapped a bench. The
     * per-process root removes the collision class; at 100 TB the real
     * index build writes to a durable, job-owned location anyway.
+    *
+    * Disk hygiene (ADVICE r7 — per-pid dirs accumulated forever): a
+    * shutdown hook removes THIS process's roots on clean exit, and init
+    * sweeps roots whose owning pid is gone (covers kills/crashes, where
+    * no hook ran).
     */
-  private val procRoot = s"/tmp/graft_ivf/p${ProcessHandle.current().pid()}"
+  private val procRoot: String = {
+    val base = new java.io.File("/tmp/graft_ivf")
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(); ()
+    }
+    val mine = s"p${ProcessHandle.current().pid()}"
+    Option(base.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { d =>
+      // roots are p<pid> plus suffixed variants (p<pid>_q, p<pid>_lsh, …)
+      val pid = d.getName.stripPrefix("p").takeWhile(_.isDigit)
+      val stale = d.getName.startsWith("p") && pid.nonEmpty &&
+        ProcessHandle.of(pid.toLong).isEmpty
+      if (stale) rm(d)
+    }
+    sys.addShutdownHook {
+      Option(base.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(d => d.getName == mine || d.getName.startsWith(mine + "_"))
+        .foreach(rm)
+    }
+    s"/tmp/graft_ivf/$mine"
+  }
 
   /** q38's disk-backed IVF index, built once per (JVM, sfDir) — the index
     * build is an offline job (VERDICT r3: a query must not train its own

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+import org.apache.spark.sql.functions.{col, collect_set, count, first, hash, lit, max, pmod}
 import org.apache.spark.sql.types.StructType
 
 /** Managed-table layer — the engine-native replacement for the reference's
@@ -134,18 +134,18 @@ object Store {
     */
   def upsert(spark: SparkSession, name: String, updates: DataFrame, idCol: String,
       buckets: Int = 16): Unit = {
-    // one validation job: duplicate keys have no defined winner, and a
-    // NULL key can never be replaced (SQL joins don't match NULLs — it
-    // would append forever; ES likewise rejects a null _id)
-    val badKeys = updates.groupBy(idCol).count()
-      .filter(col("count") > 1 || col(idCol).isNull).limit(1).count()
-    require(badKeys == 0L, s"updates contain duplicate or NULL $idCol keys")
     spark.catalog.refreshTable(name)
     // a table without the hash-prefix layout (created by createTable, or
     // any externally-made flat table) still upserts correctly — it just
     // pays the legacy full-table copy-on-write, since there is no
     // partition boundary to scope the rewrite to
     if (!spark.table(name).columns.contains(PartCol)) {
+      // one validation job: duplicate keys have no defined winner, and a
+      // NULL key can never be replaced (SQL joins don't match NULLs — it
+      // would append forever; ES likewise rejects a null _id)
+      val badKeys = updates.groupBy(idCol).count()
+        .filter(col("count") > 1 || col(idCol).isNull).limit(1).count()
+      require(badKeys == 0L, s"updates contain duplicate or NULL $idCol keys")
       val merged = spark.table(name)
         .join(updates.select(col(idCol)), Seq(idCol), "left_anti")
         .unionByName(updates)
@@ -164,9 +164,24 @@ object Store {
     val tableBuckets = spark.sessionState.catalog.getTableMetadata(ident)
       .bucketSpec.map(_.numBuckets).getOrElse(buckets)
     val u = withPart(updates, idCol, parts)
-    // the touched-partition set is at most `parts` small integers — a
-    // driver-side value list that becomes a static partition-pruning filter
-    val touched = u.select(PartCol).distinct().collect().map(_.getInt(0)).toSeq
+    // ONE job over the batch computes the key validation (duplicate keys
+    // have no defined winner; a NULL key can never be replaced — SQL joins
+    // don't match NULLs, it would append forever, and ES likewise rejects
+    // a null _id) AND the touched-partition list (at most `parts` small
+    // integers — a driver-side value list that becomes a static
+    // partition-pruning filter). These were two separate jobs until r8;
+    // per-micro-batch upserts pay the fixed job cost 4× per trigger.
+    val stats = u.groupBy(col(idCol))
+      .agg(count(lit(1)).as("c"), first(col(PartCol)).as("p"))
+      .groupBy()
+      .agg(max(col("c")).as("max_c"),
+        max(col(idCol).isNull).as("has_null"),
+        collect_set(col("p")).as("touched"))
+      .head()
+    if (stats.isNullAt(0)) return // empty updates: nothing to validate or write
+    require(stats.getLong(0) <= 1L && !stats.getBoolean(1),
+      s"updates contain duplicate or NULL $idCol keys")
+    val touched = stats.getSeq[Int](2)
     val kept = spark.table(name)
       .filter(col(PartCol).isin(touched: _*))
       .join(u.select(col(idCol)), Seq(idCol), "left_anti")

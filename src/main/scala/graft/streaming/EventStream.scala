@@ -153,23 +153,26 @@ object EventStream {
         // batch's files
         val b = batch.toDF().localCheckpoint()
         if (!b.isEmpty) {
-          // materialize once: signatures feed both the band join and the
-          // index upsert (localCheckpoint also cuts the streaming lineage
-          // out of the Store write plans)
+          // materialize once (lazily — persist adds no job of its own; the
+          // pair write below fills the cache, the index upsert reuses it):
+          // signatures feed both the band join and the index upsert. The
+          // streaming lineage is already cut at `b`'s checkpoint.
           val sigs = graft.ops.Dedup
             .minhashSignaturesScanLocal(b, idCol, textCol, k, w)
-            .localCheckpoint()
-          val exists = spark.catalog.tableExists(indexTable)
-          val old =
-            if (exists) graft.sources.Store.read(spark, indexTable)
-            else sigs.filter(lit(false))
-          graft.ops.Dedup.incrementalCandidates(old, sigs, idCol, k, r)
-            .write.mode("append").parquet(pairsOut)
-          if (exists)
-            graft.sources.Store.upsert(spark, indexTable, sigs, idCol, buckets)
-          else
-            graft.sources.Store.bulkWrite(sigs, indexTable, idCol,
-              buckets = buckets, parts = parts)
+            .persist()
+          try {
+            val exists = spark.catalog.tableExists(indexTable)
+            val old =
+              if (exists) graft.sources.Store.read(spark, indexTable)
+              else sigs.filter(lit(false))
+            graft.ops.Dedup.incrementalCandidates(old, sigs, idCol, k, r)
+              .write.mode("append").parquet(pairsOut)
+            if (exists)
+              graft.sources.Store.upsert(spark, indexTable, sigs, idCol, buckets)
+            else
+              graft.sources.Store.bulkWrite(sigs, indexTable, idCol,
+                buckets = buckets, parts = parts)
+          } finally sigs.unpersist()
         }
       }
     checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))
@@ -190,6 +193,13 @@ object EventStream {
     * min id, cross-batch dups to the earliest arrival. The q109 gate
     * replays exactly that closed form in SQL from a portable-hash batch
     * split.
+    *
+    * Label delivery is EXACTLY-ONCE: each batch overwrites its own
+    * `labelsOut/batch=<id>` partition directory, so a batch replayed
+    * after a crash between the label write and the checkpoint commit
+    * replaces its own output instead of appending a duplicate copy
+    * (ADVICE r7 — the bare append was at-least-once). Readers see `batch`
+    * as a partition column of `labelsOut`.
     */
   def exactDedupIncremental(
       docs: DataFrame, idCol: String, textCol: String,
@@ -199,7 +209,8 @@ object EventStream {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val wr = docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         // ONE source scan per trigger: checkpoint the batch FIRST — a
         // file-source batch otherwise re-reads its files once per action
@@ -214,18 +225,23 @@ object EventStream {
           val old =
             if (exists) graft.sources.Store.read(spark, indexTable)
             else fps.select(col("fingerprint"), col(idCol).as("keeper")).filter(lit(false))
+          // persist, not a second localCheckpoint: no eager job of its own —
+          // the label write materializes the cache, the keeper upsert reuses
+          // it (streaming lineage is already cut at `b`)
           val labels = graft.ops.Dedup
             .incrementalExactKeepers(old, b, idCol, textCol)
-            .localCheckpoint()
-          labels.write.mode("append").parquet(labelsOut)
-          val newKeepers = fps
-            .join(labels.filter(col("keep")).select(col(idCol)), Seq(idCol))
-            .select(col("fingerprint"), col(idCol).as("keeper"))
-          if (exists)
-            graft.sources.Store.upsert(spark, indexTable, newKeepers, "fingerprint", buckets)
-          else
-            graft.sources.Store.bulkWrite(newKeepers, indexTable, "fingerprint",
-              buckets = buckets, parts = parts)
+            .persist()
+          try {
+            labels.write.mode("overwrite").parquet(s"$labelsOut/batch=$batchId")
+            val newKeepers = fps
+              .join(labels.filter(col("keep")).select(col(idCol)), Seq(idCol))
+              .select(col("fingerprint"), col(idCol).as("keeper"))
+            if (exists)
+              graft.sources.Store.upsert(spark, indexTable, newKeepers, "fingerprint", buckets)
+            else
+              graft.sources.Store.bulkWrite(newKeepers, indexTable, "fingerprint",
+                buckets = buckets, parts = parts)
+          } finally labels.unpersist()
         }
       }
     checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))

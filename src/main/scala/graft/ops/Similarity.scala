@@ -208,6 +208,81 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
   }
 
+  /** Measured recall@k of the stored-index query route against the exact
+    * (brute-force, float-cosine) top-k over the SAME indexed corpus — the
+    * health probe of the incremental-append operating procedure. Runs on a
+    * PROBE SET (broadcastable; at 100 TB a few hundred held-out or
+    * planted probes), never the corpus: cost is |probes| × corpus for the
+    * brute baseline, so size the probe set accordingly.
+    */
+  def ivfRecall(
+      probes: DataFrame, index: IvfIndex, idCol: String, vecCol: String,
+      k: Int, nProbe: Int, quantized: Boolean = false): Double = {
+    val corpus = index.assigned.select(col("id").as(idCol), col("vec").as(vecCol))
+    val brute = bruteTopK(probes, corpus, idCol, vecCol, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx =
+      (if (quantized) ivfQueryQuantized(probes, index, idCol, vecCol, k, nProbe)
+       else ivfQuery(probes, index, idCol, vecCol, k, nProbe))
+        .select(col("q_id"), col("neighbor_id"))
+    val nProbes = probes.count()
+    require(nProbes > 0, "empty probe set")
+    approx.join(brute, Seq("q_id", "neighbor_id")).count().toDouble / (nProbes * k)
+  }
+
+  /** Offline codebook REBUILD of a stored index: retrain the coarse
+    * quantizer on the index's own (grown) corpus and reassign every
+    * vector, staging the new index BESIDE the old one and swapping at the
+    * end — the corpus streams through the build job, nothing materializes
+    * driver- or memory-side, and readers keep the old index until the
+    * swap. Single-maintainer contract (the [[graft.sources.Store.upsert]]
+    * rule): don't run concurrent rebuilds or appends on one index.
+    */
+  def rebuildIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      nCentroids: Int = 16, seed: Long = 42L, quantized: Boolean = false): Unit = {
+    val vecs = spark.read.parquet(s"$path/assigned").select(col("id"), col("vec"))
+    val staged = s"$path.rebuild"
+    val rebuilt = buildIvfIndex(vecs, "id", "vec", nCentroids, seed)
+    if (quantized) writeIvfIndexQuantized(rebuilt, staged)
+    else writeIvfIndex(rebuilt, staged)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hPath, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staged), hPath),
+      s"could not swap rebuilt index into $path")
+  }
+
+  /** Maintenance outcome: recall before, whether the bar tripped a
+    * rebuild, and recall after (— before, unchanged, when it held).
+    */
+  final case class IvfMaintenance(
+      recallBefore: Double, rebuilt: Boolean, recallAfter: Double)
+
+  /** The recall-triggered maintenance cycle [[appendIvfIndex]]'s contract
+    * defers to — probe, detect, rebuild, re-probe: incremental appends
+    * route new vectors through the FROZEN codebook, so a corpus that
+    * drifts (new domains, new embedding regions) degrades probe recall
+    * silently; this is the standard IVF operating procedure for catching
+    * and repairing that. Probes should be held-out (or planted-twin)
+    * vectors whose true neighbors are known to sit in the drifted region.
+    */
+  def maintainIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int = 5, nProbe: Int = 4,
+      recallBar: Double = 0.8, nCentroids: Int = 16, seed: Long = 42L,
+      quantized: Boolean = false): IvfMaintenance = {
+    val before = ivfRecall(probes, readIvfIndex(spark, path), idCol, vecCol,
+      k, nProbe, quantized)
+    if (before >= recallBar) IvfMaintenance(before, rebuilt = false, before)
+    else {
+      rebuildIvfIndex(spark, path, nCentroids, seed, quantized)
+      val after = ivfRecall(probes, readIvfIndex(spark, path), idCol, vecCol,
+        k, nProbe, quantized)
+      IvfMaintenance(before, rebuilt = true, after)
+    }
+  }
+
   /** Persist an IVF index: the assigned corpus partitioned by cell (so a
     * probe scan prunes to its cells), the tiny codebook alongside.
     */

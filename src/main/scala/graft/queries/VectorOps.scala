@@ -182,6 +182,14 @@ object VectorOps {
   private val PerCluster = 100
   private val FixtureDim = 16
 
+  /** Drift-rebuild fixture constants (q117/q118) — declared BEFORE
+    * [[defs]] like the clustered-fixture ones: the oracle strings read
+    * them eagerly at object init.
+    */
+  private val DriftDim = 16
+  private val DriftClusters = 10
+  private val DriftPerCluster = 100
+
   private lazy val clusteredFixture
       : (Seq[(Long, Seq[Float])], Seq[(Long, Seq[Float])]) = {
     val rnd = new scala.util.Random(0xC1057E12L)
@@ -655,7 +663,111 @@ object VectorOps {
               4) AS cosine
           FROM dq ORDER BY q_id"""
       }),
+
+    // RECALL-TRIGGERED IVF REBUILD — the maintenance half of incremental
+    // ANN (q115/q116 are the append half; VERDICT r7 missing #2): the
+    // drift fixture appends a batch from an embedding region orthogonal
+    // to the frozen codebook, probe recall@5 vs brute drops to ~0.4
+    // (< 0.8 bar, closed-form by the fixture's construction — see
+    // driftFixture), maintainIvfIndex detects it, rebuilds the codebook
+    // on the grown corpus, and the re-probe restores recall ≈ 1.0. The
+    // oracle emits the literal expected maintenance outcome (the q68
+    // recall-flag pattern): a fixture that fails to degrade, a probe
+    // that fails to detect, or a rebuild that fails to repair each
+    // hash-fail the gate.
+    QueryDef(
+      "q117_ann_ivf_rebuild",
+      (s, _) => {
+        import s.implicits._
+        val m = driftMaintFor(s, quantized = false)
+        Seq((DriftClusters.toLong, m.recallBefore < 0.8, m.rebuilt,
+          m.recallAfter >= 0.8))
+          .toDF("n_probes", "recall_before_low", "rebuilt", "recall_after_ok")
+      },
+      Some(s"""
+        SELECT CAST($DriftClusters AS BIGINT) AS n_probes,
+               true AS recall_before_low, true AS rebuilt,
+               true AS recall_after_ok""")),
+
+    // q117's QUANTIZED sibling: the drifted batch is appended with int8
+    // codes against the frozen codebook, recall is probed through the
+    // quantized query route (cosine_q8 off the code column), and the
+    // rebuild rewrites the quantized layout (fresh codes + corners) —
+    // the full maintenance cycle for the 4×-bandwidth index.
+    QueryDef(
+      "q118_ann_ivf_rebuild_quantized",
+      (s, _) => {
+        import s.implicits._
+        val m = driftMaintFor(s, quantized = true)
+        Seq((DriftClusters.toLong, m.recallBefore < 0.8, m.rebuilt,
+          m.recallAfter >= 0.8))
+          .toDF("n_probes", "recall_before_low", "rebuilt", "recall_after_ok")
+      },
+      Some(s"""
+        SELECT CAST($DriftClusters AS BIGINT) AS n_probes,
+               true AS recall_before_low, true AS rebuilt,
+               true AS recall_after_ok""")),
   )
+
+  /** Drift fixture for the recall-triggered rebuild gates (q117/q118):
+    * the BASE corpus lives in dims 0–7 (10 tight clusters, zeros in
+    * 8–15), the DRIFTED append batch lives in dims 8–15 — a new embedding
+    * region the frozen 10-cell codebook knows nothing about. Every
+    * drifted vector's cosine against every base centroid is noise-driven
+    * (the structured halves are orthogonal), so cell assignment SCATTERS
+    * each drifted cluster across cells, and a drifted probe's nProbe=4 of
+    * 10 cells hold only ~0.4 of its true neighbors — recall fails the
+    * 0.8 bar by construction. Rebuilding the codebook on the grown corpus
+    * restores cluster-per-cell structure (the q68 shape: 16 centroids
+    * over 20 clusters, measured recall ≈ 1.0). Deterministic: fixed-seed
+    * driver RNG, fixed generation order.
+    */
+  private lazy val driftFixture: (Seq[(Long, Seq[Float])], Seq[(Long, Seq[Float])],
+      Seq[(Long, Seq[Float])]) = {
+    val rnd = new scala.util.Random(0xD21F7F1EL)
+    def center(live: Range): Array[Double] =
+      Array.tabulate(DriftDim)(i => if (live.contains(i)) rnd.nextGaussian() else 0.0)
+    def point(c: Array[Double]): Seq[Float] =
+      Array.tabulate(DriftDim)(i => (c(i) + rnd.nextGaussian() * 0.05).toFloat).toSeq
+    val baseCenters = Seq.fill(DriftClusters)(center(0 until 8))
+    val driftCenters = Seq.fill(DriftClusters)(center(8 until 16))
+    val base = for {
+      (c, ci) <- baseCenters.zipWithIndex; p <- 0 until DriftPerCluster
+    } yield ((ci * DriftPerCluster + p).toLong, point(c))
+    val drift = for {
+      (c, ci) <- driftCenters.zipWithIndex; p <- 0 until DriftPerCluster
+    } yield ((1000 + ci * DriftPerCluster + p).toLong, point(c))
+    val probes = driftCenters.zipWithIndex.map { case (c, ci) =>
+      (200000L + ci, point(c))
+    }
+    (base, drift, probes)
+  }
+
+  private val driftCache =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfMaintenance]
+
+  private def driftMaintFor(
+      s: org.apache.spark.sql.SparkSession, quantized: Boolean): Similarity.IvfMaintenance =
+    driftCache.getOrElseUpdate(if (quantized) "q" else "f", {
+      import s.implicits._
+      val (baseRows, driftRows, probeRows) = driftFixture
+      val base = baseRows.toDF("vec_id", "embedding")
+      val drift = driftRows.toDF("vec_id", "embedding")
+      val probes = probeRows.toDF("vec_id", "embedding")
+      val path = s"${procRoot}_drift" + (if (quantized) "q" else "")
+      val idx = Similarity.buildIvfIndex(base, "vec_id", "embedding",
+        nCentroids = DriftClusters, seed = 42L)
+      if (quantized) {
+        Similarity.writeIvfIndexQuantized(idx, path)
+        Similarity.appendIvfIndexQuantized(s, path, drift, "vec_id", "embedding")
+      } else {
+        Similarity.writeIvfIndex(idx, path)
+        Similarity.appendIvfIndex(s, path, drift, "vec_id", "embedding")
+      }
+      Similarity.maintainIvfIndex(s, path, probes, "vec_id", "embedding",
+        k = 5, nProbe = 4, recallBar = 0.8, nCentroids = 16, seed = 42L,
+        quantized = quantized)
+    })
 
   /** q115's appended index: base index built offline from the corpus, then
     * the planted twins routed in INCREMENTALLY against the stored codebook

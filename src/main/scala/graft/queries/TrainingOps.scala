@@ -66,6 +66,17 @@ object TrainingOps {
     }
   }
 
+  /** q119's planted BPE corpus — Sennrich's worked example: word counts
+    * {low:5, lower:2, newest:6, widest:3} make the whole merge sequence
+    * hand-computable (with the `_` end marker): es:9 → est:9 → est_:9 →
+    * lo:7 → low:7, ties broken lexicographically.
+    */
+  private lazy val BpeFixture: Seq[(Long, String)] = Seq(
+    (0L, Seq.fill(5)("low").mkString(" ")),
+    (1L, Seq.fill(2)("lower").mkString(" ")),
+    (2L, Seq.fill(6)("newest").mkString(" ")),
+    (3L, Seq.fill(3)("widest").mkString(" ")))
+
   val defs: Seq[QueryDef] = Seq(
 
     // Deterministic train/val/test split: label is a pure function of
@@ -659,6 +670,30 @@ object TrainingOps {
                CAST(id % 2 AS DOUBLE) AS prediction
         FROM ids
         WHERE ${Training.splitSql("id", ClfSplits, ClfSeed)} = 'test'
-        ORDER BY id"""))
+        ORDER BY id""")),
+
+    // BPE tokenizer TRAINING ([[graft.ops.Bpe]]): the merge loop runs k
+    // tiny jobs over the word-frequency dict (the Lloyd's shape), never
+    // the corpus. Gate: on the planted Sennrich corpus the entire merge
+    // sequence is closed-form (see BpeFixture), so the oracle replays it
+    // as literal rows — any drift in pair counting, tie-breaking, or the
+    // greedy merge application changes some (step, pair, freq) row and
+    // hash-fails.
+    QueryDef(
+      "q119_bpe_train",
+      (s, _) => {
+        import s.implicits._
+        val docs = BpeFixture.toDF("id", "text")
+        val (merges, _) = graft.ops.Bpe.train(docs, "text", nMerges = 5)
+        merges.toDF().orderBy(col("step"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(1 AS INTEGER), 'e', 's', 'es', CAST(9 AS BIGINT)),
+          (2, 'es', 't', 'est', 9),
+          (3, 'est', '_', 'est_', 9),
+          (4, 'l', 'o', 'lo', 7),
+          (5, 'lo', 'w', 'low', 7)) AS t(step, lhs, rhs, merged, freq)
+        ORDER BY step"""))
   )
 }

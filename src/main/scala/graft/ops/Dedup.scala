@@ -300,6 +300,33 @@ object Dedup {
       .withColumn("c_b", col("inter").cast("double") / col("sz_b"))
       .filter(greatest(col("c_a"), col("c_b")) >= lit(minContainment))
 
+  /** [[containmentPairs]]'s keeper consumer as a single operator: total
+    * labeling of `docs` that drops the SUBSUMED side of every containment
+    * pair (the doc whose shingles are ≥ `minContainment` contained in its
+    * partner; near-identical sets — both directions over the bar — drop
+    * the higher id, the standard min-id-keeper convention) and keeps
+    * everything else. `docs.filter(keep)` is the pipeline's next line.
+    * Returns (idCol, keep).
+    */
+  def containmentKeepers(
+      docs: DataFrame, idCol: String, textCol: String, minContainment: Double,
+      w: Int = 3, maxShingleDf: Option[Long] = None,
+      capAtObservedMax: Boolean = false): DataFrame = {
+    val sh = wordShingles(docs, idCol, textCol, w)
+    val dropped = containmentPairs(sh, idCol, minContainment, maxShingleDf,
+        capAtObservedMax)
+      .select(
+        when(col("c_a") >= minContainment && col("c_b") >= minContainment,
+          greatest(col("id_a"), col("id_b")))
+          .when(col("c_a") >= minContainment, col("id_a"))
+          .otherwise(col("id_b")).as(idCol))
+      .distinct()
+      .withColumn("__drop", lit(true))
+    docs.select(col(idCol))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), coalesce(!col("__drop"), lit(true)).as("keep"))
+  }
+
   /** Connected components over a candidate-pair graph — the stage that
     * turns near-dup PAIRS into dedup CLUSTERS (what a pipeline actually
     * deletes: keep one doc per component, drop the rest). `pairs` is any

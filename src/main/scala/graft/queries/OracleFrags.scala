@@ -134,6 +134,46 @@ object OracleFrags {
           WHERE a.split = 'test' AND b.split = 'train'
           GROUP BY 1, 2 HAVING count(*) >= $minShared)"""
 
+  /** The containment-drop fragment (q114/q120, replaying
+    * [[graft.ops.Dedup.containmentKeepers]]): word-3-shingles of
+    * `$src(doc_id, text)`, Broder containment both directions, drop the
+    * subsumed side (both over the bar → the higher id). Emits
+    * `${out}_dropped(doc_id)` and `$out` = the surviving rows of `$src`.
+    */
+  def containmentDropCtes(src: String, out: String, minContainment: Double): String = s"""
+        ${out}_toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+          FROM $src),
+        ${out}_sh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM ${out}_toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+          WHERE len(t) >= 3),
+        ${out}_sz AS (SELECT doc_id, count(*) AS s FROM ${out}_sh GROUP BY doc_id),
+        ${out}_ip AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM ${out}_sh a JOIN ${out}_sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        ${out}_cp AS (
+          SELECT id_a, id_b,
+            CAST(inter AS DOUBLE) / sa.s AS c_a,
+            CAST(inter AS DOUBLE) / sb.s AS c_b
+          FROM ${out}_ip
+          JOIN ${out}_sz sa ON sa.doc_id = id_a
+          JOIN ${out}_sz sb ON sb.doc_id = id_b
+          WHERE greatest(CAST(inter AS DOUBLE) / sa.s,
+                         CAST(inter AS DOUBLE) / sb.s) >= $minContainment),
+        ${out}_dropped AS (
+          SELECT DISTINCT
+            CASE WHEN c_a >= $minContainment AND c_b >= $minContainment
+                   THEN greatest(id_a, id_b)
+                 WHEN c_a >= $minContainment THEN id_a
+                 ELSE id_b END AS doc_id
+          FROM ${out}_cp),
+        $out AS (
+          SELECT s.* FROM $src s LEFT JOIN ${out}_dropped d USING (doc_id)
+          WHERE d.doc_id IS NULL)"""
+
   /** The per-source quota fragment (q103/q106): emits `$out` = the rows of
     * `$src` (which must carry doc_id + source) whose hash handle ranks ≤
     * `cap` within their source — the twin of [[Training.sourceQuota]].

@@ -475,55 +475,21 @@ object TextOps {
           (col("doc_id") + lit(100000L)).as("doc_id"),
           concat_ws(" ", slice(toks, 1, 12)).as("text"))
         val union = docs.select(col("doc_id"), col("text")).unionByName(excerpts)
-        val sh = Dedup.wordShingles(union, "doc_id", "text", w = 3)
-        val dropped = Dedup.containmentPairs(sh, "doc_id", minContainment = 0.9,
+        Dedup.containmentKeepers(union, "doc_id", "text", minContainment = 0.9,
             capAtObservedMax = true)
-          .select(
-            when(col("c_a") >= 0.9 && col("c_b") >= 0.9,
-              greatest(col("id_a"), col("id_b")))
-              .when(col("c_a") >= 0.9, col("id_a"))
-              .otherwise(col("id_b")).as("doc_id"))
-          .distinct()
-          .withColumn("__drop", lit(true))
-        union.select(col("doc_id"))
-          .join(dropped, Seq("doc_id"), "left")
-          .select(col("doc_id"), coalesce(!col("__drop"), lit(true)).as("keep"))
           .orderBy(col("doc_id"))
       },
-      Some("""
+      Some(s"""
         WITH u AS (
           SELECT doc_id, text FROM documents WHERE text IS NOT NULL
           UNION ALL
           SELECT doc_id + 100000,
             array_to_string(
-              string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')[1:12], ' ')
+              string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')[1:12], ' ')
           FROM documents WHERE text IS NOT NULL),
-        toks AS (
-          SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
-          FROM u),
-        sh AS (
-          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
-          FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
-          WHERE len(t) >= 3),
-        sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
-        ip AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-        cp AS (
-          SELECT id_a, id_b,
-            CAST(inter AS DOUBLE) / sa.s AS c_a,
-            CAST(inter AS DOUBLE) / sb.s AS c_b
-          FROM ip JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-          WHERE greatest(CAST(inter AS DOUBLE) / sa.s, CAST(inter AS DOUBLE) / sb.s) >= 0.9),
-        dropped AS (
-          SELECT DISTINCT
-            CASE WHEN c_a >= 0.9 AND c_b >= 0.9 THEN greatest(id_a, id_b)
-                 WHEN c_a >= 0.9 THEN id_a
-                 ELSE id_b END AS doc_id
-          FROM cp)
+        ${OracleFrags.containmentDropCtes("u", "cont", 0.9)}
         SELECT u.doc_id, d.doc_id IS NULL AS keep
-        FROM u LEFT JOIN dropped d USING (doc_id)
+        FROM u LEFT JOIN cont_dropped d USING (doc_id)
         ORDER BY u.doc_id""")),
 
     // INCREMENTAL EXACT dedup (q92's exact-match sibling): the same

@@ -694,6 +694,95 @@ object TrainingOps {
           (3, 'est', '_', 'est_', 9),
           (4, 'l', 'o', 'lo', 7),
           (5, 'lo', 'w', 'low', 7)) AS t(step, lhs, rhs, merged, freq)
-        ORDER BY step"""))
+        ORDER BY step""")),
+
+    // q96's composed curation pipeline WITH the containment stage chained
+    // in (VERDICT r7 next #8 — q96 deduped exact-only): PII redaction →
+    // exact dedup → CONTAINMENT drop (excerpt/quote removal, the q111 →
+    // q114 operator) → quality filter → temperature mixture → split +
+    // decontamination → 64-token chunking → per-(split, shard) packing.
+    // The input is documents ∪ planted 12-token excerpts (q111's
+    // construction, lang carried): excerpts SURVIVE exact dedup (not
+    // byte-identical to their source) and would pass the quality filter
+    // into the packed output, so the containment stage's drop is
+    // structurally non-vacuous — remove it and the bins change. Stage
+    // twins are the same fragments gating each stage alone (q21 exact,
+    // q114 containment, q28 quality, q91 mixture, q86 decontamination,
+    // q74 packing).
+    QueryDef(
+      "q120_curation_pipeline_r8",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("text").isNotNull)
+        val toks = split(lower(regexp_replace(col("text"), "\\s+", " ")), " ")
+        val excerpts = base.select(
+          (col("doc_id") + lit(100000L)).as("doc_id"),
+          concat_ws(" ", slice(toks, 1, 12)).as("text"), col("lang"))
+        val input = base.select(col("doc_id"), col("text"), col("lang"))
+          .unionByName(excerpts)
+        val red = input.select(col("doc_id"),
+          TextStats.redactPii(col("text")).as("text"), col("lang"))
+        val kept = red.join(
+          Dedup.exactGroups(red, "doc_id", "text").select(col("keep_id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val cont = kept.join(
+          Dedup.containmentKeepers(kept, "doc_id", "text", minContainment = 0.9,
+              capAtObservedMax = true)
+            .filter(col("keep")).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val quality = cont.filter(TextStats.qualityScore(col("text")) >= 0.99)
+        val rates = Training.temperatureRates(quality, "lang", alpha = 0.5)
+        val sampled = Training.temperatureKeep(quality, "doc_id", "lang", rates)
+          .select(col("doc_id"), col("text"))
+        val drop = Training.contaminatedTrainDocs(
+            Dedup.wordShingles(sampled, "doc_id", "text", w = 3),
+            "doc_id", Training.splitColumn(col("doc_id"), Splits),
+            minShared = 2L, capAtObservedMax = true)
+          .select(col("train_id").as("doc_id"))
+        val clean = sampled.join(drop, Seq("doc_id"), "left_anti")
+        val chunks = Training.chunkTokens(clean, "doc_id", "text",
+            chunkSize = 64, stride = 64)
+          .withColumn("cid", cidCol)
+          .withColumn("split", Training.splitColumn(col("doc_id"), Splits))
+        Training.packBins(
+            chunks.select(col("cid"), col("split"), col("chunk_tokens")),
+            "cid", "chunk_tokens", budget = PackBudget,
+            partitionCols = Seq("split"))
+          .groupBy(col("split"), col("shard"), col("bin"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(col("chunk_tokens")).cast("long").as("bin_tokens"))
+          .orderBy(col("split"), col("shard"), col("bin"))
+      },
+      Some(s"""
+        WITH u AS (
+          SELECT doc_id, text, lang FROM documents WHERE text IS NOT NULL
+          UNION ALL
+          SELECT doc_id + 100000,
+            array_to_string(
+              string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')[1:12], ' '),
+            lang
+          FROM documents WHERE text IS NOT NULL),
+        red AS (
+          SELECT doc_id, ${TextStats.redactPiiSql("text")} AS text, lang
+          FROM u),
+        ${OracleFrags.exactKeepCtes("red", "kept")},
+        ${OracleFrags.containmentDropCtes("kept", "cont", 0.9)},
+        ${OracleFrags.qualityCtes("cont", "q", minScore = 0.99)},
+        ql AS (
+          SELECT q.doc_id, q.text, u.lang FROM q JOIN u USING (doc_id)),
+        c AS (SELECT lang, count(*) AS n_docs FROM ql GROUP BY lang),
+        m AS (SELECT min(n_docs) AS n_min FROM c),
+        r AS (
+          SELECT lang, CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                       * 4294967296.0) AS BIGINT) AS thr
+          FROM c, m),
+        samp AS (
+          SELECT ql.doc_id, ql.text FROM ql JOIN r USING (lang)
+          WHERE ('0x' || substr(md5('graft-mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr),
+        ${OracleFrags.contamPairsCtes("samp", "cp", Splits, minShared = 2L)},
+        clean AS (
+          SELECT doc_id, text FROM samp
+          WHERE doc_id NOT IN (SELECT train_id FROM cp)),
+        ${OracleFrags.chunkPackSelect("clean", chunkSize = 64, budget = PackBudget, Splits)}"""))
   )
 }

@@ -79,6 +79,30 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(lhs + rhs))))
           .otherwise(concat(acc, array(s))))
 
+  /** Per-document TOKEN COUNTS under a trained vocabulary — the number
+    * the packing budget ([[Training.packBins]]) and per-language fertility
+    * stats actually consume, replacing [[TextStats.subwordCountEstimate]]'s
+    * regex heuristic once a vocabulary exists. Corpus words broadcast-join
+    * the (word → |syms|) dictionary (Zipf-sized, the same reason training
+    * is dict-side); the scan stays map-local. OOV policy, stated: a word
+    * absent from the dict counts `length + 1` tokens (its character
+    * segmentation with the end marker — the floor any merge sequence
+    * starts from; exact OOV segmentation would re-run the merges per
+    * word, a per-query cost that belongs in a tokenizer service, not a
+    * counting scan). Returns (idCol, n_tokens).
+    */
+  def tokenCounts(
+      docs: DataFrame, idCol: String, textCol: String, dict: DataFrame): DataFrame = {
+    val sizes = broadcast(
+      dict.select(col("word"), size(col("syms")).cast("long").as("__sz")))
+    docs.select(col(idCol), explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(sizes, Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("__sz"), length(col("word")).cast("long") + 1L))
+        .as("n_tokens"))
+  }
+
   /** Learn up to `nMerges` merges from the corpus; returns the merge
     * sequence and the final dict (word, cnt, syms) — the latter IS the
     * learned segmentation of every corpus word. Stops early when no

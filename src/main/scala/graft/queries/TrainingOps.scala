@@ -696,6 +696,29 @@ object TrainingOps {
           (5, 'lo', 'w', 'low', 7)) AS t(step, lhs, rhs, merged, freq)
         ORDER BY step""")),
 
+    // q119's consumer — per-document token counts under the TRAINED
+    // vocabulary (what the packing budget actually consumes): corpus
+    // words broadcast-join the (word → |syms|) dict; OOV words count
+    // length+1 (character floor + end marker, the stated fallback).
+    // Gate: the learned segmentation is closed-form (q119), so every
+    // count is hand-computable, including one planted OOV word.
+    QueryDef(
+      "q121_bpe_token_counts",
+      (s, _) => {
+        import s.implicits._
+        val train = BpeFixture.toDF("id", "text")
+        val (_, dict) = graft.ops.Bpe.train(train, "text", nMerges = 5)
+        // doc 4 adds an OOV word ("zz" → 2 chars + marker = 3 tokens)
+        val corpus = (BpeFixture :+ ((4L, "low zz newest"))).toDF("id", "text")
+        graft.ops.Bpe.tokenCounts(corpus, "id", "text", dict)
+          .orderBy(col("id"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(0 AS BIGINT), CAST(10 AS BIGINT)),
+          (1, 8), (2, 24), (3, 12), (4, 9)) AS t(id, n_tokens)
+        ORDER BY id""")),
+
     // q96's composed curation pipeline WITH the containment stage chained
     // in (VERDICT r7 next #8 — q96 deduped exact-only): PII redaction →
     // exact dedup → CONTAINMENT drop (excerpt/quote removal, the q111 →
@@ -721,18 +744,36 @@ object TrainingOps {
           .unionByName(excerpts)
         val red = input.select(col("doc_id"),
           TextStats.redactPii(col("text")).as("text"), col("lang"))
+        // STAGE BOUNDARY: persist the deduped corpus before containment.
+        // The containment stage references its input five times (index
+        // self-join sides, sizes, keeper join-back, survivor semi-join),
+        // and every downstream stage self-joins again — without the cache
+        // leaf, each reference re-optimizes the full upstream tree
+        // (union + the redaction regex battery + the dedup semi-join) and
+        // Catalyst planning time went superlinear (measured 250 s of
+        // driver time before the first job at sf0.01, vs ~17 s of actual
+        // execution). At 100 TB this boundary is a staged dataset anyway;
+        // the bench/Verify harnesses clear the cache per run.
         val kept = red.join(
           Dedup.exactGroups(red, "doc_id", "text").select(col("keep_id").as("doc_id")),
           Seq("doc_id"), "left_semi")
+          .persist()
         val cont = kept.join(
           Dedup.containmentKeepers(kept, "doc_id", "text", minContainment = 0.9,
               capAtObservedMax = true)
             .filter(col("keep")).select(col("doc_id")),
           Seq("doc_id"), "left_semi")
+        // same rule at the later multi-referenced boundaries (the mixture
+        // reads `quality` twice — rates + keep; decontamination reads
+        // `sampled` four times): without the cache leaves the containment
+        // subtree re-plans once per reference and AQE shatters the query
+        // into ~930 materialized stages
         val quality = cont.filter(TextStats.qualityScore(col("text")) >= 0.99)
+          .persist()
         val rates = Training.temperatureRates(quality, "lang", alpha = 0.5)
         val sampled = Training.temperatureKeep(quality, "doc_id", "lang", rates)
           .select(col("doc_id"), col("text"))
+          .persist()
         val drop = Training.contaminatedTrainDocs(
             Dedup.wordShingles(sampled, "doc_id", "text", w = 3),
             "doc_id", Training.splitColumn(col("doc_id"), Splits),

@@ -53,6 +53,18 @@ class BpeSpec extends SparkSpec {
     assert(dict.select(col("syms")).head().getSeq[String](0).toList === List("ab_"))
   }
 
+  test("tokenCounts: learned segmentation sizes, with the length+1 OOV floor") {
+    val (_, dict) = Bpe.train(corpus, "text", nMerges = 5)
+    val scored = Seq(
+      (0L, "low lower"),        // 2 + 4
+      (1L, "newest widest"),    // 4 + 4
+      (2L, "zz low unseenword") // (2+1) + 2 + (10+1)
+    ).toDF("id", "text")
+    val got = Bpe.tokenCounts(scored, "id", "text", dict)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 6L, 1L -> 8L, 2L -> 16L))
+  }
+
   test("merge order is invariant to document partitioning") {
     val (a, _) = Bpe.train(corpus, "text", nMerges = 5)
     val (b, _) = Bpe.train(corpus.repartition(7), "text", nMerges = 5)

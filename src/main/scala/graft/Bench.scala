@@ -86,7 +86,8 @@ object Bench {
     // spread_sec should read as steady-state noise.
     val offlineBacked = Set(
       "q38_ann_ivf_topk", "q58_ml_rec_serving",
-      "q67_ml_search_posting", "q68_ann_recall_clustered")
+      "q67_ml_search_posting", "q68_ann_recall_clustered",
+      "q117_ann_ivf_rebuild", "q118_ann_ivf_rebuild_quantized")
     (qs.take(1) ++ qs.filter(q => offlineBacked(q._1))).foreach(q => once(q._2))
 
     val results = qs.map { case (name, fn) =>

@@ -249,6 +249,29 @@ class PlanSpec extends SparkSpec {
       s"found a cluster-only shuffle — the unguarded all-pairs shape:\n$plan")
   }
 
+  test("Bpe.tokenCounts joins the dict broadcast — the corpus never shuffles on words") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf("sf0.001")).select(col("doc_id"), col("text"))
+    val (_, dict) = graft.ops.Bpe.train(docs.limit(20), "text", nMerges = 3)
+    val counts = graft.ops.Bpe.tokenCounts(docs, "doc_id", "text", dict)
+    val plan = planOf(counts)
+    // the dict is Zipf-sized (vocabulary, not corpus): the join must
+    // broadcast it, never sort-merge the exploded corpus tokens
+    assert(plan.contains("BroadcastHashJoin"), s"dict join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"token join degraded to SMJ:\n$plan")
+  }
+
+  test("q120 plans against cache leaves at its multi-referenced stage boundaries") {
+    val df = SparkEntry.queries("q120_curation_pipeline_r8")(spark, sf("sf0.001"))
+    val plan = planOf(df)
+    // the pipeline's deduped/quality/sampled boundaries are each read
+    // several times by later stages; without the cache leaves Catalyst
+    // re-optimizes the full upstream tree per reference (measured 250 s
+    // of driver planning at sf0.01 before any job ran — the r8 lesson)
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 3,
+      s"q120 lost its stage-boundary caches — planning blowup returns:\n$plan")
+  }
+
   test("q67 posting search: levenshtein evaluates only on posting-join survivors, never a corpus scan") {
     val df = SparkEntry.queries("q67_ml_search_posting")(spark, sf("sf0.001"))
     val plan = df.queryExecution.sparkPlan

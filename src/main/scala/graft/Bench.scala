@@ -69,10 +69,22 @@ object Bench {
     spark.sparkContext.addSparkListener(metrics)
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    // The timed action is a NOOP SINK, not count(): count() lets Catalyst
+    // eliminate exactly the work some queries exist to measure — a left
+    // join onto a distinct key (q114's keeper labeling) and the final
+    // top-k sort both prune under count, which timed q114 at 0.26 s while
+    // the correctness gate evaluated the real thing. The noop sink
+    // consumes every output row and column, so the timed region covers
+    // the full query (standard Spark bench practice). r8+ walls are
+    // therefore not comparable to r7-'s count()-based walls — plan
+    // metrics are the cross-round signal anyway.
     def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      }
       catch { case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
       finally spark.catalog.clearCache() // outside the timed region next run starts from
     }

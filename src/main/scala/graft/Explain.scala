@@ -31,10 +31,14 @@ object Explain {
       })
     val metrics = new Bench.MetricsListener
     spark.sparkContext.addSparkListener(metrics)
+    val n = fn(spark, sfDir).count() // row count once, untimed
+    if (cold) spark.catalog.clearCache()
     (1 to reps).foreach { i =>
       val before = metrics.quiesce()
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      // noop sink, matching Bench's timed action (count() lets the
+      // optimizer prune joins/sorts the query exists to measure)
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
       val d = metrics.quiesce().zip(before).map { case (a, b) => a - b }
       println(f"run $i: $secs%.3f s, $n rows, jobs=${d(0)} stages=${d(1)} " +

@@ -423,6 +423,23 @@ object Similarity {
   def writeLshIndexQuantized(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").parquet(path)
 
+  /** INCREMENTAL append for the quantized LSH index — [[appendIvfIndex]]'s
+    * sibling on the LSH route: sign/quantize the new batch exactly as the
+    * offline build does and append, O(batch). UNLIKE IVF, LSH needs no
+    * recall-triggered rebuild ([[maintainIvfIndex]]): bucket assignment
+    * is a data-INDEPENDENT hash of the vector (fixed hyperplane family),
+    * so appended rows get exactly the buckets a from-scratch rebuild
+    * would give them, and recall cannot drift as the corpus grows — the
+    * trade is that bucket sizes aren't load-balanced to the data (the
+    * IVF codebook's whole job). Caller contract as in [[appendIvfIndex]]:
+    * batch ids disjoint from the indexed set.
+    */
+  def appendLshIndexQuantized(
+      path: String, newVecs: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int = 8, nTables: Int = 4): Unit =
+    buildLshIndexQuantized(newVecs, idCol, vecCol, nPlanes, nTables)
+      .write.mode("append").parquet(path)
+
   /** LSH approximate top-k over the quantized index: probe buckets come
     * from the float probe vectors (same plane family), corpus buckets were
     * precomputed at build time from the dequantized codes; candidates are

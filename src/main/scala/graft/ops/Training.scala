@@ -202,6 +202,50 @@ object Training {
       .drop("n_min")
   }
 
+  /** Mixture EPOCHS for a token budget — the UP-sampling complement of
+    * [[temperatureRates]]' rate-based down-sampling, and the recipe step
+    * behind published pretraining mixture tables (a source with a high
+    * mixture weight but little data is REPEATED across the run): given
+    * caller-owned per-source weights and a budget of `budgetFactor` ×
+    * the observed corpus token mass, each source's target mass is
+    * weight · budget and its epoch count (repeat factor) is
+    * target / available. `over_cap` flags sources whose repeats exceed
+    * `maxEpochs` — the data-constrained regime where repeated tokens
+    * stop helping (Muennighoff et al. 2023 put the knee near 4 epochs);
+    * the planner's move there is lowering the weight, not more repeats.
+    *
+    * Scale shape: ONE map-side-combinable per-source aggregate (|sources|
+    * rows); the corpus total is a 1-row broadcast scalar subquery (the
+    * q24 cap pattern) and the weights broadcast as a literal frame.
+    * Integer token sums are exact, so every derived double is a fixed
+    * IEEE expression of exact inputs — full hash oracle. Sources absent
+    * from `weights` are excluded (the mixture DEFINES the corpus).
+    */
+  def mixtureEpochs(
+      docs: DataFrame, srcCol: String, tokenCol: String,
+      weights: Map[String, Double], budgetFactor: Double,
+      maxEpochs: Double = 2.0): DataFrame = {
+    require(budgetFactor > 0 && maxEpochs > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perSrc = docs.groupBy(col(srcCol))
+      .agg(sum(col(tokenCol)).cast("long").as("tokens"))
+    val inMix = perSrc.join(broadcast(weights.toSeq.toDF(srcCol, "weight")), Seq(srcCol))
+    // corpus mass over the MIXTURE's sources only — budget and weights
+    // describe the same universe
+    val total = inMix.agg(sum(col("tokens")).cast("long").as("__total"))
+    inMix
+      .crossJoin(broadcast(total))
+      .withColumn("target_tokens",
+        round(col("weight") * lit(budgetFactor) * col("__total").cast("double"), 4))
+      .withColumn("epochs",
+        round(col("weight") * lit(budgetFactor) * col("__total").cast("double") /
+          col("tokens").cast("double"), 4))
+      .withColumn("over_cap", col("epochs") > lit(maxEpochs))
+      .select(col(srcCol), col("tokens"), col("weight"),
+        col("target_tokens"), col("epochs"), col("over_cap"))
+  }
+
   /** The sampling predicate paired with [[temperatureRates]]: keep a row
     * iff its portable 32-bit hash falls under its stratum's `thr`. The
     * rates frame broadcasts (|labels| rows), so the pass is map-only.

@@ -719,6 +719,40 @@ object TrainingOps {
           (1, 8), (2, 24), (3, 12), (4, 9)) AS t(id, n_tokens)
         ORDER BY id""")),
 
+    // Mixture EPOCHS (repeat factors) for a token budget — the
+    // up-sampling complement of q91's temperature rates: weights rise
+    // linearly with the source index ((i+1)/210, replayable from the
+    // source name), budget = 2× the observed corpus mass (1-row scalar
+    // subquery, q24 pattern), so high-index sources repeat > 2 epochs
+    // and trip over_cap while low-index ones stay under — both branches
+    // live at any sf (per-source masses stay ~proportional). All doubles
+    // are fixed IEEE expressions of exact integer sums → full hash gate.
+    QueryDef(
+      "q123_mixture_epochs",
+      (s, dir) => {
+        val weights = (0 until 20).map(i => s"src$i" -> (i + 1) / 210.0).toMap
+        Training.mixtureEpochs(Tables.documents(s, dir), "source", "n_chars",
+            weights, budgetFactor = 2.0, maxEpochs = 2.0)
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT source, CAST(sum(n_chars) AS BIGINT) AS tokens
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM t),
+        w AS (
+          SELECT source, tokens,
+            (CAST(substr(source, 4) AS INTEGER) + 1) / 210.0 AS weight
+          FROM t
+          WHERE CAST(substr(source, 4) AS INTEGER) BETWEEN 0 AND 19)
+        SELECT w.source, w.tokens, w.weight,
+          round(w.weight * 2.0 * CAST(tot.total AS DOUBLE), 4) AS target_tokens,
+          round(w.weight * 2.0 * CAST(tot.total AS DOUBLE) / CAST(w.tokens AS DOUBLE), 4)
+            AS epochs,
+          round(w.weight * 2.0 * CAST(tot.total AS DOUBLE) / CAST(w.tokens AS DOUBLE), 4)
+            > 2.0 AS over_cap
+        FROM w, tot ORDER BY w.source""")),
+
     // q96's composed curation pipeline WITH the containment stage chained
     // in (VERDICT r7 next #8 — q96 deduped exact-only): PII redaction →
     // exact dedup → CONTAINMENT drop (excerpt/quote removal, the q111 →

@@ -347,4 +347,22 @@ class TrainingSpec extends SparkSpec {
       .toMap
     assert(manifest === again)
   }
+
+  test("mixtureEpochs: repeat factors hit the budget; over-cap flags the data-constrained source") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a", 100L), (1L, "a", 100L), // source a: 200 tokens
+      (2L, "b", 50L),                   // source b: 50 tokens
+      (3L, "c", 99L)                    // not in the mixture: excluded
+    ).toDF("doc_id", "source", "n_tokens")
+    val out = Training.mixtureEpochs(docs, "source", "n_tokens",
+        Map("a" -> 0.5, "b" -> 0.5), budgetFactor = 1.0, maxEpochs = 2.0)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    // mixture mass = 250 (c excluded), budget = 250
+    assert(out.keySet === Set("a", "b"))
+    assert(out("a") === ((200L, 125.0, 0.625, false)))
+    assert(out("b") === ((50L, 125.0, 2.5, true)), "b must repeat 2.5 epochs and trip the cap")
+  }
 }

@@ -98,6 +98,76 @@ object TextStats {
     round(lenOk * 0.4 + tokOk * 0.4 + stopOk * 0.2, 4)
   }
 
+  /** Gopher-style rule-based document filter (Rae et al. 2021, appendix
+    * A1.1 — the MassiveText rule battery, the industry-standard pre-filter
+    * that runs BEFORE any learned quality model), emitted per-rule so the
+    * pipeline can report WHY a document was dropped, not just that it was:
+    *
+    *  - `word_count_ok`:    minWords ≤ n_words ≤ maxWords;
+    *  - `mean_word_len_ok`: mean word length in [3, 10] characters;
+    *  - `symbol_ok`:        (# occurrences of '#' + of '...') / n_words
+    *                        ≤ 0.1 (symbol-to-word ratio);
+    *  - `bullet_ok`:        ≤ 90% of lines start with a bullet ('• ');
+    *  - `alpha_ok`:         ≥ 80% of words contain ≥ 1 letter a–z;
+    *  - `stop_ok`:          ≥ minStopHits DISTINCT words from `stopWords`
+    *                        (Gopher's "2 of 8 stop words" rule; the list is
+    *                        a parameter because it is corpus/language-bound);
+    *  - `keep`:             the conjunction.
+    *
+    * Every measure is exact integer arithmetic (counts, char totals) with
+    * at most ONE correctly-rounded double division per ratio — bit-stable
+    * across IEEE engines, q79's rule — so the whole battery is
+    * hash-gatable. Repetition rules (the other half of Gopher A1.1) are
+    * [[repetitionStats]]' job; composing both is one join on the id.
+    *
+    * Scale shape: pure map-side Columns over the scan (tokens/lines via
+    * codegen'd split; HOF filters iterate one document's array in-task) —
+    * no shuffle, no UDF; at 100 TB this runs inside the read stage at scan
+    * bandwidth, which is exactly why production pipelines run the rule
+    * battery first and spend model inference only on survivors.
+    *
+    * Words are the engine-wide canonical whitespace tokens ([[tokens]]);
+    * lines split the RAW text on '\n' (canonicalization collapses
+    * newlines, so line structure must be read first).
+    */
+  def gopherRules(
+      docs: DataFrame, idCol: String, textCol: String,
+      stopWords: Seq[String], minStopHits: Int = 2,
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nWords = size(toks).cast("long")
+    // total word chars = canonical length minus the (n-1) separator spaces
+    val wordChars = (length(Dedup.canonical(text)) - (size(toks) - 1)).cast("long")
+    val meanLen = round(wordChars.cast("double") / nWords.cast("double"), 4)
+    val hashCnt = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    val ellipsisCnt =
+      ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("long")
+    val symbolRatio =
+      round((hashCnt + ellipsisCnt).cast("double") / nWords.cast("double"), 4)
+    val lines = split(text, "\n")
+    val nBullet = size(filter(lines, l => l.startsWith("• ")))
+    val bulletFrac = round(nBullet.cast("double") / size(lines).cast("double"), 4)
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]")))
+    val alphaFrac = round(nAlpha.cast("double") / nWords.cast("double"), 4)
+    val stopDistinct =
+      size(array_intersect(array_distinct(toks), array(stopWords.map(lit(_)): _*)))
+        .cast("long")
+    val flags: Seq[(String, Column)] = Seq(
+      "word_count_ok" -> (nWords >= minWords && nWords <= maxWords),
+      "mean_word_len_ok" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "symbol_ok" -> (symbolRatio <= 0.1),
+      "bullet_ok" -> (bulletFrac <= 0.9),
+      "alpha_ok" -> (alphaFrac >= 0.8),
+      "stop_ok" -> (stopDistinct >= minStopHits))
+    docs.select(
+      (Seq(col(idCol), nWords.as("n_words"), meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+        alphaFrac.as("alpha_frac"), stopDistinct.as("stop_distinct")) ++
+        flags.map { case (n, c) => c.as(n) } :+
+        flags.map(_._2).reduce(_ && _).as("keep")): _*)
+  }
+
   /** Language-ID by stopword-profile voting: score each candidate language
     * by how many of its top stopwords occur in the token set; highest score
     * wins, ties broken by language code. An n-gram-free heuristic that is a

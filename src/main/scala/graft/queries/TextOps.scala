@@ -884,5 +884,78 @@ object TextOps {
           ${TextStats.piiCountSql("t", "phone")} AS n_phones,
           substr(md5(${TextStats.redactPiiSql("t")}), 1, 16) AS redacted_fp
         FROM t ORDER BY doc_id""")),
+
+    // Gopher rule battery (Rae et al. 2021 A1.1) with every rule fired in
+    // BOTH directions: the gate corpus is documents ∪ three deterministic
+    // pathological variants — a bulleted rewrite (every word becomes a
+    // '• ' line → bullet_frac 1.0, and the '•' tokens halve alpha_frac), a
+    // symbol-soup rewrite ([a-z]+ → '#' → symbol_ratio ≥ 1, alpha 0, mean
+    // length 1, no stop words), and a 5-word prefix (word-count floor).
+    // Base docs split on the word-count floor (n≈10–110 vs min 50) and on
+    // the 2-distinct-stopword rule ({the, a} — the list is a parameter;
+    // Gopher's English 8 would be vacuously false on this synthetic
+    // vocabulary). All measures are exact ints + one rounded division, so
+    // the whole battery hash-gates.
+    QueryDef(
+      "q124_gopher_rules",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val bullet = base.select((col("doc_id") + lit(200000L)).as("doc_id"),
+          concat(lit("• "), regexp_replace(col("text"), " ", "\n• ")).as("text"))
+        val symbol = base.select((col("doc_id") + lit(300000L)).as("doc_id"),
+          regexp_replace(col("text"), "[a-z]+", "#").as("text"))
+        val short5 = base.select((col("doc_id") + lit(400000L)).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("text"))
+        TextStats.gopherRules(
+            base.unionByName(bullet).unionByName(symbol).unionByName(short5),
+            "doc_id", "text", stopWords = Seq("the", "a"), minStopHits = 2)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH inp AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000,
+            '• ' || replace(text, ' ', chr(10) || '• ') FROM documents
+          UNION ALL
+          SELECT doc_id + 300000, regexp_replace(text, '[a-z]+', '#', 'g') FROM documents
+          UNION ALL
+          SELECT doc_id + 400000,
+            array_to_string(string_split(text, ' ')[1:5], ' ') FROM documents),
+        m AS (
+          SELECT doc_id,
+            string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks,
+            length(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS clen,
+            length(text) - length(replace(text, '#', '')) AS hash_cnt,
+            CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS ell_cnt,
+            string_split(text, chr(10)) AS lines
+          FROM inp),
+        f AS (
+          SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_words,
+            round(CAST(clen - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 4)
+              AS mean_word_len,
+            round(CAST(hash_cnt + ell_cnt AS DOUBLE) / CAST(len(toks) AS DOUBLE), 4)
+              AS symbol_ratio,
+            round(CAST(len(list_filter(lines, l -> starts_with(l, '• '))) AS DOUBLE)
+              / CAST(len(lines) AS DOUBLE), 4) AS bullet_frac,
+            round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE), 4) AS alpha_frac,
+            CAST(len(list_intersect(list_distinct(toks), ['the', 'a'])) AS BIGINT)
+              AS stop_distinct
+          FROM m)
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, alpha_frac,
+          stop_distinct,
+          (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+          (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS mean_word_len_ok,
+          (symbol_ratio <= 0.1) AS symbol_ok,
+          (bullet_frac <= 0.9) AS bullet_ok,
+          (alpha_frac >= 0.8) AS alpha_ok,
+          (stop_distinct >= 2) AS stop_ok,
+          ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+            AND (symbol_ratio <= 0.1) AND (bullet_frac <= 0.9)
+            AND (alpha_frac >= 0.8) AND (stop_distinct >= 2)) AS keep
+        FROM f ORDER BY doc_id""")),
   )
 }

@@ -107,4 +107,33 @@ class TextStatsSpec extends SparkSpec {
       1L -> ((3.0 / 5.0, 0.5)),
       2L -> ((0.25, 0.0))))
   }
+
+  test("gopherRules: each rule fires on its closed-form violator and only there") {
+    // 60 clean words containing both stop words → every rule passes
+    val clean = (Seq("the", "a") ++ (1 to 58).map(i => s"word$i")).mkString(" ")
+    val docs = Seq(
+      (1L, clean),
+      (2L, "the a short doc"),                        // word-count floor
+      (3L, (1 to 60).map(_ => "# the a").mkString(" ")), // symbol soup (ratio 1/3)
+      (4L, "• the\n• a\n• " + (1 to 58).map(i => s"w$i").mkString("\n• ")), // all-bullet lines
+      (5L, clean.replace("the a ", "zz qq "))          // no stop words
+    ).toDF("doc_id", "text")
+    val out = TextStats.gopherRules(docs, "doc_id", "text",
+        stopWords = Seq("the", "a"), minStopHits = 2)
+      .collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long): Seq[Boolean] =
+      (7 to 12).map(i => out(id).getBoolean(i))
+    assert(flags(1L) === Seq(true, true, true, true, true, true))
+    assert(out(1L).getBoolean(13), "clean doc must keep")
+    assert(!out(2L).getBoolean(7) && !out(2L).getBoolean(13), "short doc fails word count")
+    assert(!out(3L).getBoolean(9), "symbol soup fails symbol ratio")
+    // '#' tokens also drag alpha below 0.8? 1/3 symbols → alpha 2/3 < 0.8
+    assert(!out(3L).getBoolean(11))
+    assert(!out(4L).getBoolean(10), "bullet doc fails bullet_frac")
+    assert(out(4L).getDouble(4) === 1.0)
+    assert(!out(5L).getBoolean(12) && out(5L).getLong(6) === 0L, "no stop hits")
+    // mean word length: doc 3 tokens are {#, the, a} → mean (1+3+1)/3 = 5/3 < 3
+    assert(!out(3L).getBoolean(8))
+  }
 }

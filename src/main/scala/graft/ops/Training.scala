@@ -515,6 +515,42 @@ object Training {
         (sum(col("c_tgt")).cast("double") / sum(col("c_all"))).as("affinity"))
   }
 
+  /** Per-document corpus NOVELTY — the fraction of a document's distinct
+    * word w-shingles whose FIRST corpus occurrence (minimum id, ids being
+    * acquisition order) is this document. The time-ordered complement of
+    * pairwise dedup: a late crawl snapshot full of already-seen passages
+    * scores near 0 even when no single earlier document is similar enough
+    * to pair with it (boilerplate smeared across many sources), and the
+    * score directly prices a source's marginal contribution — the
+    * acquisition-planning signal behind "is another snapshot of this feed
+    * worth ingesting".
+    *
+    * Scale shape: shingles from the codegen'd `word_shingles` scan
+    * ([[Dedup.wordShingles]]); ONE shingle-keyed map-combinable `min`
+    * builds the first-occurrence table; the join back is the same
+    * shingle-keyed exchange (AQE broadcasts when the vocabulary side
+    * fits); the final per-id aggregate is map-side combinable. Exact
+    * integer counts, one correctly-rounded division (q79's rule) → full
+    * hash gate. At 100 TB the first-occurrence table IS the incremental
+    * artifact: score a NEW snapshot by joining its shingles against the
+    * stored table ([[Dedup.exactDedupIncremental]]'s pattern), never
+    * rescanning history. Documents shorter than `w` tokens have no
+    * shingles and are absent, as everywhere shingles are used.
+    */
+  def noveltyScore(
+      docs: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
+    val sh = Dedup.wordShingles(docs, idCol, textCol, w)
+    val first = sh.groupBy(col("shingle")).agg(min(col(idCol)).as("__first"))
+    sh.join(first, "shingle")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"),
+        round(
+          sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double"), 4).as("novelty"))
+  }
+
   /** Per-source document quota — the C4/RefinedWeb-style domain cap that
     * stops any single site/feed from dominating a crawl-scale corpus:
     * keep at most `cap` docs per source, chosen as the source's smallest

@@ -11,19 +11,26 @@ import graft.ops.{TextStats, Training}
   */
 object OracleFrags {
 
-  /** The LSH candidate-pair fragment (q78/q83/q85/q87/q92): scan-local
-    * MinHash (k=4, w=3), 2 bands of 2 rows, band-bucket pairs. Emits CTEs
-    * `toks, sh, sig, bands, pairs` over `$src(doc_id, text)`, with
-    * `pairs(id_a < id_b)`.
+  /** The distinct word-3-shingle fragment (the `Dedup.wordShingles` twin,
+    * w=3): emits CTEs `toks, sh` over `$src(doc_id, text)` with
+    * `sh(doc_id, shingle)` distinct per doc. Shared by [[lshPairsCtes]]
+    * and the novelty gate (q125).
     */
-  def lshPairsCtes(src: String): String = s"""
+  def shinglesCtes(src: String): String = s"""
         toks AS (
           SELECT doc_id, string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
           FROM $src),
         sh AS (
           SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
           FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
-          WHERE len(t) >= 3),
+          WHERE len(t) >= 3)"""
+
+  /** The LSH candidate-pair fragment (q78/q83/q85/q87/q92): scan-local
+    * MinHash (k=4, w=3), 2 bands of 2 rows, band-bucket pairs. Emits CTEs
+    * `toks, sh, sig, bands, pairs` over `$src(doc_id, text)`, with
+    * `pairs(id_a < id_b)`.
+    */
+  def lshPairsCtes(src: String): String = s"""${shinglesCtes(src)},
         sig AS (
           SELECT doc_id,
             min(('0x' || substr(md5('mh0' || shingle), 1, 8))::BIGINT) AS s0,

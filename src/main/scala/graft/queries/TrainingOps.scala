@@ -753,6 +753,31 @@ object TrainingOps {
             > 2.0 AS over_cap
         FROM w, tot ORDER BY w.source""")),
 
+    // Corpus novelty: fraction of each doc's distinct 3-shingles first
+    // seen (min doc_id = acquisition order) in that doc. The ~30-word
+    // synthetic vocabulary guarantees heavy cross-doc shingle reuse, so
+    // scores spread across (0, 1] at any sf: early docs score high, late
+    // boilerplate-heavy ones low. Oracle shares the exact shingle CTE
+    // (`OracleFrags.shinglesCtes`) with every LSH gate — one tokenizer,
+    // one truth.
+    QueryDef(
+      "q125_novelty",
+      (s, dir) =>
+        Training.noveltyScore(Tables.documents(s, dir), "doc_id", "text", w = 3)
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH ${OracleFrags.shinglesCtes("documents")},
+        first AS (
+          SELECT shingle, min(doc_id) AS first_id FROM sh GROUP BY shingle)
+        SELECT s.doc_id,
+          CAST(count(*) AS BIGINT) AS n_shingles,
+          CAST(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_novel,
+          round(CAST(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 4) AS novelty
+        FROM sh s JOIN first f USING (shingle)
+        GROUP BY s.doc_id ORDER BY s.doc_id""")),
+
     // q96's composed curation pipeline WITH the containment stage chained
     // in (VERDICT r7 next #8 — q96 deduped exact-only): PII redaction →
     // exact dedup → CONTAINMENT drop (excerpt/quote removal, the q111 →

@@ -365,4 +365,20 @@ class TrainingSpec extends SparkSpec {
     assert(out("a") === ((200L, 125.0, 0.625, false)))
     assert(out("b") === ((50L, 125.0, 2.5, true)), "b must repeat 2.5 epochs and trip the cap")
   }
+
+  test("noveltyScore: first-occurrence fractions, dup scores zero, short docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"), // shingles {a b c, b c d}, both first here → 1.0
+      (2L, "a b c x"), // {a b c (first in 1), b c x} → 0.5
+      (3L, "a b"),     // < 3 tokens → absent
+      (4L, "a b c d")  // exact dup of 1 → both shingles seen → 0.0
+    ).toDF("doc_id", "text")
+    val got = Training.noveltyScore(docs, "doc_id", "text", w = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      1L -> ((2L, 2L, 1.0)),
+      2L -> ((2L, 1L, 0.5)),
+      4L -> ((2L, 0L, 0.0))))
+  }
 }

@@ -540,16 +540,58 @@ object Training {
   def noveltyScore(
       docs: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
     val sh = Dedup.wordShingles(docs, idCol, textCol, w)
-    val first = sh.groupBy(col("shingle")).agg(min(col(idCol)).as("__first"))
+    val first = noveltyFirstIndex(docs, idCol, textCol, w)
+      .select(col("shingle"), col("first_id").as("__first"))
     sh.join(first, "shingle")
       .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"),
-        round(
-          sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).cast("double") /
-            count(lit(1)).cast("double"), 4).as("novelty"))
+      .agg(noveltyAggs(idCol).head, noveltyAggs(idCol).tail: _*)
   }
+
+  /** The stored artifact behind incremental novelty: (shingle, first_id),
+    * the minimum id ever seen per distinct shingle. Maintenance after a
+    * batch is `union` + the same min — or append-only storage with
+    * min-on-read — never a history rescan.
+    */
+  def noveltyFirstIndex(
+      docs: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame =
+    Dedup.wordShingles(docs, idCol, textCol, w)
+      .groupBy(col("shingle")).agg(min(col(idCol)).as("first_id"))
+
+  /** [[noveltyScore]] for a NEW batch against a STORED first-occurrence
+    * index ([[noveltyFirstIndex]]) — the 100 TB operating mode the batch
+    * operator's doc promises: history is never rescanned. The corpus-wide
+    * first occurrence of a shingle is `min(stored first, batch first)`,
+    * so this route returns BIT-IDENTICAL rows to running [[noveltyScore]]
+    * over history ∪ batch and keeping the batch ids (q126 gates exactly
+    * that equality — two routes, one answer), for any id interleaving.
+    *
+    * Scale shape: O(batch) shingle construction + one shingle-keyed min
+    * over the batch; the index probe is a shingle-keyed equi-join (the
+    * [[Dedup.exactDedupIncremental]] family — new × index, never
+    * history × history).
+    */
+  def noveltyScoreIncremental(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      firstIndex: DataFrame, w: Int = 3): DataFrame = {
+    val sh = Dedup.wordShingles(newDocs, idCol, textCol, w)
+    val newFirst = sh.groupBy(col("shingle")).agg(min(col(idCol)).as("__new_first"))
+    sh.join(newFirst, "shingle")
+      .join(firstIndex.select(col("shingle"), col("first_id").as("__old_first")),
+        Seq("shingle"), "left")
+      .withColumn("__first",
+        least(coalesce(col("__old_first"), col("__new_first")), col("__new_first")))
+      .groupBy(col(idCol))
+      .agg(noveltyAggs(idCol).head, noveltyAggs(idCol).tail: _*)
+  }
+
+  /** The shared (n_shingles, n_novel, novelty) aggregate list over a
+    * shingle stream carrying `__first` — one definition, both routes. */
+  private def noveltyAggs(idCol: String): Seq[Column] = Seq(
+    count(lit(1)).as("n_shingles"),
+    sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"),
+    round(
+      sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double"), 4).as("novelty"))
 
   /** Per-source document quota — the C4/RefinedWeb-style domain cap that
     * stops any single site/feed from dominating a crawl-scale corpus:

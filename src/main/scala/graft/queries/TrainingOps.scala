@@ -778,6 +778,37 @@ object TrainingOps {
         FROM sh s JOIN first f USING (shingle)
         GROUP BY s.doc_id ORDER BY s.doc_id""")),
 
+    // INCREMENTAL novelty — q125's 100 TB operating mode: history (80% of
+    // docs, doc_id % 5 ≠ 0) is frozen into the stored first-occurrence
+    // index; the new batch (doc_id % 5 = 0) is scored against it with
+    // history never rescanned. The oracle is the FULL-corpus recompute
+    // (q125's shared shingle CTE) restricted to the batch ids — the two
+    // routes must agree bit-for-bit because corpus-first = min(stored
+    // first, batch first), for any id interleaving.
+    QueryDef(
+      "q126_novelty_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val idx = Training.noveltyFirstIndex(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", w = 3)
+        Training.noveltyScoreIncremental(
+            docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", idx, w = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH ${OracleFrags.shinglesCtes("documents")},
+        first AS (
+          SELECT shingle, min(doc_id) AS first_id FROM sh GROUP BY shingle)
+        SELECT s.doc_id,
+          CAST(count(*) AS BIGINT) AS n_shingles,
+          CAST(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_novel,
+          round(CAST(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 4) AS novelty
+        FROM sh s JOIN first f USING (shingle)
+        WHERE s.doc_id % 5 = 0
+        GROUP BY s.doc_id ORDER BY s.doc_id""")),
+
     // q96's composed curation pipeline WITH the containment stage chained
     // in (VERDICT r7 next #8 — q96 deduped exact-only): PII redaction →
     // exact dedup → CONTAINMENT drop (excerpt/quote removal, the q111 →

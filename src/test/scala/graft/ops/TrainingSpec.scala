@@ -381,4 +381,29 @@ class TrainingSpec extends SparkSpec {
       2L -> ((2L, 1L, 0.5)),
       4L -> ((2L, 0L, 0.0))))
   }
+
+  test("noveltyScoreIncremental: equals full recompute restricted to the batch, any id interleaving") {
+    import spark.implicits._
+    // batch ids deliberately INTERLEAVE history ids: doc 2 (batch) precedes
+    // doc 5 (history), so corpus-first = min(stored, batch) is exercised in
+    // both directions
+    val hist = Seq((1L, "a b c d"), (5L, "p q r s")).toDF("doc_id", "text")
+    val batch = Seq(
+      (2L, "a b c x"),  // "a b c" stored (first 1); "b c x" novel here
+      (3L, "p q r s"),  // all stored under id 5? NO — 3 < 5, but index says 5:
+                        // corpus-first is min(5, 3-batch-min)... batch min is 3
+      (9L, "p q r s")   // loses both to doc 3 within the batch
+    ).toDF("doc_id", "text")
+    val idx = Training.noveltyFirstIndex(hist, "doc_id", "text", w = 3)
+    val inc = Training.noveltyScoreIncremental(batch, "doc_id", "text", idx, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val full = Training.noveltyScore(hist.unionByName(batch), "doc_id", "text", w = 3)
+      .filter($"doc_id".isin(2L, 3L, 9L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(inc === full)
+    // the interleave case concretely: doc 3's shingles first-occur at id 3
+    // corpus-wide (3 < 5), so it scores 1.0 despite the index hit
+    assert(inc.contains((3L, 2L, 2L, 1.0)))
+    assert(inc.contains((9L, 2L, 0L, 0.0)))
+  }
 }

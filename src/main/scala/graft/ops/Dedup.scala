@@ -281,6 +281,41 @@ object Dedup {
         "jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
 
+  /** SOURCE-level overlap matrix — "which feeds copy which", the
+    * acquisition-provenance diagnostic that runs BEFORE doc-level dedup
+    * decides what to drop: for every source pair, the count of distinct
+    * word w-shingles present in BOTH, plus the source-level Jaccard
+    * (exact integer counts, one division each — the q79 rule).
+    *
+    * Unlike the doc-pair operators this needs NO document-frequency cap:
+    * the inverted index is collapsed to DISTINCT (source, shingle) before
+    * the self-join, so a shingle's fan-out is bounded by the number of
+    * SOURCES carrying it (tens), not the number of documents (unbounded)
+    * — the per-shingle pair work is ≤ |sources|² by construction. Scale
+    * shape: one shingle-keyed distinct, the shingle-keyed equi-self-join,
+    * then a |sources|²-row aggregate; per-source totals broadcast back.
+    */
+  def sourceOverlapMatrix(
+      docs: DataFrame, srcCol: String, textCol: String, w: Int = 3): DataFrame = {
+    val srcSh = docs
+      .select(col(srcCol),
+        explode(graft.functions.WordShinglesExpr.word_shingles(col(textCol), lit(w)))
+          .as("shingle"))
+      .distinct()
+    val sizes = srcSh.groupBy(col(srcCol)).agg(count(lit(1)).as("__sz"))
+    val a = srcSh.select(col(srcCol).as("src_a"), col("shingle"))
+    val b = srcSh.select(col(srcCol).as("src_b"), col("shingle"))
+    a.join(b, "shingle")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes).select(col(srcCol).as("src_a"), col("__sz").as("sz_a")), "src_a")
+      .join(broadcast(sizes).select(col(srcCol).as("src_b"), col("__sz").as("sz_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("sz_a"), col("sz_b"),
+        round(col("n_shared").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_shared")).cast("double"), 4).as("jaccard"))
+  }
+
   /** Asymmetric CONTAINMENT pairs (Broder's containment): for each
     * co-shingled pair, `c_a = |A∩B|/|A|` and `c_b = |A∩B|/|B|`, kept when
     * either direction ≥ `minContainment`. This is the excerpt/quote

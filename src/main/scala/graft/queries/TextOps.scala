@@ -957,5 +957,35 @@ object TextOps {
             AND (symbol_ratio <= 0.1) AND (bullet_frac <= 0.9)
             AND (alpha_frac >= 0.8) AND (stop_distinct >= 2)) AS keep
         FROM f ORDER BY doc_id""")),
+
+    // Source-level overlap matrix: distinct shared 3-shingles + Jaccard
+    // per source pair — the provenance diagnostic ("which feeds copy
+    // which") that informs acquisition before any doc-level drop. No DF
+    // cap needed: the index collapses to DISTINCT (source, shingle)
+    // first, so per-shingle join fan-out is bounded by |sources| (20),
+    // not by document frequency. Oracle rides the shared shingle CTE and
+    // recovers sources by joining doc ids back to `documents`.
+    QueryDef(
+      "q127_source_overlap",
+      (s, dir) =>
+        Dedup.sourceOverlapMatrix(Tables.documents(s, dir), "source", "text", w = 3)
+          .orderBy(col("src_a"), col("src_b")),
+      Some(s"""
+        WITH ${OracleFrags.shinglesCtes("documents")},
+        ss AS (
+          SELECT DISTINCT d.source, s.shingle
+          FROM sh s JOIN documents d USING (doc_id)),
+        sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY source)
+        SELECT a.source AS src_a, b.source AS src_b,
+          CAST(count(*) AS BIGINT) AS n_shared,
+          za.n AS sz_a, zb.n AS sz_b,
+          round(CAST(count(*) AS DOUBLE)
+            / CAST(za.n + zb.n - count(*) AS DOUBLE), 4) AS jaccard
+        FROM ss a
+        JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+        JOIN sz za ON za.source = a.source
+        JOIN sz zb ON zb.source = b.source
+        GROUP BY a.source, b.source, za.n, zb.n
+        ORDER BY src_a, src_b""")),
   )
 }

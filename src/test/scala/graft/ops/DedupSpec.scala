@@ -266,4 +266,20 @@ class DedupSpec extends SparkSpec {
       assert(viaStore.contains((1L, 7L)) && viaStore.contains((2L, 7L)))
     } finally spark.sql("DROP TABLE IF EXISTS sig_index_spec")
   }
+
+  test("sourceOverlapMatrix: closed-form shared-shingle counts and Jaccard; disjoint pairs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x", "a b c d"), // x shingles: {a b c, b c d}
+      (2L, "x", "a b c e"), //           + {b c e}          → sz 3
+      (3L, "y", "a b c d"), // y: {a b c, b c d}            → sz 2
+      (4L, "z", "p q r")    // z: {p q r}, disjoint         → sz 1
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlapMatrix(docs, "source", "text", w = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // only co-shingled pairs appear: the matrix is sparse by construction
+    assert(got.keySet === Set(("x", "y")))
+    assert(got(("x", "y")) === ((2L, 3L, 2L, 0.6667)))
+  }
 }

@@ -65,6 +65,43 @@ object EventOps {
     go(new java.io.File(path))
   }
 
+  /** Stage a deterministic arrival order for a file-stream gate: ONE
+    * partitioned write splits `docs` into `nBatches` hash batches
+    * (portable md5 hash of the id, so the oracle replays the split), then
+    * driver-side moves give each file an EXPLICIT strictly-increasing
+    * mtime — FileStreamSource orders by (mtime, path), and sequential
+    * writes can tie on filesystems with coarse mtime granularity (ADVICE
+    * r7), which would scramble the arrival order the oracles' closed
+    * forms depend on. Returns the source dir (caller deletes after the
+    * run); the staging scratch is removed here.
+    */
+  private[queries] def stageArrivalBatches(
+      docs: org.apache.spark.sql.DataFrame, salt: String, nBatches: Int,
+      prefix: String): String = {
+    val batchCol = graft.ops.Dedup.portableHash(
+      col("doc_id").cast("string"), salt) % nBatches
+    val srcDir = java.nio.file.Files.createTempDirectory(prefix + "src").toString
+    val stage = java.nio.file.Files.createTempDirectory(prefix + "stage").toString
+    docs.withColumn("__b", batchCol).repartition(col("__b"))
+      .write.partitionBy("__b").mode("overwrite").parquet(stage)
+    val mtimeBase = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(stage)).toMillis
+    (0 until nBatches).foreach { b =>
+      val partDir = new java.io.File(s"$stage/__b=$b")
+      val parts = Option(partDir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      require(parts.length <= 1, s"expected at most one staged file for batch $b")
+      parts.headOption.foreach { p =>
+        val dst = java.nio.file.Paths.get(srcDir, f"batch-$b%04d.parquet")
+        java.nio.file.Files.move(p.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeBase + b * 2000L))
+      }
+    }
+    rmTree(stage)
+    srcDir
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Tumbling 1h window aggregate (batch form of the streaming window).
@@ -173,32 +210,7 @@ object EventOps {
       (s, dir) => {
         val ss = EventOps.streamSession(s)
         val docs = Tables.documents(ss, dir)
-        val batchCol = graft.ops.Dedup.portableHash(
-          col("doc_id").cast("string"), "graft-sbatch:") % 4
-        // ONE partitioned write stages all 4 batch files (the r7 version
-        // ran 4 filter+write jobs), then driver-side moves give each file
-        // an EXPLICIT strictly-increasing mtime — FileStreamSource orders
-        // by (mtime, path), and sequential writes can tie on filesystems
-        // with coarse mtime granularity (ADVICE r7), which would scramble
-        // the arrival order the oracle's closed form depends on.
-        val srcDir = java.nio.file.Files.createTempDirectory("q109src").toString
-        val stage = java.nio.file.Files.createTempDirectory("q109stage").toString
-        docs.withColumn("__b", batchCol).repartition(col("__b"))
-          .write.partitionBy("__b").mode("overwrite").parquet(stage)
-        val mtimeBase = java.nio.file.Files.getLastModifiedTime(
-          java.nio.file.Paths.get(stage)).toMillis
-        (0 until 4).foreach { b =>
-          val partDir = new java.io.File(s"$stage/__b=$b")
-          val parts = Option(partDir.listFiles()).getOrElse(Array.empty[java.io.File])
-            .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          require(parts.length <= 1, s"expected at most one staged file for batch $b")
-          parts.headOption.foreach { p =>
-            val dst = java.nio.file.Paths.get(srcDir, f"batch-$b%04d.parquet")
-            java.nio.file.Files.move(p.toPath, dst)
-            java.nio.file.Files.setLastModifiedTime(dst,
-              java.nio.file.attribute.FileTime.fromMillis(mtimeBase + b * 2000L))
-          }
-        }
+        val srcDir = EventOps.stageArrivalBatches(docs, "graft-sbatch:", 4, "q109")
         ss.sql("DROP TABLE IF EXISTS stream_fp_index")
         val outRoot = java.nio.file.Files.createTempDirectory("q109out").toString
         val labelsOut = outRoot + "/labels"
@@ -216,7 +228,7 @@ object EventOps {
         val result = s.read.parquet(labelsOut).drop("batch")
           .orderBy(col("doc_id"))
           .localCheckpoint()
-        Seq(srcDir, stage, outRoot, ckpt).foreach(EventOps.rmTree)
+        Seq(srcDir, outRoot, ckpt).foreach(EventOps.rmTree)
         result
       },
       Some("""
@@ -231,6 +243,54 @@ object EventOps {
         k AS (SELECT fp, doc_id AS keeper FROM r WHERE rn = 1)
         SELECT f.doc_id, k.keeper AS dup_of, f.doc_id = k.keeper AS keep
         FROM f JOIN k USING (fp) ORDER BY f.doc_id""")),
+
+    // STREAMING novelty — q125/q126's triad completed: four hash-split
+    // arrival batches stream through `EventStream.noveltyIncremental`;
+    // each batch scores against the persisted first-occurrence Store
+    // index and inserts only never-seen shingles. A shingle's owner is
+    // its (arrival-batch, id)-lexicographic first doc — the same closed
+    // form as q109's keeper rule, replayed here over the shared shingle
+    // CTE. Different salt than q109, so the two gates exercise
+    // independent arrival splits.
+    QueryDef(
+      "q128_stream_novelty",
+      (s, dir) => {
+        val ss = EventOps.streamSession(s)
+        val docs = Tables.documents(ss, dir)
+        val srcDir = EventOps.stageArrivalBatches(docs, "graft-nbatch:", 4, "q128")
+        ss.sql("DROP TABLE IF EXISTS stream_novelty_index")
+        val outRoot = java.nio.file.Files.createTempDirectory("q128out").toString
+        val scoresOut = outRoot + "/scores"
+        val ckpt = java.nio.file.Files.createTempDirectory("q128ckpt").toString
+        val stream = ss.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val q = graft.streaming.EventStream.noveltyIncremental(
+          stream, "doc_id", "text", "stream_novelty_index", scoresOut,
+          checkpointLocation = Some(ckpt))
+        try q.processAllAvailable()
+        finally q.stop()
+        val result = s.read.parquet(scoresOut).drop("batch")
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+        Seq(srcDir, outRoot, ckpt).foreach(EventOps.rmTree)
+        result
+      },
+      Some(s"""
+        WITH ${OracleFrags.shinglesCtes("documents")},
+        bt AS (
+          SELECT doc_id,
+            ('0x' || substr(md5('graft-nbatch:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 4 AS b
+          FROM documents),
+        r AS (
+          SELECT s.doc_id, s.shingle,
+            row_number() OVER (PARTITION BY s.shingle ORDER BY bt.b, s.doc_id) AS rn
+          FROM sh s JOIN bt USING (doc_id))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+          CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+          round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 4) AS novelty
+        FROM r GROUP BY doc_id ORDER BY doc_id""")),
 
     // Sliding 1h/30min windows: each event lands in exactly 2 epoch-aligned
     // windows; the oracle materializes both membership rows explicitly.

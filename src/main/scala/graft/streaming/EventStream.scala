@@ -248,6 +248,75 @@ object EventStream {
     wr.start()
   }
 
+  /** STREAMING corpus novelty — [[exactDedupIncremental]]'s machinery
+    * applied to [[graft.ops.Training.noveltyScoreIncremental]], completing
+    * the batch (q125) / incremental (q126) / streaming triad: each
+    * micro-batch is scored against the PERSISTED first-occurrence index
+    * ([[graft.sources.Store]] table keyed on shingle), per-batch scores
+    * land exactly-once in `scoresOut/batch=<id>` (own-partition
+    * overwrite), and the index advances by inserting ONLY shingles it has
+    * never seen, with the batch-local min id (an index hit never
+    * rewrites — first arrival wins).
+    *
+    * A doc's novel shingles are therefore those whose (arrival-batch,
+    * id)-lexicographic first occurrence is this doc — the same closed
+    * form as the dedup twin's keeper rule, which is what the q128 gate
+    * replays in SQL. Per-batch cost is O(batch shingles) + one index
+    * probe; history is never rescanned.
+    */
+  def noveltyIncremental(
+      docs: DataFrame, idCol: String, textCol: String,
+      indexTable: String, scoresOut: String,
+      checkpointLocation: Option[String] = None,
+      w: Int = 3, buckets: Int = 4, parts: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val wr = docs.writeStream
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        // one source scan per trigger (see exactDedupIncremental)
+        val b = batch.toDF().localCheckpoint()
+        if (!b.isEmpty) {
+          val exists = spark.catalog.tableExists(indexTable)
+          val old =
+            if (exists) graft.sources.Store.read(spark, indexTable)
+            else b.select(
+              lit("").as("shingle"), col(idCol).as("first_id")).filter(lit(false))
+          // shingles built once, shared by scoring and the index advance
+          val sh = graft.ops.Dedup.wordShingles(b, idCol, textCol, w).persist()
+          val newFirst = sh.groupBy(col("shingle")).agg(min(col(idCol)).as("__new_first"))
+          // ARRIVAL order, not id order: a stored entry arrived in an
+          // earlier batch and wins even over a smaller new id (coalesce) —
+          // where the batch-incremental q126 route takes min(stored, new)
+          // to equal a corpus-wide recompute by id
+          val scores = sh.join(newFirst, "shingle")
+            .join(old.select(col("shingle"), col("first_id").as("__old_first")),
+              Seq("shingle"), "left")
+            .withColumn("__first", coalesce(col("__old_first"), col("__new_first")))
+            .groupBy(col(idCol))
+            .agg(
+              count(lit(1)).as("n_shingles"),
+              sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"),
+              round(
+                sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).cast("double") /
+                  count(lit(1)).cast("double"), 4).as("novelty"))
+          try {
+            scores.write.mode("overwrite").parquet(s"$scoresOut/batch=$batchId")
+            val inserts = newFirst.select(col("shingle"), col("__new_first").as("first_id"))
+              .join(old.select(col("shingle")), Seq("shingle"), "left_anti")
+            if (exists)
+              graft.sources.Store.upsert(spark, indexTable, inserts, "shingle", buckets)
+            else
+              graft.sources.Store.bulkWrite(inserts, indexTable, "shingle",
+                buckets = buckets, parts = parts)
+          } finally sh.unpersist()
+        }
+      }
+    checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))
+    wr.start()
+  }
+
   /** STREAM-STREAM range (interval-containment) join — the streaming twin
     * of [[graft.ops.Events.rangeJoin]], and the same rewrite makes it
     * POSSIBLE at all: Structured Streaming requires an equality predicate

@@ -271,6 +271,49 @@ class EventStreamSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("streaming novelty restarts from its checkpoint; stored shingles win by ARRIVAL, not id") {
+    import graft.sources.Store
+    val srcDir = java.nio.file.Files.createTempDirectory("nvsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("nvckpt").toString
+    val scoresOut = java.nio.file.Files.createTempDirectory("nvout").toString + "/scores"
+    val table = "nv_first_index"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val phase1 = Seq((10L, "a b c d"), (12L, "a b c d")).toDF("doc_id", "text")
+    // doc 1 arrives LATER with a smaller id: its "a b c" must NOT be novel
+    // (the stored first-arrival wins), unlike q126's corpus-min route
+    val phase2 = Seq((1L, "a b c x"), (13L, "p q r")).toDF("doc_id", "text")
+    phase1.coalesce(1).write.mode("append").parquet(srcDir)
+    def start() = EventStream.noveltyIncremental(
+      spark.readStream.schema(phase1.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      "doc_id", "text", table, scoresOut, checkpointLocation = Some(ckpt))
+    try {
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      phase2.coalesce(1).write.mode("append").parquet(srcDir)
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        assert(q2.recentProgress.map(_.numInputRows).sum === 2L,
+          "restart reprocessed committed batches")
+      } finally q2.stop()
+      val scores = spark.read.parquet(scoresOut).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+            r.getAs[Double]("novelty")))).toMap
+      assert(scores === Map(
+        10L -> ((2L, 2L, 1.0)),  // batch-local min claims both shingles
+        12L -> ((2L, 0L, 0.0)),  // same-batch dup
+        1L -> ((2L, 1L, 0.5)),   // "a b c" stored → not novel; "b c x" novel
+        13L -> ((1L, 1L, 1.0)))) // 3 tokens → exactly one shingle
+      val firsts = Store.read(spark, table).collect()
+        .map(r => r.getAs[String]("shingle") -> r.getAs[Long]("first_id")).toMap
+      assert(firsts === Map(
+        "a b c" -> 10L, "b c d" -> 10L, "b c x" -> 1L, "p q r" -> 13L),
+        "index must hold first-ARRIVAL ids; a stored entry is never rewritten")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("streaming near-dup pair set is invariant to the batch split and equals the batch pipeline") {
     import graft.ops.Dedup
     val base = "the quick brown fox jumps over the lazy dog and runs far away home"

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge lists — the family member beyond
+  * [[Dedup]]'s connected components: PageRank (Page et al. 1999) in a
+  * FIXED-POINT integer form, used here to rank SOURCES over the
+  * provenance/overlap graph (acquisition priority: a feed that strong,
+  * well-connected feeds copy from outranks a leaf), but generic over any
+  * (src, dst) edge frame.
+  *
+  * '''Why fixed-point.''' Float PageRank sums per-node contributions in
+  * nondeterministic order — unhashable cross-engine (and unstable across
+  * reruns). Ranks here are integer micro-units of `scale` (default 10¹²):
+  * the initial rank is `scale div N`, the teleport term
+  * `(scale·(dampDen−dampNum)) div (dampDen·N)`, and each edge carries
+  * `(r·dampNum) div (dampDen·outdeg)` — ALL integral `div`s, so every
+  * iteration is exact 64-bit arithmetic any engine reproduces bit-for-bit
+  * (values stay < 10¹⁴, far under Long range; quantization error per term
+  * is < 1 micro-unit = 10⁻¹² of total mass, irrelevant to ranking).
+  * Dangling nodes (outdeg 0) contribute nothing — their damped mass is
+  * dropped, the standard simplification; teleport keeps them ranked.
+  *
+  * '''Scale shape.''' Each iteration is one edges⋈ranks equi-join keyed on
+  * the source node + one map-combinable sum keyed on the destination — the
+  * connected-components round shape; k iterations = k small job waves, and
+  * at real scale each round's output would be checkpointed exactly as
+  * [[Dedup]]'s CC rounds are. The node count rides a 1-row broadcast
+  * scalar subquery (the q24 cap pattern); out-degrees attach to edges once
+  * before the loop.
+  */
+object Graph {
+
+  def pageRankFixedPoint(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, scale: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1 && scale > 0 && dampNum > 0 && dampDen > dampNum)
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct()
+    val nFrame = nodes.agg(count(lit(1)).as("__n"))
+    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+    val edgesD = e.join(deg, "__src")
+    var r: DataFrame = nodes.crossJoin(broadcast(nFrame))
+      .select(col("node"), expr(s"$scale div __n").as("__r"))
+    val teleNum = scale * (dampDen - dampNum)
+    (1 to iterations).foreach { _ =>
+      val contribs = edgesD
+        .join(r, edgesD("__src") === r("node"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(expr(s"(__r * $dampNum) div ($dampDen * __deg)")).as("__in"))
+      r = nodes.crossJoin(broadcast(nFrame))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (expr(s"$teleNum div ($dampDen * __n)") +
+            coalesce(col("__in"), lit(0L))).as("__r"))
+    }
+    r.select(col("node"), col("__r").as("rank_fp"))
+  }
+
+  /** Generated DuckDB twin of [[pageRankFixedPoint]] — the iteration CTEs
+    * are unrolled from the SAME constants and the same integral-division
+    * expressions (the q27 generated-SQL rule: oracle and operator cannot
+    * drift). Expects a CTE `$edgesCte(src, dst)` in scope; emits CTEs and
+    * a final `SELECT node, rank_fp` ordered by node.
+    */
+  def pageRankSql(
+      edgesCte: String, iterations: Int = 3, scale: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): String = {
+    val teleNum = scale * (dampDen - dampNum)
+    val iters = (1 to iterations).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS (
+          SELECT v.node,
+            ($teleNum // ($dampDen * (SELECT n FROM nn))) + coalesce(s.inflow, 0) AS r
+          FROM nodes v LEFT JOIN (
+            SELECT e.dst AS node,
+              CAST(sum(($prev.r * $dampNum) // ($dampDen * d.deg)) AS BIGINT) AS inflow
+            FROM $edgesCte e
+            JOIN $prev ON $prev.node = e.src
+            JOIN dg d ON d.src = e.src
+            GROUP BY e.dst) s USING (node))"""
+    }.mkString(",\n        ")
+    s"""nodes AS (
+          SELECT DISTINCT src AS node FROM $edgesCte
+          UNION SELECT DISTINCT dst FROM $edgesCte),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM $edgesCte GROUP BY src),
+        r0 AS (
+          SELECT node, ($scale // (SELECT n FROM nn)) AS r FROM nodes),
+        $iters
+        SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r$iterations ORDER BY node"""
+  }
+}

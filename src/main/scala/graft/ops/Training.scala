@@ -288,6 +288,40 @@ object Training {
         floor((col("cum_tokens") - col(tokensCol)) / lit(budget)).cast("long"))
   }
 
+  /** Packing-efficiency datasheet — the trainer-facing report over
+    * [[packBins]] output: per (partition…, shard), bin count, item count,
+    * token mass, worst bin, how many bins exceed the budget (possible by
+    * construction — [[packBins]] starts a new bin when the RUNNING sum
+    * crosses the budget, so a large item can overshoot its bin; chunk
+    * first via [[chunkTokens]] when hard ≤-budget bins are required — and
+    * this datasheet is exactly the check that the chunk step was sized
+    * right), and the fill rate against n_bins × budget. Two map-side
+    * combinable aggregates (bins, then shards); |shards| rows out; exact
+    * integer counts, one rounded division (q79's rule).
+    */
+  def packingStats(
+      packed: DataFrame, tokensCol: String, budget: Long,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    require(budget > 0)
+    val keys = partitionCols :+ "shard"
+    val bins = packed
+      .groupBy((keys :+ "bin").map(col): _*)
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col(tokensCol)).cast("long").as("__tok"))
+    bins
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("__n")).cast("long").as("n_items"),
+        sum(col("__tok")).cast("long").as("total_tokens"),
+        max(col("__tok")).as("max_bin_tokens"),
+        sum(when(col("__tok") > lit(budget), 1L).otherwise(0L)).as("n_over_budget"),
+        round(
+          sum(col("__tok")).cast("double") /
+            (count(lit(1)) * lit(budget)).cast("double"), 4).as("fill_rate"))
+  }
+
   /** Fixed-size context-window chunking: split each document's token stream
     * into windows of `chunkSize` tokens starting every `stride` tokens
     * (stride = chunkSize → disjoint; stride < chunkSize → overlapping). Map-side

@@ -1,8 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.ops.{Dedup, TextStats}
+import graft.ops.{Dedup, Graph, TextStats}
 
 /** Text-analysis / dedup battery over `documents` — the LLM-training-data
   * curation surface: exact dedup, MinHash+LSH near-dup, n-gram Jaccard,
@@ -987,5 +988,44 @@ object TextOps {
         JOIN sz zb ON zb.source = b.source
         GROUP BY a.source, b.source, za.n, zb.n
         ORDER BY src_a, src_b""")),
+
+    // Source AUTHORITY over the provenance graph — q127's matrix made
+    // actionable: each source links to its top-3 overlap partners
+    // (n_shared desc, name tie-break — WindowGroupLimit prunes the
+    // shuffle), then 3 rounds of fixed-point integer PageRank rank the
+    // sources for acquisition priority. Every arithmetic step is an
+    // integral `div` of 64-bit values, so the oracle (generated from the
+    // SAME constants by `Graph.pageRankSql`) matches bit-for-bit.
+    QueryDef(
+      "q130_source_pagerank",
+      (s, dir) => {
+        val m = Dedup.sourceOverlapMatrix(Tables.documents(s, dir), "source", "text", w = 3)
+        val sym = m.select(col("src_a").as("src"), col("src_b").as("dst"), col("n_shared"))
+          .unionByName(
+            m.select(col("src_b").as("src"), col("src_a").as("dst"), col("n_shared")))
+        val w = Window.partitionBy(col("src")).orderBy(col("n_shared").desc, col("dst"))
+        val edges = sym.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= 3).select(col("src"), col("dst"))
+        Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 3)
+          .orderBy(col("node"))
+      },
+      Some(s"""
+        WITH ${OracleFrags.shinglesCtes("documents")},
+        ss AS (
+          SELECT DISTINCT d.source, s.shingle
+          FROM sh s JOIN documents d USING (doc_id)),
+        ov AS (
+          SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+          FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+          GROUP BY a.source, b.source),
+        sym AS (
+          SELECT src_a AS src, src_b AS dst, n_shared FROM ov
+          UNION ALL SELECT src_b, src_a, n_shared FROM ov),
+        rk AS (
+          SELECT src, dst,
+            row_number() OVER (PARTITION BY src ORDER BY n_shared DESC, dst) AS rn
+          FROM sym),
+        edges AS (SELECT src, dst FROM rk WHERE rn <= 3),
+        ${Graph.pageRankSql("edges", iterations = 3)}""")),
   )
 }

@@ -134,6 +134,46 @@ object TrainingOps {
           min(doc_id) AS first_doc
         FROM c GROUP BY shard, bin ORDER BY shard, bin""")),
 
+    // Packing-efficiency datasheet over q74's bins: per shard, bin/item
+    // counts, token mass, worst bin, over-budget bins (live both ways:
+    // packBins lets a large doc overshoot its bin — this is the report
+    // that catches an under-sized chunk step), fill rate. Oracle extends
+    // q74's CTE with the same two-level aggregate.
+    QueryDef(
+      "q129_packing_stats",
+      (s, dir) =>
+        Training.packingStats(
+            Training.packBins(
+              Tables.documents(s, dir)
+                .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tokens")),
+              "doc_id", "n_tokens", budget = PackBudget),
+            "n_tokens", budget = PackBudget)
+          .orderBy(col("shard")),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+            len(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n_tokens,
+            ${Training.hashHexSql("doc_id", "graft-pack", hexChars = 1)} AS shard
+          FROM documents),
+        c AS (
+          SELECT shard, doc_id, n_tokens,
+            sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+          FROM t),
+        bins AS (
+          SELECT shard, CAST(floor((cum - n_tokens) / $PackBudget) AS BIGINT) AS bin,
+            count(*) AS n, CAST(sum(n_tokens) AS BIGINT) AS tok
+          FROM c GROUP BY shard, bin)
+        SELECT shard,
+          CAST(count(*) AS BIGINT) AS n_bins,
+          CAST(sum(n) AS BIGINT) AS n_items,
+          CAST(sum(tok) AS BIGINT) AS total_tokens,
+          max(tok) AS max_bin_tokens,
+          CAST(sum(CASE WHEN tok > $PackBudget THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_over_budget,
+          round(CAST(sum(tok) AS DOUBLE) / CAST(count(*) * $PackBudget AS DOUBLE), 4)
+            AS fill_rate
+        FROM bins GROUP BY shard ORDER BY shard""")),
+
     // Stratified sampling: per-language keep rates as hash thresholds — a
     // map-only FILTER (no shuffle, no stratum-size pre-pass, reproducible
     // exact membership). Gate returns the sampled rows themselves.

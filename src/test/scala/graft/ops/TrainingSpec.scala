@@ -406,4 +406,20 @@ class TrainingSpec extends SparkSpec {
     assert(inc.contains((3L, 2L, 2L, 1.0)))
     assert(inc.contains((9L, 2L, 0L, 0.0)))
   }
+
+  test("packingStats: closed-form fill rates and over-budget bins") {
+    import spark.implicits._
+    val packed = Seq(
+      ("a", 0L, 10L), ("a", 0L, 90L), // bin a/0: 100 tokens, exactly at budget
+      ("a", 1L, 120L),                // bin a/1: overshoot (large item)
+      ("b", 0L, 50L)
+    ).toDF("shard", "bin", "n_tokens")
+    val got = Training.packingStats(packed, "n_tokens", budget = 100L).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    assert(got === Map(
+      "a" -> ((2L, 3L, 220L, 120L, 1L, 1.1)),
+      "b" -> ((1L, 1L, 50L, 50L, 0L, 0.5))))
+  }
 }

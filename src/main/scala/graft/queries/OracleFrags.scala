@@ -25,6 +25,67 @@ object OracleFrags {
           FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
           WHERE len(t) >= 3)"""
 
+  /** The source-overlap fragment (q127/q130/q131): distinct (source,
+    * shingle) index, per-source shingle totals, and the pairwise overlap
+    * matrix with Jaccard. Emits CTEs `ss, sz, ov` over the `sh` CTE of
+    * [[shinglesCtes]] (call that first) joined back to `$src` for the
+    * source label; `ov(src_a < src_b, n_shared, sz_a, sz_b, jaccard)`.
+    */
+  def sourceOverlapCtes(src: String): String = s"""
+        ss AS (
+          SELECT DISTINCT d.source, s.shingle
+          FROM sh s JOIN $src d USING (doc_id)),
+        sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY source),
+        ov AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+            CAST(count(*) AS BIGINT) AS n_shared, za.n AS sz_a, zb.n AS sz_b,
+            round(CAST(count(*) AS DOUBLE)
+              / CAST(za.n + zb.n - count(*) AS DOUBLE), 4) AS jaccard
+          FROM ss a
+          JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+          JOIN sz za ON za.source = a.source
+          JOIN sz zb ON zb.source = b.source
+          GROUP BY a.source, b.source, za.n, zb.n)"""
+
+  /** The top-3-partner provenance edge fragment (q130/q131): symmetrized
+    * overlap rows ranked per source by (n_shared desc, partner). Emits
+    * CTEs `sym, rk, edges` over [[sourceOverlapCtes]]' `ov`.
+    */
+  def provenanceEdgesCtes: String = s"""
+        sym AS (
+          SELECT src_a AS src, src_b AS dst, n_shared, jaccard FROM ov
+          UNION ALL SELECT src_b, src_a, n_shared, jaccard FROM ov),
+        rk AS (
+          SELECT src, dst,
+            row_number() OVER (PARTITION BY src ORDER BY n_shared DESC, dst) AS rn
+          FROM sym),
+        edges AS (SELECT src, dst FROM rk WHERE rn <= 3)"""
+
+  /** The budget-driven mixture-epochs fragment (q123/q131): per-source
+    * token mass, corpus total, linear-in-index weights replayed from the
+    * source name, and the final epochs/over-cap frame. Emits CTEs
+    * `mt, mtot, mw, mix` over `$src(source, n_chars)`;
+    * `mix(source, tokens, weight, target_tokens, epochs, over_cap)`.
+    */
+  def mixtureEpochsCtes(src: String): String = s"""
+        mt AS (
+          SELECT source, CAST(sum(n_chars) AS BIGINT) AS tokens
+          FROM $src GROUP BY source),
+        mtot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM mt),
+        mw AS (
+          SELECT source, tokens,
+            (CAST(substr(source, 4) AS INTEGER) + 1) / 210.0 AS weight
+          FROM mt
+          WHERE CAST(substr(source, 4) AS INTEGER) BETWEEN 0 AND 19),
+        mix AS (
+          SELECT mw.source, mw.tokens, mw.weight,
+            round(mw.weight * 2.0 * CAST(mtot.total AS DOUBLE), 4) AS target_tokens,
+            round(mw.weight * 2.0 * CAST(mtot.total AS DOUBLE)
+              / CAST(mw.tokens AS DOUBLE), 4) AS epochs,
+            round(mw.weight * 2.0 * CAST(mtot.total AS DOUBLE)
+              / CAST(mw.tokens AS DOUBLE), 4) > 2.0 AS over_cap
+          FROM mw, mtot)"""
+
   /** The LSH candidate-pair fragment (q78/q83/q85/q87/q92): scan-local
     * MinHash (k=4, w=3), 2 bands of 2 rows, band-bucket pairs. Emits CTEs
     * `toks, sh, sig, bands, pairs` over `$src(doc_id, text)`, with

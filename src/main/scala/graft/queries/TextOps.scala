@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.ops.{Dedup, Graph, TextStats}
+import graft.ops.{Dedup, Graph, TextStats, Training}
 
 /** Text-analysis / dedup battery over `documents` — the LLM-training-data
   * curation surface: exact dedup, MinHash+LSH near-dup, n-gram Jaccard,
@@ -973,21 +973,9 @@ object TextOps {
           .orderBy(col("src_a"), col("src_b")),
       Some(s"""
         WITH ${OracleFrags.shinglesCtes("documents")},
-        ss AS (
-          SELECT DISTINCT d.source, s.shingle
-          FROM sh s JOIN documents d USING (doc_id)),
-        sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY source)
-        SELECT a.source AS src_a, b.source AS src_b,
-          CAST(count(*) AS BIGINT) AS n_shared,
-          za.n AS sz_a, zb.n AS sz_b,
-          round(CAST(count(*) AS DOUBLE)
-            / CAST(za.n + zb.n - count(*) AS DOUBLE), 4) AS jaccard
-        FROM ss a
-        JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
-        JOIN sz za ON za.source = a.source
-        JOIN sz zb ON zb.source = b.source
-        GROUP BY a.source, b.source, za.n, zb.n
-        ORDER BY src_a, src_b""")),
+        ${OracleFrags.sourceOverlapCtes("documents")}
+        SELECT src_a, src_b, n_shared, sz_a, sz_b, jaccard
+        FROM ov ORDER BY src_a, src_b""")),
 
     // Source AUTHORITY over the provenance graph — q127's matrix made
     // actionable: each source links to its top-3 overlap partners
@@ -1011,21 +999,54 @@ object TextOps {
       },
       Some(s"""
         WITH ${OracleFrags.shinglesCtes("documents")},
-        ss AS (
-          SELECT DISTINCT d.source, s.shingle
-          FROM sh s JOIN documents d USING (doc_id)),
-        ov AS (
-          SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
-          FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
-          GROUP BY a.source, b.source),
-        sym AS (
-          SELECT src_a AS src, src_b AS dst, n_shared FROM ov
-          UNION ALL SELECT src_b, src_a, n_shared FROM ov),
-        rk AS (
-          SELECT src, dst,
-            row_number() OVER (PARTITION BY src ORDER BY n_shared DESC, dst) AS rn
-          FROM sym),
-        edges AS (SELECT src, dst FROM rk WHERE rn <= 3),
+        ${OracleFrags.sourceOverlapCtes("documents")},
+        ${OracleFrags.provenanceEdgesCtes},
         ${Graph.pageRankSql("edges", iterations = 3)}""")),
+
+    // The ACQUISITION PLAN — the planning surface the acquisition
+    // operators exist for, one row per source: token mass + budget
+    // epochs + over-cap flag (q123's mixture), provenance authority
+    // (q130's fixed-point PageRank), and redundancy exposure (worst
+    // overlap-Jaccard with any partner, from q127's matrix). Every
+    // column comes from a fragment that also gates its stage alone
+    // (mixtureEpochsCtes / sourceOverlapCtes + provenanceEdgesCtes +
+    // pageRankSql), so stage drift breaks both gates — the q87 rule.
+    // The overlap matrix is persisted: it feeds the PageRank edges AND
+    // the redundancy column, and a multi-referenced subplan must be a
+    // cache leaf (the q120 lesson).
+    QueryDef(
+      "q131_acquisition_plan",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val m = Dedup.sourceOverlapMatrix(docs, "source", "text", w = 3).persist()
+        val sym = m.select(col("src_a").as("src"), col("src_b").as("dst"),
+            col("n_shared"), col("jaccard"))
+          .unionByName(m.select(col("src_b").as("src"), col("src_a").as("dst"),
+            col("n_shared"), col("jaccard")))
+        val wnd = Window.partitionBy(col("src")).orderBy(col("n_shared").desc, col("dst"))
+        val edges = sym.withColumn("__rn", row_number().over(wnd))
+          .filter(col("__rn") <= 3).select(col("src"), col("dst"))
+        val pr = Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 3)
+        val red = sym.groupBy(col("src").as("source")).agg(max(col("jaccard")).as("max_jaccard"))
+        val weights = (0 until 20).map(i => s"src$i" -> (i + 1) / 210.0).toMap
+        Training.mixtureEpochs(docs, "source", "n_chars", weights,
+            budgetFactor = 2.0, maxEpochs = 2.0)
+          .join(pr.withColumnRenamed("node", "source"), "source")
+          .join(red, "source")
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH ${OracleFrags.shinglesCtes("documents")},
+        ${OracleFrags.sourceOverlapCtes("documents")},
+        ${OracleFrags.provenanceEdgesCtes},
+        pr AS (WITH ${Graph.pageRankSql("edges", iterations = 3)}),
+        red AS (SELECT src AS source, max(jaccard) AS max_jaccard FROM sym GROUP BY src),
+        ${OracleFrags.mixtureEpochsCtes("documents")}
+        SELECT m.source, m.tokens, m.weight, m.target_tokens, m.epochs, m.over_cap,
+          pr.rank_fp, red.max_jaccard
+        FROM mix m
+        JOIN pr ON pr.node = m.source
+        JOIN red USING (source)
+        ORDER BY m.source""")),
   )
 }

@@ -775,23 +775,10 @@ object TrainingOps {
             weights, budgetFactor = 2.0, maxEpochs = 2.0)
           .orderBy(col("source"))
       },
-      Some("""
-        WITH t AS (
-          SELECT source, CAST(sum(n_chars) AS BIGINT) AS tokens
-          FROM documents GROUP BY source),
-        tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM t),
-        w AS (
-          SELECT source, tokens,
-            (CAST(substr(source, 4) AS INTEGER) + 1) / 210.0 AS weight
-          FROM t
-          WHERE CAST(substr(source, 4) AS INTEGER) BETWEEN 0 AND 19)
-        SELECT w.source, w.tokens, w.weight,
-          round(w.weight * 2.0 * CAST(tot.total AS DOUBLE), 4) AS target_tokens,
-          round(w.weight * 2.0 * CAST(tot.total AS DOUBLE) / CAST(w.tokens AS DOUBLE), 4)
-            AS epochs,
-          round(w.weight * 2.0 * CAST(tot.total AS DOUBLE) / CAST(w.tokens AS DOUBLE), 4)
-            > 2.0 AS over_cap
-        FROM w, tot ORDER BY w.source""")),
+      Some(s"""
+        WITH ${OracleFrags.mixtureEpochsCtes("documents")}
+        SELECT source, tokens, weight, target_tokens, epochs, over_cap
+        FROM mix ORDER BY source""")),
 
     // Corpus novelty: fraction of each doc's distinct 3-shingles first
     // seen (min doc_id = acquisition order) in that doc. The ~30-word

@@ -37,12 +37,16 @@ object Graph {
       iterations: Int = 3, scale: Long = 1000000000000L,
       dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
     require(iterations >= 1 && scale > 0 && dampNum > 0 && dampDen > dampNum)
+    // nodes and degree-attached edges are referenced EVERY iteration: they
+    // must be cache leaves or each round re-plans (and AQE re-materializes)
+    // the full upstream edge-construction tree — the q120 rule; measured
+    // 110 AQE jobs → ~30 for q131's 3 rounds over the overlap graph
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
     val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst").as("node"))).distinct()
+      .union(e.select(col("__dst").as("node"))).distinct().persist()
     val nFrame = nodes.agg(count(lit(1)).as("__n"))
     val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
-    val edgesD = e.join(deg, "__src")
+    val edgesD = e.join(deg, "__src").persist()
     var r: DataFrame = nodes.crossJoin(broadcast(nFrame))
       .select(col("node"), expr(s"$scale div __n").as("__r"))
     val teleNum = scale * (dampDen - dampNum)

@@ -1028,11 +1028,22 @@ object TextOps {
           .filter(col("__rn") <= 3).select(col("src"), col("dst"))
         val pr = Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 3)
         val red = sym.groupBy(col("src").as("source")).agg(max(col("jaccard")).as("max_jaccard"))
+        // per-source novelty rate — q125's marginal-value signal rolled up
+        // to the planning grain: novel shingle-occurrences / all, exact
+        // ints, one division
+        val nov = Dedup.wordShingles(docs, "doc_id", "text", w = 3)
+          .join(Training.noveltyFirstIndex(docs, "doc_id", "text", w = 3), "shingle")
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source"))
+          .agg(round(
+            sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L)).cast("double") /
+              count(lit(1)).cast("double"), 4).as("novelty_rate"))
         val weights = (0 until 20).map(i => s"src$i" -> (i + 1) / 210.0).toMap
         Training.mixtureEpochs(docs, "source", "n_chars", weights,
             budgetFactor = 2.0, maxEpochs = 2.0)
           .join(pr.withColumnRenamed("node", "source"), "source")
           .join(red, "source")
+          .join(nov, "source")
           .orderBy(col("source"))
       },
       Some(s"""
@@ -1041,12 +1052,20 @@ object TextOps {
         ${OracleFrags.provenanceEdgesCtes},
         pr AS (WITH ${Graph.pageRankSql("edges", iterations = 3)}),
         red AS (SELECT src AS source, max(jaccard) AS max_jaccard FROM sym GROUP BY src),
+        nvf AS (SELECT shingle, min(doc_id) AS first_id FROM sh GROUP BY shingle),
+        nvr AS (
+          SELECT d.source,
+            round(CAST(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 4) AS novelty_rate
+          FROM sh s JOIN nvf f USING (shingle) JOIN documents d USING (doc_id)
+          GROUP BY d.source),
         ${OracleFrags.mixtureEpochsCtes("documents")}
         SELECT m.source, m.tokens, m.weight, m.target_tokens, m.epochs, m.over_cap,
-          pr.rank_fp, red.max_jaccard
+          pr.rank_fp, red.max_jaccard, nvr.novelty_rate
         FROM mix m
         JOIN pr ON pr.node = m.source
         JOIN red USING (source)
+        JOIN nvr USING (source)
         ORDER BY m.source""")),
   )
 }

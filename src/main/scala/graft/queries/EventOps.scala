@@ -56,7 +56,7 @@ object EventOps {
     * r7: repeated gate/bench invocations accumulated src/checkpoint/output
     * temp data for the JVM lifetime).
     */
-  private def rmTree(path: String): Unit = {
+  private[queries] def rmTree(path: String): Unit = {
     def go(f: java.io.File): Unit = {
       val kids = f.listFiles()
       if (kids != null) kids.foreach(go)

@@ -1067,5 +1067,27 @@ object TextOps {
         JOIN red USING (source)
         JOIN nvr USING (source)
         ORDER BY m.source""")),
+
+    // JSONL ingest — the format LLM corpora actually ship in: write the
+    // corpus as line-delimited JSON, read it back with a DECLARED schema
+    // (inference is a second full scan, and a type guess — the engine's
+    // S1/S3 rule applies to JSON exactly as to TSV), and hash-match the
+    // parquet route. Two physical routes, one answer; JSONL is splittable
+    // by line, so the read parallelizes like any text scan at 100 TB.
+    QueryDef(
+      "q132_jsonl_ingest",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("q132jsonl").toString
+        docs.write.mode("overwrite").json(tmp)
+        val back = s.read.schema(docs.schema).json(tmp)
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+        EventOps.rmTree(tmp)
+        back
+      },
+      Some("""
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents ORDER BY doc_id""")),
   )
 }

@@ -543,6 +543,29 @@ object Relational {
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_nationkey ORDER BY s_nationkey""")),
 
+    // q63's PRE-FLIGHT: the skew report over the same join key, run
+    // BEFORE choosing plain shuffle vs salted join vs AQE split — top-10
+    // heaviest suppkeys with row share and skew factor (count ÷ mean
+    // rows/key = the salt replication that key would need). One
+    // map-combinable count aggregate + TakeOrderedAndProject; totals ride
+    // the 1-row broadcast scalar subquery (q24 cap pattern).
+    QueryDef(
+      "q133_skew_report",
+      (s, dir) =>
+        graft.ops.Skew.skewReport(
+          Tables.lineitem(s, dir).select(col("l_suppkey")), "l_suppkey", topK = 10),
+      Some("""
+        WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY l_suppkey),
+        t AS (
+          SELECT CAST(sum(n_rows) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS keys
+          FROM c)
+        SELECT l_suppkey, n_rows,
+          round(CAST(n_rows AS DOUBLE) / CAST(t.total AS DOUBLE), 4) AS share,
+          round(CAST(n_rows AS DOUBLE) * CAST(t.keys AS DOUBLE)
+            / CAST(t.total AS DOUBLE), 4) AS skew_factor,
+          t.total AS total_rows, t.keys AS n_keys
+        FROM c, t ORDER BY n_rows DESC, l_suppkey LIMIT 10""")),
+
     // Pivot (wide conditional aggregation) with fixed pivot values.
     QueryDef(
       "q14_pivot_status",

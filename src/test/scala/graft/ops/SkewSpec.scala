@@ -19,6 +19,17 @@ class SkewSpec extends SparkSpec {
     assert(salted.count() === plain.count())
   }
 
+  test("skewReport: closed-form shares and skew factors, heaviest first") {
+    // key 7 → 6 rows, key 1 → 3, key 2 → 1: total 10, 3 keys, mean 10/3
+    val df = (Seq.fill(6)(7L) ++ Seq.fill(3)(1L) ++ Seq(2L)).toDF("k")
+    val got = Skew.skewReport(df, "k", topK = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (7L, 6L, 0.6, 1.8, 10L, 3L),   // 6/10; 6·3/10
+      (1L, 3L, 0.3, 0.9, 10L, 3L)))
+  }
+
   test("salt is deterministic: running twice gives identical assignments") {
     val probe = (1 to 100).map(i => (i.toLong % 5, i)).toDF("k", "v")
     val build = (0L until 5L).map(k => (k, s"d$k")).toDF("k", "name")

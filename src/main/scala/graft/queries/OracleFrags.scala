@@ -71,12 +71,16 @@ object OracleFrags {
         mt AS (
           SELECT source, CAST(sum(n_chars) AS BIGINT) AS tokens
           FROM $src GROUP BY source),
-        mtot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM mt),
         mw AS (
           SELECT source, tokens,
             (CAST(substr(source, 4) AS INTEGER) + 1) / 210.0 AS weight
           FROM mt
           WHERE CAST(substr(source, 4) AS INTEGER) BETWEEN 0 AND 19),
+        -- the budget's corpus mass sums the MIXTURE's sources only (the
+        -- mixture defines the corpus — same rule as the operator); with
+        -- the fixture's src0..src19 this equals the all-source total, but
+        -- the fragment must not depend on that
+        mtot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM mw),
         mix AS (
           SELECT mw.source, mw.tokens, mw.weight,
             round(mw.weight * 2.0 * CAST(mtot.total AS DOUBLE), 4) AS target_tokens,

@@ -64,6 +64,86 @@ object Graph {
     r.select(col("node"), col("__r").as("rank_fp"))
   }
 
+  /** WEIGHTED fixed-point PageRank — [[pageRankFixedPoint]] with each
+    * edge carrying `weightCol` (e.g. the overlap mass between two
+    * sources: a 3000-shingle link should not count like a 30-shingle
+    * one). A source's damped rank is split across its out-edges
+    * proportionally to weight, quantized to PER-MILLE of the source's
+    * out-weight: `wn = (w·1000) div W(u)`, contribution =
+    * `((r·dampNum) div dampDen · wn) div 1000`. The two-step quantization
+    * is what keeps every product inside exact 64-bit range for ANY weight
+    * magnitude (the naive `r·dampNum·w` overflows once w exceeds ~10⁷ —
+    * shared-shingle masses at corpus scale do); the cost is ≤ 1‰ of a
+    * node's damped mass lost to flooring per round (the dangling-mass
+    * simplification's spirit), irrelevant to ranking and exactly
+    * reproduced by the generated oracle. Same per-round join shape and
+    * cache-leaf rule as the unweighted form.
+    */
+  def pageRankWeightedFixedPoint(
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      iterations: Int = 3, scale: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1 && scale > 0 && dampNum > 0 && dampDen > dampNum)
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      col(weightCol).cast("long").as("__w"))
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct().persist()
+    val nFrame = nodes.agg(count(lit(1)).as("__n"))
+    val wSum = e.groupBy(col("__src")).agg(sum(col("__w")).as("__wsum"))
+    val edgesW = e.join(wSum, "__src")
+      .withColumn("__wn", expr("(__w * 1000) div __wsum")).persist()
+    var r: DataFrame = nodes.crossJoin(broadcast(nFrame))
+      .select(col("node"), expr(s"$scale div __n").as("__r"))
+    val teleNum = scale * (dampDen - dampNum)
+    (1 to iterations).foreach { _ =>
+      val contribs = edgesW
+        .join(r, edgesW("__src") === r("node"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(expr(s"((__r * $dampNum) div $dampDen * __wn) div 1000")).as("__in"))
+      r = nodes.crossJoin(broadcast(nFrame))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (expr(s"$teleNum div ($dampDen * __n)") +
+            coalesce(col("__in"), lit(0L))).as("__r"))
+    }
+    r.select(col("node"), col("__r").as("rank_fp"))
+  }
+
+  /** Generated DuckDB twin of [[pageRankWeightedFixedPoint]] (the q27
+    * generated-SQL rule). Expects `$edgesCte(src, dst, w)`; emits CTEs
+    * and the final `SELECT node, rank_fp` ordered by node.
+    */
+  def pageRankWeightedSql(
+      edgesCte: String, iterations: Int = 3, scale: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): String = {
+    val teleNum = scale * (dampDen - dampNum)
+    val iters = (1 to iterations).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS (
+          SELECT v.node,
+            ($teleNum // ($dampDen * (SELECT n FROM nn))) + coalesce(s.inflow, 0) AS r
+          FROM nodes v LEFT JOIN (
+            SELECT e.dst AS node,
+              CAST(sum((($prev.r * $dampNum) // $dampDen * e.wn) // 1000) AS BIGINT)
+                AS inflow
+            FROM ew e
+            JOIN $prev ON $prev.node = e.src
+            GROUP BY e.dst) s USING (node))"""
+    }.mkString(",\n        ")
+    s"""nodes AS (
+          SELECT DISTINCT src AS node FROM $edgesCte
+          UNION SELECT DISTINCT dst FROM $edgesCte),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM $edgesCte GROUP BY src),
+        ew AS (
+          SELECT e.src, e.dst, (CAST(e.w AS BIGINT) * 1000) // ws.wsum AS wn
+          FROM $edgesCte e JOIN ws USING (src)),
+        r0 AS (
+          SELECT node, ($scale // (SELECT n FROM nn)) AS r FROM nodes),
+        $iters
+        SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r$iterations ORDER BY node"""
+  }
+
   /** Generated DuckDB twin of [[pageRankFixedPoint]] — the iteration CTEs
     * are unrolled from the SAME constants and the same integral-division
     * expressions (the q27 generated-SQL rule: oracle and operator cannot

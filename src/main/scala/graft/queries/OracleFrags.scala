@@ -56,7 +56,7 @@ object OracleFrags {
           SELECT src_a AS src, src_b AS dst, n_shared, jaccard FROM ov
           UNION ALL SELECT src_b, src_a, n_shared, jaccard FROM ov),
         rk AS (
-          SELECT src, dst,
+          SELECT src, dst, n_shared,
             row_number() OVER (PARTITION BY src ORDER BY n_shared DESC, dst) AS rn
           FROM sym),
         edges AS (SELECT src, dst FROM rk WHERE rn <= 3)"""

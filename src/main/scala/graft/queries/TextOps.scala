@@ -1068,6 +1068,32 @@ object TextOps {
         JOIN nvr USING (source)
         ORDER BY m.source""")),
 
+    // WEIGHTED source authority: q130's graph with the overlap mass as
+    // the edge weight — a 3000-shingle link outweighs a 30-shingle one,
+    // the more honest provenance signal. Per-mille weight quantization
+    // keeps all arithmetic in exact 64-bit range at any weight magnitude
+    // (see Graph.pageRankWeightedFixedPoint); oracle generated from the
+    // same constants.
+    QueryDef(
+      "q134_source_pagerank_weighted",
+      (s, dir) => {
+        val m = Dedup.sourceOverlapMatrix(Tables.documents(s, dir), "source", "text", w = 3)
+        val sym = m.select(col("src_a").as("src"), col("src_b").as("dst"), col("n_shared"))
+          .unionByName(
+            m.select(col("src_b").as("src"), col("src_a").as("dst"), col("n_shared")))
+        val wnd = Window.partitionBy(col("src")).orderBy(col("n_shared").desc, col("dst"))
+        val edges = sym.withColumn("__rn", row_number().over(wnd))
+          .filter(col("__rn") <= 3).select(col("src"), col("dst"), col("n_shared"))
+        Graph.pageRankWeightedFixedPoint(edges, "src", "dst", "n_shared", iterations = 3)
+          .orderBy(col("node"))
+      },
+      Some(s"""
+        WITH ${OracleFrags.shinglesCtes("documents")},
+        ${OracleFrags.sourceOverlapCtes("documents")},
+        ${OracleFrags.provenanceEdgesCtes},
+        wedges AS (SELECT src, dst, n_shared AS w FROM rk WHERE rn <= 3),
+        ${Graph.pageRankWeightedSql("wedges", iterations = 3)}""")),
+
     // JSONL ingest — the format LLM corpora actually ship in: write the
     // corpus as line-delimited JSON, read it back with a DECLARED schema
     // (inference is a second full scan, and a type guess — the engine's

@@ -145,6 +145,7 @@ class PlanSpec extends SparkSpec {
       "q130_source_pagerank" -> "BroadcastNestedLoopJoin", // 1-row node-count crossJoin per PageRank round (q24 cap pattern)
       "q131_acquisition_plan" -> "BroadcastNestedLoopJoin", // embeds q130's node-count and q123's corpus-total 1-row crossJoins
       "q133_skew_report" -> "BroadcastNestedLoopJoin", // 1-row totals scalar-subquery crossJoin (q24 cap pattern)
+      "q134_source_pagerank_weighted" -> "BroadcastNestedLoopJoin", // 1-row node-count crossJoin per PageRank round (q130 pattern)
       "q115_ann_ivf_append" -> "BroadcastNestedLoopJoin", // probe×centroid cell assignment (q38 shape); centroids broadcast
       "q116_ann_ivf_append_quantized" -> "BroadcastNestedLoopJoin") // probe×centroid cell assignment (q38 shape); centroids broadcast
     val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

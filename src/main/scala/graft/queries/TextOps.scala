@@ -1025,8 +1025,11 @@ object TextOps {
             col("n_shared"), col("jaccard")))
         val wnd = Window.partitionBy(col("src")).orderBy(col("n_shared").desc, col("dst"))
         val edges = sym.withColumn("__rn", row_number().over(wnd))
-          .filter(col("__rn") <= 3).select(col("src"), col("dst"))
+          .filter(col("__rn") <= 3).select(col("src"), col("dst"), col("n_shared"))
         val pr = Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 3)
+        val prw = Graph.pageRankWeightedFixedPoint(edges, "src", "dst", "n_shared",
+            iterations = 3)
+          .select(col("node").as("source"), col("rank_fp").as("rank_fp_weighted"))
         val red = sym.groupBy(col("src").as("source")).agg(max(col("jaccard")).as("max_jaccard"))
         // per-source novelty rate — q125's marginal-value signal rolled up
         // to the planning grain: novel shingle-occurrences / all, exact
@@ -1042,6 +1045,7 @@ object TextOps {
         Training.mixtureEpochs(docs, "source", "n_chars", weights,
             budgetFactor = 2.0, maxEpochs = 2.0)
           .join(pr.withColumnRenamed("node", "source"), "source")
+          .join(prw, "source")
           .join(red, "source")
           .join(nov, "source")
           .orderBy(col("source"))
@@ -1051,6 +1055,8 @@ object TextOps {
         ${OracleFrags.sourceOverlapCtes("documents")},
         ${OracleFrags.provenanceEdgesCtes},
         pr AS (WITH ${Graph.pageRankSql("edges", iterations = 3)}),
+        wedges AS (SELECT src, dst, n_shared AS w FROM rk WHERE rn <= 3),
+        prw AS (WITH ${Graph.pageRankWeightedSql("wedges", iterations = 3)}),
         red AS (SELECT src AS source, max(jaccard) AS max_jaccard FROM sym GROUP BY src),
         nvf AS (SELECT shingle, min(doc_id) AS first_id FROM sh GROUP BY shingle),
         nvr AS (
@@ -1061,9 +1067,11 @@ object TextOps {
           GROUP BY d.source),
         ${OracleFrags.mixtureEpochsCtes("documents")}
         SELECT m.source, m.tokens, m.weight, m.target_tokens, m.epochs, m.over_cap,
-          pr.rank_fp, red.max_jaccard, nvr.novelty_rate
+          pr.rank_fp, prw.rank_fp AS rank_fp_weighted, red.max_jaccard,
+          nvr.novelty_rate
         FROM mix m
         JOIN pr ON pr.node = m.source
+        JOIN prw ON prw.node = m.source
         JOIN red USING (source)
         JOIN nvr USING (source)
         ORDER BY m.source""")),

@@ -3,27 +3,30 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016) — the
-  * subword-vocabulary step of a training-data pipeline, where
-  * [[TextStats.subwordCountEstimate]] is only a counting heuristic.
+/** Byte-pair-encoding tokenizer (Sennrich et al. 2016) — TRAINING (learn a
+  * merge sequence from the corpus) and ENCODING (apply a learned merge
+  * sequence to arbitrary words), the subword-vocabulary step of a
+  * training-data pipeline where [[TextStats.subwordCountEstimate]] is only
+  * a counting heuristic.
   *
   * Scale shape (the classic one, and the reason BPE trains fast at any
   * corpus size): merges operate on the WORD-FREQUENCY DICTIONARY, not the
   * corpus. One corpus scan builds (word, count) — a single map-side
   * combinable aggregate whose output is the distinct-word set (Zipf: a few
-  * million rows at 100 TB, corpus-size-independent). Each merge round is
+  * million rows at 100 TB, corpus-size-independent). Each merge ROUND is
   * then two tiny jobs over the dict (the Lloyd's-iteration shape of
   * [[Clustering.lloyd]]):
   *
   *  1. pair counts — adjacent-symbol pairs weighted by word count, one
   *     map-side-combinable aggregate;
-  *  2. the argmax pair — `orderBy(freq desc).limit(1)`, a
-  *     TakeOrderedAndProject collecting ONE row to the driver;
+  *  2. the ranked head — `orderBy(freq desc, lhs, rhs).limit(…)`, a
+  *     TakeOrderedAndProject collecting a HANDFUL of rows to the driver,
+  *     from which the round's merge BATCH is selected (see [[train]]);
   *
-  * followed by a map-only rewrite of the dict's symbol arrays. The dict is
-  * re-checkpointed per round so lineage stays flat across hundreds of
-  * merges. Nothing in the loop grows with corpus size, and the only
-  * driver-side data is one (pair, freq) row per merge.
+  * followed by a map-only rewrite of the dict's symbol arrays applying the
+  * whole batch. The dict is re-checkpointed per round so lineage stays flat
+  * across hundreds of rounds. Nothing in the loop grows with corpus size,
+  * and the only driver-side data is a few (pair, freq) rows per round.
   *
   * Determinism: ties on pair frequency break lexicographically on
   * (lhs, rhs), so the learned merge sequence is a pure function of the
@@ -33,15 +36,25 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   /** End-of-word marker symbol, appended to every word's symbol sequence
-    * (Sennrich's `</w>`): merges crossing the marker learn word-final
-    * subwords distinct from word-internal ones.
+    * as ONE multi-character symbol (Sennrich's literal `</w>`): merges
+    * crossing the marker learn word-final subwords distinct from
+    * word-internal ones. A multi-char out-of-alphabet marker (not `_`,
+    * which legitimately occurs inside snake_case/code tokens) keeps
+    * word-internal text distinguishable from the marker. Stated
+    * restriction: a whitespace token containing the LITERAL text `</w>`
+    * would collide with the marker — vanishingly rare in natural text;
+    * strip or escape it upstream if the corpus can contain raw markup
+    * fragments as single tokens.
     */
-  val EndMark = "_"
+  val EndMark = "</w>"
 
-  /** One learned merge: at `step`, the corpus's most frequent adjacent
-    * symbol pair (lhs, rhs) with weight `freq` became token `merged`.
+  /** One learned merge: at `step`, the most frequent adjacent symbol pair
+    * (lhs, rhs) with weight `freq` became token `merged`; `round` is the
+    * batched training round that selected it (see [[train]] — several
+    * mutually-non-adjacent merges can share a round).
     */
-  final case class BpeMerge(step: Int, lhs: String, rhs: String, merged: String, freq: Long)
+  final case class BpeMerge(
+      step: Int, lhs: String, rhs: String, merged: String, freq: Long, round: Int)
 
   /** The word-frequency dictionary: whitespace tokens and their corpus
     * counts. The ONE corpus-sized pass in the trainer.
@@ -79,6 +92,39 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(lhs + rhs))))
           .otherwise(concat(acc, array(s))))
 
+  /** ENCODE: apply a trained merge sequence, in rank order, to arbitrary
+    * words — the tokenizer's second half, giving out-of-vocabulary words
+    * their TRUE learned segmentation instead of a character floor. Input
+    * is a (wordCol) frame of DISTINCT words (Zipf-sized — encode the
+    * dictionary, never the corpus; [[tokenCountsExact]] does exactly
+    * that); output is (word, syms).
+    *
+    * Each merge is one map-only array rewrite ([[applyMerge]]), chained
+    * `checkpointEvery` merges per `select` and re-checkpointed between
+    * chunks so the expression tree and lineage stay bounded for large
+    * vocabularies. Cost is O(|merges| × |words|) symbol-fold work — the
+    * dense replay every reference BPE encoder performs (rank-ordered
+    * merge application), run as Spark map stages over the word frame.
+    */
+  def encodeWords(
+      words: DataFrame, wordCol: String, merges: Seq[BpeMerge],
+      checkpointEvery: Int = 32): DataFrame = {
+    require(checkpointEvery >= 1, "need a positive chunk size")
+    val init = words.select(col(wordCol).as("word"), initSyms(col(wordCol)).as("syms"))
+    val chunks = merges.sortBy(_.step).grouped(checkpointEvery).toSeq
+    chunks.zipWithIndex.foldLeft(init) { case (df, (chunk, i)) =>
+      val applied = df.withColumn("syms",
+        chunk.foldLeft(col("syms"))((s, m) => applyMerge(s, m.lhs, m.rhs)))
+      // flatten lineage between chunks; the last chunk stays lazy so a
+      // small-vocabulary encode composes into the caller's plan unmaterialized
+      if (i < chunks.size - 1) {
+        val cp = applied.localCheckpoint()
+        df.unpersist()
+        cp
+      } else applied
+    }
+  }
+
   /** Per-document TOKEN COUNTS under a trained vocabulary — the number
     * the packing budget ([[Training.packBins]]) and per-language fertility
     * stats actually consume, replacing [[TextStats.subwordCountEstimate]]'s
@@ -87,9 +133,9 @@ object Bpe {
     * is dict-side); the scan stays map-local. OOV policy, stated: a word
     * absent from the dict counts `length + 1` tokens (its character
     * segmentation with the end marker — the floor any merge sequence
-    * starts from; exact OOV segmentation would re-run the merges per
-    * word, a per-query cost that belongs in a tokenizer service, not a
-    * counting scan). Returns (idCol, n_tokens).
+    * starts from). [[tokenCountsExact]] replaces the floor with the true
+    * learned segmentation; this overload remains for callers without the
+    * merge sequence at hand. Returns (idCol, n_tokens).
     */
   def tokenCounts(
       docs: DataFrame, idCol: String, textCol: String, dict: DataFrame): DataFrame = {
@@ -103,32 +149,101 @@ object Bpe {
         .as("n_tokens"))
   }
 
+  /** EXACT per-document token counts: in-dictionary words take their
+    * trained segmentation size, out-of-vocabulary words are ENCODED
+    * ([[encodeWords]] — the merge sequence replayed by rank), so every
+    * count is the true tokenizer output, not a floor. Scale shape: the
+    * corpus scan builds the distinct-word set (Zipf-sized), the OOV
+    * subset (anti-join against the trained dict) is encoded once per
+    * DISTINCT word, and the merged (word → size) map broadcast-joins back
+    * to the word occurrences — the corpus is never re-segmented row by
+    * row. Returns (idCol, n_tokens).
+    */
+  def tokenCountsExact(
+      docs: DataFrame, idCol: String, textCol: String, dict: DataFrame,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val words = docs
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    val oovSizes = encodeWords(
+        words.select(col("word")).distinct()
+          .join(dict.select(col("word")), Seq("word"), "left_anti"),
+        "word", merges)
+      .select(col("word"), size(col("syms")).cast("long").as("__sz"))
+    val sizes = broadcast(
+      dict.select(col("word"), size(col("syms")).cast("long").as("__sz"))
+        .unionByName(oovSizes))
+    words
+      .join(sizes, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__sz")).as("n_tokens"))
+  }
+
   /** Learn up to `nMerges` merges from the corpus; returns the merge
     * sequence and the final dict (word, cnt, syms) — the latter IS the
     * learned segmentation of every corpus word. Stops early when no
     * adjacent pair remains (every word fully merged).
+    *
+    * '''Batched rounds.''' Each round selects up to `maxPerRound` merges
+    * from the frequency-ranked candidate list: walk the ranked prefix in
+    * order, selecting candidates whose symbols are DISJOINT from every
+    * symbol already selected this round, and STOP at the first candidate
+    * that conflicts. Disjointness makes the batch order-independent — a
+    * selected merge cannot create, destroy, or recount another selected
+    * merge's pair — and stopping at the first conflict (rather than
+    * skipping past it) preserves chain formation: the pair a merge
+    * creates (e.g. `es`+`t` after `e`+`s`) only competes from the next
+    * round, exactly as in one-at-a-time training, so chains like
+    * es→est→est</w> serialize while unrelated high-frequency merges
+    * batch. Stated deviation from strictly sequential BPE: a pair
+    * CREATED by one of the round's merges only enters the candidate list
+    * next round, so where such a pair would have outranked (by frequency
+    * or by tie-break) a later merge of the same round, the batched
+    * sequence differs — the standard batched-trainer trade
+    * (`maxPerRound = 1` restores exact sequential semantics; BpeSpec
+    * pins both). One round = 2 tiny jobs instead of one PER MERGE: a
+    * 32k-entry vocabulary trains in hundreds of driver round-trips, not
+    * tens of thousands.
     */
   def train(
-      docs: DataFrame, textCol: String, nMerges: Int): (Seq[BpeMerge], DataFrame) = {
+      docs: DataFrame, textCol: String, nMerges: Int,
+      maxPerRound: Int = 8): (Seq[BpeMerge], DataFrame) = {
     require(nMerges >= 1, "need at least one merge")
+    require(maxPerRound >= 1, "need at least one merge per round")
     var dict = wordDict(docs, textCol)
       .select(col("word"), col("cnt"), initSyms(col("word")).as("syms"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
-    var step = 1
+    var round = 0
     var exhausted = false
-    while (step <= nMerges && !exhausted) {
-      val top = pairFreqs(dict)
+    while (merges.size < nMerges && !exhausted) {
+      round += 1
+      val budget = math.min(maxPerRound, nMerges - merges.size)
+      // scan enough ranked rows to fill the budget; the walk stops at the
+      // first conflict anyway, so a bounded head is all the driver sees
+      val ranked = pairFreqs(dict)
         .orderBy(col("freq").desc, col("lhs"), col("rhs"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+        .limit(math.max(budget * 4, 16)).collect()
+      if (ranked.isEmpty) exhausted = true
       else {
-        val (l, r, f) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-        merges += BpeMerge(step, l, r, l + r, f)
+        val taken = scala.collection.mutable.Set.empty[String]
+        val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var halted = false
+        val it = ranked.iterator
+        while (!halted && batch.size < budget && it.hasNext) {
+          val r = it.next()
+          val (l, rr, f) = (r.getString(0), r.getString(1), r.getLong(2))
+          if (taken(l) || taken(rr)) halted = true // stop-at-conflict: chains serialize
+          else { taken += l; taken += rr; batch += ((l, rr, f)) }
+        }
+        batch.foreach { case (l, rr, f) =>
+          merges += BpeMerge(merges.size + 1, l, rr, l + rr, f, round)
+        }
         val prev = dict
-        dict = dict.withColumn("syms", applyMerge(col("syms"), l, r)).localCheckpoint()
+        dict = dict.withColumn("syms",
+            batch.foldLeft(col("syms"))((s, m) => applyMerge(s, m._1, m._2)))
+          .localCheckpoint()
         prev.unpersist() // free the previous round's checkpoint storage (the CC-loop rule)
-        step += 1
       }
     }
     (merges.toSeq, dict)

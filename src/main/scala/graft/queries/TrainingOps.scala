@@ -68,8 +68,11 @@ object TrainingOps {
 
   /** q119's planted BPE corpus — Sennrich's worked example: word counts
     * {low:5, lower:2, newest:6, widest:3} make the whole merge sequence
-    * hand-computable (with the `_` end marker): es:9 → est:9 → est_:9 →
-    * lo:7 → low:7, ties broken lexicographically.
+    * hand-computable (with the `</w>` end marker): es:9 → est:9 →
+    * est</w>:9 → lo:7 → low:7, ties broken lexicographically. Under the
+    * batched trainer (stop-at-first-conflict rounds) the same five merges
+    * land in rounds 1,2,3,3,4 — est</w> and lo are symbol-disjoint and
+    * batch; every chain step serializes.
     */
   private lazy val BpeFixture: Seq[(Long, String)] = Seq(
     (0L, Seq.fill(5)("low").mkString(" ")),
@@ -712,12 +715,13 @@ object TrainingOps {
         WHERE ${Training.splitSql("id", ClfSplits, ClfSeed)} = 'test'
         ORDER BY id""")),
 
-    // BPE tokenizer TRAINING ([[graft.ops.Bpe]]): the merge loop runs k
-    // tiny jobs over the word-frequency dict (the Lloyd's shape), never
+    // BPE tokenizer TRAINING ([[graft.ops.Bpe]]): each batched round runs
+    // 2 tiny jobs over the word-frequency dict (the Lloyd's shape), never
     // the corpus. Gate: on the planted Sennrich corpus the entire merge
     // sequence is closed-form (see BpeFixture), so the oracle replays it
-    // as literal rows — any drift in pair counting, tie-breaking, or the
-    // greedy merge application changes some (step, pair, freq) row and
+    // as literal rows — any drift in pair counting, tie-breaking, greedy
+    // merge application, or the batching rule (the `round` column pins
+    // stop-at-first-conflict round assignment) changes some row and
     // hash-fails.
     QueryDef(
       "q119_bpe_train",
@@ -729,35 +733,71 @@ object TrainingOps {
       },
       Some("""
         SELECT * FROM (VALUES
-          (CAST(1 AS INTEGER), 'e', 's', 'es', CAST(9 AS BIGINT)),
-          (2, 'es', 't', 'est', 9),
-          (3, 'est', '_', 'est_', 9),
-          (4, 'l', 'o', 'lo', 7),
-          (5, 'lo', 'w', 'low', 7)) AS t(step, lhs, rhs, merged, freq)
+          (CAST(1 AS INTEGER), 'e', 's', 'es', CAST(9 AS BIGINT), CAST(1 AS INTEGER)),
+          (2, 'es', 't', 'est', 9, 2),
+          (3, 'est', '</w>', 'est</w>', 9, 3),
+          (4, 'l', 'o', 'lo', 7, 3),
+          (5, 'lo', 'w', 'low', 7, 4)) AS t(step, lhs, rhs, merged, freq, round)
         ORDER BY step""")),
 
     // q119's consumer — per-document token counts under the TRAINED
-    // vocabulary (what the packing budget actually consumes): corpus
-    // words broadcast-join the (word → |syms|) dict; OOV words count
-    // length+1 (character floor + end marker, the stated fallback).
-    // Gate: the learned segmentation is closed-form (q119), so every
-    // count is hand-computable, including one planted OOV word.
+    // vocabulary (what the packing budget actually consumes), through the
+    // EXACT path: in-dict words broadcast-join the (word → |syms|) dict,
+    // OOV words are ENCODED (merge sequence replayed by rank — q135 gates
+    // the encoder itself). Gate: every count is hand-computable; doc 4
+    // plants two OOV words where exact and floor DIFFER ("lowest" encodes
+    // to [low, est</w>] = 2 tokens vs a 7-token character floor), so the
+    // floor path cannot pass this gate.
     QueryDef(
       "q121_bpe_token_counts",
       (s, _) => {
         import s.implicits._
         val train = BpeFixture.toDF("id", "text")
-        val (_, dict) = graft.ops.Bpe.train(train, "text", nMerges = 5)
-        // doc 4 adds an OOV word ("zz" → 2 chars + marker = 3 tokens)
-        val corpus = (BpeFixture :+ ((4L, "low zz newest"))).toDF("id", "text")
-        graft.ops.Bpe.tokenCounts(corpus, "id", "text", dict)
+        val (merges, dict) = graft.ops.Bpe.train(train, "text", nMerges = 5)
+        // doc 4: "low" in-dict (2) + OOV "zz" ([z,z,</w>] = 3) + OOV
+        // "lowest" ([low, est</w>] = 2) = 7 (floor would say 2+3+7 = 12)
+        val corpus = (BpeFixture :+ ((4L, "low zz lowest"))).toDF("id", "text")
+        graft.ops.Bpe.tokenCountsExact(corpus, "id", "text", dict, merges)
           .orderBy(col("id"))
       },
       Some("""
         SELECT * FROM (VALUES
           (CAST(0 AS BIGINT), CAST(10 AS BIGINT)),
-          (1, 8), (2, 24), (3, 12), (4, 9)) AS t(id, n_tokens)
+          (1, 8), (2, 24), (3, 12), (4, 7)) AS t(id, n_tokens)
         ORDER BY id""")),
+
+    // BPE ENCODING — the tokenizer's second half ([[graft.ops.Bpe
+    // .encodeWords]]): replay the trained merge sequence by rank over
+    // arbitrary words, so OOV text gets its true learned segmentation.
+    // Gate: corpus words must reproduce the trained dict's segmentation
+    // exactly, and planted UNSEEN compounds ("lowest", "slower", "wider",
+    // "zz") have closed-form segmentations under the q119 merge sequence
+    // — the oracle replays all of them as literal rows.
+    QueryDef(
+      "q135_bpe_encode",
+      (s, _) => {
+        import s.implicits._
+        val train = BpeFixture.toDF("id", "text")
+        val (merges, _) = graft.ops.Bpe.train(train, "text", nMerges = 5)
+        val words = Seq("low", "lower", "lowest", "newest", "slower",
+          "wider", "widest", "zz").toDF("word")
+        graft.ops.Bpe.encodeWords(words, "word", merges)
+          .select(col("word"),
+            concat_ws(" ", col("syms")).as("tokens"),
+            size(col("syms")).cast("long").as("n_tokens"))
+          .orderBy(col("word"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('low', 'low </w>', CAST(2 AS BIGINT)),
+          ('lower', 'low e r </w>', 4),
+          ('lowest', 'low est</w>', 2),
+          ('newest', 'n e w est</w>', 4),
+          ('slower', 's low e r </w>', 5),
+          ('wider', 'w i d e r </w>', 6),
+          ('widest', 'w i d est</w>', 4),
+          ('zz', 'z z </w>', 3)) AS t(word, tokens, n_tokens)
+        ORDER BY word""")),
 
     // Mixture EPOCHS (repeat factors) for a token budget — the
     // up-sampling complement of q91's temperature rates: weights rise

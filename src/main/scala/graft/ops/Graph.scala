@@ -26,12 +26,21 @@ import org.apache.spark.sql.functions._
   * the source node + one map-combinable sum keyed on the destination — the
   * connected-components round shape; k iterations = k small job waves, and
   * at real scale each round's output would be checkpointed exactly as
-  * [[Dedup]]'s CC rounds are. The node count rides a 1-row broadcast
-  * scalar subquery (the q24 cap pattern); out-degrees attach to edges once
-  * before the loop.
+  * [[Dedup]]'s CC rounds are. Out-degrees attach to edges once before the
+  * loop. The fixed-iteration forms materialize their result
+  * (`localCheckpoint`) and release the loop's cache leaves before
+  * returning — callers get a self-contained frame, not a plan holding
+  * persisted storage (the `Bpe.train` rule); [[pageRankConverged]] adds a
+  * join-free convergence probe (the CC-loop pattern) so the iteration
+  * count is measured, not guessed.
   */
 object Graph {
 
+  /** 3 iterations by default — a CAP for quick authority ranking where the
+    * caller pins the round count (and the generated oracle unrolls to the
+    * same constant); use [[pageRankConverged]] when the iteration count
+    * should be measured against a delta bar instead of guessed.
+    */
   def pageRankFixedPoint(
       edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, scale: Long = 1000000000000L,
@@ -61,7 +70,108 @@ object Graph {
           (expr(s"$teleNum div ($dampDen * __n)") +
             coalesce(col("__in"), lit(0L))).as("__r"))
     }
-    r.select(col("node"), col("__r").as("rank_fp"))
+    // materialize (ONE action evaluates all rounds, reusing the leaves),
+    // then release the leaves: the caller gets a self-contained frame
+    val out = r.select(col("node"), col("__r").as("rank_fp")).localCheckpoint()
+    nodes.unpersist()
+    edgesD.unpersist()
+    out
+  }
+
+  /** Converged-run outcome: the final ranks, the number of iteration
+    * rounds actually executed, whether the delta bar was met within the
+    * cap, and the last measured max per-node delta (micro-units).
+    */
+  final case class PageRankRun(
+      ranks: DataFrame, rounds: Int, converged: Boolean, maxDelta: Long)
+
+  /** CONVERGENCE-PROBED PageRank: iterate until the max per-node rank
+    * delta is ≤ `eps` micro-units (or `maxIterations` caps the loop) and
+    * report the round count — the measured alternative to guessing an
+    * iteration constant, for graphs deep enough that 3 rounds silently
+    * under-converge. The probe is JOIN-FREE (the CC-loop rule): each
+    * round's frame carries (new rank, previous rank) side by side, so the
+    * delta is one `max(abs(new − prev))` aggregate over the frame the
+    * round materialized anyway — no extra join, one extra tiny action per
+    * round. Per-round `localCheckpoint` keeps lineage flat (the
+    * [[Dedup]] CC shape); node count and teleport are driver-side Longs
+    * (one count() up front — the loop is action-per-round regardless).
+    * Same exact integer arithmetic as [[pageRankFixedPoint]]: running
+    * with `eps = 0` and a cap of k reproduces the k-iteration ranks
+    * bit-for-bit (or stops earlier only at an EXACT fixed point).
+    */
+  def pageRankConverged(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      eps: Long, maxIterations: Int = 50, scale: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): PageRankRun = {
+    require(maxIterations >= 1 && eps >= 0 && scale > 0 && dampNum > 0 && dampDen > dampNum)
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct().persist()
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+    val edgesD = e.join(deg, "__src").persist()
+    val telePerNode = (scale * (dampDen - dampNum)) / (dampDen * n)
+    var mat = nodes.select(col("node"), lit(scale / n).as("__r")).localCheckpoint()
+    var r = mat
+    var rounds = 0
+    var delta = Long.MaxValue
+    while (rounds < maxIterations && delta > eps) {
+      val contribs = edgesD
+        .join(r, edgesD("__src") === r("node"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(expr(s"(__r * $dampNum) div ($dampDen * __deg)")).as("__in"))
+      val next = r.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(telePerNode) + coalesce(col("__in"), lit(0L))).as("__rn"),
+          col("__r").as("__rp"))
+        .localCheckpoint()
+      delta = next.agg(max(abs(col("__rn") - col("__rp")))).head().getLong(0)
+      mat.unpersist()
+      mat = next
+      r = next.select(col("node"), col("__rn").as("__r"))
+      rounds += 1
+    }
+    nodes.unpersist()
+    edgesD.unpersist()
+    PageRankRun(
+      r.select(col("node"), col("__r").as("rank_fp")),
+      rounds, delta <= eps, delta)
+  }
+
+  /** Pure-Scala replay of [[pageRankConverged]] on a DRIVER-SIDE edge
+    * list — same integer arithmetic, same stopping rule. This is the
+    * oracle GENERATOR'S helper (the q27 generated-SQL rule): a gate on a
+    * planted graph asks the replay for the converged round count at
+    * object-init time and unrolls the SQL twin to exactly that many
+    * iteration CTEs, so operator and oracle cannot drift. Driver-side
+    * only — never call it with more than a fixture's worth of edges.
+    */
+  def pageRankConvergedReference(
+      edges: Seq[(String, String)], eps: Long, maxIterations: Int = 50,
+      scale: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): (Map[String, Long], Int) = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    require(n > 0, "empty graph")
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val telePerNode = (scale * (dampDen - dampNum)) / (dampDen * n)
+    var r = nodes.map(_ -> scale / n).toMap
+    var rounds = 0
+    var delta = Long.MaxValue
+    while (rounds < maxIterations && delta > eps) {
+      val in = edges
+        .groupBy(_._2)
+        .map { case (d, es) =>
+          d -> es.map { case (s, _) => (r(s) * dampNum) / (dampDen * deg(s)) }.sum
+        }
+      val next = nodes.map(v => v -> (telePerNode + in.getOrElse(v, 0L))).toMap
+      delta = nodes.map(v => math.abs(next(v) - r(v))).max
+      r = next
+      rounds += 1
+    }
+    (r, rounds)
   }
 
   /** WEIGHTED fixed-point PageRank — [[pageRankFixedPoint]] with each
@@ -78,6 +188,13 @@ object Graph {
     * simplification's spirit), irrelevant to ranking and exactly
     * reproduced by the generated oracle. Same per-round join shape and
     * cache-leaf rule as the unweighted form.
+    *
+    * Weight contract, stated: edges with NULL, zero, or negative weight
+    * carry no mass and are DROPPED from the contribution graph before
+    * the out-weight sum (so `__wn` can never go NULL and silently zero a
+    * node's out-contribution — ADVICE r8); their endpoints remain graph
+    * NODES (teleport-ranked, the dangling rule). The generated twin
+    * ([[pageRankWeightedSql]]) applies the identical `w > 0` filter.
     */
   def pageRankWeightedFixedPoint(
       edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
@@ -89,8 +206,9 @@ object Graph {
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct().persist()
     val nFrame = nodes.agg(count(lit(1)).as("__n"))
-    val wSum = e.groupBy(col("__src")).agg(sum(col("__w")).as("__wsum"))
-    val edgesW = e.join(wSum, "__src")
+    val ePos = e.filter(col("__w") > 0)
+    val wSum = ePos.groupBy(col("__src")).agg(sum(col("__w")).as("__wsum"))
+    val edgesW = ePos.join(wSum, "__src")
       .withColumn("__wn", expr("(__w * 1000) div __wsum")).persist()
     var r: DataFrame = nodes.crossJoin(broadcast(nFrame))
       .select(col("node"), expr(s"$scale div __n").as("__r"))
@@ -106,12 +224,17 @@ object Graph {
           (expr(s"$teleNum div ($dampDen * __n)") +
             coalesce(col("__in"), lit(0L))).as("__r"))
     }
-    r.select(col("node"), col("__r").as("rank_fp"))
+    val out = r.select(col("node"), col("__r").as("rank_fp")).localCheckpoint()
+    nodes.unpersist()
+    edgesW.unpersist()
+    out
   }
 
   /** Generated DuckDB twin of [[pageRankWeightedFixedPoint]] (the q27
     * generated-SQL rule). Expects `$edgesCte(src, dst, w)`; emits CTEs
-    * and the final `SELECT node, rank_fp` ordered by node.
+    * and the final `SELECT node, rank_fp` ordered by node. Nodes come
+    * from ALL edges; mass only from `w > 0` edges — the operator's
+    * stated weight contract.
     */
   def pageRankWeightedSql(
       edgesCte: String, iterations: Int = 3, scale: Long = 1000000000000L,
@@ -134,10 +257,11 @@ object Graph {
           SELECT DISTINCT src AS node FROM $edgesCte
           UNION SELECT DISTINCT dst FROM $edgesCte),
         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-        ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM $edgesCte GROUP BY src),
+        ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM $edgesCte
+               WHERE w > 0 GROUP BY src),
         ew AS (
           SELECT e.src, e.dst, (CAST(e.w AS BIGINT) * 1000) // ws.wsum AS wn
-          FROM $edgesCte e JOIN ws USING (src)),
+          FROM $edgesCte e JOIN ws USING (src) WHERE e.w > 0),
         r0 AS (
           SELECT node, ($scale // (SELECT n FROM nn)) AS r FROM nodes),
         $iters
@@ -148,11 +272,13 @@ object Graph {
     * are unrolled from the SAME constants and the same integral-division
     * expressions (the q27 generated-SQL rule: oracle and operator cannot
     * drift). Expects a CTE `$edgesCte(src, dst)` in scope; emits CTEs and
-    * a final `SELECT node, rank_fp` ordered by node.
+    * a final `SELECT node, rank_fp` ordered by node. `extraSelect` is
+    * appended verbatim to the final projection (e.g. a literal
+    * `n_rounds` column for the convergence gate).
     */
   def pageRankSql(
       edgesCte: String, iterations: Int = 3, scale: Long = 1000000000000L,
-      dampNum: Long = 85L, dampDen: Long = 100L): String = {
+      dampNum: Long = 85L, dampDen: Long = 100L, extraSelect: String = ""): String = {
     val teleNum = scale * (dampDen - dampNum)
     val iters = (1 to iterations).map { i =>
       val prev = if (i == 1) "r0" else s"r${i - 1}"
@@ -175,6 +301,6 @@ object Graph {
         r0 AS (
           SELECT node, ($scale // (SELECT n FROM nn)) AS r FROM nodes),
         $iters
-        SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r$iterations ORDER BY node"""
+        SELECT node, CAST(r AS BIGINT) AS rank_fp$extraSelect FROM r$iterations ORDER BY node"""
   }
 }

@@ -46,6 +46,68 @@ class GraphSpec extends SparkSpec {
     assert(weighted === unweighted)
   }
 
+  test("pageRankConverged: probe stops at the measured round, after 3 rounds provably not converged") {
+    // q136's planted graph: cyclic and deep enough that the rank deltas
+    // after 3 rounds are far above eps
+    val fixture = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("d", "e"), ("e", "a"), ("f", "a"))
+    val eps = 20000000000L
+    val (refRanks, refRounds) = Graph.pageRankConvergedReference(fixture, eps, 60)
+    assert(refRounds > 3, s"fixture converged in $refRounds rounds — too shallow to gate the probe")
+    val run = Graph.pageRankConverged(fixture.toDF("src", "dst"), "src", "dst",
+      eps = eps, maxIterations = 60)
+    assert(run.rounds === refRounds)
+    assert(run.converged)
+    assert(run.maxDelta <= eps)
+    val got = run.ranks.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === refRanks)
+    // and the 3-round cap is NOT the converged answer: under-convergence
+    // is observable, which is why the probe exists
+    val capped = Graph.pageRankFixedPoint(fixture.toDF("src", "dst"), "src", "dst",
+      iterations = 3).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped !== got)
+  }
+
+  test("pageRankConverged with eps = 0 reproduces the k-iteration ranks bit-for-bit") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "a")).toDF("src", "dst")
+    val run = Graph.pageRankConverged(edges, "src", "dst", eps = 0L, maxIterations = 2)
+    assert(run.rounds === 2 && !run.converged)
+    val got = run.ranks.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fixed = Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === fixed)
+  }
+
+  test("pageRankWeightedFixedPoint drops non-positive-weight edges but keeps their nodes") {
+    // d→a carries w=0: no mass flows, but d stays a (teleport-ranked)
+    // node — and no NULL __wn can zero out a's inflow (ADVICE r8)
+    val base = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")
+    val withZero = (Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L), ("d", "a", 0L)))
+      .toDF("src", "dst", "w")
+    val got = Graph.pageRankWeightedFixedPoint(withZero, "src", "dst", "w", iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set("a", "b", "c", "d"))
+    // N=4: r0 = 250000000000, damped = 212500000000, tele = 37500000000
+    // a ← b's full split: 212500000000 → 250000000000; d ← tele only
+    assert(got("a") === 250000000000L)
+    assert(got("d") === 37500000000L)
+    // and zero-weight edges contribute exactly nothing: same graph with
+    // the edge deleted gives the same a/b/c ranks shifted only by N
+    val base3 = Graph.pageRankWeightedFixedPoint(base, "src", "dst", "w", iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(base3.keySet === Set("a", "b", "c"))
+  }
+
+  test("pageRank operators leave no cached plans behind") {
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c")).toDF("src", "dst")
+    val ew = Seq(("a", "b", 2L), ("b", "a", 1L)).toDF("src", "dst", "w")
+    Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 2).collect()
+    Graph.pageRankWeightedFixedPoint(ew, "src", "dst", "w", iterations = 2).collect()
+    Graph.pageRankConverged(edges, "src", "dst", eps = 0L, maxIterations = 2).ranks.collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a pageRank variant left persisted plans in the cache manager")
+  }
+
   test("pageRankWeightedFixedPoint: hand-computed iteration with 3:1 weight split") {
     // a→b w=3, a→c w=1 (wn 750/250), b→a w=1 (wn 1000); c dangles
     val ew = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomMightContain, CmsEstimate, CosineF, CosineQ8, DeletionVariantsExpr, DotF, HashEmbedExpr, HyperplaneSketchExpr, MinHashSigExpr, NfcNormalizeExpr, QuantErrI8, QuantizeI8, RollingHash, SimHashExpr, WordShinglesExpr}
+import graft.functions.{BloomMightContain, CmsEstimate, CosineF, CosineQ8, DeletionVariantsExpr, DotF, HashEmbedExpr, HyperplaneSketchExpr, MinHashSigExpr, NearestCellExpr, NfcNormalizeExpr, QuantErrI8, QuantizeI8, RollingHash, SimHashExpr, WordShinglesExpr}
 
 /** Session extension installing the engine's native functions into the SQL
   * registry, so `SELECT rolling_hash(text)` works from pure SQL as well as
@@ -48,5 +48,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CmsEstimate(c(0), c(1)))
     register(ext, "nfc_normalize", classOf[NfcNormalizeExpr].getName, 1)(c =>
       NfcNormalizeExpr(c.head))
+    register(ext, "nearest_cell", classOf[NearestCellExpr].getName, 3)(c =>
+      NearestCellExpr(c(0), c(1), c(2)))
   }
 }

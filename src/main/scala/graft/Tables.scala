@@ -24,14 +24,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is parquet INT64 TIMESTAMP(NANOS) — unsupported by Spark's
-    * reader, so the session sets `spark.sql.legacy.parquet.nanosAsLong` and we
-    * convert here (truncating ns→µs, matching DuckDB's µs timestamps).
+  /** events.ts has shipped in two physical layouts across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (read as LONG via the session's
+    * `spark.sql.legacy.parquet.nanosAsLong`, truncated ns→µs here) and
+    * plain TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Both normalize to
+    * the session-tz TIMESTAMP every downstream query/stream consumes —
+    * the session runs UTC, so the NTZ→TZ cast preserves the micros value
+    * and matches DuckDB's naive µs timestamps either way.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

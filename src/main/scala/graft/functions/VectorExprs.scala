@@ -97,6 +97,30 @@ object VectorKernel {
     }
     bits
   }
+
+  /** Argmax-cosine cell id against a codebook: highest [[cosine]] wins,
+    * ties to the LOWEST cell id — the exact `max_by(cell, struct(d,
+    * -cell))` rule of the pre-r10 IVF assignment. Each comparison calls
+    * the same fused [[cosine]] kernel the per-literal-centroid plan
+    * called, so scores are bit-identical; the codebook rides in as plain
+    * JVM arrays (ONE reference object in generated code), so cost is
+    * k fused loops per row regardless of how large k·dim gets.
+    */
+  def nearestCell(
+      vec: ArrayData, vF: Boolean,
+      cells: Array[Int], cents: Array[ArrayData]): Int = {
+    var bestD = Double.NegativeInfinity
+    var bestCell = Int.MaxValue
+    var j = 0
+    while (j < cells.length) {
+      val d = cosine(vec, vF, cents(j), true)
+      if (d > bestD || (d == bestD && cells(j) < bestCell)) {
+        bestD = d; bestCell = cells(j)
+      }
+      j += 1
+    }
+    bestCell
+  }
 }
 
 /** Type plumbing shared by the binary vector expressions: both inputs must
@@ -221,6 +245,79 @@ case class HyperplaneSketchExpr(first: Expression, second: Expression, third: Ex
   override def prettyName: String = "hyperplane_sketch"
 }
 
+/** `nearest_cell(vec, cells, centroids)` — map-side codebook assignment:
+  * the cell id (from `cells`) whose centroid has the highest cosine to
+  * `vec`, ties to the lowest cell. `cells` (array<int>) and `centroids`
+  * (array<array<float>>, parallel to `cells`) must be FOLDABLE — they are
+  * the codebook, fixed per query, evaluated ONCE into JVM arrays and
+  * attached to the generated code as a single reference object. This is
+  * what keeps an arbitrary k·dim codebook out of the expression tree: the
+  * pre-r10 per-literal-centroid plan built k·dim `lit()` nodes and risked
+  * codegen hugeMethodLimit fallback at realistic (k=256, dim=768)
+  * codebooks (ADVICE r10); here plan size is O(1) in the codebook.
+  */
+case class NearestCellExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  private def vecIsFloat: Boolean =
+    first.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val cells: Array[Int] =
+    second.eval().asInstanceOf[ArrayData].toIntArray()
+
+  @transient private lazy val cents: Array[ArrayData] = {
+    val ad = third.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).copy())
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = first.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    def codebookOk =
+      second.foldable && second.dataType == ArrayType(IntegerType, false) &&
+        third.foldable && (third.dataType match {
+          case ArrayType(ArrayType(FloatType, _), _) => true
+          case _                                     => false
+        }) && second.eval() != null && third.eval() != null
+    if (!vecOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<FLOAT|DOUBLE> as first argument, got " +
+          first.dataType.catalogString)
+    else if (!codebookOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires foldable non-null ARRAY<INT> cells and " +
+          "ARRAY<ARRAY<FLOAT>> centroids")
+    else if (second.eval().asInstanceOf[ArrayData].numElements() == 0 ||
+             second.eval().asInstanceOf[ArrayData].numElements() !=
+               third.eval().asInstanceOf[ArrayData].numElements())
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName cells and centroids must be non-empty and the same length")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override protected def nullSafeEval(vec: Any, cs: Any, ct: Any): Any =
+    VectorKernel.nearestCell(vec.asInstanceOf[ArrayData], vecIsFloat, cells, cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cellsRef = ctx.addReferenceObj("cells", cells, "int[]")
+    val centsRef = ctx.addReferenceObj("cents", cents,
+      "org.apache.spark.sql.catalyst.util.ArrayData[]")
+    nullSafeCodeGen(ctx, ev, (vec, _, _) =>
+      s"${ev.value} = graft.functions.VectorKernel.nearestCell(" +
+        s"$vec, $vecIsFloat, $cellsRef, $centsRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): NearestCellExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "nearest_cell"
+}
+
 /** Column-API entry points — resolve through the session registry
   * (installed by [[graft.GraftExtensions]]), same path SQL takes.
   */
@@ -233,4 +330,7 @@ object VectorExprs {
 
   def hyperplane_sketch(vec: Column, nPlanes: Column, seed: Column): Column =
     call_function("hyperplane_sketch", vec, nPlanes, seed)
+
+  def nearest_cell(vec: Column, cells: Column, centroids: Column): Column =
+    call_function("nearest_cell", vec, cells, centroids)
 }

@@ -566,6 +566,72 @@ object Relational {
           t.total AS total_rows, t.keys AS n_keys
         FROM c, t ORDER BY n_rows DESC, l_suppkey LIMIT 10""")),
 
+    // q63's LEFT-OUTER form: the build side is FILTERED (nations < 12) so
+    // a real slice of probe rows has no match, and the salted left join
+    // must keep each of them exactly once (build replication can only
+    // multiply MATCHED rows; the salt rides the probe row singly). Oracle
+    // is the plain unsalted LEFT JOIN. Unmatched group keyed as -1 so the
+    // null group hashes identically cross-engine.
+    QueryDef(
+      "q137_skew_salted_left_join",
+      (s, dir) => {
+        val probe = Tables.lineitem(s, dir)
+          .select(col("l_suppkey").as("suppkey"), Num.dec2(col("l_extendedprice")).as("price"))
+        val build = Tables.supplier(s, dir)
+          .filter(col("s_nationkey") < 12)
+          .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+        graft.ops.Skew.saltedJoin(probe, build, "suppkey", saltBuckets = 8,
+            joinType = "left")
+          .groupBy(coalesce(col("s_nationkey"), lit(-1)).as("nationkey"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            round(sum(col("price")), 2).cast("double").as("revenue"))
+          .orderBy(col("nationkey"))
+      },
+      Some("""
+        SELECT coalesce(s.s_nationkey, -1) AS nationkey, count(*) AS n_lines,
+          CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        FROM lineitem l
+        LEFT JOIN (SELECT * FROM supplier WHERE s_nationkey < 12) s
+          ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1 ORDER BY 1""")),
+
+    // The decision q133's report exists to feed: strategy + salt buckets
+    // per reported key as a pure row-local rule (broadcast bar on total
+    // rows, salt bar on skew_factor, ⌈skew_factor⌉ replication clamped to
+    // [2, 32]) — the oracle replays the CASE verbatim over the same
+    // report CTE. Bars here (total ≤ 5000 rows, factor ≥ 1.05) are chosen
+    // so sf0.01 exercises the salted/plain split on real data; the
+    // broadcast branch is spec-gated on a planted fixture (SkewSpec).
+    QueryDef(
+      "q138_join_decision",
+      (s, dir) =>
+        graft.ops.Skew.joinDecision(
+          graft.ops.Skew.skewReport(
+            Tables.lineitem(s, dir).select(col("l_suppkey")), "l_suppkey", topK = 10),
+          broadcastRowLimit = 5000L, skewFactorBar = 1.05, maxSaltBuckets = 32)
+          .orderBy(col("n_rows").desc, col("l_suppkey")),
+      Some("""
+        WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY l_suppkey),
+        t AS (
+          SELECT CAST(sum(n_rows) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS keys
+          FROM c),
+        r AS (
+          SELECT l_suppkey, n_rows,
+            round(CAST(n_rows AS DOUBLE) / CAST(t.total AS DOUBLE), 4) AS share,
+            round(CAST(n_rows AS DOUBLE) * CAST(t.keys AS DOUBLE)
+              / CAST(t.total AS DOUBLE), 4) AS skew_factor,
+            t.total AS total_rows, t.keys AS n_keys
+          FROM c, t ORDER BY n_rows DESC, l_suppkey LIMIT 10)
+        SELECT l_suppkey, n_rows, share, skew_factor, total_rows, n_keys,
+          CASE WHEN total_rows <= 5000 THEN 'broadcast'
+               WHEN skew_factor >= 1.05 THEN 'salted'
+               ELSE 'plain' END AS strategy,
+          CAST(CASE WHEN total_rows > 5000 AND skew_factor >= 1.05
+               THEN least(greatest(CAST(ceil(skew_factor) AS INTEGER), 2), 32)
+               ELSE 1 END AS INTEGER) AS salt_buckets
+        FROM r ORDER BY n_rows DESC, l_suppkey""")),
+
     // Pivot (wide conditional aggregation) with fixed pivot values.
     QueryDef(
       "q14_pivot_status",

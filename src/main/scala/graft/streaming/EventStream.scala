@@ -54,25 +54,35 @@ object EventStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
-  /** File-source stream directly over the driver's `events.parquet` (ts is
-    * INT64 TIMESTAMP(NANOS), which the session reads as LONG via
-    * `nanosAsLong`): declare ts as LONG and apply the same ns→µs conversion
-    * as [[graft.Tables.events]], so the REAL table feeds the stream. The
-    * file source requires a DIRECTORY — stream the sf dir with a glob
-    * filter selecting the events file(s).
+  /** File-source stream directly over the driver's `events.parquet`,
+    * normalizing ts exactly as [[graft.Tables.events]] does — the REAL
+    * table feeds the stream. The file source needs a DECLARED schema, and
+    * ts's physical layout has varied across testdata generations (INT64
+    * TIMESTAMP(NANOS) read as LONG via `nanosAsLong`; TIMESTAMP(MICROS)
+    * read as TIMESTAMP_NTZ), so the batch reader sniffs the footer type
+    * once (driver-side, one file's metadata) and the declared schema +
+    * conversion follow it. The file source requires a DIRECTORY — stream
+    * the sf dir with a glob filter selecting the events file(s).
     */
   def fromEventsNanosParquet(
       spark: SparkSession, sfDir: String, maxFilesPerTrigger: Int = 16): DataFrame = {
+    val physical = spark.read
+      .option("pathGlobFilter", "events*.parquet").parquet(sfDir)
+      .schema("ts").dataType
     val raw = StructType(eventSchema.map {
-      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f if f.name == "ts" => f.copy(dataType = physical)
       case f                   => f
     })
-    spark.readStream
+    val stream = spark.readStream
       .schema(raw)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", "events*.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    physical match {
+      case LongType         => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => stream.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => stream
+    }
   }
 
   /** Streaming upsert sink: each micro-batch of an update-mode aggregate is

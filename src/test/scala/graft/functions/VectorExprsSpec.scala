@@ -115,6 +115,70 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("nearest_cell matches the max_by(cell, struct(d, -cell)) rule it replaced") {
+    // the pre-r10 IVF assignment built per-centroid struct(d, -cell, cell)
+    // literals and took array_max — replicate that plan form here as the
+    // semantic reference and require exact agreement, ties included
+    val centroids = Seq(
+      (3, Array(1.0f, 0.0f, 0.0f)),
+      (0, Array(0.0f, 1.0f, 0.0f)),
+      (7, Array(0.0f, 1.0f, 0.0f)), // duplicate of cell 0: ties must pick 0
+      (5, Array(0.0f, 0.0f, 1.0f)))
+    val df = (Seq(
+      Array(0.9f, 0.1f, 0.0f),
+      Array(0.0f, 5.0f, 0.0f),   // exact tie between cells 0 and 7
+      Array(0.0f, 0.0f, 0.0f),   // zero vector: every cosine is -1, tie → 0
+      Array(-1.0f, -1.0f, 3.0f)) zip (0 until 4)).toDF("v", "i")
+    val legacy = array_max(array(centroids.map { case (cell, c) =>
+      struct(VectorExprs.cosine_f($"v", array(c.map(lit(_)).toSeq: _*)).as("d"),
+        lit(-cell).as("nc"), lit(cell).as("cell"))
+    }: _*)).getField("cell")
+    val rows = df.select(
+      VectorExprs.nearest_cell($"v",
+        typedLit(centroids.map(_._1)), typedLit(centroids.map(_._2.toSeq))).as("native"),
+      legacy.as("legacy"), $"i").collect()
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1), s"row ${r.getInt(2)}"))
+    assert(rows.map(_.getInt(0)).toSeq === Seq(3, 0, 0, 5))
+  }
+
+  test("nearest_cell handles a realistic (k=128, dim=256) codebook as one literal") {
+    // 32k floats: the per-element-lit() plan this expression replaced would
+    // carry 32k+ expression nodes here (ADVICE r10 hugeMethodLimit risk);
+    // as a single reference object the plan is O(1) and must still agree
+    // with a driver-side argmax over the same kernel
+    val k = 128; val dim = 256
+    val cents = Array.tabulate(k)(_ => randVec(dim))
+    val cells = List.range(0, k)
+    val vecs = Seq.tabulate(32)(i => (i, randVec(dim)))
+    val got = vecs.toDF("i", "v")
+      .select($"i", VectorExprs.nearest_cell($"v",
+        typedLit(cells), typedLit(cents.map(_.toSeq).toSeq)).as("cell"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    vecs.foreach { case (i, v) =>
+      val va = ArrayData.toArrayData(v)
+      val want = cells.maxBy(c =>
+        (VectorKernel.cosine(va, true, ArrayData.toArrayData(cents(c)), true), -c))
+      assert(got(i) === want, s"vector $i")
+    }
+  }
+
+  test("nearest_cell rejects a non-foldable or empty codebook at analysis") {
+    val df = Seq((Array(1.0f), Array(0), Array(Array(1.0f)))).toDF("v", "cs", "ct")
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorExprs.nearest_cell($"v", $"cs", $"ct")).collect()
+    }
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorExprs.nearest_cell($"v",
+        typedLit(Seq.empty[Int]), typedLit(Seq.empty[Seq[Float]]))).collect()
+    }
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      // length mismatch between cells and centroids
+      df.select(VectorExprs.nearest_cell($"v",
+        typedLit(Seq(0, 1)), typedLit(Seq(Seq(1.0f))))).collect()
+    }
+  }
+
   test("whole-stage codegen and interpreted eval agree") {
     val df = Seq.tabulate(64)(i => (randVec(64), randVec(64), i)).toDF("a", "b", "i")
     val codegen = df

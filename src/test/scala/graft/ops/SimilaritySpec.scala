@@ -154,4 +154,37 @@ class SimilaritySpec extends SparkSpec {
       maxBucketSize = Some(1L))
     assert(capped.isEmpty, "cap=1 must prune every multi-member bucket")
   }
+
+  test("index rebuild is reader-safe: a read opened before the swap survives it") {
+    val rnd = new scala.util.Random(47)
+    val rows = (0L until 50L).map(i => (i, Array.fill(6)(rnd.nextFloat() * 2 - 1)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfgen").toString
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(vecs, "vec_id", "embedding", nCentroids = 2), path)
+
+    val batch = (1000L until 1010L).map(i => (i, Array.fill(6)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    Similarity.appendIvfIndex(spark, path, batch, "vec_id", "embedding")
+
+    // reader resolves gen-0 BEFORE the rebuild commits gen-1
+    val preSwap = Similarity.readIvfIndex(spark, path)
+    assert(preSwap.assigned.count() === 60L)
+
+    Similarity.rebuildIvfIndex(spark, path, nCentroids = 2)
+
+    // the pre-swap reader's generation is retained: its frame still scans
+    assert(preSwap.assigned.count() === 60L,
+      "pre-swap reader broke after rebuild (old generation deleted?)")
+    // a fresh read resolves the rebuilt generation with the appended rows
+    val post = Similarity.readIvfIndex(spark, path)
+    assert(post.assigned.count() === 60L)
+    assert(post.assigned.select("id").distinct().count() === 60L)
+
+    // a second rebuild prunes gen-0: disk growth is bounded at 2 gens
+    Similarity.rebuildIvfIndex(spark, path, nCentroids = 2)
+    val gens = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("gen-"))
+    assert(gens.toSet === Set("gen-1", "gen-2"), s"unexpected generations: ${gens.toSeq}")
+    assert(Similarity.readIvfIndex(spark, path).assigned.count() === 60L)
+  }
 }

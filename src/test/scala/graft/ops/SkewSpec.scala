@@ -37,4 +37,45 @@ class SkewSpec extends SparkSpec {
     val b = Skew.saltedJoin(probe, build, "k").orderBy("v").collect()
     assert(a.toSeq === b.toSeq)
   }
+
+  test("salted LEFT join: unmatched probe rows survive exactly once despite replication") {
+    // hot key 7 matches; keys 100+ have NO build row — each such probe row
+    // must appear exactly once with a null build column (8× build
+    // replication multiplies only matches), row-for-row the plain left join
+    val probe = ((1 to 900).map(i => (7L, i)) ++ (901 to 1000).map(i => (100L + i, i)))
+      .toDF("k", "v")
+    val build = (0L until 50L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = probe.join(build, Seq("k"), "left").select("k", "v", "name")
+    val salted = Skew.saltedJoin(probe, build, "k", saltBuckets = 8, joinType = "left")
+      .select("k", "v", "name")
+    assert(salted.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(salted).count() === 0L)
+    assert(salted.count() === plain.count())
+    assert(salted.filter(col("name").isNull).count() === 100L)
+    assertThrows[IllegalArgumentException] {
+      Skew.saltedJoin(probe, build, "k", joinType = "right")
+    }
+  }
+
+  test("joinDecision: each strategy branch fires on its planted report") {
+    // key 100 → 16 rows, keys 0–7 → 1 each: total 24, 9 keys, mean 24/9;
+    // skew_factor(100) = 16·9/24 = 6.0, the cold keys sit at 0.375
+    val df = (Seq.fill(16)(100L) ++ (0L until 8L)).toDF("k")
+    val report = Skew.skewReport(df, "k", topK = 9)
+    // broadcast bar swallows the whole frame → every row broadcasts
+    val bc = Skew.joinDecision(report, broadcastRowLimit = 100L).collect()
+    assert(bc.forall(_.getAs[String]("strategy") === "broadcast"))
+    assert(bc.forall(_.getAs[Int]("salt_buckets") === 1))
+    // tight salt bar: the hot key salts at ⌈6.0⌉ buckets, cold keys plain
+    val dec = Skew.joinDecision(report, broadcastRowLimit = 10L, skewFactorBar = 4.0)
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[String]("strategy"), r.getAs[Int]("salt_buckets")))).toMap
+    assert(dec(100L) === (("salted", 6)))
+    (0L until 8L).foreach(k => assert(dec(k) === (("plain", 1)), s"key $k"))
+    // clamp: maxSaltBuckets caps the hot key's replication
+    val capped = Skew.joinDecision(report, broadcastRowLimit = 10L,
+      skewFactorBar = 4.0, maxSaltBuckets = 4).collect()
+      .find(_.getAs[Long]("k") === 100L).get
+    assert(capped.getAs[Int]("salt_buckets") === 4)
+  }
 }

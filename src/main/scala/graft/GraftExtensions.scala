@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomMightContain, CmsEstimate, CosineF, CosineQ8, DeletionVariantsExpr, DotF, HashEmbedExpr, HyperplaneSketchExpr, MinHashSigExpr, NearestCellExpr, NfcNormalizeExpr, QuantErrI8, QuantizeI8, RollingHash, SimHashExpr, WordShinglesExpr}
+import graft.functions.{BloomMightContain, CmsEstimate, CosineF, CosineQ8, DeletionVariantsExpr, Dist2F, DotF, HashEmbedExpr, HyperplaneSketchExpr, MinHashSigExpr, NearestCellExpr, NearestCellL2Expr, NfcNormalizeExpr, QuantErrI8, QuantizeI8, RollingHash, SimHashExpr, WordShinglesExpr}
 
 /** Session extension installing the engine's native functions into the SQL
   * registry, so `SELECT rolling_hash(text)` works from pure SQL as well as
@@ -50,5 +50,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       NfcNormalizeExpr(c.head))
     register(ext, "nearest_cell", classOf[NearestCellExpr].getName, 3)(c =>
       NearestCellExpr(c(0), c(1), c(2)))
+    register(ext, "dist2_f", classOf[Dist2F].getName, 2)(c => Dist2F(c(0), c(1)))
+    register(ext, "nearest_cell_l2", classOf[NearestCellL2Expr].getName, 3)(c =>
+      NearestCellL2Expr(c(0), c(1), c(2)))
   }
 }

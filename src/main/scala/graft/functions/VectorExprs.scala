@@ -98,6 +98,44 @@ object VectorKernel {
     bits
   }
 
+  /** Σ (aᵢ−bᵢ)², left-to-right — squared L2, the SemDeDup metric. Same
+    * element order and all-double arithmetic as the
+    * `aggregate(zip_with(...))` fold it replaces, so results are
+    * bit-identical to the DuckDB twin's generate_series fold.
+    */
+  def dist2(a: ArrayData, aF: Boolean, b: ArrayData, bF: Boolean): Double = {
+    val n = sameDim(a, b)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = get(a, aF, i) - get(b, bF, i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Argmin-squared-L2 cell id against a codebook: lowest [[dist2]] wins,
+    * ties to the LOWEST cell id — the exact `array_min(struct(d, c))`
+    * rule of the per-literal-centroid k-means assignment it replaces.
+    * Same single-reference-object codebook shape as [[nearestCell]].
+    */
+  def nearestCellL2(
+      vec: ArrayData, vF: Boolean,
+      cells: Array[Int], cents: Array[ArrayData]): Int = {
+    var bestD = Double.PositiveInfinity
+    var bestCell = Int.MaxValue
+    var j = 0
+    while (j < cells.length) {
+      val d = dist2(vec, vF, cents(j), false)
+      if (d < bestD || (d == bestD && cells(j) < bestCell)) {
+        bestD = d; bestCell = cells(j)
+      }
+      j += 1
+    }
+    bestCell
+  }
+
   /** Argmax-cosine cell id against a codebook: highest [[cosine]] wins,
     * ties to the LOWEST cell id — the exact `max_by(cell, struct(d,
     * -cell))` rule of the pre-r10 IVF assignment. Each comparison calls
@@ -188,6 +226,26 @@ case class CosineF(left: Expression, right: Expression) extends VectorBinaryExpr
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "cosine_f"
+}
+
+/** `dist2_f(a, b)` — native codegen'd left-to-right squared L2 distance. */
+case class Dist2F(left: Expression, right: Expression) extends VectorBinaryExpression {
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernel.dist2(
+      a.asInstanceOf[ArrayData], elemIsFloat(left),
+      b.asInstanceOf[ArrayData], elemIsFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernel.dist2(" +
+        s"$a, ${elemIsFloat(left)}, $b, ${elemIsFloat(right)});")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Dist2F =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dist2_f"
 }
 
 /** `hyperplane_sketch(vec, nPlanes, seed)` — LSH sign-bit sketch. `nPlanes`
@@ -318,6 +376,75 @@ case class NearestCellExpr(first: Expression, second: Expression, third: Express
   override def prettyName: String = "nearest_cell"
 }
 
+/** `nearest_cell_l2(vec, cells, centroids)` — [[NearestCellExpr]]'s
+  * squared-L2 argmin sibling (k-means assignment): the cell id whose
+  * centroid has the LOWEST [[VectorKernel.dist2]] to `vec`, ties to the
+  * lowest cell. `centroids` is ARRAY<ARRAY<DOUBLE>> (k-means centroids
+  * are running means — double by construction); same foldable
+  * single-literal codebook contract as the cosine form.
+  */
+case class NearestCellL2Expr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  private def vecIsFloat: Boolean =
+    first.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val cells: Array[Int] =
+    second.eval().asInstanceOf[ArrayData].toIntArray()
+
+  @transient private lazy val cents: Array[ArrayData] = {
+    val ad = third.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).copy())
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = first.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    def codebookOk =
+      second.foldable && second.dataType == ArrayType(IntegerType, false) &&
+        third.foldable && (third.dataType match {
+          case ArrayType(ArrayType(DoubleType, _), _) => true
+          case _                                      => false
+        }) && second.eval() != null && third.eval() != null
+    if (!vecOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<FLOAT|DOUBLE> as first argument, got " +
+          first.dataType.catalogString)
+    else if (!codebookOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires foldable non-null ARRAY<INT> cells and " +
+          "ARRAY<ARRAY<DOUBLE>> centroids")
+    else if (second.eval().asInstanceOf[ArrayData].numElements() == 0 ||
+             second.eval().asInstanceOf[ArrayData].numElements() !=
+               third.eval().asInstanceOf[ArrayData].numElements())
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName cells and centroids must be non-empty and the same length")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override protected def nullSafeEval(vec: Any, cs: Any, ct: Any): Any =
+    VectorKernel.nearestCellL2(vec.asInstanceOf[ArrayData], vecIsFloat, cells, cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cellsRef = ctx.addReferenceObj("cells", cells, "int[]")
+    val centsRef = ctx.addReferenceObj("cents", cents,
+      "org.apache.spark.sql.catalyst.util.ArrayData[]")
+    nullSafeCodeGen(ctx, ev, (vec, _, _) =>
+      s"${ev.value} = graft.functions.VectorKernel.nearestCellL2(" +
+        s"$vec, $vecIsFloat, $cellsRef, $centsRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): NearestCellL2Expr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "nearest_cell_l2"
+}
+
 /** Column-API entry points — resolve through the session registry
   * (installed by [[graft.GraftExtensions]]), same path SQL takes.
   */
@@ -333,4 +460,9 @@ object VectorExprs {
 
   def nearest_cell(vec: Column, cells: Column, centroids: Column): Column =
     call_function("nearest_cell", vec, cells, centroids)
+
+  def dist2_f(a: Column, b: Column): Column = call_function("dist2_f", a, b)
+
+  def nearest_cell_l2(vec: Column, cells: Column, centroids: Column): Column =
+    call_function("nearest_cell_l2", vec, cells, centroids)
 }

@@ -48,33 +48,28 @@ object Clustering {
     */
   final case class KMeansModel(centroids: Seq[Array[Double]], lastShift: Double)
 
-  private def centroidLit(c: Array[Double]): Column = array(c.map(lit).toSeq: _*)
-
-  /** Squared L2 distance between an `array<double>` column and a literal
-    * centroid: zip-multiply-accumulate as a left-to-right fold (the
-    * [[Similarity.dot]] shape — deterministic element order).
-    */
-  private def dist2(vecD: Column, c: Array[Double]): Column =
-    aggregate(
-      zip_with(vecD, centroidLit(c), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
-
-  /** Adds `cluster` = index of the nearest centroid (squared-L2; ties break
-    * to the LOWEST index via struct ordering — deterministic). Map-side
-    * only: the k distances and the argmin run inside codegen; no shuffle,
-    * no join, no UDF. Input contract: vectors must be null-free and of the
-    * centroids' dimension (a null element nulls its distance and the
-    * assignment with it — run the q34-style hygiene pass upstream; the
-    * native vector kernels reject such inputs outright).
+  /** Adds `cluster` = index of the nearest centroid (squared-L2; ties
+    * break to the LOWEST index — deterministic). Map-side only: the
+    * codebook rides as ONE literal node into the native `nearest_cell_l2`
+    * expression ([[graft.functions.NearestCellL2Expr]]), so the k
+    * distances and the argmin run in one codegen'd kernel call — no
+    * shuffle, no join, no UDF, and (unlike the pre-r11 per-element-lit
+    * `aggregate(zip_with(...))` fold, which was interpreted per element
+    * AND grew the plan by k·dim nodes) plan size is O(1) in the codebook.
+    * The fold order and all-double arithmetic are unchanged, so
+    * assignments are bit-identical (q101's oracle and ClusteringSpec pin
+    * this). Input contract: vectors must be null-free and of the
+    * centroids' dimension — violations now fail LOUDLY in the kernel
+    * (dimension mismatch errors; the old HOF fold silently nulled the
+    * assignment), the [[graft.functions.VectorKernel]] honesty rule.
     */
   def assignClusters(
       df: DataFrame, vecCol: String, centroids: Seq[Array[Double]]): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
-    val vecD = transform(col(vecCol), _.cast("double"))
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(dist2(vecD, c).as("d"), lit(i).as("c"))
-    }
-    df.withColumn("cluster", array_min(array(scored: _*)).getField("c"))
+    df.withColumn("cluster", graft.functions.VectorExprs.nearest_cell_l2(
+      col(vecCol),
+      typedLit(centroids.indices.toList),
+      typedLit(centroids.map(_.toSeq))))
   }
 
   /** `iters` Lloyd's rounds from `init`. Each round: map-side assignment,
@@ -183,9 +178,9 @@ object Clustering {
       .select(col("cluster"), col("t_idx"), col("bucket"),
         col("id_a"), col("__va"), col("id").as("id_b"), col("__v").as("__vb"))
     coldPairs.unionByName(starPairs)
-      .withColumn("dist2",
-        aggregate(zip_with(col("__va"), col("__vb"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, d) => acc + d))
+      // native fused fold — same element order and double math as the
+      // zip_with formulation (bit-identical), ~100× cheaper per pair
+      .withColumn("dist2", graft.functions.VectorExprs.dist2_f(col("__va"), col("__vb")))
       .select(col("cluster"), col("id_a"), col("id_b"), col("dist2"))
       .distinct() // a pair can collide in several tables; dist2 is a pure function of the pair
       .filter(col("dist2") <= lit(maxDist * maxDist))

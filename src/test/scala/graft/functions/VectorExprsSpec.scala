@@ -163,6 +163,45 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("dist2_f is bit-identical to the left-to-right zip_with fold") {
+    val df = Seq.tabulate(32)(i =>
+      (randVec(64).map(_.toDouble), randVec(64).map(_.toDouble), i)).toDF("a", "b", "i")
+    val hof = aggregate(
+      zip_with($"a", $"b", (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+    val rows = df.select(VectorExprs.dist2_f($"a", $"b").as("native"), hof.as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("nearest_cell_l2 matches the array_min(struct(d, c)) k-means rule it replaced") {
+    val centroids = Seq(
+      Array(1.0, 0.0),
+      Array(0.0, 1.0),
+      Array(0.0, 1.0),  // duplicate of index 1: ties must pick 1
+      Array(-1.0, 0.0))
+    val df = (Seq(
+      Array(0.9, 0.1),
+      Array(0.1, 0.9),   // exact tie between centroids 1 and 2
+      Array(-2.0, 0.0)) zip (0 until 3)).toDF("v", "i")
+    val legacy = array_min(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(
+          zip_with($"v", array(c.map(lit).toSeq: _*), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d).as("d"),
+        lit(i).as("c"))
+    }: _*)).getField("c")
+    val rows = df.select(
+      VectorExprs.nearest_cell_l2($"v",
+        typedLit(centroids.indices.toList), typedLit(centroids.map(_.toSeq))).as("native"),
+      legacy.as("legacy"), $"i").collect()
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1), s"row ${r.getInt(2)}"))
+    assert(rows.map(_.getInt(0)).toSeq === Seq(0, 1, 3))
+  }
+
   test("nearest_cell rejects a non-foldable or empty codebook at analysis") {
     val df = Seq((Array(1.0f), Array(0), Array(Array(1.0f)))).toDF("v", "cs", "ct")
     assertThrows[org.apache.spark.sql.AnalysisException] {

@@ -230,15 +230,103 @@ object Graph {
     out
   }
 
+  /** [[pageRankConverged]] for WEIGHTED edges — the converged complement
+    * of [[pageRankWeightedFixedPoint]], completing the fixed/converged ×
+    * unweighted/weighted family. Same per-mille weight quantization and
+    * exact 64-bit arithmetic as the fixed form (`eps = 0` + cap k
+    * reproduces its k-iteration ranks bit-for-bit, GraphSpec pins it);
+    * same join-free delta probe and per-round `localCheckpoint` as the
+    * unweighted converged form; same weight contract (w ≤ 0 edges carry
+    * no mass, endpoints stay teleport-ranked nodes).
+    */
+  def pageRankWeightedConverged(
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      eps: Long, maxIterations: Int = 50, scale: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): PageRankRun = {
+    require(maxIterations >= 1 && eps >= 0 && scale > 0 && dampNum > 0 && dampDen > dampNum)
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      col(weightCol).cast("long").as("__w"))
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct().persist()
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val ePos = e.filter(col("__w") > 0)
+    val wSum = ePos.groupBy(col("__src")).agg(sum(col("__w")).as("__wsum"))
+    val edgesW = ePos.join(wSum, "__src")
+      .withColumn("__wn", expr("(__w * 1000) div __wsum")).persist()
+    val telePerNode = (scale * (dampDen - dampNum)) / (dampDen * n)
+    var mat = nodes.select(col("node"), lit(scale / n).as("__r")).localCheckpoint()
+    var r = mat
+    var rounds = 0
+    var delta = Long.MaxValue
+    while (rounds < maxIterations && delta > eps) {
+      val contribs = edgesW
+        .join(r, edgesW("__src") === r("node"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(expr(s"((__r * $dampNum) div $dampDen * __wn) div 1000")).as("__in"))
+      val next = r.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(telePerNode) + coalesce(col("__in"), lit(0L))).as("__rn"),
+          col("__r").as("__rp"))
+        .localCheckpoint()
+      delta = next.agg(max(abs(col("__rn") - col("__rp")))).head().getLong(0)
+      mat.unpersist()
+      mat = next
+      r = next.select(col("node"), col("__rn").as("__r"))
+      rounds += 1
+    }
+    nodes.unpersist()
+    edgesW.unpersist()
+    PageRankRun(
+      r.select(col("node"), col("__r").as("rank_fp")),
+      rounds, delta <= eps, delta)
+  }
+
+  /** Pure-Scala replay of [[pageRankWeightedConverged]] on a DRIVER-SIDE
+    * weighted edge list — the oracle generator's helper (the
+    * [[pageRankConvergedReference]] rule: a gate measures the converged
+    * round count at object init and unrolls the SQL twin to exactly that
+    * many iteration CTEs). Driver-side only; fixture-sized inputs.
+    */
+  def pageRankWeightedConvergedReference(
+      edges: Seq[(String, String, Long)], eps: Long, maxIterations: Int = 50,
+      scale: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): (Map[String, Long], Int) = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    require(n > 0, "empty graph")
+    val pos = edges.filter(_._3 > 0)
+    val wSum = pos.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val wn = pos.map { case (s, d, w) => (s, d, (w * 1000L) / wSum(s)) }
+    val telePerNode = (scale * (dampDen - dampNum)) / (dampDen * n)
+    var r = nodes.map(_ -> scale / n).toMap
+    var rounds = 0
+    var delta = Long.MaxValue
+    while (rounds < maxIterations && delta > eps) {
+      val in = wn
+        .groupBy(_._2)
+        .map { case (d, es) =>
+          d -> es.map { case (s, _, w) => ((r(s) * dampNum) / dampDen * w) / 1000L }.sum
+        }
+      val next = nodes.map(v => v -> (telePerNode + in.getOrElse(v, 0L))).toMap
+      delta = nodes.map(v => math.abs(next(v) - r(v))).max
+      r = next
+      rounds += 1
+    }
+    (r, rounds)
+  }
+
   /** Generated DuckDB twin of [[pageRankWeightedFixedPoint]] (the q27
     * generated-SQL rule). Expects `$edgesCte(src, dst, w)`; emits CTEs
     * and the final `SELECT node, rank_fp` ordered by node. Nodes come
     * from ALL edges; mass only from `w > 0` edges — the operator's
-    * stated weight contract.
+    * stated weight contract. `extraSelect` is appended verbatim to the
+    * final projection (e.g. a literal `n_rounds` for the convergence
+    * gate).
     */
   def pageRankWeightedSql(
       edgesCte: String, iterations: Int = 3, scale: Long = 1000000000000L,
-      dampNum: Long = 85L, dampDen: Long = 100L): String = {
+      dampNum: Long = 85L, dampDen: Long = 100L, extraSelect: String = ""): String = {
     val teleNum = scale * (dampDen - dampNum)
     val iters = (1 to iterations).map { i =>
       val prev = if (i == 1) "r0" else s"r${i - 1}"
@@ -265,7 +353,7 @@ object Graph {
         r0 AS (
           SELECT node, ($scale // (SELECT n FROM nn)) AS r FROM nodes),
         $iters
-        SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r$iterations ORDER BY node"""
+        SELECT node, CAST(r AS BIGINT) AS rank_fp$extraSelect FROM r$iterations ORDER BY node"""
   }
 
   /** Generated DuckDB twin of [[pageRankFixedPoint]] — the iteration CTEs

@@ -29,6 +29,18 @@ object TextOps {
   private lazy val PrRounds: Int =
     Graph.pageRankConvergedReference(PrEdges, PrEps, PrMaxIters)._2
 
+  /** q139's weighted twin of [[PrEdges]]: same cyclic topology plus
+    * asymmetric weights (c splits 10:1 between a and d; a zero-weight
+    * edge f→b exercises the w ≤ 0 drop rule — f stays a node, carries
+    * no mass), so the converged round count genuinely depends on the
+    * weighting.
+    */
+  private val PrwEdges: Seq[(String, String, Long)] = Seq(
+    ("a", "b", 5L), ("b", "c", 7L), ("c", "a", 10L), ("c", "d", 1L),
+    ("d", "e", 4L), ("e", "a", 9L), ("f", "a", 2L), ("f", "b", 0L))
+  private lazy val PrwRounds: Int =
+    Graph.pageRankWeightedConvergedReference(PrwEdges, PrEps, PrMaxIters)._2
+
   /** The q78/q83 candidate-pair pipeline: scan-local MinHash signatures →
     * LSH bands → bucket-join candidates (shared so the keepers gate chains
     * the exact clusters gate's pairs).
@@ -846,6 +858,53 @@ object TextOps {
           true AS decoded
         FROM documents ORDER BY media_id""")),
 
+    // VIDEO frame sampling under the hash gate (upgrading the fan-out
+    // from spec-only): the demuxer itself stays the documented byte-range
+    // stub (the JDK ships no container codec), but everything Spark-side
+    // is real and now oracled — the 1→N typed flatMap, ceil framing with
+    // a partial tail frame, stride selection, frame-indexed ids, and the
+    // sliced payload sizes. The oracle replays the arithmetic in closed
+    // form over the utf-8 byte lengths.
+    QueryDef(
+      "q140_video_frame_manifest",
+      (s, dir) => {
+        val media = graft.ops.Multimodal.fromDocuments(s, Tables.documents(s, dir))
+        graft.ops.Multimodal.frameSampleStub(media, frameBytes = 256, stride = 2).toDF()
+          .select(col("media_id"),
+            length(col("payload")).cast("int").as("n_bytes"), col("mime"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id AS media_id, octet_length(encode(text)) AS len
+          FROM documents WHERE text IS NOT NULL),
+        f AS (
+          SELECT media_id, len,
+            unnest(range(0, CAST(greatest(1, (len + 255) // 256) AS BIGINT), 2)) AS fr
+          FROM m)
+        SELECT media_id * 1000000 + fr AS media_id,
+          CAST(least(len, fr * 256 + 256) - fr * 256 AS INT) AS n_bytes,
+          'text/plain;frame=' || fr AS mime
+        FROM f ORDER BY media_id""")),
+
+    // Thumbnail/transcode stage manifest (the payload→payload shape with
+    // bounded output): sizes after the stub resize are a closed-form
+    // least(len, cap) the oracle replays; the mime tag records the stage.
+    QueryDef(
+      "q141_media_resize_manifest",
+      (s, dir) => {
+        val media = graft.ops.Multimodal.fromDocuments(s, Tables.documents(s, dir))
+        graft.ops.Multimodal.resizeStub(media, maxBytes = 128).toDF()
+          .select(col("media_id"),
+            length(col("payload")).cast("int").as("n_bytes"), col("mime"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+          CAST(least(octet_length(encode(text)), 128) AS INT) AS n_bytes,
+          'text/plain;resized' AS mime
+        FROM documents WHERE text IS NOT NULL ORDER BY media_id""")),
+
     // Multimodal plumbing: binary payload column → per-partition "decode"
     // (stubbed codec, real schema/partitioning). Oracle checks byte length.
     QueryDef(
@@ -1150,6 +1209,31 @@ object TextOps {
         ${Graph.pageRankSql("edges", iterations = PrRounds,
             extraSelect = s", CAST($PrRounds AS INTEGER) AS n_rounds")}""")),
 
+    // q136's WEIGHTED sibling ([[Graph.pageRankWeightedConverged]]):
+    // convergence-probed iteration over weighted edges — same measured-
+    // round gate construction (pure-Scala replay computes the converged
+    // round count at object init; the SQL twin unrolls to exactly that
+    // many weighted-iteration CTEs, so rounds AND ranks must both match).
+    // The fixture's zero-weight edge pins the w ≤ 0 contract inside the
+    // convergence loop.
+    QueryDef(
+      "q139_pagerank_weighted_converged",
+      (s, _) => {
+        import s.implicits._
+        val edges = PrwEdges.toDF("src", "dst", "w")
+        val run = Graph.pageRankWeightedConverged(edges, "src", "dst", "w",
+          eps = PrEps, maxIterations = PrMaxIters)
+        run.ranks
+          .withColumn("n_rounds", lit(run.rounds))
+          .orderBy(col("node"))
+      },
+      Some(s"""
+        WITH wedges AS (SELECT * FROM (VALUES
+          ${PrwEdges.map { case (a, b, w) => s"('$a', '$b', $w)" }.mkString(", ")})
+          AS t(src, dst, w)),
+        ${Graph.pageRankWeightedSql("wedges", iterations = PrwRounds,
+            extraSelect = s", CAST($PrwRounds AS INTEGER) AS n_rounds")}""")),
+
     // JSONL ingest — the format LLM corpora actually ship in: write the
     // corpus as line-delimited JSON, read it back with a DECLARED schema
     // (inference is a second full scan, and a type guess — the engine's
@@ -1163,6 +1247,28 @@ object TextOps {
         val tmp = java.nio.file.Files.createTempDirectory("q132jsonl").toString
         docs.write.mode("overwrite").json(tmp)
         val back = s.read.schema(docs.schema).json(tmp)
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+        EventOps.rmTree(tmp)
+        back
+      },
+      Some("""
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents ORDER BY doc_id""")),
+
+    // ORC ingest — q132's rule applied to the other mainstream columnar
+    // format (Spark ships the ORC reader/writer in-box): write the corpus
+    // as ORC, read it back with a DECLARED schema, hash-match the parquet
+    // route. Column pruning and predicate pushdown work on ORC scans the
+    // same way PlanSpec pins them for parquet, so the engine's scan
+    // guarantees carry over unchanged.
+    QueryDef(
+      "q142_orc_ingest",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("q142orc").toString
+        docs.write.mode("overwrite").orc(tmp)
+        val back = s.read.schema(docs.schema).orc(tmp)
           .orderBy(col("doc_id"))
           .localCheckpoint()
         EventOps.rmTree(tmp)

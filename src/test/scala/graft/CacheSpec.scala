@@ -15,7 +15,8 @@ class CacheSpec extends SparkSpec {
     "q130_source_pagerank",      // PageRank loop leaves
     "q131_acquisition_plan",     // overlap matrix + both PageRank variants
     "q134_source_pagerank_weighted",
-    "q136_pagerank_converged")   // per-round checkpoints + loop leaves
+    "q136_pagerank_converged",   // per-round checkpoints + loop leaves
+    "q139_pagerank_weighted_converged")
 
   leakProne.foreach { name =>
     test(s"$name leaves no cached plans after a standalone run") {

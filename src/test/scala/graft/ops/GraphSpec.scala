@@ -104,8 +104,44 @@ class GraphSpec extends SparkSpec {
     Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 2).collect()
     Graph.pageRankWeightedFixedPoint(ew, "src", "dst", "w", iterations = 2).collect()
     Graph.pageRankConverged(edges, "src", "dst", eps = 0L, maxIterations = 2).ranks.collect()
+    Graph.pageRankWeightedConverged(ew, "src", "dst", "w",
+      eps = 0L, maxIterations = 2).ranks.collect()
     assert(spark.sharedState.cacheManager.isEmpty,
       "a pageRank variant left persisted plans in the cache manager")
+  }
+
+  test("pageRankWeightedConverged: probe stops at the measured round; weighting changes the answer") {
+    // q139's planted graph: PrEdges' topology with asymmetric weights and
+    // one zero-weight edge (f→b) exercising the w ≤ 0 drop inside the loop
+    val fixture = Seq(
+      ("a", "b", 5L), ("b", "c", 7L), ("c", "a", 10L), ("c", "d", 1L),
+      ("d", "e", 4L), ("e", "a", 9L), ("f", "a", 2L), ("f", "b", 0L))
+    val eps = 20000000000L
+    val (refRanks, refRounds) = Graph.pageRankWeightedConvergedReference(fixture, eps, 60)
+    assert(refRounds > 3, s"fixture converged in $refRounds rounds — too shallow to gate the probe")
+    val run = Graph.pageRankWeightedConverged(fixture.toDF("src", "dst", "w"),
+      "src", "dst", "w", eps = eps, maxIterations = 60)
+    assert(run.rounds === refRounds)
+    assert(run.converged && run.maxDelta <= eps)
+    val got = run.ranks.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === refRanks)
+    // the unweighted converged ranks differ: the weighting is load-bearing
+    val unweighted = Graph.pageRankConverged(
+      fixture.map(e => (e._1, e._2)).toDF("src", "dst"), "src", "dst",
+      eps = eps, maxIterations = 60)
+      .ranks.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got !== unweighted)
+  }
+
+  test("pageRankWeightedConverged with eps = 0 reproduces the weighted k-iteration ranks bit-for-bit") {
+    val ew = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")
+    val run = Graph.pageRankWeightedConverged(ew, "src", "dst", "w",
+      eps = 0L, maxIterations = 2)
+    assert(run.rounds === 2 && !run.converged)
+    val got = run.ranks.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fixed = Graph.pageRankWeightedFixedPoint(ew, "src", "dst", "w", iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === fixed)
   }
 
   test("pageRankWeightedFixedPoint: hand-computed iteration with 3:1 weight split") {

@@ -23,6 +23,30 @@ object Dedup {
   /** Exact-dup fingerprint: md5 of the canonical form. */
   def exactFingerprint(text: Column): Column = md5(canonical(text))
 
+  /** Corpus SNAPSHOT DIFF — the release-to-release accounting a corpus
+    * pipeline publishes with every refresh: per id, whether the document
+    * was `added`, `removed`, `changed` (same id, different canonical
+    * fingerprint), or `unchanged`. Scale shape: fingerprints are computed
+    * scan-local on each side, so the full-outer equi-join on id carries
+    * (id, 16-byte fingerprint) — never a document body — and the result
+    * is one shuffle regardless of corpus width. Null-text rows follow the
+    * [[exactGroups]] contract: the caller filters them upstream (a null
+    * fingerprint would make every comparison non-equal and misreport
+    * `changed`).
+    */
+  def corpusDiff(
+      oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol), exactFingerprint(col(textCol)).as("__fp_old"))
+    val n = newDocs.select(col(idCol), exactFingerprint(col(textCol)).as("__fp_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__fp_old").isNull, lit("added"))
+          .when(col("__fp_new").isNull, lit("removed"))
+          .when(col("__fp_old") =!= col("__fp_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Exact dedup: keep the lowest id per identical (canonicalized) text.
     * One hash-shuffle on the 16-byte fingerprint — at 100 TB the shuffle
     * carries (fingerprint, id), never the document body.

@@ -143,4 +143,66 @@ object Events {
       .select(Seq(col(keyCol), col(tsCol)) ++ leftExtra.map(col) ++
         rightPayload.map(c => col("__asof").getField(c).as(c)): _*)
   }
+
+  /** ORDERED FUNNEL per user: for the stage sequence `stages`, stage i's
+    * timestamp is the EARLIEST event of that type STRICTLY AFTER stage
+    * i−1's timestamp (stage 0: the user's earliest such event); `depth` =
+    * number of stages reached, contiguous by construction (a later stage
+    * can only match after an earlier one did). The standard product-
+    * analytics primitive (view → click → purchase conversion).
+    *
+    * Shape (the [[asofJoin]] lesson applied): NO per-stage join chain —
+    * each stage is a conditional `min` WINDOW over the same user
+    * partitioning, so the chain costs ONE hash shuffle on the user key
+    * total (stacked Window operators reuse the exchange), and the final
+    * per-user reduction rides the same partitioning. The naive k-stage
+    * self-join pipeline shuffles the event table k+1 times.
+    */
+  def funnel(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    require(stages.distinct.size == stages.size, "funnel stages must be distinct")
+    val w = Window.partitionBy(col(userCol))
+    var df = events.select(col(userCol), col(tsCol), col(typeCol))
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val cond =
+        if (i == 0) col(typeCol) === st
+        else col(typeCol) === st && col(tsCol) > col(s"__t${i - 1}")
+      df = df.withColumn(s"__t$i", min(when(cond, col(tsCol))).over(w))
+    }
+    val depth = stages.indices
+      .map(i => when(col(s"__t$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    df.withColumn("__depth", depth)
+      .groupBy(col(userCol))
+      .agg(max(col("__depth")).as("depth"))
+  }
+
+  /** COHORT RETENTION: users are cohorted by the hour of their FIRST
+    * event; `n_active` counts distinct cohort members active k hours
+    * later, for k in [0, maxOffset]. Shape: one keyed min (first event),
+    * one distinct over (user, hour) — map-side-combinable, the activity
+    * table shrinks to user×hours before the join — then an equi-join on
+    * the user key and one (cohort, k) aggregate. k=0 is the cohort size
+    * (every member is active in their own first hour), so retention
+    * rates are n_active(k) / n_active(0) downstream.
+    */
+  def cohortRetention(
+      events: DataFrame, userCol: String, tsCol: String,
+      maxOffset: Int): DataFrame = {
+    require(maxOffset >= 0)
+    val firstH = events.groupBy(col(userCol))
+      .agg(date_trunc("hour", min(col(tsCol))).as("cohort_hour"))
+    val active = events
+      .select(col(userCol), date_trunc("hour", col(tsCol)).as("__h"))
+      .distinct()
+    active.join(firstH, userCol)
+      .withColumn("k",
+        ((unix_timestamp(col("__h")) - unix_timestamp(col("cohort_hour"))) / 3600L)
+          .cast("int"))
+      .filter(col("k") >= 0 && col("k") <= maxOffset)
+      .groupBy(col("cohort_hour"), col("k"))
+      .agg(countDistinct(col(userCol)).as("n_active"))
+  }
 }

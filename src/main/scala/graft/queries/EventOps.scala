@@ -561,6 +561,82 @@ object EventOps {
         ss.table(name).orderBy(col("error_id"), col("signup_id"))
       },
       Some(RangeJoinOracle)),
+
+    // ORDERED FUNNEL ([[graft.ops.Events.funnel]]): signup → view →
+    // click → purchase, each stage the earliest matching event STRICTLY
+    // after the previous stage's timestamp. One shuffle total (chained
+    // conditional-min windows over one user partitioning — the asofJoin
+    // lesson; a per-stage join chain would shuffle the table 5×). The
+    // oracle replays the stage chain as sequential CTEs. The 96-hour
+    // analysis slice is what makes the gate discriminating: over the
+    // full timeline every user completes the funnel (one output row —
+    // vacuous); at 96 h sf0.01 populates all five depths.
+    QueryDef(
+      "q145_event_funnel",
+      (s, dir) => {
+        val depths = graft.ops.Events.funnel(
+          Tables.events(s, dir)
+            .filter(col("ts") < lit("2024-01-05 00:00:00").cast("timestamp")),
+          "user_id", "ts", "event_type",
+          Seq("signup", "view", "click", "purchase"))
+        depths.groupBy(col("depth"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("depth"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-05 00:00:00'),
+        s0 AS (
+          SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+          FROM ev GROUP BY user_id),
+        s1 AS (
+          SELECT e.user_id, min(e.ts) AS t1 FROM ev e JOIN s0 USING (user_id)
+          WHERE e.event_type = 'view' AND s0.t0 IS NOT NULL AND e.ts > s0.t0
+          GROUP BY e.user_id),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s1.t1
+          GROUP BY e.user_id),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          GROUP BY e.user_id),
+        d AS (
+          SELECT u.user_id,
+            (CASE WHEN s0.t0 IS NOT NULL THEN 1 ELSE 0 END +
+             CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END +
+             CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END +
+             CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS depth
+          FROM (SELECT DISTINCT user_id FROM ev) u
+          LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+          LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+        SELECT depth, count(*) AS n_users FROM d GROUP BY depth ORDER BY depth""")),
+
+    // COHORT RETENTION ([[graft.ops.Events.cohortRetention]]): cohort =
+    // hour of first event, n_active = distinct members active k hours
+    // later (k ≤ 6). k=0 is the cohort size. Activity collapses to
+    // DISTINCT (user, hour) before the join, so the join input scales
+    // with user-hours, not events.
+    QueryDef(
+      "q146_cohort_retention",
+      (s, dir) =>
+        graft.ops.Events.cohortRetention(Tables.events(s, dir), "user_id", "ts",
+            maxOffset = 6)
+          .select(
+            date_format(col("cohort_hour"), "yyyy-MM-dd HH:mm:ss").as("cohort_hour"),
+            col("k"), col("n_active"))
+          .orderBy(col("cohort_hour"), col("k")),
+      Some("""
+        WITH f AS (
+          SELECT user_id, date_trunc('hour', min(ts)) AS cohort_hour
+          FROM events GROUP BY user_id),
+        a AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events)
+        SELECT strftime(f.cohort_hour, '%Y-%m-%d %H:%M:%S') AS cohort_hour,
+          CAST((epoch(a.h) - epoch(f.cohort_hour)) // 3600 AS INT) AS k,
+          count(DISTINCT a.user_id) AS n_active
+        FROM a JOIN f USING (user_id)
+        WHERE epoch(a.h) - epoch(f.cohort_hour) BETWEEN 0 AND 6 * 3600
+        GROUP BY 1, 2 ORDER BY cohort_hour, k""")),
   )
 
   /** Shared by q32 (window-function route) and q70 (custom-state route):

@@ -1256,6 +1256,75 @@ object TextOps {
         SELECT doc_id, text, lang, source, n_chars
         FROM documents ORDER BY doc_id""")),
 
+    // Corpus SNAPSHOT DIFF ([[Dedup.corpusDiff]]): the accounting a
+    // corpus refresh publishes — added/removed/changed/unchanged per id,
+    // fingerprint-compared so only (id, md5) ever shuffles. The gate
+    // PLANTS a new snapshot from the corpus itself (drop id%7 [removed],
+    // append ' v2' to id%5 [changed], re-id id%11 [added]) and the
+    // oracle replays the construction with raw text comparison — same
+    // verdicts, since planted changes always change the canonical form.
+    QueryDef(
+      "q143_corpus_diff",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+        val newSnap = base.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(base.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        Dedup.corpusDiff(base, newSnap, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        nw AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+          FROM base WHERE doc_id % 7 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM base WHERE doc_id % 11 = 0)
+        SELECT doc_id,
+          CASE WHEN o.text IS NULL THEN 'added'
+               WHEN n.text IS NULL THEN 'removed'
+               WHEN o.text <> n.text THEN 'changed'
+               ELSE 'unchanged' END AS status
+        FROM base o FULL JOIN nw n USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // SCHEMA EVOLUTION on ingest — the 100 TB reality that a corpus's
+    // early shards were written by an older pipeline with fewer columns:
+    // two partition batches land with DIFFERENT schemas (v1 lacks
+    // source/n_chars), `mergeSchema` unions them, and the absent columns
+    // come back NULL for v1 rows while the partition column is
+    // discovered from the directory layout. The oracle replays the
+    // null-filling and batch tagging in closed form.
+    QueryDef(
+      "q144_schema_evolution",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("q144evo").toString
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"), col("lang"))
+          .write.mode("overwrite").parquet(s"$tmp/batch=v1")
+        docs.filter(col("doc_id") % 2 =!= 0)
+          .write.mode("overwrite").parquet(s"$tmp/batch=v2")
+        val back = s.read.option("mergeSchema", "true").parquet(tmp)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            col("batch"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+        EventOps.rmTree(tmp)
+        back
+      },
+      Some("""
+        SELECT doc_id, lang,
+          CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END AS source,
+          CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars END AS n_chars,
+          CASE WHEN doc_id % 2 = 0 THEN 'v1' ELSE 'v2' END AS batch
+        FROM documents ORDER BY doc_id""")),
+
     // ORC ingest — q132's rule applied to the other mainstream columnar
     // format (Spark ships the ORC reader/writer in-box): write the corpus
     // as ORC, read it back with a DECLARED schema, hash-match the parquet

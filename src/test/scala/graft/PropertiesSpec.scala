@@ -316,4 +316,48 @@ class PropertiesSpec extends SparkSpec {
         sn.subsetOf(sm)
     }, cases = 10)
   }
+
+  test("nearest-cell kernels equal the naive argmax/argmin model on random codebooks") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val dimGen = Gen.chooseNum(1, 8)
+    val prop = Prop.forAll(dimGen, Gen.chooseNum(1, 6), Gen.chooseNum(0L, Long.MaxValue)) {
+      (dim, k, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val vec = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+        val cents = Array.fill(k)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+        val cells = Array.range(0, k)
+        val va = ArrayData.toArrayData(vec)
+        val centsF = cents.map(c => ArrayData.toArrayData(c): ArrayData)
+        val centsD = cents.map(c => ArrayData.toArrayData(c.map(_.toDouble)): ArrayData)
+        // naive models: max/min by (score, -index) over the same kernel scores
+        val cos = cents.indices.map(i =>
+          graft.functions.VectorKernel.cosine(va, true, centsF(i), true))
+        val d2 = cents.indices.map(i =>
+          graft.functions.VectorKernel.dist2(va, true, centsD(i), false))
+        val wantCos = cos.indices.minBy(i => (-cos(i), i))
+        val wantL2 = d2.indices.minBy(i => (d2(i), i))
+        graft.functions.VectorKernel.nearestCell(va, true, cells, centsF) == wantCos &&
+          graft.functions.VectorKernel.nearestCellL2(va, true, cells, centsD) == wantL2
+    }
+    check(prop)
+  }
+
+  test("dist2 kernel equals the BigDecimal-free scalar model and relates to dot/norms") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val prop = Prop.forAll(Gen.chooseNum(1, 16), Gen.chooseNum(0L, Long.MaxValue)) {
+      (dim, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val a = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+        val b = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+        val (aa, ba) = (ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+        val got = graft.functions.VectorKernel.dist2(aa, false, ba, false)
+        // scalar left-to-right reference
+        var acc = 0.0
+        var i = 0
+        while (i < dim) { val d = a(i) - b(i); acc += d * d; i += 1 }
+        java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(acc) &&
+          got >= 0.0
+    }
+    check(prop)
+  }
 }

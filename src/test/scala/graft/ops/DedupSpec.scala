@@ -282,4 +282,22 @@ class DedupSpec extends SparkSpec {
     assert(got.keySet === Set(("x", "y")))
     assert(got(("x", "y")) === ((2L, 3L, 2L, 0.6667)))
   }
+
+  test("corpusDiff: planted add/remove/change/unchanged statuses, whitespace-insensitive") {
+    val old = Seq(
+      (1L, "alpha beta"),
+      (2L, "gamma"),
+      (3L, "delta"),
+      (4L, "epsilon")).toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "ALPHA   beta"),   // canonical-equal: case + whitespace collapse
+      (2L, "gamma v2"),       // changed
+      (4L, "epsilon"),        // unchanged
+      (9L, "new doc")).toDF("doc_id", "text") // added; 3 removed
+    val got = Dedup.corpusDiff(old, neu, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 9L -> "added"))
+  }
 }

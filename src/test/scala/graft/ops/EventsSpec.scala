@@ -96,6 +96,46 @@ class EventsSpec extends SparkSpec {
     assert(clash.getMessage.contains("collides"))
   }
 
+  test("funnel: ordered stages, strict after-previous matching, contiguous depth") {
+    val ev = Seq(
+      // u1 completes in order: a(0) b(5) c(9)
+      (1L, ts(0), "a"), (1L, ts(5), "b"), (1L, ts(9), "c"),
+      // u2 has c BEFORE b: c at t=2 precedes b(4), and no later c exists
+      // — depth stops at 2 even though all three types occur
+      (2L, ts(0), "a"), (2L, ts(2), "c"), (2L, ts(4), "b"),
+      // u3 never does stage a: depth 0 despite b and c events
+      (3L, ts(1), "b"), (3L, ts(2), "c"),
+      // u4: stage ts must be STRICTLY after — b at the same minute as a
+      // does not count, the later b does
+      (4L, ts(0), "a"), (4L, ts(0), "b"), (4L, ts(7), "b")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Events.funnel(ev, "user_id", "ts", "event_type", Seq("a", "b", "c"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("depth")).toMap
+    assert(got === Map(1L -> 3, 2L -> 2, 3L -> 0, 4L -> 2))
+  }
+
+  test("cohortRetention: hour-cohorts with k=0 as cohort size, offsets bounded") {
+    val ev = Seq(
+      // cohort hour 0: u1 active hours 0,1,3; u2 active hour 0 only
+      (1L, ts(5)), (1L, ts(70)), (1L, ts(190)),
+      (2L, ts(30)),
+      // cohort hour 2: u3 active hours 2,3
+      (3L, ts(125)), (3L, ts(185))
+    ).toDF("user_id", "ts")
+    val got = Events.cohortRetention(ev, "user_id", "ts", maxOffset = 2)
+      .collect()
+      .map(r => (r.getAs[Timestamp]("cohort_hour").getTime / 3600000L,
+        r.getAs[Int]("k")) -> r.getAs[Long]("n_active")).toMap
+    assert(got === Map(
+      (0L, 0) -> 2L,  // u1 + u2 in their own first hour
+      (0L, 1) -> 1L,  // u1 at hour 1
+      (2L, 0) -> 1L,  // u3's cohort (hour 2) size
+      (2L, 1) -> 1L), // u3 at hour 3
+      s"unexpected retention table: $got")
+    // u1's hour-3 activity (k=3) is beyond maxOffset=2 and must be absent
+    assert(!got.contains((0L, 3)))
+  }
+
   test("rangeJoin matches interval containment inclusively, across bucket boundaries") {
     // buckets of 10 min; interval B straddles a bucket boundary — the
     // bucketized join must still pair it exactly once with each point

@@ -38,8 +38,11 @@ object GraftSession {
       // for an id lookup — the ES _id-routing analog, StoreSpec pins it)
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.ui.enabled", "false")
-      // testdata events.parquet stores ts as INT64 TIMESTAMP(NANOS) which the
-      // vectorized reader rejects; read as long and convert (Tables.events).
+      // early testdata generations stored events.ts as INT64
+      // TIMESTAMP(NANOS), which the vectorized reader rejects; the flag
+      // reads those as long and Tables.events converts. Current testdata
+      // ships plain TIMESTAMP(MICROS) (the flag is then inert) —
+      // Tables.events dispatches on the loaded type, so both layouts work.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // write µs (not INT96) so DuckDB/pyarrow read our output losslessly.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -47,6 +47,28 @@ object Dedup {
           .otherwise(lit("unchanged")).as("status"))
   }
 
+  /** Exact dedup with a CALLER-CHOSEN keeper: per identical (canonical)
+    * text, keep the row with the HIGHEST `score` (ties to the lowest id)
+    * instead of [[exactGroups]]' min-id rule — the cross-source
+    * deduplication policy (keep the curated copy over the crawl copy,
+    * the freshest snapshot over the stalest). `score` may be any
+    * integer-valued Column of the input (a source-priority CASE, a
+    * crawl timestamp). Same scale shape as [[exactGroups]]: the shuffle
+    * carries (fingerprint, id, score), never the document body, and the
+    * keeper is one `max_by` per group.
+    */
+  def exactKeepersBy(
+      docs: DataFrame, idCol: String, textCol: String, score: Column): DataFrame = {
+    val fp = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), exactFingerprint(col(textCol)).as("fingerprint"),
+        score.cast("long").as("__score"))
+    val keepers = fp.groupBy(col("fingerprint"))
+      .agg(max_by(col(idCol), struct(col("__score"), lit(0L) - col(idCol))).as("keep_id"))
+    fp.join(keepers, "fingerprint")
+      .select(col(idCol), (col(idCol) === col("keep_id")).as("keep"))
+  }
+
   /** Exact dedup: keep the lowest id per identical (canonicalized) text.
     * One hash-shuffle on the 16-byte fingerprint — at 100 TB the shuffle
     * carries (fingerprint, id), never the document body.

@@ -15,6 +15,35 @@ object TextStats {
   /** Whitespace tokens of the canonical (lowercased, space-collapsed) form. */
   def tokens(text: Column): Column = split(Dedup.canonical(text), " ")
 
+  /** Per-document UNIGRAM LOG-PROBABILITY under the corpus's own empirical
+    * unigram model: mean over the document's tokens of
+    * ln(count(token) / total_tokens) — the cheapest model-based quality
+    * signal (gibberish and boilerplate-free rare-token soup score far
+    * below plain prose; the perplexity-filter idea of quality pipelines,
+    * reduced to its unigram core so it is exactly replayable in SQL).
+    *
+    * Scale shape: one explode + (token → count) map-combinable aggregate
+    * builds the frequency dictionary — Zipf-sized, BROADCAST back to the
+    * exploded corpus (the `Bpe.tokenCounts` join rule: the corpus never
+    * shuffles on words); the total rides the 1-row broadcast scalar
+    * (q24 cap pattern); the per-doc mean is one keyed aggregate on id.
+    * Stated bound: the hint assumes the DICTIONARY fits an executor
+    * (true for natural-language vocabularies; at web scale with
+    * unbounded junk tokens, drop the hint and pay the one word-keyed
+    * shuffle instead — the aggregate itself is the same).
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    val total = toks.agg(count(lit(1)).cast("double").as("__n"))
+    toks
+      .join(broadcast(freq), "__tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(round(avg(log(col("__c").cast("double") / col("__n"))), 4).as("logprob"))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count estimate: words plus intra-word breaks at

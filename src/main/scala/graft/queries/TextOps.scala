@@ -1256,6 +1256,64 @@ object TextOps {
         SELECT doc_id, text, lang, source, n_chars
         FROM documents ORDER BY doc_id""")),
 
+    // BEST-COPY exact dedup ([[Dedup.exactKeepersBy]]): the keeper is
+    // chosen by SOURCE PRIORITY (curated beats crawl), ties to the
+    // lowest id — the cross-source dedup policy, vs q21's plain min-id
+    // rule. The corpus has no natural exact dups, so the gate PLANTS
+    // verbatim copies of id%9 docs under a 'curated' source with LARGER
+    // ids: for exactly those groups the keeper is NOT the min id, so the
+    // priority rule is structurally load-bearing.
+    QueryDef(
+      "q147_dedup_best_keeper",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"), col("source"))
+        val copies = base.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text"),
+            lit("curated").as("source"))
+        Dedup.exactKeepersBy(base.unionByName(copies), "doc_id", "text",
+            when(col("source") === "curated", lit(2)).otherwise(lit(1)))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH base AS (SELECT doc_id, text, source FROM documents WHERE text IS NOT NULL),
+        corpus AS (
+          SELECT * FROM base
+          UNION ALL
+          SELECT doc_id + 500000, text, 'curated' FROM base WHERE doc_id % 9 = 0),
+        f AS (
+          SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+            CASE WHEN source = 'curated' THEN 2 ELSE 1 END AS prio
+          FROM corpus),
+        k AS (
+          SELECT doc_id,
+            first_value(doc_id) OVER (PARTITION BY fp ORDER BY prio DESC, doc_id) AS keep_id
+          FROM f)
+        SELECT doc_id, doc_id = keep_id AS keep FROM k ORDER BY doc_id""")),
+
+    // UNIGRAM LOG-PROB quality signal ([[TextStats.unigramLogProb]]): each
+    // document's mean ln(corpus unigram probability) — the perplexity-
+    // filter idea reduced to its SQL-replayable unigram core. The
+    // frequency dictionary broadcasts back to the exploded corpus (words
+    // never shuffle); ln sums are order-sensitive doubles, so the gate
+    // rounds to 4 places (double drift is ~1e-12, three orders below).
+    QueryDef(
+      "q148_unigram_logprob",
+      (s, dir) =>
+        graft.ops.TextStats.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents WHERE text IS NOT NULL),
+        freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+        SELECT doc_id,
+          round(avg(ln(CAST(c AS DOUBLE) / (SELECT n FROM tot))), 4) AS logprob
+        FROM toks JOIN freq USING (tok)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // Corpus SNAPSHOT DIFF ([[Dedup.corpusDiff]]): the accounting a
     // corpus refresh publishes — added/removed/changed/unchanged per id,
     // fingerprint-compared so only (id, md5) ever shuffles. The gate

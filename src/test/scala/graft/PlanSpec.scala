@@ -91,6 +91,30 @@ class PlanSpec extends SparkSpec {
     assert(!exchange.contains("text#"), s"document body crosses the shuffle:\n$exchange")
   }
 
+  test("best-keeper dedup shuffles only (fingerprint, id, score) — never the document body") {
+    val df = graft.ops.Dedup.exactKeepersBy(
+      Tables.documents(spark, sf("sf0.001")), "doc_id", "text",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("source") === "curated", 2).otherwise(1))
+    val plan = df.queryExecution.sparkPlan.toString
+    val exchange = plan.linesIterator.dropWhile(!_.contains("Exchange")).take(3).mkString("\n")
+    assert(!exchange.contains("text#"), s"document body crosses the shuffle:\n$exchange")
+  }
+
+  test("q145 funnel: one user-keyed exchange feeds the whole stage chain") {
+    val full = planOf(SparkEntry.queries("q145_event_funnel")(spark, sf("sf0.001")))
+    // AQE prints the initial plan after the final one — count only the final
+    val plan = full.split("== Initial Plan ==").head
+    // four chained conditional-min windows + the per-user reduction all
+    // ride ONE hashpartitioning(user_id) — the operator's whole point vs
+    // a per-stage join chain (which would shuffle the event table 5×)
+    val userExchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+      .size
+    assert(userExchanges == 1,
+      s"expected exactly one user_id exchange, got $userExchanges:\n$plan")
+  }
+
   test("q35 ANN top-k gets map-side WindowGroupLimit (shuffle carries ≤k rows/group)") {
     val plan = planOf(SparkEntry.queries("q35_ann_brute_topk")(spark, sf("sf0.001")))
     // partial + final: without the partial pass the window shuffles the
@@ -146,6 +170,7 @@ class PlanSpec extends SparkSpec {
       "q131_acquisition_plan" -> "BroadcastNestedLoopJoin", // embeds q130's node-count and q123's corpus-total 1-row crossJoins
       "q133_skew_report" -> "BroadcastNestedLoopJoin", // 1-row totals scalar-subquery crossJoin (q24 cap pattern)
       "q138_join_decision" -> "BroadcastNestedLoopJoin", // embeds q133's 1-row totals crossJoin (q24 cap pattern)
+      "q148_unigram_logprob" -> "BroadcastNestedLoopJoin", // 1-row total-tokens scalar crossJoin (q24 cap pattern)
       "q134_source_pagerank_weighted" -> "BroadcastNestedLoopJoin", // 1-row node-count crossJoin per PageRank round (q130 pattern)
       "q115_ann_ivf_append" -> "BroadcastNestedLoopJoin", // probe×centroid cell assignment (q38 shape); centroids broadcast
       "q116_ann_ivf_append_quantized" -> "BroadcastNestedLoopJoin") // probe×centroid cell assignment (q38 shape); centroids broadcast

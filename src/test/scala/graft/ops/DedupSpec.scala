@@ -300,4 +300,17 @@ class DedupSpec extends SparkSpec {
       1L -> "unchanged", 2L -> "changed", 3L -> "removed",
       4L -> "unchanged", 9L -> "added"))
   }
+
+  test("exactKeepersBy: highest score wins its fingerprint group, ties to the lowest id") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "same text", 1),   // dup group A, low priority
+      (9L, "SAME   text", 3), // dup group A (canonical-equal), high priority → keeper
+      (5L, "same text", 3),   // dup group A, same high priority, lower id than 9 → keeper instead
+      (7L, "unique", 1)       // singleton keeps itself
+    ).toDF("doc_id", "text", "prio")
+    val got = Dedup.exactKeepersBy(docs, "doc_id", "text", col("prio"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(1L -> false, 9L -> false, 5L -> true, 7L -> true))
+  }
 }

@@ -1256,6 +1256,64 @@ object TextOps {
         SELECT doc_id, text, lang, source, n_chars
         FROM documents ORDER BY doc_id""")),
 
+    // COMPACTION PLAN — the small-files problem on the write path:
+    // [[Training.packBins]] applied to BYTE masses (per-source corpus
+    // bytes standing in for file sizes) with a target output-file
+    // budget; each bin is one compacted file, shards parallelize the
+    // planning. Same greedy running-sum rule as token packing, so the
+    // oracle replays it with the shared hashHex/window fragments.
+    QueryDef(
+      "q150_compaction_plan",
+      (s, dir) => {
+        val files = Tables.documents(s, dir).filter(col("text").isNotNull)
+          .groupBy(col("source"))
+          .agg(sum(octet_length(col("text"))).cast("long").as("bytes"))
+        Training.packBins(files, "source", "bytes", budget = 262144L)
+          .select(col("source"), col("bytes"), col("shard"), col("bin"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH files AS (
+          SELECT source, CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes
+          FROM documents WHERE text IS NOT NULL GROUP BY source),
+        w AS (
+          SELECT source, bytes,
+            ${Training.hashHexSql("source", "graft-pack", 1)} AS shard,
+            sum(bytes) OVER (
+              PARTITION BY ${Training.hashHexSql("source", "graft-pack", 1)}
+              ORDER BY source) AS cum
+          FROM files)
+        SELECT source, bytes, shard,
+          CAST(floor((cum - bytes) / 262144) AS BIGINT) AS bin
+        FROM w ORDER BY source""")),
+
+    // CROSS-FOLD LEAKAGE AUDIT: near-dup candidate pairs (the q26
+    // MinHash/LSH route, reused verbatim) that SPAN k-fold assignments —
+    // the fold-level contamination check a cross-validation split needs
+    // (a near-dup in fold 0 leaks its fold-3 twin's content into
+    // training; q76's shingle decontamination covers exact overlap, this
+    // covers the near-dup tier). Folds are deterministic (id mod 5);
+    // output is the leaky-pair count per ordered fold pair.
+    QueryDef(
+      "q149_fold_leakage",
+      (s, dir) => {
+        val sig = Dedup.minhashSignaturesScanLocal(Tables.documents(s, dir),
+          "doc_id", "text", k = 4, w = 3)
+        Dedup.minhashCandidates(Dedup.minhashBands(sig, "doc_id", k = 4, r = 2), "doc_id")
+          .withColumn("fold_a", (col("id_a") % 5).cast("int"))
+          .withColumn("fold_b", (col("id_b") % 5).cast("int"))
+          .filter(col("fold_a") =!= col("fold_b"))
+          .groupBy(col("fold_a"), col("fold_b"))
+          .agg(count(lit(1)).as("n_leaky_pairs"))
+          .orderBy(col("fold_a"), col("fold_b"))
+      },
+      Some(s"""
+        WITH ${OracleFrags.lshPairsCtes("documents")}
+        SELECT CAST(id_a % 5 AS INT) AS fold_a, CAST(id_b % 5 AS INT) AS fold_b,
+          count(*) AS n_leaky_pairs
+        FROM pairs WHERE id_a % 5 <> id_b % 5
+        GROUP BY 1, 2 ORDER BY fold_a, fold_b""")),
+
     // BEST-COPY exact dedup ([[Dedup.exactKeepersBy]]): the keeper is
     // chosen by SOURCE PRIORITY (curated beats crawl), ties to the
     // lowest id — the cross-source dedup policy, vs q21's plain min-id

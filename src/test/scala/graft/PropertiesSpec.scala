@@ -317,6 +317,38 @@ class PropertiesSpec extends SparkSpec {
     }, cases = 10)
   }
 
+  test("funnel equals the driver-side stage-chain replay on random event sets") {
+    val eventGen = for {
+      user <- Gen.chooseNum(1L, 5L)
+      minute <- Gen.chooseNum(0L, 30L)
+      tpe <- Gen.oneOf("a", "b", "c")
+    } yield (user, new java.sql.Timestamp(minute * 60000L), tpe)
+    val stages = Seq("a", "b", "c")
+    check(Prop.forAll(Gen.listOfN(40, eventGen)) { events =>
+      events.isEmpty || {
+        val got = graft.ops.Events.funnel(
+          events.toDF("user_id", "ts", "event_type"), "user_id", "ts", "event_type", stages)
+          .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("depth")).toMap
+        val want = events.groupBy(_._1).map { case (u, es) =>
+          var depth = 0
+          var prev: Option[Long] = None
+          var continue = true
+          stages.foreach { st =>
+            if (continue) {
+              val cand = es.collect {
+                case (_, ts, t) if t == st && prev.forall(ts.getTime > _) => ts.getTime
+              }
+              if (cand.isEmpty) continue = false
+              else { prev = Some(cand.min); depth += 1 }
+            }
+          }
+          u -> depth
+        }
+        got == want
+      }
+    }, cases = 8)
+  }
+
   test("nearest-cell kernels equal the naive argmax/argmin model on random codebooks") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val dimGen = Gen.chooseNum(1, 8)

@@ -22,8 +22,16 @@ import org.apache.spark.sql.types._
   */
 object VectorKernel {
 
-  @inline private def get(a: ArrayData, isFloat: Boolean, i: Int): Double =
+  // Null elements fail LOUDLY (the sameDim rule): an unchecked read of a
+  // null slot returns 0.0, which would silently score/assign a malformed
+  // vector — the HOF folds these kernels replaced at least poisoned the
+  // result to NULL. Embedding columns are null-free by contract; a null
+  // element is upstream corruption, and an error names it.
+  @inline private def get(a: ArrayData, isFloat: Boolean, i: Int): Double = {
+    if (a.isNullAt(i))
+      throw new IllegalArgumentException(s"null vector element at index $i")
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+  }
 
   // Mismatched dimensions fail LOUDLY: the HOF fold these kernels replaced
   // returned NULL (zip_with pads, null poisons the sum) and silently
@@ -123,12 +131,18 @@ object VectorKernel {
   def nearestCellL2(
       vec: ArrayData, vF: Boolean,
       cells: Array[Int], cents: Array[ArrayData]): Int = {
-    var bestD = Double.PositiveInfinity
-    var bestCell = Int.MaxValue
-    var j = 0
+    // init-from-first + Double.compare, as in [[nearestCell]]: a NaN
+    // distance (NaN element in legitimate float data) loses the argmin
+    // to any finite one, and an all-NaN row ties to the lowest cell —
+    // the legacy array_min(struct) ordering. The plain `<` form returned
+    // Int.MaxValue (a nonexistent cell) for all-NaN: silent routing loss.
+    var bestD = dist2(vec, vF, cents(0), false)
+    var bestCell = cells(0)
+    var j = 1
     while (j < cells.length) {
       val d = dist2(vec, vF, cents(j), false)
-      if (d < bestD || (d == bestD && cells(j) < bestCell)) {
+      val c = java.lang.Double.compare(d, bestD)
+      if (c < 0 || (c == 0 && cells(j) < bestCell)) {
         bestD = d; bestCell = cells(j)
       }
       j += 1
@@ -147,12 +161,18 @@ object VectorKernel {
   def nearestCell(
       vec: ArrayData, vF: Boolean,
       cells: Array[Int], cents: Array[ArrayData]): Int = {
-    var bestD = Double.NegativeInfinity
-    var bestCell = Int.MaxValue
-    var j = 0
+    // init from cell 0 and compare via Double.compare (NaN > everything,
+    // NaN == NaN — Spark's struct ordering), so the result is ALWAYS a
+    // real codebook cell and matches the legacy max_by rule even on
+    // degenerate scores. (Cosine can't actually produce NaN — the
+    // zero-norm guard returns −1 — but the kernel shouldn't rely on it.)
+    var bestD = cosine(vec, vF, cents(0), true)
+    var bestCell = cells(0)
+    var j = 1
     while (j < cells.length) {
       val d = cosine(vec, vF, cents(j), true)
-      if (d > bestD || (d == bestD && cells(j) < bestCell)) {
+      val c = java.lang.Double.compare(d, bestD)
+      if (c > 0 || (c == 0 && cells(j) < bestCell)) {
         bestD = d; bestCell = cells(j)
       }
       j += 1

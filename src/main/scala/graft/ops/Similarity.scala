@@ -217,15 +217,9 @@ object Similarity {
   def appendIvfIndexQuantized(
       spark: org.apache.spark.sql.SparkSession, path: String,
       newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
-    import graft.functions.QuantExprs
     val cur = currentGenDir(spark, path)
     val cent = centroidLits(spark.read.parquet(s"$cur/centroids"))
-    assignToCells(cent, newVecs, idCol, vecCol)
-      .select(col("id"), col("vec"),
-        QuantExprs.quantize_i8(col("vec")).as("codes"),
-        array_min(col("vec")).cast("double").as("mn"),
-        array_max(col("vec")).cast("double").as("mx"),
-        col("cell"))
+    quantizedProjection(assignToCells(cent, newVecs, idCol, vecCol))
       .write.mode("append").partitionBy("cell").parquet(s"$cur/assigned")
   }
 
@@ -263,6 +257,20 @@ object Similarity {
   // generations are retained (current + one for in-flight readers);
   // older ones are pruned marker-first, so a concurrent resolve either
   // sees the gen as already gone or still fully readable.
+  //
+  // SCOPE, stated honestly: the marker protocol makes BUILDS and
+  // REBUILDS crash-atomic. Incremental APPENDS write additional parquet
+  // files into the current generation's assigned/ directory in place —
+  // O(new batch) is their whole point — and a plain parquet directory
+  // has no per-batch commit, so a crashed append can leave a partial
+  // batch visible and a blind retry would duplicate the rows that
+  // landed. The operating contract (single maintainer, as documented on
+  // [[appendIvfIndex]]) is: on an append failure, either re-dedup the
+  // batch against the index (ids are unique by contract, so
+  // [[graft.ops.Dedup.incrementalExactKeepers]]-style filtering drops
+  // the landed half) or run [[rebuildIvfIndex]], whose commit replaces
+  // the generation wholesale. Per-batch atomic appends need a manifest
+  // log (Delta-style), which this layout deliberately does not carry.
 
   private def fsFor(
       spark: org.apache.spark.sql.SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
@@ -310,9 +318,22 @@ object Similarity {
     val fs = fsFor(spark, path)
     fs.create(markerPath(path, n), false).close()
     // prune all but the last two committed generations, marker first
-    committedGens(fs, path).dropRight(2).foreach { old =>
+    val gens = committedGens(fs, path)
+    gens.dropRight(2).foreach { old =>
       fs.delete(markerPath(path, old), false)
       fs.delete(new org.apache.hadoop.fs.Path(genDir(path, old)), true)
+    }
+    // a converted LEGACY layout (pre-generation root centroids/assigned)
+    // follows the same retention rule: it is "the generation before
+    // gen-0", so once TWO generations are committed it is older than the
+    // retained window and its full corpus copy is reclaimed — without
+    // this it shadows forever (~50% permanent disk overhead on a
+    // converted index)
+    if (gens.size >= 2) {
+      Seq("centroids", "assigned").foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/$d")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
     }
   }
 
@@ -333,8 +354,7 @@ object Similarity {
     val vecs = spark.read.parquet(s"$cur/assigned").select(col("id"), col("vec"))
     val rebuilt = buildIvfIndex(vecs, "id", "vec", nCentroids, seed)
     val (dir, n) = stageNextGen(spark, path)
-    if (quantized) writeIndexData(rebuilt, dir, quantized = true)
-    else writeIndexData(rebuilt, dir, quantized = false)
+    writeIndexData(rebuilt, dir, quantized)
     commitGen(spark, path, n)
   }
 
@@ -376,17 +396,23 @@ object Similarity {
     * code column; PlanSpec pins that its probe scan's ReadSchema carries
     * `codes` and NOT `vec`).
     */
-  private def writeIndexData(index: IvfIndex, dir: String, quantized: Boolean): Unit = {
+  /** The stored quantized row layout — ONE definition shared by the
+    * generational write and the incremental append, so appended batches
+    * can never schema-diverge from rebuilt generations within one index.
+    */
+  private def quantizedProjection(assigned: DataFrame): DataFrame = {
     import graft.functions.QuantExprs
+    assigned.select(col("id"), col("vec"),
+      QuantExprs.quantize_i8(col("vec")).as("codes"),
+      array_min(col("vec")).cast("double").as("mn"),
+      array_max(col("vec")).cast("double").as("mx"),
+      col("cell"))
+  }
+
+  private def writeIndexData(index: IvfIndex, dir: String, quantized: Boolean): Unit = {
     index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     val assigned =
-      if (quantized)
-        index.assigned.select(col("id"), col("vec"),
-          QuantExprs.quantize_i8(col("vec")).as("codes"),
-          array_min(col("vec")).cast("double").as("mn"),
-          array_max(col("vec")).cast("double").as("mx"),
-          col("cell"))
-      else index.assigned
+      if (quantized) quantizedProjection(index.assigned) else index.assigned
     assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
   }
 

@@ -36,7 +36,9 @@ object TextStats {
     val toks = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
     val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
-    val total = toks.agg(count(lit(1)).cast("double").as("__n"))
+    // total = Σ counts over the DICTIONARY, not a third corpus explode —
+    // the dictionary is Zipf-sized, the corpus is not
+    val total = freq.agg(sum(col("__c")).cast("double").as("__n"))
     toks
       .join(broadcast(freq), "__tok")
       .crossJoin(broadcast(total))

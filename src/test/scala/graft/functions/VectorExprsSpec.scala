@@ -202,6 +202,38 @@ class VectorExprsSpec extends SparkSpec {
     assert(rows.map(_.getInt(0)).toSeq === Seq(0, 1, 3))
   }
 
+  test("nearest_cell_l2 degenerate scores: NaN loses to finite, all-NaN ties to the lowest cell") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val vecNaN = ArrayData.toArrayData(Array(Double.NaN, 1.0))
+    val cells = Array(0, 1, 2)
+    val cents = Array(
+      ArrayData.toArrayData(Array(0.0, 0.0)): ArrayData,
+      ArrayData.toArrayData(Array(1.0, 1.0)): ArrayData,
+      ArrayData.toArrayData(Array(2.0, 2.0)): ArrayData)
+    // every distance is NaN → legacy array_min(struct) ties to the LOWEST
+    // cell; the pre-fix `<` loop returned Int.MaxValue (a nonexistent
+    // cell — silent routing loss in a partitioned index)
+    assert(VectorKernel.nearestCellL2(vecNaN, false, cells, cents) === 0)
+    // a finite distance must beat NaN regardless of position
+    val vecFin = ArrayData.toArrayData(Array(2.0, 2.0))
+    assert(VectorKernel.nearestCellL2(vecFin, false, cells, cents) === 2)
+  }
+
+  test("null vector elements fail loudly in every kernel instead of scoring as zero") {
+    val df = Seq(1).toDF("i").select(
+      array(lit(1.0f), lit(null).cast("float")).as("a"),
+      array(lit(1.0f), lit(2.0f)).as("b"))
+    val e = intercept[Exception] {
+      df.select(VectorExprs.dot_f($"a", $"b")).collect()
+    }
+    assert(e.getMessage != null)
+    val e2 = intercept[Exception] {
+      df.select(VectorExprs.nearest_cell_l2($"a",
+        typedLit(Seq(0)), typedLit(Seq(Seq(1.0, 2.0))))).collect()
+    }
+    assert(e2.getMessage != null)
+  }
+
   test("nearest_cell rejects a non-foldable or empty codebook at analysis") {
     val df = Seq((Array(1.0f), Array(0), Array(Array(1.0f)))).toDF("v", "cs", "ct")
     assertThrows[org.apache.spark.sql.AnalysisException] {

@@ -187,4 +187,28 @@ class SimilaritySpec extends SparkSpec {
     assert(gens.toSet === Set("gen-1", "gen-2"), s"unexpected generations: ${gens.toSeq}")
     assert(Similarity.readIvfIndex(spark, path).assigned.count() === 60L)
   }
+
+  test("a legacy pre-generation index converts in place and its root data is reclaimed") {
+    val rnd = new scala.util.Random(53)
+    val rows = (0L until 30L).map(i => (i, Array.fill(4)(rnd.nextFloat() * 2 - 1)))
+    val path = java.nio.file.Files.createTempDirectory("ivflegacy").toString
+    // legacy layout: bare $path/centroids + $path/assigned, no markers
+    val idx = Similarity.buildIvfIndex(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCentroids = 2)
+    idx.centroids.write.parquet(s"$path/centroids")
+    idx.assigned.write.partitionBy("cell").parquet(s"$path/assigned")
+    assert(Similarity.readIvfIndex(spark, path).assigned.count() === 30L)
+
+    // first rebuild commits gen-0; the legacy root is the retained
+    // "previous generation" and must survive for in-flight readers
+    Similarity.rebuildIvfIndex(spark, path, nCentroids = 2)
+    assert(new java.io.File(s"$path/assigned").exists())
+    // second rebuild: two committed generations exist, the legacy copy
+    // is beyond the retention window and is reclaimed
+    Similarity.rebuildIvfIndex(spark, path, nCentroids = 2)
+    assert(!new java.io.File(s"$path/assigned").exists(),
+      "legacy root data shadowed forever after conversion")
+    assert(!new java.io.File(s"$path/centroids").exists())
+    assert(Similarity.readIvfIndex(spark, path).assigned.count() === 30L)
+  }
 }

@@ -179,6 +179,32 @@ object Events {
       .agg(max(col("__depth")).as("depth"))
   }
 
+  /** EXACT rolling N-day active users: for every window-END day D, the
+    * distinct users active in (D−N+1 .. D]. Distinct-over-a-sliding-
+    * window is not window-function-expressible (COUNT(DISTINCT) OVER a
+    * range is unsupported in every engine for good reason); the
+    * scale-correct formulation is the FAN-OUT: activity collapses to
+    * distinct (user, day) first — user×days, not events — then each
+    * activity day contributes to the N window-ends it falls inside
+    * (map-side ×N explode of the already-collapsed frame), and one
+    * (day → distinct user) aggregate finishes. Window-ends up to N−1
+    * days past the last activity are emitted (their windows still
+    * contain activity) — the oracle replays the same rule.
+    */
+  def rollingActiveUsers(
+      events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1)
+    val ud = events
+      .select(col(userCol), to_date(col(tsCol)).as("__day"))
+      .distinct()
+    ud.select(col(userCol),
+        explode(sequence(col("__day"), date_add(col("__day"), windowDays - 1)))
+          .as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col(userCol)).as("active_users"))
+  }
+
   /** COHORT RETENTION: users are cohorted by the hour of their FIRST
     * event; `n_active` counts distinct cohort members active k hours
     * later, for k in [0, maxOffset]. Shape: one keyed min (first event),

@@ -612,6 +612,30 @@ object EventOps {
           LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
         SELECT depth, count(*) AS n_users FROM d GROUP BY depth ORDER BY depth""")),
 
+    // EXACT rolling 7-day active users ([[Events.rollingActiveUsers]]):
+    // the DAU/WAU-class metric, computed by the fan-out rule (distinct
+    // (user, day) → ×7 map-side explode → one distinct-count per
+    // window-end) because COUNT(DISTINCT) OVER a sliding range is not
+    // window-expressible in any engine. Oracle replays the fan-out.
+    QueryDef(
+      "q151_rolling_active_users",
+      (s, dir) =>
+        graft.ops.Events.rollingActiveUsers(Tables.events(s, dir), "user_id", "ts",
+            windowDays = 7)
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("active_users"))
+          .orderBy(col("day")),
+      Some("""
+        WITH ud AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        fan AS (
+          SELECT user_id,
+            CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+              CAST(d AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM ud)
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+          count(DISTINCT user_id) AS active_users
+        FROM fan GROUP BY day ORDER BY day""")),
+
     // COHORT RETENTION ([[graft.ops.Events.cohortRetention]]): cohort =
     // hour of first event, n_active = distinct members active k hours
     // later (k ≤ 6). k=0 is the cohort size. Activity collapses to

@@ -136,6 +136,29 @@ class EventsSpec extends SparkSpec {
     assert(!got.contains((0L, 3)))
   }
 
+  test("rollingActiveUsers: exact distinct per window-end, fan-out bounded by windowDays") {
+    def day(d: Int) = ts(d * 1440L) // midnight of day d (1970-01-0(1+d))
+    val ev = Seq(
+      (1L, day(0)), (1L, day(0)), // duplicate same-day activity collapses
+      (2L, day(0)),
+      (1L, day(2)),
+      (3L, day(3))
+    ).toDF("user_id", "ts")
+    val got = Events.rollingActiveUsers(ev, "user_id", "ts", windowDays = 3)
+      .collect()
+      .map(r => r.getAs[java.sql.Date]("day").toLocalDate.getDayOfMonth - 1 ->
+        r.getAs[Long]("active_users")).toMap
+    // windows of 3 days ending on day D cover (D-2..D]
+    assert(got === Map(
+      0 -> 2L, // u1,u2 on day 0
+      1 -> 2L, // day 0 activity still in window
+      2 -> 2L, // day0 (u1,u2) + day2 (u1) → distinct {1,2}
+      3 -> 2L, // u1 (day2) + u3 (day3)
+      4 -> 2L, // same pair, windows (2..4]
+      5 -> 1L  // only u3 (day3) in (3..5]
+    ), s"got $got")
+  }
+
   test("rangeJoin matches interval containment inclusively, across bucket boundaries") {
     // buckets of 10 min; interval B straddles a bucket boundary — the
     // bucketized join must still pair it exactly once with each point

@@ -149,6 +149,31 @@ object Relational {
           FROM orders) t
         WHERE rn <= 3 ORDER BY o_custkey, rn""")),
 
+    // q05's WITH-TIES sibling: `rank()` keeps EVERY row tied at the
+    // boundary (top-2 quantities per supplier — quantity is integral, so
+    // ties are plentiful and the semantic difference from row_number is
+    // structurally load-bearing: the result has far more than 2 rows per
+    // key). Same single hash-partitioned window shape; map-side
+    // WindowGroupLimit still applies (rank is a supported rank-like
+    // function).
+    QueryDef(
+      "q152_topk_with_ties",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_quantity").desc)
+        Tables.lineitem(s, dir)
+          .withColumn("rk", rank().over(w))
+          .filter(col("rk") <= 2)
+          .select(col("l_suppkey"), col("rk"), col("l_quantity"),
+            col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_suppkey"), col("rk"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT l_suppkey, rk, l_quantity, l_orderkey, l_linenumber FROM (
+          SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+            rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC) AS rk
+          FROM lineitem) t
+        WHERE rk <= 2 ORDER BY l_suppkey, rk, l_orderkey, l_linenumber""")),
+
     // P3 + Q9: conjunctive equality/range filter, pushed to the parquet scan.
     QueryDef(
       "q06_filter_range",

@@ -355,26 +355,38 @@ case class NearestCellExpr(first: Expression, second: Expression, third: Express
       case ArrayType(FloatType | DoubleType, _) => true
       case _                                    => false
     }
-    def codebookOk =
+    val typesOk =
       second.foldable && second.dataType == ArrayType(IntegerType, false) &&
         third.foldable && (third.dataType match {
           case ArrayType(ArrayType(FloatType, _), _) => true
           case _                                     => false
-        }) && second.eval() != null && third.eval() != null
+        })
     if (!vecOk)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires ARRAY<FLOAT|DOUBLE> as first argument, got " +
           first.dataType.catalogString)
-    else if (!codebookOk)
+    else if (!typesOk)
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires foldable non-null ARRAY<INT> cells and " +
+        s"$prettyName requires foldable ARRAY<INT> cells and " +
           "ARRAY<ARRAY<FLOAT>> centroids")
-    else if (second.eval().asInstanceOf[ArrayData].numElements() == 0 ||
-             second.eval().asInstanceOf[ArrayData].numElements() !=
-               third.eval().asInstanceOf[ArrayData].numElements())
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName cells and centroids must be non-empty and the same length")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // Evaluate the foldable codebook ONCE per check — Catalyst may call
+      // this more than once per analysis, and a composed foldable codebook
+      // expression is not free to re-evaluate.
+      val cellsV = second.eval().asInstanceOf[ArrayData]
+      val centsV = third.eval().asInstanceOf[ArrayData]
+      if (cellsV == null || centsV == null)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName cells and centroids must be non-null")
+      else if (cellsV.numElements() == 0 ||
+               cellsV.numElements() != centsV.numElements())
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName cells and centroids must be non-empty and the same length")
+      else if ((0 until centsV.numElements()).exists(centsV.isNullAt))
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName centroids must not contain null rows")
+      else TypeCheckResult.TypeCheckSuccess
+    }
   }
 
   override protected def nullSafeEval(vec: Any, cs: Any, ct: Any): Any =
@@ -424,26 +436,36 @@ case class NearestCellL2Expr(first: Expression, second: Expression, third: Expre
       case ArrayType(FloatType | DoubleType, _) => true
       case _                                    => false
     }
-    def codebookOk =
+    val typesOk =
       second.foldable && second.dataType == ArrayType(IntegerType, false) &&
         third.foldable && (third.dataType match {
           case ArrayType(ArrayType(DoubleType, _), _) => true
           case _                                      => false
-        }) && second.eval() != null && third.eval() != null
+        })
     if (!vecOk)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires ARRAY<FLOAT|DOUBLE> as first argument, got " +
           first.dataType.catalogString)
-    else if (!codebookOk)
+    else if (!typesOk)
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires foldable non-null ARRAY<INT> cells and " +
+        s"$prettyName requires foldable ARRAY<INT> cells and " +
           "ARRAY<ARRAY<DOUBLE>> centroids")
-    else if (second.eval().asInstanceOf[ArrayData].numElements() == 0 ||
-             second.eval().asInstanceOf[ArrayData].numElements() !=
-               third.eval().asInstanceOf[ArrayData].numElements())
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName cells and centroids must be non-empty and the same length")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // Single evaluation of the foldable codebook (see NearestCellExpr).
+      val cellsV = second.eval().asInstanceOf[ArrayData]
+      val centsV = third.eval().asInstanceOf[ArrayData]
+      if (cellsV == null || centsV == null)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName cells and centroids must be non-null")
+      else if (cellsV.numElements() == 0 ||
+               cellsV.numElements() != centsV.numElements())
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName cells and centroids must be non-empty and the same length")
+      else if ((0 until centsV.numElements()).exists(centsV.isNullAt))
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName centroids must not contain null rows")
+      else TypeCheckResult.TypeCheckSuccess
+    }
   }
 
   override protected def nullSafeEval(vec: Any, cs: Any, ct: Any): Any =

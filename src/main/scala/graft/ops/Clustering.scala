@@ -66,8 +66,22 @@ object Clustering {
   def assignClusters(
       df: DataFrame, vecCol: String, centroids: Seq[Array[Double]]): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
+    // nearest_cell_l2 takes ARRAY<FLOAT|DOUBLE> natively (no per-element
+    // conversion in the plan); any OTHER numeric element type is widened
+    // to double here so integer-vector callers keep working as they did
+    // before the native kernel landed.
+    val vec = df.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType |
+            org.apache.spark.sql.types.DoubleType, _) => col(vecCol)
+      case org.apache.spark.sql.types.ArrayType(
+            _: org.apache.spark.sql.types.NumericType, _) =>
+        col(vecCol).cast("array<double>")
+      case other => throw new IllegalArgumentException(
+        s"assignClusters needs a numeric array column, got ${other.catalogString}")
+    }
     df.withColumn("cluster", graft.functions.VectorExprs.nearest_cell_l2(
-      col(vecCol),
+      vec,
       typedLit(centroids.indices.toList),
       typedLit(centroids.map(_.toSeq))))
   }

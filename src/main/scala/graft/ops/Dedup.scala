@@ -55,7 +55,9 @@ object Dedup {
     * integer-valued Column of the input (a source-priority CASE, a
     * crawl timestamp). Same scale shape as [[exactGroups]]: the shuffle
     * carries (fingerprint, id, score), never the document body, and the
-    * keeper is one `max_by` per group.
+    * keeper is one `min_by` per group. The id may be ANY orderable type
+    * (numeric, string, date): the tie-break orders on (-score, id)
+    * directly rather than negating the id, so no numeric-id contract.
     */
   def exactKeepersBy(
       docs: DataFrame, idCol: String, textCol: String, score: Column): DataFrame = {
@@ -63,8 +65,12 @@ object Dedup {
       .filter(col(textCol).isNotNull)
       .select(col(idCol), exactFingerprint(col(textCol)).as("fingerprint"),
         score.cast("long").as("__score"))
+    // min of (-score, id) = highest score, ties to the LOWEST id — struct
+    // ordering is lexicographic and works for any orderable id type
+    // (negating the id, the old form, nulled out on string ids).
     val keepers = fp.groupBy(col("fingerprint"))
-      .agg(max_by(col(idCol), struct(col("__score"), lit(0L) - col(idCol))).as("keep_id"))
+      .agg(min_by(col(idCol),
+        struct((lit(0L) - col("__score")).as("__neg"), col(idCol))).as("keep_id"))
     fp.join(keepers, "fingerprint")
       .select(col(idCol), (col(idCol) === col("keep_id")).as("keep"))
   }

@@ -250,6 +250,22 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("nearest_cell / nearest_cell_l2 reject a null centroid ROW at analysis") {
+    // a malformed codebook (null inner array) must fail the type check with
+    // a clear message, not NPE lazily inside the kernel's cents init
+    val df = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("v")
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorExprs.nearest_cell($"v",
+        typedLit(Seq(0, 1)),
+        typedLit(Seq(Seq(1.0f, 0.0f), null.asInstanceOf[Seq[Float]])))).collect()
+    }
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorExprs.nearest_cell_l2($"v",
+        typedLit(Seq(0, 1)),
+        typedLit(Seq(Seq(1.0, 0.0), null.asInstanceOf[Seq[Double]])))).collect()
+    }
+  }
+
   test("whole-stage codegen and interpreted eval agree") {
     val df = Seq.tabulate(64)(i => (randVec(64), randVec(64), i)).toDF("a", "b", "i")
     val codegen = df

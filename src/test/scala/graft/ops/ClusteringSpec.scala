@@ -32,6 +32,14 @@ class ClusteringSpec extends SparkSpec {
     assert(t === 0, "equidistant assignment must break ties to the lowest index")
   }
 
+  test("assignClusters: integer-element vectors are widened to double (pre-kernel behavior)") {
+    val cents = Seq(Array(0.0, 0.0), Array(10.0, 10.0))
+    val intVecs = Seq((0L, Seq(0, 1)), (1L, Seq(11, 10))).toDF("id", "vec")
+    val got = Clustering.assignClusters(intVecs, "vec", cents)
+      .select("id", "cluster").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(0L -> 0, 1L -> 1))
+  }
+
   test("lloyd: centroids converge to the blob means; second round shifts ~0") {
     val init = Seq(Array(2.0, 2.0), Array(8.0, 8.0))
     val m = Clustering.lloyd(twoBlobs, "vec", init, iters = 2)

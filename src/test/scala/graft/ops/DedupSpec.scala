@@ -313,4 +313,18 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(got === Map(1L -> false, 9L -> false, 5L -> true, 7L -> true))
   }
+
+  test("exactKeepersBy: STRING ids tie-break to the lowest id (no numeric-id contract)") {
+    import org.apache.spark.sql.functions._
+    // the pre-r12 tie-break negated the id (lit(0L) - id), which coerces a
+    // string id to a null double and made the keeper nondeterministic;
+    // the (-score, id) struct ordering must pick "a" here every time
+    val docs = Seq(
+      ("c", "same text", 3), ("a", "SAME   text", 3), ("b", "same text", 1),
+      ("z", "unique", 1)
+    ).toDF("doc_id", "text", "prio")
+    val got = Dedup.exactKeepersBy(docs, "doc_id", "text", col("prio"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got === Map("a" -> true, "b" -> false, "c" -> false, "z" -> true))
+  }
 }

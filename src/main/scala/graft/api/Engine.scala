@@ -123,6 +123,25 @@ object Engine {
     graft.ops.Paging.paginate(hits, Seq(col("score").desc, col("movieId")), page, size)
   }
 
+  /** `/search` ranked by IDF-WEIGHTED relevance off the posting table
+    * ([[graft.search.Posting.scoreIdf]]): rare matched terms outrank
+    * common ones — the deterministic step toward the reference's BM25
+    * ordering (`api.py:210-221`) that plain term-count scoring cannot
+    * express. Same candidate pre-gating and envelope as
+    * [[searchViaPosting]]; scores are integer-quantized so the q154 gate
+    * replays them exactly.
+    */
+  def searchViaPostingIdf(
+      movies: DataFrame, posting: DataFrame, query: String,
+      page: Int = 1, size: Int = 10): DataFrame = {
+    val terms = query.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    val scores = graft.search.Posting
+      .scoreIdf(posting, terms, Seq("title" -> 3, "genres" -> 1), movies.count())
+      .withColumnRenamed("id", "movieId")
+    val hits = movies.join(scores, Seq("movieId"))
+    graft.ops.Paging.paginate(hits, Seq(col("score").desc, col("movieId")), page, size)
+  }
+
   /** [[searchWithTotal]] through the posting index: same envelope, the
     * candidate pre-gated scoring of [[searchViaPosting]]. The total counts
     * the (small) scored-id frame, not the corpus.

@@ -50,6 +50,38 @@ object AlsPipeline {
       .select(col("userId"), col("rec.movieId").as("movieId"),
         col("rec.rating").cast("float").as("predicted_rating"))
 
+  /** M2's ITEM-side sibling (VERDICT r11 next #7; the reference stops at
+    * `recommendForAllUsers`, `model.py:13` — but the serving store takes
+    * either orientation unchanged): top-k USERS per movie, exploded to
+    * flat (movieId, userId, predicted_rating) rows — the audience-targeting
+    * read path ("who should we show this movie to"), same blocked
+    * factor cross-product with internal per-item top-k.
+    */
+  def recommendAllItems(model: ALSModel, k: Int = 10): DataFrame =
+    model
+      .recommendForAllItems(k)
+      .select(col("movieId"), explode(col("recommendations")).as("rec"))
+      .select(col("movieId"), col("rec.userId").as("userId"),
+        col("rec.rating").cast("float").as("predicted_rating"))
+
+  /** ITEM-ITEM SIMILARITY from the trained factors: top-k nearest items
+    * per item by cosine over the ALS item-factor vectors — the
+    * "more like this" serving table, derived from the SAME model the
+    * user recommendations come from (no separate training). Delegates to
+    * [[graft.ops.Similarity.bruteTopK]] (native fused cosine kernel,
+    * deterministic neighbor-id tie-break): the factor matrix is
+    * items×rank floats — broadcastable for catalog-sized item sets; a
+    * catalog past broadcast size switches the same frame to
+    * [[graft.ops.Similarity.lshTopK]] or an IVF index unchanged.
+    * Factor VALUES are still ALS-nondeterministic — gates assert
+    * shape/bounds, AlsSpec pins values on a closed-form fixture.
+    */
+  def itemSimilarity(model: ALSModel, k: Int = 10): DataFrame =
+    graft.ops.Similarity.bruteTopK(
+        model.itemFactors, model.itemFactors, "id", "features", k)
+      .select(col("q_id").as("movieId"), col("rank"),
+        col("neighbor_id").as("similar_movieId"), col("cosine"))
+
   /** Held-out RMSE (not in the reference; used by the seeded smoke test). */
   def rmse(model: ALSModel, holdout: DataFrame): Double =
     new RegressionEvaluator()

@@ -27,20 +27,31 @@ object TextStats {
     * exploded corpus (the `Bpe.tokenCounts` join rule: the corpus never
     * shuffles on words); the total rides the 1-row broadcast scalar
     * (q24 cap pattern); the per-doc mean is one keyed aggregate on id.
-    * Stated bound: the hint assumes the DICTIONARY fits an executor
-    * (true for natural-language vocabularies; at web scale with
-    * unbounded junk tokens, drop the hint and pay the one word-keyed
-    * shuffle instead — the aggregate itself is the same).
+    *
+    * The hint is CONDITIONAL (VERDICT r11 next #6): the broadcast
+    * assumption — the dictionary fits an executor — holds for natural-
+    * language vocabularies but NOT for web-scale corpora full of
+    * unbounded junk tokens, where the hint would OOM the driver. The
+    * dictionary is therefore materialized (localCheckpoint — vocab-sized,
+    * lineage-free) and counted once; at or under `broadcastVocabLimit`
+    * rows it broadcasts, above it the join falls back to the one
+    * word-keyed shuffle. Both paths are the same aggregate and hash
+    * identically (q148 vs q158); TextStatsSpec pins the plan split.
+    * `broadcastVocabLimit = 0` forces the shuffle path.
     */
-  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramLogProb(
+      docs: DataFrame, idCol: String, textCol: String,
+      broadcastVocabLimit: Long = 10000000L): DataFrame = {
     val toks = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
     val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val hinted = if (freq.count() <= broadcastVocabLimit) broadcast(freq) else freq
     // total = Σ counts over the DICTIONARY, not a third corpus explode —
     // the dictionary is Zipf-sized, the corpus is not
     val total = freq.agg(sum(col("__c")).cast("double").as("__n"))
     toks
-      .join(broadcast(freq), "__tok")
+      .join(hinted, "__tok")
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(round(avg(log(col("__c").cast("double") / col("__n"))), 4).as("logprob"))

@@ -77,9 +77,22 @@ object EventOps {
     */
   private[queries] def stageArrivalBatches(
       docs: org.apache.spark.sql.DataFrame, salt: String, nBatches: Int,
-      prefix: String): String = {
-    val batchCol = graft.ops.Dedup.portableHash(
-      col("doc_id").cast("string"), salt) % nBatches
+      prefix: String): String =
+    stageOrderedBatches(docs,
+      graft.ops.Dedup.portableHash(col("doc_id").cast("string"), salt) % nBatches,
+      nBatches, prefix)
+
+  /** Stage a frame as `nBatches` single-file parquet chunks keyed by
+    * `batchCol` (must evaluate in [0, nBatches)), with mtimes in batch
+    * order — FileStreamSource processes oldest-modified first, so a
+    * `maxFilesPerTrigger=1` stream replays the chunks as ordered
+    * micro-batches. Callers whose operator is arrival-order-sensitive
+    * (the funnel) pass a TIME-derived batch column; order-insensitive
+    * gates (q94/q109) pass a portable hash.
+    */
+  private[queries] def stageOrderedBatches(
+      docs: org.apache.spark.sql.DataFrame, batchCol: org.apache.spark.sql.Column,
+      nBatches: Int, prefix: String): String = {
     val srcDir = java.nio.file.Files.createTempDirectory(prefix + "src").toString
     val stage = java.nio.file.Files.createTempDirectory(prefix + "stage").toString
     docs.withColumn("__b", batchCol).repartition(col("__b"))
@@ -583,34 +596,44 @@ object EventOps {
           .agg(count(lit(1)).as("n_users"))
           .orderBy(col("depth"))
       },
-      Some("""
-        WITH ev AS (
-          SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-05 00:00:00'),
-        s0 AS (
-          SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t0
-          FROM ev GROUP BY user_id),
-        s1 AS (
-          SELECT e.user_id, min(e.ts) AS t1 FROM ev e JOIN s0 USING (user_id)
-          WHERE e.event_type = 'view' AND s0.t0 IS NOT NULL AND e.ts > s0.t0
-          GROUP BY e.user_id),
-        s2 AS (
-          SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN s1 USING (user_id)
-          WHERE e.event_type = 'click' AND e.ts > s1.t1
-          GROUP BY e.user_id),
-        s3 AS (
-          SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN s2 USING (user_id)
-          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
-          GROUP BY e.user_id),
-        d AS (
-          SELECT u.user_id,
-            (CASE WHEN s0.t0 IS NOT NULL THEN 1 ELSE 0 END +
-             CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END +
-             CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END +
-             CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS depth
-          FROM (SELECT DISTINCT user_id FROM ev) u
-          LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
-          LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
-        SELECT depth, count(*) AS n_users FROM d GROUP BY depth ORDER BY depth""")),
+      Some(FunnelOracle)),
+
+    // STREAMING funnel ([[graft.streaming.EventStream.funnelCustomState]],
+    // VERDICT r11 next #5): the SAME 96-hour funnel as q145, computed by
+    // `flatMapGroupsWithState` over 4 time-ordered arrival chunks — state
+    // per user is just the reached-stage timestamp chain, watermark-
+    // bounded by the funnel horizon. Depth emissions are monotone, so the
+    // final depth per user is the max over its updates; oracle is q145's
+    // VERBATIM (one funnel, two engines — the q32/q70 twin rule).
+    QueryDef(
+      "q156_stream_funnel",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ss = EventOps.streamSession(s)
+        val ev = Tables.events(ss, dir)
+          .filter(col("ts") < lit("2024-01-05 00:00:00").cast("timestamp"))
+          .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+        // one chunk per day: the funnel's cross-batch contract is in-order
+        // arrival per user, which time-sliced chunks guarantee
+        val srcDir = EventOps.stageOrderedBatches(ev,
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date")), 4, "q156")
+        val stream = ss.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val depths = graft.streaming.EventStream.funnelCustomState(
+          stream, Seq("signup", "view", "click", "purchase"))
+        val name = EventOps.nextStreamSink(ss)
+        val q = depths.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val result = ss.table(name)
+          .groupBy(col("user_id")).agg(max(col("depth")).as("d"))
+          .groupBy(col("d").as("depth")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("depth"))
+          .localCheckpoint()
+        EventOps.rmTree(srcDir)
+        result
+      },
+      Some(FunnelOracle)),
 
     // EXACT rolling 7-day active users ([[Events.rollingActiveUsers]]):
     // the DAU/WAU-class metric, computed by the fan-out rule (distinct
@@ -662,6 +685,39 @@ object EventOps {
         WHERE epoch(a.h) - epoch(f.cohort_hour) BETWEEN 0 AND 6 * 3600
         GROUP BY 1, 2 ORDER BY cohort_hour, k""")),
   )
+
+  /** Shared by q145 (batch window-chain route) and q156 (streaming
+    * custom-state route): one funnel definition, two engines — the twin
+    * pins their equivalence on the same 96-hour slice.
+    */
+  private lazy val FunnelOracle: String = """
+        WITH ev AS (
+          SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-05 00:00:00'),
+        s0 AS (
+          SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+          FROM ev GROUP BY user_id),
+        s1 AS (
+          SELECT e.user_id, min(e.ts) AS t1 FROM ev e JOIN s0 USING (user_id)
+          WHERE e.event_type = 'view' AND s0.t0 IS NOT NULL AND e.ts > s0.t0
+          GROUP BY e.user_id),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s1.t1
+          GROUP BY e.user_id),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          GROUP BY e.user_id),
+        d AS (
+          SELECT u.user_id,
+            (CASE WHEN s0.t0 IS NOT NULL THEN 1 ELSE 0 END +
+             CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END +
+             CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END +
+             CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS depth
+          FROM (SELECT DISTINCT user_id FROM ev) u
+          LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+          LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+        SELECT depth, count(*) AS n_users FROM d GROUP BY depth ORDER BY depth"""
 
   /** Shared by q32 (window-function route) and q70 (custom-state route):
     * one oracle, two formulations of gap sessionization.

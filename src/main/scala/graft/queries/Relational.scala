@@ -657,6 +657,52 @@ object Relational {
                ELSE 1 END AS INTEGER) AS salt_buckets
         FROM r ORDER BY n_rows DESC, l_suppkey""")),
 
+    // ADAPTIVE JOIN ([[graft.ops.Skew.adaptiveJoin]]) — the closed loop
+    // q133's report and q138's decision exist to feed: ONE entry point
+    // measures (build count + probe key report), decides, and dispatches
+    // broadcast/salted/plain. Bars here (build limit 0, salt bar 1.05)
+    // force the measured branch on real data; the emitted decision rides
+    // the result as columns and the ORACLE REPLAYS THE SAME RULE from
+    // the report's head row — so a wrong dispatch (or a dispatch that
+    // changes the join's rows) flips the hash. Aggregate is q63's,
+    // pinning hash-equality to the plain unsalted join.
+    QueryDef(
+      "q155_adaptive_join",
+      (s, dir) => {
+        val probe = Tables.lineitem(s, dir)
+          .select(col("l_suppkey").as("suppkey"), Num.dec2(col("l_extendedprice")).as("price"))
+        val build = Tables.supplier(s, dir)
+          .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+        val (joined, choice) = graft.ops.Skew.adaptiveJoin(
+          probe, build, "suppkey",
+          broadcastRowLimit = 0L, skewFactorBar = 1.05, maxSaltBuckets = 32)
+        joined
+          .groupBy(col("s_nationkey"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            round(sum(col("price")), 2).cast("double").as("revenue"))
+          .withColumn("strategy", lit(choice.strategy))
+          .withColumn("salt_buckets", lit(choice.saltBuckets))
+          .orderBy(col("s_nationkey"))
+      },
+      Some("""
+        WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY l_suppkey),
+        t AS (
+          SELECT CAST(sum(n_rows) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS keys
+          FROM c),
+        top AS (
+          SELECT round(CAST(n_rows AS DOUBLE) * CAST(t.keys AS DOUBLE)
+            / CAST(t.total AS DOUBLE), 4) AS sf
+          FROM c, t ORDER BY n_rows DESC, l_suppkey LIMIT 1)
+        SELECT s_nationkey, count(*) AS n_lines,
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+          (SELECT CASE WHEN sf >= 1.05 THEN 'salted' ELSE 'plain' END FROM top) AS strategy,
+          (SELECT CAST(CASE WHEN sf >= 1.05
+               THEN least(greatest(CAST(ceil(sf) AS INTEGER), 2), 32)
+               ELSE 1 END AS INTEGER) FROM top) AS salt_buckets
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
     // Pivot (wide conditional aggregation) with fixed pivot values.
     QueryDef(
       "q14_pivot_status",

@@ -52,6 +52,21 @@ object TextOps {
     Dedup.minhashCandidates(Dedup.minhashBands(sig, "doc_id", k = 4, r = 2), "doc_id")
   }
 
+  /** Shared by q148 (broadcast-dictionary route) and q158 (shuffle route
+    * for unbounded vocabularies): one unigram model, two physical joins.
+    */
+  private lazy val UnigramLogProbOracle: String = """
+        WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents WHERE text IS NOT NULL),
+        freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+        SELECT doc_id,
+          round(avg(ln(CAST(c AS DOUBLE) / (SELECT n FROM tot))), 4) AS logprob
+        FROM toks JOIN freq USING (tok)
+        GROUP BY doc_id ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup histogram per lang (md5-of-canonical-text fingerprint).
@@ -1256,6 +1271,57 @@ object TextOps {
         SELECT doc_id, text, lang, source, n_chars
         FROM documents ORDER BY doc_id""")),
 
+    // COMPACTION EXECUTOR ([[graft.sources.Store.compact]]) — the
+    // executable half of q150's plan, end to end on a REAL store table:
+    // bulk-write the corpus, apply 12 tiny delta upserts (each appends a
+    // generation — the reference's per-document ES ingest shape,
+    // `elasticsearch_ingest.py:107-148`, whose cluster force-merges
+    // segments behind it), then fold the delta chains and prove the two
+    // invariants the verdict asked for IN the gate: (1) live-file
+    // collapse + every partition back to one generation (driver-side
+    // booleans the oracle pins as literals — a failed fold flips them
+    // and the hash), (2) row/content invariance — the post-compaction
+    // read must equal the upsert-transformed corpus the oracle replays
+    // in closed form (latest-wins per key).
+    QueryDef(
+      "q153_store_compaction",
+      (s, dir) => {
+        import graft.sources.Store
+        val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"), col("source"))
+        val table = "compaction_docs"
+        Store.bulkWrite(docs, table, "doc_id", buckets = 4, parts = 8)
+        (0 until 12).foreach { i =>
+          val batch = docs.filter(col("doc_id") % 37 === i)
+            .withColumn("text", concat(col("text"), lit(s" [u$i]")))
+          Store.upsert(s, table, batch, "doc_id", buckets = 4)
+        }
+        val res = Store.compact(s, table)
+        val collapsed = res.foldedParts.nonEmpty && res.filesAfter < res.filesBefore
+        val singleGen = Store.fileStats(s, table).forall(_.nGens == 1)
+        Store.read(s, table)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(octet_length(col("text"))).cast("long").as("n_bytes"),
+            sum((col("doc_id") % 37 < 12).cast("long")).as("n_upserted"))
+          .withColumn("files_collapsed", lit(collapsed))
+          .withColumn("single_gen_after", lit(singleGen))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH merged AS (
+          SELECT source, doc_id,
+            CASE WHEN doc_id % 37 < 12
+                 THEN text || ' [u' || CAST(doc_id % 37 AS VARCHAR) || ']'
+                 ELSE text END AS text
+          FROM documents WHERE text IS NOT NULL)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+          CAST(sum(CASE WHEN doc_id % 37 < 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_upserted,
+          true AS files_collapsed, true AS single_gen_after
+        FROM merged GROUP BY source ORDER BY source""")),
+
     // COMPACTION PLAN — the small-files problem on the write path:
     // [[Training.packBins]] applied to BYTE masses (per-source corpus
     // bytes standing in for file sizes) with a target output-file
@@ -1360,17 +1426,20 @@ object TextOps {
       (s, dir) =>
         graft.ops.TextStats.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
           .orderBy(col("doc_id")),
-      Some(s"""
-        WITH toks AS (
-          SELECT doc_id,
-            unnest(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
-          FROM documents WHERE text IS NOT NULL),
-        freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
-        tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
-        SELECT doc_id,
-          round(avg(ln(CAST(c AS DOUBLE) / (SELECT n FROM tot))), 4) AS logprob
-        FROM toks JOIN freq USING (tok)
-        GROUP BY doc_id ORDER BY doc_id""")),
+      Some(UnigramLogProbOracle)),
+
+    // q148's UNBOUNDED-VOCAB path: `broadcastVocabLimit = 0` forces the
+    // dictionary join onto the word-keyed shuffle (the plan a web-scale
+    // junk-token vocabulary must take — broadcasting it would OOM), and
+    // the answer must hash-match the broadcast route exactly. One
+    // aggregate, two join physicalizations; TextStatsSpec pins the plans.
+    QueryDef(
+      "q158_unigram_logprob_unbounded",
+      (s, dir) =>
+        graft.ops.TextStats.unigramLogProb(Tables.documents(s, dir), "doc_id", "text",
+            broadcastVocabLimit = 0L)
+          .orderBy(col("doc_id")),
+      Some(UnigramLogProbOracle)),
 
     // Corpus SNAPSHOT DIFF ([[Dedup.corpusDiff]]): the accounting a
     // corpus refresh publishes — added/removed/changed/unchanged per id,

@@ -78,4 +78,60 @@ object Posting {
       .groupBy(col("id"))
       .agg(sum(col("boost")).cast("int").as("score"))
   }
+
+  /** IDF weight quantization scale: weights are `round(1000·ln((N+1)/(df+1)))`
+    * held as integers, so cross-engine score comparison is exact (the
+    * engine's fixed-point rule for anything a hash gate replays).
+    */
+  val IdfScale = 1000.0
+
+  /** [[score]]'s IDF-WEIGHTED form — the ordering-fidelity upgrade toward
+    * the reference's BM25 ranking (`/root/reference/src/api.py:210-221`
+    * orders by ES BM25, where RARE terms dominate; plain [[score]] counts
+    * matched terms, so a rare-term hit and a stopword-grade hit tie).
+    * Each matched (field, term) contributes
+    * `boost_f × round(IdfScale · ln((N+1)/(df_ft+1)))`, where `df_ft` is
+    * the DOCUMENT FREQUENCY of the term in that field under the same
+    * fuzzy-match contract (how many documents the term matches at all —
+    * the candidate set the posting join already materializes, aggregated
+    * once). `nDocs` is the corpus document count (the caller owns the
+    * corpus; the posting table only knows documents with tokens).
+    *
+    * Scale shape: identical to [[score]] up to the matched frame; the df
+    * aggregate is |fields × terms| rows — broadcast back. Deterministic
+    * and integer-valued end to end; ties still break on id downstream.
+    * Smoothed (+1 both sides) so a term matching every document scores 0
+    * weight rather than going negative, and df=0 never divides by zero.
+    */
+  def scoreIdf(
+      posting: DataFrame, terms: Seq[String], fieldBoosts: Seq[(String, Int)],
+      nDocs: Long): DataFrame = {
+    val spark = posting.sparkSession
+    import spark.implicits._
+    val qv = terms.map(_.toLowerCase).distinct.flatMap { t =>
+      val budget = Scoring.autoFuzz(t.length)
+      DeletionVariantsExpr.variantsOf(t, budget).map(v => (t, budget, v))
+    }.toDF("term", "budget", "variant")
+    val dist = levenshtein(col("token"), col("term"), MaxDeletes)
+    val matched = posting
+      .join(broadcast(qv), Seq("variant"))
+      .filter(dist >= 0 && dist <= col("budget"))
+      .select(col("id"), col("field"), col("term"))
+      .distinct() // one contribution per matched (field, term)
+    val df = matched.groupBy(col("field"), col("term"))
+      .agg(count(lit(1)).as("df")) // matched is distinct on (id, field, term)
+    val boost = fieldBoosts
+      .map { case (f, b) => when(col("field") === f, lit(b)) }
+      .reduce(_.otherwise(_))
+    matched
+      .join(broadcast(df), Seq("field", "term"))
+      .withColumn("w",
+        round(lit(IdfScale) *
+          log((lit(nDocs.toDouble) + 1.0) / (col("df").cast("double") + 1.0)))
+          .cast("long"))
+      .withColumn("boost", boost)
+      .groupBy(col("id"))
+      .agg(sum(col("boost") * col("w")).cast("long").as("score"))
+      .filter(col("score") >= 1)
+  }
 }

@@ -1,8 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, collect_set, count, first, hash, lit, max, pmod}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, collect_set, count, first, hash, lit, max, pmod, row_number}
 import org.apache.spark.sql.types.StructType
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Managed-table layer — the engine-native replacement for the reference's
   * Elasticsearch index sinks (SURVEY §2.1 S6/S7).
@@ -17,20 +19,65 @@ import org.apache.spark.sql.types.StructType
   *    Bucketing by the id column gives the same point-lookup/join locality
   *    an ES `_id` routing table provides.
   *
-  * Physical layout of a store table: hash-prefix PARTITIONED on
-  * `__p = pmod(hash(id), parts)` and BUCKETED on the id within each
-  * partition. The partition column is what makes [[upsert]] incremental
-  * (only partitions containing updated keys are rewritten — the analog of
-  * ES touching only the shards its routed documents live on); the buckets
-  * are what make point lookups and key joins prune/co-locate. `__p` is an
-  * internal column: [[read]] drops it, writers derive it.
+  * == Physical layout (generational, merge-on-read) ==
+  *
+  * A store table is PARTITIONED on `(graft_p, graft_g)` and BUCKETED on the id
+  * within each partition dir:
+  *
+  *  - `graft_p = pmod(hash(id), parts)` — the hash-prefix routing partition
+  *    (the analog of ES shard routing; `hash` is seed-fixed murmur3, so
+  *    the key→partition mapping is stable across JVMs);
+  *  - `graft_g` — the GENERATION the rows were committed in. Generation 0 is
+  *    the bulk-written base; every [[upsert]] appends its batch as a new
+  *    delta generation covering only the partitions its keys hash to, and
+  *    [[compact]] folds a partition's delta chain back into a single
+  *    generation.
+  *
+  * Which generations are LIVE is decided by a tiny manifest file at the
+  * table root (`_manifest-N.txt`, highest N wins), written atomically
+  * (tmp + rename) as the LAST step of every write. This is the same
+  * staged-data + atomic-marker commit as the ANN index's generation
+  * protocol ([[graft.ops.Similarity]] `commitGen`), generalized to
+  * per-partition generation lists:
+  *
+  *  - CRASH-ATOMIC: data files are only ever ADDED (no write path deletes
+  *    or overwrites a live file), and a killed writer leaves orphan
+  *    generation dirs that no manifest references — invisible to readers,
+  *    reclaimed by a later commit's vacuum. There is no window in which a
+  *    reader can observe a half-applied upsert (StoreSpec simulates the
+  *    crash between stage and commit and reads the old content).
+  *  - O(batch) upserts: a delta writes ONLY the batch's rows — no
+  *    copy-on-write of the touched partitions, no dynamic-partition-
+  *    overwrite session conf (the r5-ADVICE blast radius is gone). The
+  *    cost of an upsert is the batch, full stop.
+  *  - MERGE-ON-READ: [[read]] resolves the manifest and, for partitions
+  *    with >1 live generation, keeps the highest-generation row per key
+  *    (one windowed rank over only those partitions' rows — single-
+  *    generation partitions take the plain pruned scan, so a compacted or
+  *    bulk-written table pays no merge at all).
+  *  - [[compact]] is the explicit fold — the analog of the Lucene segment
+  *    force-merge the reference's ES cluster runs behind its
+  *    row-at-a-time ingest: many small per-upsert delta files collapse to
+  *    one file per (partition, bucket), committed as a fresh generation
+  *    by the same atomic manifest step.
+  *
+  * Single-writer per table: writers race only on the manifest counter, so
+  * serialize upserts/compactions per table (the streaming sink does — one
+  * micro-batch at a time). Readers need no coordination ever.
   */
 object Store {
 
   /** Internal hash-prefix partition column. */
-  private val PartCol = "__p"
+  private val PartCol = "graft_p"
+
+  /** Internal generation partition column (commit epoch of the row). */
+  private val GenCol = "graft_g"
   private val PartsProp = "graft.parts"
+  private val IdColProp = "graft.idcol"
   private val DefaultParts = 16
+
+  private val ManifestRe = """_manifest-(\d+)\.txt""".r
+  private val IntentRe = """_intent-(\d+)""".r
 
   private def withPart(df: DataFrame, idCol: String, parts: Int): DataFrame =
     df.withColumn(PartCol, pmod(hash(col(idCol)), lit(parts)))
@@ -44,6 +91,138 @@ object Store {
     spark.sessionState.catalog.getTableMetadata(ident)
       .properties.get(PartsProp).map(_.toInt).getOrElse(DefaultParts)
   }
+
+  /** The id column the table is keyed on (recorded at bulk-write time so
+    * the merge-on-read rank and [[compact]] can resolve it without the
+    * caller re-stating it).
+    */
+  private def idColOf(spark: SparkSession, name: String): String = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    spark.sessionState.catalog.getTableMetadata(ident)
+      .properties.getOrElse(IdColProp,
+        sys.error(s"store table $name has no recorded id column — not a generational store table"))
+  }
+
+  private def tableLocation(spark: SparkSession, name: String): Path = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
+  }
+
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---------------------------------------------------------------- manifest
+
+  /** Live generations per partition: `part → gens`, oldest first. */
+  private[graft] type Manifest = Map[Int, Seq[Long]]
+
+  private def manifestVersions(fs: FileSystem, loc: Path): Seq[Long] =
+    if (!fs.exists(loc)) Seq.empty
+    else fs.listStatus(loc).toSeq.map(_.getPath.getName)
+      .collect { case ManifestRe(n) => n.toLong }.sorted
+
+  private def manifestPath(loc: Path, v: Long) = new Path(loc, s"_manifest-$v.txt")
+
+  private def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  private def parseManifest(s: String): Manifest =
+    s.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+      val Array(p, gs) = line.split(":", 2)
+      p.toInt -> gs.split(",").iterator.filter(_.nonEmpty).map(_.toLong).toSeq
+    }.toMap
+
+  private def renderManifest(m: Manifest): String =
+    m.toSeq.sortBy(_._1).map { case (p, gs) => s"$p:${gs.mkString(",")}" }
+      .mkString("\n")
+
+  /** Latest committed manifest, or None for a pre-generational/absent
+    * layout. Package-visible for the crash-window spec.
+    */
+  private[graft] def readManifest(
+      spark: SparkSession, name: String): Option[(Long, Manifest)] = {
+    val loc = tableLocation(spark, name)
+    val fs = fsFor(spark, loc)
+    manifestVersions(fs, loc).lastOption
+      .map(v => v -> parseManifest(readText(fs, manifestPath(loc, v))))
+  }
+
+  /** Atomic manifest commit: write `_manifest-V.txt.tmp`, rename into
+    * place (rename is the atomicity primitive on HDFS/local FS, the same
+    * one `commitGen`'s marker uses) — a reader either sees the previous
+    * version or the complete new one, never a partial file.
+    */
+  private def writeManifest(
+      fs: FileSystem, loc: Path, v: Long, m: Manifest): Unit = {
+    val tmp = new Path(loc, s"_manifest-$v.txt.tmp")
+    val out = fs.create(tmp, true)
+    out.write(renderManifest(m).getBytes("UTF-8"))
+    out.close()
+    require(fs.rename(tmp, manifestPath(loc, v)),
+      s"manifest commit rename failed for version $v")
+  }
+
+  // ------------------------------------------------------- gen allocation
+
+  /** Allocate the next generation id and stamp an `_intent-G` marker
+    * BEFORE any data is written. The marker is what makes crashed
+    * attempts harmless: a later writer's allocation scans committed gens
+    * AND intents, so an orphan generation's id is never reused (reusing
+    * it would mix two attempts' files in one `__g` dir — the one way an
+    * append-only layout could corrupt).
+    */
+  private def allocateGen(fs: FileSystem, loc: Path, manifest: Manifest): Long = {
+    val committedMax = manifest.valuesIterator.flatten.foldLeft(-1L)(math.max)
+    val intentMax =
+      if (!fs.exists(loc)) -1L
+      else fs.listStatus(loc).toSeq.map(_.getPath.getName)
+        .collect { case IntentRe(n) => n.toLong }.foldLeft(-1L)(math.max)
+    val g = math.max(committedMax, intentMax) + 1L
+    fs.create(new Path(loc, s"_intent-$g"), false).close()
+    g
+  }
+
+  /** Reclaim everything no live reader can need: manifests older than the
+    * last two, generation dirs referenced by NEITHER kept manifest whose
+    * id is below the newest committed generation (orphans of crashed
+    * attempts and compacted-away deltas), and stale intent markers. Runs
+    * inside the writer's commit (single-writer contract), after the new
+    * manifest is live — the previous manifest is retained so a reader
+    * that resolved it mid-scan keeps finding its files (the ANN index's
+    * last-2 retention rule).
+    */
+  private def vacuum(fs: FileSystem, loc: Path): Unit = {
+    val vers = manifestVersions(fs, loc)
+    vers.dropRight(2).foreach(v => fs.delete(manifestPath(loc, v), false))
+    val kept = vers.takeRight(2).map(v => parseManifest(readText(fs, manifestPath(loc, v))))
+    if (kept.isEmpty) return
+    val referenced: Map[Int, Set[Long]] = kept.flatten
+      .groupBy(_._1).map { case (p, gs) => p -> gs.flatMap(_._2).toSet }
+    val maxCommitted = kept.last.valuesIterator.flatten.foldLeft(-1L)(math.max)
+    fs.listStatus(loc).toSeq.filter(_.isDirectory).foreach { d =>
+      val dn = d.getPath.getName
+      if (dn.startsWith(s"$PartCol=")) {
+        val p = dn.stripPrefix(s"$PartCol=").toInt
+        fs.listStatus(d.getPath).toSeq.filter(_.isDirectory).foreach { gd =>
+          val gn = gd.getPath.getName
+          if (gn.startsWith(s"$GenCol=")) {
+            val g = gn.stripPrefix(s"$GenCol=").toLong
+            if (g < maxCommitted && !referenced.getOrElse(p, Set.empty).contains(g))
+              fs.delete(gd.getPath, true)
+          }
+        }
+      }
+    }
+    // intents at or below the committed high-water mark no longer guard
+    // anything (allocation already clears that mark via the manifest)
+    fs.listStatus(loc).toSeq.map(_.getPath.getName)
+      .collect { case n @ IntentRe(g) if g.toLong <= maxCommitted => n }
+      .foreach(n => fs.delete(new Path(loc, n), false))
+  }
+
+  // ------------------------------------------------------------ public API
 
   /** S6: declare + create an empty managed table with an explicit schema.
     * Errors if an incompatible table already exists (ES `indices.create`
@@ -63,10 +242,11 @@ object Store {
   }
 
   /** S7: bulk write, distributed and idempotent (overwrite = the batch
-    * snapshot semantics of an offline rebuild). Lays the table out
-    * partitioned by the id's hash prefix + bucketed by the id (see object
-    * doc) — at 100 TB this pairing is what replaces inverted-index routing:
-    * lookups prune to one bucket, upserts rewrite only touched partitions.
+    * snapshot semantics of an offline rebuild). Lays the table out in the
+    * generational layout (see object doc) with the whole frame as
+    * generation 0, and commits manifest 0 — at 100 TB this pairing is
+    * what replaces inverted-index routing: lookups prune to one bucket,
+    * upserts append only their batch.
     */
   def bulkWrite(
       df: DataFrame, name: String, idCol: String,
@@ -85,9 +265,8 @@ object Store {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(ident))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val loc = new Path(spark.sessionState.catalog.defaultTablePath(ident))
+    val fs = fsFor(spark, loc)
     if (fs.exists(loc)) fs.delete(loc, true)
     // repartition on the id with the bucket count: HashPartitioning(id, n)
     // is exactly the bucket-assignment function, so every task holds ONE
@@ -96,53 +275,87 @@ object Store {
     // — the classic small-files blowup (measured: 3,600 rows → ~3,600
     // files), which is also wrong at 100 TB where the commit protocol
     // renames every one of them.
-    withPart(df, idCol, parts).repartition(buckets, col(idCol)).write
+    withPart(df, idCol, parts).withColumn(GenCol, lit(0L))
+      .repartition(buckets, col(idCol)).write
       .mode(SaveMode.Overwrite)
-      .partitionBy(PartCol)
+      .partitionBy(PartCol, GenCol)
       .bucketBy(buckets, idCol)
       .sortBy(idCol)
       .saveAsTable(name)
-    spark.sql(s"ALTER TABLE `$name` SET TBLPROPERTIES ('$PartsProp' = '$parts')")
+    spark.sql(s"ALTER TABLE `$name` SET TBLPROPERTIES " +
+      s"('$PartsProp' = '$parts', '$IdColProp' = '$idCol')")
+    // manifest 0: every partition dir the write produced carries gen 0
+    val present = fs.listStatus(loc).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith(s"$PartCol=") => n.stripPrefix(s"$PartCol=").toInt }
+    writeManifest(fs, loc, 0L, present.map(_ -> Seq(0L)).toMap)
   }
 
-  /** Read a store table (internal partition column dropped). Upserts change
-    * the backing files, and a session that read the table before an upsert
-    * holds a stale file listing (possibly written from another session,
-    * e.g. a streaming micro-batch clone) — so reads always refresh first.
+  /** Read a store table: resolve the latest manifest, scan only live
+    * `(partition, generation)` dirs, and for partitions carrying a delta
+    * chain keep the newest generation's row per key. Single-generation
+    * partitions (a bulk-written or freshly compacted table) take a plain
+    * pruned scan with no merge rank at all, so the bucketed point-lookup
+    * and co-located-join plans are identical to a non-generational table
+    * (StoreSpec/PlanSpec pin both). Reads always re-resolve (refresh +
+    * manifest) so a scan never trusts a stale file listing.
     */
   def read(spark: SparkSession, name: String): DataFrame = {
     spark.catalog.refreshTable(name)
-    spark.table(name).drop(PartCol)
+    val t = spark.table(name)
+    if (!t.columns.contains(GenCol)) return t.drop(PartCol) // flat / legacy
+    val manifest = readManifest(spark, name).map(_._2).getOrElse(Map.empty)
+    if (manifest.isEmpty) return t.filter(lit(false)).drop(PartCol, GenCol)
+    def liveCond(m: Manifest): Column = m.map { case (p, gs) =>
+      col(PartCol) === p && col(GenCol).isin(gs: _*)
+    }.reduce(_ || _)
+    val (multi, single) = manifest.partition(_._2.size > 1)
+    val plain =
+      if (single.isEmpty) None
+      else Some(t.filter(liveCond(single)).drop(PartCol, GenCol))
+    val merged =
+      if (multi.isEmpty) None
+      else {
+        // newest generation wins per key; ids are unique within a
+        // generation (upsert validates batches, gen 0/compaction fold by
+        // construction), so the rank is deterministic
+        val w = Window.partitionBy(col(idColOf(spark, name))).orderBy(col(GenCol).desc)
+        Some(t.filter(liveCond(multi))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn", PartCol, GenCol))
+      }
+    (plain, merged) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case (None, None)       => t.filter(lit(false)).drop(PartCol, GenCol)
+    }
   }
 
   /** Keyed upsert (the actual ES `index(id=...)` semantics): rows in
     * `updates` replace same-key rows in the table, new keys append.
-    * INCREMENTAL copy-on-write: updated keys hash to a set of `__p`
-    * partitions; only those partitions are read (partition-pruned scan),
-    * merged (existing ∖ updates ∪ updates) and rewritten via dynamic
-    * partition overwrite. Untouched partitions are not read, not written,
-    * and their files stay byte-identical (StoreSpec pins this) — so the
-    * cost of an upsert scales with the BATCH footprint, not the table size.
-    * The reference behavior this replaces is incremental per-document ES
-    * indexing (`elasticsearch_ingest.py:107-148`).
+    * APPEND-ONLY DELTA: the batch is validated (unique, non-null keys —
+    * duplicate update keys have no defined winner, and a NULL key can
+    * never be replaced: SQL joins don't match NULLs, ES likewise rejects
+    * a null `_id`), written as a new generation covering only the
+    * partitions its keys hash to, and made live by the atomic manifest
+    * commit. Nothing existing is read, rewritten, or deleted — the cost
+    * of an upsert is O(batch), and a crash at ANY point before the
+    * manifest rename leaves the table exactly as it was (the staged
+    * generation is unreferenced and later vacuumed).
     *
-    * Single-writer: concurrent upserts to the same table race on the
-    * partition overwrite — serialize writers per table (the streaming sink
-    * does, one micro-batch at a time).
-    * `updates` must be unique on `idCol` (checked): duplicate update keys
-    * have no defined winner.
+    * Replaced row versions linger in older generations until [[compact]]
+    * folds the chain — the merge-on-read rank in [[read]] hides them.
+    * Single-writer per table (manifest counter), as the object doc says.
     */
   def upsert(spark: SparkSession, name: String, updates: DataFrame, idCol: String,
       buckets: Int = 16): Unit = {
     spark.catalog.refreshTable(name)
-    // a table without the hash-prefix layout (created by createTable, or
+    // a table without the generational layout (created by createTable, or
     // any externally-made flat table) still upserts correctly — it just
     // pays the legacy full-table copy-on-write, since there is no
-    // partition boundary to scope the rewrite to
-    if (!spark.table(name).columns.contains(PartCol)) {
-      // one validation job: duplicate keys have no defined winner, and a
-      // NULL key can never be replaced (SQL joins don't match NULLs — it
-      // would append forever; ES likewise rejects a null _id)
+    // partition/generation structure to scope the write to
+    if (!spark.table(name).columns.contains(GenCol)) {
       val badKeys = updates.groupBy(idCol).count()
         .filter(col("count") > 1 || col(idCol).isNull).limit(1).count()
       require(badKeys == 0L, s"updates contain duplicate or NULL $idCol keys")
@@ -155,22 +368,27 @@ object Store {
       spark.catalog.refreshTable(name)
       return
     }
+    stageAndCommitDelta(spark, name, updates, idCol, buckets)
+  }
+
+  /** The upsert's two halves, separable so StoreSpec can simulate a crash
+    * between them: [[stageDelta]] writes the batch as an uncommitted
+    * generation (invisible to readers), [[commitDelta]] makes it live.
+    */
+  private[graft] def stageDelta(
+      spark: SparkSession, name: String, updates: DataFrame, idCol: String,
+      buckets: Int): Option[(Long, Seq[Int])] = {
+    val loc = tableLocation(spark, name)
+    val fs = fsFor(spark, loc)
+    val manifest = readManifest(spark, name).map(_._2).getOrElse(
+      sys.error(s"generational store table $name has no manifest — rebuild via bulkWrite"))
     val parts = partsOf(spark, name)
-    // align the write with the table's OWN bucket count (the caller's
-    // `buckets` is only a fallback for tables without a spec): a mismatch
-    // is not a correctness problem — bucket ids are computed per row —
-    // but it splits each bucket's rows across tasks and multiplies files
-    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
-    val tableBuckets = spark.sessionState.catalog.getTableMetadata(ident)
-      .bucketSpec.map(_.numBuckets).getOrElse(buckets)
     val u = withPart(updates, idCol, parts)
-    // ONE job over the batch computes the key validation (duplicate keys
-    // have no defined winner; a NULL key can never be replaced — SQL joins
-    // don't match NULLs, it would append forever, and ES likewise rejects
-    // a null _id) AND the touched-partition list (at most `parts` small
-    // integers — a driver-side value list that becomes a static
-    // partition-pruning filter). These were two separate jobs until r8;
-    // per-micro-batch upserts pay the fixed job cost 4× per trigger.
+    // ONE job over the batch computes the key validation AND the
+    // touched-partition list (at most `parts` small integers — a
+    // driver-side value list that names the partitions the manifest entry
+    // extends). These were two separate jobs until r8; per-micro-batch
+    // upserts pay the fixed job cost 4× per trigger.
     val stats = u.groupBy(col(idCol))
       .agg(count(lit(1)).as("c"), first(col(PartCol)).as("p"))
       .groupBy()
@@ -178,41 +396,158 @@ object Store {
         max(col(idCol).isNull).as("has_null"),
         collect_set(col("p")).as("touched"))
       .head()
-    if (stats.isNullAt(0)) return // empty updates: nothing to validate or write
+    if (stats.isNullAt(0)) return None // empty updates: nothing to stage
     require(stats.getLong(0) <= 1L && !stats.getBoolean(1),
       s"updates contain duplicate or NULL $idCol keys")
     val touched = stats.getSeq[Int](2)
-    val kept = spark.table(name)
-      .filter(col(PartCol).isin(touched: _*))
-      .join(u.select(col(idCol)), Seq(idCol), "left_anti")
-    val columnOrder = spark.table(name).columns // partition col is last
-    val merged = kept.unionByName(u).select(columnOrder.map(col(_)): _*)
-      // bucket-aligned repartition — same rationale as in bulkWrite
+    val gen = allocateGen(fs, loc, manifest)
+    // align the write with the table's OWN bucket count (the caller's
+    // `buckets` is only a fallback for tables without a spec): a mismatch
+    // is not a correctness problem — bucket ids are computed per row —
+    // but it splits each bucket's rows across tasks and multiplies files
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    val tableBuckets = spark.sessionState.catalog.getTableMetadata(ident)
+      .bucketSpec.map(_.numBuckets).getOrElse(buckets)
+    val columnOrder = spark.table(name).columns // partition cols are last
+    u.withColumn(GenCol, lit(gen))
+      .select(columnOrder.map(col(_)): _*)
       .repartition(tableBuckets, col(idCol))
-      // materialize the merged batch (its footprint is touched-partitions
-      // sized, not table sized) so the overwrite below does not read the
-      // table it rewrites — Spark rejects a self-referencing overwrite
-      .localCheckpoint()
-    // dynamic partition overwrite: only partitions present in `merged`
-    // (= the touched set) are replaced; the commit stages under the table
-    // dir and swaps per-partition, so the live table is readable throughout.
-    // The mode must be set on the session conf — insertInto ignores the
-    // per-writer option (it resolves against the catalog table, not a
-    // DataSource with write options) — so set/restore it around the write.
-    // BLAST RADIUS (ADVICE r5): the conf is session-global for the window,
-    // so the single-writer rule extends to the whole session — do not run
-    // ANY other Overwrite-mode write concurrently with an upsert (it would
-    // silently inherit dynamic semantics, and the restore races). Callers
-    // needing concurrent overwrites should run the upsert on a dedicated
-    // `spark.newSession()` child, which carries its own conf.
-    val modeKey = "spark.sql.sources.partitionOverwriteMode"
-    val prevMode = spark.conf.getOption(modeKey)
-    spark.conf.set(modeKey, "dynamic")
-    try merged.write.mode(SaveMode.Overwrite).insertInto(name)
-    finally prevMode match {
-      case Some(v) => spark.conf.set(modeKey, v)
-      case None    => spark.conf.unset(modeKey)
+      .write.mode(SaveMode.Append).insertInto(name)
+    Some((gen, touched))
+  }
+
+  /** Append `gen` to the touched partitions' live lists and commit — the
+    * single atomic step that makes a staged generation visible.
+    */
+  private[graft] def commitDelta(
+      spark: SparkSession, name: String, gen: Long, touched: Seq[Int]): Unit = {
+    val loc = tableLocation(spark, name)
+    val fs = fsFor(spark, loc)
+    val (v, manifest) = readManifest(spark, name).getOrElse(
+      sys.error(s"generational store table $name has no manifest"))
+    val updated = touched.foldLeft(manifest) { (m, p) =>
+      m.updated(p, m.getOrElse(p, Seq.empty) :+ gen)
     }
+    writeManifest(fs, loc, v + 1L, updated)
+    vacuum(fs, loc)
     spark.catalog.refreshTable(name)
+  }
+
+  private def stageAndCommitDelta(
+      spark: SparkSession, name: String, updates: DataFrame, idCol: String,
+      buckets: Int): Unit =
+    stageDelta(spark, name, updates, idCol, buckets).foreach {
+      case (gen, touched) => commitDelta(spark, name, gen, touched)
+    }
+
+  // ------------------------------------------------------------ compaction
+
+  /** One partition's live-file footprint: how many generations its chain
+    * carries and what they cost to read.
+    */
+  final case class PartStat(part: Int, nGens: Int, nFiles: Long, bytes: Long)
+
+  /** What [[compact]] did: which partitions folded into which generation,
+    * and the live-file collapse it bought.
+    */
+  final case class CompactionResult(
+      foldedParts: Seq[Int], gen: Long, filesBefore: Long, filesAfter: Long)
+
+  /** Live-file manifest of a generational table: per partition, the
+    * generation count and the file count/bytes across its LIVE
+    * generations only (orphans and retained-but-superseded generations
+    * excluded — they cost disk until vacuum, not reads). Pure FS
+    * metadata, no Spark job.
+    */
+  def fileStats(spark: SparkSession, name: String): Seq[PartStat] = {
+    val loc = tableLocation(spark, name)
+    val fs = fsFor(spark, loc)
+    val manifest = readManifest(spark, name).map(_._2).getOrElse(Map.empty)
+    manifest.toSeq.sortBy(_._1).map { case (p, gens) =>
+      val files = gens.flatMap { g =>
+        val d = new Path(loc, s"$PartCol=$p/$GenCol=$g")
+        if (fs.exists(d))
+          fs.listStatus(d).toSeq.filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        else Seq.empty
+      }
+      PartStat(p, gens.size, files.size.toLong, files.map(_.getLen).sum)
+    }
+  }
+
+  /** The partitions worth folding: any carrying a delta chain (>1 live
+    * generation — each chained generation is both a merge-rank tax on
+    * every read and a file-count multiplier). The q150 planning rule
+    * specialized to the store layout, computed from the same live-file
+    * manifest [[fileStats]] reports.
+    */
+  def compactionPlan(spark: SparkSession, name: String): Seq[PartStat] =
+    fileStats(spark, name).filter(_.nGens > 1)
+
+  /** COMPACTION EXECUTOR — physically fold the planned partitions' delta
+    * chains: read their merged (newest-wins) rows, write them back as ONE
+    * fresh generation (bucket-aligned, so exactly one file per non-empty
+    * bucket per partition), and commit the manifest entry that replaces
+    * each folded partition's chain with the new generation. The fold is
+    * crash-atomic like every other write (staged generation + manifest
+    * rename); superseded generations are vacuumed on the NEXT commit
+    * (last-2 manifest retention protects in-flight readers).
+    *
+    * This is the executable half of the q150 compaction plan — and the
+    * engine-side analog of the ES/Lucene segment force-merge the
+    * reference's per-document ingest loop depends on
+    * (`/root/reference/src/elasticsearch_ingest.py:107-148` writes one
+    * doc per call and lets the cluster merge segments behind it).
+    * Untouched partitions are not read, not written, and their files stay
+    * byte-identical.
+    */
+  def compact(
+      spark: SparkSession, name: String,
+      onlyParts: Option[Seq[Int]] = None): CompactionResult = {
+    spark.catalog.refreshTable(name)
+    require(spark.table(name).columns.contains(GenCol),
+      s"$name is not a generational store table — nothing to compact")
+    val plan = compactionPlan(spark, name)
+    val folds = onlyParts match {
+      case Some(ps) => plan.filter(s => ps.contains(s.part))
+      case None     => plan
+    }
+    val statsBefore = fileStats(spark, name)
+    if (folds.isEmpty)
+      return CompactionResult(Seq.empty, -1L,
+        statsBefore.map(_.nFiles).sum, statsBefore.map(_.nFiles).sum)
+    val loc = tableLocation(spark, name)
+    val fs = fsFor(spark, loc)
+    val (v, manifest) = readManifest(spark, name).getOrElse(
+      sys.error(s"generational store table $name has no manifest"))
+    val idCol = idColOf(spark, name)
+    val foldParts = folds.map(_.part)
+    val t = spark.table(name)
+    val liveCond = foldParts.map { p =>
+      col(PartCol) === p && col(GenCol).isin(manifest(p): _*)
+    }.reduce(_ || _)
+    val gen = allocateGen(fs, loc, manifest)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    val tableBuckets = spark.sessionState.catalog.getTableMetadata(ident)
+      .bucketSpec.map(_.numBuckets).getOrElse(DefaultParts)
+    val w = Window.partitionBy(col(idCol)).orderBy(col(GenCol).desc)
+    val columnOrder = t.columns
+    val folded = t.filter(liveCond)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .withColumn(GenCol, lit(gen))
+      .select(columnOrder.map(col(_)): _*)
+      .repartition(tableBuckets, col(idCol))
+      // materialize the fold (its footprint is the folded partitions, not
+      // the table) so the append below does not read the table it extends
+      .localCheckpoint()
+    folded.write.mode(SaveMode.Append).insertInto(name)
+    val updated = foldParts.foldLeft(manifest)((m, p) => m.updated(p, Seq(gen)))
+    writeManifest(fs, loc, v + 1L, updated)
+    vacuum(fs, loc)
+    spark.catalog.refreshTable(name)
+    val after = fileStats(spark, name)
+    CompactionResult(foldParts, gen,
+      statsBefore.map(_.nFiles).sum, after.map(_.nFiles).sum)
   }
 }

@@ -98,12 +98,21 @@ object EventStream {
     * backlog (EventStreamSpec pins this). foreachBatch is at-least-once on
     * failure boundaries; the keyed upsert is idempotent per batch, so a
     * replayed batch converges instead of double-applying.
+    *
+    * Every non-empty batch appends one delta generation to the table, so
+    * an unbounded stream grows the merge-on-read chain; `compactEvery`
+    * (default 16) folds the chain back every that-many applied batches —
+    * the streaming half of [[graft.sources.Store.compact]]'s contract.
+    * 0 disables (callers owning their own maintenance window).
     */
   def toStoreUpsert(
       aggregated: DataFrame, table: String, idCol: String, buckets: Int = 16,
       checkpointLocation: Option[String] = None, parts: Int = 16,
-      availableNow: Boolean = false)
+      availableNow: Boolean = false, compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // per-query mutable batch counter: foreachBatch runs on the driver, one
+    // batch at a time, so plain state is safe (no tasks see it)
+    var applied = 0L
     val w = aggregated.writeStream
       .outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -118,6 +127,11 @@ object EventStream {
             else
               graft.sources.Store.bulkWrite(
                 materialized.toDF(), table, idCol, buckets = buckets, parts = parts)
+            applied += 1L
+            if (compactEvery > 0 && applied % compactEvery == 0) {
+              graft.sources.Store.compact(spark, table)
+              ()
+            }
           }
         } finally materialized.unpersist()
       }
@@ -420,6 +434,81 @@ object EventStream {
           }
           state.update(st)
           UserSessionStats(user, st.nSessions, st.nEvents)
+      }
+  }
+
+  /** Per-user funnel-chain state: timestamps (µs) of the stages reached so
+    * far, in stage order — `t.length` IS the user's current depth.
+    */
+  final case class FunnelChain(t: Seq[Long])
+  final case class UserFunnelDepth(user_id: Long, depth: Int)
+
+  /** STREAMING ordered funnel via `flatMapGroupsWithState` — the
+    * continuous twin of [[graft.ops.Events.funnel]] (q145): per user,
+    * stage k is reached by the first event of `stages(k)` STRICTLY after
+    * stage k-1's timestamp, and the state carried across micro-batches is
+    * just the reached-stage timestamp chain (O(|stages|) per live user —
+    * never the user's events).
+    *
+    * Emits each user's current depth on every micro-batch that carries
+    * any of their events (update semantics — depth is monotone
+    * nondecreasing, so readers keep the max per user; a keyed upsert sink
+    * converges to the same). Users whose events never match a stage
+    * still emit depth 0, matching the batch funnel's LEFT-join rule.
+    *
+    * State is WATERMARK-BOUNDED: event-time timeout at the user's last
+    * seen event + `horizonHours` clears the chain once the watermark
+    * passes it (a funnel has a horizon; keeping every user forever is
+    * the state leak that kills month-long streams). Same cross-batch
+    * ordering contract as [[sessionStatsCustomState]]: a user's events
+    * must not arrive out of order ACROSS micro-batches (within a batch
+    * the fold sorts) — with in-order arrival the greedy next-stage fill
+    * provably equals the batch chain, because each stage's first
+    * qualifying event is processed before any later candidate.
+    */
+  def funnelCustomState(
+      events: DataFrame, stages: Seq[String], watermarkDelay: String = "2 hours",
+      horizonHours: Long = 96L)
+      : org.apache.spark.sql.Dataset[UserFunnelDepth] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(stages.nonEmpty, "need at least one funnel stage")
+    require(stages.distinct.size == stages.size, "funnel stages must be distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val horizonMs = horizonHours * 3600000L
+    // ts stays a TIMESTAMP column through the typed view: event-time
+    // timeout resolves the watermark from the retained column (projecting
+    // it to a long would silently drop the watermark and fail analysis)
+    def us(i: java.time.Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_type"), col("event_id").cast("long"))
+      .as[(Long, java.time.Instant, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelChain, UserFunnelDepth](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (us(r._2), r._4))
+            var chain = state.getOption.map(_.t.toVector).getOrElse(Vector.empty[Long])
+            sorted.foreach { case (_, ts, tpe, _) =>
+              val next = chain.length
+              if (next < stages.length && tpe == stages(next) &&
+                  (next == 0 || us(ts) > chain(next - 1)))
+                chain :+= us(ts)
+            }
+            state.update(FunnelChain(chain))
+            // expire the chain once the watermark passes the horizon past
+            // the user's last activity (µs event time → ms timeout clock)
+            sorted.lastOption.foreach { last =>
+              state.setTimeoutTimestamp(us(last._2) / 1000L + horizonMs)
+            }
+            Iterator.single(UserFunnelDepth(user, chain.length))
+          }
       }
   }
 

@@ -171,6 +171,8 @@ class PlanSpec extends SparkSpec {
       "q133_skew_report" -> "BroadcastNestedLoopJoin", // 1-row totals scalar-subquery crossJoin (q24 cap pattern)
       "q138_join_decision" -> "BroadcastNestedLoopJoin", // embeds q133's 1-row totals crossJoin (q24 cap pattern)
       "q148_unigram_logprob" -> "BroadcastNestedLoopJoin", // 1-row total-tokens scalar crossJoin (q24 cap pattern)
+      "q158_unigram_logprob_unbounded" -> "BroadcastNestedLoopJoin", // same 1-row total crossJoin as q148 (shuffle-dict route)
+      "q155_adaptive_join" -> "BroadcastNestedLoopJoin", // embeds q133's 1-row totals crossJoin inside the pre-flight report
       "q134_source_pagerank_weighted" -> "BroadcastNestedLoopJoin", // 1-row node-count crossJoin per PageRank round (q130 pattern)
       "q115_ann_ivf_append" -> "BroadcastNestedLoopJoin", // probe×centroid cell assignment (q38 shape); centroids broadcast
       "q116_ann_ivf_append_quantized" -> "BroadcastNestedLoopJoin") // probe×centroid cell assignment (q38 shape); centroids broadcast

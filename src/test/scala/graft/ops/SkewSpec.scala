@@ -78,4 +78,40 @@ class SkewSpec extends SparkSpec {
       .find(_.getAs[Long]("k") === 100L).get
     assert(capped.getAs[Int]("salt_buckets") === 4)
   }
+
+  test("adaptiveJoin dispatches broadcast/salted/plain on measured inputs, results invariant") {
+    import spark.implicits._
+    // planted skew: one hot key carries 90% of the probe
+    val skewed = ((1 to 900).map(i => (7L, i)) ++ (901 to 1000).map(i => (i.toLong, i)))
+      .toDF("k", "v")
+    // uniform probe: every key once
+    val uniform = (1L to 1000L).map(k => (k, k.toInt)).toDF("k", "v")
+    val build = (0L until 1000L).map(k => (k, s"dim$k")).toDF("k", "name")
+    def plain(p: org.apache.spark.sql.DataFrame) =
+      p.join(build, Seq("k")).select("k", "v", "name")
+    // SMALL build under the default row limit → broadcast path, pinned in
+    // the physical plan
+    val (bj, bc) = Skew.adaptiveJoin(skewed, build, "k")
+    assert(bc.strategy === "broadcast" && bc.buildRows === 1000L)
+    assert(bj.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "broadcast decision must produce a broadcast join")
+    assert(bj.select("k", "v", "name").exceptAll(plain(skewed)).count() === 0L)
+    assert(bj.count() === plain(skewed).count())
+    // build over the limit + planted skew → salted (the probe's hot key
+    // measures skew_factor = 900·101/1000 ≈ 91, clamped to 32 buckets)
+    val (sj, sc) = Skew.adaptiveJoin(skewed, build, "k", broadcastRowLimit = 10L,
+      skewFactorBar = 4.0)
+    assert(sc.strategy === "salted" && sc.saltBuckets === 32 && sc.topSkewFactor > 50.0)
+    assert(sj.queryExecution.analyzed.toString.contains("__salt"),
+      "salted decision must dispatch through the salted join")
+    assert(sj.select("k", "v", "name").exceptAll(plain(skewed)).count() === 0L)
+    assert(sj.count() === plain(skewed).count())
+    // build over the limit + uniform probe → plain join, no salt anywhere
+    val (pj, pc) = Skew.adaptiveJoin(uniform, build, "k", broadcastRowLimit = 10L,
+      skewFactorBar = 4.0)
+    assert(pc.strategy === "plain" && pc.saltBuckets === 1)
+    assert(!pj.queryExecution.analyzed.toString.contains("__salt"))
+    assert(pj.select("k", "v", "name").exceptAll(plain(uniform)).count() === 0L)
+    assert(pj.count() === plain(uniform).count())
+  }
 }

@@ -136,4 +136,29 @@ class TextStatsSpec extends SparkSpec {
     // mean word length: doc 3 tokens are {#, the, a} → mean (1+3+1)/3 = 5/3 < 3
     assert(!out(3L).getBoolean(8))
   }
+
+  test("unigramLogProb dictionary join: broadcast under the vocab limit, shuffle above") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a"), (2L, "a d"), (3L, "b b e")).toDF("doc_id", "text")
+    // kill auto-broadcast so the PLAN reflects the operator's own hint
+    // decision, not the optimizer's size estimate of a toy fixture
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      def planOf(df: org.apache.spark.sql.DataFrame): String = {
+        df.collect(); df.queryExecution.executedPlan.toString
+      }
+      val bc = TextStats.unigramLogProb(docs, "doc_id", "text")
+      assert(planOf(bc).contains("BroadcastHashJoin"),
+        "under the limit the dictionary must broadcast")
+      val sh = TextStats.unigramLogProb(docs, "doc_id", "text", broadcastVocabLimit = 0L)
+      assert(!planOf(sh).contains("BroadcastHashJoin"),
+        "over the limit the dictionary join must fall back to the shuffle")
+      // both paths produce the same logprobs
+      val a = bc.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val b = sh.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(a === b)
+    } finally spark.conf.set(key, prev)
+  }
 }

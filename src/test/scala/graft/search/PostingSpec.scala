@@ -60,4 +60,26 @@ class PostingSpec extends SparkSpec {
       assert(viaIdx === full, s"posting path diverged for query '$q'")
     }
   }
+
+  test("idf scoring: a rare-term match outranks a common-term match that term counts tie") {
+    import spark.implicits._
+    // 20 docs match 'common', exactly one matches 'rarest' — under plain
+    // term-count scoring both match-classes score 3 (a tie the reference's
+    // BM25 ordering would never produce); the idf weights break it
+    val docs = ((1 to 20).map(i => (i, s"common filler$i")) :+ ((100, "rarest thing")))
+      .toDF("id", "title")
+    val posting = Posting.buildPosting(docs, "id", Seq("title" -> col("title")))
+    val plain = Posting.score(posting, Seq("common", "rarest"), Seq("title" -> 3))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(plain(100) === plain(1), "term-count scoring ties rare and common matches")
+    val idf = Posting.scoreIdf(posting, Seq("common", "rarest"), Seq("title" -> 3),
+        nDocs = 21L)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(idf(100) > idf(1), "idf must rank the rare-term match above the common one")
+    // exact fixed-point weights: w = round(1000·ln((N+1)/(df+1)))
+    val wCommon = math.round(1000.0 * math.log(22.0 / 21.0))
+    val wRare = math.round(1000.0 * math.log(22.0 / 2.0))
+    assert(idf(1) === 3L * wCommon)
+    assert(idf(100) === 3L * wRare)
+  }
 }

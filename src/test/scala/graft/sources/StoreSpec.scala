@@ -77,7 +77,7 @@ class StoreSpec extends SparkSpec {
       // the table)
       val after = files()
       val touchedParts = Seq(7L, 500L, 1001L)
-        .map(k => s"__p=${Math.floorMod(org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .map(k => s"graft_p=${Math.floorMod(org.apache.spark.unsafe.hash.Murmur3_x86_32
           .hashLong(k, 42), 16)}").toSet
       val untouchedBefore = before.filterNot { case (p, _) => touchedParts.exists(p.contains) }
       val untouchedAfter = after.filterNot { case (p, _) => touchedParts.exists(p.contains) }
@@ -96,31 +96,108 @@ class StoreSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS movies_decl")
   }
 
-  test("repeated upserts do not accumulate small files (overwrite, not append)") {
+  test("delta upserts accumulate live files; compact() collapses them and keeps content") {
     import spark.implicits._
     val base = (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v")
     Store.bulkWrite(base, "upsert_files", "k", buckets = 4)
     try {
-      def fileCount(): Int = {
-        val ident = spark.sessionState.sqlParser.parseTableIdentifier("upsert_files")
+      def liveFiles(): Long = Store.fileStats(spark, "upsert_files").map(_.nFiles).sum
+      val before = liveFiles()
+      // ten micro-batch-sized upserts hitting the SAME key: each appends a
+      // delta generation (O(batch) — nothing rewritten), so the LIVE file
+      // count grows with the chain; this is exactly the fragmentation the
+      // compactor exists to fold (the ES force-merge analog)
+      (1 to 10).foreach(i => Store.upsert(spark, "upsert_files",
+        Seq((7L, s"v7_$i")).toDF("k", "v"), "k", buckets = 4))
+      val fragmented = liveFiles()
+      assert(fragmented >= before + 10,
+        s"each delta upsert must add at least one live file ($before -> $fragmented)")
+      assert(Store.compactionPlan(spark, "upsert_files").nonEmpty)
+      val res = Store.compact(spark, "upsert_files")
+      assert(res.foldedParts.nonEmpty)
+      assert(res.filesAfter < res.filesBefore,
+        s"compaction must collapse live files (${res.filesBefore} -> ${res.filesAfter})")
+      // the folded partition holds ONE generation with ≤ buckets files
+      assert(Store.fileStats(spark, "upsert_files").forall(_.nGens === 1))
+      // content is invariant across the fold: latest version wins
+      assert(Store.read(spark, "upsert_files").count() === 200L)
+      assert(Store.read(spark, "upsert_files").filter($"k" === 7L)
+        .head().getString(1) === "v7_10")
+      // and the table keeps accepting upserts after the fold
+      Store.upsert(spark, "upsert_files", Seq((7L, "v7_post")).toDF("k", "v"), "k", buckets = 4)
+      assert(Store.read(spark, "upsert_files").filter($"k" === 7L)
+        .head().getString(1) === "v7_post")
+    } finally spark.sql("DROP TABLE IF EXISTS upsert_files")
+  }
+
+  test("a crash between delta stage and manifest commit leaves the old content visible") {
+    import spark.implicits._
+    val base = (1L to 50L).map(k => (k, s"v$k")).toDF("k", "v")
+    Store.bulkWrite(base, "crash_t", "k", buckets = 2)
+    try {
+      // stage WITHOUT commit = the writer died after writing its data
+      // files but before the atomic manifest rename
+      val staged = Store.stageDelta(spark, "crash_t",
+        Seq((7L, "V7_staged"), (51L, "NEW")).toDF("k", "v"), "k", buckets = 2)
+      assert(staged.isDefined)
+      // readers resolve the last committed manifest: old content, exactly
+      val got = Store.read(spark, "crash_t")
+      assert(got.count() === 50L)
+      assert(got.filter($"k" === 7L).head().getString(1) === "v7")
+      // recovery path: committing the staged generation (BEFORE any later
+      // commit — a later commit's vacuum reclaims orphans) applies it
+      val (gen, touched) = staged.get
+      Store.commitDelta(spark, "crash_t", gen, touched)
+      val recovered = Store.read(spark, "crash_t")
+      assert(recovered.count() === 51L)
+      assert(recovered.filter($"k" === 7L).head().getString(1) === "V7_staged")
+      // a second crash whose orphan is ABANDONED: a later writer allocates
+      // past it (intent marker), its commit never references the orphan's
+      // rows, and vacuum reclaims them
+      val orphan = Store.stageDelta(spark, "crash_t",
+        Seq((52L, "NEVER")).toDF("k", "v"), "k", buckets = 2)
+      assert(orphan.isDefined)
+      Store.upsert(spark, "crash_t", Seq((8L, "V8")).toDF("k", "v"), "k", buckets = 2)
+      Store.upsert(spark, "crash_t", Seq((9L, "V9")).toDF("k", "v"), "k", buckets = 2)
+      val after = Store.read(spark, "crash_t")
+      assert(after.count() === 51L) // the orphan's key 52 never appeared
+      assert(after.filter($"k" === 8L).head().getString(1) === "V8")
+      assert(orphan.get._1 !== Store.readManifest(spark, "crash_t").get
+        ._2.valuesIterator.flatten.max) // later gens allocated PAST the orphan
+    } finally spark.sql("DROP TABLE IF EXISTS crash_t")
+  }
+
+  test("vacuum retains the last two manifests and reclaims superseded generations") {
+    import spark.implicits._
+    val base = (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v")
+    Store.bulkWrite(base, "vac_t", "k", buckets = 2)
+    try {
+      def allParquet(): Int = {
+        val ident = spark.sessionState.sqlParser.parseTableIdentifier("vac_t")
         val loc = new java.io.File(new java.net.URI(
           spark.sessionState.catalog.getTableMetadata(ident).location.toString))
         def walk(f: java.io.File): Seq[java.io.File] =
           if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
         walk(loc).count(_.getName.endsWith(".parquet"))
       }
-      val before = fileCount()
-      // ten micro-batch-sized upserts hitting the SAME key: dynamic
-      // partition overwrite REPLACES the touched partition each time, so
-      // the table's file count is invariant — no compactor needed (an
-      // append-log design would need one)
-      (1 to 10).foreach(i => Store.upsert(spark, "upsert_files",
-        Seq((7L, s"v7_$i")).toDF("k", "v"), "k", buckets = 4))
-      assert(fileCount() === before,
-        "file count must stay invariant under repeated upserts")
-      assert(Store.read(spark, "upsert_files").filter($"k" === 7L)
-        .head().getString(1) === "v7_10")
-    } finally spark.sql("DROP TABLE IF EXISTS upsert_files")
+      (1 to 6).foreach(i => Store.upsert(spark, "vac_t",
+        Seq((7L, s"v7_$i")).toDF("k", "v"), "k", buckets = 2))
+      val beforeFold = allParquet()
+      Store.compact(spark, "vac_t")
+      // the fold supersedes the delta chain; one more commit pushes the
+      // pre-fold manifest out of the retention window, so its generations
+      // are physically reclaimed
+      Store.upsert(spark, "vac_t", Seq((8L, "V8")).toDF("k", "v"), "k", buckets = 2)
+      Store.upsert(spark, "vac_t", Seq((9L, "V9")).toDF("k", "v"), "k", buckets = 2)
+      Store.compact(spark, "vac_t")
+      Store.upsert(spark, "vac_t", Seq((10L, "V10")).toDF("k", "v"), "k", buckets = 2)
+      Store.upsert(spark, "vac_t", Seq((11L, "V11")).toDF("k", "v"), "k", buckets = 2)
+      assert(allParquet() < beforeFold,
+        "superseded delta generations must be vacuumed after retention expires")
+      assert(Store.read(spark, "vac_t").count() === 100L)
+      assert(Store.read(spark, "vac_t").filter($"k" === 7L)
+        .head().getString(1) === "v7_6")
+    } finally spark.sql("DROP TABLE IF EXISTS vac_t")
   }
 
   test("upsert works on a FLAT declared table (no hash-prefix layout): legacy full merge") {

@@ -347,4 +347,45 @@ class EventStreamSpec extends SparkSpec {
       assert(got === batchPairs, s"split into $nFiles files changed the pair set")
     }
   }
+
+  test("funnelCustomState equals the batch funnel for any time-ordered batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    val stages = Seq("signup", "view", "click", "purchase")
+    // shifted off the epoch origin: a ts equal to the INITIAL watermark (0)
+    // is dropped as late before the stateful operator ever sees it
+    def t(min: Long) = ts(1440 + min)
+    val data = Seq(
+      // full funnel in order
+      (1L, t(0), "signup", 1L), (1L, t(10), "view", 2L),
+      (1L, t(20), "click", 3L), (1L, t(30), "purchase", 4L),
+      // skips 'view' → stuck at depth 1 (click needs view first)
+      (2L, t(5), "signup", 5L), (2L, t(6), "click", 6L),
+      // view BEFORE signup doesn't count; signup alone → depth 1
+      (3L, t(1), "view", 7L), (3L, t(40), "signup", 8L),
+      // only non-stage events → depth 0 still emitted
+      (4L, t(2), "error", 9L),
+      // same-timestamp stage event does NOT qualify (strictly-after rule)
+      (5L, t(8), "signup", 10L), (5L, t(8), "view", 11L), (5L, t(9), "view", 12L))
+    val batch = graft.ops.Events.funnel(
+        data.toDF("user_id", "ts", "event_type", "event_id"),
+        "user_id", "ts", "event_type", stages)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val splits = Seq(
+      "one" -> Seq(data),
+      "three" -> data.sortBy(r => (r._2.getTime, r._4)).grouped(4).toSeq)
+    for ((label, chunks) <- splits) {
+      val input = MemoryStream[(Long, Timestamp, String, Long)]
+      val df = input.toDF().toDF("user_id", "ts", "event_type", "event_id")
+      val sink = s"funnel_split_$label"
+      val q = EventStream.funnelCustomState(df, stages).toDF()
+        .writeStream.format("memory").queryName(sink).outputMode("update").start()
+      try {
+        chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+        val got = spark.table(sink)
+          .groupBy($"user_id").agg(max($"depth").as("depth"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(got === batch, s"split '$label' diverged from the batch funnel")
+      } finally q.stop()
+    }
+  }
 }

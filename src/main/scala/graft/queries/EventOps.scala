@@ -673,7 +673,58 @@ object EventOps {
             date_format(col("cohort_hour"), "yyyy-MM-dd HH:mm:ss").as("cohort_hour"),
             col("k"), col("n_active"))
           .orderBy(col("cohort_hour"), col("k")),
-      Some("""
+      Some(CohortOracle)),
+
+    // STREAMING cohort retention
+    // ([[graft.streaming.EventStream.cohortRetentionCustomState]]): the
+    // SAME cohort definition as q146, computed continuously — each user's
+    // first event fixes the cohort hour, each newly-active offset emits
+    // one (user, cohort, k) credit, state expires once the watermark
+    // passes the cohort's window end. Credits are append-only facts:
+    // distinct, then count distinct users per (cohort, k). Oracle is
+    // q146's VERBATIM (the q145/q156 twin rule on the cohort surface).
+    QueryDef(
+      "q162_stream_cohort_retention",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ss = EventOps.streamSession(s)
+        val ev = Tables.events(ss, dir)
+          .select(col("user_id"), col("ts"), col("event_id"))
+        // time-ordered chunks covering the WHOLE span (the funnel gate's
+        // 96-hour slice trick doesn't apply here: cohorts live wherever
+        // first events do, so dropping tail days would drop oracle rows)
+        val day = datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+        val maxDay = ev.agg(max(day)).head().getInt(0)
+        val nChunks = maxDay / 4 + 1
+        val srcDir = EventOps.stageOrderedBatches(ev,
+          floor(day / 4).cast("int"), nChunks, "q162")
+        val stream = ss.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val hits = graft.streaming.EventStream.cohortRetentionCustomState(
+          stream, maxOffset = 6)
+        val name = EventOps.nextStreamSink(ss)
+        val q = hits.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val result = ss.table(name).distinct()
+          .groupBy(col("cohort_hour_us"), col("k"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .select(
+            date_format(timestamp_micros(col("cohort_hour_us")), "yyyy-MM-dd HH:mm:ss")
+              .as("cohort_hour"),
+            col("k").cast("int").as("k"), col("n_active"))
+          .orderBy(col("cohort_hour"), col("k"))
+          .localCheckpoint()
+        EventOps.rmTree(srcDir)
+        result
+      },
+      Some(CohortOracle)),
+  )
+
+  /** Shared by q146 (batch join route) and q162 (streaming custom-state
+    * route): one cohort-retention definition, two engines.
+    */
+  private lazy val CohortOracle: String = """
         WITH f AS (
           SELECT user_id, date_trunc('hour', min(ts)) AS cohort_hour
           FROM events GROUP BY user_id),
@@ -683,8 +734,7 @@ object EventOps {
           count(DISTINCT a.user_id) AS n_active
         FROM a JOIN f USING (user_id)
         WHERE epoch(a.h) - epoch(f.cohort_hour) BETWEEN 0 AND 6 * 3600
-        GROUP BY 1, 2 ORDER BY cohort_hour, k""")),
-  )
+        GROUP BY 1, 2 ORDER BY cohort_hour, k"""
 
   /** Shared by q145 (batch window-chain route) and q156 (streaming
     * custom-state route): one funnel definition, two engines — the twin

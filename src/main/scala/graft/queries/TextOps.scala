@@ -1322,6 +1322,96 @@ object TextOps {
           true AS files_collapsed, true AS single_gen_after
         FROM merged GROUP BY source ORDER BY source""")),
 
+    // TOMBSTONE DELETE ([[graft.sources.Store.delete]]) — the
+    // right-to-erasure path: keys delete as O(batch) tombstone deltas
+    // (same crash-atomic manifest commit as upserts), the newest-wins
+    // read resolves them to "absent", a later upsert resurrects, and
+    // [[Store.compact]] makes surviving erasures PHYSICAL (the fold
+    // drops resolved tombstones; retention vacuums the old bytes —
+    // StoreSpec proves no retained file holds the key). The oracle
+    // replays delete → partial resurrect → fold in closed form.
+    QueryDef(
+      "q160_store_delete",
+      (s, dir) => {
+        import graft.sources.Store
+        val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"), col("source"))
+        val table = "delete_docs"
+        Store.bulkWrite(docs, table, "doc_id", buckets = 4, parts = 8)
+        Store.delete(s, table,
+          docs.filter(col("doc_id") % 13 === 0).select(col("doc_id")),
+          "doc_id", buckets = 4)
+        Store.upsert(s, table,
+          docs.filter(col("doc_id") % 26 === 0)
+            .withColumn("text", concat(col("text"), lit(" [r]"))),
+          "doc_id", buckets = 4)
+        Store.compact(s, table)
+        val singleGen = Store.fileStats(s, table).forall(_.nGens == 1)
+        Store.read(s, table)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(octet_length(col("text"))).cast("long").as("n_bytes"))
+          .withColumn("single_gen_after", lit(singleGen))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH final AS (
+          SELECT source, doc_id,
+            CASE WHEN doc_id % 26 = 0 THEN text || ' [r]' ELSE text END AS text
+          FROM documents
+          WHERE text IS NOT NULL AND (doc_id % 13 <> 0 OR doc_id % 26 = 0))
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+          true AS single_gen_after
+        FROM final GROUP BY source ORDER BY source""")),
+
+    // TIME TRAVEL ([[graft.sources.Store.readVersion]]) — immutable data
+    // files make every manifest a free snapshot: the SAME query reads the
+    // table before and after an upsert by resolving two retained
+    // manifests, and the oracle replays both states side by side. The
+    // retention window (last-2) is the contract: current + predecessor
+    // readable, older states vacuumed loudly (StoreSpec).
+    QueryDef(
+      "q161_store_time_travel",
+      (s, dir) => {
+        import graft.sources.Store
+        val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"), col("source"))
+        val table = "timetravel_docs"
+        Store.bulkWrite(docs, table, "doc_id", buckets = 4, parts = 8)
+        Store.upsert(s, table,
+          docs.filter(col("doc_id") % 10 === 0)
+            .withColumn("text", concat(col("text"), lit(" [v1]"))),
+          "doc_id", buckets = 4)
+        val vs = Store.versions(s, table)
+        def snap(v: Long, label: String) =
+          Store.readVersion(s, table, v)
+            .groupBy(col("source"))
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum(octet_length(col("text"))).cast("long").as("n_bytes"))
+            .withColumn("version", lit(label))
+        snap(vs.head, "v0").unionByName(snap(vs.last, "v1"))
+          .select(col("version"), col("source"), col("n_docs"), col("n_bytes"))
+          .orderBy(col("version"), col("source"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT source, doc_id, text FROM documents WHERE text IS NOT NULL),
+        v1 AS (
+          SELECT source, doc_id,
+            CASE WHEN doc_id % 10 = 0 THEN text || ' [v1]' ELSE text END AS text
+          FROM base)
+        SELECT 'v0' AS version, source, count(*) AS n_docs,
+          CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes
+        FROM base GROUP BY source
+        UNION ALL
+        SELECT 'v1', source, count(*),
+          CAST(sum(octet_length(encode(text))) AS BIGINT)
+        FROM v1 GROUP BY source
+        ORDER BY version, source""")),
+
     // COMPACTION PLAN — the small-files problem on the write path:
     // [[Training.packBins]] applied to BYTE masses (per-source corpus
     // bytes standing in for file sizes) with a target output-file

@@ -72,6 +72,12 @@ object Store {
 
   /** Internal generation partition column (commit epoch of the row). */
   private val GenCol = "graft_g"
+
+  /** Internal tombstone flag: a true row in a delta generation DELETES its
+    * key ([[delete]]). Data column (not a partition dir) so a tombstone
+    * rides the same bucketed layout as the version it shadows.
+    */
+  private val DelCol = "graft_del"
   private val PartsProp = "graft.parts"
   private val IdColProp = "graft.idcol"
   private val DefaultParts = 16
@@ -275,7 +281,8 @@ object Store {
     // — the classic small-files blowup (measured: 3,600 rows → ~3,600
     // files), which is also wrong at 100 TB where the commit protocol
     // renames every one of them.
-    withPart(df, idCol, parts).withColumn(GenCol, lit(0L))
+    withPart(df.withColumn(DelCol, lit(false)), idCol, parts)
+      .withColumn(GenCol, lit(0L))
       .repartition(buckets, col(idCol)).write
       .mode(SaveMode.Overwrite)
       .partitionBy(PartCol, GenCol)
@@ -303,15 +310,60 @@ object Store {
     spark.catalog.refreshTable(name)
     val t = spark.table(name)
     if (!t.columns.contains(GenCol)) return t.drop(PartCol) // flat / legacy
-    val manifest = readManifest(spark, name).map(_._2).getOrElse(Map.empty)
-    if (manifest.isEmpty) return t.filter(lit(false)).drop(PartCol, GenCol)
+    readAt(spark, name, readManifest(spark, name).map(_._2).getOrElse(Map.empty))
+  }
+
+  /** Committed manifest versions still on disk, oldest first — the
+    * TIME-TRAVEL window. Retention keeps the last two (the current table
+    * and its predecessor), so `versions.init` are the readable past
+    * states; older versions are vacuumed, not archived.
+    */
+  def versions(spark: SparkSession, name: String): Seq[Long] = {
+    val loc = tableLocation(spark, name)
+    manifestVersions(fsFor(spark, loc), loc)
+  }
+
+  /** TIME-TRAVEL read: the table exactly as manifest `version` committed
+    * it. Free by construction — data files are immutable and a manifest
+    * IS a snapshot, so reading the past is just resolving an older
+    * manifest (the same trick Iceberg/Delta snapshots rest on). Only
+    * versions inside the retention window are readable ([[versions]]);
+    * asking for a vacuumed one fails loudly rather than returning a
+    * partially-reclaimed table.
+    */
+  def readVersion(spark: SparkSession, name: String, version: Long): DataFrame = {
+    spark.catalog.refreshTable(name)
+    require(spark.table(name).columns.contains(GenCol),
+      s"$name is not a generational store table — no versions to read")
+    val loc = tableLocation(spark, name)
+    val fs = fsFor(spark, loc)
+    val have = manifestVersions(fs, loc)
+    require(have.contains(version),
+      s"version $version of $name is outside the retention window (have: ${have.mkString(",")})")
+    readAt(spark, name, parseManifest(readText(fs, manifestPath(loc, version))))
+  }
+
+  private def readAt(
+      spark: SparkSession, name: String, manifest: Manifest): DataFrame = {
+    val t = spark.table(name)
+    if (manifest.isEmpty) {
+      val empty = t.filter(lit(false))
+      return (if (empty.columns.contains(DelCol)) empty.drop(DelCol) else empty)
+        .drop(PartCol, GenCol)
+    }
     def liveCond(m: Manifest): Column = m.map { case (p, gs) =>
       col(PartCol) === p && col(GenCol).isin(gs: _*)
     }.reduce(_ || _)
     val (multi, single) = manifest.partition(_._2.size > 1)
+    // a tombstone surviving as its key's newest version deletes the key
+    // (pre-tombstone layouts lack the column and skip the filter)
+    def finish(df: DataFrame): DataFrame = {
+      val undeleted = if (df.columns.contains(DelCol)) df.filter(!col(DelCol)) else df
+      undeleted.drop(PartCol, GenCol, DelCol)
+    }
     val plain =
       if (single.isEmpty) None
-      else Some(t.filter(liveCond(single)).drop(PartCol, GenCol))
+      else Some(finish(t.filter(liveCond(single))))
     val merged =
       if (multi.isEmpty) None
       else {
@@ -319,16 +371,16 @@ object Store {
         // generation (upsert validates batches, gen 0/compaction fold by
         // construction), so the rank is deterministic
         val w = Window.partitionBy(col(idColOf(spark, name))).orderBy(col(GenCol).desc)
-        Some(t.filter(liveCond(multi))
+        Some(finish(t.filter(liveCond(multi))
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
-          .drop("__rn", PartCol, GenCol))
+          .drop("__rn")))
       }
     (plain, merged) match {
       case (Some(a), Some(b)) => a.unionByName(b)
       case (Some(a), None)    => a
       case (None, Some(b))    => b
-      case (None, None)       => t.filter(lit(false)).drop(PartCol, GenCol)
+      case (None, None)       => finish(t.filter(lit(false)))
     }
   }
 
@@ -409,7 +461,13 @@ object Store {
     val tableBuckets = spark.sessionState.catalog.getTableMetadata(ident)
       .bucketSpec.map(_.numBuckets).getOrElse(buckets)
     val columnOrder = spark.table(name).columns // partition cols are last
-    u.withColumn(GenCol, lit(gen))
+    // live updates carry an explicit not-deleted flag ([[delete]] stages
+    // its own true-flagged tombstones through this same path)
+    val flagged =
+      if (columnOrder.contains(DelCol) && !u.columns.contains(DelCol))
+        u.withColumn(DelCol, lit(false))
+      else u
+    flagged.withColumn(GenCol, lit(gen))
       .select(columnOrder.map(col(_)): _*)
       .repartition(tableBuckets, col(idCol))
       .write.mode(SaveMode.Append).insertInto(name)
@@ -439,6 +497,33 @@ object Store {
     stageDelta(spark, name, updates, idCol, buckets).foreach {
       case (gen, touched) => commitDelta(spark, name, gen, touched)
     }
+
+  /** Keyed DELETE (the ES `delete(id=...)` / right-to-erasure analog): the
+    * keys are staged as a TOMBSTONE delta generation — same append-only,
+    * crash-atomic commit as [[upsert]], O(batch) strictly — and [[read]]'s
+    * newest-wins merge resolves a surviving tombstone to "key absent".
+    * [[compact]] makes the erasure PHYSICAL: the fold keeps only the
+    * newest live version per key and drops resolved tombstones, so after
+    * the retention window passes (last-2 manifests, then vacuum) no file
+    * holds the deleted rows — the compliance-grade delete path a 100 TB
+    * corpus needs, at segment-merge cost rather than table-rewrite cost.
+    * Deleting an absent key is a no-op tombstone (harmless, folded away).
+    */
+  def delete(spark: SparkSession, name: String, keys: DataFrame, idCol: String,
+      buckets: Int = 16): Unit = {
+    spark.catalog.refreshTable(name)
+    val schema = spark.table(name).schema
+    require(schema.fieldNames.contains(DelCol),
+      s"$name predates tombstone support — rebuild via bulkWrite to enable deletes")
+    val tomb = schema.fields
+      .filterNot(f => f.name == PartCol || f.name == GenCol)
+      .foldLeft(keys.select(col(idCol))) { (df, f) =>
+        if (f.name == idCol) df
+        else if (f.name == DelCol) df.withColumn(DelCol, lit(true))
+        else df.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+    stageAndCommitDelta(spark, name, tomb, idCol, buckets)
+  }
 
   // ------------------------------------------------------------ compaction
 
@@ -531,10 +616,16 @@ object Store {
       .bucketSpec.map(_.numBuckets).getOrElse(DefaultParts)
     val w = Window.partitionBy(col(idCol)).orderBy(col(GenCol).desc)
     val columnOrder = t.columns
-    val folded = t.filter(liveCond)
+    val newest = t.filter(liveCond)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+    // the fold sees each folded partition's WHOLE chain, so a tombstone
+    // that wins its key has nothing left to shadow — drop it and the
+    // deletion becomes physical once retention vacuums the old chain
+    val survivors =
+      if (columnOrder.contains(DelCol)) newest.filter(!col(DelCol)) else newest
+    val folded = survivors
       .withColumn(GenCol, lit(gen))
       .select(columnOrder.map(col(_)): _*)
       .repartition(tableBuckets, col(idCol))

@@ -512,6 +512,79 @@ object EventStream {
       }
   }
 
+  /** Per-user cohort state: the hour of the user's FIRST event (µs) and
+    * which k-offsets have already been credited (≤ maxOffset+1 ints —
+    * bounded by construction, never the user's events).
+    */
+  final case class CohortState(cohortHourUs: Long, seen: Seq[Int])
+  final case class UserCohortHit(user_id: Long, cohort_hour_us: Long, k: Int)
+
+  /** STREAMING cohort retention — the continuous twin of
+    * [[graft.ops.Events.cohortRetention]] (q146): each user's first event
+    * fixes their cohort hour; activity in cohort-hour+k (k ≤ maxOffset)
+    * emits ONE (user, cohort_hour, k) credit, exactly once per offset
+    * (the state remembers credited offsets). Credits are append-only
+    * facts: readers `distinct()` then count distinct users per
+    * (cohort_hour, k) — the q94 pairs rule — and land on the batch
+    * formulation for any in-order batch split.
+    *
+    * State expires by event-time timeout once the watermark passes
+    * `retainUserHours` beyond the user's last activity. The state is two
+    * small fields, so the retention horizon can be generous — and it
+    * must be: a user who returns AFTER expiry is re-cohorted as new (the
+    * standard "resurrected user" convention), which diverges from the
+    * batch formulation's forever-memory first event. Parity with the
+    * batch oracle therefore holds exactly when the retention horizon
+    * covers the corpus span (the q162 gate runs 30-day retention over a
+    * 30-day table). Same cross-batch ordering contract as
+    * [[funnelCustomState]]: the FIRST event must arrive first, or the
+    * cohort hour itself would be wrong.
+    */
+  def cohortRetentionCustomState(
+      events: DataFrame, maxOffset: Int, watermarkDelay: String = "2 hours",
+      retainUserHours: Long = 720L)
+      : org.apache.spark.sql.Dataset[UserCohortHit] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(maxOffset >= 0)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourUsL = 3600000000L
+    def us(i: java.time.Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("ts"), col("event_id").cast("long"))
+      .as[(Long, java.time.Instant, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CohortState, UserCohortHit](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (us(r._2), r._3))
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ListBuffer.empty[UserCohortHit]
+            sorted.foreach { case (_, ts, _) =>
+              val hourUs = us(ts) - math.floorMod(us(ts), hourUsL)
+              if (st == null) st = CohortState(hourUs, Seq.empty)
+              val k = ((hourUs - st.cohortHourUs) / hourUsL).toInt
+              if (k >= 0 && k <= maxOffset && !st.seen.contains(k)) {
+                st = st.copy(seen = st.seen :+ k)
+                out += UserCohortHit(user, st.cohortHourUs, k)
+              }
+            }
+            state.update(st)
+            // expire only past the user-retention horizon (see scaladoc:
+            // expiring at the cohort window's end would re-cohort every
+            // returning user as new)
+            val lastMs = us(sorted.last._2) / 1000L
+            state.setTimeoutTimestamp(lastMs + retainUserHours * 3600000L)
+            out.iterator
+          }
+      }
+  }
+
   /** Session windows with a 30-minute gap per user — the streaming form of
     * [[graft.ops.Events.sessionize]], state expired by watermark.
     */

@@ -200,6 +200,66 @@ class StoreSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS vac_t")
   }
 
+  test("delete tombstones a key logically; compact + retention make it physical") {
+    import spark.implicits._
+    val base = (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v")
+    Store.bulkWrite(base, "del_t", "k", buckets = 2)
+    try {
+      Store.delete(spark, "del_t", Seq(7L, 13L).toDF("k"), "k", buckets = 2)
+      val after = Store.read(spark, "del_t")
+      assert(after.count() === 98L)
+      assert(after.filter($"k".isin(7L, 13L)).count() === 0L)
+      // deleting an absent key is a harmless no-op tombstone
+      Store.delete(spark, "del_t", Seq(999L).toDF("k"), "k", buckets = 2)
+      assert(Store.read(spark, "del_t").count() === 98L)
+      // a later upsert resurrects the key (newest version wins)
+      Store.upsert(spark, "del_t", Seq((7L, "back")).toDF("k", "v"), "k", buckets = 2)
+      val res = Store.read(spark, "del_t")
+      assert(res.count() === 99L)
+      assert(res.filter($"k" === 7L).head().getString(1) === "back")
+      // physical erasure: fold the chains, then two more commits push the
+      // pre-fold manifest out of retention so its generations (which still
+      // hold k=13's bytes) are vacuumed — after that, NO live or retained
+      // file contains the deleted key
+      Store.compact(spark, "del_t")
+      Store.upsert(spark, "del_t", Seq((8L, "x")).toDF("k", "v"), "k", buckets = 2)
+      Store.upsert(spark, "del_t", Seq((9L, "y")).toDF("k", "v"), "k", buckets = 2)
+      Store.compact(spark, "del_t")
+      Store.upsert(spark, "del_t", Seq((10L, "z")).toDF("k", "v"), "k", buckets = 2)
+      Store.upsert(spark, "del_t", Seq((11L, "w")).toDF("k", "v"), "k", buckets = 2)
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier("del_t")
+      val loc = spark.sessionState.catalog.getTableMetadata(ident).location.toString
+      val raw = spark.read.parquet(loc) // every file still on disk, no manifest filter
+      assert(raw.filter($"k" === 13L).count() === 0L,
+        "deleted key still present in a retained data file after fold + retention")
+      // 100 base − {7,13 deleted} + 7 resurrected; 8/9/10/11 replaced in place
+      assert(Store.read(spark, "del_t").count() === 99L)
+    } finally spark.sql("DROP TABLE IF EXISTS del_t")
+  }
+
+  test("time travel: retained manifest versions read past table states") {
+    import spark.implicits._
+    val base = (1L to 50L).map(k => (k, s"v$k")).toDF("k", "v")
+    Store.bulkWrite(base, "tt_t", "k", buckets = 2)
+    try {
+      Store.upsert(spark, "tt_t", Seq((7L, "V7"), (51L, "NEW")).toDF("k", "v"), "k",
+        buckets = 2)
+      assert(Store.versions(spark, "tt_t") === Seq(0L, 1L))
+      val past = Store.readVersion(spark, "tt_t", 0L)
+      assert(past.count() === 50L)
+      assert(past.filter($"k" === 7L).head().getString(1) === "v7")
+      val now = Store.readVersion(spark, "tt_t", 1L)
+      assert(now.count() === 51L)
+      assert(now.filter($"k" === 7L).head().getString(1) === "V7")
+      // retention window slides: after another commit, version 0 is gone
+      Store.upsert(spark, "tt_t", Seq((8L, "V8")).toDF("k", "v"), "k", buckets = 2)
+      assert(Store.versions(spark, "tt_t") === Seq(1L, 2L))
+      assertThrows[IllegalArgumentException] {
+        Store.readVersion(spark, "tt_t", 0L)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS tt_t")
+  }
+
   test("upsert works on a FLAT declared table (no hash-prefix layout): legacy full merge") {
     import spark.implicits._
     val schema = StructType(Seq(

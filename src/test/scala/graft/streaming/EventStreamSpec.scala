@@ -388,4 +388,40 @@ class EventStreamSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("cohortRetentionCustomState credits each (user, k) once and matches the batch cohorts") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Long) = ts(1440 + min)
+    val data = Seq(
+      // user 1: cohort hour 0 (of the shifted day), active at k=0,1,3;
+      // the k=1 hour has TWO events — still one credit
+      (1L, t(5), 1L), (1L, t(70), 2L), (1L, t(75), 3L), (1L, t(190), 4L),
+      // user 2: single event → k=0 only
+      (2L, t(62), 5L),
+      // user 3: active past maxOffset → the k=8 hour earns nothing
+      (3L, t(10), 6L), (3L, t(8 * 60 + 30), 7L))
+    val batch = graft.ops.Events.cohortRetention(
+        data.toDF("user_id", "ts", "event_id").withColumn("event_type", lit("x")),
+        "user_id", "ts", maxOffset = 6)
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for ((label, chunks) <- Seq(
+        "one" -> Seq(data),
+        "three" -> data.sortBy(r => (r._2.getTime, r._3)).grouped(3).toSeq)) {
+      val input = MemoryStream[(Long, Timestamp, Long)]
+      val df = input.toDF().toDF("user_id", "ts", "event_id")
+      val sink = s"cohort_split_$label"
+      val q = EventStream.cohortRetentionCustomState(df, maxOffset = 6).toDF()
+        .writeStream.format("memory").queryName(sink).outputMode("update").start()
+      try {
+        chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+        val got = spark.table(sink).distinct()
+          .groupBy($"cohort_hour_us", $"k")
+          .agg(countDistinct($"user_id").as("n_active"))
+          .collect()
+          .map(r => (new Timestamp(r.getLong(0) / 1000L), r.getInt(1)) -> r.getLong(2))
+          .toMap
+        assert(got === batch, s"split '$label' diverged from the batch cohorts")
+      } finally q.stop()
+    }
+  }
 }

@@ -1412,6 +1412,94 @@ object TextOps {
         FROM v1 GROUP BY source
         ORDER BY version, source""")),
 
+    // CHANGELOG / CDC ([[graft.sources.Store.changes]]) — the downstream-
+    // sync primitive: every key whose value differs between two retained
+    // manifests, labeled insert/update/delete with the post-image (null
+    // for deletes), manifest-pruned so the diff scans only partitions the
+    // window's commits touched. The gate drives one mixed upsert commit
+    // (updates %11, inserts re-keyed +1000000) and one delete commit
+    // (%17), reads each step's changelog inside its retention window, and
+    // the oracle replays both change sets in closed form — count, id-sum
+    // checksum, and post-image byte mass per (step, change_type).
+    QueryDef(
+      "q163_store_changelog",
+      (s, dir) => {
+        import graft.sources.Store
+        val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"), col("source"))
+        val table = "changelog_docs"
+        Store.bulkWrite(docs, table, "doc_id", buckets = 4, parts = 8)
+        val upd = docs.filter(col("doc_id") % 11 === 0)
+          .withColumn("text", concat(col("text"), lit(" [u]")))
+        val ins = docs.filter(col("doc_id") % 19 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        Store.upsert(s, table, upd.unionByName(ins), "doc_id", buckets = 4)
+        val v01 = Store.versions(s, table)
+        // materialize step 1 BEFORE the delete commit vacuums manifest v0
+        val step1 = Store.changes(s, table, v01.head, v01.last)
+          .withColumn("step", lit(1)).localCheckpoint()
+        Store.delete(s, table,
+          docs.filter(col("doc_id") % 17 === 0).select(col("doc_id")),
+          "doc_id", buckets = 4)
+        val v12 = Store.versions(s, table)
+        val step2 = Store.changes(s, table, v12.head, v12.last)
+          .withColumn("step", lit(2))
+        step1.unionByName(step2)
+          .groupBy(col("step"), col("change_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            coalesce(sum(octet_length(col("text"))), lit(0)).cast("long").as("n_bytes"))
+          .orderBy(col("step"), col("change_type"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, text, source FROM documents WHERE text IS NOT NULL),
+        ch AS (
+          SELECT 1 AS step, 'insert' AS change_type, doc_id + 1000000 AS doc_id,
+            octet_length(encode(text)) AS b
+          FROM base WHERE doc_id % 19 = 0
+          UNION ALL
+          SELECT 1, 'update', doc_id, octet_length(encode(text || ' [u]'))
+          FROM base WHERE doc_id % 11 = 0
+          UNION ALL
+          SELECT 2, 'delete', doc_id, NULL FROM base WHERE doc_id % 17 = 0)
+        SELECT step, change_type, count(*) AS n,
+          CAST(sum(doc_id) AS BIGINT) AS id_sum,
+          CAST(coalesce(sum(b), 0) AS BIGINT) AS n_bytes
+        FROM ch GROUP BY step, change_type ORDER BY step, change_type""")),
+
+    // POINT LOOKUP ([[graft.sources.Store.lookup]]) — the ES `get(id=...)`
+    // serving read: the key's routing partition is computed driver-side
+    // with the SAME seed-fixed murmur3 the write path partitioned with,
+    // the manifest narrows to those partitions' live generations, and the
+    // id filter bucket-prunes inside each dir — a scan independent of
+    // table size (PlanSpec pins SelectedBucketsCount + the partition
+    // filter). The gate looks up an upserted key, an untouched key, and
+    // an absent key through a delta chain; the oracle replays latest-wins.
+    QueryDef(
+      "q164_store_point_lookup",
+      (s, dir) => {
+        import graft.sources.Store
+        val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"), col("source"))
+        val table = "lookup_docs"
+        Store.bulkWrite(docs, table, "doc_id", buckets = 4, parts = 8)
+        Store.upsert(s, table,
+          docs.filter(col("doc_id") % 50 === 0)
+            .withColumn("text", concat(col("text"), lit(" [u]"))),
+          "doc_id", buckets = 4)
+        Store.lookup(s, table, Seq(50L, 7L, 999999L))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+          CASE WHEN doc_id % 50 = 0 THEN text || ' [u]' ELSE text END AS text,
+          source
+        FROM documents
+        WHERE text IS NOT NULL AND doc_id IN (50, 7, 999999)
+        ORDER BY doc_id""")),
+
     // COMPACTION PLAN — the small-files problem on the write path:
     // [[Training.packBins]] applied to BYTE masses (per-source corpus
     // bytes standing in for file sizes) with a target output-file

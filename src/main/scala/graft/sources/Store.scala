@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, collect_set, count, first, hash, lit, max, pmod, row_number}
+import org.apache.spark.sql.functions.{col, collect_set, count, first, hash, lit, max, pmod, row_number, struct, when}
 import org.apache.spark.sql.types.StructType
 import org.apache.hadoop.fs.{FileSystem, Path}
 
@@ -341,6 +341,94 @@ object Store {
     require(have.contains(version),
       s"version $version of $name is outside the retention window (have: ${have.mkString(",")})")
     readAt(spark, name, parseManifest(readText(fs, manifestPath(loc, version))))
+  }
+
+  /** Partition- AND bucket-pruned POINT READ — the ES `get(id=...)` /
+    * routed-term-query analog, and the read path that makes the store a
+    * serving table at 100 TB: the key's routing partition is computed
+    * DRIVER-SIDE by evaluating the very same Catalyst expressions the
+    * write path partitioned with (`pmod(hash(id), parts)`, seed-fixed
+    * murmur3 — reimplementing the hash here is how key→partition drift
+    * bugs are born), the manifest is narrowed to just those partitions'
+    * live generations, and the id filter then bucket-prunes within each
+    * partition dir (the table is bucketed on the id). Net scan: the keys'
+    * partition dirs × one bucket file each — independent of table size.
+    * The merge-on-read rank still applies where a looked-up partition
+    * carries a delta chain, so a lookup sees exactly what [[read]] sees
+    * (StoreSpec pins hash-equality; PlanSpec pins the pruning).
+    */
+  def lookup(spark: SparkSession, name: String, keys: Seq[Any]): DataFrame = {
+    spark.catalog.refreshTable(name)
+    val t = spark.table(name)
+    val idCol = idColOf(spark, name)
+    if (keys.isEmpty) return readAt(spark, name, Map.empty)
+    if (!t.columns.contains(GenCol)) // flat / legacy layout: no manifest to prune
+      return t.drop(PartCol).filter(col(idCol).isin(keys: _*))
+    val parts = partsOf(spark, name)
+    // widen each key to the id column's exact type BEFORE hashing — murmur3
+    // of Int 7 and Long 7 differ, and the table partitioned on the column
+    val idType = t.schema(idCol).dataType
+    val keyParts: Set[Int] = keys.map { k =>
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash, Pmod}
+      Pmod(new Murmur3Hash(Seq(Cast(Literal(k), idType))), Literal(parts))
+        .eval(null).asInstanceOf[Int]
+    }.toSet
+    val manifest = readManifest(spark, name).map(_._2).getOrElse(Map.empty)
+    readAt(spark, name, manifest.view.filterKeys(keyParts).toMap)
+      .filter(col(idCol).isin(keys.map(k => lit(k).cast(idType)): _*))
+  }
+
+  /** CHANGELOG (CDC) between two RETAINED versions: every key whose value
+    * differs between the `fromVersion` and `toVersion` snapshots, labeled
+    * `insert` / `update` / `delete`, carrying the POST-image columns
+    * (null for deletes). The downstream-sync primitive a 100 TB corpus
+    * store needs — a consumer mirrors the table by applying the
+    * changelog, never by re-reading the table.
+    *
+    * MANIFEST-PRUNED: a partition whose live-generation list is identical
+    * in both manifests cannot hold a change (data files are immutable),
+    * so only differing partitions are scanned and diffed — the cost of a
+    * changelog is proportional to what the window's commits touched, not
+    * to the table. The diff itself is VALUE-based (full-outer join on the
+    * key, null-safe struct compare), so a compaction commit — which
+    * rewrites manifests without changing logical content — yields an
+    * empty changelog, as it must.
+    */
+  def changes(
+      spark: SparkSession, name: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    spark.catalog.refreshTable(name)
+    require(spark.table(name).columns.contains(GenCol),
+      s"$name is not a generational store table — no versions to diff")
+    require(fromVersion <= toVersion,
+      s"changelog window is inverted: from=$fromVersion > to=$toVersion")
+    val loc = tableLocation(spark, name)
+    val fs = fsFor(spark, loc)
+    val have = manifestVersions(fs, loc)
+    Seq(fromVersion, toVersion).foreach(v => require(have.contains(v),
+      s"version $v of $name is outside the retention window (have: ${have.mkString(",")})"))
+    val mFrom = parseManifest(readText(fs, manifestPath(loc, fromVersion)))
+    val mTo = parseManifest(readText(fs, manifestPath(loc, toVersion)))
+    val changedParts = (mFrom.keySet ++ mTo.keySet)
+      .filter(p => mFrom.get(p) != mTo.get(p))
+    val idCol = idColOf(spark, name)
+    val valCols = spark.table(name).columns
+      .filterNot(c => c == PartCol || c == GenCol || c == DelCol || c == idCol)
+    // a key-only table still diffs (insert/delete only — nothing to update)
+    val image: Column =
+      if (valCols.isEmpty) lit(0) else struct(valCols.map(col(_)): _*)
+    def snap(m: Manifest, as: String): DataFrame =
+      readAt(spark, name, m.view.filterKeys(changedParts).toMap)
+        .select(col(idCol), image.as(as))
+    val diff = snap(mFrom, "__pre").join(snap(mTo, "__post"), Seq(idCol), "full_outer")
+      .withColumn("change_type",
+        when(col("__pre").isNull && col("__post").isNotNull, lit("insert"))
+          .when(col("__post").isNull && col("__pre").isNotNull, lit("delete"))
+          .when(!(col("__pre") <=> col("__post")), lit("update")))
+      .filter(col("change_type").isNotNull)
+    diff.select(
+      col(idCol) +: col("change_type") +:
+        valCols.map(c => col(s"__post.$c").as(c)): _*)
   }
 
   private def readAt(

@@ -318,4 +318,77 @@ class StoreSpec extends SparkSpec {
       assert(one.count() === 1L)
     } finally spark.sql("DROP TABLE IF EXISTS recs_bucketed")
   }
+
+  /** graft_p values a plan's partition filters pin — [[Store.lookup]] and
+    * [[Store.changes]] must reference ONLY the keys'/commits' partitions.
+    */
+  private def pinnedParts(plan: String): Set[Int] =
+    """graft_p#\d+ = (\d+)""".r.findAllMatchIn(plan).map(_.group(1).toInt).toSet
+
+  private def partOf(key: Long, parts: Int): Int =
+    spark.range(1).select(pmod(hash(lit(key)), lit(parts))).head().getInt(0)
+
+  test("lookup prunes to the key's hash partition and bucket, through a delta chain") {
+    import spark.implicits._
+    val base = (1L to 1000L).map(k => (k, s"v$k")).toDF("k", "v")
+    Store.bulkWrite(base, "lookup_t", "k", buckets = 4, parts = 16)
+    try {
+      Store.upsert(spark, "lookup_t", Seq((42L, "V42"), (1001L, "new")).toDF("k", "v"), "k")
+      val got = Store.lookup(spark, "lookup_t", Seq(42L, 7L, 123456L))
+      val rows = got.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // upserted key sees the delta, untouched key the base, absent key nothing
+      assert(rows === Map(42L -> "V42", 7L -> "v7"))
+      val plan = got.queryExecution.executedPlan.toString
+      val expect = Set(partOf(42L, 16), partOf(7L, 16), partOf(123456L, 16))
+      assert(pinnedParts(plan).nonEmpty && pinnedParts(plan).subsetOf(expect),
+        s"lookup scanned partitions beyond the keys': ${pinnedParts(plan)} vs $expect\n$plan")
+      val bucketCounts = """SelectedBucketsCount: (\d+) out of 4""".r
+        .findAllMatchIn(plan).map(_.group(1).toInt).toSeq
+      assert(bucketCounts.nonEmpty && bucketCounts.forall(_ < 4),
+        s"bucket pruning did not engage inside the partition dirs:\n$plan")
+      // lookup ≡ read + filter (the merge-on-read rank still applies)
+      val viaRead = Store.read(spark, "lookup_t")
+        .filter(col("k").isin(42L, 7L, 123456L))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows === viaRead)
+      // an Int key against the Long id column must hash identically (type widen)
+      assert(Store.lookup(spark, "lookup_t", Seq(42)).count() === 1L)
+    } finally spark.sql("DROP TABLE IF EXISTS lookup_t")
+  }
+
+  test("changes labels insert/update/delete with post-images; scans only touched partitions") {
+    import spark.implicits._
+    val base = (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v")
+    Store.bulkWrite(base, "cdc_t", "k", buckets = 4, parts = 16)
+    try {
+      // commit 1: one update + one insert (single mixed upsert batch)
+      Store.upsert(spark, "cdc_t", Seq((5L, "V5"), (1001L, "new")).toDF("k", "v"), "k")
+      val v01 = Store.versions(spark, "cdc_t")
+      val d1 = Store.changes(spark, "cdc_t", v01.head, v01.last)
+      val got1 = d1.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got1 === Set((5L, "update", "V5"), (1001L, "insert", "new")))
+      // commit 2: a delete — post-image null, and the diff's scans pin
+      // ONLY the deleted key's partition (manifest pruning)
+      Store.delete(spark, "cdc_t", Seq(Tuple1(7L)).toDF("k"), "k")
+      val v12 = Store.versions(spark, "cdc_t")
+      val d2 = Store.changes(spark, "cdc_t", v12.head, v12.last)
+      val got2 = d2.collect().map(r => (r.getLong(0), r.getString(1), r.isNullAt(2))).toSet
+      assert(got2 === Set((7L, "delete", true)))
+      val plan = d2.queryExecution.executedPlan.toString
+      assert(pinnedParts(plan) === Set(partOf(7L, 16)),
+        s"diff scanned partitions the delete never touched: ${pinnedParts(plan)}\n$plan")
+      // a compaction commit rewrites manifests without changing content —
+      // the value-based diff must come back empty
+      Store.compact(spark, "cdc_t")
+      val v23 = Store.versions(spark, "cdc_t")
+      assert(Store.changes(spark, "cdc_t", v23.head, v23.last).count() === 0L)
+      // retention-window contract: vacuumed versions fail loudly, inverted windows too
+      assertThrows[IllegalArgumentException] {
+        Store.changes(spark, "cdc_t", 0L, v23.last)
+      }
+      assertThrows[IllegalArgumentException] {
+        Store.changes(spark, "cdc_t", v23.last, v23.head)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS cdc_t")
+  }
 }

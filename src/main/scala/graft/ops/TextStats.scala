@@ -57,6 +57,53 @@ object TextStats {
       .agg(round(avg(log(col("__c").cast("double") / col("__n"))), 4).as("logprob"))
   }
 
+  /** Per-document BIGRAM CONDITIONAL LOG-PROBABILITY under the corpus's own
+    * empirical bigram model: mean over the document's adjacent token pairs
+    * of ln(c(w1 w2) / c(w1 ·)) — c(w1 w2) the corpus count of the bigram,
+    * c(w1 ·) the corpus count of bigrams headed by w1. [[unigramLogProb]]'s
+    * next-order sibling: the unigram score flags rare-token soup, the
+    * bigram score additionally flags WORD-SALAD (plausible tokens in
+    * implausible order — shuffled text keeps its unigram score and craters
+    * here). No smoothing: the corpus scores itself, so every observed
+    * bigram has count ≥ 1 and the conditional is always defined.
+    *
+    * Scale shape: ONE bigram stream per document from the codegen'd
+    * `word_shingles(text, 2)` expression (multiplicity kept — it is the
+    * model's event stream); the bigram dictionary is one map-combinable
+    * aggregate, head counts DERIVE from the dictionary (a vocab-sized
+    * aggregate — no second corpus pass); both join back under the same
+    * conditional-broadcast rule as [[unigramLogProb]] (dictionary counted
+    * once; at or under `broadcastVocabLimit` rows it broadcasts, above it
+    * the two joins take word-keyed shuffles — head rows ≤ bigram rows, so
+    * one count decides both). Docs with < 2 tokens have no bigrams and are
+    * absent from the output, like [[repetitionStats]]' < 3-token rule.
+    */
+  def bigramLogProb(
+      docs: DataFrame, idCol: String, textCol: String,
+      broadcastVocabLimit: Long = 10000000L): DataFrame = {
+    val bigrams = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(graft.functions.WordShinglesExpr.word_shingles(col(textCol), lit(2)))
+          .as("__bg"))
+    val freq = bigrams.groupBy(col("__bg")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    // tokens never contain spaces, so the head is everything before the
+    // single separator the shingle joined with
+    val heads = freq
+      .groupBy(substring_index(col("__bg"), " ", 1).as("__h"))
+      .agg(sum(col("__c")).as("__hc"))
+    val fits = freq.count() <= broadcastVocabLimit // heads ≤ bigrams: one count decides both
+    val fHint = if (fits) broadcast(freq) else freq
+    val hHint = if (fits) broadcast(heads) else heads
+    bigrams
+      .join(fHint, "__bg")
+      .withColumn("__h", substring_index(col("__bg"), " ", 1))
+      .join(hHint, "__h")
+      .groupBy(col(idCol))
+      .agg(round(avg(log(col("__c").cast("double") / col("__hc").cast("double"))), 4)
+        .as("bigram_logprob"))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count estimate: words plus intra-word breaks at

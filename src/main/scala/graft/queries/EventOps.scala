@@ -305,6 +305,61 @@ object EventOps {
             / CAST(count(*) AS DOUBLE), 4) AS novelty
         FROM r GROUP BY doc_id ORDER BY doc_id""")),
 
+    // STREAMING heavy hitters — q100's twin: the corpus streams as 4
+    // arrival batches; each batch upserts its token counts keyed
+    // `batch|token` (replay-idempotent append-only facts) and merges its
+    // count-min sketch driver-side (CMS merge is exact cellwise add — the
+    // mergeable-sketch scale path). The final exact counts fold the store
+    // read; the merged sketch must bound them exactly as the one-shot
+    // batch sketch does (never under, within ε·N over). Oracle = q100's
+    // verbatim: the batch split must not move a single count.
+    QueryDef(
+      "q166_stream_heavy_hitters",
+      (s, dir) => {
+        val ss = EventOps.streamSession(s)
+        val docs = Tables.documents(ss, dir)
+        val srcDir = EventOps.stageArrivalBatches(docs, "graft-hhbatch:", 4, "q166")
+        ss.sql("DROP TABLE IF EXISTS stream_hh_counts")
+        val ckpt = java.nio.file.Files.createTempDirectory("q166ckpt").toString
+        val stream = ss.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val (q, cmsOf) = graft.streaming.EventStream.heavyHittersIncremental(
+          stream, "text", "stream_hh_counts", checkpointLocation = Some(ckpt))
+        try q.processAllAvailable()
+        finally q.stop()
+        val eps = 0.001
+        val counts = graft.sources.Store.read(ss, "stream_hh_counts")
+          .groupBy(col("tok")).agg(sum(col("n")).as("exact_n"))
+          .persist()
+        val totalFrame = counts.agg(sum(col("exact_n")).as("total"))
+        val bytes = graft.functions.CmsExprs.serialize(cmsOf().getOrElse(
+          sys.error("stream produced no batches — no sketch to probe")))
+        val result = counts
+          .orderBy(col("exact_n").desc, col("tok"))
+          .limit(20)
+          .crossJoin(broadcast(totalFrame))
+          .withColumn("est", graft.functions.CmsExprs.cms_estimate(col("tok"), bytes))
+          .select(
+            col("tok"), col("exact_n"),
+            (col("est") >= col("exact_n")).as("never_under"),
+            (col("est") <= col("exact_n") + ceil(lit(eps) * col("total")).cast("long"))
+              .as("within_eps"))
+          .orderBy(col("exact_n").desc, col("tok"))
+          .localCheckpoint()
+        counts.unpersist()
+        ss.sql("DROP TABLE IF EXISTS stream_hh_counts")
+        Seq(srcDir, ckpt).foreach(EventOps.rmTree)
+        result
+      },
+      Some("""
+        WITH toks AS (
+          SELECT unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents WHERE text IS NOT NULL)
+        SELECT tok, count(*) AS exact_n,
+          true AS never_under, true AS within_eps
+        FROM toks GROUP BY tok
+        ORDER BY exact_n DESC, tok LIMIT 20""")),
+
     // Sliding 1h/30min windows: each event lands in exactly 2 epoch-aligned
     // windows; the oracle materializes both membership rows explicitly.
     QueryDef(

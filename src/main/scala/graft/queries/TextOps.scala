@@ -1619,6 +1619,35 @@ object TextOps {
           .orderBy(col("doc_id")),
       Some(UnigramLogProbOracle)),
 
+    // BIGRAM conditional log-prob ([[TextStats.bigramLogProb]]) — the
+    // unigram signal's next order: mean ln(c(w1 w2)/c(w1 ·)) over each
+    // document's adjacent pairs, catching word-salad that unigram scoring
+    // cannot (TextStatsSpec shuffles a doc and pins the drop). Bigram
+    // stream from the codegen'd word_shingles(·, 2) WITH multiplicity;
+    // head counts derive from the dictionary, never a second corpus pass;
+    // the oracle rebuilds both tables from the same canonical split and
+    // replays the conditional.
+    QueryDef(
+      "q165_bigram_logprob",
+      (s, dir) =>
+        graft.ops.TextStats.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+          FROM documents WHERE text IS NOT NULL),
+        bg AS (
+          SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg, t[i] AS h
+          FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+          WHERE len(t) >= 2),
+        freq AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+        heads AS (SELECT h, count(*) AS hc FROM bg GROUP BY h)
+        SELECT doc_id,
+          round(avg(ln(CAST(c AS DOUBLE) / CAST(hc AS DOUBLE))), 4) AS bigram_logprob
+        FROM bg JOIN freq USING (bg) JOIN heads USING (h)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // Corpus SNAPSHOT DIFF ([[Dedup.corpusDiff]]): the accounting a
     // corpus refresh publishes — added/removed/changed/unchanged per id,
     // fingerprint-compared so only (id, md5) ever shuffles. The gate

@@ -341,6 +341,69 @@ object EventStream {
     wr.start()
   }
 
+  /** STREAMING heavy hitters — q100's streaming twin: per micro-batch the
+    * token counts land in a persisted count [[graft.sources.Store]] table
+    * and a count-min sketch rides along, MERGED driver-side (CMS merge is
+    * exact: cellwise add — the mergeable-sketch property that lets every
+    * executor/batch/day sketch independently at 100 TB and the union still
+    * answer point queries within ε·N).
+    *
+    * Two accumulation paths, deliberately different durability classes:
+    *
+    *  - EXACT counts: each batch's (token, n) rows are keyed
+    *    `batch|token` — a REPLAYED batch overwrites its own rows instead
+    *    of double-adding, so the table is correct under foreachBatch's
+    *    at-least-once replay without any read-modify-write of prior state
+    *    (the append-only-facts rule of [[nearDupIncremental]], made
+    *    idempotent by keying). Readers aggregate
+    *    `groupBy(tok).sum(n)` — at scale that read-side fold is the
+    *    map-combinable aggregate, and [[graft.sources.Store.compact]]
+    *    bounds the file count like every other streaming sink here.
+    *  - CMS: held for THIS run only (restart loses it; a replayed batch
+    *    double-merges). It is the cheap upper-bound probe; the table is
+    *    the durable truth the gate hash-checks.
+    */
+  def heavyHittersIncremental(
+      docs: DataFrame, textCol: String, countsTable: String,
+      checkpointLocation: Option[String] = None,
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42,
+      buckets: Int = 4, parts: Int = 4)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         () => Option[org.apache.spark.util.sketch.CountMinSketch]) = {
+    // driver-held (foreachBatch runs on the driver, one batch at a time)
+    var merged: Option[org.apache.spark.util.sketch.CountMinSketch] = None
+    val wr = docs.writeStream
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        // one source scan per trigger (see exactDedupIncremental)
+        val b = batch.toDF().localCheckpoint()
+        if (!b.isEmpty) {
+          // token stream built once, shared by the count agg and the sketch
+          val toks = b.filter(col(textCol).isNotNull)
+            .select(explode(graft.ops.TextStats.tokens(col(textCol))).as("tok"))
+            .persist()
+          try {
+            val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+              .withColumn("bkey", concat(lit(batchId), lit("|"), col("tok")))
+            if (spark.catalog.tableExists(countsTable))
+              graft.sources.Store.upsert(spark, countsTable, counts, "bkey", buckets)
+            else
+              graft.sources.Store.bulkWrite(counts, countsTable, "bkey",
+                buckets = buckets, parts = parts)
+            val cms = toks.stat.countMinSketch(col("tok"), eps, confidence, seed)
+            merged match {
+              case Some(m) => m.mergeInPlace(cms); ()
+              case None    => merged = Some(cms)
+            }
+          } finally toks.unpersist()
+        }
+      }
+    checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))
+    (wr.start(), () => merged)
+  }
+
   /** STREAM-STREAM range (interval-containment) join — the streaming twin
     * of [[graft.ops.Events.rangeJoin]], and the same rewrite makes it
     * POSSIBLE at all: Structured Streaming requires an equality predicate

@@ -161,4 +161,43 @@ class TextStatsSpec extends SparkSpec {
       assert(a === b)
     } finally spark.conf.set(key, prev)
   }
+
+  test("bigramLogProb catches word-salad that unigram scoring cannot") {
+    import spark.implicits._
+    // a corpus of the SAME sentence repeated, plus one shuffled copy: the
+    // shuffled doc keeps the exact unigram multiset (identical unigram
+    // score) but its bigrams are corpus-rare → bigram score must drop
+    val sentence = "the quick brown fox jumps over the lazy dog"
+    val shuffled = "dog the over quick lazy jumps fox brown the"
+    val docs = ((1L to 8L).map(i => (i, sentence)) :+ (9L, shuffled))
+      .toDF("doc_id", "text")
+    val uni = TextStats.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uni(9L) === uni(1L), "shuffling must not move the unigram score")
+    val bi = TextStats.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bi(9L) < bi(1L),
+      s"word-salad must score below prose: salad=${bi(9L)} prose=${bi(1L)}")
+    // docs with < 2 tokens have no bigrams and are absent, like the
+    // repetitionStats < 3-token rule
+    val tiny = Seq((1L, "one"), (2L, "two words")).toDF("doc_id", "text")
+    val scored = TextStats.bigramLogProb(tiny, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(scored === Set(2L))
+    // conditional broadcast: same split rule as the unigram dictionary
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      def planOf(df: org.apache.spark.sql.DataFrame): String = {
+        df.collect(); df.queryExecution.executedPlan.toString
+      }
+      assert(planOf(TextStats.bigramLogProb(docs, "doc_id", "text"))
+        .contains("BroadcastHashJoin"))
+      val sh = TextStats.bigramLogProb(docs, "doc_id", "text", broadcastVocabLimit = 0L)
+      assert(!planOf(sh).contains("BroadcastHashJoin"))
+      val shv = sh.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(shv === bi)
+    } finally spark.conf.set(key, prev)
+  }
 }

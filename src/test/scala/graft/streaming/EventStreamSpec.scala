@@ -271,6 +271,46 @@ class EventStreamSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("streaming heavy hitters: counts survive restart; a replayed batch is idempotent") {
+    import graft.sources.Store
+    val srcDir = java.nio.file.Files.createTempDirectory("hhsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("hhckpt").toString
+    val table = "hh_counts_t"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val phase1 = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val phase2 = Seq((3L, "a a d")).toDF("doc_id", "text")
+    phase1.coalesce(1).write.mode("append").parquet(srcDir)
+    def start() = EventStream.heavyHittersIncremental(
+      spark.readStream.schema(phase1.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      "text", table, checkpointLocation = Some(ckpt))
+    try {
+      val (q1, _) = start()
+      try q1.processAllAvailable() finally q1.stop()
+      phase2.coalesce(1).write.mode("append").parquet(srcDir)
+      val (q2, cmsOf) = start()
+      try q2.processAllAvailable() finally q2.stop()
+      def totals: Map[String, Long] = Store.read(spark, table)
+        .groupBy(col("tok")).agg(sum(col("n")).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = Map("a" -> 4L, "b" -> 2L, "c" -> 1L, "d" -> 1L)
+      assert(totals === expected)
+      // a REPLAYED batch overwrites its own `batch|token` rows instead of
+      // double-adding: re-apply the restarted run's batch (phase 2 = batch
+      // 1) with the keys the sink would regenerate
+      val replay = Seq(("a", 2L, "1|a"), ("d", 1L, "1|d")).toDF("tok", "n", "bkey")
+      Store.upsert(spark, table, replay, "bkey", buckets = 4)
+      assert(totals === expected, "replayed batch double-added counts")
+      // the restarted run's sketch covers ITS batches (per-run, as
+      // documented) and must never under-estimate what it saw
+      val bytes = graft.functions.CmsExprs.serialize(cmsOf().get)
+      val est = Seq("a", "d").toDF("tok")
+        .withColumn("e", graft.functions.CmsExprs.cms_estimate(col("tok"), bytes))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est("a") >= 2L && est("d") >= 1L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("streaming novelty restarts from its checkpoint; stored shingles win by ARRIVAL, not id") {
     import graft.sources.Store
     val srcDir = java.nio.file.Files.createTempDirectory("nvsrc").toString

@@ -721,5 +721,63 @@ object Relational {
           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Z-ORDER LAYOUT ([[graft.ops.Layout]]): Morton-interleave
+    // (l_partkey, l_suppkey) into a single clustering key and bucket rows
+    // by its bit prefix — every step integer-exact and shuffle-free
+    // (power-of-2 equi-width quantization, no sampling), so the oracle
+    // replays the whole layout bit for bit: the same shift rule (scanned
+    // over k), the same 16-term interleave, the same prefix buckets. The
+    // emitted manifest is what a scan planner prunes against: per bucket,
+    // each dim's min/max envelope plus the would-scan flag for a
+    // suppkey-only box — the query class a partkey-sorted layout cannot
+    // prune at all (LayoutSpec quantifies the skip ratio).
+    QueryDef(
+      "q167_zorder_layout",
+      (s, dir) => {
+        import graft.ops.Layout
+        val dims = Seq("l_partkey", "l_suppkey")
+        val li = Tables.lineitem(s, dir).select(dims.map(col): _*)
+        val bits = 8
+        val plan = Layout.quantizationPlan(li, dims, bits)
+        val z = Layout.withZ(li, plan, bits, bucketBits = 4)
+        // suppkey box [min + span/4, min + span/2]: derived from the same
+        // driver-collected stats the quantization used (bounded collect)
+        val r = li.agg(min(col("l_suppkey")).cast("long"), max(col("l_suppkey")).cast("long")).head()
+        val (mns, mxs) = (r.getLong(0), r.getLong(1))
+        val (lo, hi) = (mns + (mxs - mns) / 4, mns + (mxs - mns) / 2)
+        Layout.bucketEnvelopes(z, dims)
+          .withColumn("scan_for_suppkey_box",
+            !(col("max_l_suppkey") < lo || col("min_l_suppkey") > hi))
+          .orderBy(col("z_bucket"))
+      },
+      Some {
+        val zExpr = (0 until 8).flatMap(i =>
+          Seq(s"(((qp >> $i) & 1) << ${2 * i})", s"(((qs >> $i) & 1) << ${2 * i + 1})"))
+          .mkString(" + ")
+        s"""
+        WITH li AS (
+          SELECT CAST(l_partkey AS BIGINT) AS p, CAST(l_suppkey AS BIGINT) AS s
+          FROM lineitem),
+        b AS (
+          SELECT min(p) AS mnp, max(p) AS mxp, min(s) AS mns, max(s) AS mxs FROM li),
+        sh AS (
+          SELECT
+            (SELECT min(k) FROM range(0, 63) t(k), b WHERE ((mxp - mnp) >> k) < 256) AS shp,
+            (SELECT min(k) FROM range(0, 63) t(k), b WHERE ((mxs - mns) >> k) < 256) AS shs),
+        q AS (
+          SELECT ((p - mnp) >> shp) AS qp, ((s - mns) >> shs) AS qs, p, s
+          FROM li, b, sh),
+        z AS (SELECT ($zExpr) AS z, p, s FROM q),
+        env AS (
+          SELECT (z >> 12) AS z_bucket, count(*) AS n_rows,
+            min(p) AS min_l_partkey, max(p) AS max_l_partkey,
+            min(s) AS min_l_suppkey, max(s) AS max_l_suppkey
+          FROM z GROUP BY 1)
+        SELECT env.*,
+          NOT (max_l_suppkey < (mns + (mxs - mns) // 4)
+            OR min_l_suppkey > (mns + (mxs - mns) // 2)) AS scan_for_suppkey_box
+        FROM env, b ORDER BY z_bucket"""
+      }),
   )
 }

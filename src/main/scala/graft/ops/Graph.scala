@@ -391,4 +391,139 @@ object Graph {
         $iters
         SELECT node, CAST(r AS BIGINT) AS rank_fp$extraSelect FROM r$iterations ORDER BY node"""
   }
+
+  // ------------------------------------------------- label propagation
+
+  /** A converged (or capped) label-propagation run: the final labels, the
+    * rounds executed, whether a fixed point was reached, and the last
+    * round's changed-node count.
+    */
+  final case class LabelPropRun(
+      labels: DataFrame, rounds: Int, converged: Boolean, nChanged: Long)
+
+  /** DETERMINISTIC synchronous label propagation (Raghavan et al. 2007) —
+    * community detection over the same provenance graphs PageRank ranks:
+    * every node starts labeled as itself; each round, every node
+    * simultaneously adopts the label held by the PLURALITY of its
+    * neighbors. Ties break (1) toward the node's CURRENT label if it is
+    * among the tied candidates — the standard stabilization, without
+    * which the globally-smallest label floods across community bridges
+    * on every tie (measured on the q168 fixture: one bridge edge merged
+    * both cliques under bare min-tie-break) — then (2) by the smallest
+    * label. The loop stops at a fixed point (no node changed) or at
+    * `maxIterations`.
+    *
+    * Classic async LPA is run-order-dependent — useless under a
+    * cross-engine hash gate. This synchronous form is a pure function of
+    * the edge list (the fixed-point-PageRank determinism rule applied to
+    * labels), at the cost of possible 2-cycles on bipartite structures —
+    * which the cap absorbs and the `converged` flag reports honestly
+    * (GraphSpec pins an oscillator).
+    *
+    * Scale shape per round: one edges⋈labels equi-join on the neighbor
+    * end + one map-combinable (node, label) count + one per-node top-1 —
+    * a `WindowGroupLimit`-eligible rank, the q05 shape, never a global
+    * sort. The symmetrized edge list is the loop-invariant cache leaf;
+    * per-round `localCheckpoint` keeps lineage flat and the convergence
+    * probe is join-free (prev label carried beside the new one).
+    */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIterations: Int = 20): LabelPropRun = {
+    require(maxIterations >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+    val sym = e0.union(e0.select(col("__b").as("__a"), col("__a").as("__b")))
+      .distinct().persist()
+    var ck = sym.select(col("__a").as("node")).distinct()
+      .select(col("node"), col("node").as("__lab")).localCheckpoint()
+    var mat = ck
+    var rounds = 0
+    var changed = Long.MaxValue
+    while (rounds < maxIterations && changed > 0) {
+      val nbrLabs = sym
+        .join(mat.select(col("node").as("__b"), col("__lab")), "__b")
+        .select(col("__a").as("node"), col("__lab"))
+      val cnt = nbrLabs.groupBy(col("node"), col("__lab"))
+        .agg(count(lit(1)).as("__c"))
+        .join(mat.select(col("node"), col("__lab").as("__cur")), "node")
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("__c").desc, (col("__lab") === col("__cur")).desc, col("__lab"))
+      val next = cnt.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("__lab").as("__new"), col("__cur").as("__prev"))
+        .localCheckpoint()
+      changed = next.filter(col("__new") =!= col("__prev")).count()
+      ck.unpersist()
+      ck = next
+      mat = next.select(col("node"), col("__new").as("__lab"))
+      rounds += 1
+    }
+    sym.unpersist()
+    LabelPropRun(
+      mat.select(col("node"), col("__lab").as("community")),
+      rounds, changed == 0L, changed)
+  }
+
+  /** Pure-Scala replay of [[labelPropagation]] on a driver-side edge list
+    * — same symmetrization, same plurality/min-tie-break update, same
+    * stopping rule. The oracle generator's helper (the q136 rule): a gate
+    * on a planted graph measures the converged round count here at object
+    * init and unrolls [[labelPropagationSql]] to exactly that many CTEs.
+    * Fixture-sized inputs only.
+    */
+  def labelPropagationReference(
+      edges: Seq[(String, String)],
+      maxIterations: Int = 20): (Map[String, String], Int, Boolean) = {
+    val sym = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+    val nbrs = sym.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var lab: Map[String, String] = nbrs.keys.map(k => k -> k).toMap
+    var rounds = 0
+    var changed = Int.MaxValue
+    while (rounds < maxIterations && changed > 0) {
+      val cur = lab
+      val next = nbrs.map { case (v, ns) =>
+        val counts = ns.groupBy(cur).map { case (l, vs) => l -> vs.size }
+        // (count DESC, is-current DESC, label ASC) — keep-current-on-tie
+        v -> counts.toSeq.minBy { case (l, c) => (-c, if (l == cur(v)) 0 else 1, l) }._1
+      }
+      changed = next.count { case (v, l) => lab(v) != l }
+      lab = next
+      rounds += 1
+    }
+    (lab, rounds, changed == 0)
+  }
+
+  /** SQL twin of [[labelPropagation]], unrolled to a FIXED round count —
+    * same symmetrize-dedupe, same (count DESC, keep-current DESC, label
+    * ASC) top-1 per node.
+    * Expects a CTE `$edgesCte(src, dst)`; emits CTEs and a final
+    * `SELECT node, community` ordered by node; `extraSelect` appends
+    * verbatim (the measured `n_rounds` literal).
+    */
+  def labelPropagationSql(
+      edgesCte: String, iterations: Int, extraSelect: String = ""): String = {
+    val iters = (1 to iterations).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""c$i AS (
+          SELECT e.a AS node, l.lab AS lab, count(*) AS c
+          FROM sedges e JOIN $prev l ON e.b = l.node
+          GROUP BY e.a, l.lab),
+        l$i AS (
+          SELECT node, lab FROM (
+            SELECT c.node, c.lab,
+              row_number() OVER (PARTITION BY c.node
+                ORDER BY c.c DESC, (c.lab = p.lab) DESC, c.lab) AS rn
+            FROM c$i c JOIN $prev p ON p.node = c.node) t WHERE rn = 1)"""
+    }.mkString(",\n        ")
+    s"""sedges AS (
+          SELECT src AS a, dst AS b FROM $edgesCte WHERE src <> dst
+          UNION
+          SELECT dst AS a, src AS b FROM $edgesCte WHERE src <> dst),
+        l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sedges),
+        $iters
+        SELECT node, lab AS community$extraSelect FROM l$iterations ORDER BY node"""
+  }
 }

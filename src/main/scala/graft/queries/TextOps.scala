@@ -41,6 +41,22 @@ object TextOps {
   private lazy val PrwRounds: Int =
     Graph.pageRankWeightedConvergedReference(PrwEdges, PrEps, PrMaxIters)._2
 
+  /** q168's planted community graph: a 4-clique (a1..a4), a triangle
+    * (b1..b3), one bridge a1–b1, and a pendant c1 hanging off b2 — mixed
+    * degrees so the plurality/min-tie-break update does real work. The
+    * converged round count is measured by the pure-Scala replay at
+    * object init (the q136 rule) and unrolls the SQL twin to exactly
+    * that many label-update CTEs.
+    */
+  private val LpEdges: Seq[(String, String)] = Seq(
+    ("a1", "a2"), ("a1", "a3"), ("a1", "a4"), ("a2", "a3"),
+    ("a2", "a4"), ("a3", "a4"),
+    ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+    ("a1", "b1"), ("b2", "c1"))
+  private val LpMaxIters = 20
+  private lazy val LpRounds: Int =
+    Graph.labelPropagationReference(LpEdges, LpMaxIters)._2
+
   /** The q78/q83 candidate-pair pipeline: scan-local MinHash signatures →
     * LSH bands → bucket-join candidates (shared so the keepers gate chains
     * the exact clusters gate's pairs).
@@ -1223,6 +1239,36 @@ object TextOps {
           AS t(src, dst)),
         ${Graph.pageRankSql("edges", iterations = PrRounds,
             extraSelect = s", CAST($PrRounds AS INTEGER) AS n_rounds")}""")),
+
+    // LABEL PROPAGATION ([[Graph.labelPropagation]]) — community
+    // detection over the provenance graph family PageRank ranks:
+    // synchronous plurality update with min-label tie-break, the
+    // DETERMINISTIC form (async LPA is run-order-dependent — unhashable
+    // cross-engine). Measured-round gate like q136: the pure-Scala replay
+    // computes the converged round count at object init, the SQL twin
+    // unrolls to exactly that many update CTEs, and rounds AND labels
+    // must both match — stopping early/late or a tie-break drift all
+    // hash-fail. GraphSpec pins clique separation and the bipartite
+    // oscillator the cap absorbs.
+    QueryDef(
+      "q168_label_propagation",
+      (s, _) => {
+        import s.implicits._
+        val edges = LpEdges.toDF("src", "dst")
+        val run = Graph.labelPropagation(edges, "src", "dst",
+          maxIterations = LpMaxIters)
+        run.labels
+          .withColumn("n_rounds", lit(run.rounds))
+          .withColumn("converged", lit(run.converged))
+          .orderBy(col("node"))
+      },
+      Some(s"""
+        WITH edges AS (SELECT * FROM (VALUES
+          ${LpEdges.map { case (a, b) => s"('$a', '$b')" }.mkString(", ")})
+          AS t(src, dst)),
+        ${Graph.labelPropagationSql("edges", iterations = LpRounds,
+            extraSelect =
+              s", CAST($LpRounds AS INTEGER) AS n_rounds, true AS converged")}""")),
 
     // q136's WEIGHTED sibling ([[Graph.pageRankWeightedConverged]]):
     // convergence-probed iteration over weighted edges — same measured-

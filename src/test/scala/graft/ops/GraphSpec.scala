@@ -158,4 +158,35 @@ class GraphSpec extends SparkSpec {
       "b" -> 262499999999L,
       "c" -> 120833333333L))
   }
+
+  test("labelPropagation separates two cliques; distributed run equals the pure replay") {
+    // 4-clique + triangle + bridge + pendant (the q168 fixture topology)
+    val edges = Seq(
+      ("a1", "a2"), ("a1", "a3"), ("a1", "a4"), ("a2", "a3"),
+      ("a2", "a4"), ("a3", "a4"),
+      ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+      ("a1", "b1"), ("b2", "c1"))
+    val run = Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst")
+    val got = run.labels.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (ref, refRounds, refConverged) = Graph.labelPropagationReference(edges)
+    assert(got === ref, "distributed labels must equal the pure-Scala replay")
+    assert(run.rounds === refRounds && run.converged === refConverged)
+    // the two cliques end under one label each, and those labels differ
+    assert(Set("a2", "a3", "a4").map(got) === Set(got("a2")))
+    assert(Set("b1", "b3").map(got) === Set(got("b1")))
+    assert(got("a2") !== got("b1"), "bridge must not merge the communities")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "labelPropagation left persisted plans behind")
+  }
+
+  test("labelPropagation: a 2-node oscillator hits the cap and reports non-convergence") {
+    val edges = Seq(("x", "y")).toDF("src", "dst")
+    val run = Graph.labelPropagation(edges, "src", "dst", maxIterations = 6)
+    assert(run.rounds === 6 && !run.converged && run.nChanged === 2L,
+      s"expected a swap cycle: rounds=${run.rounds} converged=${run.converged} changed=${run.nChanged}")
+    // the replay agrees on the oscillation
+    val (_, refRounds, refConverged) =
+      Graph.labelPropagationReference(Seq(("x", "y")), maxIterations = 6)
+    assert(refRounds === 6 && !refConverged)
+  }
 }

@@ -642,4 +642,57 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** C4-STYLE SPAN DEDUP WITH REASSEMBLY (Raffel et al. 2020 §2.2's
+    * repeated-span drop, on non-overlapping `w`-token spans): every
+    * document is cut into consecutive `w`-token chunks; a chunk survives
+    * only at its corpus-wide FIRST occurrence — the (doc, position)-
+    * lexicographic minimum over every place its exact text appears,
+    * including earlier in the same document — and each document is
+    * REBUILT from its surviving chunks in order. The sub-document
+    * counterpart of [[exactKeepers]]: whole-doc dedup misses the
+    * boilerplate paragraph pasted into a million distinct pages; this
+    * removes exactly those spans while keeping each page's unique
+    * remainder.
+    *
+    * Scale shape: chunking is SCAN-LOCAL (one `transform(sequence, slice)`
+    * over the token array — no (id, pos) shuffle to build spans); the
+    * only wide operations are the chunk-keyed first-occurrence aggregate
+    * (map-combinable min of a (id, pos) struct) and the id-keyed
+    * reassembly aggregate. Per-chunk fan-in is bounded by the chunk's
+    * duplication count — there is no pairwise comparison anywhere, so no
+    * DF cap is needed (the q127 aggregate-first rule).
+    *
+    * Output: `(id, clean_text, n_chunks, n_kept)` — a fully-duplicated
+    * document survives with `clean_text = ''` and `n_kept = 0`, so the
+    * caller decides the drop threshold (C4 drops empty survivors).
+    */
+  def spanDedup(
+      docs: DataFrame, idCol: String, textCol: String, w: Int = 5): DataFrame = {
+    require(w >= 1, "span width must be >= 1")
+    val t = TextStats.tokens(col(textCol))
+    val chunkArr = transform(
+      sequence(lit(0), ceil(size(t).cast("double") / w).cast("int") - 1),
+      i => array_join(slice(t, i * w + 1, lit(w)), " "))
+    val chunks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(chunkArr).as(Seq("__ck", "__chunk")))
+    val first = chunks.groupBy(col("__chunk"))
+      .agg(min(struct(col(idCol).as("__fid"), col("__ck").as("__fck"))).as("__f"))
+    val kept = chunks.join(first, "__chunk")
+      .filter(col("__f.__fid") === col(idCol) && col("__f.__fck") === col("__ck"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__ck"), col("__chunk")))),
+            x => x.getField("__chunk")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    chunks.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

@@ -104,6 +104,32 @@ object TextStats {
         .as("bigram_logprob"))
   }
 
+  /** HTML → text for corpus ingestion: drop `<script>`/`<style>` blocks
+    * wholesale (their BODIES are code, not prose — and stripping tags
+    * first would leak `if (x<2 && y>1)` into the text), then every
+    * remaining tag, decode the six core entities (`&amp;` LAST, so
+    * `&amp;lt;` decodes to the literal text `&lt;`, not to `<`), and
+    * collapse the whitespace the removals leave behind.
+    *
+    * Pure codegen'd Column chain (regexp/replace built-ins, no UDF), and
+    * every pattern is RE2-compatible — no backreferences, lazy `.*?`
+    * only — so the DuckDB oracle applies the IDENTICAL patterns (q170).
+    * Deliberately a boilerplate stripper, not an HTML5 parser: malformed
+    * nesting degrades to extra whitespace, never to an error.
+    */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]+>", " ")
+    val entities = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&") // &amp; last
+    val decoded = entities.foldLeft(noTags) {
+      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count estimate: words plus intra-word breaks at

@@ -1665,6 +1665,81 @@ object TextOps {
           .orderBy(col("doc_id")),
       Some(UnigramLogProbOracle)),
 
+    // HTML STRIP ([[TextStats.stripHtml]]) — the raw-web front door of a
+    // corpus pipeline: script/style blocks drop wholesale BEFORE tag
+    // stripping (their bodies contain `<`/`&&` that would leak as text),
+    // then tags, then the six core entities with `&amp;` decoded last.
+    // The gate PLANTS an HTML wrapper (head/style boilerplate, a script
+    // with comparison operators, entity-encoded tail) around every
+    // document and must recover exactly the canonical text + tail; every
+    // pattern is RE2-compatible, so the oracle applies the IDENTICAL
+    // regex/replace chain.
+    QueryDef(
+      "q170_html_strip",
+      (s, dir) => {
+        val html = concat(
+          lit("<html><head><style>p {color:red}</style></head><body><h1>Doc</h1><p>"),
+          col("text"),
+          lit("</p><script>if (x<2 && y>1) { f(); }</script>" +
+            "<p>tail &amp;amp; &lt;b&gt; &quot;q&quot; &nbsp;end</p></body></html>"))
+        Tables.documents(s, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), graft.ops.TextStats.stripHtml(html).as("clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  concat(
+                    '<html><head><style>p {color:red}</style></head><body><h1>Doc</h1><p>',
+                    text,
+                    '</p><script>if (x<2 && y>1) { f(); }</script><p>tail &amp;amp; &lt;b&gt; &quot;q&quot; &nbsp;end</p></body></html>'),
+                  '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '(?s)<[^>]+>', ' ', 'g'),
+            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+            '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+          '\s+', ' ', 'g')) AS clean
+        FROM documents WHERE text IS NOT NULL ORDER BY doc_id""")),
+
+    // C4-STYLE SPAN DEDUP WITH REASSEMBLY ([[Dedup.spanDedup]]): cut
+    // every document into non-overlapping 5-token chunks, keep each
+    // chunk's text only at its corpus-wide (doc, position)-first
+    // occurrence, rebuild documents from their surviving chunks — the
+    // sub-document dedup whole-doc fingerprinting cannot do (the pasted
+    // boilerplate paragraph survives once, each page's unique remainder
+    // stays). Chunking is scan-local; the oracle replays the chunk
+    // slicing, the first-occurrence rank, and the ordered reassembly.
+    QueryDef(
+      "q169_span_dedup",
+      (s, dir) =>
+        Dedup.spanDedup(Tables.documents(s, dir), "doc_id", "text", w = 5)
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+          FROM documents WHERE text IS NOT NULL),
+        chunks AS (
+          SELECT doc_id, i AS ck, array_to_string(t[(i*5+1):(i*5+5)], ' ') AS chunk
+          FROM toks,
+            unnest(generate_series(0, CAST(ceil(len(t) / 5.0) AS INTEGER) - 1)) g(i)),
+        r AS (
+          SELECT doc_id, ck, chunk,
+            row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ck) AS rn
+          FROM chunks),
+        recon AS (
+          SELECT doc_id, string_agg(chunk, ' ' ORDER BY ck) AS clean_text,
+            count(*) AS n_kept
+          FROM r WHERE rn = 1 GROUP BY doc_id),
+        tot AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id)
+        SELECT t.doc_id, coalesce(clean_text, '') AS clean_text,
+          CAST(n_chunks AS BIGINT) AS n_chunks,
+          CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+        FROM tot t LEFT JOIN recon USING (doc_id) ORDER BY doc_id""")),
+
     // BIGRAM conditional log-prob ([[TextStats.bigramLogProb]]) — the
     // unigram signal's next order: mean ln(c(w1 w2)/c(w1 ·)) over each
     // document's adjacent pairs, catching word-salad that unigram scoring

@@ -327,4 +327,27 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(got === Map("a" -> true, "b" -> false, "c" -> false, "z" -> true))
   }
+
+  test("spanDedup keeps each span's first occurrence and rebuilds documents in order") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),          // both chunks novel
+      (2L, "a b c d e x y z w v"),          // chunk 0 copies doc 1's
+      (3L, "x y z w v"),                    // whole doc copies doc 2's chunk 1
+      (4L, "p q r s t p q r s t")           // repeats ITSELF: second span drops
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, "doc_id", "text", w = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      1L -> (("a b c d e f g h i j", 2L, 2L)),
+      2L -> (("x y z w v", 2L, 1L)),
+      3L -> (("", 1L, 0L)),
+      4L -> (("p q r s t", 2L, 1L))))
+    // a short tail chunk (< w tokens) is its own span, deduped like any other
+    val tails = Seq((1L, "a b c d e zz"), (2L, "zz")).toDF("doc_id", "text")
+    val gotTails = Dedup.spanDedup(tails, "doc_id", "text", w = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotTails === Map(1L -> "a b c d e zz", 2L -> ""))
+  }
 }

@@ -162,6 +162,23 @@ class TextStatsSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("stripHtml drops script/style bodies, tags, and decodes entities in safe order") {
+    import spark.implicits._
+    val cases = Seq(
+      // script body with < and && must vanish wholesale, not leak as text
+      ("<p>hi</p><script>if (a<2 && b>1) { f(); }</script><p>there</p>", "hi there"),
+      ("<style>p { color: red }</style><b>bold</b>", "bold"),
+      // &amp; decodes LAST: &amp;lt; is the literal text "&lt;", not "<"
+      ("&amp;lt; &lt; &gt; &quot;q&#39;s&quot; &nbsp;x", "&lt; < > \"q's\" x"),
+      // multi-line tag + attribute noise
+      ("<a\n  href=\"x\"\n>link</a>", "link"),
+      // plain text is a fixed point
+      ("already clean text", "already clean text"))
+    val got = cases.map(_._1).toDF("h")
+      .select(TextStats.stripHtml(col("h")).as("c")).collect().map(_.getString(0))
+    assert(got.toSeq === cases.map(_._2))
+  }
+
   test("bigramLogProb catches word-salad that unigram scoring cannot") {
     import spark.implicits._
     // a corpus of the SAME sentence repeated, plus one shuffled copy: the

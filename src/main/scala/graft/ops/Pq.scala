@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+
+/** PRODUCT QUANTIZATION (Jégou et al. 2011) — the ANN compression tier
+  * between int8 scalar quantization ([[graft.functions.QuantExprs]], ~4×)
+  * and nothing: split each vector into `m` subspaces, k-means each
+  * subspace independently ([[Clustering.lloyd]] — the same deterministic
+  * seeded trainer the IVF index uses), and store per subspace only the
+  * nearest centroid's index. A `dim`-float vector becomes `m` small ints
+  * — dim·4 bytes → m·ceil(log2 k / 8) (e.g. 16 floats → 4 codes: 16×), and
+  * queries score against RECONSTRUCTED vectors (`d(q, recon(x))` — the
+  * asymmetric distance of the paper, §II.C: the query stays exact, only
+  * the corpus side is quantized).
+  *
+  * Scale shape: training is `m` independent Lloyd runs over SLICED
+  * sub-vectors (slice is scan-local; each run's shuffle is the k-means
+  * assignment aggregate); encoding is ONE map-side pass — the `m`
+  * codebooks ride as `m` literal plan nodes into the native
+  * `nearest_cell_l2` kernel, the [[Clustering.assignClusters]] rule
+  * per subspace; reconstruction at query time is `m` literal-array
+  * lookups + `flatten`, feeding the same codegen'd cosine kernel the
+  * exact paths use. Nothing driver-side but the codebooks
+  * (m·k·subDim doubles — the bounded-collect class of the k-means
+  * codebook itself).
+  */
+object Pq {
+
+  /** Trained PQ model: `codebooks(j)` holds subspace j's `k` centroids,
+    * each of length `subDim` (= dim / m).
+    */
+  final case class PqModel(m: Int, k: Int, subDim: Int,
+      codebooks: Seq[Seq[Array[Double]]]) {
+    def dim: Int = m * subDim
+  }
+
+  private def subCol(vecCol: String, j: Int, subDim: Int): Column =
+    slice(col(vecCol), j * subDim + 1, subDim)
+
+  /** Train per-subspace codebooks: `m` deterministic Lloyd runs (stride
+    * init — same id-grid seeding as the IVF trainer) over the sliced
+    * sub-vectors. `dim` must divide by `m`; `k ≤ 256` keeps a code a
+    * logical byte.
+    */
+  def train(
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, stride: Long, iters: Int = 3): PqModel = {
+    require(m >= 1 && k >= 2 && k <= 256, s"need 1 <= m, 2 <= k <= 256; got m=$m k=$k")
+    val dim = df.select(size(col(vecCol)).as("__d")).head().getInt(0)
+    require(dim % m == 0, s"subspaces must tile the vector: dim=$dim m=$m")
+    val subDim = dim / m
+    val codebooks = (0 until m).map { j =>
+      val sub = df.select(col(idCol), subCol(vecCol, j, subDim).as("__sub"))
+      val init = Clustering.strideInit(sub, idCol, "__sub", k, stride)
+      Clustering.lloyd(sub, "__sub", init, iters).centroids
+    }
+    PqModel(m, k, subDim, codebooks)
+  }
+
+  /** Encode: `pq_codes` = array of `m` nearest-centroid indices, one
+    * native `nearest_cell_l2` kernel call per subspace over its sliced
+    * sub-vector — map-side only, codebooks as single literal nodes.
+    */
+  def encode(df: DataFrame, vecCol: String, model: PqModel): DataFrame = {
+    val codes = (0 until model.m).map { j =>
+      VectorExprs.nearest_cell_l2(
+        subCol(vecCol, j, model.subDim).cast("array<double>"),
+        typedLit(model.codebooks(j).indices.toList),
+        typedLit(model.codebooks(j).map(_.toSeq)))
+    }
+    df.withColumn("pq_codes", array(codes: _*))
+  }
+
+  /** The decoded (reconstructed) vector of a code array: per subspace,
+    * the indexed centroid from the literal codebook, flattened back to
+    * full dimension. Pure Column — rides into the native float kernels.
+    */
+  def reconstruct(codesCol: Column, model: PqModel): Column =
+    flatten(array((0 until model.m).map { j =>
+      element_at(typedLit(model.codebooks(j).map(_.toSeq)), codesCol.getItem(j) + 1)
+    }: _*))
+
+  /** Asymmetric-distance top-k: exact queries against the quantized
+    * corpus — [[Similarity.bruteTopK]]'s shape (broadcast queries, per-
+    * query window rank) with the target side DECODED FROM CODES ONLY;
+    * the float corpus column never appears in the plan, which is the
+    * point: at 100 TB the serving scan reads m logical bytes per vector,
+    * not dim floats.
+    */
+  def adcTopK(
+      queries: DataFrame, encoded: DataFrame,
+      idCol: String, vecCol: String, k: Int, model: PqModel): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec")))
+    val t = encoded.select(col(idCol).as("neighbor_id"),
+      reconstruct(col("pq_codes"), model).as("t_vec"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(t, col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        VectorExprs.cosine_f(col("q_vec"), col("t_vec")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("rank")
+  }
+}

@@ -317,6 +317,50 @@ object VectorOps {
                true AS lsh_recall_ok, true AS ivf_recall_ok,
                true AS ivfq_recall_ok""")),
 
+    // PRODUCT QUANTIZATION ([[graft.ops.Pq]], Jégou et al. 2011): 16
+    // floats → 4 codes (16× compression); queries score ASYMMETRICALLY
+    // against reconstructions decoded from codes alone — the float
+    // corpus column never enters the serving plan. On the clustered
+    // fixture PQ is a coarse quantizer (a tight cluster collapses to one
+    // code word), so the honest contract is cluster-level: every ADC
+    // top-5 neighbor comes from the probe's own planted cluster, and the
+    // mean reconstruction error stays an order of magnitude under the
+    // inter-cluster spacing. Flags computed from data, oracle emits the
+    // literal expected row (q68 pattern) — a quantizer regression
+    // hash-fails.
+    QueryDef(
+      "q171_ann_pq",
+      (s, _) => {
+        val (corpus, probes, _, _) = clusteredFor(s)
+        val model = graft.ops.Pq.train(corpus, "vec_id", "embedding",
+          m = 4, k = 32, stride = 62L)
+        val encoded = graft.ops.Pq.encode(corpus, "embedding", model)
+        val pq = graft.ops.Pq.adcTopK(
+          probes, encoded.select(col("vec_id"), col("pq_codes")),
+          "vec_id", "embedding", k = 5, model)
+        val sameCluster = pq
+          .withColumn("q_cluster", ((col("q_id") - 100000L) ).cast("long"))
+          .withColumn("n_cluster", (col("neighbor_id") / lit(PerCluster)).cast("long"))
+          .agg(avg((col("q_cluster") === col("n_cluster")).cast("double")).as("frac"))
+        val mse = encoded
+          .select(graft.functions.VectorExprs.dist2_f(
+            col("embedding").cast("array<double>"),
+            graft.ops.Pq.reconstruct(col("pq_codes"), model)).as("e"))
+          .agg(avg(col("e")).as("mse"))
+        sameCluster.crossJoin(broadcast(mse))
+          .select(
+            lit(20L).as("n_probes"),
+            (col("frac") === 1.0).as("top5_same_cluster_ok"),
+            (col("mse") <= 0.5).as("recon_mse_ok"),
+            lit(4).as("codes_per_vec"),
+            lit(16).as("compression_x"))
+      },
+      Some("""
+        SELECT CAST(20 AS BIGINT) AS n_probes,
+               true AS top5_same_cluster_ok, true AS recon_mse_ok,
+               CAST(4 AS INTEGER) AS codes_per_vec,
+               CAST(16 AS INTEGER) AS compression_x""")),
+
     // Vector norms via higher-order fold (functions.aggregate) — the
     // map-side feature-hygiene pass (no shuffle at all).
     QueryDef(

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a 2×2 lattice: every vector is an exact combination of the two
+  // sub-centroids per subspace, so training recovers the lattice and
+  // encoding is lossless
+  private def lattice = Seq(
+    (0L, Seq(1f, 1f, 1f, 1f)),
+    (1L, Seq(10f, 10f, 10f, 10f)),
+    (2L, Seq(1f, 1f, 10f, 10f)),
+    (3L, Seq(10f, 10f, 1f, 1f))).toDF("vec_id", "embedding")
+
+  test("train recovers lattice codebooks; encode is exact on lattice points") {
+    val model = Pq.train(lattice, "vec_id", "embedding", m = 2, k = 2, stride = 1L)
+    assert(model.subDim === 2 && model.codebooks.size === 2)
+    assert(model.codebooks.forall(_.size === 2))
+    val enc = Pq.encode(lattice, "embedding", model)
+    val err = enc.select(graft.functions.VectorExprs.dist2_f(
+        col("embedding").cast("array<double>"),
+        Pq.reconstruct(col("pq_codes"), model)).as("e"))
+      .agg(max(col("e"))).head().getDouble(0)
+    assert(err === 0.0, s"lattice points must reconstruct exactly, max dist2 = $err")
+    // distinct vectors get distinct code words here (both subspaces split)
+    assert(enc.select(col("pq_codes")).distinct().count() === 4L)
+  }
+
+  test("adcTopK finds the true neighbor from codes alone") {
+    val model = Pq.train(lattice, "vec_id", "embedding", m = 2, k = 2, stride = 1L)
+    val enc = Pq.encode(lattice, "embedding", model).select(col("vec_id"), col("pq_codes"))
+    val probes = Seq((100L, Seq(1f, 1f, 1f, 2f))).toDF("vec_id", "embedding")
+    val got = Pq.adcTopK(probes, enc, "vec_id", "embedding", k = 1, model)
+      .select(col("neighbor_id")).head().getLong(0)
+    assert(got === 0L, "probe next to (1,1,1,1) must resolve to vector 0")
+  }
+
+  test("contract violations fail loudly") {
+    assertThrows[IllegalArgumentException] { // 4 dims don't tile into 3 subspaces
+      Pq.train(lattice, "vec_id", "embedding", m = 3, k = 2, stride = 1L)
+    }
+    assertThrows[IllegalArgumentException] { // codes must stay a logical byte
+      Pq.train(lattice, "vec_id", "embedding", m = 2, k = 257, stride = 1L)
+    }
+  }
+}

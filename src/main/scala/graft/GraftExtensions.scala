@@ -31,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       HyperplaneSketchExpr(c(0), c(1), c(2)))
     register(ext, "word_shingles", classOf[WordShinglesExpr].getName, 2)(c =>
       WordShinglesExpr(c(0), c(1)))
+    register(ext, "word_chunks", classOf[graft.functions.WordChunksExpr].getName, 2)(c =>
+      graft.functions.WordChunksExpr(c(0), c(1)))
     register(ext, "sim_hash", classOf[SimHashExpr].getName, 1)(c => SimHashExpr(c.head))
     register(ext, "minhash_sig", classOf[MinHashSigExpr].getName, 3)(c =>
       MinHashSigExpr(c(0), c(1), c(2)))

@@ -58,6 +58,83 @@ case class WordShinglesExpr(left: Expression, right: Expression) extends BinaryE
   override def prettyName: String = "word_shingles"
 }
 
+/** Native sibling of [[WordShinglesExpr]] for NON-OVERLAPPING spans: all
+  * `ceil(nTokens / w)` consecutive `w`-token chunks of the canonical form
+  * (the last may be short). One fused pass replacing the
+  * `transform(sequence, slice, array_join)` chain, whose higher-order
+  * functions are interpreted per row — this is [[graft.ops.Dedup.spanDedup]]'s
+  * hot front, so at 100 TB it must stay inside the scan's generated loop
+  * exactly like the shingle pass. Tokenization is byte-for-byte
+  * [[WordShinglesExpr.tokens]], so the two primitives can never disagree
+  * about canonicalization.
+  */
+case class WordChunksExpr(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private lazy val w: Int = right.eval().asInstanceOf[Number].intValue()
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires STRING, got ${left.dataType.catalogString}")
+    else if (!right.foldable || !(right.dataType match {
+      case IntegerType | LongType | ShortType | ByteType => true
+      case _                                             => false
+    }) || right.eval() == null)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable non-null integral width")
+    else if (right.eval().asInstanceOf[Number].intValue() < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName width must be >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(text: Any, width: Any): Any =
+    WordChunksExpr.chunks(text.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (text, _) =>
+      s"${ev.value} = graft.functions.WordChunksExpr.chunks($text, $w);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordChunksExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "word_chunks"
+}
+
+object WordChunksExpr {
+
+  /** All non-overlapping w-chunks (space-joined) — called from both eval
+    * and generated code.
+    */
+  def chunks(text: UTF8String, w: Int): ArrayData = {
+    val toks = WordShinglesExpr.tokens(text)
+    val n = (toks.length + w - 1) / w
+    val out = new Array[Any](n)
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j < n) {
+      sb.setLength(0)
+      var k = j * w
+      val end = math.min(k + w, toks.length)
+      while (k < end) {
+        if (k > j * w) sb.append(' ')
+        sb.append(toks(k))
+        k += 1
+      }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column-API entry point (session registry, installed by
+    * [[graft.GraftExtensions]]).
+    */
+  def word_chunks(text: Column, w: Column): Column =
+    org.apache.spark.sql.functions.call_function("word_chunks", text, w)
+}
+
 object WordShinglesExpr {
 
   // Java-regex \s (what Spark's regexp_replace("\\s+") matches): space,

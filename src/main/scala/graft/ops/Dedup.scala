@@ -655,13 +655,17 @@ object Dedup {
     * removes exactly those spans while keeping each page's unique
     * remainder.
     *
-    * Scale shape: chunking is SCAN-LOCAL (one `transform(sequence, slice)`
-    * over the token array — no (id, pos) shuffle to build spans); the
-    * only wide operations are the chunk-keyed first-occurrence aggregate
-    * (map-combinable min of a (id, pos) struct) and the id-keyed
-    * reassembly aggregate. Per-chunk fan-in is bounded by the chunk's
-    * duplication count — there is no pairwise comparison anywhere, so no
-    * DF cap is needed (the q127 aggregate-first rule).
+    * Scale shape: chunking is SCAN-LOCAL via the native codegen'd
+    * `word_chunks` expression ([[graft.functions.WordChunksExpr]] — the
+    * composed `transform(sequence, slice, array_join)` chain is
+    * interpreted per row, and this is the operator's hot front; the spec
+    * pins byte-for-byte parity between the two); no (id, pos) shuffle to
+    * build spans. The only wide operations are the chunk-keyed
+    * first-occurrence aggregate (map-combinable min of a (id, pos)
+    * struct) and the id-keyed reassembly aggregate. Per-chunk fan-in is
+    * bounded by the chunk's duplication count — there is no pairwise
+    * comparison anywhere, so no DF cap is needed (the q127
+    * aggregate-first rule).
     *
     * Output: `(id, clean_text, n_chunks, n_kept)` — a fully-duplicated
     * document survives with `clean_text = ''` and `n_kept = 0`, so the
@@ -670,15 +674,17 @@ object Dedup {
   def spanDedup(
       docs: DataFrame, idCol: String, textCol: String, w: Int = 5): DataFrame = {
     require(w >= 1, "span width must be >= 1")
-    val t = TextStats.tokens(col(textCol))
-    val chunkArr = transform(
-      sequence(lit(0), ceil(size(t).cast("double") / w).cast("int") - 1),
-      i => array_join(slice(t, i * w + 1, lit(w)), " "))
+    val chunkArr = graft.functions.WordChunksExpr.word_chunks(col(textCol), lit(w))
     val chunks = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), posexplode(chunkArr).as(Seq("__ck", "__chunk")))
-    val first = chunks.groupBy(col("__chunk"))
+    // dedup key = md5 of the chunk (the [[exactFingerprint]] assumption):
+    // the first-occurrence aggregate shuffles 16-byte digests + an (id,
+    // pos) struct instead of the chunk text — at corpus scale the text
+    // rides only the join and the reassembly, not the dedup aggregate
+    val keyed = chunks.withColumn("__h", md5(col("__chunk")))
+    val first = keyed.groupBy(col("__h"))
       .agg(min(struct(col(idCol).as("__fid"), col("__ck").as("__fck"))).as("__f"))
-    val kept = chunks.join(first, "__chunk")
+    val kept = keyed.join(first, "__h")
       .filter(col("__f.__fid") === col(idCol) && col("__f.__fck") === col("__ck"))
     val rebuilt = kept.groupBy(col(idCol))
       .agg(

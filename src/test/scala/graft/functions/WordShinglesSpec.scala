@@ -71,4 +71,43 @@ class WordShinglesSpec extends SparkSpec {
           org.apache.spark.sql.types.StringType).map(_.toString).toSeq)
     assert(viaPlan.toSeq === viaKernel.toSeq)
   }
+
+  /** The composed chunking chain `word_chunks` replaced (spanDedup's
+    * original form) — kept as the semantics reference the DuckDB oracle
+    * mirrors (`t[(i*w+1):(i*w+w)]` slices over generate_series).
+    */
+  private def hofChunks(textCol: org.apache.spark.sql.Column, w: Int) = {
+    val toks = split(lower(regexp_replace(textCol, "\\s+", " ")), " ")
+    transform(
+      sequence(lit(0), ceil(size(toks).cast("double") / w).cast("int") - 1),
+      i => concat_ws(" ", slice(toks, i * w + 1, lit(w))))
+  }
+
+  test("native word_chunks matches the composed chunking chain, including edges") {
+    val inputs = Seq(
+      "a b c d e f g h i j",          // even 2-chunk split at w=5
+      "a b c d e f g",                // short tail chunk
+      "exactly five token doc here",  // single full chunk
+      "tiny",                         // single short chunk
+      "",                             // empty text -> one empty token -> one chunk
+      "  leading and trailing  ",
+      "tabs\tand\nnewlines")
+    val rows = inputs.toDF("text").select(
+      WordChunksExpr.word_chunks($"text", lit(5)).as("native"),
+      hofChunks($"text", 5).as("hof")).collect()
+    inputs.zip(rows).foreach { case (in, r) =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1), s"mismatch for input: '$in'")
+    }
+    // width 1: every token its own chunk
+    val r1 = Seq("x y z").toDF("text")
+      .select(WordChunksExpr.word_chunks($"text", lit(1))).head()
+    assert(r1.getSeq[String](0) === Seq("x", "y", "z"))
+    // null text yields null; bad width rejected at analysis
+    val rn = Seq(Option.empty[String]).toDF("text")
+      .select(WordChunksExpr.word_chunks($"text", lit(5))).head()
+    assert(rn.isNullAt(0))
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT word_chunks('a b c', 0)").collect()
+    }
+  }
 }

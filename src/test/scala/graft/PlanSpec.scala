@@ -82,13 +82,32 @@ class PlanSpec extends SparkSpec {
     assert(oneDay.count() < allDays)
   }
 
+  /** The column sets actually CROSSING each hash-partition shuffle: for
+    * every `Exchange hashpartitioning` in the executed plan, the child
+    * operator's `output=[...]` list. Checking raw plan lines is a trap
+    * twice over — `sparkPlan` has no Exchange nodes at all (they come
+    * from EnsureRequirements, so the old pins were vacuously green), and
+    * a child Project's EXPRESSION text (`md5(...text#...)`) mentions the
+    * text column without shuffling it (r12 fix).
+    */
+  private def shuffledOutputs(plan: String): Seq[String] = {
+    val lines = plan.linesIterator.toSeq
+    lines.zipWithIndex
+      .filter(_._1.contains("Exchange hashpartitioning"))
+      .flatMap { case (_, i) =>
+        lines.drop(i + 1).find(_.contains("output=[")).map { l =>
+          l.substring(l.indexOf("output=[") + 8).takeWhile(_ != ']')
+        }
+      }
+  }
+
   test("exact dedup shuffles only (fingerprint, id) — never the document body") {
     val df = graft.ops.Dedup.exactGroups(
       Tables.documents(spark, sf("sf0.001")), "doc_id", "text")
-    val plan = df.queryExecution.sparkPlan.toString
-    // the exchange input carries the hash + id, not the text column
-    val exchange = plan.linesIterator.dropWhile(!_.contains("Exchange")).take(3).mkString("\n")
-    assert(!exchange.contains("text#"), s"document body crosses the shuffle:\n$exchange")
+    val outs = shuffledOutputs(planOf(df))
+    assert(outs.nonEmpty, "no hash-partition exchange found to inspect")
+    outs.foreach(o =>
+      assert(!o.contains("text#"), s"document body crosses a shuffle: [$o]"))
   }
 
   test("best-keeper dedup shuffles only (fingerprint, id, score) — never the document body") {
@@ -96,9 +115,29 @@ class PlanSpec extends SparkSpec {
       Tables.documents(spark, sf("sf0.001")), "doc_id", "text",
       org.apache.spark.sql.functions.when(
         org.apache.spark.sql.functions.col("source") === "curated", 2).otherwise(1))
-    val plan = df.queryExecution.sparkPlan.toString
-    val exchange = plan.linesIterator.dropWhile(!_.contains("Exchange")).take(3).mkString("\n")
-    assert(!exchange.contains("text#"), s"document body crosses the shuffle:\n$exchange")
+    val outs = shuffledOutputs(planOf(df))
+    outs.foreach(o =>
+      assert(!o.contains("text#"), s"document body crosses a shuffle: [$o]"))
+  }
+
+  test("spanDedup's first-occurrence aggregate shuffles digests, never chunk text") {
+    val df = graft.ops.Dedup.spanDedup(
+      Tables.documents(spark, sf("sf0.001")), "doc_id", "text", w = 5)
+    // the dedup aggregate's digest-keyed exchange carries (md5,
+    // min-struct) only; the chunk text legitimately rides the join and
+    // the reassembly exchanges, so only the __h-keyed one is pinned
+    val plan = planOf(df)
+    val lines = plan.linesIterator.toSeq
+    val hOutputs = lines.zipWithIndex
+      .filter(_._1.contains("Exchange hashpartitioning(__h"))
+      .flatMap { case (_, i) =>
+        lines.drop(i + 1).find(_.contains("output=[")).map { l =>
+          l.substring(l.indexOf("output=[") + 8).takeWhile(_ != ']')
+        }
+      }
+    assert(hOutputs.nonEmpty, s"expected a digest-keyed exchange:\n$plan")
+    hOutputs.foreach(o =>
+      assert(!o.contains("__chunk#"), s"chunk text crosses the dedup shuffle: [$o]"))
   }
 
   test("q145 funnel: one user-keyed exchange feeds the whole stage chain") {
@@ -175,7 +214,8 @@ class PlanSpec extends SparkSpec {
       "q155_adaptive_join" -> "BroadcastNestedLoopJoin", // embeds q133's 1-row totals crossJoin inside the pre-flight report
       "q134_source_pagerank_weighted" -> "BroadcastNestedLoopJoin", // 1-row node-count crossJoin per PageRank round (q130 pattern)
       "q115_ann_ivf_append" -> "BroadcastNestedLoopJoin", // probe×centroid cell assignment (q38 shape); centroids broadcast
-      "q116_ann_ivf_append_quantized" -> "BroadcastNestedLoopJoin") // probe×centroid cell assignment (q38 shape); centroids broadcast
+      "q116_ann_ivf_append_quantized" -> "BroadcastNestedLoopJoin", // probe×centroid cell assignment (q38 shape); centroids broadcast
+      "q171_ann_pq" -> "BroadcastNestedLoopJoin") // ADC brute scan: broadcast probes × reconstructed corpus (q35 shape, deliberately exhaustive)
     val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.sparkPlan.toString
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")

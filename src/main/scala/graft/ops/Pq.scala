@@ -82,6 +82,38 @@ object Pq {
       element_at(typedLit(model.codebooks(j).map(_.toSeq)), codesCol.getItem(j) + 1)
     }: _*))
 
+  /** IVF-PQ serving index (the FAISS `IVFx,PQy` composition): the coarse
+    * IVF assignment keeps its cell key for probe pruning, and the vector
+    * payload becomes PQ codes — `(cell, id, pq_codes)`. The float column
+    * is dropped: cell routing already happened at build time, and queries
+    * score reconstructions, so the serving table is m logical bytes per
+    * vector AND prunes to nProbe cells per query.
+    */
+  def ivfPqIndex(assigned: DataFrame, vecCol: String, model: PqModel): DataFrame =
+    encode(assigned, vecCol, model).select(col("cell"), col("id"), col("pq_codes"))
+
+  /** IVF-PQ query: probe the `nProbe` nearest cells (the shared
+    * [[Similarity.probeCells]] head — identical routing to the exact and
+    * int8 IVF paths), then ADC-score ONLY those cells' codes. The two
+    * prunings compose: candidate generation touches nProbe cells of an
+    * m-bytes-per-vector table — the serving shape a 10⁹-vector corpus
+    * needs.
+    */
+  def ivfPqQuery(
+      queries: DataFrame, centroids: DataFrame, ivfPq: DataFrame,
+      idCol: String, vecCol: String, k: Int, model: PqModel,
+      nProbe: Int = 4): DataFrame = {
+    val qProbes = Similarity.probeCells(queries, centroids, idCol, vecCol, nProbe)
+    val scored = ivfPq
+      .join(broadcast(qProbes), Seq("cell"))
+      .filter(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        VectorExprs.cosine_f(
+          col("q_vec").cast("array<double>"),
+          reconstruct(col("pq_codes"), model)).as("cosine"))
+    Similarity.topK(scored, k)
+  }
+
   /** Asymmetric-distance top-k: exact queries against the quantized
     * corpus — [[Similarity.bruteTopK]]'s shape (broadcast queries, per-
     * query window rank) with the target side DECODED FROM CODES ONLY;

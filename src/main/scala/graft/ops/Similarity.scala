@@ -447,7 +447,7 @@ object Similarity {
   /** Per-query nProbe nearest cells (by centroid cosine), with the query
     * vector carried along — the shared head of both IVF query paths.
     */
-  private def probeCells(
+  private[ops] def probeCells(
       queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, nProbe: Int): DataFrame =
     queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
@@ -459,7 +459,7 @@ object Similarity {
       .select(col("q_id"), col("q_vec"), col("cell"))
 
   /** Shared tail: per-query top-k over the scored candidates. */
-  private def topK(scored: DataFrame, k: Int): DataFrame =
+  private[ops] def topK(scored: DataFrame, k: Int): DataFrame =
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))))

@@ -305,6 +305,65 @@ object EventOps {
             / CAST(count(*) AS DOUBLE), 4) AS novelty
         FROM r GROUP BY doc_id ORDER BY doc_id""")),
 
+    // STREAMING span dedup — q169's triad leg: 4 arrival batches chunk
+    // scan-local, label against the persisted digest index, rebuild docs
+    // exactly-once per batch, insert only never-seen digests (first
+    // ARRIVAL wins). A chunk survives at its (arrival-batch, doc,
+    // position)-lexicographic first occurrence — the q109 keeper rule on
+    // spans, replayed in closed form by the oracle over the portable
+    // batch hash. Different salt than q109/q128 → an independent split.
+    QueryDef(
+      "q172_stream_span_dedup",
+      (s, dir) => {
+        val ss = EventOps.streamSession(s)
+        val docs = Tables.documents(ss, dir)
+        val srcDir = EventOps.stageArrivalBatches(docs, "graft-spbatch:", 4, "q172")
+        ss.sql("DROP TABLE IF EXISTS stream_span_index")
+        val outRoot = java.nio.file.Files.createTempDirectory("q172out").toString
+        val cleanOut = outRoot + "/clean"
+        val ckpt = java.nio.file.Files.createTempDirectory("q172ckpt").toString
+        val stream = ss.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val q = graft.streaming.EventStream.spanDedupIncremental(
+          stream, "doc_id", "text", "stream_span_index", cleanOut, w = 5,
+          checkpointLocation = Some(ckpt))
+        try q.processAllAvailable()
+        finally q.stop()
+        val result = s.read.parquet(cleanOut).drop("batch")
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+        ss.sql("DROP TABLE IF EXISTS stream_span_index")
+        Seq(srcDir, outRoot, ckpt).foreach(EventOps.rmTree)
+        result
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+          FROM documents WHERE text IS NOT NULL),
+        chunks AS (
+          SELECT doc_id, i AS ck, array_to_string(t[(i*5+1):(i*5+5)], ' ') AS chunk
+          FROM toks,
+            unnest(generate_series(0, CAST(ceil(len(t) / 5.0) AS INTEGER) - 1)) g(i)),
+        bt AS (
+          SELECT doc_id,
+            ('0x' || substr(md5('graft-spbatch:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 4 AS b
+          FROM documents),
+        r AS (
+          SELECT c.doc_id, c.ck, c.chunk,
+            row_number() OVER (PARTITION BY c.chunk ORDER BY bt.b, c.doc_id, c.ck) AS rn
+          FROM chunks c JOIN bt USING (doc_id)),
+        recon AS (
+          SELECT doc_id, string_agg(chunk, ' ' ORDER BY ck) AS clean_text,
+            count(*) AS n_kept
+          FROM r WHERE rn = 1 GROUP BY doc_id),
+        tot AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id)
+        SELECT t.doc_id, coalesce(clean_text, '') AS clean_text,
+          CAST(n_chunks AS BIGINT) AS n_chunks,
+          CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+        FROM tot t LEFT JOIN recon USING (doc_id) ORDER BY doc_id""")),
+
     // STREAMING heavy hitters — q100's twin: the corpus streams as 4
     // arrival batches; each batch upserts its token counts keyed
     // `batch|token` (replay-idempotent append-only facts) and merges its

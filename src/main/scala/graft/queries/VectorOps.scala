@@ -361,6 +361,42 @@ object VectorOps {
                CAST(4 AS INTEGER) AS codes_per_vec,
                CAST(16 AS INTEGER) AS compression_x""")),
 
+    // IVF-PQ ([[graft.ops.Pq.ivfPqQuery]] — the FAISS IVFx,PQy
+    // composition): coarse cells prune candidate generation to nProbe
+    // cells per query AND the payload inside each cell is PQ codes, so
+    // the serving scan reads nProbe cells of an m-bytes-per-vector
+    // table. Same routing head as the exact/int8 IVF paths
+    // (probeCells), same coarse-quantizer contract as q171: every top-5
+    // neighbor from the probe's own planted cluster, hash-gated as
+    // literal flags.
+    QueryDef(
+      "q173_ann_ivf_pq",
+      (s, _) => {
+        val (corpus, probes, ivfIdx, _) = clusteredFor(s)
+        val model = graft.ops.Pq.train(corpus, "vec_id", "embedding",
+          m = 4, k = 32, stride = 62L)
+        val served = graft.ops.Pq.ivfPqIndex(ivfIdx.assigned, "vec", model)
+        val top = graft.ops.Pq.ivfPqQuery(
+          probes, ivfIdx.centroids, served, "vec_id", "embedding",
+          k = 5, model, nProbe = 4)
+        top
+          .withColumn("q_cluster", (col("q_id") - 100000L).cast("long"))
+          .withColumn("n_cluster", (col("neighbor_id") / lit(PerCluster)).cast("long"))
+          .agg(
+            count(lit(1)).as("n_results"),
+            avg((col("q_cluster") === col("n_cluster")).cast("double")).as("frac"))
+          .select(
+            col("n_results").cast("long").as("n_results"),
+            (col("frac") === 1.0).as("top5_same_cluster_ok"),
+            lit(4).as("cells_probed"),
+            lit(16).as("cells_total"))
+      },
+      Some("""
+        SELECT CAST(100 AS BIGINT) AS n_results,
+               true AS top5_same_cluster_ok,
+               CAST(4 AS INTEGER) AS cells_probed,
+               CAST(16 AS INTEGER) AS cells_total""")),
+
     // Vector norms via higher-order fold (functions.aggregate) — the
     // map-side feature-hygiene pass (no shuffle at all).
     QueryDef(

@@ -341,6 +341,88 @@ object EventStream {
     wr.start()
   }
 
+  /** STREAMING C4-style span dedup — [[graft.ops.Dedup.spanDedup]]'s
+    * streaming form, completing its triad leg the way q109/q128 did for
+    * exact dedup and novelty: each micro-batch chunks SCAN-LOCAL (native
+    * `word_chunks`), labels its chunks against the PERSISTED digest
+    * index (digest → first (doc, position)), rebuilds its documents from
+    * surviving chunks, writes them exactly-once to `outDir/batch=<id>`
+    * (own-partition overwrite), and advances the index by inserting ONLY
+    * never-seen digests with the batch-local (doc, position) minimum —
+    * an index hit never rewrites (first ARRIVAL wins).
+    *
+    * A chunk therefore survives at its (arrival-batch, doc, position)-
+    * lexicographic first occurrence — the q109 keeper rule applied to
+    * spans, which is exactly the closed form the q172 gate replays in
+    * SQL. Per-batch cost is O(batch chunks) + one digest-keyed index
+    * probe; history is never rescanned.
+    */
+  def spanDedupIncremental(
+      docs: DataFrame, idCol: String, textCol: String,
+      indexTable: String, outDir: String, w: Int = 5,
+      checkpointLocation: Option[String] = None,
+      buckets: Int = 4, parts: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val wr = docs.writeStream
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        // one source scan per trigger (see exactDedupIncremental)
+        val b = batch.toDF().localCheckpoint()
+        if (!b.isEmpty) {
+          val chunks = b.filter(col(textCol).isNotNull)
+            .select(col(idCol),
+              posexplode(graft.functions.WordChunksExpr.word_chunks(col(textCol), lit(w)))
+                .as(Seq("__ck", "__chunk")))
+            .withColumn("__h", md5(col("__chunk")))
+            .persist()
+          try {
+            val exists = spark.catalog.tableExists(indexTable)
+            val old =
+              if (exists) graft.sources.Store.read(spark, indexTable)
+              else chunks.select(col("__h"),
+                col(idCol).as("first_id"), col("__ck").as("first_ck")).filter(lit(false))
+            val newFirst = chunks.groupBy(col("__h"))
+              .agg(min(struct(col(idCol).as("__fid"), col("__ck").as("__fck"))).as("__nf"))
+            // survive = digest unseen in ANY earlier batch AND this (id,
+            // pos) is the batch-local first
+            val kept = chunks
+              .join(old.select(col("__h"), lit(true).as("__seen")), Seq("__h"), "left")
+              .join(newFirst, "__h")
+              .filter(col("__seen").isNull &&
+                col("__nf.__fid") === col(idCol) && col("__nf.__fck") === col("__ck"))
+            val rebuilt = kept.groupBy(col(idCol))
+              .agg(
+                array_join(
+                  transform(
+                    array_sort(collect_list(struct(col("__ck"), col("__chunk")))),
+                    x => x.getField("__chunk")),
+                  " ").as("clean_text"),
+                count(lit(1)).as("n_kept"))
+            val out = chunks.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+              .join(rebuilt, Seq(idCol), "left")
+              .select(col(idCol),
+                coalesce(col("clean_text"), lit("")).as("clean_text"),
+                col("n_chunks"),
+                coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+            out.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+            val inserts = newFirst
+              .join(old.select(col("__h")), Seq("__h"), "left_anti")
+              .select(col("__h"),
+                col("__nf.__fid").as("first_id"), col("__nf.__fck").as("first_ck"))
+            if (exists)
+              graft.sources.Store.upsert(spark, indexTable, inserts, "__h", buckets)
+            else
+              graft.sources.Store.bulkWrite(inserts, indexTable, "__h",
+                buckets = buckets, parts = parts)
+          } finally chunks.unpersist()
+        }
+      }
+    checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))
+    wr.start()
+  }
+
   /** STREAMING heavy hitters — q100's streaming twin: per micro-batch the
     * token counts land in a persisted count [[graft.sources.Store]] table
     * and a count-min sketch rides along, MERGED driver-side (CMS merge is

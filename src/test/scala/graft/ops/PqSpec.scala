@@ -38,6 +38,28 @@ class PqSpec extends SparkSpec {
     assert(got === 0L, "probe next to (1,1,1,1) must resolve to vector 0")
   }
 
+  test("ivfPqQuery prunes to probed cells and serves from codes alone") {
+    val model = Pq.train(lattice, "vec_id", "embedding", m = 2, k = 2, stride = 1L)
+    // hand-built coarse structure: cell 0 = low corner, cell 1 = high
+    val assigned = Seq(
+      (0L, 0L, Seq(1f, 1f, 1f, 1f)),
+      (0L, 2L, Seq(1f, 1f, 10f, 10f)),
+      (1L, 1L, Seq(10f, 10f, 10f, 10f)),
+      (1L, 3L, Seq(10f, 10f, 1f, 1f))).toDF("cell", "id", "vec")
+    val centroids = Seq(
+      (0L, Seq(1f, 1f, 5f, 5f)), (1L, Seq(10f, 10f, 5f, 5f)))
+      .toDF("cell", "centroid")
+    val served = Pq.ivfPqIndex(assigned, "vec", model)
+    // the serving table carries codes, never the float vector
+    assert(served.columns.toSeq === Seq("cell", "id", "pq_codes"))
+    val probes = Seq((100L, Seq(1f, 1f, 1f, 2f))).toDF("vec_id", "embedding")
+    val got = Pq.ivfPqQuery(probes, centroids, served, "vec_id", "embedding",
+        k = 3, model, nProbe = 1)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    // nProbe=1 → only cell 0's members are candidates, ranked from codes
+    assert(got === Set(0L, 2L))
+  }
+
   test("contract violations fail loudly") {
     assertThrows[IllegalArgumentException] { // 4 dims don't tile into 3 subspaces
       Pq.train(lattice, "vec_id", "embedding", m = 3, k = 2, stride = 1L)

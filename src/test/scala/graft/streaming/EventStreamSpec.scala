@@ -271,6 +271,43 @@ class EventStreamSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("streaming span dedup: stored digests win by ARRIVAL; batch-local first by (id, pos)") {
+    import graft.sources.Store
+    val srcDir = java.nio.file.Files.createTempDirectory("spsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("spckpt").toString
+    val cleanOut = java.nio.file.Files.createTempDirectory("spout").toString + "/clean"
+    val table = "sp_digest_index"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val phase1 = Seq((10L, "a b c d e")).toDF("doc_id", "text")
+    // doc 1 copies the INDEXED span (smaller id must NOT steal it back);
+    // docs 1 and 2 race on a new span within the batch — (id, pos) min wins
+    val phase2 = Seq((1L, "a b c d e x y z w v"), (2L, "x y z w v")).toDF("doc_id", "text")
+    phase1.coalesce(1).write.mode("append").parquet(srcDir)
+    def start() = EventStream.spanDedupIncremental(
+      spark.readStream.schema(phase1.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      "doc_id", "text", table, cleanOut, w = 5, checkpointLocation = Some(ckpt))
+    try {
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      phase2.coalesce(1).write.mode("append").parquet(srcDir)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val got = spark.read.parquet(cleanOut).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("clean_text"), r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"))))
+        .toMap
+      assert(got === Map(
+        10L -> (("a b c d e", 1L, 1L)),
+        1L -> (("x y z w v", 2L, 1L)),
+        2L -> (("", 1L, 0L))))
+      // the index holds each digest's FIRST-arrival owner
+      val idx = Store.read(spark, table).collect()
+        .map(r => (r.getAs[Long]("first_id"), r.getAs[Int]("first_ck"))).toSet
+      assert(idx === Set((10L, 0), (1L, 1)))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("streaming heavy hitters: counts survive restart; a replayed batch is idempotent") {
     import graft.sources.Store
     val srcDir = java.nio.file.Files.createTempDirectory("hhsrc").toString

@@ -496,6 +496,79 @@ object Graph {
     (lab, rounds, changed == 0)
   }
 
+  /** TRIANGLE COUNT + local clustering coefficient per node — the
+    * cohesion diagnostic beside [[labelPropagation]]'s communities: a
+    * provenance cluster with high triangle density is a tight copy ring;
+    * a hub with many neighbors but no triangles is an aggregator.
+    *
+    * Shape: the classic ORIENTED 3-way self-join — symmetrize, then keep
+    * each edge once directed low→high node, so every triangle {a<b<c}
+    * materializes exactly once as e(a,b)⋈e(b,c)⋈e(a,c) and no
+    * permutation dedup is ever needed. Two equi-joins + two
+    * map-combinable aggregates; the wedge join's fan-out is bounded by
+    * out-degree under the orientation (≤ total degree), the standard
+    * mitigation for hub nodes. Coefficient = 2·triangles /
+    * (deg·(deg−1)), integer inputs, rounded at 4 — nodes of degree 1
+    * have no possible wedge and report 0.
+    */
+  def triangleStats(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+    val sym = e0.union(e0.select(col("__b").as("__a"), col("__a").as("__b")))
+      .distinct()
+    val oriented = sym.filter(col("__a") < col("__b")).persist()
+    val deg = sym.groupBy(col("__a").as("node")).agg(count(lit(1)).as("degree"))
+    // wedges a<b<c closed by the (a,c) edge
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.__b") === col("e2.__a"))
+      .join(oriented.as("e3"),
+        col("e1.__a") === col("e3.__a") && col("e2.__b") === col("e3.__b"))
+      .select(col("e1.__a").as("ta"), col("e1.__b").as("tb"), col("e2.__b").as("tc"))
+    // each triangle credits all three corners
+    val perNode = tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    val out = deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering_coeff",
+        when(col("degree") >= 2,
+          round(lit(2.0) * col("triangles") /
+            (col("degree") * (col("degree") - 1)), 4))
+          .otherwise(lit(0.0)))
+      .localCheckpoint()
+    oriented.unpersist()
+    out
+  }
+
+  /** SQL twin of [[triangleStats]] — same orientation, same joins, same
+    * coefficient arithmetic. Expects `$edgesCte(src, dst)`.
+    */
+  def triangleStatsSql(edgesCte: String, extraSelect: String = ""): String =
+    s"""sedges AS (
+          SELECT src AS a, dst AS b FROM $edgesCte WHERE src <> dst
+          UNION
+          SELECT dst AS a, src AS b FROM $edgesCte WHERE src <> dst),
+        oriented AS (SELECT a, b FROM sedges WHERE a < b),
+        deg AS (SELECT a AS node, count(*) AS degree FROM sedges GROUP BY a),
+        tri AS (
+          SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+          FROM oriented e1
+          JOIN oriented e2 ON e1.b = e2.a
+          JOIN oriented e3 ON e1.a = e3.a AND e2.b = e3.b),
+        corners AS (
+          SELECT ta AS node FROM tri
+          UNION ALL SELECT tb FROM tri
+          UNION ALL SELECT tc FROM tri),
+        pern AS (SELECT node, count(*) AS triangles FROM corners GROUP BY node)
+        SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+          CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+          CASE WHEN d.degree >= 2
+            THEN round(CAST(2 * coalesce(p.triangles, 0) AS DOUBLE)
+              / (d.degree * (d.degree - 1)), 4)
+            ELSE CAST(0 AS DOUBLE) END AS clustering_coeff$extraSelect
+        FROM deg d LEFT JOIN pern p USING (node) ORDER BY node"""
+
   /** SQL twin of [[labelPropagation]], unrolled to a FIXED round count —
     * same symmetrize-dedupe, same (count DESC, keep-current DESC, label
     * ASC) top-1 per node.

@@ -1270,6 +1270,26 @@ object TextOps {
             extraSelect =
               s", CAST($LpRounds AS INTEGER) AS n_rounds, true AS converged")}""")),
 
+    // TRIANGLE COUNT + clustering coefficient ([[Graph.triangleStats]])
+    // — the cohesion diagnostic beside q168's communities, on the same
+    // planted graph: the oriented (a<b<c) 3-way self-join materializes
+    // each triangle exactly once, so the oracle replays the identical
+    // joins and coefficient arithmetic. The fixture has known closed
+    // forms (K4 corners at coeff 1.0, the bridge node at 0.5, the
+    // pendant at 0) that GraphSpec also pins by hand.
+    QueryDef(
+      "q174_triangle_stats",
+      (s, _) => {
+        import s.implicits._
+        Graph.triangleStats(LpEdges.toDF("src", "dst"), "src", "dst")
+          .orderBy(col("node"))
+      },
+      Some(s"""
+        WITH edges AS (SELECT * FROM (VALUES
+          ${LpEdges.map { case (a, b) => s"('$a', '$b')" }.mkString(", ")})
+          AS t(src, dst)),
+        ${Graph.triangleStatsSql("edges")}""")),
+
     // q136's WEIGHTED sibling ([[Graph.pageRankWeightedConverged]]):
     // convergence-probed iteration over weighted edges — same measured-
     // round gate construction (pure-Scala replay computes the converged

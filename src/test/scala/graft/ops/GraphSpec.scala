@@ -179,6 +179,30 @@ class GraphSpec extends SparkSpec {
       "labelPropagation left persisted plans behind")
   }
 
+  test("triangleStats: hand-computed counts and coefficients on the fixture graph") {
+    val edges = Seq(
+      ("a1", "a2"), ("a1", "a3"), ("a1", "a4"), ("a2", "a3"),
+      ("a2", "a4"), ("a3", "a4"),
+      ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+      ("a1", "b1"), ("b2", "c1"))
+    val got = Graph.triangleStats(edges.toDF("src", "dst"), "src", "dst")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // K4 interiors: deg 3, 3 triangles, fully clustered
+    Seq("a2", "a3", "a4").foreach(n => assert(got(n) === ((3L, 3L, 1.0)), n))
+    // bridge corner: deg 4 (K4 + b1), still only the K4's 3 triangles
+    assert(got("a1") === ((4L, 3L, 0.5)))
+    // triangle side with the extra bridge/pendant edges
+    assert(got("b1") === ((3L, 1L, 0.3333)))
+    assert(got("b2") === ((3L, 1L, 0.3333)))
+    assert(got("b3") === ((2L, 1L, 1.0)))
+    // pendant: no wedge possible
+    assert(got("c1") === ((1L, 0L, 0.0)))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "triangleStats left persisted plans behind")
+  }
+
   test("labelPropagation: a 2-node oscillator hits the cap and reports non-convergence") {
     val edges = Seq(("x", "y")).toDF("src", "dst")
     val run = Graph.labelPropagation(edges, "src", "dst", maxIterations = 6)

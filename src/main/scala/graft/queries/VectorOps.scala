@@ -397,6 +397,53 @@ object VectorOps {
                CAST(4 AS INTEGER) AS cells_probed,
                CAST(16 AS INTEGER) AS cells_total""")),
 
+    // RESIDUAL IVF-PQ ([[graft.ops.Pq.ivfPqQueryResidual]]): encode each
+    // vector's displacement FROM its coarse cell centroid instead of the
+    // raw vector — the coarse quantizer explains the between-cluster
+    // structure, so the PQ bits buy within-cell precision. Comparative
+    // gate: same codes, same cells, and the residual route's
+    // reconstruction error must beat the plain route by the measured
+    // fixture margin (1.6×; pinned at ≥1.25×) while keeping the
+    // same-cluster serving contract.
+    QueryDef(
+      "q175_ann_ivf_pq_residual",
+      (s, _) => {
+        val (corpus, probes, ivfIdx, _) = clusteredFor(s)
+        import graft.functions.VectorExprs.dist2_f
+        import graft.ops.Pq
+        val plain = Pq.train(corpus, "vec_id", "embedding", m = 4, k = 32, stride = 62L)
+        val msePlain = Pq.encode(corpus, "embedding", plain)
+          .select(dist2_f(col("embedding").cast("array<double>"),
+            Pq.reconstruct(col("pq_codes"), plain)).as("e"))
+          .agg(avg(col("e")).as("mse_plain"))
+        val res = Pq.trainResiduals(ivfIdx.assigned, ivfIdx.centroids,
+          "id", "vec", m = 4, k = 32, stride = 62L)
+        val servedR = Pq.ivfPqIndexResidual(ivfIdx.assigned, ivfIdx.centroids, "vec", res)
+        val mseRes = ivfIdx.assigned
+          .join(servedR, Seq("cell", "id")).join(ivfIdx.centroids, "cell")
+          .select(dist2_f(col("vec").cast("array<double>"),
+            zip_with(col("centroid").cast("array<double>"),
+              Pq.reconstruct(col("pq_codes"), res), (x, y) => x + y)).as("e"))
+          .agg(avg(col("e")).as("mse_res"))
+        val top = Pq.ivfPqQueryResidual(probes, ivfIdx.centroids, servedR,
+          "vec_id", "embedding", k = 5, res, nProbe = 4)
+        val frac = top
+          .withColumn("q_cluster", (col("q_id") - 100000L).cast("long"))
+          .withColumn("n_cluster", (col("neighbor_id") / lit(PerCluster)).cast("long"))
+          .agg(
+            count(lit(1)).as("n_results"),
+            avg((col("q_cluster") === col("n_cluster")).cast("double")).as("frac"))
+        frac.crossJoin(broadcast(msePlain)).crossJoin(broadcast(mseRes))
+          .select(
+            col("n_results").cast("long").as("n_results"),
+            (col("frac") === 1.0).as("top5_same_cluster_ok"),
+            (col("mse_res") * 1.25 <= col("mse_plain")).as("residual_beats_plain"))
+      },
+      Some("""
+        SELECT CAST(100 AS BIGINT) AS n_results,
+               true AS top5_same_cluster_ok,
+               true AS residual_beats_plain""")),
+
     // Vector norms via higher-order fold (functions.aggregate) — the
     // map-side feature-hygiene pass (no shuffle at all).
     QueryDef(

@@ -60,6 +60,38 @@ class PqSpec extends SparkSpec {
     assert(got === Set(0L, 2L))
   }
 
+  test("residual encoding is exact when residuals lattice; plain PQ cannot be") {
+    // two far cells, each holding the centroid ± the SAME unit offset:
+    // residuals form a 2-value lattice per subspace (k=2 suffices
+    // exactly), while plain PQ sees 4 distinct sub-values per subspace
+    // and must lose information at k=2
+    val assigned = Seq(
+      (0L, 1L, Seq(1f, 1f, 1f, 1f)),
+      (0L, 2L, Seq(-1f, -1f, -1f, -1f)),
+      (1L, 3L, Seq(101f, 101f, 101f, 101f)),
+      (1L, 4L, Seq(99f, 99f, 99f, 99f))).toDF("cell", "id", "vec")
+    val centroids = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)), (1L, Seq(100f, 100f, 100f, 100f)))
+      .toDF("cell", "centroid")
+    val res = Pq.trainResiduals(assigned, centroids, "id", "vec",
+      m = 2, k = 2, stride = 1L)
+    val servedR = Pq.ivfPqIndexResidual(assigned, centroids, "vec", res)
+    val errR = assigned.join(servedR, Seq("cell", "id")).join(centroids, "cell")
+      .select(graft.functions.VectorExprs.dist2_f(
+        col("vec").cast("array<double>"),
+        zip_with(col("centroid").cast("array<double>"),
+          Pq.reconstruct(col("pq_codes"), res), (x, y) => x + y)).as("e"))
+      .agg(max(col("e"))).head().getDouble(0)
+    assert(errR === 0.0, s"lattice residuals must reconstruct exactly, max dist2 = $errR")
+    val plain = Pq.train(assigned, "id", "vec", m = 2, k = 2, stride = 1L)
+    val errP = Pq.encode(assigned, "vec", plain)
+      .select(graft.functions.VectorExprs.dist2_f(
+        col("vec").cast("array<double>"),
+        Pq.reconstruct(col("pq_codes"), plain)).as("e"))
+      .agg(max(col("e"))).head().getDouble(0)
+    assert(errP > 0.0, "plain PQ at k=2 cannot represent 4 sub-values exactly")
+  }
+
   test("contract violations fail loudly") {
     assertThrows[IllegalArgumentException] { // 4 dims don't tile into 3 subspaces
       Pq.train(lattice, "vec_id", "embedding", m = 3, k = 2, stride = 1L)

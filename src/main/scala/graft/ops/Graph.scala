@@ -569,6 +569,102 @@ object Graph {
             ELSE CAST(0 AS DOUBLE) END AS clustering_coeff$extraSelect
         FROM deg d LEFT JOIN pern p USING (node) ORDER BY node"""
 
+  /** A k-core run: the surviving subgraph's nodes with their final
+    * degrees, the peel rounds executed, and whether the peel reached a
+    * fixed point within the cap.
+    */
+  final case class KCoreRun(
+      nodes: DataFrame, rounds: Int, converged: Boolean, lastRemoved: Long)
+
+  /** K-CORE: the maximal subgraph where every node keeps degree ≥ k —
+    * the robustness cut beside [[triangleStats]]' cohesion: a source
+    * surviving the 3-core is held by at least three mutually-supported
+    * partners; a pendant chain peels away no matter how long. Iterative
+    * BATCH PEEL (Matula/Beck's algorithm, synchronized): each round drops
+    * EVERY node under degree k simultaneously, so the result and the
+    * round count are a pure function of the edge list (the sequential
+    * min-degree order is not) and the SQL twin unrolls to the measured
+    * round count (the q136/q168 gate rule).
+    *
+    * Scale shape per round: one degree aggregate (map-combinable) + two
+    * semi-joins restricting the edge list — the CC-round shape, flat
+    * lineage via per-round localCheckpoint; the loop ends when a round
+    * removes nothing. Rounds are bounded by the peel depth (≤ longest
+    * chain), not the node count.
+    */
+  def kCore(
+      edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIterations: Int = 50): KCoreRun = {
+    require(k >= 1 && maxIterations >= 1)
+    val e0 = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+    var cur = e0.union(e0.select(col("__b").as("__a"), col("__a").as("__b")))
+      .distinct().localCheckpoint()
+    var rounds = 0
+    var removed = Long.MaxValue
+    while (rounds < maxIterations && removed > 0L) {
+      val keep = cur.groupBy(col("__a").as("node")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+        .select(col("node"))
+      val next = cur
+        .join(keep.select(col("node").as("__a")), "__a")
+        .join(keep.select(col("node").as("__b")), "__b")
+        .select(col("__a"), col("__b"))
+        .localCheckpoint()
+      // survivors-per-side counts: a removed node takes its edges with it
+      removed = cur.select(col("__a")).distinct().count() -
+        next.select(col("__a")).distinct().count()
+      cur.unpersist()
+      cur = next
+      rounds += 1
+    }
+    val nodes = cur.groupBy(col("__a").as("node")).agg(count(lit(1)).as("degree"))
+    KCoreRun(nodes, rounds, removed == 0L, removed)
+  }
+
+  /** Pure-Scala replay of [[kCore]] (fixture-sized) — the measured-round
+    * oracle helper, q136 rule.
+    */
+  def kCoreReference(
+      edges: Seq[(String, String)], k: Int,
+      maxIterations: Int = 50): (Map[String, Int], Int, Boolean) = {
+    var sym = edges.filter(e => e._1 != e._2).flatMap(e => Seq(e, e.swap)).distinct
+    var rounds = 0
+    var removed = Int.MaxValue
+    while (rounds < maxIterations && removed > 0) {
+      val deg = sym.groupBy(_._1).map { case (v, es) => v -> es.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = sym.filter(e => keep(e._1) && keep(e._2))
+      removed = sym.map(_._1).distinct.size - next.map(_._1).distinct.size
+      sym = next
+      rounds += 1
+    }
+    (sym.groupBy(_._1).map { case (v, es) => v -> es.size }, rounds, removed == 0)
+  }
+
+  /** SQL twin of [[kCore]], unrolled to a FIXED round count — same
+    * simultaneous peel, same degree rule. Expects `$edgesCte(src, dst)`.
+    */
+  def kCoreSql(edgesCte: String, k: Int, iterations: Int,
+      extraSelect: String = ""): String = {
+    val iters = (1 to iterations).map { i =>
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"""n$i AS (
+          SELECT a AS node FROM $prev GROUP BY a HAVING count(*) >= $k),
+        e$i AS (
+          SELECT e.a, e.b FROM $prev e
+          JOIN n$i x ON x.node = e.a
+          JOIN n$i y ON y.node = e.b)"""
+    }.mkString(",\n        ")
+    s"""e0 AS (
+          SELECT src AS a, dst AS b FROM $edgesCte WHERE src <> dst
+          UNION
+          SELECT dst AS a, src AS b FROM $edgesCte WHERE src <> dst),
+        $iters
+        SELECT a AS node, count(*) AS degree$extraSelect
+        FROM e$iterations GROUP BY a ORDER BY node"""
+  }
+
   /** SQL twin of [[labelPropagation]], unrolled to a FIXED round count —
     * same symmetrize-dedupe, same (count DESC, keep-current DESC, label
     * ASC) top-1 per node.

@@ -161,6 +161,44 @@ object Training {
       s"rn <= (CASE $whens ELSE $defaultCount END)"
     }
 
+  /** WEIGHTED sample WITHOUT replacement (Efraimidis–Spirakis 2006):
+    * draw `n` rows with inclusion probability proportional to
+    * `weightCol`, deterministically — key_i = ln(u_i)/w_i with u_i the
+    * portable-hash uniform of the id, and the n LARGEST keys form
+    * exactly a weight-proportional without-replacement draw (the paper's
+    * u^(1/w) rule under the monotone ln transform, which avoids `pow`).
+    * The quality-weighted / length-weighted corpus draw every curation
+    * mixture needs, and the same determinism contract as the rest of the
+    * sampling battery: a pure function of (id, weight, seed), so reruns,
+    * reshuffles, and the DuckDB oracle reproduce the identical sample.
+    *
+    * Scale shape: key assignment is map-side; the top-n is one
+    * TakeOrderedAndProject (the q09 rule — never a global sort). Rows
+    * with non-positive or null weight are excluded, as un-sampleable.
+    * 13 hash hex chars = 52 uniform bits, exactly representable in a
+    * double; the +1 keeps u in (0, 1] so ln never sees zero.
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, n: Int,
+      seed: String = "graft-es"): DataFrame = {
+    require(n >= 0, "sample size must be >= 0")
+    val u = (conv(substring(md5(concat(lit(seed + ":"), col(idCol).cast("string"))), 1, 13),
+      16, 10).cast("double") + lit(1.0)) / lit(4503599627370497.0) // 2^52 + 1
+    df.filter(col(weightCol) > 0)
+      .withColumn("__es_key", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__es_key").desc, col(idCol))
+      .limit(n)
+      .drop("__es_key")
+  }
+
+  /** SQL twin of [[weightedSample]]'s key (DuckDB dialect) — same hash
+    * bits, same +1/2⁵²+1 uniform, same ln/weight transform.
+    */
+  def weightedSampleKeySql(
+      idExpr: String, weightExpr: String, seed: String = "graft-es"): String =
+    s"""ln(((('0x' || substr(md5('$seed:' || CAST($idExpr AS VARCHAR)), 1, 13))::BIGINT) + 1.0)
+      / 4503599627370497.0) / CAST($weightExpr AS DOUBLE)"""
+
   /** Per-stratum temperature-sampling rates — the multilingual/multi-source
     * mixture rebalancing every large pretraining corpus applies (sample
     * stratum d with probability ∝ p_d^α relative to its natural share,

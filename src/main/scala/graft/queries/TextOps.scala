@@ -57,6 +57,9 @@ object TextOps {
   private lazy val LpRounds: Int =
     Graph.labelPropagationReference(LpEdges, LpMaxIters)._2
 
+  /** q176's measured peel depth on the same planted graph (q136 rule). */
+  private lazy val KcRounds: Int = Graph.kCoreReference(LpEdges, k = 3)._2
+
   /** The q78/q83 candidate-pair pipeline: scan-local MinHash signatures →
     * LSH bands → bucket-join candidates (shared so the keepers gate chains
     * the exact clusters gate's pairs).
@@ -1289,6 +1292,30 @@ object TextOps {
           ${LpEdges.map { case (a, b) => s"('$a', '$b')" }.mkString(", ")})
           AS t(src, dst)),
         ${Graph.triangleStatsSql("edges")}""")),
+
+    // K-CORE ([[Graph.kCore]]) — the robustness cut beside q174's
+    // cohesion: simultaneous batch peel of every node under degree k
+    // until fixed point (the synchronized Matula/Beck form — sequential
+    // peel order would be nondeterministic). Measured-round gate on the
+    // shared planted graph: the pure-Scala replay measures the peel
+    // depth at object init, the SQL twin unrolls to exactly that many
+    // peel CTEs, and the surviving 3-core (the K4, shedding the bridge
+    // degree) must match node for node.
+    QueryDef(
+      "q176_kcore",
+      (s, _) => {
+        import s.implicits._
+        val run = Graph.kCore(LpEdges.toDF("src", "dst"), "src", "dst", k = 3)
+        run.nodes
+          .withColumn("n_rounds", lit(run.rounds))
+          .orderBy(col("node"))
+      },
+      Some(s"""
+        WITH edges AS (SELECT * FROM (VALUES
+          ${LpEdges.map { case (a, b) => s"('$a', '$b')" }.mkString(", ")})
+          AS t(src, dst)),
+        ${Graph.kCoreSql("edges", k = 3, iterations = KcRounds,
+            extraSelect = s", CAST($KcRounds AS INTEGER) AS n_rounds")}""")),
 
     // q136's WEIGHTED sibling ([[Graph.pageRankWeightedConverged]]):
     // convergence-probed iteration over weighted edges — same measured-

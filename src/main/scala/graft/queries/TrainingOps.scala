@@ -624,6 +624,28 @@ object TrainingOps {
           LIMIT 100)
         ORDER BY doc_id""")),
 
+    // WEIGHTED sample without replacement ([[Training.weightedSample]],
+    // Efraimidis–Spirakis 2006): inclusion ∝ n_chars (the byte-budget
+    // draw a curation mixture makes), via the ln(u)/w key over the
+    // portable-hash uniform — fully deterministic, so the oracle replays
+    // the exact key arithmetic and must select the identical 100 docs.
+    // TrainingSpec pins the proportionality (a dominant weight wins) and
+    // the q09 TakeOrdered shape keeps the top-n off a global sort.
+    QueryDef(
+      "q177_weighted_sample",
+      (s, dir) =>
+        Training.weightedSample(
+            Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+            "doc_id", "n_chars", n = 100)
+          .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars FROM documents
+          WHERE n_chars > 0
+          ORDER BY ${Training.weightedSampleKeySql("doc_id", "n_chars")} DESC, doc_id
+          LIMIT 100)
+        ORDER BY doc_id""")),
+
     // Composed acquisition-side pipeline over the r7-continuation
     // operators: per-source quota → target-affinity scoring ON THE
     // RETAINED corpus → keep docs tilted ABOVE the corpus-average target

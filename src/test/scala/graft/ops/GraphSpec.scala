@@ -203,6 +203,27 @@ class GraphSpec extends SparkSpec {
       "triangleStats left persisted plans behind")
   }
 
+  test("kCore peels to the K4 at k=3; a chain peels to nothing; replay agrees") {
+    val edges = Seq(
+      ("a1", "a2"), ("a1", "a3"), ("a1", "a4"), ("a2", "a3"),
+      ("a2", "a4"), ("a3", "a4"),
+      ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+      ("a1", "b1"), ("b2", "c1"))
+    val run = Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k = 3)
+    val got = run.nodes.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the K4 survives with its internal degrees; the bridge edge to the
+    // peeled b1 is gone, so a1 is back to degree 3
+    assert(got === Map("a1" -> 3L, "a2" -> 3L, "a3" -> 3L, "a4" -> 3L))
+    assert(run.converged)
+    val (ref, refRounds, refConv) = Graph.kCoreReference(edges, k = 3)
+    assert(got === ref.map { case (n, d) => n -> d.toLong })
+    assert(run.rounds === refRounds && run.converged === refConv)
+    // a pure chain has no 2-core at all — peels from both ends to empty
+    val chain = Seq(("x1", "x2"), ("x2", "x3"), ("x3", "x4")).toDF("src", "dst")
+    assert(Graph.kCore(chain, "src", "dst", k = 2).nodes.count() === 0L)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("labelPropagation: a 2-node oscillator hits the cap and reports non-convergence") {
     val edges = Seq(("x", "y")).toDF("src", "dst")
     val run = Graph.labelPropagation(edges, "src", "dst", maxIterations = 6)

@@ -422,4 +422,31 @@ class TrainingSpec extends SparkSpec {
       "a" -> ((2L, 3L, 220L, 120L, 1L, 1.1)),
       "b" -> ((1L, 1L, 50L, 50L, 0L, 0.5))))
   }
+
+  test("weightedSample: weight-proportional, deterministic, TakeOrdered-shaped") {
+    import spark.implicits._
+    // one dominant weight among noise: ln(u)/w for w=10^9 is ~0 (the
+    // maximum key region) for ANY u, so the heavy row must be drawn
+    val rows = ((1L to 50L).map(i => (i, 1.0)) :+ (99L, 1e9)).toDF("id", "w")
+    val one = Training.weightedSample(rows, "id", "w", n = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(one === Seq(99L), s"dominant weight must win the single draw: $one")
+    // deterministic: same frame, same seed, same sample — twice
+    val a = Training.weightedSample(rows, "id", "w", n = 10).collect().map(_.getLong(0)).toSet
+    val b = Training.weightedSample(rows, "id", "w", n = 10).collect().map(_.getLong(0)).toSet
+    assert(a === b && a.size === 10 && a.contains(99L))
+    // a different seed draws a different (but still deterministic) set
+    val c = Training.weightedSample(rows, "id", "w", n = 10, seed = "other")
+      .collect().map(_.getLong(0)).toSet
+    assert(c !== a)
+    // zero/negative/null weights are un-sampleable
+    val withBad = rows.union(Seq((200L, 0.0), (201L, -5.0)).toDF("id", "w"))
+    val full = Training.weightedSample(withBad, "id", "w", n = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(!full.contains(200L) && !full.contains(201L) && full.size === 51)
+    // top-n plans as TakeOrderedAndProject, not a global sort
+    val plan = Training.weightedSample(rows, "id", "w", n = 5)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-n degraded to a sort:\n$plan")
+  }
 }

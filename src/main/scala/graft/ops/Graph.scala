@@ -596,10 +596,22 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxIterations: Int = 50): KCoreRun = {
     require(k >= 1 && maxIterations >= 1)
-    val e0 = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
-      .filter(col("__a") =!= col("__b"))
-    var cur = e0.union(e0.select(col("__b").as("__a"), col("__a").as("__b")))
-      .distinct().localCheckpoint()
+    val sym = symmetrized(edges, srcCol, dstCol)
+    val (cur, rounds, converged, removed) = peelAt(sym, k, maxIterations)
+    if (cur ne sym) sym.unpersist()
+    val nodes = cur.groupBy(col("__a").as("node")).agg(count(lit(1)).as("degree"))
+    KCoreRun(nodes, rounds, converged, removed)
+  }
+
+  /** One full peel at threshold `k` over a symmetrized edge list: drop
+    * every node under degree k simultaneously, repeat until stable (or
+    * the cap). Returns (surviving edges, rounds, converged, lastRemoved)
+    * — shared by [[kCore]] and [[coreness]]'s phases. Does NOT unpersist
+    * its input; callers own their frames.
+    */
+  private def peelAt(
+      sym: DataFrame, k: Int, maxIterations: Int): (DataFrame, Int, Boolean, Long) = {
+    var cur = sym
     var rounds = 0
     var removed = Long.MaxValue
     while (rounds < maxIterations && removed > 0L) {
@@ -614,12 +626,61 @@ object Graph {
       // survivors-per-side counts: a removed node takes its edges with it
       removed = cur.select(col("__a")).distinct().count() -
         next.select(col("__a")).distinct().count()
-      cur.unpersist()
+      if (cur ne sym) cur.unpersist()
       cur = next
       rounds += 1
     }
-    val nodes = cur.groupBy(col("__a").as("node")).agg(count(lit(1)).as("degree"))
-    KCoreRun(nodes, rounds, removed == 0L, removed)
+    (cur, rounds, removed == 0L, removed)
+  }
+
+  private def symmetrized(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+    e0.union(e0.select(col("__b").as("__a"), col("__a").as("__b")))
+      .distinct().localCheckpoint()
+  }
+
+  /** CORENESS — the full k-core decomposition: per node, the LARGEST k
+    * whose k-core still contains it (a K4 corner → 3, a triangle member
+    * → 2, a pendant → 1). Phases nest monotonically: the (k+1)-core is a
+    * subgraph of the k-core, so phase k+1 peels the PREVIOUS phase's
+    * survivors, never the whole graph — total work is Σ shrinking phase
+    * sizes, and the driver loop runs degeneracy+1 phases (single digits
+    * on real provenance graphs), each phase the same deterministic batch
+    * peel as [[kCore]]. Nodes dropped during phase k carry coreness k−1.
+    */
+  def coreness(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIterations: Int = 50): DataFrame = {
+    val sym = symmetrized(edges, srcCol, dstCol)
+    var cur = sym
+    var k = 1
+    var out: Option[DataFrame] = None
+    val phaseLeaves = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    while (!cur.isEmpty && k <= maxIterations) {
+      val (next, _, _, _) = peelAt(cur, k, maxIterations)
+      // materialize before cur is unpersisted below — the anti-join reads
+      // the frame the phase is about to release
+      val dropped = cur.select(col("__a").as("node")).distinct()
+        .join(next.select(col("__a").as("node")).distinct(), Seq("node"), "left_anti")
+        .withColumn("coreness", lit(k - 1))
+        .localCheckpoint()
+      phaseLeaves += dropped
+      out = Some(out.fold(dropped)(_.unionByName(dropped)))
+      if (cur ne sym) cur.unpersist()
+      cur = next
+      k += 1
+    }
+    // ONE materialization of the union, then release every phase leaf —
+    // the caller gets a self-contained frame (the pageRank rule)
+    val res = out
+      .getOrElse(sym.select(col("__a").as("node"), lit(0).as("coreness")).filter(lit(false)))
+      .localCheckpoint()
+    phaseLeaves.foreach(_.unpersist())
+    if (cur ne sym) cur.unpersist()
+    sym.unpersist()
+    res
   }
 
   /** Pure-Scala replay of [[kCore]] (fixture-sized) — the measured-round

@@ -71,6 +71,8 @@ object Layout {
       Seq(min(col(d)).cast("long").as(s"__mn_$d"), max(col(d)).cast("long").as(s"__mx_$d")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     dims.zipWithIndex.map { case (d, i) =>
+      require(!row.isNullAt(2 * i),
+        s"cannot plan a layout over '$d': no non-null values (empty input?)")
       val mn = row.getLong(2 * i)
       val mx = row.getLong(2 * i + 1)
       DimSpec(d, mn, shiftFor(mx - mn + 1, bits))
@@ -79,7 +81,10 @@ object Layout {
 
   /** Attach the Z-value and its prefix bucket (`2^bucketBits` buckets).
     * Map-side only: quantize (integer subtract/shift), interleave
-    * (shift/mask fold), take the top `bucketBits` bits.
+    * (shift/mask fold), take the top `bucketBits` bits. A NULL in any
+    * dimension nulls the row's z/bucket (a partitioned write lands it in
+    * the Hive default-partition dir) — filter or impute nulls upstream
+    * if that is not the intent.
     */
   def withZ(
       df: DataFrame, plan: Seq[DimSpec], bits: Int, bucketBits: Int): DataFrame = {

@@ -48,7 +48,9 @@ object Pq {
       df: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, stride: Long, iters: Int = 3): PqModel = {
     require(m >= 1 && k >= 2 && k <= 256, s"need 1 <= m, 2 <= k <= 256; got m=$m k=$k")
-    val dim = df.select(size(col(vecCol)).as("__d")).head().getInt(0)
+    val dimRow = df.select(size(col(vecCol)).as("__d")).limit(1).collect()
+    require(dimRow.nonEmpty, s"cannot train PQ codebooks on an empty frame")
+    val dim = dimRow.head.getInt(0)
     require(dim % m == 0, s"subspaces must tile the vector: dim=$dim m=$m")
     val subDim = dim / m
     val codebooks = (0 until m).map { j =>

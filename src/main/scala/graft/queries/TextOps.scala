@@ -1317,6 +1317,24 @@ object TextOps {
         ${Graph.kCoreSql("edges", k = 3, iterations = KcRounds,
             extraSelect = s", CAST($KcRounds AS INTEGER) AS n_rounds")}""")),
 
+    // CORENESS ([[Graph.coreness]]) — the full decomposition above
+    // q176's single cut: per node, the largest k whose k-core keeps it.
+    // The planted closed forms are known exactly (K4 corners 3, triangle
+    // members 2, pendant 1), so the oracle is the literal answer — any
+    // drift in the peel arithmetic or the phase accounting hash-fails.
+    QueryDef(
+      "q178_coreness",
+      (s, _) => {
+        import s.implicits._
+        Graph.coreness(LpEdges.toDF("src", "dst"), "src", "dst")
+          .orderBy(col("node"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('a1', 3), ('a2', 3), ('a3', 3), ('a4', 3),
+          ('b1', 2), ('b2', 2), ('b3', 2), ('c1', 1))
+        AS t(node, coreness) ORDER BY node""")),
+
     // q136's WEIGHTED sibling ([[Graph.pageRankWeightedConverged]]):
     // convergence-probed iteration over weighted edges — same measured-
     // round gate construction (pure-Scala replay computes the converged

@@ -224,6 +224,27 @@ class GraphSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("coreness is consistent with every kCore cut, and phases leave no cached plans") {
+    val edges = Seq(
+      ("a1", "a2"), ("a1", "a3"), ("a1", "a4"), ("a2", "a3"),
+      ("a2", "a4"), ("a3", "a4"),
+      ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+      ("a1", "b1"), ("b2", "c1"))
+    val df = edges.toDF("src", "dst")
+    val core = Graph.coreness(df, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(core === Map(
+      "a1" -> 3, "a2" -> 3, "a3" -> 3, "a4" -> 3,
+      "b1" -> 2, "b2" -> 2, "b3" -> 2, "c1" -> 1))
+    // cross-check the defining property: {coreness >= k} == kCore(k)
+    (1 to 3).foreach { k =>
+      val viaCut = Graph.kCore(df, "src", "dst", k).nodes
+        .collect().map(_.getString(0)).toSet
+      assert(core.filter(_._2 >= k).keySet === viaCut, s"k=$k")
+    }
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("labelPropagation: a 2-node oscillator hits the cap and reports non-convergence") {
     val edges = Seq(("x", "y")).toDF("src", "dst")
     val run = Graph.labelPropagation(edges, "src", "dst", maxIterations = 6)

@@ -403,6 +403,65 @@ object TextStats {
     * row — the shape that holds when the dictionary grows to thousands of
     * words and the corpus to 100 TB.
     */
+  /** MIXED-LANGUAGE detection — [[langIdTable]] applied per SPAN instead
+    * of per document: chunk each document into non-overlapping `w`-token
+    * spans (the native `word_chunks` front), language-vote every span
+    * against the stopword dictionary, and report the per-document span
+    * consensus: span count, distinct span languages, the majority
+    * language (ties to the smallest) and its fraction. A document whose
+    * spans disagree is code-switched or a concatenation artifact — the
+    * filter multilingual curation needs, invisible to whole-document
+    * voting (one dominant language swallows the embedded second one;
+    * TextStatsSpec plants exactly that and pins the split).
+    *
+    * Scale shape: chunking is scan-local; the dictionary join is the
+    * broadcast [[langIdTable]] route keyed by (doc, span); the only
+    * shuffles are the (doc, span, lang) vote count and the final per-doc
+    * consensus aggregate, both map-combinable.
+    */
+  def mixedLanguage(
+      docs: DataFrame, idCol: String, textCol: String, w: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dict = broadcast(
+      stopwordProfiles.toSeq
+        .flatMap { case (lang, ws) => ws.map(word => (word, lang)) }
+        .toDF("tok", "dict_lang"))
+    val chunks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(graft.functions.WordChunksExpr.word_chunks(col(textCol), lit(w)))
+          .as(Seq("__ck", "__chunk")))
+    val votes = chunks
+      .select(col(idCol), col("__ck"),
+        explode(array_distinct(split(col("__chunk"), " "))).as("tok"))
+      .join(dict, "tok")
+      .groupBy(col(idCol), col("__ck"), col("dict_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val best = votes
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol), col("__ck"))
+          .orderBy(col("hits").desc, col("dict_lang"))))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("__ck"), col("dict_lang"))
+    val labeled = chunks.select(col(idCol), col("__ck"))
+      .join(best, Seq(idCol, "__ck"), "left")
+      .withColumn("span_lang", coalesce(col("dict_lang"), lit("und")))
+    val perLang = labeled.groupBy(col(idCol), col("span_lang"))
+      .agg(count(lit(1)).as("__n"))
+    perLang.groupBy(col(idCol))
+      .agg(
+        sum(col("__n")).as("n_spans"),
+        count(lit(1)).as("n_langs"),
+        // majority by count, tie to the SMALLEST lang: min over (−n, lang)
+        min(struct((lit(0L) - col("__n")).as("__neg"), col("span_lang"), col("__n")))
+          .as("__m"))
+      .select(col(idCol),
+        col("n_spans"), col("n_langs"),
+        col("__m.span_lang").as("majority_lang"),
+        round(col("__m.__n").cast("double") / col("n_spans"), 4).as("majority_frac"))
+  }
+
   def langIdTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -1730,6 +1730,63 @@ object TextOps {
           .orderBy(col("doc_id")),
       Some(UnigramLogProbOracle)),
 
+    // MIXED-LANGUAGE detection ([[TextStats.mixedLanguage]]) — q27's
+    // dictionary vote applied per 20-token SPAN: span count, distinct
+    // span languages, majority language (ties to smallest) and its
+    // fraction per document. Code-switched docs and concatenation
+    // artifacts split their spans across languages — invisible to
+    // whole-doc voting. Oracle composes the q169 chunk CTE with q27's
+    // dictionary and replays the consensus exactly.
+    QueryDef(
+      "q179_mixed_language",
+      (s, dir) =>
+        graft.ops.TextStats.mixedLanguage(Tables.documents(s, dir), "doc_id", "text", w = 20)
+          .orderBy(col("doc_id")),
+      Some {
+        val dictValues = graft.ops.TextStats.stopwordProfiles.toSeq.sortBy(_._1)
+          .flatMap { case (lang, ws) => ws.map(word => s"('$word','$lang')") }
+          .mkString(", ")
+        s"""
+        WITH dict(tok, dict_lang) AS (VALUES $dictValues),
+        toks AS (
+          SELECT doc_id,
+            string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+          FROM documents WHERE text IS NOT NULL),
+        chunks AS (
+          SELECT doc_id, i AS ck, array_to_string(t[(i*20+1):(i*20+20)], ' ') AS chunk
+          FROM toks,
+            unnest(generate_series(0, CAST(ceil(len(t) / 20.0) AS INTEGER) - 1)) g(i)),
+        ctoks AS (
+          SELECT doc_id, ck, unnest(list_distinct(string_split(chunk, ' '))) AS tok
+          FROM chunks),
+        votes AS (
+          SELECT doc_id, ck, dict_lang, count(*) AS hits
+          FROM ctoks JOIN dict USING (tok) GROUP BY 1, 2, 3),
+        best AS (
+          SELECT doc_id, ck, dict_lang,
+            row_number() OVER (PARTITION BY doc_id, ck ORDER BY hits DESC, dict_lang) AS rn
+          FROM votes),
+        labeled AS (
+          SELECT c.doc_id, c.ck, coalesce(b.dict_lang, 'und') AS span_lang
+          FROM chunks c
+          LEFT JOIN (SELECT doc_id, ck, dict_lang FROM best WHERE rn = 1) b
+            USING (doc_id, ck)),
+        perlang AS (
+          SELECT doc_id, span_lang, count(*) AS n FROM labeled GROUP BY 1, 2),
+        m AS (
+          SELECT doc_id, span_lang, n,
+            row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, span_lang) AS rn
+          FROM perlang),
+        agg AS (
+          SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_spans,
+            CAST(count(*) AS BIGINT) AS n_langs
+          FROM perlang GROUP BY doc_id)
+        SELECT a.doc_id, n_spans, n_langs, mm.span_lang AS majority_lang,
+          round(CAST(mm.n AS DOUBLE) / a.n_spans, 4) AS majority_frac
+        FROM agg a JOIN (SELECT * FROM m WHERE rn = 1) mm USING (doc_id)
+        ORDER BY doc_id"""
+      }),
+
     // HTML STRIP ([[TextStats.stripHtml]]) — the raw-web front door of a
     // corpus pipeline: script/style blocks drop wholesale BEFORE tag
     // stripping (their bodies contain `<`/`&&` that would leak as text),

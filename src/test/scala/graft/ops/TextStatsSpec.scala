@@ -162,6 +162,31 @@ class TextStatsSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("mixedLanguage flags code-switched docs that whole-doc voting swallows") {
+    import spark.implicits._
+    val en = "the cat and the dog of this house is that for with it was on"
+    val fr = "le chat et la maison de une est que pour dans qui sur pas plus"
+    val docs = Seq(
+      (1L, s"$en $en"),  // monolingual: two en spans
+      (2L, s"$en $fr"),  // code-switched: one en span + one fr span
+      (3L, "zz qq ww")   // no dictionary hits at all
+    ).toDF("doc_id", "text")
+    val got = TextStats.mixedLanguage(docs, "doc_id", "text", w = 15)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) === ((2L, 1L, "en", 1.0)))
+    assert(got(2L) === ((2L, 2L, "en", 0.5)),
+      s"code-switch must split the spans: ${got(2L)}")
+    assert(got(3L) === ((1L, 1L, "und", 1.0)))
+    // the whole-doc vote on doc 2 reports just the majority language —
+    // exactly what the span consensus exists to see through
+    val whole = TextStats.langIdTable(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(whole(2L) === "en" || whole(2L) === "fr")
+  }
+
   test("stripHtml drops script/style bodies, tags, and decodes entities in safe order") {
     import spark.implicits._
     val cases = Seq(

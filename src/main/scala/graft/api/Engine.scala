@@ -133,10 +133,15 @@ object Engine {
     */
   def searchViaPostingIdf(
       movies: DataFrame, posting: DataFrame, query: String,
-      page: Int = 1, size: Int = 10): DataFrame = {
+      page: Int = 1, size: Int = 10, nDocs: Option[Long] = None): DataFrame = {
     val terms = query.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    // nDocs is a per-corpus-snapshot constant: a serving caller computes
+    // it ONCE at posting-build time and passes it here — the None
+    // fallback counts the corpus per request, acceptable in tests and
+    // gates, a full table scan per query at serving scale (r12 review)
     val scores = graft.search.Posting
-      .scoreIdf(posting, terms, Seq("title" -> 3, "genres" -> 1), movies.count())
+      .scoreIdf(posting, terms, Seq("title" -> 3, "genres" -> 1),
+        nDocs.getOrElse(movies.count()))
       .withColumnRenamed("id", "movieId")
     val hits = movies.join(scores, Seq("movieId"))
     graft.ops.Paging.paginate(hits, Seq(col("score").desc, col("movieId")), page, size)

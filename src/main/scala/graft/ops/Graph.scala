@@ -659,7 +659,13 @@ object Graph {
     var out: Option[DataFrame] = None
     val phaseLeaves = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (!cur.isEmpty && k <= maxIterations) {
-      val (next, _, _, _) = peelAt(cur, k, maxIterations)
+      val (next, _, phaseConverged, _) = peelAt(cur, k, maxIterations)
+      // an uncapped peel is the correctness precondition: a phase stopped
+      // mid-peel would hand its un-peeled remainder to phase k+1, which
+      // would then OVER-state those nodes' coreness with no error signal
+      require(phaseConverged,
+        s"coreness phase k=$k hit the $maxIterations-round cap before its " +
+          "fixed point — raise maxIterations (long chains peel 2 nodes/round)")
       // materialize before cur is unpersisted below — the anti-join reads
       // the frame the phase is about to release
       val dropped = cur.select(col("__a").as("node")).distinct()

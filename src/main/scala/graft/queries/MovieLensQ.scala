@@ -110,12 +110,15 @@ object MovieLensQ {
           FROM flags),
         scored AS (
           SELECT movieId, title,
+            f_ts + f_tw + f_gs + f_gw AS n_matched,
             CAST(f_ts * 3 * round(1000 * ln((nd + 1) / (d_ts + 1.0)))
                + f_tw * 3 * round(1000 * ln((nd + 1) / (d_tw + 1.0)))
                + f_gs * 1 * round(1000 * ln((nd + 1) / (d_gs + 1.0)))
                + f_gw * 1 * round(1000 * ln((nd + 1) / (d_gw + 1.0))) AS BIGINT) AS score
           FROM flags, d)
-        SELECT movieId, title, score FROM scored WHERE score >= 1
+        -- matched-docs filter, NOT a score floor: a doc whose only
+        -- matches carry weight 0 (corpus-universal terms) still ranks
+        SELECT movieId, title, score FROM scored WHERE n_matched >= 1
         ORDER BY score DESC, movieId LIMIT 10 OFFSET 0"""
   }
 

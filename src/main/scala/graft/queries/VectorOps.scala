@@ -341,7 +341,12 @@ object VectorOps {
         val sameCluster = pq
           .withColumn("q_cluster", ((col("q_id") - 100000L) ).cast("long"))
           .withColumn("n_cluster", (col("neighbor_id") / lit(PerCluster)).cast("long"))
-          .agg(avg((col("q_cluster") === col("n_cluster")).cast("double")).as("frac"))
+          .agg(
+            // MEASURED, not a literal: a regression that drops probes
+            // entirely would otherwise stay green (the r12 review's
+            // vacuous-pin rule)
+            countDistinct(col("q_id")).as("n_probes_measured"),
+            avg((col("q_cluster") === col("n_cluster")).cast("double")).as("frac"))
         val mse = encoded
           .select(graft.functions.VectorExprs.dist2_f(
             col("embedding").cast("array<double>"),
@@ -349,7 +354,7 @@ object VectorOps {
           .agg(avg(col("e")).as("mse"))
         sameCluster.crossJoin(broadcast(mse))
           .select(
-            lit(20L).as("n_probes"),
+            col("n_probes_measured").cast("long").as("n_probes"),
             (col("frac") === 1.0).as("top5_same_cluster_ok"),
             (col("mse") <= 0.5).as("recon_mse_ok"),
             lit(4).as("codes_per_vec"),

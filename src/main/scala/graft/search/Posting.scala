@@ -118,6 +118,10 @@ object Posting {
       .filter(dist >= 0 && dist <= col("budget"))
       .select(col("id"), col("field"), col("term"))
       .distinct() // one contribution per matched (field, term)
+      // materialize ONCE: the frame feeds both the df aggregate and the
+      // scoring join — unpinned, the dominant fuzzy posting join runs
+      // twice per query on the serving path
+      .localCheckpoint()
     val df = matched.groupBy(col("field"), col("term"))
       .agg(count(lit(1)).as("df")) // matched is distinct on (id, field, term)
     val boost = fieldBoosts
@@ -132,6 +136,10 @@ object Posting {
       .withColumn("boost", boost)
       .groupBy(col("id"))
       .agg(sum(col("boost") * col("w")).cast("long").as("score"))
-      .filter(col("score") >= 1)
+    // no score floor: every group HAS ≥1 matched (field, term) by
+    // construction, and a document whose only matches are corpus-
+    // universal terms (weight 0 under the +1 smoothing) must still rank
+    // — ES BM25 returns it near zero; a `score >= 1` cut here silently
+    // emptied exactly those result pages (r12 review)
   }
 }

@@ -81,6 +81,7 @@ object Store {
   private val PartsProp = "graft.parts"
   private val IdColProp = "graft.idcol"
   private val DefaultParts = 16
+  private val DefaultBuckets = 16
 
   private val ManifestRe = """_manifest-(\d+)\.txt""".r
   private val IntentRe = """_intent-(\d+)""".r
@@ -257,9 +258,25 @@ object Store {
   def bulkWrite(
       df: DataFrame, name: String, idCol: String,
       declared: Option[StructType] = None, buckets: Int = 16,
-      parts: Int = DefaultParts): Unit = {
+      parts: Int = DefaultParts, validateKeys: Boolean = false): Unit = {
     declared.foreach { s =>
       require(conforms(df, s), s"schema does not conform to declared mapping for $name")
+    }
+    // TWO usage classes share this writer. ROUTED tables (the posting
+    // index keyed by variant, the serving tables keyed by userId/movieId
+    // with k rows per key) bulk-write non-unique ids on purpose — the id
+    // only buckets/prunes, and the table is rebuilt offline, never
+    // upserted. KEYED tables (dedup/novelty indexes, counts, documents)
+    // will take upserts/deletes, and the merge-on-read rank ASSUMES
+    // per-generation key uniqueness: a duplicated gen-0 key reads fine
+    // until its partition gains a delta, then the rank ties within gen 0
+    // and an ARBITRARY copy survives (r12 review). `validateKeys = true`
+    // enforces the keyed-class contract at build time with one extra
+    // aggregate pass.
+    if (validateKeys) {
+      val bad = df.groupBy(idCol).count()
+        .filter(col("count") > 1 || col(idCol).isNull).limit(1).count()
+      require(bad == 0L, s"bulk write for $name contains duplicate or NULL $idCol keys")
     }
     // Overwrite = offline rebuild, which must also survive a STALE location:
     // the session catalog here is in-memory (no persistent metastore), so a
@@ -360,10 +377,14 @@ object Store {
   def lookup(spark: SparkSession, name: String, keys: Seq[Any]): DataFrame = {
     spark.catalog.refreshTable(name)
     val t = spark.table(name)
+    // generational-layout check FIRST: a flat table (createTable + legacy
+    // upsert) records no id column, so idColOf would throw before any
+    // later branch could run — fail with the actionable message instead
+    require(t.columns.contains(GenCol),
+      s"$name is not a generational store table — lookup needs the routed " +
+        "layout (rebuild via bulkWrite); filter a plain read instead")
     val idCol = idColOf(spark, name)
     if (keys.isEmpty) return readAt(spark, name, Map.empty)
-    if (!t.columns.contains(GenCol)) // flat / legacy layout: no manifest to prune
-      return t.drop(PartCol).filter(col(idCol).isin(keys: _*))
     val parts = partsOf(spark, name)
     // widen each key to the id column's exact type BEFORE hashing — murmur3
     // of Int 7 and Long 7 differ, and the table partitioned on the column
@@ -700,8 +721,12 @@ object Store {
     }.reduce(_ || _)
     val gen = allocateGen(fs, loc, manifest)
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    // bucket-count fallback, NOT the partition-count constant: the two
+    // defaults coincide at 16 today, but a fold repartitioned by the
+    // wrong constant would split each bucket's rows across tasks and
+    // multiply files — the blowup compact exists to remove
     val tableBuckets = spark.sessionState.catalog.getTableMetadata(ident)
-      .bucketSpec.map(_.numBuckets).getOrElse(DefaultParts)
+      .bucketSpec.map(_.numBuckets).getOrElse(DefaultBuckets)
     val w = Window.partitionBy(col(idCol)).orderBy(col(GenCol).desc)
     val columnOrder = t.columns
     val newest = t.filter(liveCond)

@@ -385,13 +385,23 @@ object EventStream {
                 col(idCol).as("first_id"), col("__ck").as("first_ck")).filter(lit(false))
             val newFirst = chunks.groupBy(col("__h"))
               .agg(min(struct(col(idCol).as("__fid"), col("__ck").as("__fck"))).as("__nf"))
-            // survive = digest unseen in ANY earlier batch AND this (id,
-            // pos) is the batch-local first
+            // survive = (digest unseen in ANY earlier batch AND this (id,
+            // pos) is the batch-local first) OR the index already names
+            // THIS (id, pos) as the digest's owner. The second arm is the
+            // replay guard: foreachBatch is at-least-once, and a batch
+            // replayed AFTER its index upsert committed finds its own
+            // digests "seen" — without owner-matching, every chunk would
+            // read as a duplicate and the replay would overwrite the
+            // batch's output with empty documents (the
+            // incrementalExactKeepers keeper-id rule, applied to spans).
             val kept = chunks
-              .join(old.select(col("__h"), lit(true).as("__seen")), Seq("__h"), "left")
+              .join(old.select(col("__h"),
+                col("first_id").as("__oid"), col("first_ck").as("__ock")), Seq("__h"), "left")
               .join(newFirst, "__h")
-              .filter(col("__seen").isNull &&
-                col("__nf.__fid") === col(idCol) && col("__nf.__fck") === col("__ck"))
+              .filter(
+                (col("__oid").isNull &&
+                  col("__nf.__fid") === col(idCol) && col("__nf.__fck") === col("__ck")) ||
+                (col("__oid") === col(idCol) && col("__ock") === col("__ck")))
             val rebuilt = kept.groupBy(col(idCol))
               .agg(
                 array_join(

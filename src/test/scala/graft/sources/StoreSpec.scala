@@ -26,6 +26,18 @@ class StoreSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS movies_idx")
   }
 
+  test("validateKeys enforces the keyed-class contract; routed tables skip it by default") {
+    import spark.implicits._
+    val dup = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    assertThrows[IllegalArgumentException] {
+      Store.bulkWrite(dup, "dup_keyed", "k", buckets = 2, validateKeys = true)
+    }
+    // routed-class default: duplicates are legitimate (k rows per key)
+    Store.bulkWrite(dup, "dup_routed", "k", buckets = 2)
+    try assert(Store.read(spark, "dup_routed").count() === 3L)
+    finally spark.sql("DROP TABLE IF EXISTS dup_routed")
+  }
+
   test("non-conforming frame is rejected before any write") {
     val wrong = MovieLens.movies(spark).withColumn("movieId", col("movieId").cast("long"))
     assertThrows[IllegalArgumentException] {

@@ -305,6 +305,26 @@ class EventStreamSpec extends SparkSpec {
       val idx = Store.read(spark, table).collect()
         .map(r => (r.getAs[Long]("first_id"), r.getAs[Int]("first_ck"))).toSet
       assert(idx === Set((10L, 0), (1L, 1)))
+      // REPLAY guard: re-deliver phase 2 against the ALREADY-ADVANCED
+      // index (a fresh checkpoint replays the committed batch — the
+      // at-least-once window after the index upsert). The owner-matching
+      // arm must reproduce the original output instead of reading every
+      // chunk as a duplicate and emitting empty documents.
+      val ckpt2 = java.nio.file.Files.createTempDirectory("spckpt2").toString
+      val replayOut = java.nio.file.Files.createTempDirectory("spout2").toString + "/clean"
+      val srcDir2 = java.nio.file.Files.createTempDirectory("spsrc2").toString
+      phase2.coalesce(1).write.mode("append").parquet(srcDir2)
+      val q3 = EventStream.spanDedupIncremental(
+        spark.readStream.schema(phase1.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir2),
+        "doc_id", "text", table, replayOut, w = 5, checkpointLocation = Some(ckpt2))
+      try q3.processAllAvailable() finally q3.stop()
+      val replayed = spark.read.parquet(replayOut).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept")))).toMap
+      assert(replayed === Map(
+        1L -> (("x y z w v", 1L)), 2L -> (("", 0L))),
+        s"replayed batch must reproduce its output, not empty it: $replayed")
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 

@@ -122,6 +122,71 @@ object Multimodal {
     }
   }
 
+  /** Perceptual AVERAGE-HASH (aHash) of a decoded image: 8×8 luma grid,
+    * each cell thresholded against the global mean, packed into 64 bits
+    * (bit `row·8 + col`). Near-identical images — recompression, small
+    * noise, minor edits — land within a few hamming bits, so the image
+    * near-dup path reuses the SimHash bucketing machinery unchanged
+    * (chunk the 64 bits, equi-join on chunks, verify by hamming). The
+    * image-side sibling of the text fingerprint: 100 TB of media dedups
+    * by 8-byte signatures, never by payload comparison.
+    *
+    * INTEGER-EXACT end to end: luma is the fixed-point 299/587/114
+    * millirate, the threshold compares `cellSum·nSampled ≥
+    * totalSum·cellCount` (cross-multiplied — no float division), and
+    * pixels are sampled on a ≤64×64 stride grid so cost is O(1) per
+    * image and the products stay far inside 64-bit range at any
+    * resolution. Deterministic, so the q180 gate pins REAL
+    * PNG-encode→decode→hash round trips against closed-form expected
+    * signatures. Images smaller than 8×8 (or undecodable payloads)
+    * degrade to `decoded = false`, never an exception.
+    */
+  final case class ImageHash(media_id: Long, ahash: Long, decoded: Boolean)
+
+  def imageAHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { iter =>
+      iter.map { m =>
+        val undecoded = ImageHash(m.media_id, 0L, decoded = false)
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+          if (img == null || img.getWidth < 8 || img.getHeight < 8) undecoded
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val (stepX, stepY) = (math.max(1, w / 64), math.max(1, h / 64))
+            val sums = new Array[Long](64)
+            val counts = new Array[Long](64)
+            var y = 0
+            while (y < h) {
+              val cy = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val luma = 299L * ((rgb >> 16) & 0xFF) +
+                  587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+                val c = cy * 8 + x * 8 / w
+                sums(c) += luma
+                counts(c) += 1L
+                x += stepX
+              }
+              y += stepY
+            }
+            val total = sums.sum
+            val n = counts.sum
+            var bits = 0L
+            var c = 0
+            while (c < 64) {
+              if (counts(c) > 0L && sums(c) * n >= total * counts(c))
+                bits |= (1L << c)
+              c += 1
+            }
+            ImageHash(m.media_id, bits, decoded = true)
+          }
+        } catch { case _: Exception => undecoded }
+      }
+    }
+  }
+
   /** REAL audio decode (JDK `javax.sound.sampled`): container/format
     * metadata (sample rate, channels, frame count) without materializing
     * samples — the header is enough for corpus curation features like

@@ -852,6 +852,65 @@ object TextOps {
           true AS decoded
         FROM documents ORDER BY media_id""")),
 
+    // PERCEPTUAL IMAGE HASH under the hash gate
+    // ([[graft.ops.Multimodal.imageAHash]]): per doc a 16×16 half/half
+    // contrast PNG (pattern picked by doc_id % 4) round-trips a REAL
+    // encode→decode→8×8-average-hash pipeline, and the integer-exact
+    // signature must equal the closed-form bit pattern of its half
+    // layout; a one-pixel noisy twin must land at hamming 0 — the
+    // noise-invariance that makes the 64-bit signature the image
+    // near-dup key (SimHash bucketing applies unchanged).
+    QueryDef(
+      "q180_image_ahash",
+      (s, dir) => {
+        import s.implicits._
+        def synth(id: Long, noise: Boolean): graft.ops.Multimodal.MediaRow = {
+          val img = new java.awt.image.BufferedImage(
+            16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val pat = (id % 4).toInt
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val isBright = pat match {
+                case 0 => x < 8
+                case 1 => x >= 8
+                case 2 => y < 8
+                case _ => y >= 8
+              }
+              img.setRGB(x, y, if (isBright) 0xE0E0E0 else 0x202020)
+              x += 1
+            }
+            y += 1
+          }
+          if (noise) img.setRGB(0, 0, img.getRGB(0, 0) ^ 0x1) // blue ±1
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          graft.ops.Multimodal.MediaRow(id, out.toByteArray, "image/png")
+        }
+        val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        val ho = graft.ops.Multimodal
+          .imageAHash(ids.mapPartitions(_.map(id => synth(id, noise = false))))
+          .toDF().select(col("media_id"), col("ahash"))
+        val ht = graft.ops.Multimodal
+          .imageAHash(ids.mapPartitions(_.map(id => synth(id, noise = true))))
+          .toDF().select(col("media_id"), col("ahash").as("ahash_t"))
+        ho.join(ht, "media_id")
+          .select(col("media_id"), col("ahash"),
+            bit_count(col("ahash").bitwiseXOR(col("ahash_t"))).cast("int")
+              .as("twin_hamming"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+          CAST(CASE doc_id % 4
+            WHEN 0 THEN 1085102592571150095
+            WHEN 1 THEN -1085102592571150096
+            WHEN 2 THEN 4294967295
+            ELSE -4294967296 END AS BIGINT) AS ahash,
+          CAST(0 AS INT) AS twin_hamming
+        FROM documents ORDER BY media_id""")),
+
     // The REAL audio codec under the hash gate (q71's twin for sound):
     // per-doc WAV specs in closed form (sample rate from a small fixed
     // set, mono/stereo, frame count), synthesized with the JDK's

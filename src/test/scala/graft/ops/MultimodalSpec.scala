@@ -43,6 +43,39 @@ class MultimodalSpec extends SparkSpec {
     assert(!got(3L).decoded && got(3L).width === -1, "corrupt payload must degrade")
   }
 
+  test("imageAHash: solid saturates, halves are closed-form, noise holds, opposites max out") {
+    import spark.implicits._
+    def png(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val leftBright = png(16, 16)((x, _) => if (x < 8) 0xE0E0E0 else 0x202020)
+    val rightBright = png(16, 16)((x, _) => if (x >= 8) 0xE0E0E0 else 0x202020)
+    val leftNoisy = png(16, 16)((x, y) =>
+      (if (x < 8) 0xE0E0E0 else 0x202020) ^ (if (x == 3 && y == 3) 0x1 else 0))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, png(12, 9)((_, _) => 0x808080), "image/png"), // solid
+      Multimodal.MediaRow(2L, leftBright, "image/png"),
+      Multimodal.MediaRow(3L, rightBright, "image/png"),
+      Multimodal.MediaRow(4L, leftNoisy, "image/png"),
+      Multimodal.MediaRow(5L, png(4, 4)((_, _) => 0x808080), "image/png"), // too small
+      Multimodal.MediaRow(6L, Array[Byte](9, 9, 9), "image/png")) // garbage
+    val got = Multimodal.imageAHash(rows.toDS()).collect().map(h => h.media_id -> h).toMap
+    // a solid image's every cell sits AT the mean → all 64 bits set
+    assert(got(1L).decoded && got(1L).ahash === -1L)
+    assert(got(2L).ahash === 0x0F0F0F0F0F0F0F0FL)
+    assert(got(3L).ahash === 0xF0F0F0F0F0F0F0F0L)
+    // one flipped pixel: hamming 0 from the original (near-dup invariance)
+    assert(java.lang.Long.bitCount(got(2L).ahash ^ got(4L).ahash) === 0)
+    // opposite halves disagree on every cell
+    assert(java.lang.Long.bitCount(got(2L).ahash ^ got(3L).ahash) === 64)
+    assert(!got(5L).decoded, "sub-8x8 images cannot carry a 64-cell hash")
+    assert(!got(6L).decoded, "corrupt payload must degrade")
+  }
+
   test("extractAudioFeatures REALLY decodes WAV headers (JDK sound API)") {
     import spark.implicits._
     def wav(sampleRate: Float, channels: Int, nFrames: Int): Array[Byte] = {

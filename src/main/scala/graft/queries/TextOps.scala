@@ -911,6 +911,70 @@ object TextOps {
           CAST(0 AS INT) AS twin_hamming
         FROM documents ORDER BY media_id""")),
 
+    // IMAGE NEAR-DUP end to end: pure composition of q180's perceptual
+    // hash with q29's SimHash chunk bucketing — ZERO new pair machinery.
+    // Each doc renders a 16×16 block image encoding a 60-bit md5 pattern
+    // (cells are 2×2 blocks; aHash provably recovers the pattern: bright
+    // cells sit above any mixed image's mean, dark below); ids within a
+    // 5-group share the group base pattern with one distinct bit
+    // flipped, so intra-group pairs sit at hamming ≤ 2 and cross-group
+    // pairs at ~30. The REAL encode→decode→hash→band→join pipeline must
+    // find exactly the pairs the oracle computes from the same md5
+    // arithmetic.
+    QueryDef(
+      "q181_image_neardup",
+      (s, dir) => {
+        import s.implicits._
+        def patternOf(id: Long): Long = {
+          val base = id - (id % 5)
+          val md5hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"graft-img:$base".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          val p = java.lang.Long.parseLong(md5hex.substring(0, 15), 16)
+          if (id % 5 == 0L) p else p ^ (1L << (7 * (id % 5)).toInt)
+        }
+        val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val p = patternOf(id)
+            val img = new java.awt.image.BufferedImage(
+              16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                val cell = (y / 2) * 8 + (x / 2)
+                val bright = cell < 60 && ((p >> cell) & 1L) == 1L
+                img.setRGB(x, y, if (bright) 0xE0E0E0 else 0x202020)
+                x += 1
+              }
+              y += 1
+            }
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", out)
+            graft.ops.Multimodal.MediaRow(id, out.toByteArray, "image/png")
+          })
+        val sigs = graft.ops.Multimodal.imageAHash(media).toDF()
+          .select(col("media_id"), col("ahash").as("simhash"))
+        Dedup.simhashCandidates(sigs, "media_id", maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH pat AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 5 = 0
+              THEN ('0x' || substr(md5('graft-img:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              ELSE xor(
+                ('0x' || substr(md5('graft-img:' ||
+                   CAST(doc_id - (doc_id % 5) AS VARCHAR)), 1, 15))::BIGINT,
+                (1::BIGINT << CAST(7 * (doc_id % 5) AS INTEGER)))
+            END AS p
+          FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.p, b.p)) AS INT) AS hamming
+        FROM pat a JOIN pat b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.p, b.p)) <= 3
+        ORDER BY id_a, id_b""")),
+
     // The REAL audio codec under the hash gate (q71's twin for sound):
     // per-doc WAV specs in closed form (sample rate from a small fixed
     // set, mono/stereo, frame count), synthesized with the JDK's

@@ -65,15 +65,22 @@ object Multimodal {
     * expensive codec would be held); corrupt or non-image payloads yield
     * `decoded = false` rows with −1 dimensions instead of failing the task.
     */
+  /** Shared decode + degrade scaffolding: one place to own the ImageIO
+    * lookup, the null-reader result, and the catch-all (three extractors
+    * repeated it before r12's review). None = undecodable payload.
+    */
+  private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
   def extractImageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { iter =>
       iter.map { r =>
         val undecoded = ImageFeatures(r.media_id, r.payload.length, -1, -1, -1.0, decoded = false)
-        try {
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-          if (img == null) undecoded
-          else {
+        decodeImage(r.payload) match {
+          case None => undecoded
+          case Some(img) =>
             val (w, h) = (img.getWidth, img.getHeight)
             val (stepX, stepY) = (math.max(1, w / 32), math.max(1, h / 32))
             var (sum, n, y) = (0.0, 0, 0)
@@ -88,8 +95,7 @@ object Multimodal {
               y += stepY
             }
             ImageFeatures(r.media_id, r.payload.length, w, h, sum / n, decoded = true)
-          }
-        } catch { case _: Exception => undecoded }
+        }
       }
     }
   }
@@ -107,16 +113,12 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { iter =>
       iter.map { m =>
-        try {
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-          if (img == null) ImageProbe(m.media_id, -1, -1, -1, -1, -1, decoded = false)
-          else {
+        decodeImage(m.payload) match {
+          case None => ImageProbe(m.media_id, -1, -1, -1, -1, -1, decoded = false)
+          case Some(img) =>
             val rgb = img.getRGB(0, 0)
             ImageProbe(m.media_id, img.getWidth, img.getHeight,
               (rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF, decoded = true)
-          }
-        } catch {
-          case _: Exception => ImageProbe(m.media_id, -1, -1, -1, -1, -1, decoded = false)
         }
       }
     }
@@ -126,17 +128,31 @@ object Multimodal {
     * each cell thresholded against the global mean, packed into 64 bits
     * (bit `row·8 + col`). Near-identical images — recompression, small
     * noise, minor edits — land within a few hamming bits, so the image
-    * near-dup path reuses the SimHash bucketing machinery unchanged
-    * (chunk the 64 bits, equi-join on chunks, verify by hamming). The
-    * image-side sibling of the text fingerprint: 100 TB of media dedups
-    * by 8-byte signatures, never by payload comparison.
+    * near-dup path reuses the SimHash bucketing machinery (q181).
+    * NOTE: [[graft.ops.Dedup.simhashCandidates]] bands bits 0–59 (its
+    * text signatures are 60-bit); the top nibble still counts in the
+    * verify hamming but never shards a bucket — identical-low-bits pairs
+    * collide in every band and cost `distinct()` work, nothing more.
+    * The image-side sibling of the text fingerprint: 100 TB of media
+    * dedups by 8-byte signatures, never by payload comparison.
+    *
+    * DEGENERATE INPUTS are the caller's pre-filter, exactly as with
+    * text fingerprints: undecodable payloads carry `decoded = false`
+    * (and `ahash = 0`), and any ZERO-CONTRAST image — solid black,
+    * solid white, letterboxing, blank pages — saturates to
+    * `ahash == -1L` (every cell sits at the global mean; this is
+    * inherent to average-hashing, which sees contrast structure, not
+    * brightness). Drop both classes before banding
+    * (`filter($"decoded" && $"ahash" =!= -1L)`) or every corrupt/flat
+    * image becomes a mutual hamming-0 "duplicate" in one quadratic hot
+    * bucket.
     *
     * INTEGER-EXACT end to end: luma is the fixed-point 299/587/114
     * millirate, the threshold compares `cellSum·nSampled ≥
     * totalSum·cellCount` (cross-multiplied — no float division), and
-    * pixels are sampled on a ≤64×64 stride grid so cost is O(1) per
-    * image and the products stay far inside 64-bit range at any
-    * resolution. Deterministic, so the q180 gate pins REAL
+    * pixels are sampled on a ≤64×64 stride grid (ceil-division strides)
+    * so cost is O(1) per image and the products stay far inside 64-bit
+    * range at any resolution. Deterministic, so the q180 gate pins REAL
     * PNG-encode→decode→hash round trips against closed-form expected
     * signatures. Images smaller than 8×8 (or undecodable payloads)
     * degrade to `decoded = false`, never an exception.
@@ -148,12 +164,15 @@ object Multimodal {
     media.mapPartitions { iter =>
       iter.map { m =>
         val undecoded = ImageHash(m.media_id, 0L, decoded = false)
-        try {
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-          if (img == null || img.getWidth < 8 || img.getHeight < 8) undecoded
-          else {
+        // the filter folds "decodable but below the 64-cell floor" into
+        // the undecoded degrade
+        decodeImage(m.payload).filter(i => i.getWidth >= 8 && i.getHeight >= 8) match {
+          case None => undecoded
+          case Some(img) =>
             val (w, h) = (img.getWidth, img.getHeight)
-            val (stepX, stepY) = (math.max(1, w / 64), math.max(1, h / 64))
+            // ceil division: floor put 65..127-px axes back at stride 1
+            // (up to 127 samples) — the documented ≤64 bound was off 4×
+            val (stepX, stepY) = ((w + 63) / 64, (h + 63) / 64)
             val sums = new Array[Long](64)
             val counts = new Array[Long](64)
             var y = 0
@@ -181,8 +200,7 @@ object Multimodal {
               c += 1
             }
             ImageHash(m.media_id, bits, decoded = true)
-          }
-        } catch { case _: Exception => undecoded }
+        }
       }
     }
   }

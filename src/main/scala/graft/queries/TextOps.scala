@@ -953,7 +953,12 @@ object TextOps {
             javax.imageio.ImageIO.write(img, "png", out)
             graft.ops.Multimodal.MediaRow(id, out.toByteArray, "image/png")
           })
+        // the composition's REQUIRED pre-filter (imageAHash doc): drop
+        // undecodable payloads and zero-contrast saturates before
+        // banding — each class is otherwise one quadratic hamming-0 hot
+        // bucket (no-op on this fixture, load-bearing on raw corpora)
         val sigs = graft.ops.Multimodal.imageAHash(media).toDF()
+          .filter(col("decoded") && col("ahash") =!= -1L)
           .select(col("media_id"), col("ahash").as("simhash"))
         Dedup.simhashCandidates(sigs, "media_id", maxHamming = 3)
           .orderBy(col("id_a"), col("id_b"))

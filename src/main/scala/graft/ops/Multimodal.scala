@@ -205,6 +205,94 @@ object Multimodal {
     }
   }
 
+  /** Perceptual ENERGY-ENVELOPE HASH of an audio clip — [[imageAHash]]'s
+    * twin for sound: 64 equal time segments, each segment's mean
+    * absolute 16-bit amplitude thresholded against the clip's global
+    * mean, packed into 64 bits (bit = segment index). Re-encodes, level
+    * changes that preserve shape, and small edits stay within a few
+    * hamming bits, so audio near-dup rides the same SimHash banding as
+    * images and text. Same degenerate-input contract as the image hash:
+    * undecodable/unsupported payloads carry `decoded = false`, and a
+    * ZERO-DYNAMICS clip (silence, constant tone) saturates to
+    * `ehash == -1L` — filter both before banding.
+    *
+    * INTEGER-EXACT: amplitude sums are exact Longs, the threshold
+    * cross-multiplies (`segSum·nSampled ≥ totalSum·segCount`), and
+    * frames are strided so at most `64·framesPerSegmentCap` frames are
+    * read per clip — O(1) cost at any duration. Supports the JDK-decoded
+    * PCM_SIGNED 16-bit little-endian family (what `AudioSystem` yields
+    * for WAV); other encodings degrade rather than guess. Clips under
+    * 64 frames cannot fill the envelope and degrade too.
+    */
+  final case class AudioHash(media_id: Long, ehash: Long, decoded: Boolean)
+
+  def audioEnergyHash(
+      media: Dataset[MediaRow], framesPerSegmentCap: Int = 256): Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { iter =>
+      iter.map { m =>
+        val undecoded = AudioHash(m.media_id, 0L, decoded = false)
+        try {
+          val ain = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          try {
+            val fmt = ain.getFormat
+            val frames = ain.getFrameLength
+            if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16 || fmt.isBigEndian || frames < 64L) undecoded
+            else {
+              val frameSize = fmt.getFrameSize
+              val step = math.max(1L, frames / (64L * framesPerSegmentCap))
+              val sums = new Array[Long](64)
+              val counts = new Array[Long](64)
+              val buf = new Array[Byte](frameSize)
+              var f = 0L
+              var eof = false
+              while (f < frames && !eof) {
+                var got = 0
+                while (got < frameSize && !eof) {
+                  val r = ain.read(buf, got, frameSize - got)
+                  if (r < 0) eof = true else got += r
+                }
+                if (!eof) {
+                  val seg = ((f * 64L) / frames).toInt
+                  var c = 0
+                  while (c < frameSize) {
+                    val sample = ((buf(c) & 0xFF) | (buf(c + 1) << 8)).toShort
+                    sums(seg) += math.abs(sample.toLong)
+                    counts(seg) += 1L
+                    c += 2
+                  }
+                  if (step > 1L) {
+                    var toSkip = (step - 1L) * frameSize
+                    while (toSkip > 0L && !eof) {
+                      val sk = ain.skip(toSkip)
+                      if (sk <= 0L) eof = true else toSkip -= sk
+                    }
+                  }
+                }
+                f += step
+              }
+              val total = sums.sum
+              val n = counts.sum
+              if (n == 0L) undecoded
+              else {
+                var bits = 0L
+                var s = 0
+                while (s < 64) {
+                  if (counts(s) > 0L && sums(s) * n >= total * counts(s))
+                    bits |= (1L << s)
+                  s += 1
+                }
+                AudioHash(m.media_id, bits, decoded = true)
+              }
+            }
+          } finally ain.close()
+        } catch { case _: Exception => undecoded }
+      }
+    }
+  }
+
   /** REAL audio decode (JDK `javax.sound.sampled`): container/format
     * metadata (sample rate, channels, frame count) without materializing
     * samples — the header is enough for corpus curation features like

@@ -980,6 +980,67 @@ object TextOps {
         WHERE bit_count(xor(a.p, b.p)) <= 3
         ORDER BY id_a, id_b""")),
 
+    // AUDIO ENERGY-ENVELOPE HASH under the hash gate
+    // ([[graft.ops.Multimodal.audioEnergyHash]] — q180's twin for
+    // sound): per doc a 2048-frame mono WAV whose 64 segments follow a
+    // loud/quiet pattern picked by doc_id % 4 round-trips a REAL
+    // WAV-encode→decode→hash pipeline; the integer-exact signature must
+    // equal the closed-form bit pattern of its envelope, and a
+    // one-sample noisy twin must land at hamming 0.
+    QueryDef(
+      "q182_audio_ehash",
+      (s, dir) => {
+        import s.implicits._
+        def synth(id: Long, noise: Boolean): graft.ops.Multimodal.MediaRow = {
+          val nFrames = 2048
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val pcm = new Array[Byte](nFrames * 2)
+          val pat = (id % 4).toInt
+          var f = 0
+          while (f < nFrames) {
+            val seg = f * 64 / nFrames
+            val loud = pat match {
+              case 0 => seg < 32
+              case 1 => seg >= 32
+              case 2 => seg % 2 == 0
+              case _ => seg % 2 == 1
+            }
+            val v: Short = if (loud) 16384 else 0
+            pcm(f * 2) = (v & 0xFF).toByte
+            pcm(f * 2 + 1) = ((v >> 8) & 0xFF).toByte
+            f += 1
+          }
+          if (noise) pcm(0) = (pcm(0) ^ 0x1).toByte // amplitude ±1 in frame 0
+          val in = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          graft.ops.Multimodal.MediaRow(id, out.toByteArray, "audio/wav")
+        }
+        val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        val ho = graft.ops.Multimodal
+          .audioEnergyHash(ids.mapPartitions(_.map(id => synth(id, noise = false))))
+          .toDF().select(col("media_id"), col("ehash"))
+        val ht = graft.ops.Multimodal
+          .audioEnergyHash(ids.mapPartitions(_.map(id => synth(id, noise = true))))
+          .toDF().select(col("media_id"), col("ehash").as("ehash_t"))
+        ho.join(ht, "media_id")
+          .select(col("media_id"), col("ehash"),
+            bit_count(col("ehash").bitwiseXOR(col("ehash_t"))).cast("int")
+              .as("twin_hamming"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+          CAST(CASE doc_id % 4
+            WHEN 0 THEN 4294967295
+            WHEN 1 THEN -4294967296
+            WHEN 2 THEN 6148914691236517205
+            ELSE -6148914691236517206 END AS BIGINT) AS ehash,
+          CAST(0 AS INT) AS twin_hamming
+        FROM documents ORDER BY media_id""")),
+
     // The REAL audio codec under the hash gate (q71's twin for sound):
     // per-doc WAV specs in closed form (sample rate from a small fixed
     // set, mono/stereo, frame count), synthesized with the JDK's

@@ -76,6 +76,46 @@ class MultimodalSpec extends SparkSpec {
     assert(!got(6L).decoded, "corrupt payload must degrade")
   }
 
+  test("audioEnergyHash: silence saturates, halves are closed-form, formats degrade") {
+    import spark.implicits._
+    def wav(nFrames: Int, bits: Int = 16)(amp: Int => Short): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, bits, 1, true, false)
+      val bytesPer = bits / 8
+      val pcm = new Array[Byte](nFrames * bytesPer)
+      if (bits == 16) {
+        for (f <- 0 until nFrames) {
+          val v = amp(f)
+          pcm(f * 2) = (v & 0xFF).toByte
+          pcm(f * 2 + 1) = ((v >> 8) & 0xFF).toByte
+        }
+      }
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val n = 2048
+    def seg(f: Int) = f * 64 / n
+    val rows = Seq(
+      Multimodal.MediaRow(1L, wav(n)(_ => 0), "audio/wav"), // silence
+      Multimodal.MediaRow(2L, wav(n)(f => if (seg(f) < 32) 16384 else 0), "audio/wav"),
+      Multimodal.MediaRow(3L, wav(n)(f => if (seg(f) >= 32) 16384 else 0), "audio/wav"),
+      Multimodal.MediaRow(4L, wav(32)(_ => 100), "audio/wav"), // under 64 frames
+      Multimodal.MediaRow(5L, wav(n, bits = 8)(_ => 0), "audio/wav"), // unsupported width
+      Multimodal.MediaRow(6L, Array[Byte](1, 2, 3), "audio/wav")) // garbage
+    val got = Multimodal.audioEnergyHash(rows.toDS()).collect().map(h => h.media_id -> h).toMap
+    // zero-dynamics clip: every segment sits at the (zero) mean → saturate
+    assert(got(1L).decoded && got(1L).ehash === -1L)
+    assert(got(2L).ehash === 4294967295L)
+    assert(got(3L).ehash === -4294967296L)
+    assert(java.lang.Long.bitCount(got(2L).ehash ^ got(3L).ehash) === 64)
+    assert(!got(4L).decoded, "clips under 64 frames cannot fill the envelope")
+    assert(!got(5L).decoded, "non-16-bit encodings must degrade, not guess")
+    assert(!got(6L).decoded, "corrupt payload must degrade")
+  }
+
   test("extractAudioFeatures REALLY decodes WAV headers (JDK sound API)") {
     import spark.implicits._
     def wav(sampleRate: Float, channels: Int, nFrames: Int): Array[Byte] = {

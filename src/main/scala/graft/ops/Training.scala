@@ -161,6 +161,55 @@ object Training {
       s"rn <= (CASE $whens ELSE $defaultCount END)"
     }
 
+  /** TOP-FRACTION cut per group: keep each group's best `frac` of rows by
+    * `scoreCol` — the FineWeb/C4-style "keep the best 30% per source by
+    * quality" gate, with EXACT per-group counts (`ceil(frac · n)`, so a
+    * non-empty group always keeps ≥ 1 row) rather than a global score
+    * threshold, which over-prunes weak sources and under-prunes strong
+    * ones. Deterministic: ties rank by id.
+    *
+    * Scale shape: ONE shuffle keyed on the group — the rank window and
+    * the per-group count window share the same partitioning, so Catalyst
+    * plans a single exchange (TrainingSpec pins it). NOTE: unlike the
+    * fixed-count [[stratifiedExact]], the rank bound here is
+    * `ceil(frac·n)` — data-dependent, so WindowGroupLimit pushdown does
+    * NOT apply and every group member crosses the one shuffle; when the
+    * keep-count is known up front, prefer the fixed-count form.
+    * Membership is a pure function of (group, score, id): re-runs and
+    * reshuffles reproduce the same cut.
+    */
+  def topFractionPerGroup(
+      df: DataFrame, idCol: String, groupCol: String, scoreCol: String,
+      frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"fraction must be in (0, 1], got $frac")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .filter(col("__rn") <= ceil(lit(frac) * col("__n")))
+      .drop("__rn", "__n")
+  }
+
+  /** TOKEN-BUDGET TRUNCATION: clip each document to its first `maxTokens`
+    * canonical tokens — the context-length guard every tokenize-and-pack
+    * pipeline applies before packing (a 2M-token outlier otherwise owns a
+    * whole pack bin, see [[packBins]]). Map-side only (slice of the
+    * scan-local token array + rejoin); emits the clipped text, the
+    * original count, and a `truncated` flag so downstream accounting
+    * stays honest. Already-short documents pass through with their text
+    * REBUILT FROM THE SAME TOKENS (canonical whitespace), so the output
+    * column is uniformly canonical either way.
+    */
+  def truncateTokens(
+      df: DataFrame, textCol: String, maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, "token budget must be >= 1")
+    val toks = TextStats.tokens(col(textCol))
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("truncated", col("n_tokens") > maxTokens)
+      .withColumn(textCol,
+        array_join(slice(toks, 1, maxTokens), " "))
+  }
+
   /** WEIGHTED sample WITHOUT replacement (Efraimidis–Spirakis 2006):
     * draw `n` rows with inclusion probability proportional to
     * `weightCol`, deterministically — key_i = ln(u_i)/w_i with u_i the

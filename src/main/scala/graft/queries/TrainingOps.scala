@@ -624,6 +624,56 @@ object TrainingOps {
           LIMIT 100)
         ORDER BY doc_id""")),
 
+    // TOP-FRACTION quality cut per source ([[Training.topFractionPerGroup]])
+    // — the FineWeb/C4-style "keep each source's best 30%" gate with
+    // EXACT per-group counts (ceil(frac·n), non-empty groups keep ≥ 1)
+    // instead of a global threshold that over-prunes weak sources.
+    // Deterministic (score desc, id tie-break); the oracle replays the
+    // same windowed rank + ceil arithmetic.
+    QueryDef(
+      "q183_top_fraction_per_source",
+      (s, dir) =>
+        Training.topFractionPerGroup(
+            Tables.documents(s, dir).filter(col("text").isNotNull)
+              .select(col("doc_id"), col("source"), col("n_chars")),
+            "doc_id", "source", "n_chars", frac = 0.3)
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source, n_chars FROM documents WHERE text IS NOT NULL),
+        r AS (
+          SELECT doc_id, source, n_chars,
+            row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn,
+            count(*) OVER (PARTITION BY source) AS n
+          FROM d)
+        SELECT doc_id, source, n_chars FROM r
+        WHERE rn <= ceil(0.3 * n) ORDER BY doc_id""")),
+
+    // TOKEN-BUDGET TRUNCATION ([[Training.truncateTokens]]): clip every
+    // document to its first 40 canonical tokens — the context-length
+    // guard before packing (one 2M-token outlier otherwise owns a whole
+    // bin). Map-side slice+rejoin of the scan-local token array; emits
+    // the original count and a truncated flag so accounting stays
+    // honest. The oracle replays the slice on the same canonical split.
+    QueryDef(
+      "q184_token_truncation",
+      (s, dir) =>
+        Training.truncateTokens(
+            Tables.documents(s, dir).filter(col("text").isNotNull)
+              .select(col("doc_id"), col("text")),
+            "text", maxTokens = 40)
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+          array_to_string(t[1:40], ' ') AS text,
+          CAST(len(t) AS BIGINT) AS n_tokens,
+          len(t) > 40 AS truncated
+        FROM (
+          SELECT doc_id,
+            string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+          FROM documents WHERE text IS NOT NULL)
+        ORDER BY doc_id""")),
+
     // WEIGHTED sample without replacement ([[Training.weightedSample]],
     // Efraimidis–Spirakis 2006): inclusion ∝ n_chars (the byte-budget
     // draw a curation mixture makes), via the ln(u)/w key over the

@@ -423,6 +423,44 @@ class TrainingSpec extends SparkSpec {
       "b" -> ((1L, 1L, 50L, 50L, 0L, 0.5))))
   }
 
+  test("topFractionPerGroup: exact ceil counts per group, one shared exchange") {
+    import spark.implicits._
+    val docs = ((1L to 10L).map(i => (i, "a", i.toDouble)) :+ (100L, "b", 0.5))
+      .toDF("id", "grp", "score")
+    val kept = Training.topFractionPerGroup(docs, "id", "grp", "score", frac = 0.3)
+    val got = kept.collect().map(_.getLong(0)).toSet
+    // group a: ceil(0.3*10)=3 highest scores; group b: ceil(0.3*1)=1 — a
+    // non-empty group always survives
+    assert(got === Set(8L, 9L, 10L, 100L))
+    // tie-break: equal scores rank by id (smallest first)
+    val ties = Seq((1L, "a", 5.0), (2L, "a", 5.0), (3L, "a", 5.0)).toDF("id", "grp", "score")
+    val keptTies = Training.topFractionPerGroup(ties, "id", "grp", "score", frac = 0.33)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptTies === Set(1L))
+    // both windows ride ONE group-keyed exchange (AQE prints the initial
+    // plan after the final one — count only the final, the q145 rule)
+    kept.collect()
+    val plan = kept.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning(grp"))
+    assert(exchanges === 1, s"rank and count windows must share the exchange:\n$plan")
+  }
+
+  test("truncateTokens clips at the budget, flags, and keeps short docs canonical") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "short  doc"), // internal run canonicalizes
+      (3L, "exact four token doc")).toDF("doc_id", "text")
+    val got = Training.truncateTokens(docs, "text", maxTokens = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got(1L) === (("one two three four", 6L, true)))
+    assert(got(2L) === (("short doc", 2L, false)))
+    assert(got(3L) === (("exact four token doc", 4L, false)))
+  }
+
   test("weightedSample: weight-proportional, deterministic, TakeOrdered-shaped") {
     import spark.implicits._
     // one dominant weight among noise: ln(u)/w for w=10^9 is ~0 (the

@@ -113,6 +113,73 @@ object Layout {
     plan
   }
 
+  /** The Z-prefix buckets a BOX QUERY can possibly touch — the read-side
+    * half of the layout, computed DRIVER-SIDE from the quantization plan
+    * alone (no file listing, no stats scan): a prefix of `bucketBits`
+    * bits fixes the top bits of each dimension's quantized value, which
+    * defines a per-dimension cell range; a bucket survives iff every
+    * dimension's cell range intersects the box's quantized range. The
+    * enumeration is over `2^bucketBits` prefixes (16–4096 at sane
+    * settings) — microseconds, independent of data size.
+    */
+  def bucketsForBox(
+      plan: Seq[DimSpec], bits: Int, bucketBits: Int,
+      box: Seq[(Long, Long)]): Seq[Long] = {
+    require(box.size == plan.size, "one (lo, hi) bound per dimension")
+    val n = plan.size
+    // box bounds → quantized cell bounds (clamped into the grid)
+    val qBox = plan.zip(box).map { case (sp, (lo, hi)) =>
+      val maxCell = (1L << bits) - 1L
+      val qlo = math.max(0L, math.min(maxCell, (lo - sp.min) >> sp.shift))
+      val qhi = math.max(0L, math.min(maxCell, (hi - sp.min) >> sp.shift))
+      (math.min(qlo, qhi), math.max(qlo, qhi))
+    }
+    (0L until (1L << bucketBits)).filter { p =>
+      (0 until n).forall { d =>
+        // the prefix's bits at interleaved positions >= n*bits - bucketBits
+        // with position % n == d are dim d's FIXED top bits; walk z
+        // positions DESCENDING so the dim's highest bit lands most
+        // significant, and bit j of the prefix is z bit (base + j)
+        val base = n * bits - bucketBits
+        var fixed = 0L
+        var numFixed = 0
+        var pos = n * bits - 1
+        while (pos >= base) {
+          if (pos % n == d) {
+            fixed = (fixed << 1) | ((p >> (pos - base)) & 1L)
+            numFixed += 1
+          }
+          pos -= 1
+        }
+        val span = bits - numFixed
+        val lo = fixed << span
+        val hi = lo + (1L << span) - 1L
+        val (blo, bhi) = qBox(d)
+        hi >= blo && lo <= bhi
+      }
+    }
+  }
+
+  /** BOX READ over a [[zorderWrite]] layout: partition-prune to the
+    * buckets [[bucketsForBox]] admits, then apply the exact per-dim
+    * range filters. The scan's PartitionFilters carry the bucket set, so
+    * only intersecting dirs are listed/read — the multi-dimensional file
+    * skipping the layout exists for, with the residual filter keeping
+    * exactness (a bucket intersecting the box still holds rows outside
+    * it).
+    */
+  def readBox(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      plan: Seq[DimSpec], bits: Int, bucketBits: Int,
+      box: Seq[(Long, Long)]): DataFrame = {
+    val buckets = bucketsForBox(plan, bits, bucketBits, box)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("z_bucket").isin(buckets: _*))
+    plan.zip(box).foldLeft(pruned) { case (df, (sp, (lo, hi))) =>
+      df.filter(col(sp.name) >= lo && col(sp.name) <= hi)
+    }
+  }
+
   /** Per-bucket layout manifest: row count and each dimension's min/max
     * envelope — the file-stats table a scan planner prunes against. One
     * map-combinable aggregate over the laid-out data.

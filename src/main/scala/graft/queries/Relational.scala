@@ -779,5 +779,52 @@ object Relational {
             OR min_l_suppkey > (mns + (mxs - mns) // 2)) AS scan_for_suppkey_box
         FROM env, b ORDER BY z_bucket"""
       }),
+
+    // Z-ORDER BOX READ ([[graft.ops.Layout.readBox]]) — the read side of
+    // q167's layout, END TO END on disk: write lineitem z-ordered, then
+    // answer a (partkey × suppkey) box query through the driver-side
+    // bucket enumeration ([[Layout.bucketsForBox]] — no file listing, no
+    // stats scan) + partition-pruned scan + residual exact filter. The
+    // result must equal the plain filter (the oracle replays the same
+    // quarter-to-half box arithmetic over the raw table), and the
+    // emitted pruned flag pins that the box touched a strict subset of
+    // the 16 buckets (LayoutSpec pins admitted == holding exactly).
+    QueryDef(
+      "q185_zorder_box_read",
+      (s, dir) => {
+        import graft.ops.Layout
+        val dims = Seq("l_partkey", "l_suppkey")
+        val li = Tables.lineitem(s, dir).select(dims.map(col): _*)
+        val out = java.nio.file.Files.createTempDirectory("q185z").toString
+        val plan = Layout.zorderWrite(li, dims, out, bits = 8, bucketBits = 4)
+        val r = li.agg(
+          min(col("l_partkey")).cast("long"), max(col("l_partkey")).cast("long"),
+          min(col("l_suppkey")).cast("long"), max(col("l_suppkey")).cast("long")).head()
+        val (mnp, mxp, mns, mxs) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        val box = Seq(
+          (mnp + (mxp - mnp) / 4, mnp + (mxp - mnp) / 2),
+          (mns + (mxs - mns) / 4, mns + (mxs - mns) / 2))
+        val pruned = Layout.bucketsForBox(plan, bits = 8, bucketBits = 4, box).size < 16
+        val res = Layout.readBox(s, out, plan, bits = 8, bucketBits = 4, box)
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("l_partkey")).cast("long").as("pk_sum"))
+          .withColumn("bucket_pruned", lit(pruned))
+          .orderBy(col("l_suppkey"))
+          .localCheckpoint()
+        graft.queries.EventOps.rmTree(out)
+        res
+      },
+      Some("""
+        WITH b AS (
+          SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+                 min(l_suppkey) AS mns, max(l_suppkey) AS mxs
+          FROM lineitem)
+        SELECT l_suppkey, count(*) AS n_rows,
+          CAST(sum(l_partkey) AS BIGINT) AS pk_sum,
+          true AS bucket_pruned
+        FROM lineitem, b
+        WHERE l_partkey BETWEEN mnp + (mxp - mnp) // 4 AND mnp + (mxp - mnp) // 2
+          AND l_suppkey BETWEEN mns + (mxs - mns) // 4 AND mns + (mxs - mns) // 2
+        GROUP BY l_suppkey ORDER BY l_suppkey""")),
   )
 }

@@ -58,6 +58,59 @@ class LayoutSpec extends SparkSpec {
     assert(xScan === xEnv.length, "x-sorted layout cannot prune a y-only box")
   }
 
+  test("bucketsForBox admits every bucket holding box rows and prunes the rest") {
+    val grid = (for { x <- 0L until 64L; y <- 0L until 64L } yield (x, y))
+      .toDF("x", "y")
+    val plan = Layout.quantizationPlan(grid, Seq("x", "y"), 6)
+    val boxes = Seq(
+      Seq((0L, 63L), (0L, 15L)),   // y-band: 4/16 buckets
+      Seq((0L, 15L), (0L, 63L)),   // x-band
+      Seq((16L, 47L), (16L, 47L)), // center box crossing bucket borders
+      Seq((5L, 5L), (7L, 7L)))     // point box
+    boxes.foreach { box =>
+      val admitted = Layout.bucketsForBox(plan, bits = 6, bucketBits = 4, box).toSet
+      // SOUND: every bucket that actually holds a box row is admitted
+      val holding = Layout.withZ(
+          grid.filter(col("x").between(box(0)._1, box(0)._2) &&
+            col("y").between(box(1)._1, box(1)._2)),
+          plan, bits = 6, bucketBits = 4)
+        .select(col("z_bucket")).distinct().collect().map(_.getLong(0)).toSet
+      assert(holding.subsetOf(admitted), s"box $box missed buckets ${holding -- admitted}")
+      // TIGHT here: on a full grid every admitted bucket intersects the box
+      assert(admitted === holding, s"box $box over-admitted ${admitted -- holding}")
+    }
+    // the flagship ratio: a second-dim band scans 4 of 16 buckets
+    assert(Layout.bucketsForBox(plan, 6, 4, Seq((0L, 63L), (0L, 15L))).size === 4)
+  }
+
+  test("readBox equals the plain filter and partition-prunes the scan") {
+    val grid = (for { x <- 0L until 32L; y <- 0L until 32L } yield (x, y))
+      .toDF("x", "y")
+    val out = java.nio.file.Files.createTempDirectory("zorder_read").toString
+    try {
+      val plan = Layout.zorderWrite(grid, Seq("x", "y"), out, bits = 5, bucketBits = 4)
+      val box = Seq((3L, 12L), (20L, 27L))
+      val got = Layout.readBox(spark, out, plan, bits = 5, bucketBits = 4, box)
+      val expected = grid.filter(
+        col("x").between(3, 12) && col("y").between(20, 27))
+      assert(got.count() === expected.count())
+      assert(got.select(col("x"), col("y")).except(expected).count() === 0L)
+      assert(expected.except(got.select(col("x"), col("y"))).count() === 0L)
+      // the bucket set reaches the scan as a PARTITION filter
+      got.collect()
+      val scan = got.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("z_bucket"),
+        s"bucket pruning did not reach the scan:\n$scan")
+      val admitted = Layout.bucketsForBox(plan, 5, 4, box)
+      assert(admitted.size < 16, "box should prune at least some buckets")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   test("zorderWrite: one file per bucket dir, content preserved, envelopes nest") {
     val grid = (for { x <- 0L until 32L; y <- 0L until 32L } yield (x, y))
       .toDF("x", "y")

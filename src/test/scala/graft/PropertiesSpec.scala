@@ -392,4 +392,51 @@ class PropertiesSpec extends SparkSpec {
     }
     check(prop)
   }
+
+  test("Z-order interleave is a bijection: deinterleaving recovers every dimension") {
+    val dims = Gen.chooseNum(1, 3)
+    val prop = Prop.forAll(dims.flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 255L)))) { qs =>
+      val n = qs.size
+      // drive the production Column through a 1-row frame
+      val df = spark.range(1).select(
+        graft.ops.Layout.interleave(qs.map(lit(_)), bits = 8).as("z"))
+      val z = df.head().getLong(0)
+      // scalar deinterleave: bit i of dim d sits at position i*n + d
+      val back = (0 until n).map { d =>
+        (0 until 8).foldLeft(0L)((acc, i) =>
+          acc | (((z >> (i * n + d)) & 1L) << i))
+      }
+      back == qs
+    }
+    check(prop, cases = 12) // each case is a Spark job
+  }
+
+  test("word_chunks partitions the tokens: concatenation restores the canonical form") {
+    val word = Gen.chooseNum(1, 8).flatMap(k => Gen.stringOfN(k, Gen.alphaLowerChar))
+    val prop = Prop.forAll(
+      Gen.chooseNum(1, 20).flatMap(k => Gen.listOfN(k, word)),
+      Gen.chooseNum(1, 7)) { (words, w) =>
+      val text = words.mkString(" ")
+      val chunks = graft.functions.WordChunksExpr
+        .chunks(org.apache.spark.unsafe.types.UTF8String.fromString(text), w)
+      val back = (0 until chunks.numElements())
+        .map(i => chunks.getUTF8String(i).toString).mkString(" ")
+      back == text && chunks.numElements() == (words.size + w - 1) / w
+    }
+    check(prop)
+  }
+
+  test("weightedSample is a subset of the positive-weight rows, exactly min(n, |rows|)") {
+    val prop = Prop.forAll(
+      Gen.chooseNum(0, 30), Gen.chooseNum(0, 12)) { (rows, n) =>
+      val df = (1L to rows.toLong).map(i => (i, (i % 5).toDouble)) // ids 5,10,… weigh 0
+        .toDF("id", "w")
+      val positive = (1L to rows.toLong).filter(_ % 5 != 0).toSet
+      val got = graft.ops.Training.weightedSample(df, "id", "w", n)
+        .collect().map(_.getLong(0)).toSet
+      got.subsetOf(positive) && got.size == math.min(n, positive.size)
+    }
+    check(prop, cases = 12)
+  }
 }

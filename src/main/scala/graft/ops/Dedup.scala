@@ -611,26 +611,29 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidate pairs via chunk banding. The 60 signature
-    * bits are split into `maxHamming + 1` chunks, so by pigeonhole every
-    * pair within the Hamming budget shares at least one untouched chunk —
-    * candidate generation is EXHAUSTIVE up to `maxHamming` (then exactly
-    * filtered). More chunks = smaller chunk keys = more collisions: keep
-    * the budget small (≤ 3 for 15-bit keys) on large corpora.
+  /** SimHash near-dup candidate pairs via chunk banding. The `sigBits`
+    * signature bits are split into `maxHamming + 1` chunks, so by
+    * pigeonhole every pair within the Hamming budget shares at least one
+    * untouched chunk — candidate generation is EXHAUSTIVE up to
+    * `maxHamming` (then exactly filtered). More chunks = smaller chunk
+    * keys = more collisions: keep the budget small (≤ 3 for 15-bit keys)
+    * on large corpora.
+    *
+    * `sigBits` matches the band layout to the signature width: 60 for the
+    * text [[simhash]] (the default — bit-identical to the historical
+    * layout), 64 for the media hashes ([[graft.ops.Multimodal]] `imageAHash`
+    * / `audioEnergyHash`), whose top nibble would otherwise never shard a
+    * bucket — cost-only on uniform corpora, but a skewed corpus pays real
+    * quadratic work in the collided buckets (r12 verdict #3). Banding
+    * fewer bits than the signature carries stays CORRECT (any ≤ maxHamming
+    * pair still shares an untouched chunk among the banded bits) — only
+    * the bucket sharding weakens — so the parameter is a distribution
+    * contract, not a correctness one.
     */
-  def simhashCandidates(sigs: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
-    val nChunks = maxHamming + 1
-    val chunkBits = (60 + nChunks - 1) / nChunks // last chunk may be narrower
-    val chunks = (0 until nChunks).map { cI =>
-      val lo = cI * chunkBits
-      val width = math.min(chunkBits, 60 - lo)
-      val mask = (1L << width) - 1L
-      struct(lit(cI).as("chunk_idx"),
-        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("chunk_key"))
-    }
-    val banded = sigs
-      .select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("c"))
-      .select(col(idCol), col("simhash"), col("c.chunk_idx"), col("c.chunk_key"))
+  def simhashCandidates(
+      sigs: DataFrame, idCol: String, maxHamming: Int = 3,
+      sigBits: Int = 60): DataFrame = {
+    val banded = simhashBands(sigs, idCol, maxHamming, sigBits)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -641,6 +644,35 @@ object Dedup {
         hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The chunked band frame behind [[simhashCandidates]]:
+    * `(id, simhash, chunk_idx, chunk_key)`, one row per chunk. Exposed
+    * package-private so DedupSpec can pin the band LAYOUT itself — the
+    * 60-bit default's keys are frozen bit-identical to the historical
+    * layout, and the 64-bit layout must shard the top nibble (r12
+    * verdict #3), neither of which is observable through the final
+    * (hamming-filtered) pair set.
+    */
+  private[graft] def simhashBands(
+      sigs: DataFrame, idCol: String, maxHamming: Int, sigBits: Int): DataFrame = {
+    require(sigBits >= maxHamming + 1 && sigBits <= 64,
+      s"sigBits must be in [${maxHamming + 1}, 64], got $sigBits")
+    val nChunks = maxHamming + 1
+    val chunkBits = (sigBits + nChunks - 1) / nChunks // last chunk may be narrower
+    val chunks = (0 until nChunks).map { cI =>
+      val lo = cI * chunkBits
+      val width = math.min(chunkBits, sigBits - lo)
+      // width == 64 only when maxHamming == 0 over a full 64-bit signature
+      // (one chunk = exact-match banding); 1L << 64 wraps to 1, so spell
+      // the all-bits mask out
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(cI).as("chunk_idx"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("chunk_key"))
+    }
+    sigs
+      .select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("c"))
+      .select(col(idCol), col("simhash"), col("c.chunk_idx"), col("c.chunk_key"))
   }
 
   /** C4-STYLE SPAN DEDUP WITH REASSEMBLY (Raffel et al. 2020 §2.2's
@@ -682,10 +714,23 @@ object Dedup {
     // pos) struct instead of the chunk text — at corpus scale the text
     // rides only the join and the reassembly, not the dedup aggregate
     val keyed = chunks.withColumn("__h", md5(col("__chunk")))
+    // the min struct carries the winner's CHUNK TEXT alongside (id, pos):
+    // (id, pos) is already unique, so the text never influences the
+    // ordering — it rides along so the keep filter below can verify text
+    // equality and make a digest collision harmless instead of silently
+    // deleting the losing document's chunk (ADVICE r13). Cost: one chunk
+    // (~w tokens) per distinct digest per map task in the combine.
     val first = keyed.groupBy(col("__h"))
-      .agg(min(struct(col(idCol).as("__fid"), col("__ck").as("__fck"))).as("__f"))
+      .agg(min(struct(col(idCol).as("__fid"), col("__ck").as("__fck"),
+        col("__chunk").as("__fchunk"))).as("__f"))
+    // keep a chunk iff it IS the first occurrence of its text — or its
+    // text is NOT actually the digest winner's text (an md5 collision:
+    // the colliding class keeps all its occurrences rather than losing
+    // them to a stranger's digest; at 2^-128 odds the under-dedup is the
+    // safe failure mode, output corruption is not)
     val kept = keyed.join(first, "__h")
-      .filter(col("__f.__fid") === col(idCol) && col("__f.__fck") === col("__ck"))
+      .filter((col("__f.__fid") === col(idCol) && col("__f.__fck") === col("__ck")) ||
+        col("__f.__fchunk") =!= col("__chunk"))
     val rebuilt = kept.groupBy(col(idCol))
       .agg(
         array_join(

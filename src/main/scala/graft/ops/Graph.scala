@@ -678,6 +678,15 @@ object Graph {
       cur = next
       k += 1
     }
+    // the phase loop above exits either because the graph peeled empty
+    // (done) or because k outran maxIterations with SURVIVORS — the
+    // latter would silently omit those nodes from the decomposition (no
+    // coreness row at all), so fail as loudly as the in-phase cap does
+    // (ADVICE r13: truncation must not masquerade as completion)
+    require(cur.isEmpty,
+      s"coreness stopped at k=$maxIterations (maxIterations) with nodes still " +
+        s"in the $maxIterations-core — the graph's degeneracy exceeds the cap; " +
+        "raise maxIterations to cover it")
     // ONE materialization of the union, then release every phase leaf —
     // the caller gets a self-contained frame (the pageRank rule)
     val res = out

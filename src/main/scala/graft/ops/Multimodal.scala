@@ -128,11 +128,8 @@ object Multimodal {
     * each cell thresholded against the global mean, packed into 64 bits
     * (bit `row·8 + col`). Near-identical images — recompression, small
     * noise, minor edits — land within a few hamming bits, so the image
-    * near-dup path reuses the SimHash bucketing machinery (q181).
-    * NOTE: [[graft.ops.Dedup.simhashCandidates]] bands bits 0–59 (its
-    * text signatures are 60-bit); the top nibble still counts in the
-    * verify hamming but never shards a bucket — identical-low-bits pairs
-    * collide in every band and cost `distinct()` work, nothing more.
+    * near-dup path reuses the SimHash bucketing machinery (q181) — pass
+    * `sigBits = 64` so the bands shard on the full signature width.
     * The image-side sibling of the text fingerprint: 100 TB of media
     * dedups by 8-byte signatures, never by payload comparison.
     *
@@ -267,7 +264,19 @@ object Multimodal {
                     var toSkip = (step - 1L) * frameSize
                     while (toSkip > 0L && !eof) {
                       val sk = ain.skip(toSkip)
-                      if (sk <= 0L) eof = true else toSkip -= sk
+                      if (sk > 0L) toSkip -= sk
+                      else if (sk < 0L) eof = true
+                      else {
+                        // skip() == 0 is NOT EOF for decoded/wrapped
+                        // streams (the JDK contract allows a legitimate
+                        // zero-byte skip mid-stream) — treating it as EOF
+                        // would silently truncate the envelope and change
+                        // the hash (ADVICE r13). Drain via read instead;
+                        // only read's -1 is authoritative end-of-stream.
+                        val n = ain.read(buf, 0,
+                          math.min(toSkip, frameSize.toLong).toInt)
+                        if (n < 0) eof = true else toSkip -= n
+                      }
                     }
                   }
                 }

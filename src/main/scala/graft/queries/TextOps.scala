@@ -960,7 +960,12 @@ object TextOps {
         val sigs = graft.ops.Multimodal.imageAHash(media).toDF()
           .filter(col("decoded") && col("ahash") =!= -1L)
           .select(col("media_id"), col("ahash").as("simhash"))
-        Dedup.simhashCandidates(sigs, "media_id", maxHamming = 3)
+        // sigBits = 64: aHash signatures use the full width, so every
+        // band shards on real bits (the 60-bit text default would leave
+        // the top nibble out of every bucket key — r12 verdict #3). The
+        // pair SET is unchanged (banding is exhaustive either way); only
+        // bucket sharding improves.
+        Dedup.simhashCandidates(sigs, "media_id", maxHamming = 3, sigBits = 64)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""

@@ -118,6 +118,16 @@ object Store {
   private def fsFor(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Every read-side entry point taking a table name checks existence
+    * FIRST, so a missing table surfaces as actionable guidance instead of
+    * a raw `NoSuchTableException` out of `refreshTable`/`getTableMetadata`
+    * (ADVICE r13).
+    */
+  private def requireTable(spark: SparkSession, name: String): Unit =
+    require(spark.catalog.tableExists(name),
+      s"store table $name does not exist — create it via bulkWrite " +
+        "(generational layout) or createTable (flat declared schema)")
+
   // ---------------------------------------------------------------- manifest
 
   /** Live generations per partition: `part → gens`, oldest first. */
@@ -156,13 +166,54 @@ object Store {
       .map(v => v -> parseManifest(readText(fs, manifestPath(loc, v))))
   }
 
-  /** Atomic manifest commit: write `_manifest-V.txt.tmp`, rename into
-    * place (rename is the atomicity primitive on HDFS/local FS, the same
-    * one `commitGen`'s marker uses) — a reader either sees the previous
-    * version or the complete new one, never a partial file.
+  /** Atomic manifest commit, GUARDED BY EXCLUSIVE CREATE (r12 verdict
+    * #4): write `_manifest-V.txt.tmp`, claim version V by exclusively
+    * creating `_manifest-V.lock` (`fs.create(overwrite = false)` — an
+    * atomic CAS on HDFS; best-effort create-if-absent on the local FS),
+    * re-check that V−1 really is the latest committed manifest, then
+    * rename the tmp into place. Readers still see the previous version
+    * or the complete new one, never a partial file (rename visibility is
+    * unchanged) — the lock closes the WRITER race: plain rename is an
+    * effective CAS on HDFS, but `RawLocalFileSystem.rename` silently
+    * OVERWRITES an existing destination on POSIX, so two racing writers
+    * could each believe they committed V while one's update was lost.
+    * With the lock, exactly one writer wins the claim and the loser
+    * fails loudly (StoreSpec's racing-writers test); the post-lock
+    * currency check additionally catches a straggler whose claimed
+    * version's lock was already vacuumed — its base manifest is stale,
+    * so it fails before any manifest bytes move.
+    *
+    * A writer that CRASHES between lock create and rename leaves an
+    * orphan lock that makes the next commit of V fail loudly — under the
+    * single-writer contract that failure can only mean a crashed commit;
+    * remove the lock after confirming no writer is live (no data needs
+    * repair: nothing was committed, and the staged generation is
+    * vacuumed as usual).
     */
-  private def writeManifest(
+  private[graft] def writeManifest(
       fs: FileSystem, loc: Path, v: Long, m: Manifest): Unit = {
+    val lock = new Path(loc, s"_manifest-$v.lock")
+    try fs.create(lock, false).close()
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"cannot claim manifest version $v of $loc — its lock already " +
+            "exists. Either a concurrent writer is committing (the store is " +
+            "single-writer per table: serialize upserts/compactions) or a " +
+            "previous writer crashed mid-commit (remove the lock after " +
+            "confirming no writer is live).", e)
+    }
+    val cur = manifestVersions(fs, loc).lastOption.getOrElse(-1L)
+    if (cur != v - 1L) {
+      // release the claim: version v is not current, so the lock guards
+      // nothing — leaving it would block a later (equally stale) writer's
+      // loud failure path behind a misleading "concurrent writer" message
+      fs.delete(lock, false)
+      throw new IllegalStateException(
+        s"lost-update race detected for $loc: committing version $v but the " +
+          s"latest committed manifest is $cur — this writer's base manifest " +
+          "is stale; re-read the table and retry the write")
+    }
     val tmp = new Path(loc, s"_manifest-$v.txt.tmp")
     val out = fs.create(tmp, true)
     out.write(renderManifest(m).getBytes("UTF-8"))
@@ -202,7 +253,13 @@ object Store {
     */
   private def vacuum(fs: FileSystem, loc: Path): Unit = {
     val vers = manifestVersions(fs, loc)
-    vers.dropRight(2).foreach(v => fs.delete(manifestPath(loc, v), false))
+    vers.dropRight(2).foreach { v =>
+      fs.delete(manifestPath(loc, v), false)
+      // the commit lock retires with its manifest (same last-2 retention);
+      // a straggler re-claiming a vacuumed version's lock is caught by
+      // writeManifest's post-lock currency check
+      fs.delete(new Path(loc, s"_manifest-$v.lock"), false)
+    }
     val kept = vers.takeRight(2).map(v => parseManifest(readText(fs, manifestPath(loc, v))))
     if (kept.isEmpty) return
     val referenced: Map[Int, Set[Long]] = kept.flatten
@@ -324,6 +381,7 @@ object Store {
     * manifest) so a scan never trusts a stale file listing.
     */
   def read(spark: SparkSession, name: String): DataFrame = {
+    requireTable(spark, name)
     spark.catalog.refreshTable(name)
     val t = spark.table(name)
     if (!t.columns.contains(GenCol)) return t.drop(PartCol) // flat / legacy
@@ -336,6 +394,7 @@ object Store {
     * states; older versions are vacuumed, not archived.
     */
   def versions(spark: SparkSession, name: String): Seq[Long] = {
+    requireTable(spark, name)
     val loc = tableLocation(spark, name)
     manifestVersions(fsFor(spark, loc), loc)
   }
@@ -349,6 +408,7 @@ object Store {
     * partially-reclaimed table.
     */
   def readVersion(spark: SparkSession, name: String, version: Long): DataFrame = {
+    requireTable(spark, name)
     spark.catalog.refreshTable(name)
     require(spark.table(name).columns.contains(GenCol),
       s"$name is not a generational store table — no versions to read")
@@ -375,6 +435,7 @@ object Store {
     * (StoreSpec pins hash-equality; PlanSpec pins the pruning).
     */
   def lookup(spark: SparkSession, name: String, keys: Seq[Any]): DataFrame = {
+    requireTable(spark, name)
     spark.catalog.refreshTable(name)
     val t = spark.table(name)
     // generational-layout check FIRST: a flat table (createTable + legacy
@@ -418,6 +479,7 @@ object Store {
   def changes(
       spark: SparkSession, name: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
+    requireTable(spark, name)
     spark.catalog.refreshTable(name)
     require(spark.table(name).columns.contains(GenCol),
       s"$name is not a generational store table — no versions to diff")
@@ -511,11 +573,17 @@ object Store {
     */
   def upsert(spark: SparkSession, name: String, updates: DataFrame, idCol: String,
       buckets: Int = 16): Unit = {
+    requireTable(spark, name)
     spark.catalog.refreshTable(name)
-    // a table without the generational layout (created by createTable, or
-    // any externally-made flat table) still upserts correctly — it just
-    // pays the legacy full-table copy-on-write, since there is no
-    // partition/generation structure to scope the write to
+    // DEPRECATED FALLBACK — a table without the generational layout
+    // (created by createTable, or any externally-made flat table) still
+    // upserts correctly, but pays a FULL-TABLE copy-on-write per batch:
+    // there is no partition/generation structure to scope the write to,
+    // so the cost is O(table), not O(batch). At scale every upserted
+    // table should be built via bulkWrite (generational layout); this
+    // branch exists only so declared-schema createTable tables keep
+    // working, and will not grow features (no tombstones, no time
+    // travel, no changelog).
     if (!spark.table(name).columns.contains(GenCol)) {
       val badKeys = updates.groupBy(idCol).count()
         .filter(col("count") > 1 || col(idCol).isNull).limit(1).count()
@@ -620,6 +688,7 @@ object Store {
     */
   def delete(spark: SparkSession, name: String, keys: DataFrame, idCol: String,
       buckets: Int = 16): Unit = {
+    requireTable(spark, name)
     spark.catalog.refreshTable(name)
     val schema = spark.table(name).schema
     require(schema.fieldNames.contains(DelCol),
@@ -654,6 +723,7 @@ object Store {
     * metadata, no Spark job.
     */
   def fileStats(spark: SparkSession, name: String): Seq[PartStat] = {
+    requireTable(spark, name)
     val loc = tableLocation(spark, name)
     val fs = fsFor(spark, loc)
     val manifest = readManifest(spark, name).map(_._2).getOrElse(Map.empty)
@@ -697,6 +767,7 @@ object Store {
   def compact(
       spark: SparkSession, name: String,
       onlyParts: Option[Seq[Int]] = None): CompactionResult = {
+    requireTable(spark, name)
     spark.catalog.refreshTable(name)
     require(spark.table(name).columns.contains(GenCol),
       s"$name is not a generational store table — nothing to compact")

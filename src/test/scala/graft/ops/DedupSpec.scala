@@ -350,4 +350,51 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(gotTails === Map(1L -> "a b c d e zz", 2L -> ""))
   }
+
+  private def bandKeys(sig: Long, maxHamming: Int, sigBits: Int): Map[Int, Long] =
+    Dedup.simhashBands(
+        Seq((1L, sig)).toDF("doc_id", "simhash"), "doc_id", maxHamming, sigBits)
+      .collect()
+      .map(r => r.getAs[Int]("chunk_idx") -> r.getAs[Long]("chunk_key")).toMap
+
+  test("simhash band layout: 60-bit default is frozen bit-identical (15-bit chunks)") {
+    // the historical layout q29/q181 shipped on: 4 chunks of 15 bits each,
+    // chunk i = bits [15i, 15i+15) — any drift re-shards every production
+    // band index
+    val sig = 0x0ABCDE123456789L // 60-bit value
+    assert(bandKeys(sig, maxHamming = 3, sigBits = 60) === Map(
+      0 -> (sig & 0x7FFFL),
+      1 -> ((sig >> 15) & 0x7FFFL),
+      2 -> ((sig >> 30) & 0x7FFFL),
+      3 -> ((sig >> 45) & 0x7FFFL)))
+  }
+
+  test("simhash band layout: sigBits=64 shards the top nibble (r12 verdict #3)") {
+    // two media hashes differing ONLY in bits 60–63: under the 60-bit text
+    // layout every chunk key coincides (the collided-bucket cost the r12
+    // verdict flagged); under sigBits=64 the top chunk separates them
+    val a = 0x0123456789ABCDEFL & ~(0xFL << 60)
+    val b = a | (0xFL << 60)
+    val keys60 = (bandKeys(a, 3, 60), bandKeys(b, 3, 60))
+    assert(keys60._1 === keys60._2, "60-bit layout cannot tell them apart")
+    val keys64 = (bandKeys(a, 3, 64), bandKeys(b, 3, 64))
+    assert(keys64._1(3) !== keys64._2(3), "64-bit top chunk must differ")
+    assert((0 to 2).forall(i => keys64._1(i) === keys64._2(i)),
+      "low chunks still collide — banding stays exhaustive up to maxHamming")
+    // negative (sign-bit-set) signatures band without sign-extension leaks:
+    // chunk keys are masked to chunk width
+    bandKeys(-1L, 3, 64).values.foreach(k => assert(k === 0xFFFFL))
+  }
+
+  test("simhashCandidates pair set is identical under 60- and 64-bit banding") {
+    // exhaustiveness argument made executable: for 60-bit text signatures
+    // the hamming-filtered pair set cannot depend on the band width
+    val docs = Seq.tabulate(12)(i => (i.toLong, s"common body words unique$i term${i % 3}"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+    def pairs(bits: Int) =
+      Dedup.simhashCandidates(sigs, "doc_id", maxHamming = 8, sigBits = bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming") /* schema check */ )).toSet
+    assert(pairs(60) === pairs(64))
+  }
 }

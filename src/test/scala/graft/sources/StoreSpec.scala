@@ -179,6 +179,51 @@ class StoreSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS crash_t")
   }
 
+  test("manifest commit is exclusive-create guarded: one racing writer wins, the loser fails loudly") {
+    import spark.implicits._
+    val base = (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v")
+    Store.bulkWrite(base, "race_t", "k", buckets = 2)
+    try {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier("race_t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(ident).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // the lost-update interleaving rename alone cannot catch on a POSIX
+      // local FS: two writers resolve the SAME base manifest, then both
+      // commit the next version — replayed here step by step
+      val (v, m) = Store.readManifest(spark, "race_t").get
+      Store.writeManifest(fs, loc, v + 1L, m) // writer A wins the claim
+      val e = intercept[IllegalStateException] {
+        Store.writeManifest(fs, loc, v + 1L, m) // writer B: same base, same target
+      }
+      assert(e.getMessage.contains("cannot claim manifest version"))
+      // the winner's commit is intact and the table still reads
+      assert(Store.readManifest(spark, "race_t").get._1 === v + 1L)
+      assert(Store.read(spark, "race_t").count() === 20L)
+      // a STALE straggler whose target version's lock was already retired
+      // (vacuumed): the claim succeeds but the post-lock currency check
+      // fails loudly — and releases the claim so the message stays honest
+      fs.delete(new org.apache.hadoop.fs.Path(loc, s"_manifest-${v + 1}.lock"), false)
+      val e2 = intercept[IllegalStateException] {
+        Store.writeManifest(fs, loc, v + 1L, m)
+      }
+      assert(e2.getMessage.contains("lost-update race"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(loc, s"_manifest-${v + 1}.lock")))
+      assert(Store.readManifest(spark, "race_t").get._1 === v + 1L)
+      // a crashed commit (lock created, manifest never renamed) blocks the
+      // version loudly instead of silently losing either write
+      fs.create(new org.apache.hadoop.fs.Path(loc, s"_manifest-${v + 2}.lock"), false).close()
+      val e3 = intercept[IllegalStateException] {
+        Store.upsert(spark, "race_t", Seq((21L, "NEW")).toDF("k", "v"), "k", buckets = 2)
+      }
+      assert(e3.getMessage.contains("cannot claim manifest version"))
+      // operator recovery: remove the stale lock, retry — the write lands
+      fs.delete(new org.apache.hadoop.fs.Path(loc, s"_manifest-${v + 2}.lock"), false)
+      Store.upsert(spark, "race_t", Seq((21L, "NEW")).toDF("k", "v"), "k", buckets = 2)
+      assert(Store.read(spark, "race_t").count() === 21L)
+    } finally spark.sql("DROP TABLE IF EXISTS race_t")
+  }
+
   test("vacuum retains the last two manifests and reclaims superseded generations") {
     import spark.implicits._
     val base = (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v")

@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Store
+
+/** CHANGELOG-DRIVEN INDEX MAINTENANCE — the operator that closes the CDC
+  * loop (r12 verdict #1): [[graft.sources.Store.changes]] produces the
+  * keyed insert/update/delete diff between two table versions; the
+  * functions here APPLY that changelog to each incremental derived index
+  * the curation pipelines probe, so a mutated corpus's indexes converge to
+  * exactly what a from-scratch rebuild over the post-state would produce —
+  * without ever rescanning the corpus.
+  *
+  * This is the engine-native analog of the refresh guarantee the
+  * reference's pipeline inherits from Elasticsearch: every
+  * `es.index(id=...)` call there is immediately searchable
+  * (`/root/reference/src/elasticsearch_ingest.py:146` forces the refresh);
+  * here, `upsert → changes → sync*Index` makes the dedup/near-dup/novelty
+  * indexes immediately correct for the same mutation, at O(changelog)
+  * cost.
+  *
+  * == Cost contract ==
+  *
+  * Every index is itself a generational [[graft.sources.Store]] table
+  * KEYED so that applying a changelog is a pure keyed upsert/delete:
+  *
+  *  - exact-dedup index: keyed on the DOC id, one 16-byte fingerprint per
+  *    doc. Sync = upsert the changed docs' fingerprints, delete the
+  *    deleted docs' rows — O(changelog) rows staged, nothing read.
+  *  - near-dup signature index: keyed on the DOC id, k longs per doc
+  *    (the `oldSigs` side of [[Dedup.incrementalCandidates]]). Same
+  *    upsert/delete shape; a post-image too short to sign (< w tokens, or
+  *    NULL) is a DELETE of its index row, not a skip — an update can
+  *    shrink a doc out of the signable set.
+  *  - novelty first-occurrence index: keyed on the SHINGLE
+  *    ([[Training.noveltyFirstIndex]]'s `(shingle, first_id)`). Sync
+  *    min-merges the changed docs' shingle mins into the stored mins; the
+  *    WRITE is O(changed shingles), and the min-merge probe is a
+  *    shingle-keyed equi-join against the index (bucketed on the shingle,
+  *    so it co-locates — the one sync whose probe touches the index
+  *    side at all, because min is not blindly overwritable).
+  *
+  * IndexSyncSpec pins the contract both ways: each synced index equals the
+  * from-scratch rebuild row-for-row, and the exact/signature applies run
+  * the SAME number of Spark jobs regardless of how large the indexed
+  * corpus is (the O(changelog)-not-O(table) claim, made executable).
+  *
+  * == Novelty deletes ==
+  *
+  * [[syncNoveltyIndex]] applies inserts and updates only. A DELETE does
+  * not retract first-occurrences: novelty scores a new batch against
+  * everything the corpus has EVER seen (the q126 operating mode), and
+  * retracting a min requires per-shingle membership — the classic
+  * non-invertible-aggregate problem, which an O(changelog) apply cannot
+  * solve and a curation pipeline does not want solved (a deleted doc's
+  * text was still seen; re-admitting near-copies of it as "novel" would
+  * reopen the dedup hole the index exists to close).
+  */
+object IndexSync {
+
+  private val Inserts = Seq("insert", "update")
+
+  private def postImages(changelog: DataFrame): DataFrame =
+    changelog.filter(col("change_type").isin(Inserts: _*))
+
+  private def deletions(changelog: DataFrame, idCol: String): DataFrame =
+    changelog.filter(col("change_type") === "delete").select(col(idCol))
+
+  // ------------------------------------------------------------ exact dedup
+
+  /** Build the exact-dedup fingerprint index for a corpus as a Store table
+    * keyed on the doc id: `(id, fingerprint)`. The doc-keyed membership
+    * form (rather than `fingerprint → keeper` directly) is what makes CDC
+    * application a blind keyed write — the keeper view derives on read
+    * ([[exactKeeperView]]).
+    */
+  def buildExactIndex(
+      spark: SparkSession, corpus: DataFrame, table: String,
+      idCol: String, textCol: String, buckets: Int = 4, parts: Int = 8): Unit =
+    Store.bulkWrite(
+      corpus.select(col(idCol), Dedup.exactFingerprint(col(textCol)).as("fingerprint")),
+      table, idCol, buckets = buckets, parts = parts, validateKeys = true)
+
+  /** Apply a [[graft.sources.Store.changes]] changelog to the exact-dedup
+    * index: changed docs' post-image fingerprints upsert by doc id,
+    * deleted docs' rows tombstone. Two O(batch) Store commits, nothing
+    * else — the index is never read.
+    */
+  def syncExactIndex(
+      spark: SparkSession, changelog: DataFrame, table: String,
+      idCol: String, textCol: String): Unit = {
+    Store.upsert(spark, table,
+      postImages(changelog)
+        .select(col(idCol), Dedup.exactFingerprint(col(textCol)).as("fingerprint")),
+      idCol)
+    Store.delete(spark, table, deletions(changelog, idCol), idCol)
+  }
+
+  /** The `fingerprint → (keeper, n_copies)` view over the membership
+    * index — the `oldIndex` shape [[Dedup.incrementalExactKeepers]]
+    * probes. One map-combinable aggregate over (id, fingerprint) pairs:
+    * 24 bytes per doc, never the corpus.
+    */
+  def exactKeeperView(spark: SparkSession, table: String, idCol: String): DataFrame =
+    Store.read(spark, table)
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  // --------------------------------------------------------- near-dup sigs
+
+  /** Build the MinHash signature index (the persisted `oldSigs` of
+    * [[Dedup.incrementalCandidates]]) as a doc-keyed Store table:
+    * `(id, s0..s{k-1})`. Docs too short to sign are absent, exactly as in
+    * the batch pipeline.
+    */
+  def buildSignatureIndex(
+      spark: SparkSession, corpus: DataFrame, table: String,
+      idCol: String, textCol: String, k: Int = 4, w: Int = 3,
+      buckets: Int = 4, parts: Int = 8): Unit =
+    Store.bulkWrite(
+      Dedup.minhashSignaturesScanLocal(corpus, idCol, textCol, k, w),
+      table, idCol, buckets = buckets, parts = parts, validateKeys = true)
+
+  /** Apply a changelog to the signature index: changed docs re-sign
+    * scan-locally and upsert; hard deletes AND sign-less post-images
+    * (NULL text or < w tokens after an update) tombstone — an id the
+    * batch rebuild would not emit must not linger in the index, or
+    * [[Dedup.incrementalCandidates]] would pair new docs against a stale
+    * signature. O(changelog): the only frames touched are the changelog
+    * and its signatures.
+    */
+  def syncSignatureIndex(
+      spark: SparkSession, changelog: DataFrame, table: String,
+      idCol: String, textCol: String, k: Int = 4, w: Int = 3): Unit = {
+    val post = postImages(changelog)
+    val sigs = Dedup.minhashSignaturesScanLocal(post, idCol, textCol, k, w)
+    Store.upsert(spark, table, sigs, idCol)
+    val signless = post.select(col(idCol))
+      .join(sigs.select(col(idCol)), Seq(idCol), "left_anti")
+    Store.delete(spark, table,
+      deletions(changelog, idCol).unionByName(signless), idCol)
+  }
+
+  // --------------------------------------------------------------- novelty
+
+  /** Build the novelty first-occurrence index
+    * ([[Training.noveltyFirstIndex]]) as a shingle-keyed Store table:
+    * `(shingle, first_id)`.
+    */
+  def buildNoveltyIndex(
+      spark: SparkSession, corpus: DataFrame, table: String,
+      idCol: String, textCol: String, w: Int = 3,
+      buckets: Int = 4, parts: Int = 8): Unit =
+    Store.bulkWrite(
+      Training.noveltyFirstIndex(corpus, idCol, textCol, w),
+      table, "shingle", buckets = buckets, parts = parts, validateKeys = true)
+
+  /** Apply a changelog's inserts/updates to the novelty index: the
+    * changed docs' per-shingle mins merge into the stored mins, writing
+    * ONLY the shingles whose first occurrence actually changed (new
+    * shingle, or a changed doc with a smaller id than the stored first).
+    * Deletes are a documented no-op — see the object doc. The result
+    * equals [[Training.noveltyFirstIndex]] over everything ever seen:
+    * the pre-state corpus UNION every applied post-image.
+    */
+  def syncNoveltyIndex(
+      spark: SparkSession, changelog: DataFrame, table: String,
+      idCol: String, textCol: String, w: Int = 3): Unit = {
+    val batchMins = Training.noveltyFirstIndex(
+      postImages(changelog), idCol, textCol, w)
+    val merged = batchMins
+      .join(Store.read(spark, table)
+        .select(col("shingle"), col("first_id").as("__stored")),
+        Seq("shingle"), "left")
+      .filter(col("__stored").isNull || col("first_id") < col("__stored"))
+      .select(col("shingle"), col("first_id"))
+      // materialize before the upsert appends to the very table the merge
+      // probe reads (the Store.compact rule); the frame is bounded by the
+      // changelog's changed-shingle count, not the index
+      .localCheckpoint()
+    Store.upsert(spark, table, merged, "shingle")
+  }
+}

@@ -90,19 +90,26 @@ object OracleFrags {
               / CAST(mw.tokens AS DOUBLE), 4) > 2.0 AS over_cap
           FROM mw, mtot)"""
 
-  /** The LSH candidate-pair fragment (q78/q83/q85/q87/q92): scan-local
-    * MinHash (k=4, w=3), 2 bands of 2 rows, band-bucket pairs. Emits CTEs
-    * `toks, sh, sig, bands, pairs` over `$src(doc_id, text)`, with
-    * `pairs(id_a < id_b)`.
+  /** The MinHash signature fragment (k=4, w=3 — the
+    * `Dedup.minhashSignaturesScanLocal` twin): emits CTEs `toks, sh, sig`
+    * over `$src(doc_id, text)` with `sig(doc_id, s0..s3)`. Shared by
+    * [[lshPairsCtes]] and the CDC signature-index gate (q187).
     */
-  def lshPairsCtes(src: String): String = s"""${shinglesCtes(src)},
+  def sigCtes(src: String): String = s"""${shinglesCtes(src)},
         sig AS (
           SELECT doc_id,
             min(('0x' || substr(md5('mh0' || shingle), 1, 8))::BIGINT) AS s0,
             min(('0x' || substr(md5('mh1' || shingle), 1, 8))::BIGINT) AS s1,
             min(('0x' || substr(md5('mh2' || shingle), 1, 8))::BIGINT) AS s2,
             min(('0x' || substr(md5('mh3' || shingle), 1, 8))::BIGINT) AS s3
-          FROM sh GROUP BY doc_id),
+          FROM sh GROUP BY doc_id)"""
+
+  /** The LSH candidate-pair fragment (q78/q83/q85/q87/q92): scan-local
+    * MinHash (k=4, w=3), 2 bands of 2 rows, band-bucket pairs. Emits CTEs
+    * `toks, sh, sig, bands, pairs` over `$src(doc_id, text)`, with
+    * `pairs(id_a < id_b)`.
+    */
+  def lshPairsCtes(src: String): String = s"""${sigCtes(src)},
         bands AS (
           SELECT doc_id, 0 AS band_idx, s0::VARCHAR || '_' || s1::VARCHAR AS band_key FROM sig
           UNION ALL

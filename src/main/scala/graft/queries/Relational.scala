@@ -826,5 +826,86 @@ object Relational {
         WHERE l_partkey BETWEEN mnp + (mxp - mnp) // 4 AND mnp + (mxp - mnp) // 2
           AND l_suppkey BETWEEN mns + (mxs - mns) // 4 AND mns + (mxs - mns) // 2
         GROUP BY l_suppkey ORDER BY l_suppkey""")),
+
+    // Z-ORDERED STORE COMPACTION + ENVELOPE-PRUNED BOX READ (r12 verdict
+    // #2 — q185's layout meeting q153's compaction executor): orders live
+    // in a generational store table; an upsert builds a delta chain;
+    // `compact(zorder = (cust, price))` folds every partition into one
+    // generation PER Z-PREFIX BUCKET (key-disjoint) and commits the
+    // envelope sidecar beside the manifest; a post-compaction upsert of
+    // ONE key leaves exactly its routing partition stale. The box read
+    // then prunes whole generations driver-side (clean partitions), falls
+    // back to the merged chain for the stale one, and must equal the
+    // plain filter the oracle replays over the fully-mutated table — with
+    // the emitted flag pinning that pruning really dropped generations.
+    QueryDef(
+      "q189_store_zorder_box",
+      (s, dir) => {
+        import graft.sources.Store
+        val ord = Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          col("o_custkey").as("cust"),
+          floor(col("o_totalprice")).cast("long").as("price"))
+        val table = "zbox_orders"
+        Store.bulkWrite(ord, table, "o_orderkey", buckets = 4, parts = 8,
+          validateKeys = true)
+        Store.upsert(s, table,
+          ord.filter(col("o_orderkey") % 7 === 0)
+            .withColumn("price", col("price") + lit(100000L)),
+          "o_orderkey", buckets = 4)
+        Store.compact(s, table,
+          zorder = Some(Store.ZorderSpec(Seq("cust", "price"), bits = 8, bucketBits = 4)))
+        // one post-compaction key: its routing partition falls back to the
+        // merge-on-read chain; every other partition stays envelope-pruned
+        val k = ord.agg(min(col("o_orderkey"))).head().getLong(0)
+        // read-modify-write through the routed lookup (the serving path),
+        // so the bump stacks on whatever the key's CURRENT price is;
+        // checkpoint before the upsert appends to the table it read
+        Store.upsert(s, table,
+          Store.lookup(s, table, Seq(k))
+            .withColumn("price", col("price") + lit(777777L))
+            .localCheckpoint(),
+          "o_orderkey", buckets = 4)
+        val st = Store.read(s, table)
+          .agg(min(col("cust")).cast("long"), max(col("cust")).cast("long"),
+            min(col("price")), max(col("price"))).head()
+        val (mnc, mxc, mnp, mxp) =
+          (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+        val box = Seq(
+          (mnc + (mxc - mnc) / 4, mnc + (mxc - mnc) / 2),
+          (mnp + (mxp - mnp) / 4, mnp + (mxp - mnp) / 2))
+        val (admitted, total) = Store.boxGenCounts(s, table, box)
+        Store.readBox(s, table, box)
+          .groupBy(col("cust"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("price")).cast("long").as("price_sum"))
+          .withColumn("gen_pruned", lit(admitted < total))
+          .orderBy(col("cust"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey AS cust,
+            CAST(floor(o_totalprice) AS BIGINT) AS price
+          FROM orders),
+        m1 AS (
+          SELECT o_orderkey, cust,
+            CASE WHEN o_orderkey % 7 = 0 THEN price + 100000 ELSE price END AS price
+          FROM o),
+        m2 AS (
+          SELECT o_orderkey, cust,
+            CASE WHEN o_orderkey = (SELECT min(o_orderkey) FROM o)
+              THEN price + 777777 ELSE price END AS price
+          FROM m1),
+        b AS (
+          SELECT min(cust) AS mnc, max(cust) AS mxc,
+                 min(price) AS mnp, max(price) AS mxp
+          FROM m2)
+        SELECT cust, count(*) AS n_orders,
+          CAST(sum(price) AS BIGINT) AS price_sum,
+          true AS gen_pruned
+        FROM m2, b
+        WHERE cust BETWEEN mnc + (mxc - mnc) // 4 AND mnc + (mxc - mnc) // 2
+          AND price BETWEEN mnp + (mxp - mnp) // 4 AND mnp + (mxp - mnp) // 2
+        GROUP BY cust ORDER BY cust""")),
   )
 }

@@ -2175,5 +2175,170 @@ object TextOps {
       Some("""
         SELECT doc_id, text, lang, source, n_chars
         FROM documents ORDER BY doc_id""")),
+
+    // CDC → EXACT-DEDUP INDEX SYNC ([[graft.ops.IndexSync]] — r12 verdict
+    // #1, the operator that makes the store's mutability usable by the
+    // curation pipelines): the corpus lives in a generational store table;
+    // a mixed upsert commit (updates %11, planted duplicate inserts %19
+    // re-keyed +1000000 carrying their source's text) and a delete commit
+    // (%17) each produce a changelog, and each changelog is APPLIED to the
+    // doc-keyed fingerprint index — two O(changelog) keyed writes, the
+    // corpus never rescanned. The emitted keeper view must equal the
+    // from-scratch rebuild over the post-state (the oracle replays the
+    // mutations and fingerprints independently); the planted inserts force
+    // real cross-commit duplicate groups through the synced index.
+    QueryDef(
+      "q186_cdc_exact_sync",
+      (s, dir) => {
+        import graft.ops.IndexSync
+        import graft.sources.Store
+        val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+        val table = "cdc_exact_docs"
+        val idx = "cdc_exact_idx"
+        Store.bulkWrite(docs, table, "doc_id", buckets = 4, parts = 8,
+          validateKeys = true)
+        IndexSync.buildExactIndex(s, docs, idx, "doc_id", "text")
+        val upd = docs.filter(col("doc_id") % 11 === 0)
+          .withColumn("text", concat(col("text"), lit(" [u]")))
+        val ins = docs.filter(col("doc_id") % 19 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        Store.upsert(s, table, upd.unionByName(ins), "doc_id", buckets = 4)
+        val v01 = Store.versions(s, table)
+        IndexSync.syncExactIndex(s,
+          Store.changes(s, table, v01.head, v01.last), idx, "doc_id", "text")
+        Store.delete(s, table,
+          docs.filter(col("doc_id") % 17 === 0).select(col("doc_id")),
+          "doc_id", buckets = 4)
+        val v12 = Store.versions(s, table)
+        IndexSync.syncExactIndex(s,
+          Store.changes(s, table, v12.head, v12.last), idx, "doc_id", "text")
+        IndexSync.exactKeeperView(s, idx, "doc_id")
+          .select(col("keeper"), col("n_copies"), col("fingerprint"))
+          .orderBy(col("keeper"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        mut AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 11 = 0 THEN text || ' [u]' ELSE text END AS text
+          FROM base WHERE doc_id % 17 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM base WHERE doc_id % 19 = 0),
+        f AS (
+          SELECT doc_id,
+            md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+          FROM mut)
+        SELECT min(doc_id) AS keeper, count(*) AS n_copies, fingerprint
+        FROM f GROUP BY fingerprint ORDER BY keeper""")),
+
+    // CDC → NEAR-DUP SIGNATURE INDEX SYNC: same mutation flow plus an
+    // update class (%13) that rewrites the doc to a 2-token text — too
+    // short to sign (w=3), so the sync must DELETE its index row, not just
+    // skip it (a stale signature would keep pairing new docs against text
+    // the doc no longer contains). The synced index must equal the
+    // scan-local signatures of the post-state corpus, replayed by the
+    // same shared sig fragment every LSH gate uses.
+    QueryDef(
+      "q187_cdc_sig_sync",
+      (s, dir) => {
+        import graft.ops.IndexSync
+        import graft.sources.Store
+        val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+        val table = "cdc_sig_docs"
+        val idx = "cdc_sig_idx"
+        Store.bulkWrite(docs, table, "doc_id", buckets = 4, parts = 8,
+          validateKeys = true)
+        IndexSync.buildSignatureIndex(s, docs, idx, "doc_id", "text", k = 4, w = 3)
+        val upd = docs.filter(col("doc_id") % 13 === 0)
+          .withColumn("text", lit("tiny doc"))
+          .unionByName(
+            docs.filter(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
+              .withColumn("text", concat(col("text"), lit(" [u]"))))
+        val ins = docs.filter(col("doc_id") % 19 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        Store.upsert(s, table, upd.unionByName(ins), "doc_id", buckets = 4)
+        val v01 = Store.versions(s, table)
+        IndexSync.syncSignatureIndex(s,
+          Store.changes(s, table, v01.head, v01.last), idx, "doc_id", "text",
+          k = 4, w = 3)
+        Store.delete(s, table,
+          docs.filter(col("doc_id") % 17 === 0).select(col("doc_id")),
+          "doc_id", buckets = 4)
+        val v12 = Store.versions(s, table)
+        IndexSync.syncSignatureIndex(s,
+          Store.changes(s, table, v12.head, v12.last), idx, "doc_id", "text",
+          k = 4, w = 3)
+        Store.read(s, idx).orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        mut AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 13 = 0 THEN 'tiny doc'
+                 WHEN doc_id % 11 = 0 THEN text || ' [u]'
+                 ELSE text END AS text
+          FROM base WHERE doc_id % 17 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM base WHERE doc_id % 19 = 0),
+        ${OracleFrags.sigCtes("mut")}
+        SELECT doc_id, s0, s1, s2, s3 FROM sig ORDER BY doc_id""")),
+
+    // CDC → NOVELTY INDEX SYNC: the first-occurrence index min-merges the
+    // changelog's post-image shingle mins — writing only the shingles
+    // whose first occurrence changed. Novelty is scored against everything
+    // EVER seen ([[graft.ops.IndexSync]] object doc: deletes do not
+    // retract history), so the synced index equals the rebuild over the
+    // pre-state corpus UNION the applied post-images — both versions of
+    // an updated doc count, exactly as the oracle's union replays. Output
+    // is the per-first_id shingle count + portable-hash checksum (the
+    // full index table compressed to one row per doc without losing
+    // sensitivity to any single shingle's owner).
+    QueryDef(
+      "q188_cdc_novelty_sync",
+      (s, dir) => {
+        import graft.ops.IndexSync
+        import graft.sources.Store
+        val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+        val table = "cdc_nov_docs"
+        val idx = "cdc_nov_idx"
+        Store.bulkWrite(docs, table, "doc_id", buckets = 4, parts = 8,
+          validateKeys = true)
+        IndexSync.buildNoveltyIndex(s, docs, idx, "doc_id", "text", w = 3)
+        val upd = docs.filter(col("doc_id") % 11 === 0)
+          .withColumn("text", concat(col("text"), lit(" [u]")))
+        val ins = docs.filter(col("doc_id") % 19 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        Store.upsert(s, table, upd.unionByName(ins), "doc_id", buckets = 4)
+        val v01 = Store.versions(s, table)
+        IndexSync.syncNoveltyIndex(s,
+          Store.changes(s, table, v01.head, v01.last), idx, "doc_id", "text", w = 3)
+        Store.read(s, idx)
+          .groupBy(col("first_id"))
+          .agg(count(lit(1)).as("n_first"),
+            sum(Dedup.portableHash(col("shingle"), "graft-cdcn")).cast("long")
+              .as("shingle_sum"))
+          .orderBy(col("first_id"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        u AS (
+          SELECT doc_id, text FROM base
+          UNION ALL
+          SELECT doc_id, text || ' [u]' FROM base WHERE doc_id % 11 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM base WHERE doc_id % 19 = 0),
+        ${OracleFrags.shinglesCtes("u")},
+        first AS (
+          SELECT shingle, min(doc_id) AS first_id FROM sh GROUP BY shingle)
+        SELECT first_id, CAST(count(*) AS BIGINT) AS n_first,
+          CAST(sum(('0x' || substr(md5('graft-cdcn' || shingle), 1, 8))::BIGINT)
+            AS BIGINT) AS shingle_sum
+        FROM first GROUP BY first_id ORDER BY first_id""")),
   )
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, collect_set, count, first, hash, lit, max, pmod, row_number, struct, when}
+import org.apache.spark.sql.functions.{col, collect_set, count, first, hash, lit, max, min, pmod, row_number, struct, when}
 import org.apache.spark.sql.types.StructType
 import org.apache.hadoop.fs.{FileSystem, Path}
 
@@ -85,6 +85,7 @@ object Store {
 
   private val ManifestRe = """_manifest-(\d+)\.txt""".r
   private val IntentRe = """_intent-(\d+)""".r
+  private val ZmapRe = """_zmap-(\d+)\.txt""".r
 
   private def withPart(df: DataFrame, idCol: String, parts: Int): DataFrame =
     df.withColumn(PartCol, pmod(hash(col(idCol)), lit(parts)))
@@ -222,6 +223,96 @@ object Store {
       s"manifest commit rename failed for version $v")
   }
 
+  // ------------------------------------------------------------ zmap sidecar
+
+  /** How a Z-ordered compaction lays folded rows out: Morton-interleave
+    * `dims` ([[graft.ops.Layout]]'s quantize + interleave, `bits` per
+    * dim), then commit ONE GENERATION PER Z-PREFIX BUCKET
+    * (`2^bucketBits` buckets). Generations within one z-compaction are
+    * KEY-DISJOINT by construction (each key's newest version lands in
+    * exactly one bucket), so reads over a cleanly z-compacted partition
+    * skip the merge rank entirely — and [[readBox]] prunes whole
+    * generations against the envelope sidecar before any file is listed.
+    */
+  final case class ZorderSpec(dims: Seq[String], bits: Int = 8, bucketBits: Int = 4)
+
+  /** One committed (partition, generation)'s envelope: each z dimension's
+    * min/max over the generation's rows. */
+  private[graft] final case class ZEnv(part: Int, gen: Long, lo: Seq[Long], hi: Seq[Long])
+
+  /** The Z-layout sidecar committed beside a manifest: the spec, the
+    * quantization plan (so an external reader can replay bucket
+    * assignment), and every written generation's envelope. Bounded:
+    * ≤ parts × 2^bucketBits envelope rows.
+    */
+  private[graft] final case class ZMap(
+      spec: ZorderSpec, plan: Seq[graft.ops.Layout.DimSpec], envs: Seq[ZEnv]) {
+    def gensFor(p: Int): Set[Long] = envs.iterator.filter(_.part == p).map(_.gen).toSet
+    def envIntersects(e: ZEnv, box: Seq[(Long, Long)]): Boolean =
+      box.indices.forall(d => e.hi(d) >= box(d)._1 && e.lo(d) <= box(d)._2)
+  }
+
+  private def zmapPath(loc: Path, v: Long) = new Path(loc, s"_zmap-$v.txt")
+
+  private def renderZmap(z: ZMap): String = {
+    val head = Seq(
+      s"dims:${z.spec.dims.mkString(",")}",
+      s"bits:${z.spec.bits}",
+      s"bucketBits:${z.spec.bucketBits}",
+      s"plan:${z.plan.map(p => s"${p.name},${p.min},${p.shift}").mkString("|")}")
+    val envs = z.envs.map(e =>
+      s"env:${e.part}:${e.gen}:${e.lo.zip(e.hi).map { case (a, b) => s"$a,$b" }.mkString(";")}")
+    (head ++ envs).mkString("\n")
+  }
+
+  private def parseZmap(s: String): ZMap = {
+    val lines = s.split("\n").map(_.trim).filter(_.nonEmpty)
+    def field(k: String): String =
+      lines.find(_.startsWith(s"$k:")).map(_.stripPrefix(s"$k:"))
+        .getOrElse(sys.error(s"zmap sidecar missing field $k"))
+    val dims = field("dims").split(",").toSeq
+    val plan = field("plan").split("\\|").toSeq.map { p =>
+      val Array(n, mn, sh) = p.split(",")
+      graft.ops.Layout.DimSpec(n, mn.toLong, sh.toInt)
+    }
+    val envs = lines.filter(_.startsWith("env:")).toSeq.map { l =>
+      val Array(_, p, g, ranges) = l.split(":", 4)
+      val bounds = ranges.split(";").toSeq.map { r =>
+        val Array(a, b) = r.split(","); (a.toLong, b.toLong)
+      }
+      ZEnv(p.toInt, g.toLong, bounds.map(_._1), bounds.map(_._2))
+    }
+    ZMap(ZorderSpec(dims, field("bits").toInt, field("bucketBits").toInt), plan, envs)
+  }
+
+  /** The newest committed Z-layout sidecar, if any. A sidecar is only
+    * TRUSTED per-partition: readers check that a partition's live
+    * generations are a subset of the sidecar's generations for it (a
+    * later delta or a plain compaction invalidates the partition, and the
+    * reader falls back to the full merge-on-read scan — correctness never
+    * depends on the sidecar being current).
+    */
+  private[graft] def readZmap(spark: SparkSession, name: String): Option[ZMap] = {
+    val loc = tableLocation(spark, name)
+    val fs = fsFor(spark, loc)
+    val vers =
+      if (!fs.exists(loc)) Seq.empty
+      else fs.listStatus(loc).toSeq.map(_.getPath.getName)
+        .collect { case ZmapRe(n) => n.toLong }.sorted
+    vers.lastOption.map(v => parseZmap(readText(fs, zmapPath(loc, v))))
+  }
+
+  /** Partitions whose live generations all came from one z-compaction:
+    * key-disjoint, so the merge rank is skippable. */
+  private def zDisjointParts(
+      spark: SparkSession, name: String, manifest: Manifest): Set[Int] =
+    readZmap(spark, name) match {
+      case Some(z) => manifest.collect {
+        case (p, gens) if gens.size > 1 && gens.toSet.subsetOf(z.gensFor(p)) => p
+      }.toSet
+      case None => Set.empty
+    }
+
   // ------------------------------------------------------- gen allocation
 
   /** Allocate the next generation id and stamp an `_intent-G` marker
@@ -231,15 +322,25 @@ object Store {
     * it would mix two attempts' files in one `__g` dir — the one way an
     * append-only layout could corrupt).
     */
-  private def allocateGen(fs: FileSystem, loc: Path, manifest: Manifest): Long = {
+  private def allocateGen(fs: FileSystem, loc: Path, manifest: Manifest): Long =
+    allocateGenRange(fs, loc, manifest, 1)
+
+  /** Allocate `count` CONSECUTIVE generation ids (a Z-ordered compaction
+    * commits one generation per Z-prefix bucket) — every id in the range
+    * gets its intent marker, so a crashed attempt poisons none of them
+    * for reuse.
+    */
+  private def allocateGenRange(
+      fs: FileSystem, loc: Path, manifest: Manifest, count: Int): Long = {
     val committedMax = manifest.valuesIterator.flatten.foldLeft(-1L)(math.max)
     val intentMax =
       if (!fs.exists(loc)) -1L
       else fs.listStatus(loc).toSeq.map(_.getPath.getName)
         .collect { case IntentRe(n) => n.toLong }.foldLeft(-1L)(math.max)
-    val g = math.max(committedMax, intentMax) + 1L
-    fs.create(new Path(loc, s"_intent-$g"), false).close()
-    g
+    val base = math.max(committedMax, intentMax) + 1L
+    (0 until count).foreach(i =>
+      fs.create(new Path(loc, s"_intent-${base + i}"), false).close())
+    base
   }
 
   /** Reclaim everything no live reader can need: manifests older than the
@@ -260,6 +361,14 @@ object Store {
       // writeManifest's post-lock currency check
       fs.delete(new Path(loc, s"_manifest-$v.lock"), false)
     }
+    // z-layout sidecars older than the NEWEST one retire once their
+    // manifest does: readers only ever consult the latest sidecar, and
+    // its per-partition subset check makes a stale sidecar harmless, so
+    // retention here is disk hygiene, not correctness
+    val zvers = fs.listStatus(loc).toSeq.map(_.getPath.getName)
+      .collect { case ZmapRe(n) => n.toLong }.sorted
+    zvers.dropRight(1).filter(zv => !vers.takeRight(2).contains(zv))
+      .foreach(zv => fs.delete(zmapPath(loc, zv), false))
     val kept = vers.takeRight(2).map(v => parseManifest(readText(fs, manifestPath(loc, v))))
     if (kept.isEmpty) return
     val referenced: Map[Int, Set[Long]] = kept.flatten
@@ -385,7 +494,8 @@ object Store {
     spark.catalog.refreshTable(name)
     val t = spark.table(name)
     if (!t.columns.contains(GenCol)) return t.drop(PartCol) // flat / legacy
-    readAt(spark, name, readManifest(spark, name).map(_._2).getOrElse(Map.empty))
+    val manifest = readManifest(spark, name).map(_._2).getOrElse(Map.empty)
+    readAt(spark, name, manifest, zDisjointParts(spark, name, manifest))
   }
 
   /** Committed manifest versions still on disk, oldest first — the
@@ -460,6 +570,70 @@ object Store {
       .filter(col(idCol).isin(keys.map(k => lit(k).cast(idType)): _*))
   }
 
+  /** ENVELOPE-PRUNED BOX READ over a Z-ordered store table (r12 verdict
+    * #2 — the natural join of the generational store and the
+    * [[graft.ops.Layout]] machinery): after `compact(zorder = ...)`, each
+    * partition's rows live in one generation per Z-prefix bucket, and the
+    * sidecar records every generation's per-dimension envelope. A box
+    * query then prunes DRIVER-SIDE — admit only generations whose
+    * envelope intersects the box — so the scan lists exactly the
+    * intersecting `(partition, generation)` dirs, with the residual
+    * per-dim filters keeping exactness (an admitted generation still
+    * holds rows outside the box).
+    *
+    * Partitions mutated SINCE the z-compaction (a later delta chain, or
+    * never z-compacted) fall back to their full merge-on-read chain plus
+    * the residual filter — the sidecar is a pruning accelerator, never a
+    * correctness dependency. Box bounds align with the sidecar's dims,
+    * in order ([[zmapDims]]).
+    */
+  def readBox(
+      spark: SparkSession, name: String, box: Seq[(Long, Long)]): DataFrame = {
+    requireTable(spark, name)
+    spark.catalog.refreshTable(name)
+    val z = readZmap(spark, name).getOrElse(sys.error(
+      s"$name has no Z-order layout — run compact(zorder = Some(ZorderSpec(dims))) first"))
+    require(box.size == z.spec.dims.size,
+      s"one (lo, hi) bound per z dimension: ${z.spec.dims.mkString(", ")}")
+    val manifest = readManifest(spark, name).map(_._2).getOrElse(Map.empty)
+    val admitted: Manifest = manifest.flatMap { case (p, gens) =>
+      val pruned =
+        if (gens.toSet.subsetOf(z.gensFor(p)))
+          gens.filter(g =>
+            z.envs.exists(e => e.part == p && e.gen == g && z.envIntersects(e, box)))
+        else gens // stale partition: full chain, rank + residual keep it exact
+      if (pruned.isEmpty) None else Some(p -> pruned)
+    }
+    val base = readAt(spark, name, admitted, zDisjointParts(spark, name, admitted))
+    z.spec.dims.zip(box).foldLeft(base) { case (df, (d, (lo, hi))) =>
+      df.filter(col(d) >= lo && col(d) <= hi)
+    }
+  }
+
+  /** The sidecar's dimension order — what [[readBox]]'s bounds align to. */
+  def zmapDims(spark: SparkSession, name: String): Seq[String] = {
+    requireTable(spark, name)
+    readZmap(spark, name).map(_.spec.dims).getOrElse(Seq.empty)
+  }
+
+  /** Pruning accounting for a box over the current manifest: (admitted
+    * live generations, total live generations) — what a gate/spec asserts
+    * shrank. Driver-side only, no Spark job.
+    */
+  private[graft] def boxGenCounts(
+      spark: SparkSession, name: String, box: Seq[(Long, Long)]): (Int, Int) = {
+    val z = readZmap(spark, name).getOrElse(sys.error(s"$name has no Z-order layout"))
+    val manifest = readManifest(spark, name).map(_._2).getOrElse(Map.empty)
+    val total = manifest.valuesIterator.map(_.size).sum
+    val admitted = manifest.map { case (p, gens) =>
+      if (gens.toSet.subsetOf(z.gensFor(p)))
+        gens.count(g =>
+          z.envs.exists(e => e.part == p && e.gen == g && z.envIntersects(e, box)))
+      else gens.size
+    }.sum
+    (admitted, total)
+  }
+
   /** CHANGELOG (CDC) between two RETAINED versions: every key whose value
     * differs between the `fromVersion` and `toVersion` snapshots, labeled
     * `insert` / `update` / `delete`, carrying the POST-image columns
@@ -514,8 +688,15 @@ object Store {
         valCols.map(c => col(s"__post.$c").as(c)): _*)
   }
 
+  /** `disjointParts`: partitions PROVEN key-disjoint across their live
+    * generations (one z-compaction wrote them all — [[zDisjointParts]]).
+    * They take the plain pruned scan even with >1 generation: the merge
+    * rank would keep every row anyway, and skipping it removes the
+    * windowed exchange from every read of a z-compacted table.
+    */
   private def readAt(
-      spark: SparkSession, name: String, manifest: Manifest): DataFrame = {
+      spark: SparkSession, name: String, manifest: Manifest,
+      disjointParts: Set[Int] = Set.empty): DataFrame = {
     val t = spark.table(name)
     if (manifest.isEmpty) {
       val empty = t.filter(lit(false))
@@ -525,7 +706,9 @@ object Store {
     def liveCond(m: Manifest): Column = m.map { case (p, gs) =>
       col(PartCol) === p && col(GenCol).isin(gs: _*)
     }.reduce(_ || _)
-    val (multi, single) = manifest.partition(_._2.size > 1)
+    val (multi, single) = manifest.partition {
+      case (p, gs) => gs.size > 1 && !disjointParts.contains(p)
+    }
     // a tombstone surviving as its key's newest version deletes the key
     // (pre-tombstone layouts lack the column and skip the filter)
     def finish(df: DataFrame): DataFrame = {
@@ -766,12 +949,20 @@ object Store {
     */
   def compact(
       spark: SparkSession, name: String,
-      onlyParts: Option[Seq[Int]] = None): CompactionResult = {
+      onlyParts: Option[Seq[Int]] = None,
+      zorder: Option[ZorderSpec] = None): CompactionResult = {
     requireTable(spark, name)
     spark.catalog.refreshTable(name)
     require(spark.table(name).columns.contains(GenCol),
       s"$name is not a generational store table — nothing to compact")
-    val plan = compactionPlan(spark, name)
+    // a Z-ordered compaction is a RE-LAYOUT: it folds every live
+    // partition (delta chain or not), because the box-read pruning it
+    // buys needs the whole table's rows under envelope-tracked
+    // generations; a plain compaction folds only chained partitions
+    val plan = zorder match {
+      case Some(_) => fileStats(spark, name)
+      case None    => compactionPlan(spark, name)
+    }
     val folds = onlyParts match {
       case Some(ps) => plan.filter(s => ps.contains(s.part))
       case None     => plan
@@ -790,7 +981,6 @@ object Store {
     val liveCond = foldParts.map { p =>
       col(PartCol) === p && col(GenCol).isin(manifest(p): _*)
     }.reduce(_ || _)
-    val gen = allocateGen(fs, loc, manifest)
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
     // bucket-count fallback, NOT the partition-count constant: the two
     // defaults coincide at 16 today, but a fold repartitioned by the
@@ -809,20 +999,80 @@ object Store {
     // deletion becomes physical once retention vacuums the old chain
     val survivors =
       if (columnOrder.contains(DelCol)) newest.filter(!col(DelCol)) else newest
-    val folded = survivors
-      .withColumn(GenCol, lit(gen))
-      .select(columnOrder.map(col(_)): _*)
-      .repartition(tableBuckets, col(idCol))
-      // materialize the fold (its footprint is the folded partitions, not
-      // the table) so the append below does not read the table it extends
-      .localCheckpoint()
-    folded.write.mode(SaveMode.Append).insertInto(name)
-    val updated = foldParts.foldLeft(manifest)((m, p) => m.updated(p, Seq(gen)))
-    writeManifest(fs, loc, v + 1L, updated)
-    vacuum(fs, loc)
-    spark.catalog.refreshTable(name)
-    val after = fileStats(spark, name)
-    CompactionResult(foldParts, gen,
-      statsBefore.map(_.nFiles).sum, after.map(_.nFiles).sum)
+    def finish(gen0: Long): CompactionResult = {
+      vacuum(fs, loc)
+      spark.catalog.refreshTable(name)
+      val after = fileStats(spark, name)
+      CompactionResult(foldParts, gen0,
+        statsBefore.map(_.nFiles).sum, after.map(_.nFiles).sum)
+    }
+    zorder match {
+      case None =>
+        val gen = allocateGen(fs, loc, manifest)
+        val folded = survivors
+          .withColumn(GenCol, lit(gen))
+          .select(columnOrder.map(col(_)): _*)
+          .repartition(tableBuckets, col(idCol))
+          // materialize the fold (its footprint is the folded partitions,
+          // not the table) so the append below does not read the table it
+          // extends
+          .localCheckpoint()
+        folded.write.mode(SaveMode.Append).insertInto(name)
+        val updated = foldParts.foldLeft(manifest)((m, p) => m.updated(p, Seq(gen)))
+        writeManifest(fs, loc, v + 1L, updated)
+        finish(gen)
+
+      case Some(zs) =>
+        require(zs.dims.nonEmpty && zs.dims.forall(columnOrder.contains),
+          s"z dimensions must be table columns: ${zs.dims.mkString(", ")}")
+        val nBuckets = 1 << zs.bucketBits
+        val gen0 = allocateGenRange(fs, loc, manifest, nBuckets)
+        // ONE materialization of the fold, then three cheap passes over it
+        // (quantization plan, envelopes, write) — and the append cannot
+        // read the table it extends
+        val survChk = survivors.localCheckpoint()
+        val zplan = graft.ops.Layout.quantizationPlan(survChk, zs.dims, zs.bits)
+        // generation = base + z-prefix bucket: rows of one partition land
+        // in one generation PER BUCKET, key-disjoint by construction
+        val zRows = graft.ops.Layout.withZ(survChk, zplan, zs.bits, zs.bucketBits)
+          .withColumn(GenCol, lit(gen0) + col("z_bucket"))
+        val envAggs = count(lit(1)).as("n") +: zs.dims.flatMap(d => Seq(
+          min(col(d).cast("long")).as(s"mn_$d"),
+          max(col(d).cast("long")).as(s"mx_$d")))
+        // bounded driver-side state: ≤ parts × 2^bucketBits envelope rows
+        // (the k-means-codebook class of collect)
+        val envRows = zRows.groupBy(col(PartCol), col(GenCol))
+          .agg(envAggs.head, envAggs.tail: _*).collect()
+        require(envRows.forall(r => !r.isNullAt(1)),
+          "z-order compaction requires non-null values in every z " +
+            "dimension — filter or impute upstream (a NULL has no cell on " +
+            "the curve)")
+        val envs = envRows.map { r =>
+          ZEnv(r.getInt(0), r.getLong(1),
+            zs.dims.indices.map(i => r.getLong(3 + 2 * i)),
+            zs.dims.indices.map(i => r.getLong(4 + 2 * i)))
+        }.toSeq
+        zRows.drop("z", "z_bucket")
+          .select(columnOrder.map(col(_)): _*)
+          .repartition(tableBuckets, col(idCol))
+          .write.mode(SaveMode.Append).insertInto(name)
+        val gensByPart: Map[Int, Seq[Long]] = envs.groupBy(_.part)
+          .map { case (p, es) => p -> es.map(_.gen).sorted.toSeq }
+        val updated = foldParts.foldLeft(manifest) { (m, p) =>
+          gensByPart.get(p) match {
+            case Some(gs) => m.updated(p, gs)
+            case None     => m - p // partition emptied by the tombstone fold
+          }
+        }
+        // sidecar BEFORE the manifest commit: a crash here leaves a
+        // sidecar for a version that never committed — harmless, because
+        // readers trust it only where a partition's live generations are
+        // a subset of the sidecar's (none will be)
+        val out = fs.create(zmapPath(loc, v + 1L), true)
+        out.write(renderZmap(ZMap(zs, zplan, envs)).getBytes("UTF-8"))
+        out.close()
+        writeManifest(fs, loc, v + 1L, updated)
+        finish(gen0)
+    }
   }
 }

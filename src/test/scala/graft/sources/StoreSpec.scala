@@ -179,6 +179,61 @@ class StoreSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS crash_t")
   }
 
+  test("z-ordered compaction: content preserved, rank skipped, box reads prune and stay exact") {
+    import spark.implicits._
+    // two integer dims spread over a 40x40 grid; planted delta chain first
+    val base = (1L to 400L).map(k => (k, (k * 7) % 40, (k * 13) % 40, s"v$k"))
+      .toDF("k", "x", "y", "v")
+    Store.bulkWrite(base, "zc_t", "k", buckets = 2, parts = 4, validateKeys = true)
+    try {
+      Store.upsert(spark, "zc_t",
+        (1L to 400L by 5L).map(k => (k, (k * 7) % 40, (k * 13) % 40, s"v${k}_b"))
+          .toDF("k", "x", "y", "v"), "k", buckets = 2)
+      Store.delete(spark, "zc_t", Seq(40L, 80L).toDF("k"), "k", buckets = 2)
+      val before = Store.read(spark, "zc_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val res = Store.compact(spark, "zc_t",
+        zorder = Some(Store.ZorderSpec(Seq("x", "y"), bits = 6, bucketBits = 4)))
+      assert(res.foldedParts.nonEmpty)
+      // 1) content byte-for-byte across the re-layout (incl. the deletes)
+      val after = Store.read(spark, "zc_t")
+      assert(after.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+        === before)
+      assert(!before.exists(_._1 == 40L))
+      // 2) the z generations are key-disjoint, so the merge rank is GONE
+      // from a plain read even though partitions carry many generations
+      assert(!after.queryExecution.sparkPlan.toString.contains("Window"),
+        "z-compacted read still pays the merge-on-read rank")
+      // 3) box read == plain filter, and it admitted fewer generations
+      val box = Seq((5L, 14L), (10L, 19L))
+      val gotBox = Store.readBox(spark, "zc_t", box).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val expBox = before.filter(t => t._2 >= 5 && t._2 <= 14 && t._3 >= 10 && t._3 <= 19)
+      assert(gotBox === expBox)
+      val (admitted, total) = Store.boxGenCounts(spark, "zc_t", box)
+      assert(admitted < total, s"box admitted all $total generations")
+      // 4) a post-compaction upsert leaves its partition on the exact
+      // fallback path while the rest keep pruning
+      Store.upsert(spark, "zc_t",
+        Seq((3L, 7L, 19L, "v3_post")).toDF("k", "x", "y", "v"), "k", buckets = 2)
+      val gotBox2 = Store.readBox(spark, "zc_t", box).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val expBox2 = expBox.filterNot(_._1 == 3L) +
+        ((3L, 7L, 19L, "v3_post")) // (7, 19) is inside the box
+      assert(gotBox2 === expBox2)
+      // 5) a NULL dim fails loudly before anything is written
+      Store.upsert(spark, "zc_t",
+        Seq((401L, Option.empty[Long], Option(1L), "vnull"))
+          .toDF("k", "x", "y", "v"), "k", buckets = 2)
+      val e = intercept[IllegalArgumentException] {
+        Store.compact(spark, "zc_t",
+          zorder = Some(Store.ZorderSpec(Seq("x", "y"), bits = 6, bucketBits = 4)))
+      }
+      assert(e.getMessage.contains("non-null"))
+    } finally spark.sql("DROP TABLE IF EXISTS zc_t")
+  }
+
   test("manifest commit is exclusive-create guarded: one racing writer wins, the loser fails loudly") {
     import spark.implicits._
     val base = (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v")

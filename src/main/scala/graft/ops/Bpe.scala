@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding tokenizer (Sennrich et al. 2016) — TRAINING (learn a
@@ -165,18 +166,80 @@ object Bpe {
     val words = docs
       .select(col(idCol), explode(split(col(textCol), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
+    words
+      .join(wordSizes(words, dict, merges), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__sz")).as("n_tokens"))
+  }
+
+  /** The broadcast `(word → true token count)` map shared by
+    * [[tokenCountsExact]] and [[truncateTokensBpe]]: in-dictionary words
+    * take their trained segmentation size, the distinct OOV set is
+    * encoded once ([[encodeWords]]). Zipf-sized, hence broadcastable.
+    */
+  private def wordSizes(
+      words: DataFrame, dict: DataFrame, merges: Seq[BpeMerge]): DataFrame = {
     val oovSizes = encodeWords(
         words.select(col("word")).distinct()
           .join(dict.select(col("word")), Seq("word"), "left_anti"),
         "word", merges)
       .select(col("word"), size(col("syms")).cast("long").as("__sz"))
-    val sizes = broadcast(
+    broadcast(
       dict.select(col("word"), size(col("syms")).cast("long").as("__sz"))
         .unionByName(oovSizes))
-    words
-      .join(sizes, Seq("word"))
+  }
+
+  /** TOKENIZER-ACCURATE BUDGET TRUNCATION (r12 verdict #5 —
+    * [[Training.truncateTokens]]'s whitespace count replaced by the true
+    * BPE count): clip each document to its longest word prefix whose BPE
+    * token total fits `maxTokens`. Whitespace budgeting provably
+    * over-admits — a word is ≥ 1 BPE token and usually several, so "first
+    * N whitespace tokens" can exceed an N-token context by a multiple —
+    * while this route is ≤ budget BY CONSTRUCTION (q190 gates both
+    * claims). Truncation is word-aligned because merges never cross the
+    * `</w>` boundary: a document's token stream is the concatenation of
+    * its words' segmentations, so the largest admissible PREFIX of words
+    * is exactly the largest admissible prefix of tokens that ends on a
+    * word boundary.
+    *
+    * Scale shape: one broadcast join against the [[wordSizes]] map, one
+    * id-keyed window for the running total (the [[Training.packBins]]
+    * exchange), one id-keyed reassembly aggregate. Output per document
+    * with ≥ 1 word: the clipped canonical text, `n_tokens_bpe` (post-clip
+    * ≤ maxTokens), `n_tokens_full`, and the `truncated` flag; wordless
+    * (NULL/empty) documents are absent, as everywhere tokens are used.
+    * A document whose FIRST word alone exceeds the budget clips to the
+    * empty string with `n_tokens_bpe = 0` — the caller decides whether to
+    * drop it (the C4 empty-survivor rule).
+    */
+  def truncateTokensBpe(
+      docs: DataFrame, idCol: String, textCol: String, dict: DataFrame,
+      merges: Seq[BpeMerge], maxTokens: Long): DataFrame = {
+    require(maxTokens >= 1L, "token budget must be >= 1")
+    val words = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\\s+")).as(Seq("__pos", "word")))
+      .filter(length(col("word")) > 0)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val cum = words.join(wordSizes(words, dict, merges), Seq("word"))
+      .withColumn("__cum", sum(col("__sz")).over(w))
+    val kept = cum.filter(col("__cum") <= maxTokens)
       .groupBy(col(idCol))
-      .agg(sum(col("__sz")).as("n_tokens"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("word")))),
+            x => x.getField("word")),
+          " ").as("__text"),
+        sum(col("__sz")).as("__n_kept"))
+    cum.groupBy(col(idCol)).agg(max(col("__cum")).as("__total"))
+      .join(kept, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("__text"), lit("")).as(textCol),
+        coalesce(col("__n_kept"), lit(0L)).as("n_tokens_bpe"),
+        col("__total").as("n_tokens_full"),
+        (col("__total") > maxTokens).as("truncated"))
   }
 
   /** Learn up to `nMerges` merges from the corpus; returns the merge

@@ -646,6 +646,39 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** INCREMENTAL SimHash candidates — [[incrementalCandidates]]'s sibling
+    * over chunk-banded bit signatures (text simhash at 60 bits, media
+    * hashes at 64): pairs touching a NEW batch against a persisted
+    * signature index, old×old never re-banded. Same asymmetric band join
+    * (new×new once with a < b, new×old once with the new side driving),
+    * same disjoint-id contract at the upsert boundary; emits
+    * `(id_a, id_b, hamming)` exactly filtered to the budget, so the
+    * accumulated pair set over any batch split equals the batch
+    * [[simhashCandidates]] run — each unordered pair surfaces when its
+    * later member arrives (the q94 rule; q191 gates the image twin).
+    */
+  def incrementalSimhashCandidates(
+      oldSigs: DataFrame, newSigs: DataFrame, idCol: String,
+      maxHamming: Int = 3, sigBits: Int = 60): DataFrame = {
+    val bNew = simhashBands(newSigs, idCol, maxHamming, sigBits).as("a")
+    val bAll = simhashBands(newSigs, idCol, maxHamming, sigBits)
+      .withColumn("__new", lit(true))
+      .unionByName(simhashBands(oldSigs, idCol, maxHamming, sigBits)
+        .withColumn("__new", lit(false)))
+      .as("b")
+    bNew.join(bAll,
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_key") === col("b.chunk_key") &&
+          when(col("b.__new"), col(s"a.$idCol") < col(s"b.$idCol"))
+            .otherwise(col(s"a.$idCol") =!= col(s"b.$idCol")))
+      .select(
+        least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"),
+        hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** The chunked band frame behind [[simhashCandidates]]:
     * `(id, simhash, chunk_idx, chunk_key)`, one row per chunk. Exposed
     * package-private so DedupSpec can pin the band LAYOUT itself — the

@@ -178,6 +178,44 @@ object EventOps {
     // signature index (old×old never re-banded), appends its pairs, and
     // upserts its signatures. The final pair SET must equal the BATCH
     // LSH pipeline over the whole corpus — same shared CTE fragment as
+    // STREAMING IMAGE NEAR-DUP (r12 verdict #6 — q94's incremental
+    // pattern over q181's perceptual hashes): the planted image corpus
+    // arrives as 4 hash-split parquet batches; each micro-batch decodes
+    // and aHashes scan-locally, bands its 64-bit signatures against the
+    // persisted hash index (old×old never re-banded), appends its pairs,
+    // and upserts its signatures. The final pair set must equal the BATCH
+    // q181 pipeline — same fixture builder, same md5-pattern oracle — for
+    // this (and any) batch split.
+    QueryDef(
+      "q191_stream_image_neardup",
+      (s, dir) => {
+        val ss = EventOps.streamSession(s)
+        val media = TextOps.imageNearDupFixture(ss, dir).toDF()
+        val srcDir = java.nio.file.Files.createTempDirectory("q191src").toString
+        media.repartition(4, col("media_id"))
+          .write.mode("overwrite").parquet(srcDir)
+        ss.sql("DROP TABLE IF EXISTS stream_img_index")
+        val outRoot = java.nio.file.Files.createTempDirectory("q191out").toString
+        val pairsOut = outRoot + "/pairs"
+        val ckpt = java.nio.file.Files.createTempDirectory("q191ckpt").toString
+        val stream = ss.readStream.schema(media.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val q = graft.streaming.EventStream.imageNearDupIncremental(
+          stream, "stream_img_index", pairsOut, maxHamming = 3,
+          checkpointLocation = Some(ckpt))
+        try q.processAllAvailable()
+        finally q.stop()
+        // materialize, then delete the invocation's scratch (ADVICE r7) —
+        // the result is the pair list, the scratch holds image payloads
+        val result = s.read.parquet(pairsOut).distinct()
+          .select(col("id_a"), col("id_b"), col("hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+          .localCheckpoint()
+        Seq(srcDir, outRoot, ckpt).foreach(EventOps.rmTree)
+        result
+      },
+      Some(TextOps.ImageNearDupOracle)),
+
     // q78/q92 — for this (and any) batch split: each unordered pair
     // surfaces exactly when its later member arrives.
     QueryDef(

@@ -86,6 +86,122 @@ object TextOps {
         FROM toks JOIN freq USING (tok)
         GROUP BY doc_id ORDER BY doc_id"""
 
+  /** q181/q191's planted image corpus: per doc a 16×16 block image
+    * encoding a 60-bit md5 pattern (2×2 cells; aHash provably recovers
+    * the pattern); ids within a 5-group share the group base pattern with
+    * one distinct bit flipped, so intra-group pairs sit at hamming ≤ 2
+    * and cross-group pairs at ~30. Shared by the batch gate and its
+    * streaming twin so the two run the SAME corpus against the SAME
+    * oracle.
+    */
+  private[queries] def imageNearDupFixture(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.ops.Multimodal.MediaRow] = {
+    import s.implicits._
+    def patternOf(id: Long): Long = {
+      val base = id - (id % 5)
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-img:$base".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val p = java.lang.Long.parseLong(md5hex.substring(0, 15), 16)
+      if (id % 5 == 0L) p else p ^ (1L << (7 * (id % 5)).toInt)
+    }
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        graft.ops.Multimodal.MediaRow(id, blockImagePng(patternOf(id)), "image/png")))
+  }
+
+  /** Paint a 60-bit pattern as a 16×16 block PNG (2×2 cells, bright iff
+    * the cell's bit is set) — aHash provably recovers the pattern, so a
+    * gate's planted hamming structure survives the REAL
+    * encode→decode→hash pipeline. Shared by q181/q191/q192.
+    */
+  private[queries] def blockImagePng(p: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val cell = (y / 2) * 8 + (x / 2)
+        val bright = cell < 60 && ((p >> cell) & 1L) == 1L
+        img.setRGB(x, y, if (bright) 0xE0E0E0 else 0x202020)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Render a 60-bit pattern as a 2048-frame mono WAV whose 64 energy
+    * segments are loud iff the segment's bit is set — `audioEnergyHash`
+    * provably recovers the pattern (q182's loud/quiet argument, bit-
+    * driven). The audio-side sibling of [[blockImagePng]] for planted
+    * cross-modal chains (q192).
+    */
+  private[queries] def envelopeWav(p: Long): Array[Byte] = {
+    val nFrames = 2048
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    var f = 0
+    while (f < nFrames) {
+      val seg = f * 64 / nFrames
+      val v: Short = if (((p >> seg) & 1L) == 1L) 16384 else 0
+      pcm(f * 2) = (v & 0xFF).toByte
+      pcm(f * 2 + 1) = ((v >> 8) & 0xFF).toByte
+      f += 1
+    }
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** q192's planted cross-modal pattern: within each 20-id block, ids with
+    * `m = id % 20` in `[lo, hi]` share the block's md5 base pattern with
+    * one distinct bit flipped per member (hamming ≤ 2 intra-group);
+    * everyone else gets their own md5 pattern (~30 hamming to anything).
+    * Image groups span m 0–4, audio groups m 3–9, text copies m 8–11 —
+    * the overlaps (3–4, 8–9) chain the three modalities into one cluster
+    * per block.
+    */
+  private[queries] def crossModalPattern(
+      salt: String, id: Long, lo: Int, hi: Int, flipMult: Int): Long = {
+    def h(key: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val m = (id % 20).toInt
+    if (m >= lo && m <= hi) {
+      val p = h(s"graft-xm-$salt:${id - m}")
+      if (m > lo) p ^ (1L << (flipMult * (m - lo))) else p
+    } else h(s"graft-xm-$salt:$id")
+  }
+
+  /** The md5-pattern replay both image near-dup gates (q181 batch, q191
+    * streaming) compare against. */
+  private[queries] val ImageNearDupOracle: String = """
+        WITH pat AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 5 = 0
+              THEN ('0x' || substr(md5('graft-img:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              ELSE xor(
+                ('0x' || substr(md5('graft-img:' ||
+                   CAST(doc_id - (doc_id % 5) AS VARCHAR)), 1, 15))::BIGINT,
+                (1::BIGINT << CAST(7 * (doc_id % 5) AS INTEGER)))
+            END AS p
+          FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.p, b.p)) AS INT) AS hamming
+        FROM pat a JOIN pat b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.p, b.p)) <= 3
+        ORDER BY id_a, id_b"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup histogram per lang (md5-of-canonical-text fingerprint).
@@ -924,35 +1040,7 @@ object TextOps {
     QueryDef(
       "q181_image_neardup",
       (s, dir) => {
-        import s.implicits._
-        def patternOf(id: Long): Long = {
-          val base = id - (id % 5)
-          val md5hex = java.security.MessageDigest.getInstance("MD5")
-            .digest(s"graft-img:$base".getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString
-          val p = java.lang.Long.parseLong(md5hex.substring(0, 15), 16)
-          if (id % 5 == 0L) p else p ^ (1L << (7 * (id % 5)).toInt)
-        }
-        val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-          .mapPartitions(_.map { id =>
-            val p = patternOf(id)
-            val img = new java.awt.image.BufferedImage(
-              16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            var y = 0
-            while (y < 16) {
-              var x = 0
-              while (x < 16) {
-                val cell = (y / 2) * 8 + (x / 2)
-                val bright = cell < 60 && ((p >> cell) & 1L) == 1L
-                img.setRGB(x, y, if (bright) 0xE0E0E0 else 0x202020)
-                x += 1
-              }
-              y += 1
-            }
-            val out = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", out)
-            graft.ops.Multimodal.MediaRow(id, out.toByteArray, "image/png")
-          })
+        val media = TextOps.imageNearDupFixture(s, dir)
         // the composition's REQUIRED pre-filter (imageAHash doc): drop
         // undecodable payloads and zero-contrast saturates before
         // banding — each class is otherwise one quadratic hamming-0 hot
@@ -968,22 +1056,7 @@ object TextOps {
         Dedup.simhashCandidates(sigs, "media_id", maxHamming = 3, sigBits = 64)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""
-        WITH pat AS (
-          SELECT doc_id,
-            CASE WHEN doc_id % 5 = 0
-              THEN ('0x' || substr(md5('graft-img:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-              ELSE xor(
-                ('0x' || substr(md5('graft-img:' ||
-                   CAST(doc_id - (doc_id % 5) AS VARCHAR)), 1, 15))::BIGINT,
-                (1::BIGINT << CAST(7 * (doc_id % 5) AS INTEGER)))
-            END AS p
-          FROM documents)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          CAST(bit_count(xor(a.p, b.p)) AS INT) AS hamming
-        FROM pat a JOIN pat b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.p, b.p)) <= 3
-        ORDER BY id_a, id_b""")),
+      Some(ImageNearDupOracle)),
 
     // AUDIO ENERGY-ENVELOPE HASH under the hash gate
     // ([[graft.ops.Multimodal.audioEnergyHash]] — q180's twin for
@@ -2340,5 +2413,147 @@ object TextOps {
           CAST(sum(('0x' || substr(md5('graft-cdcn' || shingle), 1, 8))::BIGINT)
             AS BIGINT) AS shingle_sum
         FROM first GROUP BY first_id ORDER BY first_id""")),
+
+    // CROSS-MODAL DUP CLUSTERS (r12 verdict #7): text exact-dup pairs,
+    // image aHash near-dup pairs, and audio eHash near-dup pairs over
+    // SHARED doc ids union into one connectedComponents pass — the
+    // operator that catches "same article, re-encoded thumbnail, same
+    // soundtrack" chains no single modality sees whole. The fixture
+    // plants interlocking 20-id blocks (images group m=0–4, audio m=3–9,
+    // text copies m=8–11; overlaps chain them), every media payload
+    // round-trips the REAL encode→decode→hash pipeline, and the oracle
+    // independently replays patterns → per-modality pairs → recursive
+    // components → per-cluster modality stats. Every emitted cluster must
+    // be genuinely cross-modal (the flag rides the hash gate).
+    QueryDef(
+      "q192_cross_modal_clusters",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.Multimodal.MediaRow
+        val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        val imgSigs = graft.ops.Multimodal.imageAHash(
+            ids.mapPartitions(_.map(id => MediaRow(id,
+              TextOps.blockImagePng(TextOps.crossModalPattern("img", id, 0, 4, 7)),
+              "image/png"))))
+          .toDF().filter(col("decoded") && col("ahash") =!= -1L)
+          .select(col("media_id").as("doc_id"), col("ahash").as("simhash"))
+        val audSigs = graft.ops.Multimodal.audioEnergyHash(
+            ids.mapPartitions(_.map(id => MediaRow(id,
+              TextOps.envelopeWav(TextOps.crossModalPattern("aud", id, 3, 9, 9)),
+              "audio/wav"))))
+          .toDF().filter(col("decoded"))
+          .select(col("media_id").as("doc_id"), col("ehash").as("simhash"))
+        def pairsOf(sigs: org.apache.spark.sql.DataFrame, tag: String) =
+          Dedup.simhashCandidates(sigs, "doc_id", maxHamming = 3, sigBits = 64)
+            .select(col("id_a"), col("id_b"))
+            .withColumn("modality", lit(tag))
+        val texts = ids.toDF("doc_id").select(col("doc_id"),
+          when(col("doc_id") % 20 >= 8 && col("doc_id") % 20 <= 11,
+            concat(lit("xm cluster "),
+              (col("doc_id") - col("doc_id") % 20).cast("string")))
+            .otherwise(concat(lit("xm solo "), col("doc_id").cast("string")))
+            .as("text"))
+        val fp = texts.select(col("doc_id"),
+          Dedup.exactFingerprint(col("text")).as("fp"))
+        val txtPairs = fp
+          .join(fp.groupBy(col("fp")).agg(min(col("doc_id")).as("id_a")), "fp")
+          .filter(col("doc_id") =!= col("id_a"))
+          .select(col("id_a"), col("doc_id").as("id_b"))
+          .withColumn("modality", lit("text"))
+        val edges = pairsOf(imgSigs, "image")
+          .unionByName(pairsOf(audSigs, "audio"))
+          .unionByName(txtPairs)
+          .persist()
+        val comp = Dedup.keepers(ids.toDF("doc_id"), "doc_id",
+            edges.select(col("id_a"), col("id_b")))
+          .select(col("doc_id"), col("component"))
+        val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
+        val pairStats = edges
+          .join(comp.withColumnRenamed("doc_id", "id_a"), "id_a")
+          .groupBy(col("component"))
+          .agg(
+            sum(when(col("modality") === "image", 1L).otherwise(0L)).as("n_image_pairs"),
+            sum(when(col("modality") === "audio", 1L).otherwise(0L)).as("n_audio_pairs"),
+            sum(when(col("modality") === "text", 1L).otherwise(0L)).as("n_text_pairs"))
+        sizes.join(pairStats, Seq("component"))
+          .withColumn("cross_modal",
+            (col("n_image_pairs") > 0).cast("int") +
+              (col("n_audio_pairs") > 0).cast("int") +
+              (col("n_text_pairs") > 0).cast("int") >= 2)
+          .orderBy(col("component"))
+      },
+      Some("""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, CAST(doc_id % 20 AS INTEGER) AS m,
+            doc_id - (doc_id % 20) AS b
+          FROM documents),
+        ih AS (
+          SELECT doc_id, m,
+            ('0x' || substr(md5('graft-xm-img:' || CAST(b AS VARCHAR)), 1, 15))::BIGINT AS hb,
+            ('0x' || substr(md5('graft-xm-img:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hs
+          FROM d),
+        ip AS (
+          SELECT doc_id, CASE
+            WHEN m BETWEEN 0 AND 4 THEN
+              CASE WHEN m > 0 THEN xor(hb, 1::BIGINT << (7 * m)) ELSE hb END
+            ELSE hs END AS p
+          FROM ih),
+        ah AS (
+          SELECT doc_id, m,
+            ('0x' || substr(md5('graft-xm-aud:' || CAST(b AS VARCHAR)), 1, 15))::BIGINT AS hb,
+            ('0x' || substr(md5('graft-xm-aud:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hs
+          FROM d),
+        ap AS (
+          SELECT doc_id, CASE
+            WHEN m BETWEEN 3 AND 9 THEN
+              CASE WHEN m > 3 THEN xor(hb, 1::BIGINT << (9 * (m - 3))) ELSE hb END
+            ELSE hs END AS p
+          FROM ah),
+        ie AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, 'image' AS modality
+          FROM ip a JOIN ip b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.p, b.p)) <= 3),
+        ae AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, 'audio' AS modality
+          FROM ap a JOIN ap b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.p, b.p)) <= 3),
+        tt AS (
+          SELECT doc_id,
+            CASE WHEN m BETWEEN 8 AND 11 THEN 'xm cluster ' || CAST(b AS VARCHAR)
+                 ELSE 'xm solo ' || CAST(doc_id AS VARCHAR) END AS text
+          FROM d),
+        tf AS (
+          SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+          FROM tt),
+        tk AS (SELECT fp, min(doc_id) AS id_a FROM tf GROUP BY fp),
+        te AS (
+          SELECT k.id_a, f.doc_id AS id_b, 'text' AS modality
+          FROM tf f JOIN tk k USING (fp) WHERE f.doc_id <> k.id_a),
+        alle AS (
+          SELECT * FROM ie UNION ALL SELECT * FROM ae UNION ALL SELECT * FROM te),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM alle
+          UNION SELECT id_b, id_a FROM alle
+          UNION SELECT id_a, id_a FROM alle
+          UNION SELECT id_b, id_b FROM alle),
+        walk AS (
+          SELECT src AS id, src AS component FROM edges
+          UNION
+          SELECT e.src AS id, w.component
+          FROM walk w JOIN edges e ON e.dst = w.id),
+        cc AS (SELECT id, min(component) AS component FROM walk GROUP BY id),
+        sizes AS (SELECT component, count(*) AS n_docs FROM cc GROUP BY component),
+        ps AS (
+          SELECT cc.component,
+            CAST(sum(CASE WHEN modality = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_image_pairs,
+            CAST(sum(CASE WHEN modality = 'audio' THEN 1 ELSE 0 END) AS BIGINT) AS n_audio_pairs,
+            CAST(sum(CASE WHEN modality = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text_pairs
+          FROM alle JOIN cc ON cc.id = alle.id_a
+          GROUP BY cc.component)
+        SELECT s.component, s.n_docs,
+          ps.n_image_pairs, ps.n_audio_pairs, ps.n_text_pairs,
+          (ps.n_image_pairs > 0)::INT + (ps.n_audio_pairs > 0)::INT
+            + (ps.n_text_pairs > 0)::INT >= 2 AS cross_modal
+        FROM sizes s JOIN ps USING (component) ORDER BY component""")),
   )
 }

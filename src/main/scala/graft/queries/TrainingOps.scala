@@ -871,6 +871,52 @@ object TrainingOps {
           ('zz', 'z z </w>', 3)) AS t(word, tokens, n_tokens)
         ORDER BY word""")),
 
+    // TOKENIZER-ACCURATE BUDGET TRUNCATION (r12 verdict #5 —
+    // [[graft.ops.Bpe.truncateTokensBpe]]): clip each doc to the longest
+    // word prefix whose TRUE BPE token total fits the budget, under the
+    // q119-trained merges. The gate carries both claims: the BPE route's
+    // post-clip counts are ≤ budget BY CONSTRUCTION on every row, and the
+    // whitespace route (q121's floor budgeting applied to the same docs)
+    // provably over-admits — its clipped docs re-count to 12–15 BPE
+    // tokens against the 10-token budget. All segmentations are
+    // closed-form under the q119/q135 merge sequence, so the oracle is
+    // literal rows.
+    QueryDef(
+      "q190_bpe_truncation",
+      (s, _) => {
+        import s.implicits._
+        val train = BpeFixture.toDF("id", "text")
+        val (merges, dict) = graft.ops.Bpe.train(train, "text", nMerges = 5)
+        // sizes under the trained merges: low=2, lower=4, newest=4,
+        // widest=4 (in-dict); lowest=2, slower=5, wider=6, zz=3 (OOV)
+        val corpus = Seq(
+          (0L, "low lower widest zz"),
+          (1L, "newest wider"),
+          (2L, "slower slower slower"),
+          (3L, "zz"),
+          (4L, "wider wider")).toDF("id", "text")
+        val bpeRoute = graft.ops.Bpe.truncateTokensBpe(
+          corpus, "id", "text", dict, merges, maxTokens = 10L)
+        val wsClipped = graft.ops.Training.truncateTokens(corpus, "text", maxTokens = 10)
+          .select(col("id"), col("text"))
+        val wsCounts = graft.ops.Bpe.tokenCountsExact(
+            wsClipped, "id", "text", dict, merges)
+          .select(col("id"), col("n_tokens").as("ws_bpe"))
+        bpeRoute.join(wsCounts, Seq("id"))
+          .withColumn("ws_over_admits", col("ws_bpe") > 10L)
+          .orderBy(col("id"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(0 AS BIGINT), 'low lower widest', CAST(10 AS BIGINT),
+            CAST(13 AS BIGINT), true, CAST(13 AS BIGINT), true),
+          (1, 'newest wider', 10, 10, false, 10, false),
+          (2, 'slower slower', 10, 15, true, 15, true),
+          (3, 'zz', 3, 3, false, 3, false),
+          (4, 'wider', 6, 12, true, 12, true))
+          AS t(id, text, n_tokens_bpe, n_tokens_full, truncated, ws_bpe, ws_over_admits)
+        ORDER BY id""")),
+
     // Mixture EPOCHS (repeat factors) for a token budget — the
     // up-sampling complement of q91's temperature rates: weights rise
     // linearly with the source index ((i+1)/210, replayable from the

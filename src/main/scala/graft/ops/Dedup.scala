@@ -586,6 +586,58 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("component"))
   }
 
+  /** INCREMENTAL CONNECTED COMPONENTS — the cluster-maintenance tail of
+    * the incremental dedup triad (r13; [[incrementalCandidates]] produces
+    * the new PAIRS, [[graft.ops.IndexSync]] keeps the indexes current,
+    * this keeps the LABELING current): fold a new batch's candidate pairs
+    * into an existing `(id, component)` labeling without re-running the
+    * fixed point over history's full pair set.
+    *
+    * Correctness rests on label canonicality: a stored component label IS
+    * the min id of its members, so mapping each new pair's endpoints to
+    * their stored roots (new ids map to themselves) and running the batch
+    * [[connectedComponents]] over that ROOT-LEVEL graph yields, per
+    * affected cluster, exactly `min(all roots, all new ids)` = the min
+    * over every member — the same canonical label the from-scratch run
+    * assigns, for any batch split (q193 pins equality against the full
+    * recursive-walk oracle; the merge case where one new doc bridges two
+    * old clusters is planted in DedupSpec).
+    *
+    * Scale shape: the root-level graph holds one node per AFFECTED old
+    * component plus the new ids — pairs touching the batch, never
+    * history's edges — so the fixed point runs over a batch-sized frame;
+    * the relabeling is one join of the old label table (16 bytes/doc,
+    * a Store table at 100 TB) against the root remap, and unaffected
+    * components coalesce through unchanged. Old and new id sets MUST be
+    * disjoint (the [[incrementalCandidates]] contract, enforced at the
+    * upsert boundary).
+    *
+    * Output: `(idCol, component, keep)` over old ∪ new ids — the
+    * [[keepers]] shape, maintained incrementally.
+    */
+  def incrementalComponents(
+      oldLabels: DataFrame, newIds: DataFrame, idCol: String,
+      newPairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val lab = oldLabels.select(col(idCol).as("__id"), col("component").as("__c"))
+    val mapped = newPairs
+      .join(lab.select(col("__id").as("id_a"), col("__c").as("__ca")), Seq("id_a"), "left")
+      .join(lab.select(col("__id").as("id_b"), col("__c").as("__cb")), Seq("id_b"), "left")
+      .select(
+        coalesce(col("__ca"), col("id_a")).as("id_a"),
+        coalesce(col("__cb"), col("id_b")).as("id_b"))
+    val rootCc = connectedComponents(mapped, maxIter)
+    val oldOut = lab
+      .join(rootCc
+          .withColumnRenamed("id", "__c").withColumnRenamed("component", "__nc"),
+        Seq("__c"), "left")
+      .select(col("__id").as(idCol), coalesce(col("__nc"), col("__c")).as("component"))
+    val newOut = newIds.select(col(idCol))
+      .join(rootCc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
+    oldOut.unionByName(newOut)
+      .withColumn("keep", col(idCol) === col("component"))
+  }
+
   /** SimHash (60-bit) of the token multiset: per token take a portable
     * md5-derived hash, add ±1 per bit position, sign → bit. Near-dups =
     * small Hamming distance between simhashes; candidates at scale come

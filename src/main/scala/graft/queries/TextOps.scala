@@ -456,6 +456,45 @@ object TextOps {
         FROM documents d LEFT JOIN cc USING (doc_id)
         ORDER BY d.doc_id""")),
 
+    // INCREMENTAL CONNECTED COMPONENTS (r13 — the cluster-maintenance
+    // tail of the incremental dedup triad): the old corpus's labeling
+    // (q83's keepers over old×old pairs) is FOLDED FORWARD by the new
+    // batch's incremental pairs (q92's candidates) — endpoints map to
+    // their stored roots, the fixed point runs over the batch-sized
+    // root graph only, and unaffected components relabel by coalesce.
+    // Label canonicality (component = min member id) makes the
+    // incremental answer equal the from-scratch run over the WHOLE
+    // corpus: the oracle is q83's recursive-walk replay VERBATIM — two
+    // routes, one answer, including clusters where one new doc bridges
+    // two previously-separate old clusters.
+    QueryDef(
+      "q193_incremental_components",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sigs = Dedup.minhashSignaturesScanLocal(
+          docs, "doc_id", "text", k = 4, w = 3)
+        val isNew = graft.ops.Training.hashHex(col("doc_id"), "graft-incr") >=
+          lit(graft.ops.Training.hexThreshold(0.8))
+        val oldPairs = Dedup.minhashCandidates(
+          Dedup.minhashBands(sigs.filter(!isNew), "doc_id", k = 4, r = 2), "doc_id")
+        val oldLabels = Dedup.keepers(docs.filter(!isNew), "doc_id", oldPairs)
+          .select(col("doc_id"), col("component"))
+        val newPairs = Dedup.incrementalCandidates(
+          sigs.filter(!isNew), sigs.filter(isNew), "doc_id", k = 4, r = 2)
+        Dedup.incrementalComponents(
+            oldLabels, docs.filter(isNew).select(col("doc_id")), "doc_id", newPairs)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${OracleFrags.dedupWalkCtes("documents")},
+        cc AS (
+          SELECT id AS doc_id, min(component) AS component
+          FROM walk GROUP BY id)
+        SELECT d.doc_id,
+          coalesce(cc.component, d.doc_id) AS component,
+          d.doc_id = coalesce(cc.component, d.doc_id) AS keep
+        FROM documents d LEFT JOIN cc USING (doc_id)
+        ORDER BY d.doc_id""")),
+
     // INCREMENTAL near-dup candidates: a hash-designated "new batch"
     // (top 20% of the id hash space) banded against the full signature
     // set — new×new and new×old pairs only, old×old never re-banded. At

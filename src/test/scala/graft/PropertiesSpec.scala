@@ -427,6 +427,67 @@ class PropertiesSpec extends SparkSpec {
     check(prop)
   }
 
+  test("bucketsForBox is sound on random grids: every in-box point's bucket is admitted") {
+    import graft.ops.Layout
+    val bits = 6
+    val bucketBits = 4
+    // pure-Scala replay of quantize + interleave + prefix (2 dims)
+    def bucketOf(plan: Seq[Layout.DimSpec], x: Long, y: Long): Long = {
+      val q = Seq((x - plan(0).min) >> plan(0).shift, (y - plan(1).min) >> plan(1).shift)
+      var z = 0L
+      for (i <- 0 until bits; d <- 0 until 2)
+        z |= (((q(d) >> i) & 1L) << (i * 2 + d))
+      z >> (bits * 2 - bucketBits)
+    }
+    val pt = for {
+      x <- Gen.chooseNum(-500L, 500L); y <- Gen.chooseNum(-500L, 500L)
+    } yield (x, y)
+    val prop = Prop.forAllNoShrink(
+      Gen.chooseNum(2, 40).flatMap(n => Gen.listOfN(n, pt)), pt, pt) {
+      (points, c1, c2) =>
+        val xs = points.map(_._1); val ys = points.map(_._2)
+        val plan = Seq(
+          Layout.DimSpec("x", xs.min, Layout.shiftFor(xs.max - xs.min + 1, bits)),
+          Layout.DimSpec("y", ys.min, Layout.shiftFor(ys.max - ys.min + 1, bits)))
+        val box = Seq(
+          (math.min(c1._1, c2._1), math.max(c1._1, c2._1)),
+          (math.min(c1._2, c2._2), math.max(c1._2, c2._2)))
+        val admitted = Layout.bucketsForBox(plan, bits, bucketBits, box).toSet
+        points.forall { case (x, y) =>
+          val inBox = x >= box(0)._1 && x <= box(0)._2 && y >= box(1)._1 && y <= box(1)._2
+          !inBox || admitted.contains(bucketOf(plan, x, y))
+        }
+    }
+    check(prop, cases = 200)
+  }
+
+  test("incrementalComponents equals from-scratch keepers on random graphs and splits") {
+    val prop = Prop.forAllNoShrink(
+      Gen.chooseNum(2, 14),
+      Gen.listOf(for {
+        a <- Gen.chooseNum(0L, 13L); b <- Gen.chooseNum(0L, 13L) if a != b
+      } yield (math.min(a, b), math.max(a, b))),
+      Gen.chooseNum(1L, 13L)) { (n, pairs0, split) =>
+      val ids = (0L until n.toLong)
+      val pairs = pairs0.distinct.filter(p => p._1 < n && p._2 < n)
+      val isNew = (id: Long) => id >= split
+      val corpus = ids.toDF("doc_id")
+      val allPairs = pairs.toDF("id_a", "id_b")
+      val oldPairs = pairs.filter(p => !isNew(p._1) && !isNew(p._2)).toDF("id_a", "id_b")
+      val newPairs = pairs.filter(p => isNew(p._1) || isNew(p._2)).toDF("id_a", "id_b")
+      val oldLabels = Dedup.keepers(
+          corpus.filter(!($"doc_id" >= split)), "doc_id", oldPairs)
+        .select($"doc_id", $"component")
+      val inc = Dedup.incrementalComponents(
+          oldLabels, corpus.filter($"doc_id" >= split), "doc_id", newPairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val batch = Dedup.keepers(corpus, "doc_id", allPairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      inc == batch
+    }
+    check(prop, cases = 8)
+  }
+
   test("weightedSample is a subset of the positive-weight rows, exactly min(n, |rows|)") {
     val prop = Prop.forAll(
       Gen.chooseNum(0, 30), Gen.chooseNum(0, 12)) { (rows, n) =>

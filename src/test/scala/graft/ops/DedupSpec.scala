@@ -351,6 +351,23 @@ class DedupSpec extends SparkSpec {
     assert(gotTails === Map(1L -> "a b c d e zz", 2L -> ""))
   }
 
+  test("incrementalComponents: a new doc bridging two old clusters merges them canonically") {
+    // old corpus: clusters {1,2} and {10,11} (labels canonical: min id),
+    // singleton 20; new doc 100 pairs into BOTH old clusters, 101 arrives
+    // unpaired
+    val oldLabels = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (20L, 20L))
+      .toDF("doc_id", "component")
+    val newIds = Seq(100L, 101L).toDF("doc_id")
+    val newPairs = Seq((2L, 100L), (11L, 100L)).toDF("id_a", "id_b")
+    val got = Dedup.incrementalComponents(oldLabels, newIds, "doc_id", newPairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got === Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)),
+      10L -> ((1L, false)), 11L -> ((1L, false)),
+      20L -> ((20L, true)),
+      100L -> ((1L, false)), 101L -> ((101L, true))))
+  }
+
   private def bandKeys(sig: Long, maxHamming: Int, sigBits: Int): Map[Int, Long] =
     Dedup.simhashBands(
         Seq((1L, sig)).toDF("doc_id", "simhash"), "doc_id", maxHamming, sigBits)

@@ -178,6 +178,69 @@ object EventOps {
     // signature index (old×old never re-banded), appends its pairs, and
     // upserts its signatures. The final pair SET must equal the BATCH
     // LSH pipeline over the whole corpus — same shared CTE fragment as
+    // STREAMING STORE UPSERT WITH CDC-SYNCED INDEXES (r13 — q66's serving
+    // sink composed with the q186/q187 index sync, per micro-batch): the
+    // corpus arrives as 4 ordered batches where batch b carries split b's
+    // originals AND UPDATED copies of split b−1's docs, so every trigger
+    // after the first exercises real cross-batch updates through
+    // upsert → changelog → index apply. After the stream drains, the
+    // doc-keyed fingerprint index and signature index — never rebuilt,
+    // only changelog-advanced — must equal the from-scratch indexes of
+    // the final table state, which the oracle replays (splits 0–2 updated,
+    // split 3 untouched; shared sig fragment).
+    QueryDef(
+      "q194_stream_index_sync",
+      (s, dir) => {
+        val ss = EventOps.streamSession(s)
+        val docs = Tables.documents(ss, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+        val split = graft.ops.Dedup.portableHash(
+          col("doc_id").cast("string"), "graft-s194:") % 4
+        val frame = docs
+          .unionByName(docs
+            .withColumn("__s", split).filter(col("__s") < 3)
+            .withColumn("text", concat(col("text"), lit(" [u]")))
+            .drop("__s"))
+        // batch = split (+1 for the updated copy) — derivable from the row
+        // itself, so the staging helper's schema stays (doc_id, text)
+        val batchCol = split +
+          when(col("text").endsWith(" [u]"), lit(1L)).otherwise(lit(0L))
+        val srcDir = EventOps.stageOrderedBatches(frame, batchCol, 4, "q194")
+        Seq("ssync_docs", "ssync_fpidx", "ssync_sigidx")
+          .foreach(t => ss.sql(s"DROP TABLE IF EXISTS $t"))
+        val ckpt = java.nio.file.Files.createTempDirectory("q194ckpt").toString
+        val stream = ss.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val q = graft.streaming.EventStream.toStoreUpsertWithIndexSync(
+          stream, "ssync_docs", "doc_id", "text",
+          exactIndexTable = Some("ssync_fpidx"),
+          sigIndexTable = Some("ssync_sigidx"),
+          checkpointLocation = Some(ckpt))
+        try q.processAllAvailable()
+        finally q.stop()
+        val result = graft.sources.Store.read(s, "ssync_fpidx")
+          .join(graft.sources.Store.read(s, "ssync_sigidx"), Seq("doc_id"), "left")
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+        Seq(srcDir, ckpt).foreach(EventOps.rmTree)
+        result
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        mut AS (
+          SELECT doc_id,
+            CASE WHEN ('0x' || substr(md5('graft-s194:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 4 < 3
+              THEN text || ' [u]' ELSE text END AS text
+          FROM base),
+        f AS (
+          SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+          FROM mut),
+        ${OracleFrags.sigCtes("mut")}
+        SELECT f.doc_id, f.fingerprint, s0, s1, s2, s3
+        FROM f LEFT JOIN sig USING (doc_id) ORDER BY f.doc_id""")),
+
     // STREAMING IMAGE NEAR-DUP (r12 verdict #6 — q94's incremental
     // pattern over q181's perceptual hashes): the planted image corpus
     // arrives as 4 hash-split parquet batches; each micro-batch decodes

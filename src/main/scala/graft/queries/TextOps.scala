@@ -2288,6 +2288,35 @@ object TextOps {
         SELECT doc_id, text, lang, source, n_chars
         FROM documents ORDER BY doc_id""")),
 
+    // AVRO ingest (q142's rule for the remaining mainstream interchange
+    // format): the environment ships Avro CORE but not the spark-avro
+    // DataSource, so [[graft.sources.AvroIO]] speaks the Hadoop
+    // AvroKey{Input,Output}Format directly — real container files on
+    // disk, partition-parallel both ways, declared-schema normalization
+    // on read (Utf8→String etc.). Closes the r12 "no Avro" environment
+    // gap with working code instead of a stub; the gate hash-matches the
+    // parquet route exactly. Planted NULL texts ride the standard
+    // ["null", T] union so the nullable path is exercised, then restore.
+    QueryDef(
+      "q195_avro_ingest",
+      (s, dir) => {
+        import graft.sources.AvroIO
+        val docs = Tables.documents(s, dir)
+          .withColumn("text", when(col("doc_id") % 97 === 0, lit(null)).otherwise(col("text")))
+        val tmp = java.nio.file.Files.createTempDirectory("q195avro").toString + "/data"
+        AvroIO.writeAvro(docs, tmp)
+        val back = AvroIO.readAvro(s, tmp, docs.schema)
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+        EventOps.rmTree(new java.io.File(tmp).getParent)
+        back
+      },
+      Some("""
+        SELECT doc_id,
+          CASE WHEN doc_id % 97 = 0 THEN NULL ELSE text END AS text,
+          lang, source, n_chars
+        FROM documents ORDER BY doc_id""")),
+
     // CDC → EXACT-DEDUP INDEX SYNC ([[graft.ops.IndexSync]] — r12 verdict
     // #1, the operator that makes the store's mutability usable by the
     // curation pipelines): the corpus lives in a generational store table;

@@ -91,11 +91,17 @@ object IndexSync {
   def syncExactIndex(
       spark: SparkSession, changelog: DataFrame, table: String,
       idCol: String, textCol: String): Unit = {
-    Store.upsert(spark, table,
-      postImages(changelog)
-        .select(col(idCol), Dedup.exactFingerprint(col(textCol)).as("fingerprint")),
-      idCol)
-    Store.delete(spark, table, deletions(changelog, idCol), idCol)
+    // lazy persist (the nearDupIncremental rule): the upsert's validation
+    // job fills the cache, the three later actions reuse it — without
+    // this, each store action re-runs the manifest-pruned full-outer diff
+    val ch = changelog.persist()
+    try {
+      Store.upsert(spark, table,
+        postImages(ch)
+          .select(col(idCol), Dedup.exactFingerprint(col(textCol)).as("fingerprint")),
+        idCol)
+      Store.delete(spark, table, deletions(ch, idCol), idCol)
+    } finally { ch.unpersist(); () }
   }
 
   /** The `fingerprint → (keeper, n_copies)` view over the membership
@@ -134,13 +140,18 @@ object IndexSync {
   def syncSignatureIndex(
       spark: SparkSession, changelog: DataFrame, table: String,
       idCol: String, textCol: String, k: Int = 4, w: Int = 3): Unit = {
-    val post = postImages(changelog)
-    val sigs = Dedup.minhashSignaturesScanLocal(post, idCol, textCol, k, w)
-    Store.upsert(spark, table, sigs, idCol)
-    val signless = post.select(col(idCol))
-      .join(sigs.select(col(idCol)), Seq(idCol), "left_anti")
-    Store.delete(spark, table,
-      deletions(changelog, idCol).unionByName(signless), idCol)
+    // same lazy-persist rule as syncExactIndex: four store actions read
+    // the changelog (sig upsert stats/write, sign-less anti-join, delete)
+    val ch = changelog.persist()
+    try {
+      val post = postImages(ch)
+      val sigs = Dedup.minhashSignaturesScanLocal(post, idCol, textCol, k, w)
+      Store.upsert(spark, table, sigs, idCol)
+      val signless = post.select(col(idCol))
+        .join(sigs.select(col(idCol)), Seq(idCol), "left_anti")
+      Store.delete(spark, table,
+        deletions(ch, idCol).unionByName(signless), idCol)
+    } finally { ch.unpersist(); () }
   }
 
   // --------------------------------------------------------------- novelty
@@ -170,6 +181,8 @@ object IndexSync {
       idCol: String, textCol: String, w: Int = 3): Unit = {
     val batchMins = Training.noveltyFirstIndex(
       postImages(changelog), idCol, textCol, w)
+    // single consumer chain below (one merge join, checkpointed) — no
+    // persist needed here; the checkpoint IS the reuse boundary
     val merged = batchMins
       .join(Store.read(spark, table)
         .select(col("shingle"), col("first_id").as("__stored")),

@@ -211,11 +211,15 @@ object EventOps {
         val ckpt = java.nio.file.Files.createTempDirectory("q194ckpt").toString
         val stream = ss.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        // compactEvery = 2: a mid-stream maintenance fold runs between
+        // sync batches, pinning that compaction commits are content-
+        // neutral to the changelog chain (the next batch diffs across
+        // them and still applies exactly its own effect)
         val q = graft.streaming.EventStream.toStoreUpsertWithIndexSync(
           stream, "ssync_docs", "doc_id", "text",
           exactIndexTable = Some("ssync_fpidx"),
           sigIndexTable = Some("ssync_sigidx"),
-          checkpointLocation = Some(ckpt))
+          checkpointLocation = Some(ckpt), compactEvery = 2)
         try q.processAllAvailable()
         finally q.stop()
         val result = graft.sources.Store.read(s, "ssync_fpidx")

@@ -165,8 +165,11 @@ object EventStream {
       exactIndexTable: Option[String] = None,
       sigIndexTable: Option[String] = None,
       k: Int = 4, w: Int = 3, buckets: Int = 4, parts: Int = 8,
-      checkpointLocation: Option[String] = None)
+      checkpointLocation: Option[String] = None, compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // per-query batch counter (driver-side, one batch at a time — the
+    // toStoreUpsert rule)
+    var applied = 0L
     val wr = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -178,13 +181,26 @@ object EventStream {
             graft.sources.Store.upsert(spark, table, b, idCol, buckets)
             val post = graft.sources.Store.versions(spark, table).last
             if (post != pre) {
-              // one diff per batch, shared by every index apply
+              // one diff per batch, shared by every index apply —
+              // materialized BEFORE any maintenance commit below could
+              // slide `pre` out of the retention window
               val ch = graft.sources.Store.changes(spark, table, pre, post)
                 .localCheckpoint()
               exactIndexTable.foreach(t =>
                 graft.ops.IndexSync.syncExactIndex(spark, ch, t, idCol, textCol))
               sigIndexTable.foreach(t =>
                 graft.ops.IndexSync.syncSignatureIndex(spark, ch, t, idCol, textCol, k, w))
+            }
+            applied += 1L
+            // every sync batch appends delta generations to the corpus
+            // AND both index tables — fold all three on the same cadence
+            // as toStoreUpsert, or an unbounded stream pays an unbounded
+            // merge-on-read chain (compaction commits are content-neutral:
+            // a later batch's changelog across them diffs empty)
+            if (compactEvery > 0 && applied % compactEvery == 0) {
+              (Seq(table) ++ exactIndexTable ++ sigIndexTable).foreach { t =>
+                graft.sources.Store.compact(spark, t); ()
+              }
             }
           } else {
             graft.sources.Store.bulkWrite(b, table, idCol,

@@ -223,21 +223,26 @@ object Bpe {
     val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     val cum = words.join(wordSizes(words, dict, merges), Seq("word"))
       .withColumn("__cum", sum(col("__sz")).over(w))
-    val kept = cum.filter(col("__cum") <= maxTokens)
-      .groupBy(col(idCol))
+    // ONE aggregate computes the kept prefix AND the full total
+    // (conditional aggregates over the running sum; collect_list skips
+    // the over-budget rows' NULLs) — two aggregates joined would run the
+    // posexplode + broadcast join + window subtree twice (code-review
+    // r13 #5)
+    val admitted = col("__cum") <= maxTokens
+    cum.groupBy(col(idCol))
       .agg(
         array_join(
           transform(
-            array_sort(collect_list(struct(col("__pos"), col("word")))),
+            array_sort(collect_list(
+              when(admitted, struct(col("__pos"), col("word"))))),
             x => x.getField("word")),
           " ").as("__text"),
-        sum(col("__sz")).as("__n_kept"))
-    cum.groupBy(col(idCol)).agg(max(col("__cum")).as("__total"))
-      .join(kept, Seq(idCol), "left")
+        coalesce(sum(when(admitted, col("__sz"))), lit(0L)).as("__n_kept"),
+        max(col("__cum")).as("__total"))
       .select(
         col(idCol),
-        coalesce(col("__text"), lit("")).as(textCol),
-        coalesce(col("__n_kept"), lit(0L)).as("n_tokens_bpe"),
+        col("__text").as(textCol),
+        col("__n_kept").as("n_tokens_bpe"),
         col("__total").as("n_tokens_full"),
         (col("__total") > maxTokens).as("truncated"))
   }

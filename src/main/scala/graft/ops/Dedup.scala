@@ -744,10 +744,21 @@ object Dedup {
     require(sigBits >= maxHamming + 1 && sigBits <= 64,
       s"sigBits must be in [${maxHamming + 1}, 64], got $sigBits")
     val nChunks = maxHamming + 1
-    val chunkBits = (sigBits + nChunks - 1) / nChunks // last chunk may be narrower
+    // BALANCED chunk widths (the first `rem` chunks carry one extra bit):
+    // the ceil-with-narrow-tail layout this replaced could leave the
+    // trailing chunk EMPTY (9 chunks over 64 bits → 8×8 + 0; 16 over 60 →
+    // 15×4 + 0), keying every row to the constant 0 and sending that
+    // band's self-join quadratic in the corpus (code-review r13 #3). The
+    // balanced split gives every chunk ≥ 1 real bit for every admissible
+    // (maxHamming, sigBits) — and reproduces the FROZEN historic layouts
+    // exactly where the division is even (the 60-bit/maxHamming=3 text
+    // default: 60 = 4×15, rem 0; the 64-bit/maxHamming=3 media layout:
+    // 4×16 — DedupSpec pins both).
+    val base = sigBits / nChunks
+    val rem = sigBits % nChunks
     val chunks = (0 until nChunks).map { cI =>
-      val lo = cI * chunkBits
-      val width = math.min(chunkBits, sigBits - lo)
+      val lo = cI * base + math.min(cI, rem)
+      val width = base + (if (cI < rem) 1 else 0)
       // width == 64 only when maxHamming == 0 over a full 64-bit signature
       // (one chunk = exact-match banding); 1L << 64 wraps to 1, so spell
       // the all-bits mask out

@@ -114,8 +114,21 @@ object AvroIO {
         classOf[NullWritable],
         conf)
       .mapPartitions { pairs =>
+        var checked = false
         pairs.map { case (k, _) =>
           val rec = k.datum()
+          // declared-vs-file name check, once per partition: Avro's
+          // Record.get(name) returns null for an UNKNOWN field, which
+          // would silently read a typo'd column as all-NULL — the one
+          // mismatch the type mapping can't catch (code-review r13 #2)
+          if (!checked) {
+            val fileSchema = rec.getSchema
+            fieldNames.foreach(n => require(fileSchema.getField(n) != null,
+              s"declared column '$n' is not a field of the Avro file schema " +
+                s"(has: ${scala.jdk.CollectionConverters.ListHasAsScala(
+                  fileSchema.getFields).asScala.map(_.name).mkString(", ")})"))
+            checked = true
+          }
           val vals = new Array[Any](fieldNames.length)
           var i = 0
           while (i < fieldNames.length) {

@@ -304,14 +304,39 @@ object Store {
 
   /** Partitions whose live generations all came from one z-compaction:
     * key-disjoint, so the merge rank is skippable. */
+  private def disjointIn(z: ZMap, manifest: Manifest): Set[Int] =
+    manifest.collect {
+      case (p, gens) if gens.size > 1 && gens.toSet.subsetOf(z.gensFor(p)) => p
+    }.toSet
+
   private def zDisjointParts(
       spark: SparkSession, name: String, manifest: Manifest): Set[Int] =
-    readZmap(spark, name) match {
-      case Some(z) => manifest.collect {
-        case (p, gens) if gens.size > 1 && gens.toSet.subsetOf(z.gensFor(p)) => p
-      }.toSet
-      case None => Set.empty
+    readZmap(spark, name).map(disjointIn(_, manifest)).getOrElse(Set.empty)
+
+  /** The shared box-admission computation behind [[readBox]] and
+    * [[boxGenCounts]] (one sidecar read, one manifest read, one admission
+    * pass): `(zmap, live manifest, admitted manifest)` — a clean
+    * partition keeps only envelope-intersecting generations, a partition
+    * mutated since the layout keeps its full chain (exactness first).
+    */
+  private def boxAdmission(
+      spark: SparkSession, name: String,
+      box: Seq[(Long, Long)]): (ZMap, Manifest, Manifest) = {
+    val z = readZmap(spark, name).getOrElse(sys.error(
+      s"$name has no Z-order layout — run compact(zorder = Some(ZorderSpec(dims))) first"))
+    require(box.size == z.spec.dims.size,
+      s"one (lo, hi) bound per z dimension: ${z.spec.dims.mkString(", ")}")
+    val manifest = readManifest(spark, name).map(_._2).getOrElse(Map.empty)
+    val admitted: Manifest = manifest.flatMap { case (p, gens) =>
+      val pruned =
+        if (gens.toSet.subsetOf(z.gensFor(p)))
+          gens.filter(g =>
+            z.envs.exists(e => e.part == p && e.gen == g && z.envIntersects(e, box)))
+        else gens
+      if (pruned.isEmpty) None else Some(p -> pruned)
     }
+    (z, manifest, admitted)
+  }
 
   // ------------------------------------------------------- gen allocation
 
@@ -591,20 +616,8 @@ object Store {
       spark: SparkSession, name: String, box: Seq[(Long, Long)]): DataFrame = {
     requireTable(spark, name)
     spark.catalog.refreshTable(name)
-    val z = readZmap(spark, name).getOrElse(sys.error(
-      s"$name has no Z-order layout — run compact(zorder = Some(ZorderSpec(dims))) first"))
-    require(box.size == z.spec.dims.size,
-      s"one (lo, hi) bound per z dimension: ${z.spec.dims.mkString(", ")}")
-    val manifest = readManifest(spark, name).map(_._2).getOrElse(Map.empty)
-    val admitted: Manifest = manifest.flatMap { case (p, gens) =>
-      val pruned =
-        if (gens.toSet.subsetOf(z.gensFor(p)))
-          gens.filter(g =>
-            z.envs.exists(e => e.part == p && e.gen == g && z.envIntersects(e, box)))
-        else gens // stale partition: full chain, rank + residual keep it exact
-      if (pruned.isEmpty) None else Some(p -> pruned)
-    }
-    val base = readAt(spark, name, admitted, zDisjointParts(spark, name, admitted))
+    val (z, _, admitted) = boxAdmission(spark, name, box)
+    val base = readAt(spark, name, admitted, disjointIn(z, admitted))
     z.spec.dims.zip(box).foldLeft(base) { case (df, (d, (lo, hi))) =>
       df.filter(col(d) >= lo && col(d) <= hi)
     }
@@ -622,16 +635,8 @@ object Store {
     */
   private[graft] def boxGenCounts(
       spark: SparkSession, name: String, box: Seq[(Long, Long)]): (Int, Int) = {
-    val z = readZmap(spark, name).getOrElse(sys.error(s"$name has no Z-order layout"))
-    val manifest = readManifest(spark, name).map(_._2).getOrElse(Map.empty)
-    val total = manifest.valuesIterator.map(_.size).sum
-    val admitted = manifest.map { case (p, gens) =>
-      if (gens.toSet.subsetOf(z.gensFor(p)))
-        gens.count(g =>
-          z.envs.exists(e => e.part == p && e.gen == g && z.envIntersects(e, box)))
-      else gens.size
-    }.sum
-    (admitted, total)
+    val (_, manifest, admitted) = boxAdmission(spark, name, box)
+    (admitted.valuesIterator.map(_.size).sum, manifest.valuesIterator.map(_.size).sum)
   }
 
   /** CHANGELOG (CDC) between two RETAINED versions: every key whose value
@@ -1064,12 +1069,25 @@ object Store {
             case None     => m - p // partition emptied by the tombstone fold
           }
         }
+        // a PARTIAL z-compact (onlyParts) must not strip pruning from
+        // partitions a PRIOR z-compact already covered: carry the previous
+        // sidecar's envelopes forward for every partition not folded this
+        // time, provided the dims match (envelopes are raw per-dim min/max
+        // — plan-independent — so layouts from different quantization
+        // plans coexist; different DIMS would misalign readBox's bounds,
+        // so those are dropped and their partitions fall back to the exact
+        // path). Code-review r13 #4.
+        val carried = readZmap(spark, name) match {
+          case Some(pz) if pz.spec.dims == zs.dims =>
+            pz.envs.filterNot(e => foldParts.contains(e.part))
+          case _ => Seq.empty
+        }
         // sidecar BEFORE the manifest commit: a crash here leaves a
         // sidecar for a version that never committed — harmless, because
         // readers trust it only where a partition's live generations are
         // a subset of the sidecar's (none will be)
         val out = fs.create(zmapPath(loc, v + 1L), true)
-        out.write(renderZmap(ZMap(zs, zplan, envs)).getBytes("UTF-8"))
+        out.write(renderZmap(ZMap(zs, zplan, carried ++ envs)).getBytes("UTF-8"))
         out.close()
         writeManifest(fs, loc, v + 1L, updated)
         finish(gen0)

@@ -176,39 +176,57 @@ object EventStream {
         val spark = batch.sparkSession
         val b = batch.toDF().localCheckpoint()
         if (!b.isEmpty) {
-          if (spark.catalog.tableExists(table)) {
-            val pre = graft.sources.Store.versions(spark, table).last
-            graft.sources.Store.upsert(spark, table, b, idCol, buckets)
-            val post = graft.sources.Store.versions(spark, table).last
-            if (post != pre) {
+          val fresh = !spark.catalog.tableExists(table)
+          val changelog =
+            if (fresh) {
+              graft.sources.Store.bulkWrite(b, table, idCol,
+                buckets = buckets, parts = parts, validateKeys = true)
+              None
+            } else {
+              val pre = graft.sources.Store.versions(spark, table).last
+              graft.sources.Store.upsert(spark, table, b, idCol, buckets)
+              val post = graft.sources.Store.versions(spark, table).last
               // one diff per batch, shared by every index apply —
               // materialized BEFORE any maintenance commit below could
               // slide `pre` out of the retention window
-              val ch = graft.sources.Store.changes(spark, table, pre, post)
-                .localCheckpoint()
-              exactIndexTable.foreach(t =>
-                graft.ops.IndexSync.syncExactIndex(spark, ch, t, idCol, textCol))
-              sigIndexTable.foreach(t =>
-                graft.ops.IndexSync.syncSignatureIndex(spark, ch, t, idCol, textCol, k, w))
+              if (post != pre)
+                Some(graft.sources.Store.changes(spark, table, pre, post)
+                  .localCheckpoint())
+              else None
             }
-            applied += 1L
-            // every sync batch appends delta generations to the corpus
-            // AND both index tables — fold all three on the same cadence
-            // as toStoreUpsert, or an unbounded stream pays an unbounded
-            // merge-on-read chain (compaction commits are content-neutral:
-            // a later batch's changelog across them diffs empty)
-            if (compactEvery > 0 && applied % compactEvery == 0) {
-              (Seq(table) ++ exactIndexTable ++ sigIndexTable).foreach { t =>
-                graft.sources.Store.compact(spark, t); ()
-              }
+          // index bootstrap is PER INDEX TABLE, not keyed off the corpus
+          // table's freshness (code-review r13 #1): a pre-existing corpus,
+          // or a crash between the corpus bulkWrite and the index builds,
+          // must not wedge every later batch on a missing index — an
+          // absent index rebuilds from the table's CURRENT state (which on
+          // the first batch is exactly the batch), after which the
+          // changelog path maintains it
+          exactIndexTable.foreach { t =>
+            if (!spark.catalog.tableExists(t))
+              graft.ops.IndexSync.buildExactIndex(spark,
+                graft.sources.Store.read(spark, table), t, idCol, textCol,
+                buckets, parts)
+            else changelog.foreach(ch =>
+              graft.ops.IndexSync.syncExactIndex(spark, ch, t, idCol, textCol))
+          }
+          sigIndexTable.foreach { t =>
+            if (!spark.catalog.tableExists(t))
+              graft.ops.IndexSync.buildSignatureIndex(spark,
+                graft.sources.Store.read(spark, table), t, idCol, textCol, k, w,
+                buckets, parts)
+            else changelog.foreach(ch =>
+              graft.ops.IndexSync.syncSignatureIndex(spark, ch, t, idCol, textCol, k, w))
+          }
+          applied += 1L
+          // every sync batch appends delta generations to the corpus
+          // AND both index tables — fold all three on the same cadence
+          // as toStoreUpsert, or an unbounded stream pays an unbounded
+          // merge-on-read chain (compaction commits are content-neutral:
+          // a later batch's changelog across them diffs empty)
+          if (compactEvery > 0 && applied % compactEvery == 0) {
+            (Seq(table) ++ exactIndexTable ++ sigIndexTable).foreach { t =>
+              graft.sources.Store.compact(spark, t); ()
             }
-          } else {
-            graft.sources.Store.bulkWrite(b, table, idCol,
-              buckets = buckets, parts = parts, validateKeys = true)
-            exactIndexTable.foreach(t => graft.ops.IndexSync
-              .buildExactIndex(spark, b, t, idCol, textCol, buckets, parts))
-            sigIndexTable.foreach(t => graft.ops.IndexSync
-              .buildSignatureIndex(spark, b, t, idCol, textCol, k, w, buckets, parts))
           }
         }
       }

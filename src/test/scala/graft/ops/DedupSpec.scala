@@ -403,6 +403,23 @@ class DedupSpec extends SparkSpec {
     bandKeys(-1L, 3, 64).values.foreach(k => assert(k === 0xFFFFL))
   }
 
+  test("simhash band layout is balanced: no empty chunk at any admissible budget") {
+    // the ceil-with-tail layout left chunk 8 of (maxHamming=8, 64 bits)
+    // and chunk 15 of (15, 60) EMPTY — a constant 0 key sending that
+    // band's self-join quadratic; the balanced split keeps every chunk
+    // ≥ 1 real bit, so an all-ones signature's key is nonzero everywhere
+    for ((mh, bits) <- Seq((8, 64), (15, 60), (8, 60), (3, 64), (0, 64))) {
+      val keys = bandKeys(-1L, mh, bits)
+      assert(keys.size === mh + 1)
+      keys.foreach { case (i, k) =>
+        assert(k !== 0L, s"empty chunk $i at (maxHamming=$mh, sigBits=$bits)")
+      }
+      // widths partition the signature: popcounts of the all-ones keys sum
+      // to sigBits (chunks are disjoint and exhaustive)
+      assert(keys.values.map(java.lang.Long.bitCount).sum === bits)
+    }
+  }
+
   test("simhashCandidates pair set is identical under 60- and 64-bit banding") {
     // exhaustiveness argument made executable: for 60-bit text signatures
     // the hamming-filtered pair set cannot depend on the band width

@@ -43,6 +43,30 @@ class AvroSpec extends SparkSpec {
     }
   }
 
+  test("reading with a misnamed declared column fails loudly, never silently NULL") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "x")), 1), schema)
+    val dir = java.nio.file.Files.createTempDirectory("avromiss").toString + "/d"
+    try {
+      AvroIO.writeAvro(df, dir)
+      val typoed = StructType(Seq(
+        StructField("id", LongType), StructField("sx", StringType)))
+      val e = intercept[org.apache.spark.SparkException] {
+        AvroIO.readAvro(spark, dir, typoed).collect()
+      }
+      assert(e.getMessage.contains("sx") ||
+        Option(e.getCause).exists(_.getMessage.contains("sx")))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir).getParentFile)
+    }
+  }
+
   test("nested types fail loudly instead of writing wrong data") {
     val nested = StructType(Seq(
       StructField("id", LongType),

@@ -234,6 +234,44 @@ class StoreSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS zc_t")
   }
 
+  test("a partial z-compact carries forward the prior sidecar's envelopes") {
+    import spark.implicits._
+    val base = (1L to 400L).map(k => (k, (k * 7) % 40, (k * 13) % 40, s"v$k"))
+      .toDF("k", "x", "y", "v")
+    Store.bulkWrite(base, "zp_t", "k", buckets = 2, parts = 4, validateKeys = true)
+    try {
+      val spec = Store.ZorderSpec(Seq("x", "y"), bits = 6, bucketBits = 4)
+      Store.compact(spark, "zp_t", zorder = Some(spec))
+      // delta-touch one key: exactly its routing partition goes stale
+      Store.upsert(spark, "zp_t",
+        Seq((3L, 7L, 19L, "v3b")).toDF("k", "x", "y", "v"), "k", buckets = 2)
+      // the touched key's routing partition, computed the way lookup does
+      // (z partitions legitimately carry many generations, so the plain
+      // compaction plan cannot identify "stale since the z layout")
+      val stale = {
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash, Pmod}
+        Pmod(new Murmur3Hash(Seq(Cast(Literal(3L),
+            org.apache.spark.sql.types.LongType))), Literal(4))
+          .eval(null).asInstanceOf[Int]
+      }
+      // re-z-compact ONLY the stale partition — the other partitions'
+      // envelopes must survive via the sidecar carry-forward
+      Store.compact(spark, "zp_t", onlyParts = Some(Seq(stale)), zorder = Some(spec))
+      // a box that misses the data entirely prunes EVERY generation: only
+      // possible if unfolded partitions kept their envelopes
+      val miss = Seq((1000L, 2000L), (1000L, 2000L))
+      val (aMiss, tMiss) = Store.boxGenCounts(spark, "zp_t", miss)
+      assert(tMiss > 0 && aMiss === 0,
+        s"carried envelopes lost: $aMiss/$tMiss generations admitted for an empty box")
+      assert(Store.readBox(spark, "zp_t", miss).isEmpty)
+      // all partitions are z-clean again → rank-free plain read, content intact
+      val after = Store.read(spark, "zp_t")
+      assert(!after.queryExecution.sparkPlan.toString.contains("Window"))
+      assert(after.count() === 400L)
+      assert(after.filter($"k" === 3L).head().getString(3) === "v3b")
+    } finally spark.sql("DROP TABLE IF EXISTS zp_t")
+  }
+
   test("an orphan z-layout sidecar (crash before the manifest commit) never affects reads") {
     import spark.implicits._
     val base = (1L to 100L).map(k => (k, k % 10, k % 7, s"v$k")).toDF("k", "x", "y", "v")

@@ -445,6 +445,64 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("index-sync sink bootstraps a missing index from a PRE-EXISTING corpus table") {
+    import graft.ops.{Dedup, IndexSync}
+    import graft.sources.Store
+    // the corpus table already exists (an earlier pipeline built it) and
+    // NO index table does — the wedge case code-review r13 #1 flagged:
+    // bootstrap must be per index table, from the table's current state
+    val pre = Seq(
+      (1L, "alpha beta gamma delta words"),
+      (2L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    Seq("sync_docs_t", "sync_fp_t").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Store.bulkWrite(pre, "sync_docs_t", "doc_id", buckets = 2, parts = 2,
+      validateKeys = true)
+    val incoming = Seq(
+      (2L, "the quick brown fox jumps high updated"), // update of a pre-existing key
+      (3L, "entirely new arriving document body")).toDF("doc_id", "text")
+    val srcDir = java.nio.file.Files.createTempDirectory("isync").toString
+    incoming.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = EventStream.toStoreUpsertWithIndexSync(
+      stream, "sync_docs_t", "doc_id", "text",
+      exactIndexTable = Some("sync_fp_t"), buckets = 2, parts = 2)
+    try q.processAllAvailable()
+    finally q.stop()
+    try {
+      // the index bootstrapped from the post-upsert table state: all three
+      // docs, with doc 2's UPDATED fingerprint
+      val idx = Store.read(spark, "sync_fp_t")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expect = Store.read(spark, "sync_docs_t")
+        .select(col("doc_id"), Dedup.exactFingerprint(col("text")).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(idx === expect)
+      assert(idx.keySet === Set(1L, 2L, 3L))
+      // and a SECOND stream run over a further update takes the changelog
+      // path against the bootstrapped index
+      val more = Seq((1L, "alpha beta gamma delta words changed")).toDF("doc_id", "text")
+      val srcDir2 = java.nio.file.Files.createTempDirectory("isync2").toString
+      more.coalesce(1).write.mode("overwrite").parquet(srcDir2)
+      val stream2 = spark.readStream.schema(more.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir2)
+      val q2 = EventStream.toStoreUpsertWithIndexSync(
+        stream2, "sync_docs_t", "doc_id", "text",
+        exactIndexTable = Some("sync_fp_t"), buckets = 2, parts = 2)
+      try q2.processAllAvailable()
+      finally q2.stop()
+      val keeper = IndexSync.exactKeeperView(spark, "sync_fp_t", "doc_id")
+      assert(keeper.count() === 3L)
+      val idx2 = Store.read(spark, "sync_fp_t")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expect2 = Store.read(spark, "sync_docs_t")
+        .select(col("doc_id"), Dedup.exactFingerprint(col("text")).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(idx2 === expect2)
+    } finally Seq("sync_docs_t", "sync_fp_t")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("funnelCustomState equals the batch funnel for any time-ordered batch split") {
     implicit val sqlCtx = spark.sqlContext
     val stages = Seq("signup", "view", "click", "purchase")

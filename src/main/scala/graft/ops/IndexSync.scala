@@ -60,6 +60,33 @@ import graft.sources.Store
   */
 object IndexSync {
 
+  /** Table property on an INDEX table recording the corpus version its
+    * content reflects — the bookkeeping that makes continuous sync safe
+    * under at-least-once delivery (code-review r13 second-pass #1): a
+    * consumer diffs from the index's OWN recorded version, never from
+    * "the span my upsert happened to commit", so a crash between a
+    * corpus commit and the index apply re-diffs the missed span on
+    * replay instead of silently skipping it (the replayed upsert's own
+    * span diffs value-empty). Re-applying an already-applied changelog
+    * is idempotent — every sync is a keyed write of deterministic
+    * values — so marking AFTER the apply is safe.
+    */
+  private val SyncedVProp = "graft.synced.corpus.version"
+
+  /** The corpus version `indexTable`'s content reflects, if recorded. */
+  def syncedVersion(spark: SparkSession, indexTable: String): Option[Long] = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(indexTable)
+    spark.sessionState.catalog.getTableMetadata(ident)
+      .properties.get(SyncedVProp).map(_.toLong)
+  }
+
+  /** Record that `indexTable` now reflects corpus version `version`. */
+  def markSynced(spark: SparkSession, indexTable: String, version: Long): Unit = {
+    spark.sql(s"ALTER TABLE `$indexTable` SET TBLPROPERTIES " +
+      s"('$SyncedVProp' = '$version')")
+    ()
+  }
+
   private val Inserts = Seq("insert", "update")
 
   private def postImages(changelog: DataFrame): DataFrame =

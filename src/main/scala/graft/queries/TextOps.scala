@@ -2528,6 +2528,10 @@ object TextOps {
           .filter(col("doc_id") =!= col("id_a"))
           .select(col("id_a"), col("doc_id").as("id_b"))
           .withColumn("modality", lit("text"))
+        // reuse boundary: the edge set feeds the components fixed point,
+        // the per-cluster pair stats, and the sizes join — persist() is
+        // lazy and the bench/Verify harnesses clear the cache per run
+        // (the q120 stage-boundary rule)
         val edges = pairsOf(imgSigs, "image")
           .unionByName(pairsOf(audSigs, "audio"))
           .unionByName(txtPairs)

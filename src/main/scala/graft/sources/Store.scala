@@ -290,7 +290,12 @@ object Store {
     * generations are a subset of the sidecar's generations for it (a
     * later delta or a plain compaction invalidates the partition, and the
     * reader falls back to the full merge-on-read scan — correctness never
-    * depends on the sidecar being current).
+    * depends on the sidecar being current). An UNPARSEABLE sidecar
+    * resolves to None for the same reason: pruning is an accelerator,
+    * never a correctness dependency, so a corrupt file must degrade to
+    * the exact path, not poison every read (code-review r13 #2b; the
+    * write side is tmp+renamed, so this guards external damage, not the
+    * engine's own commits).
     */
   private[graft] def readZmap(spark: SparkSession, name: String): Option[ZMap] = {
     val loc = tableLocation(spark, name)
@@ -299,7 +304,10 @@ object Store {
       if (!fs.exists(loc)) Seq.empty
       else fs.listStatus(loc).toSeq.map(_.getPath.getName)
         .collect { case ZmapRe(n) => n.toLong }.sorted
-    vers.lastOption.map(v => parseZmap(readText(fs, zmapPath(loc, v))))
+    vers.lastOption.flatMap { v =>
+      try Some(parseZmap(readText(fs, zmapPath(loc, v))))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
 
   /** Partitions whose live generations all came from one z-compaction:
@@ -311,7 +319,11 @@ object Store {
 
   private def zDisjointParts(
       spark: SparkSession, name: String, manifest: Manifest): Set[Int] =
-    readZmap(spark, name).map(disjointIn(_, manifest)).getOrElse(Set.empty)
+    // single-generation-everywhere tables (bulk-written, plainly
+    // compacted — the common case) take no rank anyway, so skip the
+    // sidecar's extra directory listing entirely (code-review r13 #6)
+    if (manifest.forall(_._2.size <= 1)) Set.empty
+    else readZmap(spark, name).map(disjointIn(_, manifest)).getOrElse(Set.empty)
 
   /** The shared box-admission computation behind [[readBox]] and
     * [[boxGenCounts]] (one sidecar read, one manifest read, one admission
@@ -1082,13 +1094,18 @@ object Store {
             pz.envs.filterNot(e => foldParts.contains(e.part))
           case _ => Seq.empty
         }
-        // sidecar BEFORE the manifest commit: a crash here leaves a
-        // sidecar for a version that never committed — harmless, because
-        // readers trust it only where a partition's live generations are
-        // a subset of the sidecar's (none will be)
-        val out = fs.create(zmapPath(loc, v + 1L), true)
+        // sidecar BEFORE the manifest commit, via the SAME tmp+rename
+        // discipline as the manifest (code-review r13 #2b — an in-place
+        // create could expose a truncated file mid-write): a crash here
+        // leaves a sidecar for a version that never committed — harmless,
+        // because readers trust it only where a partition's live
+        // generations are a subset of the sidecar's (none will be)
+        val ztmp = new Path(loc, s"_zmap-${v + 1L}.txt.tmp")
+        val out = fs.create(ztmp, true)
         out.write(renderZmap(ZMap(zs, zplan, carried ++ envs)).getBytes("UTF-8"))
         out.close()
+        require(fs.rename(ztmp, zmapPath(loc, v + 1L)),
+          s"zmap sidecar rename failed for version ${v + 1L}")
         writeManifest(fs, loc, v + 1L, updated)
         finish(gen0)
     }

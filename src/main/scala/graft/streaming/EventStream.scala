@@ -177,46 +177,52 @@ object EventStream {
         val b = batch.toDF().localCheckpoint()
         if (!b.isEmpty) {
           val fresh = !spark.catalog.tableExists(table)
-          val changelog =
-            if (fresh) {
-              graft.sources.Store.bulkWrite(b, table, idCol,
-                buckets = buckets, parts = parts, validateKeys = true)
-              None
-            } else {
-              val pre = graft.sources.Store.versions(spark, table).last
-              graft.sources.Store.upsert(spark, table, b, idCol, buckets)
-              val post = graft.sources.Store.versions(spark, table).last
-              // one diff per batch, shared by every index apply —
-              // materialized BEFORE any maintenance commit below could
-              // slide `pre` out of the retention window
-              if (post != pre)
-                Some(graft.sources.Store.changes(spark, table, pre, post)
+          if (fresh)
+            graft.sources.Store.bulkWrite(b, table, idCol,
+              buckets = buckets, parts = parts, validateKeys = true)
+          else
+            graft.sources.Store.upsert(spark, table, b, idCol, buckets)
+          val post = graft.sources.Store.versions(spark, table).last
+          val retained = graft.sources.Store.versions(spark, table).toSet
+          // Each index advances from its OWN recorded corpus version —
+          // never from "the span this batch's upsert committed" — which
+          // closes the at-least-once crash windows (code-review r13 #1 +
+          // second pass #1/#3): a missing index, a crash between corpus
+          // commit and index apply, a crash between apply and the mark,
+          // and a freshly re-created corpus under an old index all
+          // resolve correctly:
+          //  - recorded == post           → nothing to do (full replay);
+          //  - recorded retained          → apply changes(recorded, post)
+          //    (re-applying an already-applied span is idempotent — keyed
+          //    deterministic writes — so a pre-mark crash is safe);
+          //  - otherwise (absent index, vacuumed version, fresh corpus) →
+          //    REBUILD from the table's current state.
+          def ensure(t: String, build: => Unit, sync: DataFrame => Unit): Unit = {
+            val recorded =
+              if (fresh || !spark.catalog.tableExists(t)) None
+              else graft.ops.IndexSync.syncedVersion(spark, t)
+                .filter(retained.contains)
+            recorded match {
+              case Some(s) if s == post => ()
+              case Some(s) =>
+                // materialize before any later maintenance commit could
+                // vacuum the span's generations out from under the plan
+                sync(graft.sources.Store.changes(spark, table, s, post)
                   .localCheckpoint())
-              else None
+              case None => build
             }
-          // index bootstrap is PER INDEX TABLE, not keyed off the corpus
-          // table's freshness (code-review r13 #1): a pre-existing corpus,
-          // or a crash between the corpus bulkWrite and the index builds,
-          // must not wedge every later batch on a missing index — an
-          // absent index rebuilds from the table's CURRENT state (which on
-          // the first batch is exactly the batch), after which the
-          // changelog path maintains it
-          exactIndexTable.foreach { t =>
-            if (!spark.catalog.tableExists(t))
-              graft.ops.IndexSync.buildExactIndex(spark,
-                graft.sources.Store.read(spark, table), t, idCol, textCol,
-                buckets, parts)
-            else changelog.foreach(ch =>
-              graft.ops.IndexSync.syncExactIndex(spark, ch, t, idCol, textCol))
+            graft.ops.IndexSync.markSynced(spark, t, post)
           }
-          sigIndexTable.foreach { t =>
-            if (!spark.catalog.tableExists(t))
-              graft.ops.IndexSync.buildSignatureIndex(spark,
-                graft.sources.Store.read(spark, table), t, idCol, textCol, k, w,
-                buckets, parts)
-            else changelog.foreach(ch =>
-              graft.ops.IndexSync.syncSignatureIndex(spark, ch, t, idCol, textCol, k, w))
-          }
+          exactIndexTable.foreach(t => ensure(t,
+            graft.ops.IndexSync.buildExactIndex(spark,
+              graft.sources.Store.read(spark, table), t, idCol, textCol,
+              buckets, parts),
+            ch => graft.ops.IndexSync.syncExactIndex(spark, ch, t, idCol, textCol)))
+          sigIndexTable.foreach(t => ensure(t,
+            graft.ops.IndexSync.buildSignatureIndex(spark,
+              graft.sources.Store.read(spark, table), t, idCol, textCol, k, w,
+              buckets, parts),
+            ch => graft.ops.IndexSync.syncSignatureIndex(spark, ch, t, idCol, textCol, k, w)))
           applied += 1L
           // every sync batch appends delta generations to the corpus
           // AND both index tables — fold all three on the same cadence
@@ -227,6 +233,12 @@ object EventStream {
             (Seq(table) ++ exactIndexTable ++ sigIndexTable).foreach { t =>
               graft.sources.Store.compact(spark, t); ()
             }
+            // advance the marks past the corpus compaction commit, or the
+            // NEXT batch would find the recorded version vacuumed by the
+            // commit after it and fall back to a needless rebuild
+            val cur = graft.sources.Store.versions(spark, table).last
+            (exactIndexTable ++ sigIndexTable).foreach(t =>
+              graft.ops.IndexSync.markSynced(spark, t, cur))
           }
         }
       }
@@ -308,6 +320,14 @@ object EventStream {
     * micro-batch scan. The accumulated pair set equals the batch q181
     * pipeline over the whole corpus for any batch split (q191 gates the
     * equality on the same oracle).
+    *
+    * Delivery contract (the [[nearDupIncremental]] rule verbatim):
+    * foreachBatch is at-least-once, so pairs are APPEND-ONLY FACTS that
+    * deduplicate by VALUE — a replayed batch may re-emit its pairs (and
+    * re-find them against its own already-upserted signatures; the id
+    * inequality guard keeps self-pairs out). Readers take `distinct()`
+    * (the q191 gate does); a consumer that counts or weights raw pair
+    * rows must dedup first.
     */
   def imageNearDupIncremental(
       media: DataFrame, indexTable: String, pairsOut: String,

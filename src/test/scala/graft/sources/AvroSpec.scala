@@ -6,6 +6,11 @@ import org.apache.spark.sql.types._
 
 class AvroSpec extends SparkSpec {
 
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
   test("round-trips every supported primitive, including NULLs and binary payloads") {
     val schema = StructType(Seq(
       StructField("id", LongType),
@@ -34,13 +39,7 @@ class AvroSpec extends SparkSpec {
       assert((1 to 6).forall(back(1).isNullAt))
       assert(back(2).getString(4) === "" &&
         back(2).getAs[Array[Byte]](6).isEmpty)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(dir).getParentFile)
-    }
+    } finally rmTree(new java.io.File(dir).getParentFile)
   }
 
   test("reading with a misnamed declared column fails loudly, never silently NULL") {
@@ -58,13 +57,7 @@ class AvroSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("sx") ||
         Option(e.getCause).exists(_.getMessage.contains("sx")))
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(dir).getParentFile)
-    }
+    } finally rmTree(new java.io.File(dir).getParentFile)
   }
 
   test("nested types fail loudly instead of writing wrong data") {

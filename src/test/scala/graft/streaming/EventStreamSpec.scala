@@ -503,6 +503,45 @@ class EventStreamSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("index-sync sink recovers a crash between corpus commit and index apply") {
+    import graft.ops.Dedup
+    import graft.sources.Store
+    def runSink(rows: Seq[(Long, String)], tag: String): Unit = {
+      val df = rows.toDF("doc_id", "text")
+      val srcDir = java.nio.file.Files.createTempDirectory(s"crash$tag").toString
+      df.coalesce(1).write.mode("overwrite").parquet(srcDir)
+      val stream = spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = EventStream.toStoreUpsertWithIndexSync(
+        stream, "cr_docs", "doc_id", "text",
+        exactIndexTable = Some("cr_fp"), buckets = 2, parts = 2)
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    Seq("cr_docs", "cr_fp").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      runSink(Seq((1L, "alpha beta gamma")), "a")
+      // CRASHED batch B: its corpus commit landed, its index apply did not
+      // (the second-pass review hole: a naive replay re-upserts identical
+      // values, diffs value-empty, and silently skips B's index update
+      // forever). The sink must detect the index's recorded version is
+      // behind/vacuumed and converge.
+      Store.upsert(spark, "cr_docs",
+        Seq((2L, "bravo charlie delta")).toDF("doc_id", "text"), "doc_id",
+        buckets = 2)
+      // at-least-once replay of B through the sink
+      runSink(Seq((2L, "bravo charlie delta")), "b")
+      val idx = Store.read(spark, "cr_fp")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expect = Store.read(spark, "cr_docs")
+        .select(col("doc_id"), Dedup.exactFingerprint(col("text")).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(idx === expect)
+      assert(idx.keySet === Set(1L, 2L))
+    } finally Seq("cr_docs", "cr_fp")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("funnelCustomState equals the batch funnel for any time-ordered batch split") {
     implicit val sqlCtx = spark.sqlContext
     val stages = Seq("signup", "view", "click", "purchase")

@@ -181,6 +181,39 @@ object IndexSync {
     } finally { ch.unpersist(); () }
   }
 
+  // ------------------------------------------------------------- ANN / IVF
+
+  /** Apply a changelog to a stored IVF index (r13 — the last derived-index
+    * family without CDC wiring): changed docs' post-image vectors append
+    * versioned under the STORED codebook (no retraining — the
+    * [[Similarity.appendIvfIndex]] rule), and updates/deletes tombstone
+    * the id so resolution stops serving the superseded vector. O(batch):
+    * the indexed corpus is never rescanned. Serve the synced index via
+    * [[Similarity.ivfQuerySynced]] (or the quantized sibling); codebook
+    * drift is still the recall-probe → rebuild loop
+    * ([[Similarity.maintainIvfIndex]]), and a rebuild folds the exclusion
+    * backlog away — the Store.compact rule on the ANN surface.
+    */
+  def syncIvfIndex(
+      spark: SparkSession, changelog: DataFrame, indexPath: String,
+      idCol: String, vecCol: String, quantized: Boolean = false): Unit = {
+    val ch = changelog.persist()
+    try {
+      val ver = Similarity.allocateSyncVer(spark, indexPath)
+      val post = postImages(ch).filter(col(vecCol).isNotNull)
+      Similarity.appendIvfIndexVersioned(
+        spark, indexPath, post, idCol, vecCol, ver, quantized)
+      // updates supersede their old row (the same-version append wins the
+      // resolution); deletes — and post-images with a NULL vector, which
+      // the rebuild would not index — tombstone outright
+      val vanished = postImages(ch).filter(col(vecCol).isNull).select(col(idCol))
+      Similarity.excludeIvfIds(spark, indexPath,
+        ch.filter(col("change_type").isin("update", "delete")).select(col(idCol))
+          .unionByName(vanished).distinct(),
+        idCol, ver)
+    } finally { ch.unpersist(); () }
+  }
+
   // --------------------------------------------------------------- novelty
 
   /** Build the novelty first-occurrence index

@@ -223,6 +223,123 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$cur/assigned")
   }
 
+  // ——— CDC-SYNCED index mutations (r13 — the [[graft.ops.IndexSync]]
+  // loop closed over the ANN surface): plain appends cover INSERTS only;
+  // updates and deletes need the old vector gone from query results
+  // without rewriting the immutable cell files. The synced layer adds two
+  // append-only artifacts inside the CURRENT generation:
+  //
+  //  - versioned rows: synced appends carry a `__ver` column (rows from
+  //    the offline build read as version 0 via schema merge);
+  //  - an `excluded/` sidecar of `(id, __ex_ver)` tombstones.
+  //
+  // RESOLUTION (read side): a row survives iff it has no exclusion, or
+  // its version is ≥ its id's newest exclusion — so an update (same-
+  // version append + tombstone) keeps exactly its new row, a delete
+  // (tombstone alone) removes the id, and a later re-insert (higher
+  // version) outlives the old tombstone. Versions come from `_sync-N`
+  // marker files in the generation dir (the Store intent-marker rule:
+  // monotone, crash-safe to re-allocate). A REBUILD stages a fresh
+  // generation from the caller's corpus frame, which carries no
+  // exclusions — the fold that makes deletions physical, exactly like
+  // Store.compact. Existing query entry points are untouched; a synced
+  // index is served via [[ivfQuerySynced]]/[[ivfQueryQuantizedSynced]]
+  // (the resolution composes into the same cell-pruned scan plan).
+
+  private val SyncRe = """_sync-(\d+)""".r
+
+  /** Allocate the next sync version for the index's current generation
+    * (marker file, monotone — crashed attempts never reuse a number).
+    */
+  private[graft] def allocateSyncVer(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val cur = currentGenDir(spark, path)
+    val fs = fsFor(spark, cur)
+    val root = new org.apache.hadoop.fs.Path(cur)
+    val max =
+      if (!fs.exists(root)) 0L
+      else fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .collect { case SyncRe(n) => n.toLong }.foldLeft(0L)(math.max)
+    val v = max + 1L
+    fs.create(new org.apache.hadoop.fs.Path(cur, s"_sync-$v"), false).close()
+    v
+  }
+
+  /** Versioned append: [[appendIvfIndex]] with the batch stamped `__ver`
+    * so [[readIvfIndexSynced]]'s resolution can order it against
+    * exclusions. `quantized` routes through the int8 projection, exactly
+    * as the offline quantized build writes.
+    */
+  private[graft] def appendIvfIndexVersioned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newVecs: DataFrame, idCol: String, vecCol: String, ver: Long,
+      quantized: Boolean): Unit = {
+    val cur = currentGenDir(spark, path)
+    val cent = centroidLits(spark.read.parquet(s"$cur/centroids"))
+    val assigned = assignToCells(cent, newVecs, idCol, vecCol)
+    val rows = if (quantized) quantizedProjection(assigned) else assigned
+    rows.withColumn("__ver", lit(ver))
+      .write.mode("append").partitionBy("cell").parquet(s"$cur/assigned")
+  }
+
+  /** Tombstone ids at `ver`: rows of strictly older versions stop being
+    * served once [[readIvfIndexSynced]] resolves.
+    */
+  private[graft] def excludeIvfIds(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, idCol: String, ver: Long): Unit = {
+    val cur = currentGenDir(spark, path)
+    ids.select(col(idCol).as("id"), lit(ver).as("__ex_ver"))
+      .write.mode("append").parquet(s"$cur/excluded")
+  }
+
+  /** Read a (possibly) synced index with exclusions RESOLVED: schema-merge
+    * the assigned files (offline rows surface `__ver` null → version 0),
+    * broadcast-join the per-id newest exclusion, keep rows whose version
+    * is current. An index never touched by sync reads exactly as
+    * [[readIvfIndex]] (no `excluded/` dir → nothing filtered).
+    */
+  def readIvfIndexSynced(
+      spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val cur = currentGenDir(spark, path)
+    val assigned0 = spark.read.option("mergeSchema", "true")
+      .parquet(s"$cur/assigned")
+    val assigned =
+      if (assigned0.columns.contains("__ver")) assigned0
+      else assigned0.withColumn("__ver", lit(null).cast("long"))
+    val exPath = new org.apache.hadoop.fs.Path(s"$cur/excluded")
+    val resolved =
+      if (!fsFor(spark, cur).exists(exPath)) assigned
+      else {
+        // the exclusion set is the mutation backlog since the last
+        // rebuild — small by the maintainIvfIndex operating procedure —
+        // so the newest-exclusion map broadcasts
+        val ex = spark.read.parquet(s"$cur/excluded")
+          .groupBy(col("id")).agg(max(col("__ex_ver")).as("__ex"))
+        assigned.join(broadcast(ex), Seq("id"), "left")
+          .filter(col("__ex").isNull || coalesce(col("__ver"), lit(0L)) >= col("__ex"))
+          .drop("__ex")
+      }
+    IvfIndex(
+      spark.read.parquet(s"$cur/centroids"),
+      resolved.drop("__ver"))
+  }
+
+  /** [[ivfQuery]] over a CDC-synced index: resolution + the same
+    * cell-pruned probe scan. */
+  def ivfQuerySynced(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 4): DataFrame =
+    ivfQuery(queries, readIvfIndexSynced(spark, path), idCol, vecCol, k, nProbe)
+
+  /** [[ivfQueryQuantized]] over a CDC-synced quantized index. */
+  def ivfQueryQuantizedSynced(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 4): DataFrame =
+    ivfQueryQuantized(queries, readIvfIndexSynced(spark, path), idCol, vecCol, k, nProbe)
+
   /** Measured recall@k of the stored-index query route against the exact
     * (brute-force, float-cosine) top-k over the SAME indexed corpus — the
     * health probe of the incremental-append operating procedure. Runs on a

@@ -890,6 +890,86 @@ object VectorOps {
         SELECT CAST($DriftClusters AS BIGINT) AS n_probes,
                true AS recall_before_low, true AS rebuilt,
                true AS recall_after_ok""")),
+
+    // CDC → ANN INDEX SYNC (r13 — [[graft.ops.IndexSync.syncIvfIndex]]:
+    // the last derived-index family wired into the changelog loop): the
+    // embedding corpus lives in a generational store table; three commits
+    // drive INSERT (planted twins of ids 0–4, re-keyed +100000), UPDATE
+    // (100003's vector replaced by a twin of id 4's base), and DELETE
+    // (100004) through upsert → changelog → versioned append + tombstone.
+    // The synced query route must rank each original's twin first with the
+    // exact float-round-trip cosine (q115's arithmetic), serve the UPDATED
+    // 100003 as id 4's nearest, and the flags pin the negative space: the
+    // deleted id appears in no one's top-5, and nothing near-identical
+    // remains for id 3 (its old twin's vector was superseded).
+    QueryDef(
+      "q196_cdc_ann_sync",
+      (s, dir) => {
+        import graft.ops.IndexSync
+        import graft.sources.Store
+        val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val path = java.nio.file.Files.createTempDirectory("q196idx").toString
+        Similarity.writeIvfIndex(
+          Similarity.buildIvfIndex(e, "vec_id", "embedding"), path)
+        val table = "cdc_ann_docs"
+        Store.bulkWrite(e, table, "vec_id", buckets = 4, parts = 8,
+          validateKeys = true)
+        def twinVec =
+          transform(col("embedding"),
+            x => (x.cast("double") * 1.001 + 0.0005).cast("float"))
+        def applyLatest(): Unit = {
+          val v = Store.versions(s, table)
+          IndexSync.syncIvfIndex(s,
+            Store.changes(s, table, v.head, v.last), path, "vec_id", "embedding")
+        }
+        // commit A: insert the five twins
+        Store.upsert(s, table,
+          e.filter(col("vec_id") < 5)
+            .select((col("vec_id") + 100000L).as("vec_id"), twinVec.as("embedding")),
+          "vec_id", buckets = 4)
+        applyLatest()
+        // commit B: 100003 becomes a twin of id 4's base
+        Store.upsert(s, table,
+          e.filter(col("vec_id") === 4L)
+            .select(lit(100003L).as("vec_id"), twinVec.as("embedding")),
+          "vec_id", buckets = 4)
+        applyLatest()
+        // commit C: 100004 is erased
+        Store.delete(s, table,
+          s.range(1).select(lit(100004L).as("vec_id")), "vec_id", buckets = 4)
+        applyLatest()
+        val q = e.filter(col("vec_id") <= 4L)
+        val top = Similarity.ivfQuerySynced(s, path, q, "vec_id", "embedding",
+            k = 5, nProbe = 4)
+          .localCheckpoint()
+        graft.queries.EventOps.rmTree(path)
+        val flags = top.agg(
+          (sum(when(col("neighbor_id") === 100004L, 1L).otherwise(0L)) === 0L)
+            .as("deleted_absent"),
+          (sum(when(col("q_id") === 3L && col("cosine") > 0.99, 1L).otherwise(0L)) === 0L)
+            .as("stale_absent"))
+        top.filter(col("rank") === 1 && col("q_id") =!= 3L)
+          .crossJoin(broadcast(flags))
+          .select(col("q_id"), col("neighbor_id"),
+            round(col("cosine"), 4).as("cosine"),
+            col("deleted_absent"), col("stale_absent"))
+          .orderBy(col("q_id"))
+      },
+      Some {
+        val pv = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        val tv = "list_transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) * 1.001 + 0.0005 AS FLOAT) AS DOUBLE))"
+        s"""
+          WITH p AS (
+            SELECT vec_id, $pv AS pv, $tv AS tv
+            FROM embeddings WHERE vec_id IN (0, 1, 2, 4))
+          SELECT vec_id AS q_id,
+            CASE WHEN vec_id = 4 THEN 100003 ELSE vec_id + 100000 END AS neighbor_id,
+            round(${oracleDot.format("pv", "tv")} /
+              (sqrt(${oracleDot.format("pv", "pv")}) * sqrt(${oracleDot.format("tv", "tv")})),
+              4) AS cosine,
+            true AS deleted_absent, true AS stale_absent
+          FROM p ORDER BY q_id"""
+      }),
   )
 
   /** Drift fixture for the recall-triggered rebuild gates (q117/q118):

@@ -122,6 +122,58 @@ class IndexSyncSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("syncIvfIndex: inserts appear, updates supersede, deletes vanish, re-inserts return") {
+    // two orthogonal clusters in 4 dims; queries probe both cells so the
+    // resolution logic is exercised independently of cell pruning
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0f)), (4L, Seq(0f, 0.1f, 0.9f, 0f)))
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfsync").toString
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding", nCentroids = 2), path)
+    Store.bulkWrite(corpus, "ivfsync_docs", "vec_id", buckets = 2, parts = 2,
+      validateKeys = true)
+    try {
+      def applyLatest(): Unit = {
+        val v = Store.versions(spark, "ivfsync_docs")
+        IndexSync.syncIvfIndex(spark,
+          Store.changes(spark, "ivfsync_docs", v.head, v.last), path,
+          "vec_id", "embedding")
+      }
+      def neighbors(): Map[Long, Double] = {
+        val q = Seq((100L, Seq(1f, 0.05f, 0f, 0f))).toDF("vec_id", "embedding")
+        Similarity.ivfQuerySynced(spark, path, q, "vec_id", "embedding",
+            k = 10, nProbe = 2)
+          .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+      }
+      // commit 1: insert 10 near cluster 1, UPDATE 3 into cluster 1 —
+      // applied before the next commit slides it out of the last-2
+      // retention window (each commit's changelog applies once, in order)
+      Store.upsert(spark, "ivfsync_docs",
+        Seq((10L, Seq(0.95f, 0.05f, 0f, 0f)),
+            (3L, Seq(0.85f, 0.15f, 0f, 0f))).toDF("vec_id", "embedding"),
+        "vec_id", buckets = 2)
+      applyLatest()
+      // commit 2: delete 4
+      Store.delete(spark, "ivfsync_docs", Seq(4L).toDF("vec_id"), "vec_id", buckets = 2)
+      applyLatest()
+      val n1 = neighbors()
+      assert(n1.contains(10L), "inserted vector not served")
+      assert(!n1.contains(4L), "deleted vector still served")
+      assert(n1(3L) > 0.9, s"update not superseding: id 3 scored ${n1(3L)} (old vector was orthogonal)")
+      // commit 2: re-insert 4 into cluster 1 — a higher sync version must
+      // outlive the old tombstone
+      Store.upsert(spark, "ivfsync_docs",
+        Seq((4L, Seq(0.9f, 0.05f, 0.05f, 0f))).toDF("vec_id", "embedding"),
+        "vec_id", buckets = 2)
+      applyLatest()
+      val n2 = neighbors()
+      assert(n2.contains(4L) && n2(4L) > 0.9, "re-inserted vector not served")
+      assert(n2.contains(10L) && n2(3L) > 0.9, "earlier syncs disturbed")
+    } finally spark.sql("DROP TABLE IF EXISTS ivfsync_docs")
+  }
+
   test("apply cost is O(changelog) jobs: identical job count at 1x and 6x corpus size") {
     def jobsForSync(n: Int, suffix: String): Int = {
       val docs = corpus(n)

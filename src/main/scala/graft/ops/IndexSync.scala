@@ -201,16 +201,21 @@ object IndexSync {
     try {
       val ver = Similarity.allocateSyncVer(spark, indexPath)
       val post = postImages(ch).filter(col(vecCol).isNotNull)
-      Similarity.appendIvfIndexVersioned(
-        spark, indexPath, post, idCol, vecCol, ver, quantized)
+      // skip empty halves: an all-delete batch has nothing to append, an
+      // all-insert batch nothing to tombstone — and an empty write would
+      // leave a data-less parquet dir for later reads to trip over
+      if (!post.isEmpty)
+        Similarity.appendIvfIndexVersioned(
+          spark, indexPath, post, idCol, vecCol, ver, quantized)
       // updates supersede their old row (the same-version append wins the
       // resolution); deletes — and post-images with a NULL vector, which
       // the rebuild would not index — tombstone outright
       val vanished = postImages(ch).filter(col(vecCol).isNull).select(col(idCol))
-      Similarity.excludeIvfIds(spark, indexPath,
-        ch.filter(col("change_type").isin("update", "delete")).select(col(idCol))
-          .unionByName(vanished).distinct(),
-        idCol, ver)
+      val excluded = ch.filter(col("change_type").isin("update", "delete"))
+        .select(col(idCol))
+        .unionByName(vanished).distinct()
+      if (!excluded.isEmpty)
+        Similarity.excludeIvfIds(spark, indexPath, excluded, idCol, ver)
     } finally { ch.unpersist(); () }
   }
 

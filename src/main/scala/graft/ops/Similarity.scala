@@ -308,8 +308,14 @@ object Similarity {
       if (assigned0.columns.contains("__ver")) assigned0
       else assigned0.withColumn("__ver", lit(null).cast("long"))
     val exPath = new org.apache.hadoop.fs.Path(s"$cur/excluded")
+    val exFs = fsFor(spark, cur)
+    // the dir must hold actual DATA files, not just commit markers — an
+    // empty dir would fail parquet schema inference, and the sync skips
+    // empty tombstone batches for the same reason
+    val hasExclusions = exFs.exists(exPath) &&
+      exFs.listStatus(exPath).exists(f => f.isFile && !f.getPath.getName.startsWith("_"))
     val resolved =
-      if (!fsFor(spark, cur).exists(exPath)) assigned
+      if (!hasExclusions) assigned
       else {
         // the exclusion set is the mutation backlog since the last
         // rebuild — small by the maintainIvfIndex operating procedure —

@@ -68,8 +68,11 @@ object IndexSync {
     * corpus commit and the index apply re-diffs the missed span on
     * replay instead of silently skipping it (the replayed upsert's own
     * span diffs value-empty). Re-applying an already-applied changelog
-    * is idempotent — every sync is a keyed write of deterministic
-    * values — so marking AFTER the apply is safe.
+    * converges on every index: the TABLE-BACKED syncs are keyed writes
+    * of deterministic values (idempotent outright), and the IVF sync is
+    * tombstone-then-append — the replay's higher version supersedes the
+    * earlier apply instead of duplicating it (r14) — so marking AFTER
+    * the apply is safe.
     */
   private val SyncedVProp = "graft.synced.corpus.version"
 
@@ -80,9 +83,15 @@ object IndexSync {
       .properties.get(SyncedVProp).map(_.toLong)
   }
 
-  /** Record that `indexTable` now reflects corpus version `version`. */
+  /** Record that `indexTable` now reflects corpus version `version`.
+    * The name is parsed and re-quoted PART BY PART (`` `db`.`idx` ``),
+    * matching [[syncedVersion]]'s resolution — backtick-quoting the whole
+    * string would treat a database-qualified name as one unqualified
+    * identifier and mark the wrong (or no) table (ADVICE r14).
+    */
   def markSynced(spark: SparkSession, indexTable: String, version: Long): Unit = {
-    spark.sql(s"ALTER TABLE `$indexTable` SET TBLPROPERTIES " +
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(indexTable)
+    spark.sql(s"ALTER TABLE ${ident.quotedString} SET TBLPROPERTIES " +
       s"('$SyncedVProp' = '$version')")
     ()
   }
@@ -186,36 +195,52 @@ object IndexSync {
   /** Apply a changelog to a stored IVF index (r13 — the last derived-index
     * family without CDC wiring): changed docs' post-image vectors append
     * versioned under the STORED codebook (no retraining — the
-    * [[Similarity.appendIvfIndex]] rule), and updates/deletes tombstone
-    * the id so resolution stops serving the superseded vector. O(batch):
-    * the indexed corpus is never rescanned. Serve the synced index via
+    * [[Similarity.appendIvfIndex]] rule), and EVERY changed id is
+    * tombstoned at the same version. O(batch): the indexed corpus is
+    * never rescanned. Serve the synced index via
     * [[Similarity.ivfQuerySynced]] (or the quantized sibling); codebook
-    * drift is still the recall-probe → rebuild loop
+    * drift and backlog bloat are the probe → rebuild loop
     * ([[Similarity.maintainIvfIndex]]), and a rebuild folds the exclusion
     * backlog away — the Store.compact rule on the ANN surface.
+    *
+    * == Exactly-once under replay and crash (r14) ==
+    *
+    * TOMBSTONE-THEN-APPEND: inserts are tombstoned alongside updates and
+    * deletes (harmless for a genuinely new id — its own same-version row
+    * survives the `≥` resolution), so RE-APPLYING a changelog supersedes
+    * rather than duplicates: the replay's higher-version tombstones
+    * retire the earlier apply's rows, and resolution serves exactly one
+    * row per live id (ADVICE r14 #1 — the blind re-append this replaced
+    * served every replayed id twice). TWO-PHASE COMMIT: all writes land
+    * under an intent version that readers ignore until the final
+    * `_sync-N.ready` marker ([[Similarity.commitSyncVer]]), so a sync
+    * killed anywhere mid-write is invisible and its retry converges —
+    * the same intent → data → ready discipline as the Store manifest.
     */
   def syncIvfIndex(
       spark: SparkSession, changelog: DataFrame, indexPath: String,
       idCol: String, vecCol: String, quantized: Boolean = false): Unit = {
     val ch = changelog.persist()
     try {
+      // a value-empty changelog (the at-least-once replay of an already-
+      // applied span) must be a true no-op: no version burned, no empty
+      // parquet dirs staged
+      if (ch.isEmpty) return
       val ver = Similarity.allocateSyncVer(spark, indexPath)
       val post = postImages(ch).filter(col(vecCol).isNotNull)
-      // skip empty halves: an all-delete batch has nothing to append, an
-      // all-insert batch nothing to tombstone — and an empty write would
-      // leave a data-less parquet dir for later reads to trip over
+      // skip the empty append half: an all-delete batch has nothing to
+      // append, and an empty write would leave a data-less parquet dir
+      // for later reads to trip over
       if (!post.isEmpty)
         Similarity.appendIvfIndexVersioned(
           spark, indexPath, post, idCol, vecCol, ver, quantized)
-      // updates supersede their old row (the same-version append wins the
-      // resolution); deletes — and post-images with a NULL vector, which
-      // the rebuild would not index — tombstone outright
-      val vanished = postImages(ch).filter(col(vecCol).isNull).select(col(idCol))
-      val excluded = ch.filter(col("change_type").isin("update", "delete"))
-        .select(col(idCol))
-        .unionByName(vanished).distinct()
-      if (!excluded.isEmpty)
-        Similarity.excludeIvfIds(spark, indexPath, excluded, idCol, ver)
+      // every changed id tombstones: updates/deletes retire the old row,
+      // inserts retire nothing today but make a future re-apply of this
+      // same changelog supersede instead of duplicate
+      val excluded = ch.select(col(idCol)).distinct()
+      Similarity.excludeIvfIds(spark, indexPath, excluded, idCol, ver)
+      // the commit point — everything above is invisible until this
+      Similarity.commitSyncVer(spark, indexPath, ver)
     } finally { ch.unpersist(); () }
   }
 

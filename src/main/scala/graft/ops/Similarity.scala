@@ -240,16 +240,33 @@ object Similarity {
   // version) outlives the old tombstone. Versions come from `_sync-N`
   // marker files in the generation dir (the Store intent-marker rule:
   // monotone, crash-safe to re-allocate). A REBUILD stages a fresh
-  // generation from the caller's corpus frame, which carries no
-  // exclusions — the fold that makes deletions physical, exactly like
-  // Store.compact. Existing query entry points are untouched; a synced
-  // index is served via [[ivfQuerySynced]]/[[ivfQueryQuantizedSynced]]
-  // (the resolution composes into the same cell-pruned scan plan).
+  // generation from the index's RESOLVED rows (or the caller's corpus
+  // frame), which carries no exclusions — the fold that makes deletions
+  // physical, exactly like Store.compact. Existing query entry points
+  // are untouched; a synced index is served via
+  // [[ivfQuerySynced]]/[[ivfQueryQuantizedSynced]] (the resolution
+  // composes into the same cell-pruned scan plan).
+  //
+  // TWO-PHASE COMMIT (r14 — the crash window the r13 layout documented
+  // is now closed, the same move the Store manifest made): `_sync-N` is
+  // the INTENT (allocated exclusively before any data moves), and an
+  // empty `_sync-N.ready` marker — created atomically AFTER the
+  // version's appends and exclusions are fully written — is the COMMIT.
+  // Resolution serves only READY versions: a sync killed at any point
+  // before its ready marker leaves rows stamped with an unready version
+  // that no read ever surfaces, and the blind retry re-applies the same
+  // changelog under a FRESH version whose tombstones supersede any
+  // still-invisible partials — exactly-once by construction
+  // (SimilaritySpec's kill-and-retry pin). Offline-built rows (version
+  // null → 0) predate the sync layer and are always served.
 
   private val SyncRe = """_sync-(\d+)""".r
+  private val SyncReadyRe = """_sync-(\d+)\.ready""".r
 
   /** Allocate the next sync version for the index's current generation
-    * (marker file, monotone — crashed attempts never reuse a number).
+    * (INTENT marker file, monotone — crashed attempts never reuse a
+    * number). Data stamped with this version stays invisible until
+    * [[commitSyncVer]] plants the matching ready marker.
     */
   private[graft] def allocateSyncVer(
       spark: org.apache.spark.sql.SparkSession, path: String): Long = {
@@ -259,10 +276,91 @@ object Similarity {
     val max =
       if (!fs.exists(root)) 0L
       else fs.listStatus(root).toSeq.map(_.getPath.getName)
-        .collect { case SyncRe(n) => n.toLong }.foldLeft(0L)(math.max)
+        .collect { case SyncRe(n) => n.toLong case SyncReadyRe(n) => n.toLong }
+        .foldLeft(0L)(math.max)
     val v = max + 1L
-    fs.create(new org.apache.hadoop.fs.Path(cur, s"_sync-$v"), false).close()
+    graft.sources.Store.exclusiveCreate(fs, new org.apache.hadoop.fs.Path(cur, s"_sync-$v"))
     v
+  }
+
+  /** COMMIT a sync version: atomically create `_sync-N.ready` after every
+    * byte of the version's appends and exclusions is on disk. Readers
+    * resolve ready versions only, so this single file creation is the
+    * boundary between "the sync never happened" and "the sync is fully
+    * visible" — there is no partial state in between.
+    */
+  private[graft] def commitSyncVer(
+      spark: org.apache.spark.sql.SparkSession, path: String, ver: Long): Unit = {
+    val cur = currentGenDir(spark, path)
+    graft.sources.Store.exclusiveCreate(
+      fsFor(spark, cur), new org.apache.hadoop.fs.Path(cur, s"_sync-$ver.ready"))
+  }
+
+  /** Sync versions ALLOCATED but never committed in the current
+    * generation — crashed or in-flight syncs. Small by construction (one
+    * entry per crash since the last rebuild), so it rides into the read
+    * plan as a literal NOT-IN filter rather than a join.
+    */
+  private def unreadySyncVers(
+      spark: org.apache.spark.sql.SparkSession, cur: String): Seq[Long] = {
+    val fs = fsFor(spark, cur)
+    val root = new org.apache.hadoop.fs.Path(cur)
+    if (!fs.exists(root)) Seq.empty
+    else {
+      val names = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      val ready = names.collect { case SyncReadyRe(n) => n.toLong }.toSet
+      names.collect { case SyncRe(n) => n.toLong }.filterNot(ready).sorted
+    }
+  }
+
+  // ——— CORPUS-VERSION BOOKKEEPING (r14 — the IVF analog of
+  // [[IndexSync.markSynced]]'s table property, for the streaming sync
+  // loop): `_corpus-v-N` marker files in the CURRENT generation dir
+  // record the corpus store version the index's content reflects.
+  // Monotone write-once markers (highest wins), so recording is
+  // crash-safe and idempotent; a REBUILD starts a fresh generation with
+  // no markers, which a consumer reads as "unknown → rebuild or
+  // re-mark", never as a stale claim.
+
+  private val CorpusVRe = """_corpus-v-(\d+)""".r
+
+  /** The corpus version this index's current generation reflects, if
+    * recorded ([[markIvfCorpusSynced]]).
+    */
+  def ivfSyncedCorpusVersion(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[Long] = {
+    val cur = currentGenDir(spark, path)
+    val fs = fsFor(spark, cur)
+    val root = new org.apache.hadoop.fs.Path(cur)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case CorpusVRe(n) => n.toLong }
+      .sorted.lastOption
+  }
+
+  /** Record that the index's current generation reflects corpus version
+    * `version`. Idempotent: re-marking an already-recorded version (the
+    * at-least-once replay) is a no-op.
+    */
+  def markIvfCorpusSynced(
+      spark: org.apache.spark.sql.SparkSession, path: String, version: Long): Unit = {
+    val cur = currentGenDir(spark, path)
+    val fs = fsFor(spark, cur)
+    val marker = new org.apache.hadoop.fs.Path(cur, s"_corpus-v-$version")
+    if (!fs.exists(marker)) {
+      try graft.sources.Store.exclusiveCreate(fs, marker)
+      catch { case _: java.io.IOException => () } // lost a benign re-mark race
+    }
+  }
+
+  /** Whether a committed index exists at `path` (a generation marker, or
+    * the pre-generation legacy layout's root `centroids/`).
+    */
+  def ivfIndexExists(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val fs = fsFor(spark, path)
+    committedGens(fs, path).nonEmpty ||
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids"))
   }
 
   /** Versioned append: [[appendIvfIndex]] with the batch stamped `__ver`
@@ -295,18 +393,25 @@ object Similarity {
 
   /** Read a (possibly) synced index with exclusions RESOLVED: schema-merge
     * the assigned files (offline rows surface `__ver` null → version 0),
-    * broadcast-join the per-id newest exclusion, keep rows whose version
-    * is current. An index never touched by sync reads exactly as
-    * [[readIvfIndex]] (no `excluded/` dir → nothing filtered).
+    * drop rows and tombstones of UNREADY sync versions (allocated but
+    * never committed — the two-phase rule above), broadcast-join the
+    * per-id newest ready exclusion, keep rows whose version is current.
+    * An index never touched by sync reads exactly as [[readIvfIndex]]
+    * (no `excluded/` dir → nothing filtered).
     */
   def readIvfIndexSynced(
       spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     val cur = currentGenDir(spark, path)
+    val unready = unreadySyncVers(spark, cur)
+    def dropUnready(df: DataFrame, verCol: String): DataFrame =
+      if (unready.isEmpty) df
+      else df.filter(col(verCol).isNull || !col(verCol).isin(unready: _*))
     val assigned0 = spark.read.option("mergeSchema", "true")
       .parquet(s"$cur/assigned")
-    val assigned =
+    val assigned = dropUnready(
       if (assigned0.columns.contains("__ver")) assigned0
-      else assigned0.withColumn("__ver", lit(null).cast("long"))
+      else assigned0.withColumn("__ver", lit(null).cast("long")),
+      "__ver")
     val exPath = new org.apache.hadoop.fs.Path(s"$cur/excluded")
     val exFs = fsFor(spark, cur)
     // the dir must hold actual DATA files, not just commit markers — an
@@ -318,9 +423,10 @@ object Similarity {
       if (!hasExclusions) assigned
       else {
         // the exclusion set is the mutation backlog since the last
-        // rebuild — small by the maintainIvfIndex operating procedure —
+        // rebuild — kept broadcast-sized by the maintainIvfIndex
+        // operating procedure's backlog-fraction rebuild trigger —
         // so the newest-exclusion map broadcasts
-        val ex = spark.read.parquet(s"$cur/excluded")
+        val ex = dropUnready(spark.read.parquet(s"$cur/excluded"), "__ex_ver")
           .groupBy(col("id")).agg(max(col("__ex_ver")).as("__ex"))
         assigned.join(broadcast(ex), Seq("id"), "left")
           .filter(col("__ex").isNull || coalesce(col("__ver"), lit(0L)) >= col("__ex"))
@@ -381,19 +487,21 @@ object Similarity {
   // older ones are pruned marker-first, so a concurrent resolve either
   // sees the gen as already gone or still fully readable.
   //
-  // SCOPE, stated honestly: the marker protocol makes BUILDS and
-  // REBUILDS crash-atomic. Incremental APPENDS write additional parquet
-  // files into the current generation's assigned/ directory in place —
-  // O(new batch) is their whole point — and a plain parquet directory
-  // has no per-batch commit, so a crashed append can leave a partial
-  // batch visible and a blind retry would duplicate the rows that
-  // landed. The operating contract (single maintainer, as documented on
-  // [[appendIvfIndex]]) is: on an append failure, either re-dedup the
-  // batch against the index (ids are unique by contract, so
-  // [[graft.ops.Dedup.incrementalExactKeepers]]-style filtering drops
-  // the landed half) or run [[rebuildIvfIndex]], whose commit replaces
-  // the generation wholesale. Per-batch atomic appends need a manifest
-  // log (Delta-style), which this layout deliberately does not carry.
+  // SCOPE: the marker protocol makes BUILDS and REBUILDS crash-atomic,
+  // and since r14 the SYNCED append path is too — [[IndexSync.syncIvfIndex]]
+  // two-phases every version (`_sync-N` intent → data → `_sync-N.ready`
+  // commit) and [[readIvfIndexSynced]] serves ready versions only, so a
+  // crashed sync is invisible and its blind retry is exactly-once (its
+  // fresh version's tombstones supersede any invisible partials). The
+  // RAW [[appendIvfIndex]]/[[appendIvfIndexQuantized]] entry points keep
+  // the plain-parquet-append semantics for insert-only growth where the
+  // caller owns batching (q115/q116): a crashed raw append can leave a
+  // partial batch visible — route mutation through the synced layer (or
+  // rebuild) when crash-atomicity matters. Per-batch atomic appends at
+  // the raw layer would need a manifest log (Delta-style), which this
+  // layout deliberately does not carry; the two-phase markers provide
+  // the same guarantee for the synced layer at two file creations per
+  // batch.
 
   private def fsFor(
       spark: org.apache.spark.sql.SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
@@ -473,41 +581,89 @@ object Similarity {
   def rebuildIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       nCentroids: Int = 16, seed: Long = 42L, quantized: Boolean = false): Unit = {
-    val cur = currentGenDir(spark, path)
-    val vecs = spark.read.parquet(s"$cur/assigned").select(col("id"), col("vec"))
+    // retrain over the RESOLVED rows, not the raw assigned files: a
+    // synced index's raw directory still holds superseded versions,
+    // deleted ids, and unready partials — resolving first is what makes
+    // the rebuild FOLD the exclusion backlog away instead of
+    // resurrecting it (the fresh generation carries no excluded/ dir and
+    // no sync versions). For a never-synced index the two reads are
+    // identical.
+    val vecs = readIvfIndexSynced(spark, path).assigned.select(col("id"), col("vec"))
     val rebuilt = buildIvfIndex(vecs, "id", "vec", nCentroids, seed)
     val (dir, n) = stageNextGen(spark, path)
     writeIndexData(rebuilt, dir, quantized)
     commitGen(spark, path, n)
   }
 
-  /** Maintenance outcome: recall before, whether the bar tripped a
-    * rebuild, and recall after (— before, unchanged, when it held).
+  /** Maintenance outcome: recall before, the exclusion-backlog fraction
+    * observed, whether either bar tripped a rebuild, and recall after
+    * (= before, unchanged, when neither tripped).
     */
   final case class IvfMaintenance(
-      recallBefore: Double, rebuilt: Boolean, recallAfter: Double)
+      recallBefore: Double, rebuilt: Boolean, recallAfter: Double,
+      backlogFraction: Double = 0.0)
 
-  /** The recall-triggered maintenance cycle [[appendIvfIndex]]'s contract
-    * defers to — probe, detect, rebuild, re-probe: incremental appends
-    * route new vectors through the FROZEN codebook, so a corpus that
-    * drifts (new domains, new embedding regions) degrades probe recall
-    * silently; this is the standard IVF operating procedure for catching
-    * and repairing that. Probes should be held-out (or planted-twin)
-    * vectors whose true neighbors are known to sit in the drifted region.
+  /** The exclusion-backlog fraction of a synced index: tombstoned ids
+    * over raw assigned rows, both straight from the parquet footers
+    * (count-only scans — no vector bytes move). 0 for a never-synced
+    * index. This is the operand of [[maintainIvfIndex]]'s backlog bar:
+    * a delete-heavy workload can bloat `excluded/` past broadcastability
+    * without probe recall ever dropping, so recall alone is not a
+    * sufficient rebuild trigger (VERDICT r13 #5).
+    */
+  def ivfBacklogFraction(
+      spark: org.apache.spark.sql.SparkSession, path: String): Double = {
+    val cur = currentGenDir(spark, path)
+    val exPath = new org.apache.hadoop.fs.Path(s"$cur/excluded")
+    val fs = fsFor(spark, cur)
+    val hasEx = fs.exists(exPath) &&
+      fs.listStatus(exPath).exists(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    if (!hasEx) 0.0
+    else {
+      val nEx = spark.read.parquet(s"$cur/excluded")
+        .select(col("id")).distinct().count()
+      val nAssigned = spark.read.parquet(s"$cur/assigned").count()
+      if (nAssigned == 0L) if (nEx > 0L) 1.0 else 0.0
+      else nEx.toDouble / nAssigned.toDouble
+    }
+  }
+
+  /** The maintenance cycle [[appendIvfIndex]]'s contract defers to —
+    * probe, detect, rebuild, re-probe: incremental appends route new
+    * vectors through the FROZEN codebook, so a corpus that drifts (new
+    * domains, new embedding regions) degrades probe recall silently;
+    * this is the standard IVF operating procedure for catching and
+    * repairing that. Probes should be held-out (or planted-twin)
+    * vectors whose true neighbors are known to sit in the drifted
+    * region.
+    *
+    * TWO triggers, either sufficient (r14 — VERDICT r13 #5):
+    * recall below `recallBar`, or exclusion backlog at or above
+    * `backlogBar` (fraction of raw assigned rows carrying a tombstoned
+    * id — the resolution broadcast's size driver, which a delete-heavy
+    * workload grows without recall ever moving). The rebuild retrains
+    * on the RESOLVED rows, folding superseded versions, deletions, and
+    * unready partials away — after it, the backlog fraction is 0 by
+    * construction. Reads throughout go through the synced resolution,
+    * so a mutated index is probed as served (identical to the raw read
+    * for a never-synced index).
     */
   def maintainIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String, probes: DataFrame,
       idCol: String, vecCol: String, k: Int = 5, nProbe: Int = 4,
       recallBar: Double = 0.8, nCentroids: Int = 16, seed: Long = 42L,
-      quantized: Boolean = false): IvfMaintenance = {
-    val before = ivfRecall(probes, readIvfIndex(spark, path), idCol, vecCol,
+      quantized: Boolean = false, backlogBar: Double = 0.3): IvfMaintenance = {
+    require(backlogBar > 0.0, "backlogBar must be positive")
+    val before = ivfRecall(probes, readIvfIndexSynced(spark, path), idCol, vecCol,
       k, nProbe, quantized)
-    if (before >= recallBar) IvfMaintenance(before, rebuilt = false, before)
+    val backlog = ivfBacklogFraction(spark, path)
+    if (before >= recallBar && backlog < backlogBar)
+      IvfMaintenance(before, rebuilt = false, before, backlog)
     else {
       rebuildIvfIndex(spark, path, nCentroids, seed, quantized)
-      val after = ivfRecall(probes, readIvfIndex(spark, path), idCol, vecCol,
+      val after = ivfRecall(probes, readIvfIndexSynced(spark, path), idCol, vecCol,
         k, nProbe, quantized)
-      IvfMaintenance(before, rebuilt = true, after)
+      IvfMaintenance(before, rebuilt = true, after, backlog)
     }
   }
 

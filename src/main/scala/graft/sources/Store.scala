@@ -129,6 +129,28 @@ object Store {
       s"store table $name does not exist — create it via bulkWrite " +
         "(generational layout) or createTable (flat declared schema)")
 
+  /** ATOMIC exclusive create — the CAS primitive every commit lock and
+    * ready marker rests on. `fs.create(p, overwrite = false)` is a true
+    * atomic create-if-absent on HDFS, but on the local filesystems
+    * (`RawLocalFileSystem`/`LocalFileSystem`) it decomposes into an
+    * exists-check THEN a create — two racing writers can both pass the
+    * check (ADVICE r14). For `file:` paths this routes through
+    * `java.nio.file.Files.createFile` (O_CREAT|O_EXCL — atomic on POSIX),
+    * so the "exactly one racing writer wins" guarantee holds on local FS
+    * too, not just HDFS. Throws `IOException` (of which
+    * `FileAlreadyExistsException` is a subtype) when the file exists.
+    */
+  private[graft] def exclusiveCreate(fs: FileSystem, p: Path): Unit = {
+    val uri = fs.makeQualified(p).toUri
+    if (uri.getScheme == "file") {
+      val local = java.nio.file.Paths.get(uri.getPath)
+      val parent = local.getParent
+      if (parent != null) java.nio.file.Files.createDirectories(parent)
+      java.nio.file.Files.createFile(local)
+      ()
+    } else fs.create(p, false).close()
+  }
+
   // ---------------------------------------------------------------- manifest
 
   /** Live generations per partition: `part → gens`, oldest first. */
@@ -169,10 +191,11 @@ object Store {
 
   /** Atomic manifest commit, GUARDED BY EXCLUSIVE CREATE (r12 verdict
     * #4): write `_manifest-V.txt.tmp`, claim version V by exclusively
-    * creating `_manifest-V.lock` (`fs.create(overwrite = false)` — an
-    * atomic CAS on HDFS; best-effort create-if-absent on the local FS),
-    * re-check that V−1 really is the latest committed manifest, then
-    * rename the tmp into place. Readers still see the previous version
+    * creating `_manifest-V.lock` ([[exclusiveCreate]] — an atomic CAS on
+    * HDFS via `fs.create(overwrite = false)` AND on POSIX local FS via
+    * `O_CREAT|O_EXCL`, so the claim is atomic on both, not best-effort
+    * on either — ADVICE r14), re-check that V−1 really is the latest
+    * committed manifest, then rename the tmp into place. Readers still see the previous version
     * or the complete new one, never a partial file (rename visibility is
     * unchanged) — the lock closes the WRITER race: plain rename is an
     * effective CAS on HDFS, but `RawLocalFileSystem.rename` silently
@@ -194,7 +217,7 @@ object Store {
   private[graft] def writeManifest(
       fs: FileSystem, loc: Path, v: Long, m: Manifest): Unit = {
     val lock = new Path(loc, s"_manifest-$v.lock")
-    try fs.create(lock, false).close()
+    try exclusiveCreate(fs, lock)
     catch {
       case e: java.io.IOException =>
         throw new IllegalStateException(

@@ -159,14 +159,32 @@ object EventStream {
     * re-upserts the same values, so its changelog diffs EMPTY and the
     * index applies converge to no-ops (value-based CDC is what makes the
     * replay safe; a batch-derived sync would re-apply blindly).
+    *
+    * ANN (r14 — VERDICT r13 #2): pass `ivfIndexPath` (+ `vecCol`) to keep
+    * a stored IVF index in the same per-trigger loop. The index records
+    * the corpus version it reflects as `_corpus-v-N` markers in its
+    * current generation ([[graft.ops.Similarity.markIvfCorpusSynced]] —
+    * the path-layout analog of the table property), advances via
+    * [[graft.ops.IndexSync.syncIvfIndex]] (tombstone-then-append under
+    * two-phase ready markers, so a mid-sync crash replays exactly-once),
+    * and REBUILDS from the table's current state when no usable recorded
+    * version exists (absent index, vacuumed span, fresh corpus) — the
+    * codebook trains on the first batch and stays frozen across syncs,
+    * exactly the batch appendIvfIndex contract; recall/backlog
+    * maintenance remains the caller's [[graft.ops.Similarity
+    * .maintainIvfIndex]] loop.
     */
   def toStoreUpsertWithIndexSync(
       docs: DataFrame, table: String, idCol: String, textCol: String,
       exactIndexTable: Option[String] = None,
       sigIndexTable: Option[String] = None,
       k: Int = 4, w: Int = 3, buckets: Int = 4, parts: Int = 8,
-      checkpointLocation: Option[String] = None, compactEvery: Int = 16)
+      checkpointLocation: Option[String] = None, compactEvery: Int = 16,
+      ivfIndexPath: Option[String] = None, vecCol: String = "embedding",
+      nCentroids: Int = 16, seed: Long = 42L, quantized: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(ivfIndexPath.isEmpty || docs.columns.contains(vecCol),
+      s"ivfIndexPath set but the stream carries no '$vecCol' column")
     // per-query batch counter (driver-side, one batch at a time — the
     // toStoreUpsert rule)
     var applied = 0L
@@ -223,6 +241,35 @@ object EventStream {
               graft.sources.Store.read(spark, table), t, idCol, textCol, k, w,
               buckets, parts),
             ch => graft.ops.IndexSync.syncSignatureIndex(spark, ch, t, idCol, textCol, k, w)))
+          // the IVF index follows the same recorded-version contract,
+          // with `_corpus-v-N` markers standing in for the table
+          // property; syncIvfIndex's tombstone-then-append makes even a
+          // BLIND re-apply converge, so the pre-mark crash window is
+          // doubly covered here
+          ivfIndexPath.foreach { p =>
+            import graft.ops.Similarity
+            val recorded =
+              if (fresh || !Similarity.ivfIndexExists(spark, p)) None
+              else Similarity.ivfSyncedCorpusVersion(spark, p)
+                .filter(retained.contains)
+            recorded match {
+              case Some(sv) if sv == post => ()
+              case Some(sv) =>
+                graft.ops.IndexSync.syncIvfIndex(spark,
+                  graft.sources.Store.changes(spark, table, sv, post)
+                    .localCheckpoint(),
+                  p, idCol, vecCol, quantized)
+              case None =>
+                val built = Similarity.buildIvfIndex(
+                  graft.sources.Store.read(spark, table)
+                    .select(col(idCol), col(vecCol))
+                    .filter(col(vecCol).isNotNull),
+                  idCol, vecCol, nCentroids, seed)
+                if (quantized) Similarity.writeIvfIndexQuantized(built, p)
+                else Similarity.writeIvfIndex(built, p)
+            }
+            Similarity.markIvfCorpusSynced(spark, p, post)
+          }
           applied += 1L
           // every sync batch appends delta generations to the corpus
           // AND both index tables — fold all three on the same cadence

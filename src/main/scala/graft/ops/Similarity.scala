@@ -296,21 +296,26 @@ object Similarity {
       fsFor(spark, cur), new org.apache.hadoop.fs.Path(cur, s"_sync-$ver.ready"))
   }
 
-  /** Sync versions ALLOCATED but never committed in the current
-    * generation — crashed or in-flight syncs. Small by construction (one
-    * entry per crash since the last rebuild), so it rides into the read
-    * plan as a literal NOT-IN filter rather than a join.
+  /** Sync versions COMMITTED (ready-marked) in the current generation,
+    * snapshotted once per read. Resolution serves ONLY these versions
+    * (plus the version-0/null offline rows) — an ALLOW-list, not a
+    * deny-list of known-unready versions: a sync racing the reader can
+    * allocate its intent after the marker listing but land data files
+    * before the parquet listing, and a deny-list would serve those rows
+    * live with no ready marker (the TOCTOU ADVICE r14 flagged). Under
+    * the allow-list a committed version whose ready marker was listed
+    * too early is merely NOT-YET-VISIBLE — a consistent prior state —
+    * never partially visible. Bounded by syncs since the last rebuild
+    * (the backlog bar's cadence), so it rides into the read plan as a
+    * literal IN filter rather than a join.
     */
-  private def unreadySyncVers(
+  private def readySyncVers(
       spark: org.apache.spark.sql.SparkSession, cur: String): Seq[Long] = {
     val fs = fsFor(spark, cur)
     val root = new org.apache.hadoop.fs.Path(cur)
     if (!fs.exists(root)) Seq.empty
-    else {
-      val names = fs.listStatus(root).toSeq.map(_.getPath.getName)
-      val ready = names.collect { case SyncReadyRe(n) => n.toLong }.toSet
-      names.collect { case SyncRe(n) => n.toLong }.filterNot(ready).sorted
-    }
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case SyncReadyRe(n) => n.toLong }.sorted
   }
 
   // ——— CORPUS-VERSION BOOKKEEPING (r14 — the IVF analog of
@@ -318,9 +323,11 @@ object Similarity {
   // loop): `_corpus-v-N` marker files in the CURRENT generation dir
   // record the corpus store version the index's content reflects.
   // Monotone write-once markers (highest wins), so recording is
-  // crash-safe and idempotent; a REBUILD starts a fresh generation with
-  // no markers, which a consumer reads as "unknown → rebuild or
-  // re-mark", never as a stale claim.
+  // crash-safe and idempotent. A REBUILD carries the recorded marker
+  // into its fresh generation (it trains on the resolved rows of exactly
+  // that corpus version, so the claim stays true — r15); an index whose
+  // generation carries NO marker (offline-built, pre-r14 layout) reads
+  // as "unknown → rebuild or re-mark", never as a stale claim.
 
   private val CorpusVRe = """_corpus-v-(\d+)""".r
 
@@ -340,7 +347,11 @@ object Similarity {
 
   /** Record that the index's current generation reflects corpus version
     * `version`. Idempotent: re-marking an already-recorded version (the
-    * at-least-once replay) is a no-op.
+    * at-least-once replay) is a no-op. Superseded markers (lower versions)
+    * are pruned after the new one lands — [[ivfSyncedCorpusVersion]] reads
+    * the highest, so only one marker carries information, and without the
+    * prune a long-running stream accretes one file per trigger into every
+    * generation listing (ADVICE r14).
     */
   def markIvfCorpusSynced(
       spark: org.apache.spark.sql.SparkSession, path: String, version: Long): Unit = {
@@ -351,6 +362,12 @@ object Similarity {
       try graft.sources.Store.exclusiveCreate(fs, marker)
       catch { case _: java.io.IOException => () } // lost a benign re-mark race
     }
+    val root = new org.apache.hadoop.fs.Path(cur)
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case CorpusVRe(n) if n.toLong < version => n.toLong }
+      .foreach { old =>
+        fs.delete(new org.apache.hadoop.fs.Path(cur, s"_corpus-v-$old"), false); ()
+      }
   }
 
   /** Whether a committed index exists at `path` (a generation marker, or
@@ -393,22 +410,22 @@ object Similarity {
 
   /** Read a (possibly) synced index with exclusions RESOLVED: schema-merge
     * the assigned files (offline rows surface `__ver` null → version 0),
-    * drop rows and tombstones of UNREADY sync versions (allocated but
-    * never committed — the two-phase rule above), broadcast-join the
-    * per-id newest ready exclusion, keep rows whose version is current.
+    * serve rows and tombstones of READY (committed) sync versions only
+    * (the allow-list — see [[readySyncVers]]), broadcast-join the per-id
+    * newest ready exclusion, keep rows whose version is current.
     * An index never touched by sync reads exactly as [[readIvfIndex]]
     * (no `excluded/` dir → nothing filtered).
     */
   def readIvfIndexSynced(
       spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     val cur = currentGenDir(spark, path)
-    val unready = unreadySyncVers(spark, cur)
-    def dropUnready(df: DataFrame, verCol: String): DataFrame =
-      if (unready.isEmpty) df
-      else df.filter(col(verCol).isNull || !col(verCol).isin(unready: _*))
+    val ready = readySyncVers(spark, cur)
+    def keepReady(df: DataFrame, verCol: String): DataFrame =
+      df.filter(col(verCol).isNull ||
+        (if (ready.isEmpty) lit(false) else col(verCol).isin(ready: _*)))
     val assigned0 = spark.read.option("mergeSchema", "true")
       .parquet(s"$cur/assigned")
-    val assigned = dropUnready(
+    val assigned = keepReady(
       if (assigned0.columns.contains("__ver")) assigned0
       else assigned0.withColumn("__ver", lit(null).cast("long")),
       "__ver")
@@ -426,7 +443,7 @@ object Similarity {
         // rebuild — kept broadcast-sized by the maintainIvfIndex
         // operating procedure's backlog-fraction rebuild trigger —
         // so the newest-exclusion map broadcasts
-        val ex = dropUnready(spark.read.parquet(s"$cur/excluded"), "__ex_ver")
+        val ex = keepReady(spark.read.parquet(s"$cur/excluded"), "__ex_ver")
           .groupBy(col("id")).agg(max(col("__ex_ver")).as("__ex"))
         assigned.join(broadcast(ex), Seq("id"), "left")
           .filter(col("__ex").isNull || coalesce(col("__ver"), lit(0L)) >= col("__ex"))
@@ -588,10 +605,22 @@ object Similarity {
     // resurrecting it (the fresh generation carries no excluded/ dir and
     // no sync versions). For a never-synced index the two reads are
     // identical.
+    val recorded = ivfSyncedCorpusVersion(spark, path)
     val vecs = readIvfIndexSynced(spark, path).assigned.select(col("id"), col("vec"))
     val rebuilt = buildIvfIndex(vecs, "id", "vec", nCentroids, seed)
     val (dir, n) = stageNextGen(spark, path)
     writeIndexData(rebuilt, dir, quantized)
+    // carry the corpus-version claim into the fresh generation BEFORE the
+    // commit (so the committed gen atomically has it): the rebuild trained
+    // on the resolved rows of exactly that corpus version, so the claim
+    // stays true — without it, the streaming sync loop's next batch reads
+    // recorded=None and performs a second, redundant full rebuild of the
+    // index it just rebuilt (ADVICE r14).
+    recorded.foreach { v =>
+      try graft.sources.Store.exclusiveCreate(
+        fsFor(spark, path), new org.apache.hadoop.fs.Path(dir, s"_corpus-v-$v"))
+      catch { case _: java.io.IOException => () } // re-staged orphan dir kept it
+    }
     commitGen(spark, path, n)
   }
 

@@ -261,14 +261,14 @@ object EventOps {
         val srcDir = java.nio.file.Files.createTempDirectory("q191src").toString
         media.repartition(4, col("media_id"))
           .write.mode("overwrite").parquet(srcDir)
-        ss.sql("DROP TABLE IF EXISTS stream_img_index")
         val outRoot = java.nio.file.Files.createTempDirectory("q191out").toString
         val pairsOut = outRoot + "/pairs"
+        val indexPath = outRoot + "/bandidx"
         val ckpt = java.nio.file.Files.createTempDirectory("q191ckpt").toString
         val stream = ss.readStream.schema(media.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
         val q = graft.streaming.EventStream.imageNearDupIncremental(
-          stream, "stream_img_index", pairsOut, maxHamming = 3,
+          stream, indexPath, pairsOut, maxHamming = 3,
           checkpointLocation = Some(ckpt))
         try q.processAllAvailable()
         finally q.stop()
@@ -293,14 +293,14 @@ object EventOps {
         val srcDir = java.nio.file.Files.createTempDirectory("q94src").toString
         docs.repartition(4, col("doc_id"))
           .write.mode("overwrite").parquet(srcDir)
-        ss.sql("DROP TABLE IF EXISTS stream_sig_index")
         val outRoot = java.nio.file.Files.createTempDirectory("q94out").toString
         val pairsOut = outRoot + "/pairs"
+        val indexPath = outRoot + "/bandidx"
         val ckpt = java.nio.file.Files.createTempDirectory("q94ckpt").toString
         val stream = ss.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
         val q = graft.streaming.EventStream.nearDupIncremental(
-          stream, "doc_id", "text", "stream_sig_index", pairsOut,
+          stream, "doc_id", "text", indexPath, pairsOut,
           k = 4, w = 3, r = 2, checkpointLocation = Some(ckpt))
         try q.processAllAvailable()
         finally q.stop()

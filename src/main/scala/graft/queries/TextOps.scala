@@ -183,6 +183,83 @@ object TextOps {
     } else h(s"graft-xm-$salt:$id")
   }
 
+  /** The cross-modal cluster replay BOTH the batch (q192) and streaming
+    * (q201) gates compare against — two routes, one truth.
+    */
+  private[queries] val CrossModalOracle: String = """
+        WITH RECURSIVE d AS (
+          SELECT doc_id, CAST(doc_id % 20 AS INTEGER) AS m,
+            doc_id - (doc_id % 20) AS b
+          FROM documents),
+        ih AS (
+          SELECT doc_id, m,
+            ('0x' || substr(md5('graft-xm-img:' || CAST(b AS VARCHAR)), 1, 15))::BIGINT AS hb,
+            ('0x' || substr(md5('graft-xm-img:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hs
+          FROM d),
+        ip AS (
+          SELECT doc_id, CASE
+            WHEN m BETWEEN 0 AND 4 THEN
+              CASE WHEN m > 0 THEN xor(hb, 1::BIGINT << (7 * m)) ELSE hb END
+            ELSE hs END AS p
+          FROM ih),
+        ah AS (
+          SELECT doc_id, m,
+            ('0x' || substr(md5('graft-xm-aud:' || CAST(b AS VARCHAR)), 1, 15))::BIGINT AS hb,
+            ('0x' || substr(md5('graft-xm-aud:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hs
+          FROM d),
+        ap AS (
+          SELECT doc_id, CASE
+            WHEN m BETWEEN 3 AND 9 THEN
+              CASE WHEN m > 3 THEN xor(hb, 1::BIGINT << (9 * (m - 3))) ELSE hb END
+            ELSE hs END AS p
+          FROM ah),
+        ie AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, 'image' AS modality
+          FROM ip a JOIN ip b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.p, b.p)) <= 3),
+        ae AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, 'audio' AS modality
+          FROM ap a JOIN ap b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.p, b.p)) <= 3),
+        tt AS (
+          SELECT doc_id,
+            CASE WHEN m BETWEEN 8 AND 11 THEN 'xm cluster ' || CAST(b AS VARCHAR)
+                 ELSE 'xm solo ' || CAST(doc_id AS VARCHAR) END AS text
+          FROM d),
+        tf AS (
+          SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+          FROM tt),
+        tk AS (SELECT fp, min(doc_id) AS id_a FROM tf GROUP BY fp),
+        te AS (
+          SELECT k.id_a, f.doc_id AS id_b, 'text' AS modality
+          FROM tf f JOIN tk k USING (fp) WHERE f.doc_id <> k.id_a),
+        alle AS (
+          SELECT * FROM ie UNION ALL SELECT * FROM ae UNION ALL SELECT * FROM te),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM alle
+          UNION SELECT id_b, id_a FROM alle
+          UNION SELECT id_a, id_a FROM alle
+          UNION SELECT id_b, id_b FROM alle),
+        walk AS (
+          SELECT src AS id, src AS component FROM edges
+          UNION
+          SELECT e.src AS id, w.component
+          FROM walk w JOIN edges e ON e.dst = w.id),
+        cc AS (SELECT id, min(component) AS component FROM walk GROUP BY id),
+        sizes AS (SELECT component, count(*) AS n_docs FROM cc GROUP BY component),
+        ps AS (
+          SELECT cc.component,
+            CAST(sum(CASE WHEN modality = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_image_pairs,
+            CAST(sum(CASE WHEN modality = 'audio' THEN 1 ELSE 0 END) AS BIGINT) AS n_audio_pairs,
+            CAST(sum(CASE WHEN modality = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text_pairs
+          FROM alle JOIN cc ON cc.id = alle.id_a
+          GROUP BY cc.component)
+        SELECT s.component, s.n_docs,
+          ps.n_image_pairs, ps.n_audio_pairs, ps.n_text_pairs,
+          (ps.n_image_pairs > 0)::INT + (ps.n_audio_pairs > 0)::INT
+            + (ps.n_text_pairs > 0)::INT >= 2 AS cross_modal
+        FROM sizes s JOIN ps USING (component) ORDER BY component"""
+
   /** The md5-pattern replay both image near-dup gates (q181 batch, q191
     * streaming) compare against. */
   private[queries] val ImageNearDupOracle: String = """
@@ -1829,6 +1906,122 @@ object TextOps {
         FROM v1 GROUP BY source
         ORDER BY version, source""")),
 
+    // ADDITIVE SCHEMA EVOLUTION (r13 verdict #4 → r15 —
+    // [[graft.sources.Store]] widening upserts): an upsert batch carrying
+    // a NEW column widens the table in place (ALTER ADD COLUMNS — data
+    // files are immutable and parquet projects by name, so every old
+    // generation reads the column as NULL with no rewrite), while drops
+    // and type changes fail loudly (rebuild territory). The gate upserts
+    // a widened batch (%7 docs gain `weight` and an updated text), reads
+    // the merged table hash-equal to the NULL-filled union oracle,
+    // time-travels to the PRE-evolution version — which must serve the
+    // pre-evolution SHAPE (schema sidecar) and content — and pins both
+    // rejection paths as flags.
+    QueryDef(
+      "q199_store_schema_evolution",
+      (s, dir) => {
+        import graft.sources.Store
+        val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+        val table = "evo_docs"
+        Store.bulkWrite(docs, table, "doc_id", buckets = 4, parts = 8,
+          validateKeys = true)
+        val pre = Store.versions(s, table).last
+        Store.upsert(s, table,
+          docs.filter(col("doc_id") % 7 === 0)
+            .withColumn("text", concat(col("text"), lit(" [w]")))
+            .withColumn("weight", col("doc_id") * 2L),
+          "doc_id", buckets = 4)
+        // rejection paths: a retype and a dropped column must fail loudly,
+        // mutating nothing (additive-only evolution)
+        val retypeRejected = scala.util.Try(
+          Store.upsert(s, table,
+            docs.limit(1).withColumn("weight", lit("oops")),
+            "doc_id", buckets = 4)).isFailure
+        val dropRejected = scala.util.Try(
+          Store.upsert(s, table, docs.limit(1).select(col("doc_id")),
+            "doc_id", buckets = 4)).isFailure
+        val past = Store.readVersion(s, table, pre)
+        val pastSchemaOk = past.columns.toSeq == Seq("doc_id", "text")
+        val pastMatchesPre =
+          past.exceptAll(docs).isEmpty && docs.exceptAll(past).isEmpty
+        Store.read(s, table)
+          .withColumn("retype_rejected", lit(retypeRejected))
+          .withColumn("drop_rejected", lit(dropRejected))
+          .withColumn("past_schema_ok", lit(pastSchemaOk))
+          .withColumn("past_matches_pre", lit(pastMatchesPre))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, text FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN text || ' [w]' ELSE text END AS text,
+          CASE WHEN doc_id % 7 = 0 THEN doc_id * 2 ELSE NULL END AS weight,
+          true AS retype_rejected, true AS drop_rejected,
+          true AS past_schema_ok, true AS past_matches_pre
+        FROM base ORDER BY doc_id""")),
+
+    // CONFIGURABLE MANIFEST RETENTION (r13 verdict #6 → r15 —
+    // [[graft.sources.Store.setRetention]]): q161's time travel was
+    // capped at the hard-coded last-2 manifests, unusable for real audit
+    // windows. Under retain=4 the gate drives 4 commits, reads v−3 (the
+    // original bulk state) hash-equal to its closed form beside the
+    // current state, then one more commit must prune EXACTLY the oldest
+    // version out of the window — the flags pin the window size both
+    // before and after, and that traveling to the pruned version fails
+    // loudly rather than serving a partially-reclaimed table.
+    QueryDef(
+      "q200_store_retention",
+      (s, dir) => {
+        import graft.sources.Store
+        val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+        val table = "retain_docs"
+        Store.bulkWrite(docs, table, "doc_id", buckets = 4, parts = 8,
+          validateKeys = true)
+        Store.setRetention(s, table, 4)
+        def bump(i: Int): Unit =
+          Store.upsert(s, table,
+            docs.filter(col("doc_id") % 5 === 0)
+              .withColumn("text", concat(col("text"), lit(s" [v$i]"))),
+            "doc_id", buckets = 4)
+        (1 to 3).foreach(bump)
+        val vs = Store.versions(s, table)
+        val windowOk = vs.size == 4
+        def snap(df: org.apache.spark.sql.DataFrame, label: String) =
+          df.agg(count(lit(1)).as("n_docs"),
+              sum(octet_length(col("text"))).cast("long").as("n_bytes"))
+            .withColumn("version", lit(label))
+        // materialize the v−3 snapshot BEFORE the pruning commit
+        val past = snap(Store.readVersion(s, table, vs.head), "v0").localCheckpoint()
+        bump(4)
+        val vs2 = Store.versions(s, table)
+        val prunedOk = vs2.size == 4 && !vs2.contains(vs.head)
+        val travelFails =
+          scala.util.Try(Store.readVersion(s, table, vs.head)).isFailure
+        past.unionByName(snap(Store.read(s, table), "v4"))
+          .select(col("version"), col("n_docs"), col("n_bytes"),
+            lit(windowOk).as("window_ok"),
+            lit(prunedOk).as("pruned_ok"),
+            lit(travelFails).as("travel_to_pruned_fails"))
+          .orderBy(col("version"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, text FROM documents WHERE text IS NOT NULL)
+        SELECT 'v0' AS version, count(*) AS n_docs,
+          CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+          true AS window_ok, true AS pruned_ok, true AS travel_to_pruned_fails
+        FROM base
+        UNION ALL
+        SELECT 'v4', count(*),
+          CAST(sum(octet_length(encode(
+            CASE WHEN doc_id % 5 = 0 THEN text || ' [v4]' ELSE text END))) AS BIGINT),
+          true, true, true
+        FROM base
+        ORDER BY version""")),
+
     // CHANGELOG / CDC ([[graft.sources.Store.changes]]) — the downstream-
     // sync primitive: every key whose value differs between two retained
     // manifests, labeled insert/update/delete with the post-image (null
@@ -2554,78 +2747,72 @@ object TextOps {
               (col("n_text_pairs") > 0).cast("int") >= 2)
           .orderBy(col("component"))
       },
-      Some("""
-        WITH RECURSIVE d AS (
-          SELECT doc_id, CAST(doc_id % 20 AS INTEGER) AS m,
-            doc_id - (doc_id % 20) AS b
-          FROM documents),
-        ih AS (
-          SELECT doc_id, m,
-            ('0x' || substr(md5('graft-xm-img:' || CAST(b AS VARCHAR)), 1, 15))::BIGINT AS hb,
-            ('0x' || substr(md5('graft-xm-img:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hs
-          FROM d),
-        ip AS (
-          SELECT doc_id, CASE
-            WHEN m BETWEEN 0 AND 4 THEN
-              CASE WHEN m > 0 THEN xor(hb, 1::BIGINT << (7 * m)) ELSE hb END
-            ELSE hs END AS p
-          FROM ih),
-        ah AS (
-          SELECT doc_id, m,
-            ('0x' || substr(md5('graft-xm-aud:' || CAST(b AS VARCHAR)), 1, 15))::BIGINT AS hb,
-            ('0x' || substr(md5('graft-xm-aud:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hs
-          FROM d),
-        ap AS (
-          SELECT doc_id, CASE
-            WHEN m BETWEEN 3 AND 9 THEN
-              CASE WHEN m > 3 THEN xor(hb, 1::BIGINT << (9 * (m - 3))) ELSE hb END
-            ELSE hs END AS p
-          FROM ah),
-        ie AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, 'image' AS modality
-          FROM ip a JOIN ip b ON a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.p, b.p)) <= 3),
-        ae AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, 'audio' AS modality
-          FROM ap a JOIN ap b ON a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.p, b.p)) <= 3),
-        tt AS (
-          SELECT doc_id,
-            CASE WHEN m BETWEEN 8 AND 11 THEN 'xm cluster ' || CAST(b AS VARCHAR)
-                 ELSE 'xm solo ' || CAST(doc_id AS VARCHAR) END AS text
-          FROM d),
-        tf AS (
-          SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
-          FROM tt),
-        tk AS (SELECT fp, min(doc_id) AS id_a FROM tf GROUP BY fp),
-        te AS (
-          SELECT k.id_a, f.doc_id AS id_b, 'text' AS modality
-          FROM tf f JOIN tk k USING (fp) WHERE f.doc_id <> k.id_a),
-        alle AS (
-          SELECT * FROM ie UNION ALL SELECT * FROM ae UNION ALL SELECT * FROM te),
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM alle
-          UNION SELECT id_b, id_a FROM alle
-          UNION SELECT id_a, id_a FROM alle
-          UNION SELECT id_b, id_b FROM alle),
-        walk AS (
-          SELECT src AS id, src AS component FROM edges
-          UNION
-          SELECT e.src AS id, w.component
-          FROM walk w JOIN edges e ON e.dst = w.id),
-        cc AS (SELECT id, min(component) AS component FROM walk GROUP BY id),
-        sizes AS (SELECT component, count(*) AS n_docs FROM cc GROUP BY component),
-        ps AS (
-          SELECT cc.component,
-            CAST(sum(CASE WHEN modality = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_image_pairs,
-            CAST(sum(CASE WHEN modality = 'audio' THEN 1 ELSE 0 END) AS BIGINT) AS n_audio_pairs,
-            CAST(sum(CASE WHEN modality = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text_pairs
-          FROM alle JOIN cc ON cc.id = alle.id_a
-          GROUP BY cc.component)
-        SELECT s.component, s.n_docs,
-          ps.n_image_pairs, ps.n_audio_pairs, ps.n_text_pairs,
-          (ps.n_image_pairs > 0)::INT + (ps.n_audio_pairs > 0)::INT
-            + (ps.n_text_pairs > 0)::INT >= 2 AS cross_modal
-        FROM sizes s JOIN ps USING (component) ORDER BY component""")),
+      Some(TextOps.CrossModalOracle)),
+
+    // STREAMING CROSS-MODAL DUP CLUSTERS (r13 verdict #7 → r15 —
+    // [[graft.streaming.EventStream.crossModalIncremental]]): q192's
+    // mixed-modality corpus arrives as 4 hash-split batches, each row
+    // carrying all three payloads; per trigger the image/audio hashes
+    // probe their banded indexes, text fingerprints probe the keeper
+    // index, the pairs append, and the PERSISTED labeling folds forward
+    // via incrementalComponents. After the drain, the maintained labels
+    // and accumulated pairs must reproduce the batch q192 clusters —
+    // same oracle verbatim, two routes, one truth, for any batch split.
+    QueryDef(
+      "q201_stream_cross_modal",
+      (s, dir) => {
+        import s.implicits._
+        val ss = EventOps.streamSession(s)
+        val media = Tables.documents(ss, dir).select(col("doc_id")).as[Long](
+            org.apache.spark.sql.Encoders.scalaLong)
+          .mapPartitions(_.map { id =>
+            val m = (id % 20).toInt
+            val text =
+              if (m >= 8 && m <= 11) s"xm cluster ${id - m}" else s"xm solo $id"
+            (id,
+              TextOps.blockImagePng(TextOps.crossModalPattern("img", id, 0, 4, 7)),
+              TextOps.envelopeWav(TextOps.crossModalPattern("aud", id, 3, 9, 9)),
+              text)
+          })(org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.BINARY,
+            org.apache.spark.sql.Encoders.BINARY,
+            org.apache.spark.sql.Encoders.STRING))
+          .toDF("doc_id", "img", "wav", "text")
+        val srcDir = EventOps.stageArrivalBatches(media, "graft-s201:", 4, "q201")
+        Seq("xm_fp_idx", "xm_labels").foreach(t => ss.sql(s"DROP TABLE IF EXISTS $t"))
+        val outRoot = java.nio.file.Files.createTempDirectory("q201out").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("q201ckpt").toString
+        val stream = ss.readStream.schema(media.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val q = graft.streaming.EventStream.crossModalIncremental(
+          stream, s"$outRoot/imgidx", s"$outRoot/audidx",
+          "xm_fp_idx", "xm_labels", s"$outRoot/pairs",
+          maxHamming = 3, checkpointLocation = Some(ckpt))
+        try q.processAllAvailable()
+        finally q.stop()
+        val comp = graft.sources.Store.read(s, "xm_labels")
+          .select(col("doc_id"), col("component"))
+        val edges = s.read.parquet(s"$outRoot/pairs").distinct()
+        val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
+        val pairStats = edges
+          .join(comp.withColumnRenamed("doc_id", "id_a"), "id_a")
+          .groupBy(col("component"))
+          .agg(
+            sum(when(col("modality") === "image", 1L).otherwise(0L)).as("n_image_pairs"),
+            sum(when(col("modality") === "audio", 1L).otherwise(0L)).as("n_audio_pairs"),
+            sum(when(col("modality") === "text", 1L).otherwise(0L)).as("n_text_pairs"))
+        val result = sizes.join(pairStats, Seq("component"))
+          .withColumn("cross_modal",
+            (col("n_image_pairs") > 0).cast("int") +
+              (col("n_audio_pairs") > 0).cast("int") +
+              (col("n_text_pairs") > 0).cast("int") >= 2)
+          .orderBy(col("component"))
+          .localCheckpoint()
+        Seq("xm_fp_idx", "xm_labels").foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+        Seq(srcDir, outRoot, ckpt).foreach(EventOps.rmTree)
+        result
+      },
+      Some(TextOps.CrossModalOracle)),
   )
 }

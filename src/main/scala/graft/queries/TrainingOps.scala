@@ -80,6 +80,23 @@ object TrainingOps {
     (2L, Seq.fill(6)("newest").mkString(" ")),
     (3L, Seq.fill(3)("widest").mkString(" ")))
 
+  /** q198's packing corpus: words with CLOSED-FORM segmentation sizes
+    * under the q119-trained merges (the q190 table), repeated 1–4 times —
+    * every doc's whitespace and BPE counts are literal arithmetic, so the
+    * oracle replays both packing routes from a VALUES table.
+    */
+  private val PackBpeWords: Seq[(String, Long)] =
+    Seq(("low", 2L), ("zz", 3L), ("newest", 4L), ("slower", 5L), ("wider", 6L))
+  private val PackBpeBudget = 40L
+  // the floor-rule ceiling: budget + max single-doc BPE size (4 × wider)
+  private val PackBpeBound = PackBpeBudget + 24L
+  private lazy val PackBpeFixture: Seq[(Long, String)] =
+    (0L until 400L).map { i =>
+      val w = PackBpeWords((i % 5).toInt)._1
+      val m = (i % 4 + 1).toInt
+      (i, Seq.fill(m)(w).mkString(" "))
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Deterministic train/val/test split: label is a pure function of
@@ -916,6 +933,87 @@ object TrainingOps {
           (4, 'wider', 6, 12, true, 12, true))
           AS t(id, text, n_tokens_bpe, n_tokens_full, truncated, ws_bpe, ws_over_admits)
         ORDER BY id""")),
+
+    // BPE-BUDGET BIN PACKING (r13 verdict #3 → r15 —
+    // [[graft.ops.Training.packBinsBpe]]): the packing budget is a MODEL
+    // CONTEXT budget measured in tokenizer tokens, so the bins assign on
+    // [[graft.ops.Bpe.tokenCountsExact]] counts, not whitespace words.
+    // The fixture's 400 docs repeat words with closed-form segmentation
+    // sizes under the q119-trained merges (low=2, zz=3, newest=4,
+    // slower=5, wider=6), so the oracle replays BOTH routes from a
+    // literal (id, ws_tokens, bpe_tokens) table: per-bin BPE totals of
+    // the BPE route (the hash-gated packing itself), plus two flags —
+    // every BPE-route bin stays under budget + max-item (the floor-rule
+    // ceiling, 40 + 24), while the WHITESPACE route's bins re-counted in
+    // BPE provably blow through it (a word is ≥ 1 BPE token and here
+    // averages 4, so "40 whitespace tokens" admits ~160 real ones).
+    QueryDef(
+      "q198_bpe_bin_packing",
+      (s, _) => {
+        import s.implicits._
+        val train = BpeFixture.toDF("id", "text")
+        val (merges, dict) = graft.ops.Bpe.train(train, "text", nMerges = 5)
+        val corpus = PackBpeFixture.toDF("id", "text")
+        val bpeBins = Training.packBinsBpe(
+            corpus, "id", "text", dict, merges, budget = PackBpeBudget)
+          .groupBy(col("shard"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("bin_tokens"))
+        val wsBins = Training.packBins(
+            corpus.select(col("id"), TextStats.tokenCount(col("text")).as("n_ws")),
+            "id", "n_ws", budget = PackBpeBudget)
+          .join(graft.ops.Bpe.tokenCountsExact(corpus, "id", "text", dict, merges),
+            Seq("id"))
+          .groupBy(col("shard"), col("bin"))
+          .agg(sum(col("n_tokens")).cast("long").as("ws_bin_bpe"))
+        val flags = bpeBins.agg(max(col("bin_tokens")).as("__m"))
+          .crossJoin(wsBins.agg(max(col("ws_bin_bpe")).as("__w")))
+          .select(
+            (col("__m") < PackBpeBound).as("bpe_within_bound"),
+            (col("__w") >= PackBpeBound).as("ws_over_admits"))
+        bpeBins.crossJoin(broadcast(flags))
+          .orderBy(col("shard"), col("bin"))
+      },
+      Some {
+        val rows = PackBpeFixture.map { case (i, _) =>
+          val sz = PackBpeWords((i % 5).toInt)._2
+          val m = i % 4 + 1
+          s"($i, $m, ${m * sz})"
+        }.mkString(", ")
+        s"""
+        WITH t(id, ws_tokens, bpe_tokens) AS (VALUES $rows),
+        s AS (
+          SELECT id, ws_tokens, bpe_tokens,
+            ${Training.hashHexSql("id", "graft-pack", hexChars = 1)} AS shard
+          FROM t),
+        cb AS (
+          SELECT shard, id, bpe_tokens,
+            sum(bpe_tokens) OVER (PARTITION BY shard ORDER BY id) AS cum
+          FROM s),
+        bpe_bins AS (
+          SELECT shard,
+            CAST(floor((cum - bpe_tokens) / $PackBpeBudget) AS BIGINT) AS bin,
+            count(*) AS n_docs, CAST(sum(bpe_tokens) AS BIGINT) AS bin_tokens
+          FROM cb GROUP BY shard, bin),
+        cw AS (
+          SELECT shard, id, bpe_tokens, ws_tokens,
+            sum(ws_tokens) OVER (PARTITION BY shard ORDER BY id) AS wcum
+          FROM s),
+        ws_bins AS (
+          SELECT shard,
+            CAST(floor((wcum - ws_tokens) / $PackBpeBudget) AS BIGINT) AS bin,
+            CAST(sum(bpe_tokens) AS BIGINT) AS ws_bin_bpe
+          FROM cw GROUP BY shard, bin),
+        flags AS (
+          SELECT (SELECT max(bin_tokens) FROM bpe_bins) < $PackBpeBound
+              AS bpe_within_bound,
+            (SELECT max(ws_bin_bpe) FROM ws_bins) >= $PackBpeBound
+              AS ws_over_admits)
+        SELECT b.shard, b.bin, b.n_docs, b.bin_tokens,
+          f.bpe_within_bound, f.ws_over_admits
+        FROM bpe_bins b CROSS JOIN flags f
+        ORDER BY b.shard, b.bin"""
+      }),
 
     // Mixture EPOCHS (repeat factors) for a token budget — the
     // up-sampling complement of q91's temperature rates: weights rise

@@ -970,6 +970,105 @@ object VectorOps {
             true AS deleted_absent, true AS stale_absent
           FROM p ORDER BY q_id"""
       }),
+
+    // STREAMING ANN INDEX SYNC (r15 — VERDICT r14 #1d, the q194 pattern
+    // over the IVF surface): the embedding corpus streams through
+    // `toStoreUpsertWithIndexSync(ivfIndexPath=…)` as 4 ordered batches —
+    // originals, twin INSERTS (ids 0–4 re-keyed +100000), a cross-batch
+    // UPDATE (100003 becomes a twin of id 4's base), and a VALUE-IDENTICAL
+    // re-upsert of 100001 (whose changelog diffs empty: the no-op sync
+    // path, no version burned) — with compactEvery=2 so a maintenance
+    // fold runs mid-stream and the `_corpus-v` marker must advance across
+    // the compaction commit (ADVICE r15) or batch 3 would silently
+    // rebuild. A DELETE (100004) lands out of band after the drain via
+    // the batch CDC apply. The synced index must (a) answer the planted
+    // top-1s with the exact float-round-trip cosine, (b) serve neither
+    // the deleted id nor the superseded twin, and (c) answer EXACTLY as
+    // a from-scratch `buildIvfIndex` over the final table state — all
+    // cells probed, so both routes are exact over their resolved vector
+    // sets and `matches_rebuild` pins set equality for any batch split.
+    QueryDef(
+      "q197_stream_ann_sync",
+      (s, dir) => {
+        import graft.ops.{IndexSync, Similarity}
+        import graft.sources.Store
+        val ss = EventOps.streamSession(s)
+        val e = Tables.embeddings(ss, dir).select(col("vec_id"), col("embedding"))
+        def twinOf(src: org.apache.spark.sql.DataFrame,
+            newId: org.apache.spark.sql.Column) =
+          src.select(newId.as("vec_id"),
+            transform(col("embedding"),
+              x => (x.cast("double") * 1.001 + 0.0005).cast("float")).as("embedding"))
+        val frame = e.withColumn("__b", lit(0L))
+          .unionByName(twinOf(e.filter(col("vec_id") < 5), col("vec_id") + 100000L)
+            .withColumn("__b", lit(1L)))
+          .unionByName(twinOf(e.filter(col("vec_id") === 4L), lit(100003L))
+            .withColumn("__b", lit(2L)))
+          .unionByName(twinOf(e.filter(col("vec_id") === 1L), lit(100001L))
+            .withColumn("__b", lit(3L)))
+        val srcDir = EventOps.stageOrderedBatches(frame, col("__b"), 4, "q197")
+        val table = "sann_docs"
+        ss.sql(s"DROP TABLE IF EXISTS $table")
+        val idxRoot = java.nio.file.Files.createTempDirectory("q197idx").toString
+        val path = s"$idxRoot/idx"
+        val ckpt = java.nio.file.Files.createTempDirectory("q197ckpt").toString
+        val stream = ss.readStream.schema(e.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val q = graft.streaming.EventStream.toStoreUpsertWithIndexSync(
+          stream, table, "vec_id", "text",
+          checkpointLocation = Some(ckpt), compactEvery = 2,
+          ivfIndexPath = Some(path), nCentroids = 16)
+        try q.processAllAvailable()
+        finally q.stop()
+        // the delete composes out of band: stream surface is upsert-only
+        val v0 = Store.versions(s, table).last
+        Store.delete(s, table,
+          s.range(1).select(lit(100004L).as("vec_id")), "vec_id", buckets = 4)
+        val v1 = Store.versions(s, table).last
+        IndexSync.syncIvfIndex(s,
+          Store.changes(s, table, v0, v1), path, "vec_id", "embedding")
+        Similarity.markIvfCorpusSynced(s, path, v1)
+        val probes = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding")).filter(col("vec_id") <= 4L)
+        val top = Similarity.ivfQuerySynced(s, path, probes, "vec_id", "embedding",
+            k = 5, nProbe = 16)
+          .localCheckpoint()
+        val fin = Store.read(s, table).select(col("vec_id"), col("embedding"))
+        val fresh = Similarity.ivfQuery(probes,
+          Similarity.buildIvfIndex(fin, "vec_id", "embedding"),
+          "vec_id", "embedding", k = 5, nProbe = 16)
+        val matches = top.exceptAll(fresh).isEmpty && fresh.exceptAll(top).isEmpty
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        Seq(srcDir, ckpt, idxRoot).foreach(graft.queries.EventOps.rmTree)
+        val flags = top.agg(
+          (sum(when(col("neighbor_id") === 100004L, 1L).otherwise(0L)) === 0L)
+            .as("deleted_absent"),
+          (sum(when(col("q_id") === 3L && col("cosine") > 0.99, 1L).otherwise(0L)) === 0L)
+            .as("stale_absent"))
+        top.filter(col("rank") === 1 && col("q_id") =!= 3L)
+          .crossJoin(broadcast(flags))
+          .select(col("q_id"), col("neighbor_id"),
+            round(col("cosine"), 4).as("cosine"),
+            col("deleted_absent"), col("stale_absent"),
+            lit(matches).as("matches_rebuild"))
+          .orderBy(col("q_id"))
+      },
+      Some {
+        val pv = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        val tv = "list_transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) * 1.001 + 0.0005 AS FLOAT) AS DOUBLE))"
+        s"""
+          WITH p AS (
+            SELECT vec_id, $pv AS pv, $tv AS tv
+            FROM embeddings WHERE vec_id IN (0, 1, 2, 4))
+          SELECT vec_id AS q_id,
+            CASE WHEN vec_id = 4 THEN 100003 ELSE vec_id + 100000 END AS neighbor_id,
+            round(${oracleDot.format("pv", "tv")} /
+              (sqrt(${oracleDot.format("pv", "pv")}) * sqrt(${oracleDot.format("tv", "tv")})),
+              4) AS cosine,
+            true AS deleted_absent, true AS stale_absent,
+            true AS matches_rebuild
+          FROM p ORDER BY q_id"""
+      }),
   )
 
   /** Drift fixture for the recall-triggered rebuild gates (q117/q118):

@@ -80,12 +80,14 @@ object Store {
   private val DelCol = "graft_del"
   private val PartsProp = "graft.parts"
   private val IdColProp = "graft.idcol"
+  private val RetainProp = "graft.retain"
   private val DefaultParts = 16
   private val DefaultBuckets = 16
 
   private val ManifestRe = """_manifest-(\d+)\.txt""".r
   private val IntentRe = """_intent-(\d+)""".r
   private val ZmapRe = """_zmap-(\d+)\.txt""".r
+  private val SchemaRe = """_schema-(\d+)\.txt""".r
 
   private def withPart(df: DataFrame, idCol: String, parts: Int): DataFrame =
     df.withColumn(PartCol, pmod(hash(col(idCol)), lit(parts)))
@@ -104,6 +106,35 @@ object Store {
     * the merge-on-read rank and [[compact]] can resolve it without the
     * caller re-stating it).
     */
+  /** The table's manifest-retention window: how many committed versions
+    * stay readable ([[versions]] / [[readVersion]] / [[changes]]).
+    * Default 2 — the in-flight-reader floor.
+    */
+  private def retainOf(spark: SparkSession, name: String): Int = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    spark.sessionState.catalog.getTableMetadata(ident)
+      .properties.get(RetainProp).map(_.toInt).getOrElse(2)
+  }
+
+  /** Configure the table's TIME-TRAVEL window (VERDICT r13 #6): keep the
+    * last `retain` committed manifests — and every generation they
+    * reference — readable, instead of the hard-coded last 2. Enforced
+    * ≥ 2: the floor is what protects a reader that resolved the previous
+    * manifest mid-scan, so it is not configurable away. Applies from the
+    * NEXT commit's vacuum; shrinking the window prunes on the commit
+    * after that. Wider windows trade disk for audit reach — superseded
+    * row versions survive until their manifest leaves the window.
+    */
+  def setRetention(spark: SparkSession, name: String, retain: Int): Unit = {
+    requireTable(spark, name)
+    require(retain >= 2,
+      s"retention must keep >= 2 versions (current + in-flight readers), got $retain")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    spark.sql(s"ALTER TABLE ${ident.quotedString} SET TBLPROPERTIES " +
+      s"('$RetainProp' = '$retain')")
+    ()
+  }
+
   private def idColOf(spark: SparkSession, name: String): String = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
     spark.sessionState.catalog.getTableMetadata(ident)
@@ -244,6 +275,73 @@ object Store {
     out.close()
     require(fs.rename(tmp, manifestPath(loc, v)),
       s"manifest commit rename failed for version $v")
+  }
+
+  // ------------------------------------------------------------ schema sidecar
+
+  private def schemaPath(loc: Path, v: Long) = new Path(loc, s"_schema-$v.txt")
+
+  private def schemaVersions(fs: FileSystem, loc: Path): Seq[Long] =
+    if (!fs.exists(loc)) Seq.empty
+    else fs.listStatus(loc).toSeq.map(_.getPath.getName)
+      .collect { case SchemaRe(n) => n.toLong }.sorted
+
+  private def writeTextFile(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The USER-visible column list of the table frame (what [[read]]
+    * serves — the internal routing/generation/tombstone columns dropped).
+    */
+  private def userColumns(t: DataFrame): Seq[String] =
+    t.columns.toSeq.filterNot(c => c == PartCol || c == GenCol || c == DelCol)
+
+  /** ADDITIVE SCHEMA EVOLUTION (r13 verdict #4 → r15): an upsert batch
+    * may carry columns the table does not have yet. They are added as
+    * NULLABLE columns via ALTER TABLE ADD COLUMNS — data files are
+    * immutable and parquet projects by NAME, so every existing
+    * generation reads the new column as NULL with no rewrite — and a
+    * `_schema-<v>.txt` sidecar records the column list each manifest
+    * version serves, so [[readVersion]] returns the PRE-evolution shape
+    * for pre-evolution versions. Additive ONLY, loud otherwise: a shared
+    * column whose type differs is rejected here, and a batch MISSING an
+    * existing column fails the staged select (a keyed upsert's
+    * post-image must carry the whole row — silently NULL-filling a
+    * misspelled column is how corpora rot). Sidecars are tiny, written
+    * once per evolution, and never vacuumed. Columns can never be
+    * dropped or retyped in place — that is a rebuild ([[bulkWrite]]),
+    * which is what keeps every retained snapshot readable forever.
+    */
+  private def evolveForUpdates(
+      spark: SparkSession, name: String, updates: DataFrame): Unit = {
+    val t = spark.table(name)
+    val tableTypes = t.schema.fields.map(f => f.name -> f.dataType).toMap
+    val clash = updates.schema.fields.filter(f =>
+      tableTypes.get(f.name).exists(_.catalogString != f.dataType.catalogString))
+    require(clash.isEmpty,
+      s"type change rejected for $name (evolution is additive-only; rebuild " +
+        s"via bulkWrite to retype): ${clash.map(f =>
+          s"${f.name}: ${tableTypes(f.name).catalogString} -> " +
+            f.dataType.catalogString).mkString(", ")}")
+    val extras = updates.schema.fields.filterNot(f => tableTypes.contains(f.name))
+    if (extras.nonEmpty) {
+      val loc = tableLocation(spark, name)
+      val fs = fsFor(spark, loc)
+      val curV = manifestVersions(fs, loc).lastOption.getOrElse(0L)
+      // seed the pre-evolution column list once, so every retained
+      // pre-evolution version resolves to it
+      if (schemaVersions(fs, loc).isEmpty)
+        writeTextFile(fs, schemaPath(loc, 0L), userColumns(t).mkString("\n"))
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+      val colsSql = extras.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"ALTER TABLE ${ident.quotedString} ADD COLUMNS ($colsSql)")
+      spark.catalog.refreshTable(name)
+      // the widened list serves from the NEXT committed manifest version
+      // (the commit that makes this batch visible)
+      writeTextFile(fs, schemaPath(loc, curV + 1L),
+        userColumns(spark.table(name)).mkString("\n"))
+    }
   }
 
   // ------------------------------------------------------------ zmap sidecar
@@ -404,19 +502,22 @@ object Store {
   }
 
   /** Reclaim everything no live reader can need: manifests older than the
-    * last two, generation dirs referenced by NEITHER kept manifest whose
-    * id is below the newest committed generation (orphans of crashed
-    * attempts and compacted-away deltas), and stale intent markers. Runs
-    * inside the writer's commit (single-writer contract), after the new
-    * manifest is live — the previous manifest is retained so a reader
-    * that resolved it mid-scan keeps finding its files (the ANN index's
-    * last-2 retention rule).
+    * retention window (default the last two), generation dirs referenced
+    * by NO kept manifest whose id is below the newest committed
+    * generation (orphans of crashed attempts and compacted-away deltas),
+    * and stale intent markers. Runs inside the writer's commit
+    * (single-writer contract), after the new manifest is live — the
+    * previous manifest is retained so a reader that resolved it mid-scan
+    * keeps finding its files (the ANN index's last-2 retention rule).
+    * `retain` > 2 widens the TIME-TRAVEL window ([[setRetention]] —
+    * VERDICT r13 #6): every kept manifest stays [[readVersion]]-readable
+    * because its referenced generations are kept with it.
     */
-  private def vacuum(fs: FileSystem, loc: Path): Unit = {
+  private def vacuum(fs: FileSystem, loc: Path, retain: Int = 2): Unit = {
     val vers = manifestVersions(fs, loc)
-    vers.dropRight(2).foreach { v =>
+    vers.dropRight(retain).foreach { v =>
       fs.delete(manifestPath(loc, v), false)
-      // the commit lock retires with its manifest (same last-2 retention);
+      // the commit lock retires with its manifest (same retention);
       // a straggler re-claiming a vacuumed version's lock is caught by
       // writeManifest's post-lock currency check
       fs.delete(new Path(loc, s"_manifest-$v.lock"), false)
@@ -427,9 +528,10 @@ object Store {
     // retention here is disk hygiene, not correctness
     val zvers = fs.listStatus(loc).toSeq.map(_.getPath.getName)
       .collect { case ZmapRe(n) => n.toLong }.sorted
-    zvers.dropRight(1).filter(zv => !vers.takeRight(2).contains(zv))
+    zvers.dropRight(1).filter(zv => !vers.takeRight(retain).contains(zv))
       .foreach(zv => fs.delete(zmapPath(loc, zv), false))
-    val kept = vers.takeRight(2).map(v => parseManifest(readText(fs, manifestPath(loc, v))))
+    val kept = vers.takeRight(retain)
+      .map(v => parseManifest(readText(fs, manifestPath(loc, v))))
     if (kept.isEmpty) return
     val referenced: Map[Int, Set[Long]] = kept.flatten
       .groupBy(_._1).map { case (p, gs) => p -> gs.flatMap(_._2).toSet }
@@ -587,7 +689,17 @@ object Store {
     val have = manifestVersions(fs, loc)
     require(have.contains(version),
       s"version $version of $name is outside the retention window (have: ${have.mkString(",")})")
-    readAt(spark, name, parseManifest(readText(fs, manifestPath(loc, version))))
+    val base = readAt(spark, name, parseManifest(readText(fs, manifestPath(loc, version))))
+    // time travel returns the SHAPE that version served: project to the
+    // newest schema sidecar at or before it (absent for never-evolved
+    // tables → the current columns are the forever columns)
+    schemaVersions(fs, loc).filter(_ <= version).lastOption match {
+      case Some(sv) =>
+        val cols = readText(fs, schemaPath(loc, sv))
+          .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+        base.select(cols.map(col(_)): _*)
+      case None => base
+    }
   }
 
   /** Partition- AND bucket-pruned POINT READ — the ES `get(id=...)` /
@@ -830,6 +942,9 @@ object Store {
   private[graft] def stageDelta(
       spark: SparkSession, name: String, updates: DataFrame, idCol: String,
       buckets: Int): Option[(Long, Seq[Int])] = {
+    // additive widening first (schema-level, no data moves) so the staged
+    // select below resolves against the evolved column order
+    evolveForUpdates(spark, name, updates)
     val loc = tableLocation(spark, name)
     val fs = fsFor(spark, loc)
     val manifest = readManifest(spark, name).map(_._2).getOrElse(
@@ -887,7 +1002,7 @@ object Store {
       m.updated(p, m.getOrElse(p, Seq.empty) :+ gen)
     }
     writeManifest(fs, loc, v + 1L, updated)
-    vacuum(fs, loc)
+    vacuum(fs, loc, retainOf(spark, name))
     spark.catalog.refreshTable(name)
   }
 
@@ -1040,7 +1155,7 @@ object Store {
     val survivors =
       if (columnOrder.contains(DelCol)) newest.filter(!col(DelCol)) else newest
     def finish(gen0: Long): CompactionResult = {
-      vacuum(fs, loc)
+      vacuum(fs, loc, retainOf(spark, name))
       spark.catalog.refreshTable(name)
       val after = fileStats(spark, name)
       CompactionResult(foldParts, gen0,

@@ -282,10 +282,17 @@ object EventStream {
             }
             // advance the marks past the corpus compaction commit, or the
             // NEXT batch would find the recorded version vacuumed by the
-            // commit after it and fall back to a needless rebuild
+            // commit after it and fall back to a needless rebuild —
+            // content-neutral commits make advancing the mark correct.
+            // The IVF `_corpus-v` marker advances too (ADVICE r15): left
+            // behind, every compactEvery batches the stream would silently
+            // fall back to a full O(table) rebuild that also RETRAINS the
+            // codebook, contradicting the frozen-codebook contract.
             val cur = graft.sources.Store.versions(spark, table).last
             (exactIndexTable ++ sigIndexTable).foreach(t =>
               graft.ops.IndexSync.markSynced(spark, t, cur))
+            ivfIndexPath.foreach(p =>
+              graft.ops.Similarity.markIvfCorpusSynced(spark, p, cur))
           }
         }
       }
@@ -294,30 +301,34 @@ object EventStream {
   }
 
   /** STREAMING incremental near-dup: each micro-batch of documents is
-    * signed scan-local, banded against the PERSISTED signature index
-    * ([[graft.ops.Dedup.incrementalCandidates]] — new×new and new×old
-    * pairs, old×old never re-banded), the pairs are appended to
-    * `pairsOut`, and the batch's signatures advance the index via the
-    * incremental keyed upsert. The continuous form of the q92 operator:
-    * a crawl feed dedups against everything seen so far, at per-batch
-    * cost O(batch + colliding buckets).
+    * signed scan-local, probed against the PERSISTED BANDED signature
+    * index ([[graft.ops.Dedup.probeMinhashBandIndex]] — new×new and
+    * new×old pairs, the index scan partition-pruned to the batch's
+    * colliding buckets), the pairs are appended to `pairsOut`, and the
+    * batch's bands append into the index layout. The continuous form of
+    * the q92 operator: a crawl feed dedups against everything seen so
+    * far, at per-batch cost O(batch + colliding buckets) — including
+    * the SCAN, not just the join (r15; the prior doc-keyed Store index
+    * re-banded the full corpus signature set per trigger — ADVICE r14's
+    * MinHash twin).
     *
     * Delivery: foreachBatch is at-least-once on failure boundaries — a
-    * replayed batch may re-emit its pairs (and, if its upsert committed,
-    * re-find them via the index with its own ids present; the `=!=`
-    * guard keeps self-pairs out). Pairs are therefore APPEND-ONLY FACTS
-    * that deduplicate by value: readers take `distinct()` (the q94 gate
-    * does), and the final pair SET equals the batch pipeline's pairs
-    * over the union of all batches, for ANY arrival order or batch
-    * split — each unordered pair surfaces when its later member arrives.
-    * The index upsert itself is keyed and idempotent.
+    * replayed batch may re-emit its pairs (and, if its band append
+    * committed, re-find them against its own rows in the index; the
+    * id-inequality guard keeps self-pairs out, and the replayed append
+    * leaves duplicate band rows that change no pair VALUE). Pairs are
+    * therefore APPEND-ONLY FACTS that deduplicate by value: readers
+    * take `distinct()` (the q94 gate does), and the final pair SET
+    * equals the batch pipeline's pairs over the union of all batches,
+    * for ANY arrival order or batch split — each unordered pair
+    * surfaces when its later member arrives.
     */
   def nearDupIncremental(
       docs: DataFrame, idCol: String, textCol: String,
-      indexTable: String, pairsOut: String,
+      indexPath: String, pairsOut: String,
       k: Int = 4, w: Int = 3, r: Int = 2,
       checkpointLocation: Option[String] = None,
-      buckets: Int = 4, parts: Int = 4)
+      nBuckets: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val wr = docs.writeStream
       .outputMode("append")
@@ -328,25 +339,19 @@ object EventStream {
         // batch's files
         val b = batch.toDF().localCheckpoint()
         if (!b.isEmpty) {
-          // materialize once (lazily — persist adds no job of its own; the
-          // pair write below fills the cache, the index upsert reuses it):
-          // signatures feed both the band join and the index upsert. The
-          // streaming lineage is already cut at `b`'s checkpoint.
+          // materialize once (lazily — persist adds no job of its own;
+          // the probe's bucket collection fills the cache, the pair
+          // write and band append reuse it). The streaming lineage is
+          // already cut at `b`'s checkpoint.
           val sigs = graft.ops.Dedup
             .minhashSignaturesScanLocal(b, idCol, textCol, k, w)
             .persist()
           try {
-            val exists = spark.catalog.tableExists(indexTable)
-            val old =
-              if (exists) graft.sources.Store.read(spark, indexTable)
-              else sigs.filter(lit(false))
-            graft.ops.Dedup.incrementalCandidates(old, sigs, idCol, k, r)
+            graft.ops.Dedup
+              .probeMinhashBandIndex(spark, indexPath, sigs, idCol, k, r, nBuckets)
               .write.mode("append").parquet(pairsOut)
-            if (exists)
-              graft.sources.Store.upsert(spark, indexTable, sigs, idCol, buckets)
-            else
-              graft.sources.Store.bulkWrite(sigs, indexTable, idCol,
-                buckets = buckets, parts = parts)
+            graft.ops.Dedup
+              .appendMinhashBandIndex(sigs, indexPath, idCol, k, r, nBuckets)
           } finally sigs.unpersist()
         }
       }
@@ -359,28 +364,29 @@ object EventStream {
     * `(media_id, payload, mime)` decodes and aHashes scan-locally
     * ([[graft.ops.Multimodal.imageAHash]]), drops the documented
     * degenerate classes (undecodable, zero-contrast saturates — each is
-    * otherwise one quadratic hamming-0 hot bucket), bands the 64-bit
-    * signatures against the persisted hash index
-    * ([[graft.ops.Dedup.incrementalSimhashCandidates]], `sigBits = 64` so
-    * every band shards on real bits), appends its pairs, and upserts its
-    * signatures — old×old never re-banded, payloads never leave the
-    * micro-batch scan. The accumulated pair set equals the batch q181
-    * pipeline over the whole corpus for any batch split (q191 gates the
-    * equality on the same oracle).
+    * otherwise one quadratic hamming-0 hot bucket), probes the persisted
+    * BANDED hash index ([[graft.ops.Dedup.probeSimhashBandIndex]],
+    * `sigBits = 64` so every band shards on real bits — the index scan
+    * partition-pruned to the batch's colliding buckets, r15), appends
+    * its pairs, and appends its bands — old×old never re-banded OR
+    * re-scanned, payloads never leave the micro-batch scan. The
+    * accumulated pair set equals the batch q181 pipeline over the whole
+    * corpus for any batch split (q191 gates the equality on the same
+    * oracle).
     *
     * Delivery contract (the [[nearDupIncremental]] rule verbatim):
     * foreachBatch is at-least-once, so pairs are APPEND-ONLY FACTS that
     * deduplicate by VALUE — a replayed batch may re-emit its pairs (and
-    * re-find them against its own already-upserted signatures; the id
+    * re-find them against its own already-appended bands; the id
     * inequality guard keeps self-pairs out). Readers take `distinct()`
     * (the q191 gate does); a consumer that counts or weights raw pair
     * rows must dedup first.
     */
   def imageNearDupIncremental(
-      media: DataFrame, indexTable: String, pairsOut: String,
+      media: DataFrame, indexPath: String, pairsOut: String,
       maxHamming: Int = 3,
       checkpointLocation: Option[String] = None,
-      buckets: Int = 4, parts: Int = 4)
+      nBuckets: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val wr = media.writeStream
       .outputMode("append")
@@ -398,19 +404,139 @@ object EventStream {
             .select(col("media_id"), col("ahash").as("simhash"))
             .persist()
           try {
-            val exists = spark.catalog.tableExists(indexTable)
-            val old =
-              if (exists) graft.sources.Store.read(spark, indexTable)
-              else sigs.filter(lit(false))
-            graft.ops.Dedup.incrementalSimhashCandidates(
-                old, sigs, "media_id", maxHamming, sigBits = 64)
+            graft.ops.Dedup.probeSimhashBandIndex(
+                spark, indexPath, sigs, "media_id", maxHamming,
+                sigBits = 64, nBuckets = nBuckets)
               .write.mode("append").parquet(pairsOut)
-            if (exists)
-              graft.sources.Store.upsert(spark, indexTable, sigs, "media_id", buckets)
-            else
-              graft.sources.Store.bulkWrite(sigs, indexTable, "media_id",
-                buckets = buckets, parts = parts, validateKeys = true)
+            graft.ops.Dedup.appendSimhashBandIndex(
+              sigs, indexPath, "media_id", maxHamming,
+              sigBits = 64, nBuckets = nBuckets)
           } finally sigs.unpersist()
+        }
+      }
+    checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))
+    wr.start()
+  }
+
+  /** STREAMING CROSS-MODAL DUP CLUSTERS (r13 verdict #7 → r15 — the
+    * batch q192 chain run continuously): each micro-batch carries one
+    * row per document with ALL THREE modality payloads
+    * `(doc_id, img, wav, text)`. Per trigger:
+    *
+    *  - image and audio payloads hash scan-locally
+    *    ([[graft.ops.Multimodal.imageAHash]] / `audioEnergyHash`) and
+    *    probe their own persisted BANDED signature indexes
+    *    ([[graft.ops.Dedup.probeSimhashBandIndex]] — partition-pruned,
+    *    old×old never re-scanned), then append their bands;
+    *  - text rows fingerprint and probe the fingerprint→keeper Store
+    *    index (the [[exactDedupIncremental]] kernel): an index hit pairs
+    *    to the stored keeper, a miss pairs to the batch-local min and
+    *    inserts it — the hub differs from the batch pipeline's (arrival
+    *    order vs global min id) but spans the SAME component with the
+    *    same pair count, which is all the cluster output observes;
+    *  - the batch's pairs from all three modalities append to `pairsOut`
+    *    (append-only value-deduplicated facts, the q94 rule) and fold
+    *    into the PERSISTED labeling via
+    *    [[graft.ops.Dedup.incrementalComponents]] — label canonicality
+    *    (component = min member id) makes the maintained labels equal
+    *    the from-scratch q192 clustering for any batch split (q201 gates
+    *    the equality on q192's own oracle). Only CHANGED and NEW labels
+    *    upsert, so the label write is O(affected), though the relabel
+    *    join reads the label table (16 bytes/doc — the q193 shape).
+    *
+    * Replay contract: a replayed batch's ids are anti-joined out of the
+    * `newIds` side (they are already labeled; feeding them as new would
+    * orphan them to singletons), its pairs map endpoints through their
+    * stored roots and converge to the same labels, and its index
+    * appends are absorbed exactly as in [[nearDupIncremental]] /
+    * [[exactDedupIncremental]].
+    */
+  def crossModalIncremental(
+      media: DataFrame, imageIdxPath: String, audioIdxPath: String,
+      textIdxTable: String, labelsTable: String, pairsOut: String,
+      maxHamming: Int = 3,
+      checkpointLocation: Option[String] = None,
+      buckets: Int = 4, parts: Int = 4, nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val wr = media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        import graft.ops.{Dedup, Multimodal}
+        import graft.sources.Store
+        import spark.implicits._
+        val b = batch.toDF().localCheckpoint()
+        if (!b.isEmpty) {
+          def mediaRows(payload: String, mime: String) =
+            b.select(col("doc_id").as("media_id"),
+              col(payload).as("payload"), lit(mime).as("mime"))
+              .as[Multimodal.MediaRow]
+          val imgSigs = Multimodal.imageAHash(mediaRows("img", "image/png"))
+            .toDF().filter(col("decoded") && col("ahash") =!= -1L)
+            .select(col("media_id").as("doc_id"), col("ahash").as("simhash"))
+          val audSigs = Multimodal.audioEnergyHash(mediaRows("wav", "audio/wav"))
+            .toDF().filter(col("decoded"))
+            .select(col("media_id").as("doc_id"), col("ehash").as("simhash"))
+          // probe BEFORE appending this batch's own bands; pairs persist
+          // because three consumers read them (pairsOut, the root graph,
+          // and the label fold)
+          def mediaPairs(sigs: DataFrame, path: String, tag: String): DataFrame =
+            Dedup.probeSimhashBandIndex(spark, path, sigs, "doc_id",
+                maxHamming, sigBits = 64, nBuckets = nBuckets)
+              .select(col("id_a"), col("id_b"), lit(tag).as("modality"))
+          val fps = b.filter(col("text").isNotNull)
+            .select(col("doc_id"), Dedup.exactFingerprint(col("text")).as("fingerprint"))
+          val fpExists = spark.catalog.tableExists(textIdxTable)
+          val oldFp =
+            if (fpExists) Store.read(spark, textIdxTable)
+            else fps.select(col("fingerprint"), col("doc_id").as("keeper")).filter(lit(false))
+          val batchMin = fps.groupBy(col("fingerprint"))
+            .agg(min(col("doc_id")).as("__bmin"))
+          val hubbed = fps
+            .join(oldFp, Seq("fingerprint"), "left")
+            .join(batchMin, Seq("fingerprint"))
+            .withColumn("__k", coalesce(col("keeper"), col("__bmin")))
+          val textPairs = hubbed.filter(col("doc_id") =!= col("__k"))
+            .select(least(col("__k"), col("doc_id")).as("id_a"),
+              greatest(col("__k"), col("doc_id")).as("id_b"),
+              lit("text").as("modality"))
+          val pairs = mediaPairs(imgSigs, imageIdxPath, "image")
+            .unionByName(mediaPairs(audSigs, audioIdxPath, "audio"))
+            .unionByName(textPairs)
+            .persist()
+          try {
+            pairs.write.mode("append").parquet(pairsOut)
+            // indexes advance only after the probes materialized
+            Dedup.appendSimhashBandIndex(imgSigs, imageIdxPath, "doc_id",
+              maxHamming, sigBits = 64, nBuckets = nBuckets)
+            Dedup.appendSimhashBandIndex(audSigs, audioIdxPath, "doc_id",
+              maxHamming, sigBits = 64, nBuckets = nBuckets)
+            val newKeepers = hubbed
+              .filter(col("keeper").isNull && col("doc_id") === col("__bmin"))
+              .select(col("fingerprint"), col("doc_id").as("keeper"))
+            if (fpExists) Store.upsert(spark, textIdxTable, newKeepers, "fingerprint", buckets)
+            else Store.bulkWrite(newKeepers, textIdxTable, "fingerprint",
+              buckets = buckets, parts = parts)
+            // fold the batch into the persisted labeling
+            val labExists = spark.catalog.tableExists(labelsTable)
+            val oldLabels =
+              if (labExists) Store.read(spark, labelsTable)
+              else b.select(col("doc_id"), col("doc_id").as("component")).filter(lit(false))
+            val newIds = b.select(col("doc_id"))
+              .join(oldLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+            val refreshed = Dedup.incrementalComponents(
+                oldLabels, newIds, "doc_id", pairs.select(col("id_a"), col("id_b")))
+              .select(col("doc_id"), col("component"))
+            val delta = refreshed
+              .join(oldLabels.select(col("doc_id"), col("component").as("__old")),
+                Seq("doc_id"), "left")
+              .filter(col("__old").isNull || col("__old") =!= col("component"))
+              .select(col("doc_id"), col("component"))
+              .localCheckpoint() // materialize before upserting the table it reads
+            if (labExists) Store.upsert(spark, labelsTable, delta, "doc_id", buckets)
+            else Store.bulkWrite(delta, labelsTable, "doc_id",
+              buckets = buckets, parts = parts)
+          } finally pairs.unpersist()
         }
       }
     checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))

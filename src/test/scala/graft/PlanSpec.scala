@@ -218,7 +218,9 @@ class PlanSpec extends SparkSpec {
       "q171_ann_pq" -> "BroadcastNestedLoopJoin", // ADC brute scan: broadcast probes × reconstructed corpus (q35 shape, deliberately exhaustive)
       "q173_ann_ivf_pq" -> "BroadcastNestedLoopJoin", // probe×centroid cell assignment (the q38 probeCells head)
       "q175_ann_ivf_pq_residual" -> "BroadcastNestedLoopJoin", // probe×centroid cell assignment (the q38 probeCells head)
-      "q196_cdc_ann_sync" -> "BroadcastNestedLoopJoin") // probe×centroid cell assignment (q38 shape) + 1-row flags crossJoin (q68 pattern)
+      "q196_cdc_ann_sync" -> "BroadcastNestedLoopJoin", // probe×centroid cell assignment (q38 shape) + 1-row flags crossJoin (q68 pattern)
+      "q197_stream_ann_sync" -> "BroadcastNestedLoopJoin", // q196's shape on the streamed index: probeCells head + 1-row flags crossJoin
+      "q198_bpe_bin_packing" -> "BroadcastNestedLoopJoin") // 1-row flags frame crossJoin (q68 pattern)
     val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.sparkPlan.toString
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")

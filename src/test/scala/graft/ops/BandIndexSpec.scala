@@ -1,0 +1,144 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The pre-banded persisted signature index both ways (r15 — ADVICE r14
+  * #3 and its MinHash twin): the probe/append loop over any batch split
+  * equals the batch candidate pipeline, and — the scale claim made
+  * executable — a probe's BYTES READ from the index is invariant as the
+  * index grows in non-colliding buckets (partition pruning at the file
+  * listing, not a full-index re-band per trigger).
+  */
+class BandIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sigsOf(docs: DataFrame): DataFrame =
+    Dedup.minhashSignaturesScanLocal(docs, "doc_id", "text", k = 4, w = 3)
+
+  test("minhash probe+append over ordered batches equals the batch candidate pipeline") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val docs = Seq(
+      (1L, base), (2L, base),                       // dup pair within one batch
+      (3L, "alpha beta gamma delta words epsilon zeta"),
+      (4L, base),                                   // dup of 1/2 in a LATER batch
+      (5L, "unrelated totally different content entirely"),
+      (6L, "alpha beta gamma delta words epsilon zeta")) // dup of 3 across batches
+    val all = docs.toDF("doc_id", "text")
+    val expect = Dedup.minhashCandidates(
+        Dedup.minhashBands(sigsOf(all), "doc_id", k = 4, r = 2), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expect.nonEmpty)
+    val path = java.nio.file.Files.createTempDirectory("bandmh").toString + "/idx"
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    docs.grouped(2).foreach { chunk =>
+      val sigs = sigsOf(chunk.toDF("doc_id", "text"))
+      got ++= Dedup.probeMinhashBandIndex(spark, path, sigs, "doc_id", k = 4, r = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      Dedup.appendMinhashBandIndex(sigs, path, "doc_id", k = 4, r = 2)
+    }
+    assert(got.toSet === expect, "banded probe diverged from the batch pipeline")
+  }
+
+  test("simhash probe+append over ordered batches equals the batch pipeline, hammings included") {
+    // planted 64-bit signatures: (1,2) at hamming 1, (3,4) at hamming 2,
+    // 5 far from everything
+    val sigs = Seq(
+      (1L, 0x0123456789abcdefL), (2L, 0x0123456789abcdeeL),
+      (3L, 0x7777000011112222L), (4L, 0x7777000011112228L ^ 2L),
+      (5L, -1L))
+    val all = sigs.toDF("media_id", "simhash")
+    val expect = Dedup.simhashCandidates(all, "media_id", maxHamming = 3, sigBits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(expect.map(p => (p._1, p._2)) === Set((1L, 2L), (3L, 4L)))
+    val path = java.nio.file.Files.createTempDirectory("bandsh").toString + "/idx"
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    sigs.grouped(2).foreach { chunk =>
+      val s = chunk.toDF("media_id", "simhash")
+      got ++= Dedup.probeSimhashBandIndex(spark, path, s, "media_id",
+          maxHamming = 3, sigBits = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      Dedup.appendSimhashBandIndex(s, path, "media_id", maxHamming = 3, sigBits = 64)
+    }
+    assert(got.toSet === expect, "banded simhash probe diverged from the batch pipeline")
+  }
+
+  test("probe bytes read are invariant as the index grows in non-colliding buckets") {
+    val nBuckets = 64
+    def bucketKeys(docs: DataFrame): Set[Long] =
+      Dedup.minhashBands(sigsOf(docs), "doc_id", k = 4, r = 2)
+        .select(($"band_idx".cast("long") * nBuckets +
+          pmod(xxhash64($"band_key"), lit(nBuckets.toLong))).as("pk"))
+        .distinct().collect().map(_.getLong(0)).toSet
+    val probeDocs = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (901L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val probeKeys = bucketKeys(probeDocs)
+    // ONE planted index twin of probe 900 guarantees a real collision (the
+    // probe must do nonzero index work); fillers are kept only if their
+    // buckets avoid the probe's, so growth is provably non-colliding
+    val planted = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    def cleanFillers(offset: Long, n: Int): DataFrame = {
+      val f = (0 until n).map(i =>
+        (offset + i, s"filler document number ${offset + i} carrying body words here"))
+        .toDF("doc_id", "text")
+      val bands = Dedup.minhashBands(sigsOf(f), "doc_id", k = 4, r = 2)
+        .withColumn("pk", $"band_idx".cast("long") * nBuckets +
+          pmod(xxhash64($"band_key"), lit(nBuckets.toLong)))
+      val colliding = bands.filter($"pk".isin(probeKeys.toSeq: _*))
+        .select($"doc_id").distinct()
+      f.join(colliding, Seq("doc_id"), "left_anti")
+    }
+    val path = java.nio.file.Files.createTempDirectory("bandinv").toString + "/idx"
+    Dedup.appendMinhashBandIndex(sigsOf(planted), path, "doc_id", k = 4, r = 2,
+      nBuckets = nBuckets)
+    Dedup.appendMinhashBandIndex(sigsOf(cleanFillers(1000L, 150)), path, "doc_id",
+      k = 4, r = 2, nBuckets = nBuckets)
+
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val tm = sc.stageInfo.taskMetrics
+        if (tm != null) bytesRead.addAndGet(tm.inputMetrics.bytesRead)
+        ()
+      }
+    }
+    def quiesce(): Long = {
+      var prev = bytesRead.get(); var stable = 0; var polls = 0
+      while (stable < 3 && polls < 100) {
+        Thread.sleep(100)
+        val cur = bytesRead.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        polls += 1
+      }
+      prev
+    }
+    def probeBytes(): (Set[(Long, Long)], Long) = {
+      quiesce()
+      val before = bytesRead.get()
+      // the probe's new side is a LocalRelation (no file input), so the
+      // bytes-read delta is exactly the index scan
+      val pairs = Dedup.probeMinhashBandIndex(spark, path, sigsOf(probeDocs),
+          "doc_id", k = 4, r = 2, nBuckets = nBuckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (pairs, quiesce() - before)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (pairs1, bytes1) = probeBytes()
+      assert(pairs1 === Set((10L, 900L)), s"planted collision not found: $pairs1")
+      assert(bytes1 > 0L, "the probe read no index bytes — the collision pin is vacuous")
+      // grow the index ~8× in non-colliding buckets only
+      (1 to 8).foreach(g => Dedup.appendMinhashBandIndex(
+        sigsOf(cleanFillers(g * 10000L, 150)), path, "doc_id", k = 4, r = 2,
+        nBuckets = nBuckets))
+      val (pairs2, bytes2) = probeBytes()
+      assert(pairs2 === pairs1)
+      assert(bytes2 === bytes1,
+        s"probe scan scales with the index: $bytes1 bytes before growth, $bytes2 after")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}

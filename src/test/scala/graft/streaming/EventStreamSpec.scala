@@ -430,15 +430,15 @@ class EventStreamSpec extends SparkSpec {
     for (nFiles <- Seq(1, 3)) {
       val srcDir = java.nio.file.Files.createTempDirectory(s"nd$nFiles").toString
       docs.repartition(nFiles, col("doc_id")).write.mode("overwrite").parquet(srcDir)
-      val table = s"nd_sig_index_$nFiles"
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      val pairsOut = java.nio.file.Files.createTempDirectory(s"ndp$nFiles").toString + "/pairs"
+      val outRoot = java.nio.file.Files.createTempDirectory(s"ndp$nFiles").toString
+      val pairsOut = s"$outRoot/pairs"
+      val indexPath = s"$outRoot/bandidx"
       val stream = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
       val q = EventStream.nearDupIncremental(
-        stream, "doc_id", "text", table, pairsOut, k = 4, w = 3, r = 2)
+        stream, "doc_id", "text", indexPath, pairsOut, k = 4, w = 3, r = 2)
       try q.processAllAvailable()
-      finally { q.stop(); spark.sql(s"DROP TABLE IF EXISTS $table") }
+      finally q.stop()
       val got = spark.read.parquet(pairsOut).distinct()
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got === batchPairs, s"split into $nFiles files changed the pair set")
@@ -617,5 +617,68 @@ class EventStreamSpec extends SparkSpec {
         assert(got === batch, s"split '$label' diverged from the batch cohorts")
       } finally q.stop()
     }
+  }
+
+  test("index-sync sink keeps a stored IVF index changelog-synced across batches and compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Similarity
+    import graft.sources.Store
+    val table = "ivf_stream_docs"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val path = java.nio.file.Files.createTempDirectory("ivfstream").toString + "/idx"
+    val input = MemoryStream[(Long, Seq[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+    // compactEvery = 2: the maintenance fold runs BETWEEN sync batches, so
+    // batch 3 only takes the O(batch) sync path if the compaction block
+    // advanced the IVF `_corpus-v` marker alongside the table-property
+    // marks (ADVICE r15) — without it, the recorded version is vacuumed
+    // and batch 3 silently falls back to a full rebuild that also
+    // retrains the codebook (observable below as a rotated generation).
+    val q = graft.streaming.EventStream.toStoreUpsertWithIndexSync(
+      stream, table, "vec_id", "text", buckets = 2, parts = 2,
+      ivfIndexPath = Some(path), nCentroids = 2, compactEvery = 2)
+    try {
+      // batch 1: fresh corpus → bulk write + from-scratch index build
+      input.addData(
+        (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f, 0f)),
+        (3L, Seq(0f, 0f, 1f, 0f)), (4L, Seq(0f, 0.1f, 0.9f, 0f)))
+      q.processAllAvailable()
+      // batch 2: insert → changelog sync; then the compactEvery fold runs
+      input.addData((10L, Seq(0.95f, 0.05f, 0f, 0f)))
+      q.processAllAvailable()
+      // batch 3: cross-batch UPDATE across the compaction commit
+      input.addData((3L, Seq(0.85f, 0.15f, 0f, 0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    try {
+      // the codebook stayed frozen: one generation, never rotated
+      val gens = new java.io.File(path).listFiles()
+        .map(_.getName).filter(_.startsWith("gen-")).toSet
+      assert(gens === Set("gen-0"),
+        s"stream fell back to a rebuild (generations: $gens)")
+      // the index records exactly the table's current version
+      assert(Similarity.ivfSyncedCorpusVersion(spark, path) ===
+        Some(Store.versions(spark, table).last))
+      // and answers EXACTLY as a from-scratch build over the final state
+      // (all cells probed → both routes are exact over their vector sets)
+      val fin = Store.read(spark, table).select($"vec_id", $"embedding")
+      val probes = Seq((100L, Seq(1f, 0.02f, 0f, 0f)), (101L, Seq(0f, 0f, 1f, 0.02f)))
+        .toDF("vec_id", "embedding")
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select($"q_id", $"rank", $"neighbor_id", round($"cosine", 9).as("c"))
+          .collect().map(_.toSeq.toVector).toSet
+      val synced = key(Similarity.ivfQuerySynced(spark, path, probes,
+        "vec_id", "embedding", k = 5, nProbe = 2))
+      val rebuilt = key(Similarity.ivfQuery(probes,
+        Similarity.buildIvfIndex(fin, "vec_id", "embedding", nCentroids = 2),
+        "vec_id", "embedding", k = 5, nProbe = 2))
+      assert(synced === rebuilt, "synced index diverged from the from-scratch build")
+      // the cross-batch update is served with its NEW vector: id 3 now
+      // ranks inside cluster 1 for the cluster-1 probe
+      val n3 = Similarity.ivfQuerySynced(spark, path, probes.filter($"vec_id" === 100L),
+          "vec_id", "embedding", k = 5, nProbe = 2)
+        .filter($"neighbor_id" === 3L).select($"cosine").head().getDouble(0)
+      assert(n3 > 0.9, s"updated vector not superseding: id 3 scored $n3")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 }

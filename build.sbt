@@ -30,5 +30,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Xms pinned to Xmx: with a large heap and per-query System.gc()
+  // (Bench hygiene), G1 otherwise uncommits tens of GB after each full
+  // GC and re-faults it in the kernel on the next query — measured as
+  // multi-core SYSTEM-time storms that turned q120's steady 21 s into
+  // bimodal 60–140 s walls with byte-identical plans (the r14→r15
+  // "regression" was exactly this). A committed heap never shrinks, so
+  // the churn class is gone.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -68,7 +68,12 @@ object Bench {
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
 
+    // Dev-loop filter (mirrors Verify's SPARK_GRAFT_ONLY): comma-separated
+    // name prefixes; unset → the full battery the driver runs.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.exists(q._1.startsWith)))
     // The timed action is a NOOP SINK, not count(): count() lets Catalyst
     // eliminate exactly the work some queries exist to measure — a left
     // join onto a distinct key (q114's keeper labeling) and the final
@@ -86,7 +91,19 @@ object Bench {
         Right((System.nanoTime() - t0) / 1e9)
       }
       catch { case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
-      finally spark.catalog.clearCache() // outside the timed region next run starts from
+      finally {
+        // outside the timed region the next run starts from
+        spark.catalog.clearCache()
+        // clearCache releases SQL-cached plans only — RDDs persisted by
+        // MLlib internals (KMeans/ALS fits inside the ANN/clustering
+        // battery) accumulate in the block manager across the whole run
+        // and inflate LATER queries' per-job cost (r15: q120 measured
+        // 17.6 s in the r13 battery, 67.8 s in the r15 battery, ~20 s
+        // standalone — identical plans; the alphabetically-earlier
+        // KMeans-backed queries were the difference)
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(false))
+      }
     }
 
     // UNTIMED warmups before the battery: the first query otherwise

@@ -760,13 +760,23 @@ object Dedup {
   private def bandBucket(key: Column, nBuckets: Int): Column =
     pmod(xxhash64(key), lit(nBuckets.toLong))
 
-  /** Append a batch's MinHash bands into the banded index at `path`. */
+  /** Append a batch's MinHash bands into the banded index at `path`.
+    * An EMPTY batch appends nothing — an empty partitioned write would
+    * otherwise create a data-less dir (`_SUCCESS` only) that fails the
+    * next probe's schema inference (the Similarity empty-tombstone rule).
+    */
   def appendMinhashBandIndex(
       sigs: DataFrame, path: String, idCol: String,
       k: Int = 8, r: Int = 2, nBuckets: Int = 64): Unit =
-    minhashBands(sigs, idCol, k, r)
-      .withColumn("band_bucket", bandBucket(col("band_key"), nBuckets))
-      .write.mode("append").partitionBy("band_idx", "band_bucket").parquet(path)
+    if (!sigs.isEmpty)
+      minhashBands(sigs, idCol, k, r)
+        .withColumn("band_bucket", bandBucket(col("band_key"), nBuckets))
+        // co-locate each partition dir's rows in one task first: a write
+        // from T tasks touching D dirs emits up to T×D files (the
+        // bulkWrite small-files lesson); after the repartition it is one
+        // file per touched dir per batch
+        .repartition(col("band_idx"), col("band_bucket"))
+        .write.mode("append").partitionBy("band_idx", "band_bucket").parquet(path)
 
   /** Candidate pairs of a NEW batch against a banded MinHash index:
     * new×new once (a < b), new×old via the partition-pruned probe,
@@ -806,14 +816,19 @@ object Dedup {
   }
 
   /** Append a batch's SimHash chunk bands (signature carried for the
-    * probe-side hamming) into the banded index at `path`.
+    * probe-side hamming) into the banded index at `path`. Empty batches
+    * append nothing (see [[appendMinhashBandIndex]] — a batch of all
+    * undecodable media would otherwise poison the index dir).
     */
   def appendSimhashBandIndex(
       sigs: DataFrame, path: String, idCol: String,
       maxHamming: Int = 3, sigBits: Int = 60, nBuckets: Int = 64): Unit =
-    simhashBands(sigs, idCol, maxHamming, sigBits)
-      .withColumn("chunk_bucket", bandBucket(col("chunk_key"), nBuckets))
-      .write.mode("append").partitionBy("chunk_idx", "chunk_bucket").parquet(path)
+    if (!sigs.isEmpty)
+      simhashBands(sigs, idCol, maxHamming, sigBits)
+        .withColumn("chunk_bucket", bandBucket(col("chunk_key"), nBuckets))
+        // one file per touched dir per batch (see appendMinhashBandIndex)
+        .repartition(col("chunk_idx"), col("chunk_bucket"))
+        .write.mode("append").partitionBy("chunk_idx", "chunk_bucket").parquet(path)
 
   /** [[probeMinhashBandIndex]]'s SimHash sibling: `(id_a, id_b, hamming)`
     * exactly filtered to the budget, the

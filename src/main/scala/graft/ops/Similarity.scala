@@ -260,6 +260,15 @@ object Similarity {
   // (SimilaritySpec's kill-and-retry pin). Offline-built rows (version
   // null → 0) predate the sync layer and are always served.
 
+  // Marker retention: `_sync-N`/`.ready` pairs accumulate two files per
+  // sync WITHIN a generation and are reclaimed wholesale when a rebuild
+  // rotates the generation — the same cadence that bounds the exclusion
+  // backlog (maintainIvfIndex's backlogBar), so listing cost is bounded
+  // by syncs-since-last-rebuild, not stream lifetime. They cannot be
+  // pruned earlier: resolution serves READY versions by allow-list, so
+  // deleting a committed pair would hide its still-live rows.
+  // `_corpus-v-N` markers (below) are one-per-trigger and ARE pruned to
+  // the single highest on every re-mark.
   private val SyncRe = """_sync-(\d+)""".r
   private val SyncReadyRe = """_sync-(\d+)\.ready""".r
 

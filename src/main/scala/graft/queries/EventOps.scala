@@ -24,6 +24,14 @@ object EventOps {
       s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // the banded signature indexes carry O(nBands × nBuckets) partition
+    // dirs; above the default threshold (32) EVERY per-trigger probe read
+    // launches a parallel file-listing JOB whose task count is the dir
+    // count — at micro-batch scale that listing is pure overhead (local
+    // FS, ~100 dirs list in ms driver-side). A real cluster with
+    // thousands of dirs wants the parallel listing back — this is the
+    // micro-batch child session only, like the AQE toggle above.
+    ss.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
     // AQE re-plans per materialized exchange, which on a MICRO-BATCH means
     // several extra scheduler round-trips per trigger for row counts in
     // the thousands — measured 18 jobs per q109 batch with AQE, 8 without,

@@ -140,4 +140,32 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("bin")).toMap
     assert(packed.nonEmpty) // shard-local greedy runs on exact counts
   }
+
+  test("packBinsBpe packs on the exact BPE counts, carried as n_tokens") {
+    val (merges, dict) = Bpe.train(corpus, "text", nMerges = 5)
+    val docs = Seq(
+      (0L, "low lower widest zz"),     // 13 BPE tokens (4 whitespace)
+      (1L, "zz"),                      // 3
+      (2L, "slower wider lowest low")  // 15 (4 whitespace)
+    ).toDF("id", "text")
+    val packed = graft.ops.Training.packBinsBpe(
+        docs, "id", "text", dict, merges, budget = 12L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("bin")))).toMap
+    // the carried count IS tokenCountsExact's answer (not whitespace's)
+    assert(packed.view.mapValues(_._1).toMap === Map(0L -> 13L, 1L -> 3L, 2L -> 15L))
+    // bin assignment replays packBins' floor rule over those counts,
+    // per md5 shard (all three ids shard apart here or together — either
+    // way the start-offset rule must hold within each shard)
+    val byShard = graft.ops.Training.packBinsBpe(
+        docs, "id", "text", dict, merges, budget = 12L)
+      .collect().groupBy(_.getAs[String]("shard"))
+    byShard.values.foreach { rows =>
+      var cum = 0L
+      rows.sortBy(_.getAs[Long]("id")).foreach { r =>
+        assert(r.getAs[Long]("bin") === cum / 12L)
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
 }

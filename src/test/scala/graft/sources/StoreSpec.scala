@@ -569,4 +569,71 @@ class StoreSpec extends SparkSpec {
       }
     } finally spark.sql("DROP TABLE IF EXISTS cdc_t")
   }
+
+  test("additive schema evolution: widening upsert adds a NULL-backed column; retype/drop fail loudly") {
+    import spark.implicits._
+    val base = (1L to 40L).map(i => (i, s"text body $i")).toDF("id", "txt")
+    Store.bulkWrite(base, "evo_t", "id", buckets = 2, parts = 4, validateKeys = true)
+    try {
+      val pre = Store.versions(spark, "evo_t").last
+      // the widened batch: ids %4==0 gain a long `w` and an updated txt
+      Store.upsert(spark, "evo_t",
+        base.filter($"id" % 4 === 0)
+          .withColumn("txt", concat($"txt", lit(" [w]")))
+          .withColumn("w", $"id" * 10L),
+        "id", buckets = 2)
+      val now = Store.read(spark, "evo_t")
+      assert(now.columns.toSeq === Seq("id", "txt", "w"))
+      val rows = now.collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      assert(rows(4L) === (("text body 4 [w]", Some(40L))))
+      assert(rows(5L) === (("text body 5", None)), "old generation did not read NULL")
+      assert(rows.size === 40)
+      // time travel to the pre-evolution version serves the OLD shape
+      val past = Store.readVersion(spark, "evo_t", pre)
+      assert(past.columns.toSeq === Seq("id", "txt"))
+      assert(past.count() === 40L)
+      assert(past.filter($"txt".endsWith("[w]")).isEmpty)
+      // retype rejected before anything moves; dropped column fails the
+      // staged select — both leave the table readable and unchanged
+      assertThrows[IllegalArgumentException] {
+        Store.upsert(spark, "evo_t",
+          Seq((1L, "x", "oops")).toDF("id", "txt", "w"), "id", buckets = 2)
+      }
+      assertThrows[Exception] {
+        Store.upsert(spark, "evo_t", Seq(Tuple1(1L)).toDF("id"), "id", buckets = 2)
+      }
+      assert(Store.read(spark, "evo_t").count() === 40L)
+      // a second evolution stacks: another sidecar version, same rules
+      Store.upsert(spark, "evo_t",
+        Seq((2L, "text body 2", 20L, 0.5)).toDF("id", "txt", "w", "q"),
+        "id", buckets = 2)
+      assert(Store.read(spark, "evo_t").columns.toSeq === Seq("id", "txt", "w", "q"))
+    } finally spark.sql("DROP TABLE IF EXISTS evo_t")
+  }
+
+  test("setRetention widens the time-travel window; vacuum prunes exactly beyond it") {
+    import spark.implicits._
+    val base = (1L to 30L).map(i => (i, s"v0 $i")).toDF("id", "txt")
+    Store.bulkWrite(base, "ret_t", "id", buckets = 2, parts = 4, validateKeys = true)
+    try {
+      assertThrows[IllegalArgumentException](Store.setRetention(spark, "ret_t", 1))
+      Store.setRetention(spark, "ret_t", 4)
+      (1 to 3).foreach(i => Store.upsert(spark, "ret_t",
+        Seq((1L, s"v$i 1")).toDF("id", "txt"), "id", buckets = 2))
+      val vs = Store.versions(spark, "ret_t")
+      assert(vs.size === 4, s"window should hold 4 versions, got $vs")
+      // v−3 (the bulk state) is still readable
+      assert(Store.readVersion(spark, "ret_t", vs.head)
+        .filter($"id" === 1L).head().getString(1) === "v0 1")
+      // one more commit prunes exactly the oldest
+      Store.upsert(spark, "ret_t", Seq((1L, "v4 1")).toDF("id", "txt"), "id", buckets = 2)
+      val vs2 = Store.versions(spark, "ret_t")
+      assert(vs2.size === 4 && !vs2.contains(vs.head))
+      assertThrows[IllegalArgumentException](
+        Store.readVersion(spark, "ret_t", vs.head))
+      assert(Store.read(spark, "ret_t")
+        .filter($"id" === 1L).head().getString(1) === "v4 1")
+    } finally spark.sql("DROP TABLE IF EXISTS ret_t")
+  }
 }

@@ -681,4 +681,47 @@ class EventStreamSpec extends SparkSpec {
       assert(n3 > 0.9, s"updated vector not superseding: id 3 scored $n3")
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("cross-modal sink replay guard: a full re-run over the same source leaves labels unchanged") {
+    import graft.sources.Store
+    // undecodable media payloads (filtered out scan-side — also pins that
+    // all-filtered batches don't poison the banded index dirs); the text
+    // modality alone drives the clusters
+    val junk = Array[Byte](1, 2, 3)
+    val docs = Seq(
+      (1L, "shared duplicate body"), (2L, "shared duplicate body"),
+      (3L, "unique three"), (4L, "unique four"),
+      (5L, "another dup"), (6L, "another dup"))
+    val media = docs.map { case (id, t) => (id, junk, junk, t) }
+      .toDF("doc_id", "img", "wav", "text")
+    val root = java.nio.file.Files.createTempDirectory("xmreplay").toString
+    val srcDir = s"$root/src"
+    media.repartition(2, col("doc_id")).write.mode("overwrite").parquet(srcDir)
+    Seq("xmr_fp", "xmr_lab").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    def run(tag: String): Unit = {
+      val stream = spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = EventStream.crossModalIncremental(
+        stream, s"$root/img", s"$root/aud", "xmr_fp", "xmr_lab", s"$root/pairs",
+        checkpointLocation = Some(s"$root/ck$tag"))
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    try {
+      run("1")
+      def labels() = Store.read(spark, "xmr_lab").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val first = labels()
+      assert(first === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+      // a FRESH checkpoint replays every batch against the already-
+      // advanced indexes and labels — the at-least-once worst case; the
+      // anti-join newIds guard must keep every label intact
+      run("2")
+      assert(labels() === first, "replay disturbed the labeling")
+      val pairs = spark.read.parquet(s"$root/pairs").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(pairs === Set((1L, 2L, "text"), (5L, 6L, "text")))
+    } finally Seq("xmr_fp", "xmr_lab")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }

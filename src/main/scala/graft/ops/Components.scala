@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Store
+
+/** LAZY incremental connected components over Store-backed state — the
+  * per-trigger O(corpus) read that [[Dedup.incrementalComponents]]'s
+  * eager relabel pays (its relabel join scans the full label table,
+  * 16 bytes/doc, every call — fine per q193's documented shape, a real
+  * per-trigger cost at 100 TB) replaced by a union-find split across two
+  * tables (public algorithmic ground: disjoint-set forests with path
+  * compression, folded periodically):
+  *
+  *  - `labelsTable` (keyed by the doc id): each doc's component AS OF
+  *    ITS LAST WRITE — possibly stale after later merges, never wrong
+  *    about membership;
+  *  - `forwardTable` (keyed by the superseded root): `old_root → root`,
+  *    kept FULLY RESOLVED (every target is a CURRENT root, so resolution
+  *    is exactly ONE hop — no iterative chasing on the read path). It
+  *    holds one row per root superseded since the last [[fold]]: merges
+  *    are rare relative to docs, so the frame stays broadcast-small.
+  *
+  * The TRUE label of a doc is `coalesce(forward[label], label)`
+  * ([[resolve]]). Per batch, [[applyBatch]] touches only:
+  *  - the batch endpoints' label rows, read PARTITION-PRUNED
+  *    ([[graft.sources.Store.readForKeys]] — min(|batch|, parts) dirs,
+  *    not the table);
+  *  - a connected-components pass over the batch's ROOT graph (nodes =
+  *    the endpoints' current roots — batch-sized, never corpus-sized);
+  *  - O(batch) label upserts for NEW docs and O(merges) forward upserts.
+  * No stored doc's label row is rewritten at merge time — that is the
+  * whole trick; the forward entry re-points everyone at once.
+  *
+  * [[fold]] flattens the forward table back into the big one on a
+  * maintenance cadence (one O(table) read, O(affected) write — the
+  * `Store.compact` amortization rule), then clears it. Crash between
+  * the two halves is safe: folded labels hold current roots, which are
+  * NEVER forward keys (a superseded root can never become a root again
+  * — its component keeps a smaller member forever), so leftover forward
+  * rows match nothing and a re-run converges.
+  *
+  * Replay (at-least-once delivery): a replayed batch's pairs re-map to
+  * already-merged roots (self-edges, filtered), and its ids are already
+  * labeled (anti-joined out) — both writes are empty, the tables do not
+  * move. ComponentsSpec pins equality with the from-scratch
+  * [[Dedup.keepers]] labeling over random graphs and splits, the
+  * one-hop invariant, replay idempotence, and the fold.
+  *
+  * Same canonical labeling as the eager path: component = min member id
+  * (merges pick the min root; a new doc with a smaller id than an old
+  * root BECOMES the root and the old one forwards to it), so the
+  * resolved view equals a from-scratch run for any batch split — two
+  * routes, one truth (the q202 gate).
+  */
+object Components {
+
+  /** Apply one hop of forwarding: the true labels under pending merges.
+    * `forward` is broadcast — its size is the merge count since the last
+    * fold, not the corpus.
+    */
+  def resolve(labels: DataFrame, forward: DataFrame, idCol: String): DataFrame =
+    labels
+      .join(broadcast(forward.withColumnRenamed("old_root", "component")),
+        Seq("component"), "left")
+      .select(col(idCol), coalesce(col("root"), col("component")).as("component"))
+
+  /** The store-backed resolved view — what a from-scratch clustering of
+    * everything applied so far would produce. Missing tables read empty.
+    */
+  def resolvedLabels(
+      spark: SparkSession, labelsTable: String, forwardTable: String,
+      idCol: String): DataFrame = {
+    if (!spark.catalog.tableExists(labelsTable))
+      return spark.range(0).select(col("id").as(idCol), col("id").as("component"))
+    val labels = Store.read(spark, labelsTable)
+    val forward =
+      if (spark.catalog.tableExists(forwardTable)) Store.read(spark, forwardTable)
+      else labels.select(col(idCol).as("old_root"), col(idCol).as("root")).filter(lit(false))
+    resolve(labels, forward, idCol)
+  }
+
+  /** Fold one batch of new docs + new pairs into the tables. `newIds`
+    * carries the batch's doc ids (one column, named `idCol`); `newPairs`
+    * carries `(id_a, id_b)` — endpoints may be old or new ids in any
+    * mix. Contract mirrors [[Dedup.incrementalComponents]]: pairs are
+    * value-facts, replays converge, label canonicality = min member id.
+    */
+  def applyBatch(
+      spark: SparkSession, labelsTable: String, forwardTable: String,
+      newIds: DataFrame, idCol: String, newPairs: DataFrame,
+      buckets: Int = 4, parts: Int = 4): Unit = {
+    val ids = newIds.select(col(idCol))
+    val endpoints = newPairs.select(col("id_a").as(idCol))
+      .unionByName(newPairs.select(col("id_b").as(idCol)))
+      .unionByName(ids).distinct()
+      .localCheckpoint() // feeds three joins + the pruned read below
+    val labExists = spark.catalog.tableExists(labelsTable)
+    // the ONLY read of the big table, partition-pruned to the batch's
+    // endpoints' routing partitions; trimmed to endpoint rows at once so
+    // downstream joins are batch×batch
+    val storedEp =
+      if (labExists)
+        Store.readForKeys(spark, labelsTable, endpoints)
+          .join(endpoints, Seq(idCol), "left_semi")
+          .localCheckpoint()
+      else endpoints.select(col(idCol), col(idCol).as("component")).filter(lit(false))
+    val fwdExists = spark.catalog.tableExists(forwardTable)
+    val fwd =
+      if (fwdExists) Store.read(spark, forwardTable).localCheckpoint()
+      else endpoints.select(col(idCol).as("old_root"), col(idCol).as("root"))
+        .filter(lit(false))
+    // current root per endpoint: stored label → one forward hop; an
+    // unlabeled (new) id is its own root
+    val epRoot = endpoints
+      .join(storedEp, Seq(idCol), "left")
+      .join(broadcast(fwd.withColumnRenamed("old_root", "component")),
+        Seq("component"), "left")
+      .select(col(idCol),
+        coalesce(col("root"), col("component"), col(idCol)).as("__root"))
+      .localCheckpoint()
+    val rootPairs = newPairs
+      .join(epRoot.withColumnRenamed(idCol, "id_a").withColumnRenamed("__root", "__ra"),
+        Seq("id_a"))
+      .join(epRoot.withColumnRenamed(idCol, "id_b").withColumnRenamed("__root", "__rb"),
+        Seq("id_b"))
+      .select(col("__ra").as("id_a"), col("__rb").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    // CC over the ROOT graph — batch-sized by construction; min-label
+    // canonicality gives the merged component its global min id
+    val merges = Dedup.connectedComponents(rootPairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("old_root"), col("component").as("root"))
+      .localCheckpoint() // reused thrice; tiny (≤ batch roots)
+    // forward stays fully resolved: entries whose TARGET merged re-point
+    // in the same commit (one-hop invariant), new entries land resolved
+    val retarget = fwd.as("f")
+      .join(broadcast(merges).as("m"), col("f.root") === col("m.old_root"))
+      .select(col("f.old_root"), col("m.root").as("root"))
+    val fwdUp = merges.unionByName(retarget)
+    if (fwdExists) {
+      if (!fwdUp.isEmpty) Store.upsert(spark, forwardTable, fwdUp, "old_root", buckets)
+    } else if (!fwdUp.isEmpty)
+      Store.bulkWrite(fwdUp, forwardTable, "old_root", buckets = buckets, parts = parts)
+    // label rows ONLY for this batch's genuinely-new docs (a replayed
+    // batch anti-joins away); their root maps through the fresh merges
+    val newLabels = ids
+      .join(storedEp.select(col(idCol)), Seq(idCol), "left_anti")
+      .join(epRoot, Seq(idCol))
+      .join(broadcast(merges.withColumnRenamed("old_root", "__root")),
+        Seq("__root"), "left")
+      .select(col(idCol), coalesce(col("root"), col("__root")).as("component"))
+    if (labExists) {
+      if (!newLabels.isEmpty) Store.upsert(spark, labelsTable, newLabels, idCol, buckets)
+    } else if (!newLabels.isEmpty)
+      Store.bulkWrite(newLabels, labelsTable, idCol, buckets = buckets, parts = parts)
+  }
+
+  /** Flatten pending forwards into the label table and clear them — the
+    * maintenance half ([[Store.compact]]'s amortization rule: one
+    * O(table) read, O(affected) write, every `compactEvery` batches, so
+    * the forward frame stays broadcast-small). Idempotent, crash-safe
+    * (see the object doc: folded labels are never forward keys).
+    */
+  def fold(
+      spark: SparkSession, labelsTable: String, forwardTable: String,
+      idCol: String, buckets: Int = 4): Unit = {
+    if (!spark.catalog.tableExists(forwardTable) ||
+      !spark.catalog.tableExists(labelsTable)) return
+    val fwd = Store.read(spark, forwardTable).localCheckpoint()
+    if (fwd.isEmpty) return
+    val affected = Store.read(spark, labelsTable)
+      .join(broadcast(fwd.withColumnRenamed("old_root", "component")),
+        Seq("component"))
+      .select(col(idCol), col("root").as("component"))
+      .localCheckpoint() // materialize before upserting the table it reads
+    if (!affected.isEmpty)
+      Store.upsert(spark, labelsTable, affected, idCol, buckets)
+    Store.delete(spark, forwardTable, fwd.select(col("old_root")), "old_root", buckets)
+  }
+}

@@ -864,6 +864,97 @@ object Dedup {
     }
   }
 
+  /** Fold a banded signature index's accumulated per-batch files — one
+    * per touched partition dir per trigger — back to ONE file per dir.
+    * An unbounded stream otherwise grows every dir linearly in trigger
+    * count (a month at one trigger/minute is ~43k files per hot bucket),
+    * and the probe's pruned scan pays the open/footer cost of every one.
+    *
+    * Crash-safe WITHOUT a manifest, because the band layout's reader
+    * contract makes duplicates harmless (probe pairs normalize and
+    * readers take `distinct()` — the replayed-batch rule): the fold
+    * APPENDS the compacted file first and deletes the superseded
+    * snapshot files after. Every crash window leaves either the old
+    * files (fold invisible), old + compacted (duplicate band rows —
+    * absorbed), or a partial delete (remaining old rows duplicate the
+    * compacted copy — absorbed). Rows are never lost, and a re-run
+    * converges to one file per dir.
+    *
+    * Layout-agnostic (minhash `band_idx`/`band_bucket` and simhash
+    * `chunk_idx`/`chunk_bucket` dir trees both fold); partition column
+    * names are recovered from the dir structure. Only dirs holding more
+    * than one data file are rewritten — steady-state cost is
+    * O(files beyond one per dir), zero when already compact. Call it
+    * from the OWNING stream's trigger (the `compactIndexEvery` hooks) —
+    * a probe racing the delete phase could list a file the fold just
+    * removed.
+    *
+    * Returns the number of partition dirs folded.
+    */
+  def compactBandIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        files += f.getPath
+    }
+    val crowded = files.groupBy(_.getParent).filter(_._2.size > 1)
+    if (crowded.isEmpty) return 0
+    // partition column names from one leaf dir's path relative to the
+    // root: each segment below the root is `name=value`
+    val rootUri = fs.makeQualified(root).toUri.getPath
+    val leafUri = fs.makeQualified(crowded.keysIterator.next()).toUri.getPath
+    val partCols = leafUri.stripPrefix(rootUri).split('/')
+      .filter(_.nonEmpty).map(_.split('=').head).toSeq
+    require(partCols.nonEmpty && partCols.forall(_.nonEmpty),
+      s"not a partitioned band index layout: $leafUri under $rootUri")
+    val snapshot = crowded.values.flatten.toSeq
+    // basePath keeps the dir-encoded partition columns on the explicit
+    // file-list read; repartition on them lands one task — one file —
+    // per dir (the appendMinhashBandIndex small-files rule)
+    spark.read.option("basePath", path).parquet(snapshot.map(_.toString): _*)
+      .repartition(partCols.map(col): _*)
+      .write.mode("append").partitionBy(partCols: _*).parquet(path)
+    snapshot.foreach(f => fs.delete(f, false))
+    crowded.size
+  }
+
+  /** [[compactBandIndex]]'s sibling for the UNPARTITIONED append-only
+    * pair-fact dirs the streaming sinks write (one file per trigger,
+    * plus duplicate rows from replays and index-crash absorption): fold
+    * the accumulated files to `parts` value-DISTINCT files. The reader
+    * contract is already "take distinct()" — the fold just materializes
+    * it, so the same manifest-free crash safety applies: append the
+    * folded files first, delete the snapshot after; every crash window
+    * leaves only duplicates the readers absorb, and a re-run converges.
+    * Steady-state a second fold still rewrites the (already-distinct)
+    * data once — call it on the `compactIndexEvery` cadence, not per
+    * trigger. Returns the number of snapshot files folded (0 = no-op).
+    */
+  def compactPairFacts(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      parts: Int = 1): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val snapshot = fs.listStatus(root).toSeq.map(_.getPath).filter { p =>
+      val n = p.getName
+      n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (snapshot.size <= parts) return 0
+    spark.read.parquet(snapshot.map(_.toString): _*)
+      .distinct().repartition(parts)
+      .write.mode("append").parquet(path)
+    snapshot.foreach(f => fs.delete(f, false))
+    snapshot.size
+  }
+
   /** The chunked band frame behind [[simhashCandidates]]:
     * `(id, simhash, chunk_idx, chunk_key)`, one row per chunk. Exposed
     * package-private so DedupSpec can pin the band LAYOUT itself — the

@@ -946,6 +946,55 @@ object EventOps {
         result
       },
       Some(CohortOracle)),
+
+    // STREAMING DUP CLUSTERS, LAZY LABELS (r15 —
+    // [[graft.streaming.EventStream.dupClustersIncremental]] ∘
+    // [[graft.ops.Components]]): q94's banded pair loop composed with
+    // the two-table union-find — per trigger the batch endpoints' label
+    // rows read PARTITION-PRUNED, merges land as forward entries, no
+    // full label-table scan anywhere in the trigger path (the q193/q201
+    // eager relabel's per-trigger O(corpus) read, removed).
+    // compactIndexEvery=2 forces every maintenance fold — band index,
+    // pair facts, forward flatten, store compact — to run MID-STREAM,
+    // so the gate proves the folds preserve the labeling, not just the
+    // happy path. The resolved view must equal the from-scratch
+    // clustering (q193's recursive-walk oracle, full corpus) for this
+    // (and any) batch split.
+    QueryDef(
+      "q202_stream_dup_clusters",
+      (s, dir) => {
+        val ss = EventOps.streamSession(s)
+        val docs = Tables.documents(ss, dir)
+        val srcDir = EventOps.stageArrivalBatches(docs, "graft-s202:", 4, "q202")
+        Seq("q202_labels", "q202_forward").foreach(t =>
+          ss.sql(s"DROP TABLE IF EXISTS $t"))
+        val outRoot = java.nio.file.Files.createTempDirectory("q202out").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("q202ckpt").toString
+        val stream = ss.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val q = graft.streaming.EventStream.dupClustersIncremental(
+          stream, "doc_id", "text", s"$outRoot/bandidx", s"$outRoot/pairs",
+          "q202_labels", "q202_forward", k = 4, w = 3, r = 2,
+          checkpointLocation = Some(ckpt), compactIndexEvery = 2)
+        try q.processAllAvailable()
+        finally q.stop()
+        val result = graft.ops.Components
+          .resolvedLabels(s, "q202_labels", "q202_forward", "doc_id")
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+        Seq("q202_labels", "q202_forward").foreach(t =>
+          s.sql(s"DROP TABLE IF EXISTS $t"))
+        Seq(srcDir, outRoot, ckpt).foreach(EventOps.rmTree)
+        result
+      },
+      Some(s"""WITH RECURSIVE ${OracleFrags.dedupWalkCtes("documents")},
+        cc AS (
+          SELECT id AS doc_id, min(component) AS component
+          FROM walk GROUP BY id)
+        SELECT d.doc_id,
+          coalesce(cc.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN cc USING (doc_id)
+        ORDER BY d.doc_id""")),
   )
 
   /** Shared by q146 (batch join route) and q162 (streaming custom-state

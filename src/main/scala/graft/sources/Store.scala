@@ -742,6 +742,38 @@ object Store {
       .filter(col(idCol).isin(keys.map(k => lit(k).cast(idType)): _*))
   }
 
+  /** [[lookup]]'s sibling for a key set that lives in a FRAME, not in
+    * driver literals (a micro-batch's endpoint ids, a join's probe side):
+    * the keys' routing partitions are computed with the write path's own
+    * expressions in ONE tiny distributed aggregate (the collect is ≤
+    * `parts` ints — partition NUMBERS, never keys, so the driver bound
+    * holds at any batch size), the manifest narrows to those partitions'
+    * live generations, and the scan lists only their dirs. The caller
+    * joins the result against its key frame (this returns the touched
+    * partitions' FULL rows — per-key bucket pruning needs literal keys,
+    * which is exactly what this variant exists to avoid). Net scan:
+    * min(|keys|, parts) partition dirs — for a micro-batch against a
+    * large table, a small fraction of it; degrades gracefully to [[read]]
+    * when the key set spans every partition.
+    */
+  def readForKeys(spark: SparkSession, name: String, keys: DataFrame): DataFrame = {
+    requireTable(spark, name)
+    spark.catalog.refreshTable(name)
+    val t = spark.table(name)
+    require(t.columns.contains(GenCol),
+      s"$name is not a generational store table — readForKeys needs the " +
+        "routed layout (rebuild via bulkWrite); filter a plain read instead")
+    val idCol = idColOf(spark, name)
+    val parts = partsOf(spark, name)
+    val idType = t.schema(idCol).dataType
+    val kc = keys.columns.head
+    val touched = keys
+      .select(pmod(hash(keys(kc).cast(idType)), lit(parts)).as("__p"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val manifest = readManifest(spark, name).map(_._2).getOrElse(Map.empty)
+    readAt(spark, name, manifest.view.filterKeys(touched).toMap)
+  }
+
   /** ENVELOPE-PRUNED BOX READ over a Z-ordered store table (r12 verdict
     * #2 — the natural join of the generational store and the
     * [[graft.ops.Layout]] machinery): after `compact(zorder = ...)`, each

@@ -328,8 +328,11 @@ object EventStream {
       indexPath: String, pairsOut: String,
       k: Int = 4, w: Int = 3, r: Int = 2,
       checkpointLocation: Option[String] = None,
-      nBuckets: Int = 64)
+      nBuckets: Int = 64, compactIndexEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // per-query batch counter (driver-side, one batch at a time — the
+    // toStoreUpsert rule)
+    var applied = 0L
     val wr = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -352,7 +355,87 @@ object EventStream {
               .write.mode("append").parquet(pairsOut)
             graft.ops.Dedup
               .appendMinhashBandIndex(sigs, indexPath, idCol, k, r, nBuckets)
+            applied += 1L
+            // fold the index's per-batch files back to one per dir —
+            // the streaming half of [[graft.ops.Dedup.compactBandIndex]]'s
+            // contract (0 disables; crash windows leave only absorbed
+            // duplicates, see the operator's doc)
+            if (compactIndexEvery > 0 && applied % compactIndexEvery == 0) {
+              graft.ops.Dedup.compactBandIndex(spark, indexPath)
+              graft.ops.Dedup.compactPairFacts(spark, pairsOut)
+              ()
+            }
           } finally sigs.unpersist()
+        }
+      }
+    checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))
+    wr.start()
+  }
+
+  /** STREAMING DUP CLUSTERS with LAZY LABELS (r15) —
+    * [[nearDupIncremental]]'s pair loop composed with the union-find
+    * label state of [[graft.ops.Components]]: each micro-batch signs
+    * scan-locally, probes/appends the banded index (partition-pruned,
+    * O(batch + colliding buckets) per trigger), appends its pairs, and
+    * folds the batch into the TWO-TABLE labeling via
+    * [[graft.ops.Components.applyBatch]] — the batch endpoints' label
+    * rows read partition-pruned, merges recorded as forward entries, NO
+    * full label-table scan anywhere in the trigger path (the per-trigger
+    * O(corpus) relabel read that the eager
+    * [[crossModalIncremental]]/q193 shape pays, removed). The resolved
+    * view ([[graft.ops.Components.resolvedLabels]]) equals a
+    * from-scratch clustering for any batch split — the q202 gate runs
+    * q193's recursive-walk oracle against it verbatim.
+    *
+    * Maintenance every `compactIndexEvery` applied batches: band-index
+    * fold, pair-fact fold, forward-table fold into the labels, and a
+    * Store compact of both tables — each amortized, each crash-safe by
+    * its own contract. Delivery is the incremental family's: pairs are
+    * value-facts, a replayed batch's writes are empty (Components doc).
+    */
+  def dupClustersIncremental(
+      docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, pairsOut: String,
+      labelsTable: String, forwardTable: String,
+      k: Int = 4, w: Int = 3, r: Int = 2,
+      checkpointLocation: Option[String] = None,
+      nBuckets: Int = 64, buckets: Int = 4, parts: Int = 4,
+      compactIndexEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
+    val wr = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF().localCheckpoint()
+        if (!b.isEmpty) {
+          val sigs = graft.ops.Dedup
+            .minhashSignaturesScanLocal(b, idCol, textCol, k, w)
+            .persist()
+          // pairs feed two consumers (the fact dir and the label fold)
+          val pairs = graft.ops.Dedup
+            .probeMinhashBandIndex(spark, indexPath, sigs, idCol, k, r, nBuckets)
+            .persist()
+          try {
+            pairs.write.mode("append").parquet(pairsOut)
+            graft.ops.Dedup.appendMinhashBandIndex(sigs, indexPath, idCol, k, r, nBuckets)
+            graft.ops.Components.applyBatch(
+              spark, labelsTable, forwardTable,
+              b.select(col(idCol)), idCol, pairs.select(col("id_a"), col("id_b")),
+              buckets = buckets, parts = parts)
+            applied += 1L
+            if (compactIndexEvery > 0 && applied % compactIndexEvery == 0) {
+              graft.ops.Dedup.compactBandIndex(spark, indexPath)
+              graft.ops.Dedup.compactPairFacts(spark, pairsOut)
+              graft.ops.Components.fold(spark, labelsTable, forwardTable, idCol, buckets)
+              if (spark.catalog.tableExists(labelsTable))
+                graft.sources.Store.compact(spark, labelsTable)
+              ()
+            }
+          } finally {
+            pairs.unpersist()
+            sigs.unpersist()
+          }
         }
       }
     checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))
@@ -386,8 +469,9 @@ object EventStream {
       media: DataFrame, indexPath: String, pairsOut: String,
       maxHamming: Int = 3,
       checkpointLocation: Option[String] = None,
-      nBuckets: Int = 64)
+      nBuckets: Int = 64, compactIndexEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
     val wr = media.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -411,6 +495,12 @@ object EventStream {
             graft.ops.Dedup.appendSimhashBandIndex(
               sigs, indexPath, "media_id", maxHamming,
               sigBits = 64, nBuckets = nBuckets)
+            applied += 1L
+            if (compactIndexEvery > 0 && applied % compactIndexEvery == 0) {
+              graft.ops.Dedup.compactBandIndex(spark, indexPath)
+              graft.ops.Dedup.compactPairFacts(spark, pairsOut)
+              ()
+            }
           } finally sigs.unpersist()
         }
       }
@@ -456,8 +546,10 @@ object EventStream {
       textIdxTable: String, labelsTable: String, pairsOut: String,
       maxHamming: Int = 3,
       checkpointLocation: Option[String] = None,
-      buckets: Int = 4, parts: Int = 4, nBuckets: Int = 64)
+      buckets: Int = 4, parts: Int = 4, nBuckets: Int = 64,
+      compactIndexEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
     val wr = media.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -471,12 +563,20 @@ object EventStream {
             b.select(col("doc_id").as("media_id"),
               col(payload).as("payload"), lit(mime).as("mime"))
               .as[Multimodal.MediaRow]
+          // persist BOTH signature frames (the imageNearDupIncremental
+          // rule): each feeds four actions per trigger — the probe's
+          // partition-key collect, the pair write, and the append's
+          // isEmpty + write — and unpersisted each action would re-DECODE
+          // the batch's payloads (measured ~4× the decode cost per
+          // modality per trigger on the q201 gate)
           val imgSigs = Multimodal.imageAHash(mediaRows("img", "image/png"))
             .toDF().filter(col("decoded") && col("ahash") =!= -1L)
             .select(col("media_id").as("doc_id"), col("ahash").as("simhash"))
+            .persist()
           val audSigs = Multimodal.audioEnergyHash(mediaRows("wav", "audio/wav"))
             .toDF().filter(col("decoded"))
             .select(col("media_id").as("doc_id"), col("ehash").as("simhash"))
+            .persist()
           // probe BEFORE appending this batch's own bands; pairs persist
           // because three consumers read them (pairsOut, the root graph,
           // and the label fold)
@@ -536,7 +636,18 @@ object EventStream {
             if (labExists) Store.upsert(spark, labelsTable, delta, "doc_id", buckets)
             else Store.bulkWrite(delta, labelsTable, "doc_id",
               buckets = buckets, parts = parts)
-          } finally pairs.unpersist()
+            applied += 1L
+            if (compactIndexEvery > 0 && applied % compactIndexEvery == 0) {
+              Dedup.compactBandIndex(spark, imageIdxPath)
+              Dedup.compactBandIndex(spark, audioIdxPath)
+              Dedup.compactPairFacts(spark, pairsOut)
+              ()
+            }
+          } finally {
+            pairs.unpersist()
+            imgSigs.unpersist()
+            audSigs.unpersist()
+          }
         }
       }
     checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))

@@ -141,4 +141,96 @@ class BandIndexSpec extends SparkSpec {
         s"probe scan scales with the index: $bytes1 bytes before growth, $bytes2 after")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  private def dataFilesByDir(path: String): Map[String, Seq[String]] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        out += f.getPath
+    }
+    out.toSeq.groupBy(_.getParent.toString).map { case (d, fs0) =>
+      d -> fs0.map(_.getName)
+    }
+  }
+
+  test("compactBandIndex: one file per dir after, probes unchanged, crash duplicates absorbed") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val batches = Seq(
+      Seq((1L, base), (2L, "alpha beta gamma delta words epsilon zeta")),
+      Seq((3L, base), (4L, "unrelated totally different content entirely")),
+      Seq((5L, "alpha beta gamma delta words epsilon zeta")))
+    val path = java.nio.file.Files.createTempDirectory("bandcompact").toString + "/idx"
+    batches.foreach(c =>
+      Dedup.appendMinhashBandIndex(sigsOf(c.toDF("doc_id", "text")), path, "doc_id",
+        k = 4, r = 2))
+    val probe = sigsOf(Seq((900L, base)).toDF("doc_id", "text"))
+    def probePairs(): Set[(Long, Long)] =
+      Dedup.probeMinhashBandIndex(spark, path, probe, "doc_id", k = 4, r = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probePairs()
+    assert(before.contains((1L, 900L)) && before.contains((3L, 900L)))
+    assert(dataFilesByDir(path).exists(_._2.size > 1),
+      "fixture never accumulated multi-file dirs — the fold pin is vacuous")
+    val folded = Dedup.compactBandIndex(spark, path)
+    assert(folded > 0)
+    val after = dataFilesByDir(path)
+    assert(after.nonEmpty && after.forall(_._2.size == 1),
+      s"dirs still crowded after compaction: ${after.filter(_._2.size > 1).keys}")
+    assert(probePairs() === before, "compaction changed the probe's pair set")
+    // already-compact index: the fold is a no-op
+    assert(Dedup.compactBandIndex(spark, path) === 0)
+    // crash window: the fold APPENDED its file but died before deleting the
+    // snapshot — simulated by re-appending an already-indexed batch
+    // (duplicate band rows, exactly what the half-committed fold leaves).
+    // Probes absorb the duplicates; a re-run of the fold converges.
+    Dedup.appendMinhashBandIndex(sigsOf(batches.head.toDF("doc_id", "text")), path,
+      "doc_id", k = 4, r = 2)
+    assert(probePairs() === before, "duplicate band rows changed the probe's pair set")
+    assert(Dedup.compactBandIndex(spark, path) > 0)
+    assert(dataFilesByDir(path).forall(_._2.size == 1))
+    assert(probePairs() === before)
+  }
+
+  test("compactPairFacts folds per-trigger pair files to one distinct file; value set unchanged") {
+    val path = java.nio.file.Files.createTempDirectory("pairfacts").toString + "/pairs"
+    // three "triggers", the middle one a replay (duplicate rows by value)
+    Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b").write.mode("append").parquet(path)
+    Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b").write.mode("append").parquet(path)
+    Seq((5L, 6L)).toDF("id_a", "id_b").write.mode("append").parquet(path)
+    def pairSet(): Set[(Long, Long)] =
+      spark.read.parquet(path).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = pairSet()
+    assert(before === Set((1L, 2L), (3L, 4L), (5L, 6L)))
+    assert(Dedup.compactPairFacts(spark, path) > 0)
+    assert(pairSet() === before)
+    // folded to one file, raw row count now equals the distinct count
+    assert(dataFilesByDir(path).values.map(_.size).sum === 1)
+    assert(spark.read.parquet(path).count() === 3L)
+    // already compact: no-op
+    assert(Dedup.compactPairFacts(spark, path) === 0)
+  }
+
+  test("compactBandIndex folds the simhash chunk layout too (partition names recovered)") {
+    val path = java.nio.file.Files.createTempDirectory("bandcompactsh").toString + "/idx"
+    val sigs = Seq((1L, 0x0123456789abcdefL), (2L, 0x0123456789abcdeeL), (3L, -1L))
+    sigs.grouped(1).foreach(c =>
+      Dedup.appendSimhashBandIndex(c.toDF("media_id", "simhash"), path, "media_id",
+        maxHamming = 3, sigBits = 64))
+    def probePairs(): Set[(Long, Long, Int)] =
+      Dedup.probeSimhashBandIndex(spark, path,
+          Seq((900L, 0x0123456789abcdefL)).toDF("media_id", "simhash"), "media_id",
+          maxHamming = 3, sigBits = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val before = probePairs()
+    assert(before === Set((1L, 900L, 0), (2L, 900L, 1)))
+    assert(Dedup.compactBandIndex(spark, path) > 0)
+    assert(dataFilesByDir(path).forall(_._2.size == 1))
+    assert(probePairs() === before)
+  }
 }

@@ -445,6 +445,50 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("near-dup sink folds its band index mid-stream without changing the pair set") {
+    import graft.ops.Dedup
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, "alpha beta gamma delta words epsilon zeta"),
+      (4L, base),
+      (5L, "unrelated totally different content entirely"),
+      (6L, "alpha beta gamma delta words epsilon zeta")
+    ).toDF("doc_id", "text")
+    val batchPairs = Dedup.minhashCandidates(
+        Dedup.minhashBands(
+          Dedup.minhashSignaturesScanLocal(docs, "doc_id", "text", k = 4, w = 3),
+          "doc_id", k = 4, r = 2), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val srcDir = java.nio.file.Files.createTempDirectory("ndc").toString
+    docs.repartition(3, col("doc_id")).write.mode("overwrite").parquet(srcDir)
+    val outRoot = java.nio.file.Files.createTempDirectory("ndcp").toString
+    val indexPath = s"$outRoot/bandidx"
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    // compactIndexEvery = 1: the fold runs after EVERY applied batch, so
+    // later triggers probe an index that has been rewritten under them
+    val q = EventStream.nearDupIncremental(
+      stream, "doc_id", "text", indexPath, s"$outRoot/pairs", k = 4, w = 3, r = 2,
+      compactIndexEvery = 1)
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.read.parquet(s"$outRoot/pairs").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === batchPairs, "mid-stream index folds changed the pair set")
+    // the final fold ran after the last batch: every dir is compact
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) files += f.getPath
+    }
+    val crowded = files.groupBy(_.getParent).filter(_._2.size > 1)
+    assert(crowded.isEmpty, s"dirs still crowded after per-batch folds: ${crowded.keys}")
+  }
+
   test("index-sync sink bootstraps a missing index from a PRE-EXISTING corpus table") {
     import graft.ops.{Dedup, IndexSync}
     import graft.sources.Store

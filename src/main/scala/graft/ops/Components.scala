@@ -56,6 +56,49 @@ import graft.sources.Store
   */
 object Components {
 
+  /** Root-graph edge cap for the driver-side union-find in
+    * [[applyBatch]]: a micro-batch's root graph collects (one bounded
+    * job, `limit(cap+1)` so an over-cap graph never materializes
+    * driver-side) and merges resolve in-process; a graph past the cap —
+    * a giant batch or an adversarial all-dups burst — runs the
+    * distributed [[Dedup.connectedComponents]] fixpoint instead. 2M
+    * edges ≈ 32 MB of longs, well inside any driver.
+    */
+  private[graft] val MaxLocalRootEdges = 2000000
+
+  /** Driver-side min-label union-find over the root graph: returns the
+    * `old_root → root` merge frame as a LocalRelation (so downstream
+    * broadcast joins plan without a shuffle), or None when the graph
+    * exceeds [[MaxLocalRootEdges]] or its ids are not 64-bit integers
+    * (the distributed path handles both).
+    */
+  private def localMerges(rootPairs: DataFrame, cap: Int): Option[DataFrame] = {
+    val spark = rootPairs.sparkSession
+    val longIds = rootPairs.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (!longIds || cap <= 0) return None
+    val rows = rootPairs.limit(cap + 1).collect()
+    if (rows.length > cap) return None
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      // path compression
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { r =>
+      val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (ra != rb) { // min root wins — the canonical labeling
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val merged = parent.keys.toArray.map(k => (k, find(k))).filter(p => p._1 != p._2)
+    import spark.implicits._
+    Some(merged.toSeq.toDF("old_root", "root"))
+  }
+
   /** Apply one hop of forwarding: the true labels under pending merges.
     * `forward` is broadcast — its size is the merge count since the last
     * fold, not the corpus.
@@ -90,7 +133,8 @@ object Components {
   def applyBatch(
       spark: SparkSession, labelsTable: String, forwardTable: String,
       newIds: DataFrame, idCol: String, newPairs: DataFrame,
-      buckets: Int = 4, parts: Int = 4): Unit = {
+      buckets: Int = 4, parts: Int = 4,
+      maxLocalRootEdges: Int = MaxLocalRootEdges): Unit = {
     val ids = newIds.select(col(idCol))
     val endpoints = newPairs.select(col("id_a").as(idCol))
       .unionByName(newPairs.select(col("id_b").as(idCol)))
@@ -128,17 +172,28 @@ object Components {
       .select(col("__ra").as("id_a"), col("__rb").as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
     // CC over the ROOT graph — batch-sized by construction; min-label
-    // canonicality gives the merged component its global min id
-    val merges = Dedup.connectedComponents(rootPairs)
-      .filter(col("id") =!= col("component"))
-      .select(col("id").as("old_root"), col("component").as("root"))
-      .localCheckpoint() // reused thrice; tiny (≤ batch roots)
+    // canonicality gives the merged component its global min id. A
+    // micro-batch root graph is usually TINY (≤ the batch's pair count),
+    // where the iterative distributed CC pays several join+checkpoint
+    // rounds of pure scheduling overhead (~3.5 s/trigger measured at the
+    // q202 gate for a 75-edge graph) — so graphs under the local cap run
+    // a driver-side union-find instead (one bounded collect, the
+    // centroids/BPE-top-k rule), and anything larger falls back to the
+    // distributed fixpoint unchanged.
+    val merges = localMerges(rootPairs, maxLocalRootEdges).getOrElse(
+      Dedup.connectedComponents(rootPairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("old_root"), col("component").as("root"))
+        .localCheckpoint()) // reused thrice; tiny (≤ batch roots)
     // forward stays fully resolved: entries whose TARGET merged re-point
-    // in the same commit (one-hop invariant), new entries land resolved
+    // in the same commit (one-hop invariant), new entries land resolved.
+    // Both update frames are join-derived and consumed by THREE actions
+    // each (isEmpty + the upsert's stats job + its write) — checkpoint
+    // once so the joins run once, not three times per trigger.
     val retarget = fwd.as("f")
       .join(broadcast(merges).as("m"), col("f.root") === col("m.old_root"))
       .select(col("f.old_root"), col("m.root").as("root"))
-    val fwdUp = merges.unionByName(retarget)
+    val fwdUp = merges.unionByName(retarget).localCheckpoint()
     if (fwdExists) {
       if (!fwdUp.isEmpty) Store.upsert(spark, forwardTable, fwdUp, "old_root", buckets)
     } else if (!fwdUp.isEmpty)
@@ -151,6 +206,7 @@ object Components {
       .join(broadcast(merges.withColumnRenamed("old_root", "__root")),
         Seq("__root"), "left")
       .select(col(idCol), coalesce(col("root"), col("__root")).as("component"))
+      .localCheckpoint() // same three-consumer rule as fwdUp
     if (labExists) {
       if (!newLabels.isEmpty) Store.upsert(spark, labelsTable, newLabels, idCol, buckets)
     } else if (!newLabels.isEmpty)

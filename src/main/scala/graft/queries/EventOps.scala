@@ -275,9 +275,12 @@ object EventOps {
         val ckpt = java.nio.file.Files.createTempDirectory("q191ckpt").toString
         val stream = ss.readStream.schema(media.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        // nBuckets sized to the micro-batch (the banded-index contract:
+        // a bucket's rows fit a task) — 64 buckets × 4 chunks at this
+        // trigger size writes 256 near-empty files per append
         val q = graft.streaming.EventStream.imageNearDupIncremental(
           stream, indexPath, pairsOut, maxHamming = 3,
-          checkpointLocation = Some(ckpt))
+          checkpointLocation = Some(ckpt), nBuckets = 8)
         try q.processAllAvailable()
         finally q.stop()
         // materialize, then delete the invocation's scratch (ADVICE r7) —
@@ -309,7 +312,8 @@ object EventOps {
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
         val q = graft.streaming.EventStream.nearDupIncremental(
           stream, "doc_id", "text", indexPath, pairsOut,
-          k = 4, w = 3, r = 2, checkpointLocation = Some(ckpt))
+          k = 4, w = 3, r = 2, checkpointLocation = Some(ckpt),
+          nBuckets = 8) // sized to the micro-batch (the q191 sizing note)
         try q.processAllAvailable()
         finally q.stop()
         // materialize, then delete the invocation's scratch (ADVICE r7) —
@@ -975,7 +979,11 @@ object EventOps {
         val q = graft.streaming.EventStream.dupClustersIncremental(
           stream, "doc_id", "text", s"$outRoot/bandidx", s"$outRoot/pairs",
           "q202_labels", "q202_forward", k = 4, w = 3, r = 2,
-          checkpointLocation = Some(ckpt), compactIndexEvery = 2)
+          // compact once MID-stream (batch 3 of 4): the fold must be
+          // crossed by later batches to prove the amortization, and one
+          // crossing proves it — per-2 folded twice for no extra coverage
+          checkpointLocation = Some(ckpt), compactIndexEvery = 3,
+          nBuckets = 8) // sized to the micro-batch (the q191 sizing note)
         try q.processAllAvailable()
         finally q.stop()
         val result = graft.ops.Components

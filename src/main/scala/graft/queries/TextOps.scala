@@ -2780,18 +2780,23 @@ object TextOps {
             org.apache.spark.sql.Encoders.STRING))
           .toDF("doc_id", "img", "wav", "text")
         val srcDir = EventOps.stageArrivalBatches(media, "graft-s201:", 4, "q201")
-        Seq("xm_fp_idx", "xm_labels").foreach(t => ss.sql(s"DROP TABLE IF EXISTS $t"))
+        Seq("xm_fp_idx", "xm_labels", "xm_forward")
+          .foreach(t => ss.sql(s"DROP TABLE IF EXISTS $t"))
         val outRoot = java.nio.file.Files.createTempDirectory("q201out").toString
         val ckpt = java.nio.file.Files.createTempDirectory("q201ckpt").toString
         val stream = ss.readStream.schema(media.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        // nBuckets sized to the micro-batch (the banded-index contract:
+        // a bucket's rows fit a task) — ~1.5k docs × 4 chunks per trigger
+        // wants 8 buckets, not the 64 a production corpus shards over
         val q = graft.streaming.EventStream.crossModalIncremental(
           stream, s"$outRoot/imgidx", s"$outRoot/audidx",
-          "xm_fp_idx", "xm_labels", s"$outRoot/pairs",
-          maxHamming = 3, checkpointLocation = Some(ckpt))
+          "xm_fp_idx", "xm_labels", "xm_forward", s"$outRoot/pairs",
+          maxHamming = 3, checkpointLocation = Some(ckpt), nBuckets = 8)
         try q.processAllAvailable()
         finally q.stop()
-        val comp = graft.sources.Store.read(s, "xm_labels")
+        val comp = graft.ops.Components
+          .resolvedLabels(s, "xm_labels", "xm_forward", "doc_id")
           .select(col("doc_id"), col("component"))
         val edges = s.read.parquet(s"$outRoot/pairs").distinct()
         val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
@@ -2809,7 +2814,8 @@ object TextOps {
               (col("n_text_pairs") > 0).cast("int") >= 2)
           .orderBy(col("component"))
           .localCheckpoint()
-        Seq("xm_fp_idx", "xm_labels").foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+        Seq("xm_fp_idx", "xm_labels", "xm_forward")
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
         Seq(srcDir, outRoot, ckpt).foreach(EventOps.rmTree)
         result
       },

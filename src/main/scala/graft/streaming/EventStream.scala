@@ -526,24 +526,34 @@ object EventStream {
     *    same pair count, which is all the cluster output observes;
     *  - the batch's pairs from all three modalities append to `pairsOut`
     *    (append-only value-deduplicated facts, the q94 rule) and fold
-    *    into the PERSISTED labeling via
-    *    [[graft.ops.Dedup.incrementalComponents]] — label canonicality
-    *    (component = min member id) makes the maintained labels equal
-    *    the from-scratch q192 clustering for any batch split (q201 gates
-    *    the equality on q192's own oracle). Only CHANGED and NEW labels
-    *    upsert, so the label write is O(affected), though the relabel
-    *    join reads the label table (16 bytes/doc — the q193 shape).
+    *    into the TWO-TABLE lazy labeling via
+    *    [[graft.ops.Components.applyBatch]] (the [[dupClustersIncremental]]
+    *    shape, r15 — replacing the eager
+    *    [[graft.ops.Dedup.incrementalComponents]] fold whose relabel join
+    *    read the full label table every trigger): the batch endpoints'
+    *    label rows read partition-pruned, merges land as forward entries,
+    *    no O(corpus) read anywhere in the trigger path. The RESOLVED view
+    *    ([[graft.ops.Components.resolvedLabels]]) is canonical
+    *    (component = min member id), so it equals the from-scratch q192
+    *    clustering for any batch split (q201 gates the equality on q192's
+    *    own oracle).
     *
-    * Replay contract: a replayed batch's ids are anti-joined out of the
-    * `newIds` side (they are already labeled; feeding them as new would
-    * orphan them to singletons), its pairs map endpoints through their
-    * stored roots and converge to the same labels, and its index
-    * appends are absorbed exactly as in [[nearDupIncremental]] /
-    * [[exactDedupIncremental]].
+    * Replay contract: a replayed batch's ids are already labeled
+    * (applyBatch anti-joins them out of the new-label side; feeding them
+    * as new would orphan them to singletons), its pairs map endpoints
+    * through their stored roots to self-edges — both table writes are
+    * empty — and its index appends are absorbed exactly as in
+    * [[nearDupIncremental]] / [[exactDedupIncremental]].
+    *
+    * Maintenance every `compactIndexEvery` applied batches: band-index
+    * fold ×2, pair-fact fold, forward-table fold into the labels, and a
+    * Store compact of the label table (the [[dupClustersIncremental]]
+    * cadence — each amortized, each crash-safe by its own contract).
     */
   def crossModalIncremental(
       media: DataFrame, imageIdxPath: String, audioIdxPath: String,
-      textIdxTable: String, labelsTable: String, pairsOut: String,
+      textIdxTable: String, labelsTable: String, forwardTable: String,
+      pairsOut: String,
       maxHamming: Int = 3,
       checkpointLocation: Option[String] = None,
       buckets: Int = 4, parts: Int = 4, nBuckets: Int = 64,
@@ -614,33 +624,28 @@ object EventStream {
             val newKeepers = hubbed
               .filter(col("keeper").isNull && col("doc_id") === col("__bmin"))
               .select(col("fingerprint"), col("doc_id").as("keeper"))
+              // join-derived and read twice by the upsert (stats + write)
+              // — and the upsert also re-reads the table the hub joins,
+              // so materialize BEFORE the table moves
+              .localCheckpoint()
             if (fpExists) Store.upsert(spark, textIdxTable, newKeepers, "fingerprint", buckets)
             else Store.bulkWrite(newKeepers, textIdxTable, "fingerprint",
               buckets = buckets, parts = parts)
-            // fold the batch into the persisted labeling
-            val labExists = spark.catalog.tableExists(labelsTable)
-            val oldLabels =
-              if (labExists) Store.read(spark, labelsTable)
-              else b.select(col("doc_id"), col("doc_id").as("component")).filter(lit(false))
-            val newIds = b.select(col("doc_id"))
-              .join(oldLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
-            val refreshed = Dedup.incrementalComponents(
-                oldLabels, newIds, "doc_id", pairs.select(col("id_a"), col("id_b")))
-              .select(col("doc_id"), col("component"))
-            val delta = refreshed
-              .join(oldLabels.select(col("doc_id"), col("component").as("__old")),
-                Seq("doc_id"), "left")
-              .filter(col("__old").isNull || col("__old") =!= col("component"))
-              .select(col("doc_id"), col("component"))
-              .localCheckpoint() // materialize before upserting the table it reads
-            if (labExists) Store.upsert(spark, labelsTable, delta, "doc_id", buckets)
-            else Store.bulkWrite(delta, labelsTable, "doc_id",
+            // fold the batch into the lazy two-table labeling — endpoint
+            // rows read partition-pruned, merges land as forward entries
+            graft.ops.Components.applyBatch(
+              spark, labelsTable, forwardTable,
+              b.select(col("doc_id")), "doc_id",
+              pairs.select(col("id_a"), col("id_b")),
               buckets = buckets, parts = parts)
             applied += 1L
             if (compactIndexEvery > 0 && applied % compactIndexEvery == 0) {
               Dedup.compactBandIndex(spark, imageIdxPath)
               Dedup.compactBandIndex(spark, audioIdxPath)
               Dedup.compactPairFacts(spark, pairsOut)
+              graft.ops.Components.fold(spark, labelsTable, forwardTable, "doc_id", buckets)
+              if (spark.catalog.tableExists(labelsTable))
+                Store.compact(spark, labelsTable)
               ()
             }
           } finally {

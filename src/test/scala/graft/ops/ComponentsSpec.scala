@@ -55,6 +55,41 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("driver union-find and distributed CC fallback produce identical tables") {
+    // same random graph, same split, one run per merge engine: the
+    // default path takes the in-process union-find (graph << cap), the
+    // cap=0 run forces Dedup.connectedComponents — r15's hybrid must be
+    // indistinguishable down to the STORED tables, not just the resolved
+    // view (forward keys/targets are part of the one-hop contract)
+    val rnd = new scala.util.Random(13)
+    val ids = (1L to 80L)
+    val pairs = Seq.fill(60)((rnd.nextInt(80) + 1L, rnd.nextInt(80) + 1L))
+      .filter(p => p._1 != p._2)
+    val batchOf = ids.map(i => i -> (i % 3).toInt).toMap
+    val split = (0 until 3).map { bi =>
+      (ids.filter(batchOf(_) == bi),
+        pairs.filter(p => math.max(batchOf(p._1), batchOf(p._2)) == bi))
+    }
+    def run(cap: Int): (Map[Long, Long], Map[Long, Long], Map[Long, Long]) = {
+      val (lab, fwd) = freshTables()
+      split.foreach { case (bids, bpairs) =>
+        Components.applyBatch(spark, lab, fwd,
+          bids.toDF("doc_id"), "doc_id", bpairs.toDF("id_a", "id_b"),
+          maxLocalRootEdges = cap)
+      }
+      val f = Store.read(spark, fwd)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val l = Store.read(spark, lab)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (resolved(lab, fwd), l, f)
+    }
+    val (resLocal, labLocal, fwdLocal) = run(Components.MaxLocalRootEdges)
+    val (resDist, labDist, fwdDist) = run(0)
+    assert(resLocal === resDist, "resolved views diverged between merge engines")
+    assert(labLocal === labDist, "stored label rows diverged between merge engines")
+    assert(fwdLocal === fwdDist, "forward tables diverged between merge engines")
+  }
+
   test("forward table is one-hop: targets are never keys, labels point through one hop") {
     val (lab, fwd) = freshTables()
     // chain of merges across batches: {30,31} then {20,21}∪30s then

@@ -741,19 +741,22 @@ class EventStreamSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("xmreplay").toString
     val srcDir = s"$root/src"
     media.repartition(2, col("doc_id")).write.mode("overwrite").parquet(srcDir)
-    Seq("xmr_fp", "xmr_lab").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq("xmr_fp", "xmr_lab", "xmr_fwd").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     def run(tag: String): Unit = {
       val stream = spark.readStream.schema(media.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
       val q = EventStream.crossModalIncremental(
-        stream, s"$root/img", s"$root/aud", "xmr_fp", "xmr_lab", s"$root/pairs",
-        checkpointLocation = Some(s"$root/ck$tag"))
+        stream, s"$root/img", s"$root/aud", "xmr_fp", "xmr_lab", "xmr_fwd",
+        s"$root/pairs", checkpointLocation = Some(s"$root/ck$tag"))
       try q.processAllAvailable()
       finally q.stop()
     }
     try {
       run("1")
-      def labels() = Store.read(spark, "xmr_lab").collect()
+      // the lazy two-table scheme resolves through the forward table —
+      // the stored label row may be stale, never wrong about membership
+      def labels() = graft.ops.Components
+        .resolvedLabels(spark, "xmr_lab", "xmr_fwd", "doc_id").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       val first = labels()
       assert(first === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
@@ -765,7 +768,7 @@ class EventStreamSpec extends SparkSpec {
       val pairs = spark.read.parquet(s"$root/pairs").distinct()
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
       assert(pairs === Set((1L, 2L, "text"), (5L, 6L, "text")))
-    } finally Seq("xmr_fp", "xmr_lab")
+    } finally Seq("xmr_fp", "xmr_lab", "xmr_fwd")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 }

@@ -742,11 +742,13 @@ object Dedup {
   // removes it: the index is stored ALREADY EXPLODED, hash-partitioned
   // by (band_idx, band_bucket) — the posting-table move the fuzzy-search
   // route made. A probe computes only the NEW batch's bands (bounded by
-  // |batch| × nBands), collects their distinct partition keys (driver-
-  // side, same bound), and reads ONLY those partitions — static
-  // partition pruning at file-listing time — so per-trigger cost is
-  // O(batch + colliding buckets), independent of index size
-  // (BandIndexSpec pins bytes-read invariance as the index grows).
+  // |batch| × nBands), collects their distinct partition cells (driver-
+  // side, same bound), and reads ONLY those cells' dirs, named directly
+  // from the cell values (readBandCells) — even the FILE LISTING is
+  // O(colliding buckets), never a walk of the whole partition tree — so
+  // per-trigger cost is O(batch + colliding buckets), independent of
+  // index size (BandIndexSpec pins bytes-read invariance as the index
+  // grows).
   //
   // Appends are plain partitioned parquet appends. The streaming
   // contract is the incremental operators' rule — insert-only, batch
@@ -759,6 +761,31 @@ object Dedup {
 
   private def bandBucket(key: Column, nBuckets: Int): Column =
     pmod(xxhash64(key), lit(nBuckets.toLong))
+
+  /** The probe-side read of a banded index, TARGETED: the batch's
+    * distinct `(idx, bucket)` cells name their partition dirs directly,
+    * so the scan's FILE LISTING is O(colliding buckets) too — a
+    * `spark.read.parquet(root)` would list the whole partition tree
+    * (every dir, every accumulated per-trigger file) before pruning,
+    * a per-trigger O(index dirs) driver cost that grows with corpus
+    * size and trigger count at 100 TB. Existence-checked per dir (a
+    * cell the index never saw has no dir); None when no cell collides,
+    * so first-batch probes skip the scan entirely. `basePath` keeps the
+    * dir-encoded partition columns in the frame.
+    */
+  private def readBandCells(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idxCol: String, bucketCol: String,
+      cells: Seq[(Int, Long)]): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val dirs = cells.map { case (i, b) =>
+      new org.apache.hadoop.fs.Path(root, s"$idxCol=$i/$bucketCol=$b")
+    }.filter(fs.exists).map(_.toString)
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("basePath", path).parquet(dirs: _*))
+  }
 
   /** Append a batch's MinHash bands into the banded index at `path`.
     * An EMPTY batch appends nothing — an empty partitioned write would
@@ -791,27 +818,24 @@ object Dedup {
     val bNew = minhashBands(newSigs, idCol, k, r)
       .withColumn("band_bucket", bandBucket(col("band_key"), nBuckets))
     val nn = minhashCandidates(bNew, idCol)
-    val p = new org.apache.hadoop.fs.Path(path)
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) nn
-    else {
-      // the batch's partition-key set, collected once (bounded by
-      // |batch| × nBands) — this literal filter over the PARTITION
-      // columns is what prunes the index scan to colliding buckets at
-      // file-listing time, before any data byte moves
-      val keys = bNew.select(
-          (col("band_idx").cast("long") * nBuckets + col("band_bucket")).as("pk"))
-        .distinct().collect().map(_.getLong(0)).toSeq
-      val old = spark.read.parquet(path)
-        .filter((col("band_idx").cast("long") * nBuckets +
-          col("band_bucket").cast("long")).isin(keys: _*))
-      val no = broadcast(bNew.as("a")).join(old.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_key") === col("b.band_key") &&
-            col(s"a.$idCol") =!= col(s"b.$idCol"))
-        .select(
-          least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
-          greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))
-      nn.unionByName(no).distinct()
+    // the batch's partition-cell set, collected once (bounded by
+    // |batch| × nBands) — the cells name their dirs DIRECTLY
+    // ([[readBandCells]]), so both the listing and the scan touch only
+    // colliding buckets, and the probe plan carries no per-trigger
+    // literal key list (a fresh isin list re-codegens every trigger)
+    val cells = bNew.select(col("band_idx"), col("band_bucket"))
+      .distinct().collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    readBandCells(spark, path, "band_idx", "band_bucket", cells) match {
+      case None => nn
+      case Some(old) =>
+        val no = broadcast(bNew.as("a")).join(old.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_key") === col("b.band_key") &&
+              col(s"a.$idCol") =!= col(s"b.$idCol"))
+          .select(
+            least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+            greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))
+        nn.unionByName(no).distinct()
     }
   }
 
@@ -841,26 +865,24 @@ object Dedup {
     val bNew = simhashBands(newSigs, idCol, maxHamming, sigBits)
       .withColumn("chunk_bucket", bandBucket(col("chunk_key"), nBuckets))
     val nn = simhashCandidates(newSigs, idCol, maxHamming, sigBits)
-    val p = new org.apache.hadoop.fs.Path(path)
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) nn
-    else {
-      val keys = bNew.select(
-          (col("chunk_idx").cast("long") * nBuckets + col("chunk_bucket")).as("pk"))
-        .distinct().collect().map(_.getLong(0)).toSeq
-      val old = spark.read.parquet(path)
-        .filter((col("chunk_idx").cast("long") * nBuckets +
-          col("chunk_bucket").cast("long")).isin(keys: _*))
-      val no = broadcast(bNew.as("a")).join(old.as("b"),
-          col("a.chunk_idx") === col("b.chunk_idx") &&
-            col("a.chunk_key") === col("b.chunk_key") &&
-            col(s"a.$idCol") =!= col(s"b.$idCol"))
-        .select(
-          least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
-          greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"),
-          hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= maxHamming)
-      nn.unionByName(no).distinct()
+    // cells name their dirs directly — see [[readBandCells]] and the
+    // minhash probe's note on listing cost and plan stability
+    val cells = bNew.select(col("chunk_idx"), col("chunk_bucket"))
+      .distinct().collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    readBandCells(spark, path, "chunk_idx", "chunk_bucket", cells) match {
+      case None => nn
+      case Some(old) =>
+        val no = broadcast(bNew.as("a")).join(old.as("b"),
+            col("a.chunk_idx") === col("b.chunk_idx") &&
+              col("a.chunk_key") === col("b.chunk_key") &&
+              col(s"a.$idCol") =!= col(s"b.$idCol"))
+          .select(
+            least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+            greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"),
+            hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= maxHamming)
+        nn.unionByName(no).distinct()
     }
   }
 

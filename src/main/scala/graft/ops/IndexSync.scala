@@ -181,7 +181,15 @@ object IndexSync {
     val ch = changelog.persist()
     try {
       val post = postImages(ch)
+      // the SIGNATURES are the expensive derivation here (shingle + k
+      // hash passes per doc), and four actions read them (the upsert's
+      // stats job and write, the sign-less anti-join inside the delete's
+      // stats, and the delete's write) — the cached changelog makes the
+      // re-derives cheap to SCAN but not to COMPUTE, so materialize the
+      // signatures once (measured ~4 signature passes/trigger at the
+      // q194 gate without this)
       val sigs = Dedup.minhashSignaturesScanLocal(post, idCol, textCol, k, w)
+        .localCheckpoint()
       Store.upsert(spark, table, sigs, idCol)
       val signless = post.select(col(idCol))
         .join(sigs.select(col(idCol)), Seq(idCol), "left_anti")

@@ -1206,5 +1206,51 @@ object TrainingOps {
           SELECT doc_id, text FROM samp
           WHERE doc_id NOT IN (SELECT train_id FROM cp)),
         ${OracleFrags.chunkPackSelect("clean", chunkSize = 64, budget = PackBudget, Splits)}"""))
+  ) ++ streamingDefs
+
+  // STREAMING STRATIFIED RESERVOIR SAMPLE (r15 —
+  // [[graft.streaming.EventStream.stratifiedSampleIncremental]]): the
+  // corpus arrives as 4 hash-split batches; per trigger the store-backed
+  // reservoir (O(quota · strata) state, never the corpus) unions the
+  // batch, re-ranks by the deterministic hash handles, and diffs —
+  // new members upsert, displaced members tombstone. Because
+  // stratifiedExact membership is a pure function of the id SET, the
+  // maintained table equals the batch q84 sample over the whole corpus
+  // for any batch split — q84's oracle runs VERBATIM against the
+  // streamed route (two routes, one truth).
+  private def streamingDefs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q203_stream_stratified_sample",
+      (s, dir) => {
+        val ss = EventOps.streamSession(s)
+        val docs = Tables.documents(ss, dir)
+          .select(col("doc_id"), col("lang"), col("source"))
+        val srcDir = EventOps.stageArrivalBatches(docs, "graft-s203:", 4, "q203")
+        ss.sql("DROP TABLE IF EXISTS q203_sample")
+        val ckpt = java.nio.file.Files.createTempDirectory("q203ckpt").toString
+        val stream = ss.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val q = graft.streaming.EventStream.stratifiedSampleIncremental(
+          stream, "doc_id", "lang", "q203_sample", ExactCounts, ExactDefault,
+          checkpointLocation = Some(ckpt))
+        try q.processAllAvailable()
+        finally q.stop()
+        val result = graft.streaming.EventStream.readStratifiedSample(
+            s, "q203_sample", "doc_id", "lang", ExactCounts, ExactDefault)
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+        s.sql("DROP TABLE IF EXISTS q203_sample")
+        Seq(srcDir, ckpt).foreach(EventOps.rmTree)
+        result
+      },
+      Some(s"""
+        WITH r AS (
+          SELECT doc_id, lang, source,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY ${Training.hashHexSql("doc_id", "graft-strat-exact")}, doc_id) AS rn
+          FROM documents)
+        SELECT doc_id, lang, source FROM r
+        WHERE ${Training.stratifiedExactSql("lang", ExactCounts, ExactDefault)}
+        ORDER BY doc_id"""))
   )
 }

@@ -215,6 +215,17 @@ object EventStream {
           //    deterministic writes — so a pre-mark crash is safe);
           //  - otherwise (absent index, vacuumed version, fresh corpus) →
           //    REBUILD from the table's current state.
+          // ONE changelog per distinct recorded span, shared across the
+          // indexes syncing it (the steady state: every index recorded
+          // the same previous version, so exact+sig+ivf all apply the
+          // SAME diff — computing the manifest-pruned full-outer diff
+          // once per index tripled that work per trigger). Checkpointed
+          // so no later maintenance commit can vacuum the span's
+          // generations out from under a plan.
+          val spanChangelogs = scala.collection.mutable.Map.empty[Long, DataFrame]
+          def changelogFrom(s: Long): DataFrame =
+            spanChangelogs.getOrElseUpdate(s,
+              graft.sources.Store.changes(spark, table, s, post).localCheckpoint())
           def ensure(t: String, build: => Unit, sync: DataFrame => Unit): Unit = {
             val recorded =
               if (fresh || !spark.catalog.tableExists(t)) None
@@ -222,11 +233,7 @@ object EventStream {
                 .filter(retained.contains)
             recorded match {
               case Some(s) if s == post => ()
-              case Some(s) =>
-                // materialize before any later maintenance commit could
-                // vacuum the span's generations out from under the plan
-                sync(graft.sources.Store.changes(spark, table, s, post)
-                  .localCheckpoint())
+              case Some(s) => sync(changelogFrom(s))
               case None => build
             }
             graft.ops.IndexSync.markSynced(spark, t, post)
@@ -256,9 +263,7 @@ object EventStream {
               case Some(sv) if sv == post => ()
               case Some(sv) =>
                 graft.ops.IndexSync.syncIvfIndex(spark,
-                  graft.sources.Store.changes(spark, table, sv, post)
-                    .localCheckpoint(),
-                  p, idCol, vecCol, quantized)
+                  changelogFrom(sv), p, idCol, vecCol, quantized)
               case None =>
                 val built = Similarity.buildIvfIndex(
                   graft.sources.Store.read(spark, table)
@@ -727,6 +732,102 @@ object EventStream {
     checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))
     wr.start()
   }
+
+  /** STREAMING stratified reservoir sample (r15): maintain an exact
+    * per-stratum sample of an unbounded stream in a Store table —
+    * the stable eval/holdout draw a 100 TB training pipeline needs to
+    * keep while the corpus grows. Rides on
+    * [[graft.ops.Training.stratifiedExact]]'s membership being a pure
+    * function of the id SET (the k smallest deterministic hash handles
+    * per stratum): per trigger, union the STORED sample (state-sized —
+    * O(k · strata), never the corpus) with the batch, re-rank, and
+    * diff — new members upsert, displaced members tombstone. The table
+    * therefore always equals the batch `stratifiedExact` over every id
+    * ever streamed, for any batch split (the q203 gate runs q84's
+    * oracle verbatim), and a member is only ever evicted by a
+    * smaller-handle arrival, never by reordering.
+    *
+    * Per-trigger cost is O(batch + k · strata): the reservoir is the
+    * only state read, the corpus is never rescanned, and the rank runs
+    * over reservoir+batch with the same WindowGroupLimit shape as the
+    * batch operator.
+    *
+    * Replay contract (at-least-once foreachBatch): a replayed batch's
+    * rows collapse against their stored copies in the pre-rank
+    * `dropDuplicates(idCol)` (ids are unique in the corpus — the
+    * operator's key contract), the re-rank reproduces the stored
+    * sample, and both diffs come out empty: the table does not move.
+    * Crash between the upsert and the delete leaves a transiently
+    * over-quota stratum; [[readStratifiedSample]] re-trims on read
+    * (cheap — the table is sample-sized), and the replay converges the
+    * stored state itself.
+    */
+  def stratifiedSampleIncremental(
+      docs: DataFrame, idCol: String, labelCol: String,
+      sampleTable: String, counts: Map[String, Long], defaultCount: Long = 0L,
+      seed: String = "graft-strat-exact",
+      checkpointLocation: Option[String] = None,
+      buckets: Int = 4, parts: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val wr = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        import graft.sources.Store
+        val b = batch.toDF().localCheckpoint()
+        if (!b.isEmpty) {
+          val exists = spark.catalog.tableExists(sampleTable)
+          val old =
+            if (exists) Store.read(spark, sampleTable).select(b.columns.map(col(_)): _*)
+            else b.filter(lit(false))
+          val kept = graft.ops.Training.stratifiedExact(
+              old.unionByName(b).dropDuplicates(idCol),
+              idCol, labelCol, counts, defaultCount, seed)
+            // three consumers (both diffs + the write) and the diffs run
+            // against the table the writes move — materialize first
+            .localCheckpoint()
+          if (!exists)
+            Store.bulkWrite(kept, sampleTable, idCol,
+              buckets = buckets, parts = parts, validateKeys = true)
+          else {
+            // both diffs put `kept` against its own `old` ancestor — the
+            // applyBatch rename rule keeps the anti-join conditions off
+            // the shared attribute lineage
+            val oldIds = old.select(col(idCol).as("__res_old")).localCheckpoint()
+            val added = kept
+              .join(oldIds, col(idCol) === col("__res_old"), "left_anti")
+              .localCheckpoint()
+            if (!added.isEmpty) Store.upsert(spark, sampleTable, added, idCol, buckets)
+            // the evicted diff runs even when nothing was admitted: a
+            // crash between a previous trigger's upsert and delete leaves
+            // an over-quota stratum whose replay has added == ∅ but a
+            // REAL eviction set — skipping it would never converge the
+            // stored state
+            val evicted = oldIds
+              .join(kept.select(col(idCol).as("__res_new")),
+                col("__res_old") === col("__res_new"), "left_anti")
+              .select(col("__res_old").as(idCol))
+              .localCheckpoint()
+            if (!evicted.isEmpty) Store.delete(spark, sampleTable, evicted, idCol, buckets)
+          }
+        }
+      }
+    checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))
+    wr.start()
+  }
+
+  /** The reservoir's read side: re-trim to quota so a crash between the
+    * sink's upsert and delete (a transiently over-quota stratum) is
+    * invisible to readers — idempotent over a converged table.
+    */
+  def readStratifiedSample(
+      spark: org.apache.spark.sql.SparkSession, sampleTable: String,
+      idCol: String, labelCol: String,
+      counts: Map[String, Long], defaultCount: Long = 0L,
+      seed: String = "graft-strat-exact"): DataFrame =
+    graft.ops.Training.stratifiedExact(
+      graft.sources.Store.read(spark, sampleTable),
+      idCol, labelCol, counts, defaultCount, seed)
 
   /** STREAMING corpus novelty — [[exactDedupIncremental]]'s machinery
     * applied to [[graft.ops.Training.noveltyScoreIncremental]], completing

@@ -726,6 +726,77 @@ class EventStreamSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("streaming stratified reservoir: equals the batch sample, evicts displaced members, replay is commit-free") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Training
+    import graft.sources.Store
+    val counts = Map("a" -> 2L)
+    val dflt = 1L
+    val docs = Seq(1L, 2L, 3L, 4L, 7L, 9L).map(i => (i, "a")) ++
+      Seq((5L, "b"), (6L, "b"), (8L, "c"))
+    val all = docs.toDF("doc_id", "lang")
+    val expect = Training.stratifiedExact(all, "doc_id", "lang", counts, dflt)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(expect.count(_._2 == "a") === 2 && expect.count(_._2 == "b") === 1)
+    val winners = expect.map(_._1)
+    // batch 1 carries ONLY non-winning a-rows (plus the c singleton):
+    // the reservoir must admit them — nothing better has arrived — and
+    // later batches' smaller handles must then EVICT them
+    val (losersA, rest) = docs.partition(d => d._2 == "a" && !winners.contains(d._1))
+    assert(losersA.size >= 2, "fixture needs enough displaced a-rows to pin eviction")
+    spark.sql("DROP TABLE IF EXISTS ssr_tab")
+    def sampleRows() = Store.read(spark, "ssr_tab").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.stratifiedSampleIncremental(
+      input.toDF().toDF("doc_id", "lang"), "doc_id", "lang", "ssr_tab",
+      counts, dflt, buckets = 2, parts = 2)
+    try {
+      input.addData(losersA ++ Seq((8L, "c")): _*)
+      q.processAllAvailable()
+      val after1 = sampleRows()
+      assert(after1.count(_._2 == "a") === 2, "reservoir under-filled before winners arrived")
+      input.addData(rest.filterNot(_ == (8L, "c")): _*)
+      q.processAllAvailable()
+      assert(sampleRows() === expect, "streamed reservoir diverged from the batch sample")
+      assert((after1 -- expect).nonEmpty, "no displaced member was ever held — eviction unpinned")
+      assert(graft.streaming.EventStream.readStratifiedSample(
+          spark, "ssr_tab", "doc_id", "lang", counts, dflt)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet === expect)
+    } finally q.stop()
+    // full replay against the converged table: every diff must come out
+    // empty, observable as ZERO new store commits (version-stable)
+    val vBefore = Store.versions(spark, "ssr_tab").toSeq
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.EventStream.stratifiedSampleIncremental(
+      input2.toDF().toDF("doc_id", "lang"), "doc_id", "lang", "ssr_tab",
+      counts, dflt, buckets = 2, parts = 2)
+    try {
+      input2.addData(docs: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(Store.versions(spark, "ssr_tab").toSeq === vBefore,
+      "replay committed — the no-op diffs wrote something")
+    assert(sampleRows() === expect)
+    // crash window: a trigger upserted its admissions but died before the
+    // delete, leaving an over-quota stratum — simulated by forcing a
+    // displaced row back in. The replay's added-diff is EMPTY, so only
+    // the unguarded evicted-diff can converge the stored state.
+    val displaced = losersA.head
+    Store.upsert(spark, "ssr_tab", Seq(displaced).toDF("doc_id", "lang"), "doc_id", 2)
+    assert(sampleRows() !== expect, "crash fixture did not perturb the table")
+    val input3 = MemoryStream[(Long, String)]
+    val q3 = graft.streaming.EventStream.stratifiedSampleIncremental(
+      input3.toDF().toDF("doc_id", "lang"), "doc_id", "lang", "ssr_tab",
+      counts, dflt, buckets = 2, parts = 2)
+    try {
+      input3.addData(docs: _*)
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(sampleRows() === expect, "replay did not converge the over-quota stratum")
+    spark.sql("DROP TABLE IF EXISTS ssr_tab")
+  }
+
   test("cross-modal sink replay guard: a full re-run over the same source leaves labels unchanged") {
     import graft.sources.Store
     // undecodable media payloads (filtered out scan-side — also pins that

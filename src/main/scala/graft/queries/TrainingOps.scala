@@ -1251,6 +1251,42 @@ object TrainingOps {
           FROM documents)
         SELECT doc_id, lang, source FROM r
         WHERE ${Training.stratifiedExactSql("lang", ExactCounts, ExactDefault)}
+        ORDER BY doc_id""")),
+
+    // STREAMING WEIGHTED RESERVOIR (q203's Efraimidis–Spirakis sibling —
+    // [[graft.streaming.EventStream.weightedSampleIncremental]]): the
+    // maintained top-100-by-ES-key table must equal the batch q177 draw
+    // over the whole corpus for any batch split — q177's oracle VERBATIM.
+    QueryDef(
+      "q204_stream_weighted_sample",
+      (s, dir) => {
+        val ss = EventOps.streamSession(s)
+        val docs = Tables.documents(ss, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val srcDir = EventOps.stageArrivalBatches(docs, "graft-s204:", 4, "q204")
+        ss.sql("DROP TABLE IF EXISTS q204_sample")
+        val ckpt = java.nio.file.Files.createTempDirectory("q204ckpt").toString
+        val stream = ss.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val q = graft.streaming.EventStream.weightedSampleIncremental(
+          stream, "doc_id", "n_chars", "q204_sample", n = 100,
+          checkpointLocation = Some(ckpt))
+        try q.processAllAvailable()
+        finally q.stop()
+        val result = graft.streaming.EventStream.readWeightedSample(
+            s, "q204_sample", "doc_id", "n_chars", n = 100)
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+        s.sql("DROP TABLE IF EXISTS q204_sample")
+        Seq(srcDir, ckpt).foreach(EventOps.rmTree)
+        result
+      },
+      Some(s"""
+        SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars FROM documents
+          WHERE n_chars > 0
+          ORDER BY ${Training.weightedSampleKeySql("doc_id", "n_chars")} DESC, doc_id
+          LIMIT 100)
         ORDER BY doc_id"""))
   )
 }

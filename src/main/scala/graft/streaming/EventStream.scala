@@ -768,6 +768,45 @@ object EventStream {
       seed: String = "graft-strat-exact",
       checkpointLocation: Option[String] = None,
       buckets: Int = 4, parts: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    reservoirIncremental(docs, idCol, sampleTable,
+      graft.ops.Training.stratifiedExact(_, idCol, labelCol, counts, defaultCount, seed),
+      checkpointLocation, buckets, parts)
+
+  /** [[stratifiedSampleIncremental]]'s WEIGHTED sibling: maintain the
+    * Efraimidis–Spirakis top-`n` draw ([[graft.ops.Training.weightedSample]]
+    * — inclusion ∝ `weightCol`, without replacement) over an unbounded
+    * stream. Same maintain-by-diff machinery, because the ES key too is
+    * a pure per-row function of (id, weight, seed): the stored reservoir
+    * always equals the batch draw over every row ever streamed, for any
+    * batch split (the q204 gate runs q177's oracle verbatim). The weight
+    * must be a stable function of the row — a replayed row re-keys
+    * identically, so replays diff empty. Read through
+    * [[readWeightedSample]] (re-trims the upsert/delete crash window).
+    */
+  def weightedSampleIncremental(
+      docs: DataFrame, idCol: String, weightCol: String,
+      sampleTable: String, n: Int, seed: String = "graft-es",
+      checkpointLocation: Option[String] = None,
+      buckets: Int = 4, parts: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    reservoirIncremental(docs, idCol, sampleTable,
+      graft.ops.Training.weightedSample(_, idCol, weightCol, n, seed),
+      checkpointLocation, buckets, parts)
+
+  /** The shared reservoir sink: per trigger, union the STORED sample
+    * (state-sized, never the corpus) with the batch, re-`trim`, and diff
+    * against the stored rows — admissions upsert, displaced members
+    * tombstone. `trim` must be a deterministic pure function of the row
+    * SET (both callers' trims are — that is the whole design), which is
+    * what makes the table equal the batch operator over everything ever
+    * streamed, replays diff-empty, and crashes re-converge.
+    */
+  private def reservoirIncremental(
+      docs: DataFrame, idCol: String, sampleTable: String,
+      trim: DataFrame => DataFrame,
+      checkpointLocation: Option[String],
+      buckets: Int, parts: Int)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val wr = docs.writeStream
       .outputMode("append")
@@ -780,9 +819,7 @@ object EventStream {
           val old =
             if (exists) Store.read(spark, sampleTable).select(b.columns.map(col(_)): _*)
             else b.filter(lit(false))
-          val kept = graft.ops.Training.stratifiedExact(
-              old.unionByName(b).dropDuplicates(idCol),
-              idCol, labelCol, counts, defaultCount, seed)
+          val kept = trim(old.unionByName(b).dropDuplicates(idCol))
             // three consumers (both diffs + the write) and the diffs run
             // against the table the writes move — materialize first
             .localCheckpoint()
@@ -800,7 +837,7 @@ object EventStream {
             if (!added.isEmpty) Store.upsert(spark, sampleTable, added, idCol, buckets)
             // the evicted diff runs even when nothing was admitted: a
             // crash between a previous trigger's upsert and delete leaves
-            // an over-quota stratum whose replay has added == ∅ but a
+            // an over-quota reservoir whose replay has added == ∅ but a
             // REAL eviction set — skipping it would never converge the
             // stored state
             val evicted = oldIds
@@ -828,6 +865,14 @@ object EventStream {
     graft.ops.Training.stratifiedExact(
       graft.sources.Store.read(spark, sampleTable),
       idCol, labelCol, counts, defaultCount, seed)
+
+  /** [[readStratifiedSample]]'s weighted twin. */
+  def readWeightedSample(
+      spark: org.apache.spark.sql.SparkSession, sampleTable: String,
+      idCol: String, weightCol: String, n: Int,
+      seed: String = "graft-es"): DataFrame =
+    graft.ops.Training.weightedSample(
+      graft.sources.Store.read(spark, sampleTable), idCol, weightCol, n, seed)
 
   /** STREAMING corpus novelty — [[exactDedupIncremental]]'s machinery
     * applied to [[graft.ops.Training.noveltyScoreIncremental]], completing

@@ -797,6 +797,40 @@ class EventStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ssr_tab")
   }
 
+  test("streaming weighted reservoir: equals the batch ES draw; a heavy late arrival evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Training
+    import graft.sources.Store
+    // ids 1..8 with weight 1, id 9 with weight 10000 — the paper's
+    // proportionality makes 9 near-certain to sample; feed it LAST so its
+    // admission must evict whichever light row held the seat
+    val docs = (1L to 8L).map(i => (i, 1L)) :+ (9L, 10000L)
+    val all = docs.toDF("doc_id", "w")
+    val n = 3
+    val expect = Training.weightedSample(all, "doc_id", "w", n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expect.contains((9L, 10000L)),
+      "fixture's dominant weight did not win — the eviction pin would be vacuous")
+    spark.sql("DROP TABLE IF EXISTS wsr_tab")
+    def rows() = Store.read(spark, "wsr_tab").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val input = MemoryStream[(Long, Long)]
+    val q = graft.streaming.EventStream.weightedSampleIncremental(
+      input.toDF().toDF("doc_id", "w"), "doc_id", "w", "wsr_tab", n,
+      buckets = 2, parts = 2)
+    try {
+      input.addData(docs.init: _*)
+      q.processAllAvailable()
+      val before = rows()
+      assert(before.size === n && !before.exists(_._1 == 9L))
+      input.addData(docs.last)
+      q.processAllAvailable()
+      assert(rows() === expect, "streamed weighted reservoir diverged from the batch draw")
+      assert((before -- expect).nonEmpty, "the heavy arrival evicted nothing")
+    } finally q.stop()
+    spark.sql("DROP TABLE IF EXISTS wsr_tab")
+  }
+
   test("cross-modal sink replay guard: a full re-run over the same source leaves labels unchanged") {
     import graft.sources.Store
     // undecodable media payloads (filtered out scan-side — also pins that

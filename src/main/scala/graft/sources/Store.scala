@@ -774,6 +774,24 @@ object Store {
     readAt(spark, name, manifest.view.filterKeys(touched).toMap)
   }
 
+  /** [[readForKeys]] trimmed to exactly the probe keys — the
+    * index-probe shape every per-trigger streaming lookup needs
+    * (the [[graft.ops.Components.applyBatch]] pattern, factored out):
+    * prune the scan to the keys' routing partitions, then semi-join
+    * away the co-resident rows for OTHER keys, so downstream joins run
+    * batch×batch instead of batch×partition. `keyCol` must be the
+    * table's key column (the semi-join runs on it). Net cost per call:
+    * one ≤`parts`-int collect + min(|keys|, parts) partition dirs
+    * scanned — independent of table size, which is what turns a
+    * streaming sink's per-trigger index read from O(corpus) to
+    * O(batch) (StreamIndexPruneSpec pins the bytes-read invariance).
+    */
+  def probe(spark: SparkSession, name: String, keys: DataFrame,
+      keyCol: String): DataFrame = {
+    val k = keys.select(col(keyCol))
+    readForKeys(spark, name, k).join(k, Seq(keyCol), "left_semi")
+  }
+
   /** ENVELOPE-PRUNED BOX READ over a Z-ordered store table (r12 verdict
     * #2 — the natural join of the generational store and the
     * [[graft.ops.Layout]] machinery): after `compact(zorder = ...)`, each

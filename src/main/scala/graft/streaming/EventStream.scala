@@ -561,7 +561,7 @@ object EventStream {
       pairsOut: String,
       maxHamming: Int = 3,
       checkpointLocation: Option[String] = None,
-      buckets: Int = 4, parts: Int = 4, nBuckets: Int = 64,
+      buckets: Int = 4, parts: Int = 32, nBuckets: Int = 64,
       compactIndexEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
@@ -602,8 +602,13 @@ object EventStream {
           val fps = b.filter(col("text").isNotNull)
             .select(col("doc_id"), Dedup.exactFingerprint(col("text")).as("fingerprint"))
           val fpExists = spark.catalog.tableExists(textIdxTable)
+          // probe, not read (r16): only the batch fingerprints' routing
+          // partitions — the text leg's twin of the banded media probes;
+          // `hubbed` evaluates twice (pair write + keeper checkpoint), so
+          // checkpoint the pruned read to scan it once per trigger
           val oldFp =
-            if (fpExists) Store.read(spark, textIdxTable)
+            if (fpExists)
+              Store.probe(spark, textIdxTable, fps, "fingerprint").localCheckpoint()
             else fps.select(col("fingerprint"), col("doc_id").as("keeper")).filter(lit(false))
           val batchMin = fps.groupBy(col("fingerprint"))
             .agg(min(col("doc_id")).as("__bmin"))
@@ -685,13 +690,25 @@ object EventStream {
     * replaces its own output instead of appending a duplicate copy
     * (ADVICE r7 — the bare append was at-least-once). Readers see `batch`
     * as a partition column of `labelsOut`.
+    *
+    * The index read is PARTITION-PRUNED (r16): each trigger probes only
+    * the batch fingerprints' routing partitions via
+    * [[graft.sources.Store.probe]], so per-trigger index cost is
+    * O(batch), never O(corpus) — the [[graft.ops.Components.applyBatch]]
+    * pattern, with bytes-read invariance pinned in StreamIndexPruneSpec.
+    * `parts` defaults to 32 (not the Store-wide 4) so the pruning has
+    * room: a micro-batch touches min(|batch fingerprints|, parts) dirs.
+    * Every `compactEvery` applied batches the index's merge-on-read
+    * delta chain folds ([[graft.sources.Store.compact]]) — without it a
+    * long-running stream accumulates one generation per trigger.
     */
   def exactDedupIncremental(
       docs: DataFrame, idCol: String, textCol: String,
       indexTable: String, labelsOut: String,
       checkpointLocation: Option[String] = None,
-      buckets: Int = 4, parts: Int = 4)
+      buckets: Int = 4, parts: Int = 32, compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
     val wr = docs.writeStream
       .outputMode("append")
       .foreachBatch {
@@ -707,8 +724,9 @@ object EventStream {
           val fps = b.select(col(idCol),
             graft.ops.Dedup.exactFingerprint(col(textCol)).as("fingerprint"))
           val exists = spark.catalog.tableExists(indexTable)
+          // probe, not read: only the batch fingerprints' partitions
           val old =
-            if (exists) graft.sources.Store.read(spark, indexTable)
+            if (exists) graft.sources.Store.probe(spark, indexTable, fps, "fingerprint")
             else fps.select(col("fingerprint"), col(idCol).as("keeper")).filter(lit(false))
           // persist, not a second localCheckpoint: no eager job of its own —
           // the label write materializes the cache, the keeper upsert reuses
@@ -726,6 +744,12 @@ object EventStream {
             else
               graft.sources.Store.bulkWrite(newKeepers, indexTable, "fingerprint",
                 buckets = buckets, parts = parts)
+            applied += 1L
+            if (compactEvery > 0 && applied % compactEvery == 0 &&
+              spark.catalog.tableExists(indexTable)) {
+              graft.sources.Store.compact(spark, indexTable)
+              ()
+            }
           } finally labels.unpersist()
         }
       }
@@ -767,11 +791,11 @@ object EventStream {
       sampleTable: String, counts: Map[String, Long], defaultCount: Long = 0L,
       seed: String = "graft-strat-exact",
       checkpointLocation: Option[String] = None,
-      buckets: Int = 4, parts: Int = 4)
+      buckets: Int = 4, parts: Int = 4, compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     reservoirIncremental(docs, idCol, sampleTable,
       graft.ops.Training.stratifiedExact(_, idCol, labelCol, counts, defaultCount, seed),
-      checkpointLocation, buckets, parts)
+      checkpointLocation, buckets, parts, compactEvery)
 
   /** [[stratifiedSampleIncremental]]'s WEIGHTED sibling: maintain the
     * Efraimidis–Spirakis top-`n` draw ([[graft.ops.Training.weightedSample]]
@@ -788,11 +812,11 @@ object EventStream {
       docs: DataFrame, idCol: String, weightCol: String,
       sampleTable: String, n: Int, seed: String = "graft-es",
       checkpointLocation: Option[String] = None,
-      buckets: Int = 4, parts: Int = 4)
+      buckets: Int = 4, parts: Int = 4, compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     reservoirIncremental(docs, idCol, sampleTable,
       graft.ops.Training.weightedSample(_, idCol, weightCol, n, seed),
-      checkpointLocation, buckets, parts)
+      checkpointLocation, buckets, parts, compactEvery)
 
   /** The shared reservoir sink: per trigger, union the STORED sample
     * (state-sized, never the corpus) with the batch, re-`trim`, and diff
@@ -801,13 +825,20 @@ object EventStream {
     * SET (both callers' trims are — that is the whole design), which is
     * what makes the table equal the batch operator over everything ever
     * streamed, replays diff-empty, and crashes re-converge.
+    *
+    * Every `compactEvery` applied batches the sample table folds its
+    * delta chain (ADVICE r15: early in a stream nearly every trigger
+    * commits an upsert and/or delete generation, and the sink re-reads
+    * the table every trigger — the fold is cheap, the table is
+    * sample-sized).
     */
   private def reservoirIncremental(
       docs: DataFrame, idCol: String, sampleTable: String,
       trim: DataFrame => DataFrame,
       checkpointLocation: Option[String],
-      buckets: Int, parts: Int)
+      buckets: Int, parts: Int, compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
     val wr = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -846,6 +877,12 @@ object EventStream {
               .select(col("__res_old").as(idCol))
               .localCheckpoint()
             if (!evicted.isEmpty) Store.delete(spark, sampleTable, evicted, idCol, buckets)
+          }
+          applied += 1L
+          if (compactEvery > 0 && applied % compactEvery == 0 &&
+            spark.catalog.tableExists(sampleTable)) {
+            Store.compact(spark, sampleTable)
+            ()
           }
         }
       }
@@ -889,13 +926,22 @@ object EventStream {
     * form as the dedup twin's keeper rule, which is what the q128 gate
     * replays in SQL. Per-batch cost is O(batch shingles) + one index
     * probe; history is never rescanned.
+    *
+    * The probe is PARTITION-PRUNED (r16): the shingle index is the
+    * largest of the streaming index tables (one row per distinct corpus
+    * shingle), and each trigger reads only the batch shingles' routing
+    * partitions ([[graft.sources.Store.probe]], `parts` = 32 so pruning
+    * has room) — bytes-read invariance pinned in StreamIndexPruneSpec.
+    * Every `compactEvery` applied batches the index folds its delta
+    * chain ([[graft.sources.Store.compact]]).
     */
   def noveltyIncremental(
       docs: DataFrame, idCol: String, textCol: String,
       indexTable: String, scoresOut: String,
       checkpointLocation: Option[String] = None,
-      w: Int = 3, buckets: Int = 4, parts: Int = 4)
+      w: Int = 3, buckets: Int = 4, parts: Int = 32, compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
     val wr = docs.writeStream
       .outputMode("append")
       .foreachBatch {
@@ -905,12 +951,17 @@ object EventStream {
         val b = batch.toDF().localCheckpoint()
         if (!b.isEmpty) {
           val exists = spark.catalog.tableExists(indexTable)
+          // shingles built once, shared by the probe, scoring, and the
+          // index advance
+          val sh = graft.ops.Dedup.wordShingles(b, idCol, textCol, w).persist()
+          // probe, not read: only the batch shingles' partitions; the
+          // pruned read feeds TWO consumers (the score join and the
+          // insert anti-join) — checkpoint so it scans once per trigger
           val old =
-            if (exists) graft.sources.Store.read(spark, indexTable)
+            if (exists)
+              graft.sources.Store.probe(spark, indexTable, sh, "shingle").localCheckpoint()
             else b.select(
               lit("").as("shingle"), col(idCol).as("first_id")).filter(lit(false))
-          // shingles built once, shared by scoring and the index advance
-          val sh = graft.ops.Dedup.wordShingles(b, idCol, textCol, w).persist()
           val newFirst = sh.groupBy(col("shingle")).agg(min(col(idCol)).as("__new_first"))
           // ARRIVAL order, not id order: a stored entry arrived in an
           // earlier batch and wins even over a smaller new id (coalesce) —
@@ -936,6 +987,12 @@ object EventStream {
             else
               graft.sources.Store.bulkWrite(inserts, indexTable, "shingle",
                 buckets = buckets, parts = parts)
+            applied += 1L
+            if (compactEvery > 0 && applied % compactEvery == 0 &&
+              spark.catalog.tableExists(indexTable)) {
+              graft.sources.Store.compact(spark, indexTable)
+              ()
+            }
           } finally sh.unpersist()
         }
       }
@@ -958,13 +1015,20 @@ object EventStream {
     * spans, which is exactly the closed form the q172 gate replays in
     * SQL. Per-batch cost is O(batch chunks) + one digest-keyed index
     * probe; history is never rescanned.
+    *
+    * The probe is PARTITION-PRUNED (r16): each trigger reads only the
+    * batch digests' routing partitions ([[graft.sources.Store.probe]],
+    * `parts` = 32 so pruning has room) — bytes-read invariance pinned
+    * in StreamIndexPruneSpec. Every `compactEvery` applied batches the
+    * index folds its delta chain ([[graft.sources.Store.compact]]).
     */
   def spanDedupIncremental(
       docs: DataFrame, idCol: String, textCol: String,
       indexTable: String, outDir: String, w: Int = 5,
       checkpointLocation: Option[String] = None,
-      buckets: Int = 4, parts: Int = 4)
+      buckets: Int = 4, parts: Int = 32, compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
     val wr = docs.writeStream
       .outputMode("append")
       .foreachBatch {
@@ -981,8 +1045,12 @@ object EventStream {
             .persist()
           try {
             val exists = spark.catalog.tableExists(indexTable)
+            // probe, not read: only the batch digests' partitions; two
+            // consumers (the survive join and the insert anti-join) —
+            // checkpoint so the pruned read scans once per trigger
             val old =
-              if (exists) graft.sources.Store.read(spark, indexTable)
+              if (exists)
+                graft.sources.Store.probe(spark, indexTable, chunks, "__h").localCheckpoint()
               else chunks.select(col("__h"),
                 col(idCol).as("first_id"), col("__ck").as("first_ck")).filter(lit(false))
             val newFirst = chunks.groupBy(col("__h"))
@@ -1028,6 +1096,12 @@ object EventStream {
             else
               graft.sources.Store.bulkWrite(inserts, indexTable, "__h",
                 buckets = buckets, parts = parts)
+            applied += 1L
+            if (compactEvery > 0 && applied % compactEvery == 0 &&
+              spark.catalog.tableExists(indexTable)) {
+              graft.sources.Store.compact(spark, indexTable)
+              ()
+            }
           } finally chunks.unpersist()
         }
       }

@@ -61,10 +61,17 @@ object Components {
     * job, `limit(cap+1)` so an over-cap graph never materializes
     * driver-side) and merges resolve in-process; a graph past the cap —
     * a giant batch or an adversarial all-dups burst — runs the
-    * distributed [[Dedup.connectedComponents]] fixpoint instead. 2M
-    * edges ≈ 32 MB of longs, well inside any driver.
+    * distributed [[Dedup.connectedComponents]] fixpoint instead.
+    *
+    * 200k, not the 2M of r15 (ADVICE r15): the cap bounds not just the
+    * collect (specialized `(Long, Long)` tuples, ~32 B/edge with
+    * headers) but the merge frame that comes back as a LocalRelation —
+    * embedded in and BROADCAST by three downstream join plans, so the
+    * driver pays the cap several times over. 200k edges keeps the worst
+    * case a few tens of MB; larger graphs take the distributed fixpoint,
+    * which they amortize anyway.
     */
-  private[graft] val MaxLocalRootEdges = 2000000
+  private[graft] val MaxLocalRootEdges = 200000
 
   /** Driver-side min-label union-find over the root graph: returns the
     * `old_root → root` merge frame as a LocalRelation (so downstream
@@ -73,12 +80,15 @@ object Components {
     * (the distributed path handles both).
     */
   private def localMerges(rootPairs: DataFrame, cap: Int): Option[DataFrame] = {
-    val spark = rootPairs.sparkSession
     val longIds = rootPairs.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     if (!longIds || cap <= 0) return None
-    val rows = rootPairs.limit(cap + 1).collect()
-    if (rows.length > cap) return None
+    // typed collect: specialized (Long, Long) tuples, not GenericRow
+    // boxes — the row path cost ~10× the 16 B/edge the cap budgets for
+    // (ADVICE r15)
+    import rootPairs.sparkSession.implicits._
+    val edges = rootPairs.limit(cap + 1).as[(Long, Long)].collect()
+    if (edges.length > cap) return None
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
@@ -88,14 +98,13 @@ object Components {
       while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    rows.foreach { r =>
-      val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
       if (ra != rb) { // min root wins — the canonical labeling
         if (ra < rb) parent(rb) = ra else parent(ra) = rb
       }
     }
     val merged = parent.keys.toArray.map(k => (k, find(k))).filter(p => p._1 != p._2)
-    import spark.implicits._
     Some(merged.toSeq.toDF("old_root", "root"))
   }
 

@@ -762,6 +762,40 @@ object Dedup {
   private def bandBucket(key: Column, nBuckets: Int): Column =
     pmod(xxhash64(key), lit(nBuckets.toLong))
 
+  private val BandMetaFile = "_nbuckets"
+
+  /** Persist-and-validate the index's bucket count (ADVICE r15): the
+    * banded layout's dir names are a pure function of `nBuckets`, so a
+    * probe run with a different value names the WRONG dirs and silently
+    * drops collisions — no error, just missing pairs. The first
+    * non-empty append records the count in a `_nbuckets` sidecar (the
+    * underscore prefix keeps it invisible to every parquet listing,
+    * including [[compactBandIndex]]'s); every later append and probe
+    * validates against it and fails loudly on mismatch. An index
+    * without the sidecar (no data appended yet) validates vacuously.
+    */
+  private def checkBandBuckets(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      nBuckets: Int, record: Boolean): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val side = new org.apache.hadoop.fs.Path(root, BandMetaFile)
+    if (fs.exists(side)) {
+      val in = fs.open(side)
+      val stored =
+        try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+        finally in.close()
+      require(stored == nBuckets,
+        s"banded index at $path was built with nBuckets=$stored; " +
+          s"using nBuckets=$nBuckets would name the wrong bucket dirs " +
+          "and silently drop collisions")
+    } else if (record) {
+      fs.mkdirs(root)
+      val out = fs.create(side, false)
+      try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** The probe-side read of a banded index, TARGETED: the batch's
     * distinct `(idx, bucket)` cells name their partition dirs directly,
     * so the scan's FILE LISTING is O(colliding buckets) too — a
@@ -795,7 +829,8 @@ object Dedup {
   def appendMinhashBandIndex(
       sigs: DataFrame, path: String, idCol: String,
       k: Int = 8, r: Int = 2, nBuckets: Int = 64): Unit =
-    if (!sigs.isEmpty)
+    if (!sigs.isEmpty) {
+      checkBandBuckets(sigs.sparkSession, path, nBuckets, record = true)
       minhashBands(sigs, idCol, k, r)
         .withColumn("band_bucket", bandBucket(col("band_key"), nBuckets))
         // co-locate each partition dir's rows in one task first: a write
@@ -804,6 +839,7 @@ object Dedup {
         // file per touched dir per batch
         .repartition(col("band_idx"), col("band_bucket"))
         .write.mode("append").partitionBy("band_idx", "band_bucket").parquet(path)
+    }
 
   /** Candidate pairs of a NEW batch against a banded MinHash index:
     * new×new once (a < b), new×old via the partition-pruned probe,
@@ -815,6 +851,7 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String,
       newSigs: DataFrame, idCol: String,
       k: Int = 8, r: Int = 2, nBuckets: Int = 64): DataFrame = {
+    checkBandBuckets(spark, path, nBuckets, record = false)
     val bNew = minhashBands(newSigs, idCol, k, r)
       .withColumn("band_bucket", bandBucket(col("band_key"), nBuckets))
     val nn = minhashCandidates(bNew, idCol)
@@ -847,12 +884,14 @@ object Dedup {
   def appendSimhashBandIndex(
       sigs: DataFrame, path: String, idCol: String,
       maxHamming: Int = 3, sigBits: Int = 60, nBuckets: Int = 64): Unit =
-    if (!sigs.isEmpty)
+    if (!sigs.isEmpty) {
+      checkBandBuckets(sigs.sparkSession, path, nBuckets, record = true)
       simhashBands(sigs, idCol, maxHamming, sigBits)
         .withColumn("chunk_bucket", bandBucket(col("chunk_key"), nBuckets))
         // one file per touched dir per batch (see appendMinhashBandIndex)
         .repartition(col("chunk_idx"), col("chunk_bucket"))
         .write.mode("append").partitionBy("chunk_idx", "chunk_bucket").parquet(path)
+    }
 
   /** [[probeMinhashBandIndex]]'s SimHash sibling: `(id_a, id_b, hamming)`
     * exactly filtered to the budget, the
@@ -862,6 +901,7 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String,
       newSigs: DataFrame, idCol: String,
       maxHamming: Int = 3, sigBits: Int = 60, nBuckets: Int = 64): DataFrame = {
+    checkBandBuckets(spark, path, nBuckets, record = false)
     val bNew = simhashBands(newSigs, idCol, maxHamming, sigBits)
       .withColumn("chunk_bucket", bandBucket(col("chunk_key"), nBuckets))
     val nn = simhashCandidates(newSigs, idCol, maxHamming, sigBits)

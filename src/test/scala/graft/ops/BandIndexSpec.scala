@@ -216,6 +216,30 @@ class BandIndexSpec extends SparkSpec {
     assert(Dedup.compactPairFacts(spark, path) === 0)
   }
 
+  test("nBuckets sidecar: a mismatched probe or append fails loudly instead of dropping collisions") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val sigs = sigsOf(Seq((1L, base)).toDF("doc_id", "text"))
+    val path = java.nio.file.Files.createTempDirectory("bandmeta").toString + "/idx"
+    Dedup.appendMinhashBandIndex(sigs, path, "doc_id", k = 4, r = 2, nBuckets = 8)
+    // matching value: fine both ways
+    Dedup.probeMinhashBandIndex(spark, path, sigs, "doc_id", k = 4, r = 2, nBuckets = 8)
+      .collect()
+    Dedup.appendMinhashBandIndex(sigs, path, "doc_id", k = 4, r = 2, nBuckets = 8)
+    // mismatched probe would silently name the wrong dirs — must throw
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.probeMinhashBandIndex(spark, path, sigs, "doc_id", k = 4, r = 2, nBuckets = 64)
+    }
+    assert(e1.getMessage.contains("nBuckets=8"))
+    // mismatched append would split the key space across layouts — must throw
+    intercept[IllegalArgumentException] {
+      Dedup.appendMinhashBandIndex(sigs, path, "doc_id", k = 4, r = 2, nBuckets = 64)
+    }
+    // a probe against a not-yet-created index validates vacuously
+    val fresh = java.nio.file.Files.createTempDirectory("bandmeta2").toString + "/idx"
+    assert(Dedup.probeMinhashBandIndex(spark, fresh, sigs, "doc_id", k = 4, r = 2,
+      nBuckets = 64).collect().isEmpty)
+  }
+
   test("compactBandIndex folds the simhash chunk layout too (partition names recovered)") {
     val path = java.nio.file.Files.createTempDirectory("bandcompactsh").toString + "/idx"
     val sigs = Seq((1L, 0x0123456789abcdefL), (2L, 0x0123456789abcdeeL), (3L, -1L))

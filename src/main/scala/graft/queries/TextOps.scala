@@ -2022,6 +2022,133 @@ object TextOps {
         FROM base
         ORDER BY version""")),
 
+    // RETENTION ↔ INDEX-SYNC INTERPLAY (r16 verdict #5 — the one crash-
+    // window combination the r15 specs left uncovered): a streaming
+    // index sync records the corpus version it reflects; if the stream
+    // is down long enough that OUT-OF-BAND commits push that version out
+    // of the (configurable, q200) retention window, the resumed stream
+    // must REBUILD the index from the table's current state — a diff
+    // from the vacuumed version would be wrong (it can't see the gap
+    // commits) and is also unreadable. The gate streams the base corpus
+    // with an exact-fingerprint index, stops, tightens retention to 2,
+    // drives three out-of-band text-updating commits (vacuuming the
+    // recorded version), resumes with an insert batch, and pins the
+    // index hash-equal to a from-scratch fingerprint of the FINAL
+    // corpus — including the gap texts no diff-from-recorded could have
+    // produced — plus a flag that the recorded version really left the
+    // window before the resume.
+    QueryDef(
+      "q205_retention_sync_rebuild",
+      (s, dir) => {
+        import graft.ops.IndexSync
+        import graft.sources.Store
+        val ss = graft.queries.EventOps.streamSession(s)
+        val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+        val table = "rsync_docs"
+        val idx = "rsync_exact_idx"
+        Seq(table, idx).foreach(t => ss.sql(s"DROP TABLE IF EXISTS $t"))
+        val srcDir = java.nio.file.Files.createTempDirectory("q205src").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("q205ckpt").toString
+        def start() = graft.streaming.EventStream.toStoreUpsertWithIndexSync(
+          ss.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir),
+          table, "doc_id", "text", exactIndexTable = Some(idx),
+          checkpointLocation = Some(ckpt), compactEvery = 0)
+        docs.coalesce(1).write.mode("append").parquet(srcDir)
+        val q1 = start()
+        try q1.processAllAvailable() finally q1.stop()
+        val recorded = IndexSync.syncedVersion(s, idx).get
+        // the long gap: retention tightens to 2 and three out-of-band
+        // commits move the corpus while the stream is down
+        Store.setRetention(s, table, 2)
+        (1 to 3).foreach(i => Store.upsert(s, table,
+          docs.filter(col("doc_id") % 9 === 0)
+            .withColumn("text", concat(col("text"), lit(s" [gap$i]"))),
+          "doc_id", buckets = 4))
+        val vacuumed = !Store.versions(s, table).contains(recorded)
+        docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+        val result = Store.read(s, idx)
+          .withColumn("recorded_vacuumed", lit(vacuumed))
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+        Seq(table, idx).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+        Seq(srcDir, ckpt).foreach(graft.queries.EventOps.rmTree)
+        result
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        fin AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 9 = 0 THEN text || ' [gap3]' ELSE text END AS text
+          FROM base
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM base WHERE doc_id % 13 = 0)
+        SELECT doc_id,
+          md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+          true AS recorded_vacuumed
+        FROM fin ORDER BY doc_id""")),
+
+    // STREAMING ADDITIVE SCHEMA EVOLUTION (r16 verdict #6 — q199's
+    // widening rules crossed with the streaming upsert surface): a
+    // stream's source schema is fixed for the life of the query, so the
+    // real-world shape is a REDEPLOY — phase 1 streams the narrow corpus
+    // into the store, phase 2 is a new query whose batches carry a new
+    // `weight` column into the SAME table. The widened upsert must
+    // evolve the table in place under the same additive rules (ALTER
+    // ADD, no data rewrite), with every phase-1 generation reading the
+    // column as NULL — pinned hash-equal to q199's NULL-filled oracle
+    // shape.
+    QueryDef(
+      "q206_stream_schema_evolution",
+      (s, dir) => {
+        import graft.sources.Store
+        val ss = graft.queries.EventOps.streamSession(s)
+        val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+        val table = "sevo_docs"
+        ss.sql(s"DROP TABLE IF EXISTS $table")
+        val srcNarrow = java.nio.file.Files.createTempDirectory("q206a").toString
+        val srcWide = java.nio.file.Files.createTempDirectory("q206b").toString
+        val ckptA = java.nio.file.Files.createTempDirectory("q206ckpta").toString
+        val ckptB = java.nio.file.Files.createTempDirectory("q206ckptb").toString
+        docs.coalesce(1).write.mode("append").parquet(srcNarrow)
+        val q1 = graft.streaming.EventStream.toStoreUpsert(
+          ss.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcNarrow),
+          table, "doc_id", buckets = 4, parts = 8,
+          checkpointLocation = Some(ckptA))
+        try q1.processAllAvailable() finally q1.stop()
+        val wide = docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("text", concat(col("text"), lit(" [w]")))
+          .withColumn("weight", col("doc_id") * 2L)
+        wide.coalesce(1).write.mode("append").parquet(srcWide)
+        val q2 = graft.streaming.EventStream.toStoreUpsert(
+          ss.readStream.schema(wide.schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcWide),
+          table, "doc_id", buckets = 4, parts = 8,
+          checkpointLocation = Some(ckptB))
+        try q2.processAllAvailable() finally q2.stop()
+        val result = Store.read(s, table)
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        Seq(srcNarrow, srcWide, ckptA, ckptB).foreach(graft.queries.EventOps.rmTree)
+        result
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, text FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN text || ' [w]' ELSE text END AS text,
+          CASE WHEN doc_id % 7 = 0 THEN doc_id * 2 ELSE NULL END AS weight
+        FROM base ORDER BY doc_id""")),
+
     // CHANGELOG / CDC ([[graft.sources.Store.changes]]) — the downstream-
     // sync primitive: every key whose value differs between two retained
     // manifests, labeled insert/update/delete with the post-image (null
@@ -2779,7 +2906,7 @@ object TextOps {
             org.apache.spark.sql.Encoders.BINARY,
             org.apache.spark.sql.Encoders.STRING))
           .toDF("doc_id", "img", "wav", "text")
-        val srcDir = EventOps.stageArrivalBatches(media, "graft-s201:", 4, "q201")
+        val srcDir = EventOps.stageArrivalBatchesCached(media, "graft-s201:", 4, "q201", dir)
         Seq("xm_fp_idx", "xm_labels", "xm_forward")
           .foreach(t => ss.sql(s"DROP TABLE IF EXISTS $t"))
         val outRoot = java.nio.file.Files.createTempDirectory("q201out").toString
@@ -2816,7 +2943,7 @@ object TextOps {
           .localCheckpoint()
         Seq("xm_fp_idx", "xm_labels", "xm_forward")
           .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
-        Seq(srcDir, outRoot, ckpt).foreach(EventOps.rmTree)
+        Seq(outRoot, ckpt).foreach(EventOps.rmTree)
         result
       },
       Some(TextOps.CrossModalOracle)),

@@ -1225,14 +1225,17 @@ object TrainingOps {
         val ss = EventOps.streamSession(s)
         val docs = Tables.documents(ss, dir)
           .select(col("doc_id"), col("lang"), col("source"))
-        val srcDir = EventOps.stageArrivalBatches(docs, "graft-s203:", 4, "q203")
+        val srcDir = EventOps.stageArrivalBatchesCached(docs, "graft-s203:", 4, "q203", dir)
         ss.sql("DROP TABLE IF EXISTS q203_sample")
         val ckpt = java.nio.file.Files.createTempDirectory("q203ckpt").toString
         val stream = ss.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
         val q = graft.streaming.EventStream.stratifiedSampleIncremental(
           stream, "doc_id", "lang", "q203_sample", ExactCounts, ExactDefault,
-          checkpointLocation = Some(ckpt))
+          // compactEvery=3: the sample table's delta chain folds
+          // mid-stream and batch 4 diffs against the folded table
+          // (ADVICE r15 — the reservoir sink had no cadence)
+          checkpointLocation = Some(ckpt), compactEvery = 3)
         try q.processAllAvailable()
         finally q.stop()
         val result = graft.streaming.EventStream.readStratifiedSample(
@@ -1240,7 +1243,7 @@ object TrainingOps {
           .orderBy(col("doc_id"))
           .localCheckpoint()
         s.sql("DROP TABLE IF EXISTS q203_sample")
-        Seq(srcDir, ckpt).foreach(EventOps.rmTree)
+        Seq(ckpt).foreach(EventOps.rmTree)
         result
       },
       Some(s"""
@@ -1263,14 +1266,15 @@ object TrainingOps {
         val ss = EventOps.streamSession(s)
         val docs = Tables.documents(ss, dir)
           .select(col("doc_id"), col("source"), col("n_chars"))
-        val srcDir = EventOps.stageArrivalBatches(docs, "graft-s204:", 4, "q204")
+        val srcDir = EventOps.stageArrivalBatchesCached(docs, "graft-s204:", 4, "q204", dir)
         ss.sql("DROP TABLE IF EXISTS q204_sample")
         val ckpt = java.nio.file.Files.createTempDirectory("q204ckpt").toString
         val stream = ss.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
         val q = graft.streaming.EventStream.weightedSampleIncremental(
           stream, "doc_id", "n_chars", "q204_sample", n = 100,
-          checkpointLocation = Some(ckpt))
+          // mid-stream sample-table fold crossed by batch 4 (see q203)
+          checkpointLocation = Some(ckpt), compactEvery = 3)
         try q.processAllAvailable()
         finally q.stop()
         val result = graft.streaming.EventStream.readWeightedSample(
@@ -1278,7 +1282,7 @@ object TrainingOps {
           .orderBy(col("doc_id"))
           .localCheckpoint()
         s.sql("DROP TABLE IF EXISTS q204_sample")
-        Seq(srcDir, ckpt).foreach(EventOps.rmTree)
+        Seq(ckpt).foreach(EventOps.rmTree)
         result
       },
       Some(s"""

@@ -1006,7 +1006,8 @@ object VectorOps {
             .withColumn("__b", lit(2L)))
           .unionByName(twinOf(e.filter(col("vec_id") === 1L), lit(100001L))
             .withColumn("__b", lit(3L)))
-        val srcDir = EventOps.stageOrderedBatches(frame, col("__b"), 4, "q197")
+        val srcDir = EventOps.cachedSrcDir("q197", dir)(
+          EventOps.stageOrderedBatches(frame, col("__b"), 4, "q197"))
         val table = "sann_docs"
         ss.sql(s"DROP TABLE IF EXISTS $table")
         val idxRoot = java.nio.file.Files.createTempDirectory("q197idx").toString
@@ -1039,7 +1040,7 @@ object VectorOps {
           "vec_id", "embedding", k = 5, nProbe = 16)
         val matches = top.exceptAll(fresh).isEmpty && fresh.exceptAll(top).isEmpty
         s.sql(s"DROP TABLE IF EXISTS $table")
-        Seq(srcDir, ckpt, idxRoot).foreach(graft.queries.EventOps.rmTree)
+        Seq(ckpt, idxRoot).foreach(graft.queries.EventOps.rmTree)
         val flags = top.agg(
           (sum(when(col("neighbor_id") === 100004L, 1L).otherwise(0L)) === 0L)
             .as("deleted_absent"),

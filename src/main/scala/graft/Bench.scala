@@ -119,9 +119,54 @@ object Bench {
       "q117_ann_ivf_rebuild", "q118_ann_ivf_rebuild_quantized")
     (qs.take(1) ++ qs.filter(q => offlineBacked(q._1))).foreach(q => once(q._2))
 
+    // Dev-only battery-position diagnostics (SPARK_GRAFT_BENCH_DIAG=1,
+    // VERDICT r15 #3): per query, the JVM-state deltas that could explain
+    // a many-job query timing +35% in the 204-query battery vs standalone
+    // with byte-identical plan metrics — GC time (heap-pressure
+    // hypothesis), post-gc live heap (what's accumulating), Janino
+    // compile count/time (codegen-cache-eviction hypothesis), and
+    // shuffle-dir file count (disk-bookkeeping hypothesis). stderr only;
+    // the driver's JSON is untouched.
+    val diag = sys.env.get("SPARK_GRAFT_BENCH_DIAG").contains("1")
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def compileCount: Long =
+      org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    // JIT/class pools: thousands of Janino classes over a 204-query
+    // battery can saturate the JIT code cache (the sweeper then evicts
+    // hot methods → re-JIT or interpreted stretches) or balloon
+    // metaspace — both slow MANY-JOB queries most while leaving plans
+    // byte-identical, which is exactly the q120 signature.
+    def poolMb(prefix: String): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith(prefix))
+        .map(_.getUsage.getUsed).sum / 1048576
+    }
+    def loadedClasses: Long =
+      java.lang.management.ManagementFactory.getClassLoadingMXBean.getLoadedClassCount.toLong
+    def jitMillis: Long =
+      java.lang.management.ManagementFactory.getCompilationMXBean.getTotalCompilationTime
+    def shuffleFiles: Long =
+      if (!diag) 0L
+      else {
+        val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+        val dirs = Option(tmp.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("blockmgr-"))
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+          else 1L
+        dirs.map(walk).sum
+      }
+
     val results = qs.map { case (name, fn) =>
       // plan metrics bracket the LAST rep only (steady state: caches and
       // offline artifacts warm), so the delta is one clean execution
+      val gc0 = if (diag) gcMillis else 0L
+      val cc0 = if (diag) compileCount else 0L
       val head = (1 to reps - 1).map(_ => once(fn))
       val before = metrics.quiesce()
       val lastRun = once(fn)
@@ -129,6 +174,18 @@ object Bench {
       val runs = head :+ lastRun
       val delta = after.zip(before).map { case (a, b) => a - b }
       System.gc() // keep one query's garbage out of the next query's timing
+      if (diag) {
+        val rt = Runtime.getRuntime
+        System.err.println(
+          s"[diag] $name gc_ms=${gcMillis - gc0} " +
+            s"heap_post_gc_mb=${(rt.totalMemory - rt.freeMemory) / 1048576} " +
+            s"codegen_compiles=${compileCount - cc0} " +
+            s"jit_total_ms=$jitMillis " +
+            s"codecache_mb=${poolMb("CodeHeap")} " +
+            s"metaspace_mb=${poolMb("Metaspace")} " +
+            s"classes=$loadedClasses " +
+            s"shuffle_files=$shuffleFiles")
+      }
       val times = runs.collect { case Right(s) => s }.sorted
       val outcome =
         if (times.isEmpty) Left(runs.collectFirst { case Left(m) => m }.getOrElse("?"))

@@ -2047,13 +2047,19 @@ object TextOps {
           .select(col("doc_id"), col("text"))
         val table = "rsync_docs"
         val idx = "rsync_exact_idx"
-        Seq(table, idx).foreach(t => ss.sql(s"DROP TABLE IF EXISTS $t"))
+        val sigIdx = "rsync_sig_idx"
+        Seq(table, idx, sigIdx).foreach(t => ss.sql(s"DROP TABLE IF EXISTS $t"))
         val srcDir = java.nio.file.Files.createTempDirectory("q205src").toString
         val ckpt = java.nio.file.Files.createTempDirectory("q205ckpt").toString
+        // BOTH doc-keyed index kinds ride the stream: the exact and
+        // signature rebuild paths are separate implementations behind the
+        // shared recorded-version contract, so the vacuumed-version gate
+        // must cross both (q194's pairing, under retention pressure)
         def start() = graft.streaming.EventStream.toStoreUpsertWithIndexSync(
           ss.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1).parquet(srcDir),
           table, "doc_id", "text", exactIndexTable = Some(idx),
+          sigIndexTable = Some(sigIdx),
           checkpointLocation = Some(ckpt), compactEvery = 0)
         docs.coalesce(1).write.mode("append").parquet(srcDir)
         val q1 = start()
@@ -2073,14 +2079,15 @@ object TextOps {
         val q2 = start()
         try q2.processAllAvailable() finally q2.stop()
         val result = Store.read(s, idx)
+          .join(Store.read(s, sigIdx), Seq("doc_id"), "left")
           .withColumn("recorded_vacuumed", lit(vacuumed))
           .orderBy(col("doc_id"))
           .localCheckpoint()
-        Seq(table, idx).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+        Seq(table, idx, sigIdx).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
         Seq(srcDir, ckpt).foreach(graft.queries.EventOps.rmTree)
         result
       },
-      Some("""
+      Some(s"""
         WITH base AS (
           SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
         fin AS (
@@ -2088,11 +2095,14 @@ object TextOps {
             CASE WHEN doc_id % 9 = 0 THEN text || ' [gap3]' ELSE text END AS text
           FROM base
           UNION ALL
-          SELECT doc_id + 1000000, text FROM base WHERE doc_id % 13 = 0)
-        SELECT doc_id,
-          md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+          SELECT doc_id + 1000000, text FROM base WHERE doc_id % 13 = 0),
+        ${OracleFrags.sigCtes("fin")}
+        SELECT fin.doc_id,
+          md5(lower(regexp_replace(fin.text, '\\s+', ' ', 'g'))) AS fingerprint,
+          s0, s1, s2, s3,
           true AS recorded_vacuumed
-        FROM fin ORDER BY doc_id""")),
+        FROM fin LEFT JOIN sig ON fin.doc_id = sig.doc_id
+        ORDER BY fin.doc_id""")),
 
     // STREAMING ADDITIVE SCHEMA EVOLUTION (r16 verdict #6 — q199's
     // widening rules crossed with the streaming upsert surface): a

@@ -341,6 +341,83 @@ object Multimodal {
     }
   }
 
+  final case class ImageResized(
+      media_id: Long, orig_w: Int, orig_h: Int, width: Int, height: Int,
+      payload: Array[Byte], decoded: Boolean)
+
+  /** REAL thumbnail resize — the raster upgrade of [[resizeStub]] on the
+    * JDK's own codecs (ImageIO decode → exact integer BOX FILTER → PNG
+    * re-encode; no external libs, the q71/q180 rule). The longest side
+    * shrinks to `maxDim`, never upscales; output dims are pure integer
+    * math (`nw = max(1, w·maxDim / max(w,h))`, floor division) so a SQL
+    * oracle replays them exactly. The box filter averages each output
+    * pixel's source rect per channel with integer rounding
+    * (`(sum + n/2) / n`) — deterministic across JVMs and platforms,
+    * unlike Java2D interpolation hints, so solid regions round-trip
+    * BIT-EXACT and a gate can pin the full decode→resize→encode→decode
+    * cycle. Source rects partition the image (floor boundaries, every
+    * source pixel lands in exactly one output rect when nw divides w;
+    * adjacent rects never gap). Undecodable payloads degrade to
+    * `decoded = false`, −1 dims, empty payload — never an exception.
+    * Scan-local per row ([[extractImageFeatures]]' partitioning rule):
+    * at 100 TB this is a map-only stage, no shuffle anywhere.
+    */
+  def resizeImage(media: Dataset[MediaRow], maxDim: Int): Dataset[ImageResized] = {
+    require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
+    import media.sparkSession.implicits._
+    media.mapPartitions { iter =>
+      iter.map { m =>
+        decodeImage(m.payload) match {
+          case None =>
+            ImageResized(m.media_id, -1, -1, -1, -1, Array.empty, decoded = false)
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val mx = math.max(w, h)
+            val (nw, nh) =
+              if (mx <= maxDim) (w, h)
+              else (math.max(1, (w.toLong * maxDim / mx).toInt),
+                math.max(1, (h.toLong * maxDim / mx).toInt))
+            val out = new java.awt.image.BufferedImage(
+              nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var oy = 0
+            while (oy < nh) {
+              val sy0 = oy * h / nh
+              val sy1 = math.max(sy0 + 1, (oy + 1) * h / nh)
+              var ox = 0
+              while (ox < nw) {
+                val sx0 = ox * w / nw
+                val sx1 = math.max(sx0 + 1, (ox + 1) * w / nw)
+                var sr = 0L; var sg = 0L; var sb = 0L; var n = 0L
+                var y = sy0
+                while (y < sy1) {
+                  var x = sx0
+                  while (x < sx1) {
+                    val rgb = img.getRGB(x, y)
+                    sr += (rgb >> 16) & 0xFF
+                    sg += (rgb >> 8) & 0xFF
+                    sb += rgb & 0xFF
+                    n += 1L
+                    x += 1
+                  }
+                  y += 1
+                }
+                val half = n / 2
+                out.setRGB(ox, oy,
+                  ((((sr + half) / n).toInt) << 16) |
+                    ((((sg + half) / n).toInt) << 8) |
+                    ((sb + half) / n).toInt)
+                ox += 1
+              }
+              oy += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            ImageResized(m.media_id, w, h, nw, nh, bos.toByteArray, decoded = true)
+        }
+      }
+    }
+  }
+
   /** STUB frame sampler: a "video" payload fans out to one row per sampled
     * frame (1→N flatMap in typed land) — the shape that matters: output
     * cardinality is controlled by stride, partitions stay bounded, and the

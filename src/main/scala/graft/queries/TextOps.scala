@@ -1143,6 +1143,86 @@ object TextOps {
           CAST(0 AS INT) AS twin_hamming
         FROM documents ORDER BY media_id""")),
 
+    // REAL IMAGE RESIZE under the hash gate
+    // ([[graft.ops.Multimodal.resizeImage]] — r16, the raster upgrade of
+    // the byte-truncation resize stub): per doc a solid-color PNG with
+    // id-derived VARIABLE dims runs the full decode → integer box-filter
+    // downscale (longest side to 24, never up) → PNG re-encode cycle,
+    // and the re-encoded thumbnail is RE-DECODED
+    // ([[graft.ops.Multimodal.probeImages]]) to prove the payload is a
+    // real image of exactly the predicted dims with the fill color
+    // preserved bit-exact (a box average of a constant is the constant).
+    // Dims are pure integer math (floor(w·24 / max(w,h))), so the oracle
+    // replays every number; ids % 11 == 0 carry corrupt bytes and must
+    // degrade to the -1 row, not throw.
+    QueryDef(
+      "q207_image_resize",
+      (s, dir) => {
+        import s.implicits._
+        def synth(id: Long): graft.ops.Multimodal.MediaRow =
+          if (id % 11 == 0)
+            graft.ops.Multimodal.MediaRow(id, Array[Byte](9, 9, 9), "image/png")
+          else {
+            val w = 16 + (id % 7).toInt * 8
+            val h = 16 + (id % 5).toInt * 8
+            val rgb = (((id * 37) % 256).toInt << 16) |
+              (((id * 59) % 256).toInt << 8) | ((id * 83) % 256).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", out)
+            graft.ops.Multimodal.MediaRow(id, out.toByteArray, "image/png")
+          }
+        val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        val resized = graft.ops.Multimodal.resizeImage(
+          ids.mapPartitions(_.map(synth)), maxDim = 24)
+        // re-decode the thumbnails: the payload itself is the claim
+        val back = graft.ops.Multimodal.probeImages(
+            resized.map(r =>
+              graft.ops.Multimodal.MediaRow(r.media_id, r.payload, "image/png")))
+          .toDF().select(col("media_id"),
+            col("width").as("width_back"), col("height").as("height_back"),
+            col("r"), col("g"), col("b"))
+        resized.toDF().drop("payload")
+          .join(back, "media_id")
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id AS media_id,
+            doc_id % 11 = 0 AS corrupt,
+            CAST(16 + (doc_id % 7) * 8 AS INT) AS w,
+            CAST(16 + (doc_id % 5) * 8 AS INT) AS h,
+            CAST((doc_id * 37) % 256 AS INT) AS r0,
+            CAST((doc_id * 59) % 256 AS INT) AS g0,
+            CAST((doc_id * 83) % 256 AS INT) AS b0
+          FROM documents),
+        rs AS (
+          SELECT *,
+            CASE WHEN GREATEST(w, h) <= 24 THEN w
+                 ELSE GREATEST(1, CAST(w * 24 // GREATEST(w, h) AS INT)) END AS nw,
+            CASE WHEN GREATEST(w, h) <= 24 THEN h
+                 ELSE GREATEST(1, CAST(h * 24 // GREATEST(w, h) AS INT)) END AS nh
+          FROM d)
+        SELECT media_id,
+          CASE WHEN corrupt THEN -1 ELSE w END AS orig_w,
+          CASE WHEN corrupt THEN -1 ELSE h END AS orig_h,
+          CASE WHEN corrupt THEN -1 ELSE nw END AS width,
+          CASE WHEN corrupt THEN -1 ELSE nh END AS height,
+          NOT corrupt AS decoded,
+          CASE WHEN corrupt THEN -1 ELSE nw END AS width_back,
+          CASE WHEN corrupt THEN -1 ELSE nh END AS height_back,
+          CASE WHEN corrupt THEN -1 ELSE r0 END AS r,
+          CASE WHEN corrupt THEN -1 ELSE g0 END AS g,
+          CASE WHEN corrupt THEN -1 ELSE b0 END AS b
+        FROM rs ORDER BY media_id""")),
+
     // IMAGE NEAR-DUP end to end: pure composition of q180's perceptual
     // hash with q29's SimHash chunk bucketing — ZERO new pair machinery.
     // Each doc renders a 16×16 block image encoding a 60-bit md5 pattern

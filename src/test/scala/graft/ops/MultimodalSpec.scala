@@ -146,6 +146,43 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.forall(_.mime.endsWith(";resized")))
   }
 
+  test("resizeImage: real raster downscale — dims exact, solid color bit-exact, no upscale, corrupt degrades") {
+    import spark.implicits._
+    def png(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val teal = 0x008080
+    val rows = Seq(
+      Multimodal.MediaRow(1L, png(64, 48)((_, _) => teal), "image/png"), // downscale
+      Multimodal.MediaRow(2L, png(8, 6)((_, _) => teal), "image/png"),   // under maxDim: untouched dims
+      Multimodal.MediaRow(3L, png(50, 10)((x, _) => if (x < 25) 0xFFFFFF else 0x000000), "image/png"),
+      Multimodal.MediaRow(4L, Array[Byte](9, 9, 9), "image/png"))        // garbage
+    val got = Multimodal.resizeImage(rows.toDS(), maxDim = 16)
+      .collect().map(r => r.media_id -> r).toMap
+    // integer dim math: 64x48 -> (16, 48*16/64=12)
+    assert(got(1L).decoded && got(1L).width === 16 && got(1L).height === 12)
+    assert(got(1L).orig_w === 64 && got(1L).orig_h === 48)
+    // the re-encoded payload REALLY decodes to those dims, every pixel
+    // the exact source color (box average of a constant is the constant)
+    val back1 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(got(1L).payload))
+    assert(back1.getWidth === 16 && back1.getHeight === 12)
+    assert((0 until 12).forall(y => (0 until 16).forall(x =>
+      (back1.getRGB(x, y) & 0xFFFFFF) === teal)), "solid color must round-trip bit-exact")
+    // never upscales
+    assert(got(2L).width === 8 && got(2L).height === 6)
+    // a clean half-split survives a 50x10 -> 16x3 box average: the seam
+    // column mixes, but the outer columns stay pure white / pure black
+    val back3 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(got(3L).payload))
+    assert(got(3L).width === 16 && got(3L).height === 3)
+    assert((back3.getRGB(0, 1) & 0xFFFFFF) === 0xFFFFFF)
+    assert((back3.getRGB(15, 1) & 0xFFFFFF) === 0x000000)
+    assert(!got(4L).decoded && got(4L).width === -1 && got(4L).payload.isEmpty)
+  }
+
   test("frameSampleStub fans a payload out to strided frames with keyable ids") {
     val frames = Multimodal.frameSampleStub(media, frameBytes = 64, stride = 2).collect()
     assert(frames.nonEmpty)

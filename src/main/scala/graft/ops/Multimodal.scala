@@ -341,6 +341,89 @@ object Multimodal {
     }
   }
 
+  final case class AudioResampled(
+      media_id: Long, orig_rate: Int, orig_channels: Int, orig_frames: Long,
+      rate: Int, frames: Long, payload: Array[Byte], decoded: Boolean)
+
+  /** REAL audio resample + mono mixdown (JDK `javax.sound.sampled`, no
+    * external libs) — the speech-corpus prep staple ("everything to
+    * 16 kHz mono") as a scan-local map stage. PCM16 little-endian input
+    * decodes, channels average into mono (truncating integer division —
+    * deterministic, and exact whenever channels agree), and the rate
+    * converts by NEAREST-NEIGHBOR frame mapping: output frame `j` reads
+    * source frame `j·srcRate / targetRate` (floor, 64-bit), so
+    * `frames_out = frames_in·target / src` and every output sample IS a
+    * source sample — all pure integer math a SQL oracle can replay, and
+    * segment-aligned for power-of-two factors (the q208 gate pins
+    * [[audioEnergyHash]] INVARIANT under 2× up/down resampling of the
+    * planted envelope fixture). Nearest-neighbor is the honest
+    * no-libs-in-container choice (a production swap-in would be a
+    * windowed-sinc kernel in the same row shape); non-PCM16 or corrupt
+    * payloads degrade to `decoded = false`, never an exception. Per-row
+    * memory is O(payload + output) — the same bound as holding the
+    * binary column at all.
+    */
+  def resampleAudio(
+      media: Dataset[MediaRow], targetRate: Int): Dataset[AudioResampled] = {
+    require(targetRate >= 1 && targetRate <= 192000,
+      s"targetRate must be in [1, 192000], got $targetRate")
+    import media.sparkSession.implicits._
+    media.mapPartitions { iter =>
+      iter.map { m =>
+        val undecoded = AudioResampled(
+          m.media_id, -1, -1, -1L, targetRate, -1L, Array.empty, decoded = false)
+        try {
+          val ain = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          try {
+            val fmt = ain.getFormat
+            val srcRate = math.round(fmt.getSampleRate)
+            val ch = fmt.getChannels
+            if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+              srcRate <= 0 || ch <= 0 || ain.getFrameLength <= 0L) undecoded
+            else {
+              val frameSize = fmt.getFrameSize
+              val pcm = ain.readAllBytes()
+              val nIn = math.min(ain.getFrameLength, (pcm.length / frameSize).toLong).toInt
+              val mono = new Array[Short](nIn)
+              var f = 0
+              while (f < nIn) {
+                var c = 0
+                var sum = 0
+                while (c < ch) {
+                  val off = f * frameSize + c * 2
+                  sum += ((pcm(off) & 0xFF) | (pcm(off + 1) << 8)).toShort
+                  c += 1
+                }
+                mono(f) = (sum / ch).toShort
+                f += 1
+              }
+              val nOut = (nIn.toLong * targetRate / srcRate).toInt
+              val out = new Array[Byte](nOut * 2)
+              var j = 0
+              while (j < nOut) {
+                val v = mono((j.toLong * srcRate / targetRate).toInt)
+                out(j * 2) = (v & 0xFF).toByte
+                out(j * 2 + 1) = ((v >> 8) & 0xFF).toByte
+                j += 1
+              }
+              val ofmt = new javax.sound.sampled.AudioFormat(
+                targetRate.toFloat, 16, 1, true, false)
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.sound.sampled.AudioSystem.write(
+                new javax.sound.sampled.AudioInputStream(
+                  new java.io.ByteArrayInputStream(out), ofmt, nOut.toLong),
+                javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+              AudioResampled(m.media_id, srcRate, ch, nIn.toLong,
+                targetRate, nOut.toLong, bos.toByteArray, decoded = true)
+            }
+          } finally ain.close()
+        } catch { case _: Exception => undecoded }
+      }
+    }
+  }
+
   final case class ImageResized(
       media_id: Long, orig_w: Int, orig_h: Int, width: Int, height: Int,
       payload: Array[Byte], decoded: Boolean)

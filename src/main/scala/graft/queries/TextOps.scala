@@ -1315,6 +1315,78 @@ object TextOps {
           CAST(0 AS INT) AS twin_hamming
         FROM documents ORDER BY media_id""")),
 
+    // REAL AUDIO RESAMPLE under the hash gate
+    // ([[graft.ops.Multimodal.resampleAudio]] — r16, the "everything to
+    // one rate, mono" corpus-prep stage): q182's planted envelope WAVs
+    // (8 kHz mono, 2048 frames, 64 loud/quiet segments by doc_id % 4)
+    // resample UP 2× (16 kHz) and DOWN 2× (4 kHz) through the real
+    // decode → NN-map → re-encode cycle, and each resampled payload is
+    // re-hashed by [[graft.ops.Multimodal.audioEnergyHash]]: frame
+    // counts are pure integer math (4096 / 1024), and both energy
+    // signatures must equal the ORIGINAL's closed-form pattern — the
+    // segment structure is a time-fraction, which is exactly what a
+    // rate change must preserve. A resampler off by one frame-mapping
+    // index or a mixdown that clips would break a segment boundary and
+    // flip hash bits.
+    QueryDef(
+      "q208_audio_resample",
+      (s, dir) => {
+        import s.implicits._
+        def synth(id: Long): graft.ops.Multimodal.MediaRow = {
+          val nFrames = 2048
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val pcm = new Array[Byte](nFrames * 2)
+          val pat = (id % 4).toInt
+          var f = 0
+          while (f < nFrames) {
+            val seg = f * 64 / nFrames
+            val loud = pat match {
+              case 0 => seg < 32
+              case 1 => seg >= 32
+              case 2 => seg % 2 == 0
+              case _ => seg % 2 == 1
+            }
+            val v: Short = if (loud) 16384 else 0
+            pcm(f * 2) = (v & 0xFF).toByte
+            pcm(f * 2 + 1) = ((v >> 8) & 0xFF).toByte
+            f += 1
+          }
+          val in = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          graft.ops.Multimodal.MediaRow(id, out.toByteArray, "audio/wav")
+        }
+        val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        def hashAt(rate: Int, tag: String) = {
+          val rs = graft.ops.Multimodal.resampleAudio(
+            ids.mapPartitions(_.map(synth)), targetRate = rate)
+          val hashed = graft.ops.Multimodal.audioEnergyHash(
+            rs.map(r => graft.ops.Multimodal.MediaRow(r.media_id, r.payload, "audio/wav")))
+          rs.toDF().select(col("media_id"), col("frames").as(s"frames_$tag"))
+            .join(hashed.toDF().select(col("media_id"), col("ehash").as(s"ehash_$tag")),
+              "media_id")
+        }
+        hashAt(16000, "up").join(hashAt(4000, "down"), "media_id")
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+          CAST(4096 AS BIGINT) AS frames_up,
+          CAST(CASE doc_id % 4
+            WHEN 0 THEN 4294967295
+            WHEN 1 THEN -4294967296
+            WHEN 2 THEN 6148914691236517205
+            ELSE -6148914691236517206 END AS BIGINT) AS ehash_up,
+          CAST(1024 AS BIGINT) AS frames_down,
+          CAST(CASE doc_id % 4
+            WHEN 0 THEN 4294967295
+            WHEN 1 THEN -4294967296
+            WHEN 2 THEN 6148914691236517205
+            ELSE -6148914691236517206 END AS BIGINT) AS ehash_down
+        FROM documents ORDER BY media_id""")),
+
     // The REAL audio codec under the hash gate (q71's twin for sound):
     // per-doc WAV specs in closed form (sample rate from a small fixed
     // set, mono/stereo, frame count), synthesized with the JDK's

@@ -183,6 +183,57 @@ class MultimodalSpec extends SparkSpec {
     assert(!got(4L).decoded && got(4L).width === -1 && got(4L).payload.isEmpty)
   }
 
+  test("resampleAudio: exact NN rate mapping, stereo mixdown, round-trip, corrupt degrades") {
+    import spark.implicits._
+    def wav(rate: Float, channels: Int, frames: Array[Array[Short]]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+      val pcm = new Array[Byte](frames.length * channels * 2)
+      for (f <- frames.indices; c <- 0 until channels) {
+        val off = (f * channels + c) * 2
+        pcm(off) = (frames(f)(c) & 0xFF).toByte
+        pcm(off + 1) = ((frames(f)(c) >> 8) & 0xFF).toByte
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.length.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    def monoSamples(payload: Array[Byte]): Array[Short] = {
+      val ain = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        assert(ain.getFormat.getChannels === 1)
+        val bytes = ain.readAllBytes()
+        Array.tabulate(bytes.length / 2)(i =>
+          ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort)
+      } finally ain.close()
+    }
+    val stereo = wav(8000f, 2, Array(
+      Array[Short](10, 20), Array[Short](-20, -21), Array[Short](100, 100),
+      Array[Short](7, 8)))
+    val mono = wav(8000f, 1, Array(Array(10: Short), Array(-20: Short)))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, stereo, "audio/wav"),
+      Multimodal.MediaRow(2L, mono, "audio/wav"),
+      Multimodal.MediaRow(3L, Array[Byte](5, 5), "audio/wav"))
+    // downsample 2x: frames 4 -> 2, samples are source frames 0 and 2
+    // after truncating mixdown ((10+20)/2=15, (-20-21)/2=-20, 100, 7)
+    val down = Multimodal.resampleAudio(rows.toDS(), targetRate = 4000)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(down(1L).decoded && down(1L).orig_rate === 8000 &&
+      down(1L).orig_channels === 2 && down(1L).orig_frames === 4L)
+    assert(down(1L).rate === 4000 && down(1L).frames === 2L)
+    assert(monoSamples(down(1L).payload).toSeq === Seq[Short](15, 100))
+    assert(!down(3L).decoded && down(3L).frames === -1L)
+    // upsample 2x: NN duplicates each source frame
+    val up = Multimodal.resampleAudio(rows.toDS(), targetRate = 16000)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(up(2L).frames === 4L)
+    assert(monoSamples(up(2L).payload).toSeq === Seq[Short](10, 10, -20, -20))
+  }
+
   test("frameSampleStub fans a payload out to strided frames with keyable ids") {
     val frames = Multimodal.frameSampleStub(media, frameBytes = 64, stride = 2).collect()
     assert(frames.nonEmpty)

@@ -135,6 +135,61 @@ object TextOps {
     out.toByteArray
   }
 
+  /** Assemble an animated GIF from (frame, left, top, disposalMethod)
+    * tuples with the JDK's own GIF writer — the fixture side of
+    * [[graft.ops.Multimodal.sampleGifFrames]] (q209 writes full frames;
+    * MultimodalSpec writes partial-rect deltas and disposal methods to
+    * prove the reader really composes). `private[graft]` so the spec
+    * shares one writer. Solid/low-color frames round-trip exactly (the
+    * writer builds an exact palette when the image has ≤ 256 colors).
+    */
+  private[graft] def animatedGif(
+      frames: Seq[(java.awt.image.BufferedImage, Int, Int, String)]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { case (img, left, top, disposal) =>
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+        val fmt = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        def node(name: String): javax.imageio.metadata.IIOMetadataNode = {
+          var c = root.getFirstChild
+          while (c != null && c.getNodeName != name) c = c.getNextSibling
+          if (c != null) c.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          else {
+            val fresh = new javax.imageio.metadata.IIOMetadataNode(name)
+            root.appendChild(fresh)
+            fresh
+          }
+        }
+        val gce = node("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", disposal)
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", "10")
+        gce.setAttribute("transparentColorIndex", "0")
+        val desc = node("ImageDescriptor")
+        desc.setAttribute("imageLeftPosition", left.toString)
+        desc.setAttribute("imageTopPosition", top.toString)
+        desc.setAttribute("imageWidth", img.getWidth.toString)
+        desc.setAttribute("imageHeight", img.getHeight.toString)
+        desc.setAttribute("interlaceFlag", "FALSE")
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    bos.toByteArray
+  }
+
   /** Render a 60-bit pattern as a 2048-frame mono WAV whose 64 energy
     * segments are loud iff the segment's bit is set — `audioEnergyHash`
     * provably recovers the pattern (q182's loud/quiet argument, bit-
@@ -1386,6 +1441,70 @@ object TextOps {
             WHEN 2 THEN 6148914691236517205
             ELSE -6148914691236517206 END AS BIGINT) AS ehash_down
         FROM documents ORDER BY media_id""")),
+
+    // REAL VIDEO-FRAME SAMPLING under the hash gate
+    // ([[graft.ops.Multimodal.sampleGifFrames]] — r16): animated GIF is
+    // the one animation container the JDK can truly demux, so the frame
+    // sampler stops being a byte-chopping stub for it. Per doc an
+    // animated GIF with 2 + (id % 4) solid frames (per-frame color in
+    // closed form) demuxes through the REAL reader → composition canvas
+    // → stride-2 sample → PNG re-encode, and each sampled frame is
+    // RE-DECODED: the fan-out cardinality (one row per doc per even
+    // frame index), the frame count, dims, and every sampled frame's
+    // color must match the oracle's arithmetic. (MP4/MKV remain the
+    // documented environment limit — [[graft.ops.Multimodal.frameSampleStub]].)
+    QueryDef(
+      "q209_gif_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        def frameRgb(id: Long, f: Int): Int =
+          (((id * 37 + f * 11) % 256).toInt << 16) |
+            (((id * 59 + f * 13) % 256).toInt << 8) |
+            ((id * 83 + f * 17) % 256).toInt
+        def synth(id: Long): graft.ops.Multimodal.MediaRow = {
+          val nf = 2 + (id % 4).toInt
+          val frames = (0 until nf).map { f =>
+            val img = new java.awt.image.BufferedImage(
+              16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = frameRgb(id, f)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            (img, 0, 0, "none")
+          }
+          graft.ops.Multimodal.MediaRow(id, TextOps.animatedGif(frames), "image/gif")
+        }
+        val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        val frames = graft.ops.Multimodal.sampleGifFrames(
+          ids.mapPartitions(_.map(synth)), stride = 2)
+        // re-decode each sampled frame: the payload is the claim (q207 rule)
+        val probed = graft.ops.Multimodal.probeImages(
+            frames.map(fr => graft.ops.Multimodal.MediaRow(
+              fr.media_id * 1000000L + fr.frame_idx, fr.payload, "image/png")))
+          .toDF().select(
+            (col("media_id") / 1000000L).cast("long").as("media_id"),
+            (col("media_id") % 1000000L).cast("int").as("frame_idx"),
+            col("r"), col("g"), col("b"))
+        frames.toDF().drop("payload").drop("decoded")
+          .join(probed, Seq("media_id", "frame_idx"))
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS nf FROM documents),
+        f AS (
+          SELECT d.doc_id, CAST(gs.fi AS INT) AS fi, d.nf
+          FROM d CROSS JOIN generate_series(0, 4) AS gs(fi)
+          WHERE gs.fi < d.nf AND gs.fi % 2 = 0)
+        SELECT doc_id AS media_id, fi AS frame_idx, nf AS n_frames,
+          CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+          CAST((doc_id * 37 + fi * 11) % 256 AS INT) AS r,
+          CAST((doc_id * 59 + fi * 13) % 256 AS INT) AS g,
+          CAST((doc_id * 83 + fi * 17) % 256 AS INT) AS b
+        FROM f ORDER BY media_id, frame_idx""")),
 
     // The REAL audio codec under the hash gate (q71's twin for sound):
     // per-doc WAV specs in closed form (sample rate from a small fixed

@@ -234,6 +234,61 @@ class MultimodalSpec extends SparkSpec {
     assert(monoSamples(up(2L).payload).toSeq === Seq[Short](10, 10, -20, -20))
   }
 
+  test("sampleGifFrames: real GIF demux — composition, offsets, disposal, stride, corrupt degrades") {
+    import spark.implicits._
+    def solid(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      img
+    }
+    def px(payload: Array[Byte], x: Int, y: Int): Int = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      img.getRGB(x, y) & 0xFFFFFF
+    }
+    val red = 0xFF0000; val green = 0x00FF00; val blue = 0x0000FF
+    // frame 0: full 8x8 red; frame 1: 2x2 green PATCH at (4, 2) that
+    // accumulates; frame 2: 2x2 blue patch at (0, 0) marked
+    // restoreToPrevious (visible in ITS frame only)
+    val gif = graft.queries.TextOps.animatedGif(Seq(
+      (solid(8, 8, red), 0, 0, "none"),
+      (solid(2, 2, green), 4, 2, "doNotDispose"),
+      (solid(2, 2, blue), 0, 0, "restoreToPrevious")))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, gif, "image/gif"),
+      Multimodal.MediaRow(2L, Array[Byte](7, 7, 7, 7), "image/gif"))
+    val got = Multimodal.sampleGifFrames(rows.toDS(), stride = 1)
+      .collect().groupBy(_.media_id)
+    val fs = got(1L).sortBy(_.frame_idx)
+    assert(fs.length === 3 && fs.forall(f => f.n_frames === 3 && f.decoded))
+    assert(fs.forall(f => f.width === 8 && f.height === 8))
+    // frame 0: pure red everywhere
+    assert(px(fs(0).payload, 0, 0) === red && px(fs(0).payload, 5, 3) === red)
+    // frame 1: green patch composed OVER the red background
+    assert(px(fs(1).payload, 5, 3) === green && px(fs(1).payload, 0, 0) === red)
+    // frame 2: blue patch at origin, green patch still accumulated
+    assert(px(fs(2).payload, 0, 0) === blue && px(fs(2).payload, 5, 3) === green)
+    // corrupt payload degrades to the single undecoded row
+    assert(got(2L).toSeq === Seq(
+      Multimodal.VideoFrame(2L, -1, -1, -1, -1, Array.empty[Byte], decoded = false))
+      || (!got(2L).head.decoded && got(2L).length === 1))
+    // restoreToBackgroundColor clears the patch rect after its frame
+    val gif2 = graft.queries.TextOps.animatedGif(Seq(
+      (solid(4, 4, red), 0, 0, "none"),
+      (solid(2, 2, green), 1, 1, "restoreToBackgroundColor"),
+      (solid(1, 1, blue), 3, 3, "doNotDispose")))
+    val fs2 = Multimodal.sampleGifFrames(
+        Seq(Multimodal.MediaRow(3L, gif2, "image/gif")).toDS(), stride = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(px(fs2(1).payload, 1, 1) === green)
+    assert(px(fs2(2).payload, 1, 1) === 0x000000, "disposed rect must clear to background")
+    assert(px(fs2(2).payload, 3, 3) === blue)
+    // stride 2 samples frames 0 and 2 only
+    val strided = Multimodal.sampleGifFrames(
+        Seq(Multimodal.MediaRow(1L, gif, "image/gif")).toDS(), stride = 2)
+      .collect().map(_.frame_idx).sorted
+    assert(strided.toSeq === Seq(0, 2))
+  }
+
   test("frameSampleStub fans a payload out to strided frames with keyable ids") {
     val frames = Multimodal.frameSampleStub(media, frameBytes = 64, stride = 2).collect()
     assert(frames.nonEmpty)

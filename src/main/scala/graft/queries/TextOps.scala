@@ -135,6 +135,28 @@ object TextOps {
     out.toByteArray
   }
 
+  /** Stage a synthesized media fixture to parquet ONCE per JVM and read
+    * it back ([[EventOps.cachedSrcDir]] on the batch-media surface):
+    * Bench's three reps otherwise re-encode every PNG/WAV/GIF per rep,
+    * booking fixture synthesis into the measured operator (the q201
+    * lesson applied to the batch media gates). Verify's single pass
+    * stages identically, so oracles are unaffected.
+    */
+  private[queries] def cachedMedia(
+      s: org.apache.spark.sql.SparkSession, dir: String, tag: String)(
+      build: => org.apache.spark.sql.Dataset[graft.ops.Multimodal.MediaRow])
+      : org.apache.spark.sql.Dataset[graft.ops.Multimodal.MediaRow] = {
+    import s.implicits._
+    val d = EventOps.cachedSrcDir(tag, dir) {
+      val path = java.nio.file.Files.createTempDirectory(tag + "media").toString
+      build.toDF().coalesce(4).write.mode("overwrite").parquet(path)
+      path
+    }
+    s.read.parquet(d)
+      .select(col("media_id"), col("payload"), col("mime"))
+      .as[graft.ops.Multimodal.MediaRow]
+  }
+
   /** Assemble an animated GIF from (frame, left, top, disposalMethod)
     * tuples with the JDK's own GIF writer — the fixture side of
     * [[graft.ops.Multimodal.sampleGifFrames]] (q209 writes full frames;
@@ -1235,8 +1257,8 @@ object TextOps {
             graft.ops.Multimodal.MediaRow(id, out.toByteArray, "image/png")
           }
         val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-        val resized = graft.ops.Multimodal.resizeImage(
-          ids.mapPartitions(_.map(synth)), maxDim = 24)
+        val media = TextOps.cachedMedia(s, dir, "q207")(ids.mapPartitions(_.map(synth)))
+        val resized = graft.ops.Multimodal.resizeImage(media, maxDim = 24)
         // re-decode the thumbnails: the payload itself is the claim
         val back = graft.ops.Multimodal.probeImages(
             resized.map(r =>
@@ -1414,9 +1436,9 @@ object TextOps {
           graft.ops.Multimodal.MediaRow(id, out.toByteArray, "audio/wav")
         }
         val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        val media = TextOps.cachedMedia(s, dir, "q208")(ids.mapPartitions(_.map(synth)))
         def hashAt(rate: Int, tag: String) = {
-          val rs = graft.ops.Multimodal.resampleAudio(
-            ids.mapPartitions(_.map(synth)), targetRate = rate)
+          val rs = graft.ops.Multimodal.resampleAudio(media, targetRate = rate)
           val hashed = graft.ops.Multimodal.audioEnergyHash(
             rs.map(r => graft.ops.Multimodal.MediaRow(r.media_id, r.payload, "audio/wav")))
           rs.toDF().select(col("media_id"), col("frames").as(s"frames_$tag"))
@@ -1478,8 +1500,8 @@ object TextOps {
           graft.ops.Multimodal.MediaRow(id, TextOps.animatedGif(frames), "image/gif")
         }
         val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-        val frames = graft.ops.Multimodal.sampleGifFrames(
-          ids.mapPartitions(_.map(synth)), stride = 2)
+        val media = TextOps.cachedMedia(s, dir, "q209")(ids.mapPartitions(_.map(synth)))
+        val frames = graft.ops.Multimodal.sampleGifFrames(media, stride = 2)
         // re-decode each sampled frame: the payload is the claim (q207 rule)
         val probed = graft.ops.Multimodal.probeImages(
             frames.map(fr => graft.ops.Multimodal.MediaRow(

@@ -500,4 +500,82 @@ class PropertiesSpec extends SparkSpec {
     }
     check(prop, cases = 12)
   }
+
+  test("resizeImage: dims obey the integer formula and solid colors round-trip, any size") {
+    val prop = Prop.forAll(
+      Gen.chooseNum(1, 48), Gen.chooseNum(1, 48), Gen.chooseNum(1, 32),
+      Gen.chooseNum(0, 0xFFFFFF)) { (w, h, maxDim, rgb) =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val got = graft.ops.Multimodal.resizeImage(
+        Seq(graft.ops.Multimodal.MediaRow(1L, bos.toByteArray, "image/png")).toDS(),
+        maxDim).collect().head
+      val m = math.max(w, h)
+      val (ew, eh) =
+        if (m <= maxDim) (w, h)
+        else (math.max(1, w * maxDim / m), math.max(1, h * maxDim / m))
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(got.payload))
+      got.decoded && got.orig_w == w && got.orig_h == h &&
+        got.width == ew && got.height == eh &&
+        back.getWidth == ew && back.getHeight == eh &&
+        (0 until eh).forall(y => (0 until ew).forall(x =>
+          (back.getRGB(x, y) & 0xFFFFFF) == rgb))
+    }
+    check(prop, cases = 10)
+  }
+
+  test("resampleAudio: frame count obeys the integer formula and constant signals survive, any rates") {
+    val rates = Gen.oneOf(4000, 8000, 11025, 16000, 44100)
+    val prop = Prop.forAll(
+      Gen.chooseNum(1, 256), rates, rates,
+      Gen.chooseNum(Short.MinValue + 1, Short.MaxValue.toInt)) { (n, src, target, v0) =>
+      val v = v0.toShort
+      val fmt = new javax.sound.sampled.AudioFormat(src.toFloat, 16, 2, true, false)
+      val pcm = new Array[Byte](n * 4)
+      for (f <- 0 until n; c <- 0 until 2) {
+        pcm((f * 2 + c) * 2) = (v & 0xFF).toByte
+        pcm((f * 2 + c) * 2 + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val got = graft.ops.Multimodal.resampleAudio(
+        Seq(graft.ops.Multimodal.MediaRow(1L, bos.toByteArray, "audio/wav")).toDS(),
+        target).collect().head
+      val expFrames = n.toLong * target / src
+      val ain = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(got.payload))
+      val outBytes = try ain.readAllBytes() finally ain.close()
+      val samples = Array.tabulate(outBytes.length / 2)(i =>
+        ((outBytes(2 * i) & 0xFF) | (outBytes(2 * i + 1) << 8)).toShort)
+      got.decoded && got.orig_frames == n.toLong && got.frames == expFrames &&
+        samples.length.toLong == expFrames && samples.forall(_ == v)
+    }
+    check(prop, cases = 10)
+  }
+
+  test("sampleGifFrames: fan-out is exactly ceil(n/stride), indices on the stride grid") {
+    val prop = Prop.forAll(Gen.chooseNum(1, 6), Gen.chooseNum(1, 4)) { (n, stride) =>
+      def solid(rgb: Int) = {
+        val img = new java.awt.image.BufferedImage(
+          4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, rgb)
+        img
+      }
+      val gif = graft.queries.TextOps.animatedGif(
+        (0 until n).map(f => (solid((f * 40) << 16), 0, 0, "none")))
+      val got = graft.ops.Multimodal.sampleGifFrames(
+        Seq(graft.ops.Multimodal.MediaRow(1L, gif, "image/gif")).toDS(), stride)
+        .collect().sortBy(_.frame_idx)
+      got.length == (n + stride - 1) / stride &&
+        got.forall(f => f.n_frames == n && f.frame_idx % stride == 0 && f.decoded)
+    }
+    check(prop, cases = 10)
+  }
 }

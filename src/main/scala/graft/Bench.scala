@@ -150,12 +150,24 @@ object Bench {
       java.lang.management.ManagementFactory.getClassLoadingMXBean.getLoadedClassCount.toLong
     def jitMillis: Long =
       java.lang.management.ManagementFactory.getCompilationMXBean.getTotalCompilationTime
+    // THIS JVM's block-manager dirs only (creation time >= JVM start):
+    // java.io.tmpdir is shared, so an unscoped blockmgr-* walk would
+    // count a concurrent Spark app's (or a crashed prior run's) dirs
+    // into the trend the diagnostic exists to read (code review r16).
+    val jvmStartMs =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
     def shuffleFiles: Long =
       if (!diag) 0L
       else {
         val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
         val dirs = Option(tmp.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("blockmgr-"))
+          .filter { f =>
+            f.isDirectory && f.getName.startsWith("blockmgr-") && (try {
+              java.nio.file.Files.readAttributes(f.toPath,
+                  classOf[java.nio.file.attribute.BasicFileAttributes])
+                .creationTime().toMillis >= jvmStartMs
+            } catch { case _: Exception => false })
+          }
         def walk(f: java.io.File): Long =
           if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
           else 1L

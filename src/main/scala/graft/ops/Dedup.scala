@@ -771,8 +771,14 @@ object Dedup {
     * non-empty append records the count in a `_nbuckets` sidecar (the
     * underscore prefix keeps it invisible to every parquet listing,
     * including [[compactBandIndex]]'s); every later append and probe
-    * validates against it and fails loudly on mismatch. An index
-    * without the sidecar (no data appended yet) validates vacuously.
+    * validates against it and fails loudly on mismatch. An EMPTY index
+    * (no partition dirs yet) validates vacuously; an index that already
+    * HOLDS data but carries no sidecar (built before the sidecar
+    * existed) fails loudly on append rather than letting the caller's
+    * value become a false certificate — recording the new caller's
+    * nBuckets over unknowable legacy data would make every later probe
+    * pass validation while still naming the wrong dirs for the old
+    * rows (code review r16).
     */
   private def checkBandBuckets(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -790,6 +796,15 @@ object Dedup {
           s"using nBuckets=$nBuckets would name the wrong bucket dirs " +
           "and silently drop collisions")
     } else if (record) {
+      val hasData = fs.exists(root) &&
+        fs.listStatus(root).exists(st =>
+          st.isDirectory && st.getPath.getName.contains("="))
+      require(!hasData,
+        s"banded index at $path holds data but no $BandMetaFile sidecar " +
+          "(built before bucket-count validation existed) — its original " +
+          "nBuckets is unknowable, so appends/probes cannot be validated; " +
+          "rebuild the index (or write the sidecar manually if the " +
+          "original bucket count is known)")
       fs.mkdirs(root)
       val out = fs.create(side, false)
       try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()

@@ -460,39 +460,51 @@ object Multimodal {
               if (mx <= maxDim) (w, h)
               else (math.max(1, (w.toLong * maxDim / mx).toInt),
                 math.max(1, (h.toLong * maxDim / mx).toInt))
+            // one BULK pixel read/write instead of per-pixel
+            // getRGB/setRGB (each pays a ColorModel conversion — code
+            // review r16); the identity case skips the filter entirely
+            val src = img.getRGB(0, 0, w, h, null, 0, w)
+            val dst =
+              if (nw == w && nh == h) src
+              else {
+                val d = new Array[Int](nw * nh)
+                var oy = 0
+                while (oy < nh) {
+                  val sy0 = oy * h / nh
+                  val sy1 = math.max(sy0 + 1, (oy + 1) * h / nh)
+                  var ox = 0
+                  while (ox < nw) {
+                    val sx0 = ox * w / nw
+                    val sx1 = math.max(sx0 + 1, (ox + 1) * w / nw)
+                    var sr = 0L; var sg = 0L; var sb = 0L; var n = 0L
+                    var y = sy0
+                    while (y < sy1) {
+                      val row = y * w
+                      var x = sx0
+                      while (x < sx1) {
+                        val rgb = src(row + x)
+                        sr += (rgb >> 16) & 0xFF
+                        sg += (rgb >> 8) & 0xFF
+                        sb += rgb & 0xFF
+                        n += 1L
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    val half = n / 2
+                    d(oy * nw + ox) =
+                      ((((sr + half) / n).toInt) << 16) |
+                        ((((sg + half) / n).toInt) << 8) |
+                        ((sb + half) / n).toInt
+                    ox += 1
+                  }
+                  oy += 1
+                }
+                d
+              }
             val out = new java.awt.image.BufferedImage(
               nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            var oy = 0
-            while (oy < nh) {
-              val sy0 = oy * h / nh
-              val sy1 = math.max(sy0 + 1, (oy + 1) * h / nh)
-              var ox = 0
-              while (ox < nw) {
-                val sx0 = ox * w / nw
-                val sx1 = math.max(sx0 + 1, (ox + 1) * w / nw)
-                var sr = 0L; var sg = 0L; var sb = 0L; var n = 0L
-                var y = sy0
-                while (y < sy1) {
-                  var x = sx0
-                  while (x < sx1) {
-                    val rgb = img.getRGB(x, y)
-                    sr += (rgb >> 16) & 0xFF
-                    sg += (rgb >> 8) & 0xFF
-                    sb += rgb & 0xFF
-                    n += 1L
-                    x += 1
-                  }
-                  y += 1
-                }
-                val half = n / 2
-                out.setRGB(ox, oy,
-                  ((((sr + half) / n).toInt) << 16) |
-                    ((((sg + half) / n).toInt) << 8) |
-                    ((sb + half) / n).toInt)
-                ox += 1
-              }
-              oy += 1
-            }
+            out.setRGB(0, 0, nw, nh, dst, 0, nw)
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(out, "png", bos)
             ImageResized(m.media_id, w, h, nw, nh, bos.toByteArray, decoded = true)
@@ -512,12 +524,19 @@ object Multimodal {
     * chopper: frames decode IN SEQUENCE onto a composition canvas sized
     * by the frame descriptors, each frame draws at its
     * `(imageLeftPosition, imageTopPosition)` offset (GIF frames are
-    * often partial-rect deltas), and the per-frame DISPOSAL method
-    * applies between frames (`doNotDispose` accumulates,
-    * `restoreToBackgroundColor` clears the frame's rect,
+    * often partial-rect deltas) onto a canvas sized by the LOGICAL
+    * SCREEN descriptor (frame extents as the fallback), and the
+    * per-frame DISPOSAL method applies between frames (`doNotDispose`
+    * accumulates, `restoreToBackgroundColor` clears the frame's rect,
     * `restoreToPrevious` reverts the canvas) — so a sampled frame is
     * what a viewer would SHOW at that index, not whatever rectangle
-    * happened to be stored. Every `stride`-th composed frame re-encodes
+    * happened to be stored. One DOCUMENTED deviation:
+    * `restoreToBackgroundColor` clears to opaque black (the canvas
+    * background), not the global-palette background color — modern
+    * viewers themselves disagree here (most treat the disposed rect as
+    * TRANSPARENT, which over this opaque-RGB canvas composites as
+    * black), and the palette background is the least-honored field in
+    * the GIF89a spec. Every `stride`-th composed frame re-encodes
     * as PNG and emits with its index and the total count; corrupt or
     * reader-less payloads degrade to one `decoded = false` row. Works on
     * any ImageIO multi-image input (a plain PNG emits its one frame).
@@ -564,8 +583,25 @@ object Multimodal {
                   d.flatMap(attr(_, "imageHeight")).map(_.toInt).getOrElse(reader.getHeight(i)),
                   gce.flatMap(attr(_, "disposalMethod")).getOrElse("none"))
               }
-              val cw = descs.map(d => d._1 + d._3).max
-              val chh = descs.map(d => d._2 + d._4).max
+              // the composition surface is the GIF's LOGICAL SCREEN — an
+              // optimized GIF's frames are partial rects that may never
+              // cover it, so sizing from frame extents alone would shift
+              // dims and coordinates (code review r16). Max with the
+              // frame extents as the fallback for non-GIF multi-image
+              // inputs (and malformed descriptors).
+              val (screenW, screenH) =
+                try {
+                  val smd = reader.getStreamMetadata
+                  if (smd == null) (0, 0)
+                  else {
+                    val sroot = smd.getAsTree(smd.getNativeMetadataFormatName)
+                    val lsd = childNode(sroot, "LogicalScreenDescriptor")
+                    (lsd.flatMap(attr(_, "logicalScreenWidth")).map(_.toInt).getOrElse(0),
+                      lsd.flatMap(attr(_, "logicalScreenHeight")).map(_.toInt).getOrElse(0))
+                  }
+                } catch { case _: Exception => (0, 0) }
+              val cw = math.max(screenW, descs.map(d => d._1 + d._3).max)
+              val chh = math.max(screenH, descs.map(d => d._2 + d._4).max)
               val canvas = new java.awt.image.BufferedImage(
                 cw, chh, java.awt.image.BufferedImage.TYPE_INT_RGB)
               val g = canvas.createGraphics()

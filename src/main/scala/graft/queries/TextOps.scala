@@ -1258,7 +1258,9 @@ object TextOps {
           }
         val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         val media = TextOps.cachedMedia(s, dir, "q207")(ids.mapPartitions(_.map(synth)))
-        val resized = graft.ops.Multimodal.resizeImage(media, maxDim = 24)
+        // persist: two consumers (the dims projection and the re-decode
+        // probe) would otherwise run the full resize twice
+        val resized = graft.ops.Multimodal.resizeImage(media, maxDim = 24).persist()
         // re-decode the thumbnails: the payload itself is the claim
         val back = graft.ops.Multimodal.probeImages(
             resized.map(r =>
@@ -1438,7 +1440,9 @@ object TextOps {
         val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         val media = TextOps.cachedMedia(s, dir, "q208")(ids.mapPartitions(_.map(synth)))
         def hashAt(rate: Int, tag: String) = {
-          val rs = graft.ops.Multimodal.resampleAudio(media, targetRate = rate)
+          // persist: the frames projection and the re-hash would
+          // otherwise run the full resample twice per rate
+          val rs = graft.ops.Multimodal.resampleAudio(media, targetRate = rate).persist()
           val hashed = graft.ops.Multimodal.audioEnergyHash(
             rs.map(r => graft.ops.Multimodal.MediaRow(r.media_id, r.payload, "audio/wav")))
           rs.toDF().select(col("media_id"), col("frames").as(s"frames_$tag"))
@@ -1501,7 +1505,15 @@ object TextOps {
         }
         val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         val media = TextOps.cachedMedia(s, dir, "q209")(ids.mapPartitions(_.map(synth)))
+        // persist: two consumers (metadata projection + re-decode probe)
+        // would otherwise run the full demux+composition twice. The
+        // decoded filter guards the probe-key packing: an undecoded
+        // row's frame_idx = -1 would corrupt media_id*1e6 + frame_idx
+        // and silently drop from the join (code review r16) — this
+        // fixture has no corrupt payloads (the degrade path is pinned
+        // in MultimodalSpec), so the filter is a no-op here.
         val frames = graft.ops.Multimodal.sampleGifFrames(media, stride = 2)
+          .filter(_.decoded).persist()
         // re-decode each sampled frame: the payload is the claim (q207 rule)
         val probed = graft.ops.Multimodal.probeImages(
             frames.map(fr => graft.ops.Multimodal.MediaRow(

@@ -238,6 +238,16 @@ class BandIndexSpec extends SparkSpec {
     val fresh = java.nio.file.Files.createTempDirectory("bandmeta2").toString + "/idx"
     assert(Dedup.probeMinhashBandIndex(spark, fresh, sigs, "doc_id", k = 4, r = 2,
       nBuckets = 64).collect().isEmpty)
+    // a LEGACY index (data, no sidecar) must fail the append loudly —
+    // recording the new caller's value would be a false certificate over
+    // rows whose real bucket count is unknowable
+    val legacy = java.nio.file.Files.createTempDirectory("bandmeta3").toString + "/idx"
+    Dedup.appendMinhashBandIndex(sigs, legacy, "doc_id", k = 4, r = 2, nBuckets = 8)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(legacy, "_nbuckets"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.appendMinhashBandIndex(sigs, legacy, "doc_id", k = 4, r = 2, nBuckets = 8)
+    }
+    assert(e2.getMessage.contains("no _nbuckets sidecar"))
   }
 
   test("compactBandIndex folds the simhash chunk layout too (partition names recovered)") {

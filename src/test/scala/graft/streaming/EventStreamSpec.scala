@@ -726,6 +726,81 @@ class EventStreamSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("index-sync sink REBUILDS the IVF index when its recorded corpus version left the retention window") {
+    // the IVF leg of the q205 contract (exact+sig are gate-pinned there):
+    // a stream resumed after out-of-band commits vacuumed its recorded
+    // `_corpus-v` version must rebuild from the table's CURRENT state —
+    // a diff from the vacuumed version is both unreadable and wrong (it
+    // cannot see the gap commits).
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Similarity
+    import graft.sources.Store
+    val table = "ivf_vac_docs"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val path = java.nio.file.Files.createTempDirectory("ivfvac").toString + "/idx"
+    def start(stream: org.apache.spark.sql.DataFrame, ckpt: String) =
+      graft.streaming.EventStream.toStoreUpsertWithIndexSync(
+        stream, table, "vec_id", "text", buckets = 2, parts = 2,
+        ivfIndexPath = Some(path), nCentroids = 2,
+        checkpointLocation = Some(ckpt))
+    val in1 = MemoryStream[(Long, Seq[Float])]
+    val q1 = start(in1.toDF().toDF("vec_id", "embedding"),
+      java.nio.file.Files.createTempDirectory("ivfvac-c1").toString)
+    try {
+      in1.addData(
+        (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f, 0f)),
+        (3L, Seq(0f, 0f, 1f, 0f)), (4L, Seq(0f, 0.1f, 0.9f, 0f)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val recorded = Similarity.ivfSyncedCorpusVersion(spark, path).get
+    try {
+      // the gap: retention tightens to 2 and three out-of-band UPDATES to
+      // id 1 land while the stream is down, vacuuming `recorded`
+      Store.setRetention(spark, table, 2)
+      (1 to 3).foreach { i =>
+        Store.upsert(spark, table,
+          Seq((1L, Seq(0f, 1f - i * 0.01f, 0f, 0.01f * i))).toDF("vec_id", "embedding"),
+          "vec_id", buckets = 2)
+      }
+      assert(!Store.versions(spark, table).contains(recorded),
+        "fixture failed to vacuum the recorded version — the pin is vacuous")
+      // resume with an insert batch: the vacuumed marker must force a
+      // from-scratch rebuild (observable as a rotated index generation)
+      val in2 = MemoryStream[(Long, Seq[Float])]
+      val q2 = start(in2.toDF().toDF("vec_id", "embedding"),
+        java.nio.file.Files.createTempDirectory("ivfvac-c2").toString)
+      try {
+        in2.addData((20L, Seq(0.05f, 0f, 1f, 0f)))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val gens = new java.io.File(path).listFiles()
+        .map(_.getName).filter(_.startsWith("gen-")).toSet
+      assert(gens !== Set("gen-0"), "index never rebuilt — it diffed a vacuumed version")
+      assert(Similarity.ivfSyncedCorpusVersion(spark, path) ===
+        Some(Store.versions(spark, table).last))
+      // the rebuilt index equals a from-scratch build over the FINAL
+      // state — including id 1's gap updates, which no diff from the
+      // vacuumed version could have produced
+      val fin = Store.read(spark, table).select($"vec_id", $"embedding")
+      val probes = Seq((100L, Seq(0f, 1f, 0f, 0f)), (101L, Seq(0f, 0f, 1f, 0f)))
+        .toDF("vec_id", "embedding")
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select($"q_id", $"rank", $"neighbor_id", round($"cosine", 9).as("c"))
+          .collect().map(_.toSeq.toVector).toSet
+      val synced = key(Similarity.ivfQuerySynced(spark, path, probes,
+        "vec_id", "embedding", k = 5, nProbe = 2))
+      val rebuilt = key(Similarity.ivfQuery(probes,
+        Similarity.buildIvfIndex(fin, "vec_id", "embedding", nCentroids = 2),
+        "vec_id", "embedding", k = 5, nProbe = 2))
+      assert(synced === rebuilt, "rebuilt index diverged from the from-scratch build")
+      // id 1 serves its GAP vector: top hit for the rotated probe
+      val top = Similarity.ivfQuerySynced(spark, path,
+          probes.filter($"vec_id" === 100L), "vec_id", "embedding", k = 1, nProbe = 2)
+        .select($"neighbor_id").head().getLong(0)
+      assert(top === 1L, s"gap update not served after rebuild (top hit $top)")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("streaming stratified reservoir: equals the batch sample, evicts displaced members, replay is commit-free") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.Training

@@ -92,6 +92,60 @@ object Store {
   private def withPart(df: DataFrame, idCol: String, parts: Int): DataFrame =
     df.withColumn(PartCol, pmod(hash(col(idCol)), lit(parts)))
 
+  /** Row cap for the driver-side LOCAL-FRAME fast paths below: a frame
+    * whose optimized plan is a LocalRelation under this many rows gets
+    * its stats/routing computed in-process instead of via a Spark job.
+    * Sized like [[graft.ops.Components.MaxLocalRootEdges]] — a bounded
+    * driver loop over data that is already driver-resident.
+    */
+  private val MaxLocalStatsRows = 200000
+
+  /** The frame's rows when it is a small LOCAL relation (driver-built
+    * `Seq.toDF`, a collected probe result), else None. `optimizedPlan`
+    * so a `toDF`-rename Project collapses first; a `localCheckpoint`ed
+    * or scan-backed frame is a LogicalRDD/relation and stays on the
+    * distributed path.
+    */
+  private def localRelationOf(df: DataFrame)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.LocalRelation] =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+        if l.data.length <= MaxLocalStatsRows => Some(l)
+      case _ => None
+    }
+
+  /** Key types whose driver-side (HashSet) equality matches SQL
+    * equality — what the local stats loop's dup check relies on.
+    * Binary and nested types compare by reference on the driver, so
+    * they keep the distributed stats job.
+    */
+  private def simpleKeyType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType => true
+      case StringType | BooleanType | DateType | TimestampType |
+        TimestampNTZType => true
+      case _ => false
+    }
+  }
+
+  /** [[withPart]]'s routing for ONE driver-resident key, by evaluating
+    * the write path's own Catalyst expressions (the [[lookup]] rule:
+    * reimplementing the hash here is how key→partition drift bugs are
+    * born). `keyType` is the value's own type; `idType` the table's —
+    * the cast mirrors the frame version's `.cast(idType)`.
+    */
+  private def partEvaluator(keyType: org.apache.spark.sql.types.DataType,
+      idType: org.apache.spark.sql.types.DataType, parts: Int): Any => Int = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Literal, Murmur3Hash, Pmod}
+    val child: org.apache.spark.sql.catalyst.expressions.Expression =
+      BoundReference(0, keyType, nullable = true)
+    val expr = Pmod(new Murmur3Hash(Seq(
+      if (keyType == idType) child else Cast(child, idType))), Literal(parts))
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    v => { row.update(0, v); expr.eval(row).asInstanceOf[Int] }
+  }
+
   /** The partition-count a table was created with (recorded in table
     * properties so writers from ANY session derive the same key→partition
     * mapping — `hash` is seed-fixed murmur3, stable across JVMs).
@@ -767,9 +821,17 @@ object Store {
     val parts = partsOf(spark, name)
     val idType = t.schema(idCol).dataType
     val kc = keys.columns.head
-    val touched = keys
-      .select(pmod(hash(keys(kc).cast(idType)), lit(parts)).as("__p"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    // LOCAL key frames (r17 — the applyBatch fast path's endpoint set)
+    // route driver-side with the write path's own expressions, zero
+    // jobs; distributed frames keep the ≤`parts`-int aggregate
+    val touched = localRelationOf(keys.select(col(kc))) match {
+      case Some(l) =>
+        val route = partEvaluator(l.output.head.dataType, idType, parts)
+        l.data.map(r => route(r.get(0, l.output.head.dataType))).toSet
+      case None =>
+        keys.select(pmod(hash(keys(kc).cast(idType)), lit(parts)).as("__p"))
+          .distinct().collect().map(_.getInt(0)).toSet
+    }
     val manifest = readManifest(spark, name).map(_._2).getOrElse(Map.empty)
     readAt(spark, name, manifest.view.filterKeys(touched).toMap)
   }
@@ -905,9 +967,24 @@ object Store {
       return (if (empty.columns.contains(DelCol)) empty.drop(DelCol) else empty)
         .drop(PartCol, GenCol)
     }
-    def liveCond(m: Manifest): Column = m.map { case (p, gs) =>
-      col(PartCol) === p && col(GenCol).isin(gs: _*)
-    }.reduce(_ || _)
+    // group partitions sharing a generation list into ONE clause
+    // (r17): the naive per-partition disjunction grows to parts ×
+    // chain-length leaves, which the Hive metastore's direct-SQL
+    // partition pruning expands past Derby's statement limits on a
+    // local bench (it then falls back to a client-side prune — an
+    // exception + full-metadata round trip per read). Upsert-built
+    // tables mostly share one gen list across touched partitions, so
+    // the grouped form is a handful of clauses — same (part, gen)
+    // admission set, metastore-pushable again
+    def liveCond(m: Manifest): Column = m.toSeq
+      .groupBy(_._2.sorted).toSeq
+      .map { case (gs, pgs) =>
+        val ps = pgs.map(_._1)
+        val pc =
+          if (ps.size == 1) col(PartCol) === ps.head
+          else col(PartCol).isin(ps: _*)
+        pc && col(GenCol).isin(gs: _*)
+      }.reduce(_ || _)
     val (multi, single) = manifest.partition {
       case (p, gs) => gs.size > 1 && !disjointParts.contains(p)
     }
@@ -1005,18 +1082,42 @@ object Store {
     // touched-partition list (at most `parts` small integers — a
     // driver-side value list that names the partitions the manifest entry
     // extends). These were two separate jobs until r8; per-micro-batch
-    // upserts pay the fixed job cost 4× per trigger.
-    val stats = u.groupBy(col(idCol))
-      .agg(count(lit(1)).as("c"), first(col(PartCol)).as("p"))
-      .groupBy()
-      .agg(max(col("c")).as("max_c"),
-        max(col(idCol).isNull).as("has_null"),
-        collect_set(col("p")).as("touched"))
-      .head()
-    if (stats.isNullAt(0)) return None // empty updates: nothing to stage
-    require(stats.getLong(0) <= 1L && !stats.getBoolean(1),
-      s"updates contain duplicate or NULL $idCol keys")
-    val touched = stats.getSeq[Int](2)
+    // upserts pay the fixed job cost 4× per trigger. A LOCAL update
+    // frame (r17 — the applyBatch fast path's driver-built deltas)
+    // skips even that one: the validation loop and the routing eval run
+    // in-process over the already-resident rows, zero jobs.
+    val localUpdates = localRelationOf(updates)
+    val touched: Seq[Int] = localUpdates match {
+      case Some(l) if l.output.exists(a => a.name.equalsIgnoreCase(idCol) &&
+          simpleKeyType(a.dataType)) =>
+        // atomic key types only: the driver HashSet's equality matches
+        // SQL equality there; nested types keep the distributed stats
+        val idx = l.output.indexWhere(_.name.equalsIgnoreCase(idCol))
+        val kt = l.output(idx).dataType
+        val route = partEvaluator(kt, kt, parts)
+        val seen = new java.util.HashSet[Any]()
+        val t = scala.collection.mutable.SortedSet.empty[Int]
+        l.data.foreach { r =>
+          val v = r.get(idx, kt)
+          require(v != null && seen.add(v),
+            s"updates contain duplicate or NULL $idCol keys")
+          t += route(v)
+        }
+        if (t.isEmpty) return None // empty updates: nothing to stage
+        t.toSeq
+      case _ =>
+        val stats = u.groupBy(col(idCol))
+          .agg(count(lit(1)).as("c"), first(col(PartCol)).as("p"))
+          .groupBy()
+          .agg(max(col("c")).as("max_c"),
+            max(col(idCol).isNull).as("has_null"),
+            collect_set(col("p")).as("touched"))
+          .head()
+        if (stats.isNullAt(0)) return None // empty updates: nothing to stage
+        require(stats.getLong(0) <= 1L && !stats.getBoolean(1),
+          s"updates contain duplicate or NULL $idCol keys")
+        stats.getSeq[Int](2)
+    }
     val gen = allocateGen(fs, loc, manifest)
     // align the write with the table's OWN bucket count (the caller's
     // `buckets` is only a fallback for tables without a spec): a mismatch
@@ -1032,10 +1133,15 @@ object Store {
       if (columnOrder.contains(DelCol) && !u.columns.contains(DelCol))
         u.withColumn(DelCol, lit(false))
       else u
-    flagged.withColumn(GenCol, lit(gen))
+    val shaped = flagged.withColumn(GenCol, lit(gen))
       .select(columnOrder.map(col(_)): _*)
-      .repartition(tableBuckets, col(idCol))
-      .write.mode(SaveMode.Append).insertInto(name)
+    // a LOCAL delta skips the bucket-aligning shuffle: one task writes
+    // the same one-file-per-present-bucket layout (the bucketed writer
+    // splits by bucket id within the task), minus an AQE exchange round
+    val placed =
+      if (localUpdates.isDefined) shaped.coalesce(1)
+      else shaped.repartition(tableBuckets, col(idCol))
+    placed.write.mode(SaveMode.Append).insertInto(name)
     Some((gen, touched))
   }
 

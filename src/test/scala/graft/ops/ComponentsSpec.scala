@@ -83,11 +83,20 @@ class ComponentsSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       (resolved(lab, fwd), l, f)
     }
+    // three engines (r17): the whole-trigger driver fast path (default
+    // cap — ids and pairs both under it), the distributed body with the
+    // in-process union-find merge (cap 10: ~27 ids/batch bail the fast
+    // path, root graphs still fit localMerges), and the fully
+    // distributed Dedup.connectedComponents fixpoint (cap 0)
     val (resLocal, labLocal, fwdLocal) = run(Components.MaxLocalRootEdges)
+    val (resMid, labMid, fwdMid) = run(10)
     val (resDist, labDist, fwdDist) = run(0)
     assert(resLocal === resDist, "resolved views diverged between merge engines")
     assert(labLocal === labDist, "stored label rows diverged between merge engines")
     assert(fwdLocal === fwdDist, "forward tables diverged between merge engines")
+    assert(resMid === resDist, "resolved views diverged on the mid-cap engine")
+    assert(labMid === labDist, "stored label rows diverged on the mid-cap engine")
+    assert(fwdMid === fwdDist, "forward tables diverged on the mid-cap engine")
   }
 
   test("forward table is one-hop: targets are never keys, labels point through one hop") {

@@ -358,13 +358,16 @@ object Components {
       idCol: String, buckets: Int = 4): Unit = {
     if (!spark.catalog.tableExists(forwardTable) ||
       !spark.catalog.tableExists(labelsTable)) return
-    val fwd = Store.read(spark, forwardTable).localCheckpoint()
+    // broadcast-small by contract → localized (r17): the reads/joins
+    // below run against driver-resident rows and the delete's keys stay
+    // local, so its stats and routing run in-process
+    val fwd = Store.localized(Store.read(spark, forwardTable))
     if (fwd.isEmpty) return
-    val affected = Store.read(spark, labelsTable)
+    val affected = Store.localized(Store.read(spark, labelsTable)
       .join(broadcast(fwd.withColumnRenamed("old_root", "component")),
         Seq("component"))
-      .select(col(idCol), col("root").as("component"))
-      .localCheckpoint() // materialize before upserting the table it reads
+      .select(col(idCol), col("root").as("component")))
+      // materialized before upserting the table it reads
     if (!affected.isEmpty)
       Store.upsert(spark, labelsTable, affected, idCol, buckets)
     Store.delete(spark, forwardTable, fwd.select(col("old_root")), "old_root", buckets)

@@ -132,11 +132,13 @@ object IndexSync {
     // this, each store action re-runs the manifest-pruned full-outer diff
     val ch = changelog.persist()
     try {
+      // changelog-bounded frames → localized (r17): the upsert/delete
+      // stats and routing run driver-side under the cap
       Store.upsert(spark, table,
-        postImages(ch)
-          .select(col(idCol), Dedup.exactFingerprint(col(textCol)).as("fingerprint")),
+        Store.localized(postImages(ch)
+          .select(col(idCol), Dedup.exactFingerprint(col(textCol)).as("fingerprint"))),
         idCol)
-      Store.delete(spark, table, deletions(ch, idCol), idCol)
+      Store.delete(spark, table, Store.localized(deletions(ch, idCol)), idCol)
     } finally { ch.unpersist(); () }
   }
 
@@ -188,13 +190,13 @@ object IndexSync {
       // re-derives cheap to SCAN but not to COMPUTE, so materialize the
       // signatures once (measured ~4 signature passes/trigger at the
       // q194 gate without this)
-      val sigs = Dedup.minhashSignaturesScanLocal(post, idCol, textCol, k, w)
-        .localCheckpoint()
+      val sigs = Store.localized(
+        Dedup.minhashSignaturesScanLocal(post, idCol, textCol, k, w))
       Store.upsert(spark, table, sigs, idCol)
       val signless = post.select(col(idCol))
         .join(sigs.select(col(idCol)), Seq(idCol), "left_anti")
       Store.delete(spark, table,
-        deletions(ch, idCol).unionByName(signless), idCol)
+        Store.localized(deletions(ch, idCol).unionByName(signless)), idCol)
     } finally { ch.unpersist(); () }
   }
 
@@ -287,10 +289,10 @@ object IndexSync {
         Seq("shingle"), "left")
       .filter(col("__stored").isNull || col("first_id") < col("__stored"))
       .select(col("shingle"), col("first_id"))
-      // materialize before the upsert appends to the very table the merge
-      // probe reads (the Store.compact rule); the frame is bounded by the
-      // changelog's changed-shingle count, not the index
-      .localCheckpoint()
-    Store.upsert(spark, table, merged, "shingle")
+    // materialize before the upsert appends to the very table the merge
+    // probe reads (the Store.compact rule); the frame is bounded by the
+    // changelog's changed-shingle count, not the index — localized (r17)
+    // so the upsert's stats and routing run driver-side under the cap
+    Store.upsert(spark, table, Store.localized(merged), "shingle")
   }
 }

@@ -114,6 +114,27 @@ object Store {
       case _ => None
     }
 
+  /** A MATERIALIZED copy of a bounded frame, driver-local when small
+    * (r17): collect up to `cap` rows into a LocalRelation — the
+    * local-frame fast paths above then apply to every write it feeds
+    * (no stats job, no routing job, coalesced write), and each later
+    * consumer reads driver-resident rows — or fall back to
+    * `localCheckpoint()` past the cap (the same materialization
+    * contract, distributed). A drop-in for localCheckpoint at
+    * batch-bounded per-trigger frames: one computation, N cheap
+    * consumers, streaming lineage cut either way. The cap is the
+    * bounded-driver budget ([[graft.ops.Components.MaxLocalRootEdges]]'
+    * rule); an over-cap frame pays one wasted bounded scan
+    * (`limit(cap+1)`) before checkpointing — the price of not knowing
+    * sizes without a job.
+    */
+  def localized(df: DataFrame, cap: Int = MaxLocalStatsRows): DataFrame = {
+    val rows = df.limit(cap + 1).collect()
+    if (rows.length > cap) df.localCheckpoint()
+    else df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** Key types whose driver-side (HashSet) equality matches SQL
     * equality — what the local stats loop's dup check relies on.
     * Binary and nested types compare by reference on the driver, so

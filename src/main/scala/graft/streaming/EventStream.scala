@@ -123,7 +123,10 @@ object EventStream {
           // don't pay the upsert's fixed job cost for an empty merge
           if (!materialized.isEmpty) {
             if (spark.catalog.tableExists(table))
-              graft.sources.Store.upsert(spark, table, materialized.toDF(), idCol, buckets)
+              // batch-bounded → localized (r17): stats + routing run
+              // driver-side under the cap, distributed past it
+              graft.sources.Store.upsert(spark, table,
+                graft.sources.Store.localized(materialized.toDF()), idCol, buckets)
             else
               graft.sources.Store.bulkWrite(
                 materialized.toDF(), table, idCol, buckets = buckets, parts = parts)
@@ -631,13 +634,14 @@ object EventStream {
               maxHamming, sigBits = 64, nBuckets = nBuckets)
             Dedup.appendSimhashBandIndex(audSigs, audioIdxPath, "doc_id",
               maxHamming, sigBits = 64, nBuckets = nBuckets)
-            val newKeepers = hubbed
+            val newKeepers = Store.localized(hubbed
               .filter(col("keeper").isNull && col("doc_id") === col("__bmin"))
-              .select(col("fingerprint"), col("doc_id").as("keeper"))
-              // join-derived and read twice by the upsert (stats + write)
-              // — and the upsert also re-reads the table the hub joins,
-              // so materialize BEFORE the table moves
-              .localCheckpoint()
+              .select(col("fingerprint"), col("doc_id").as("keeper")))
+              // join-derived and consumed by the upsert — and the upsert
+              // also re-reads the table the hub joins, so materialize
+              // BEFORE the table moves; localized (r17) makes the
+              // batch-bounded frame a LocalRelation, so the upsert's
+              // stats and routing run driver-side
             if (fpExists) Store.upsert(spark, textIdxTable, newKeepers, "fingerprint", buckets)
             else Store.bulkWrite(newKeepers, textIdxTable, "fingerprint",
               buckets = buckets, parts = parts)
@@ -736,9 +740,11 @@ object EventStream {
             .persist()
           try {
             labels.write.mode("overwrite").parquet(s"$labelsOut/batch=$batchId")
-            val newKeepers = fps
+            // batch-bounded (one row per kept doc) → localized so the
+            // index upsert's stats and routing run driver-side (r17)
+            val newKeepers = graft.sources.Store.localized(fps
               .join(labels.filter(col("keep")).select(col(idCol)), Seq(idCol))
-              .select(col("fingerprint"), col(idCol).as("keeper"))
+              .select(col("fingerprint"), col(idCol).as("keeper")))
             if (exists)
               graft.sources.Store.upsert(spark, indexTable, newKeepers, "fingerprint", buckets)
             else
@@ -861,22 +867,25 @@ object EventStream {
             // both diffs put `kept` against its own `old` ancestor — the
             // applyBatch rename rule keeps the anti-join conditions off
             // the shared attribute lineage
-            val oldIds = old.select(col(idCol).as("__res_old")).localCheckpoint()
-            val added = kept
-              .join(oldIds, col(idCol) === col("__res_old"), "left_anti")
-              .localCheckpoint()
-            if (!added.isEmpty) Store.upsert(spark, sampleTable, added, idCol, buckets)
+            // sample-sized diffs → localized (r17): the anti-joins run
+            // once into driver-resident frames, the upsert/delete stats
+            // and routing run in-process, and an EMPTY diff no-ops
+            // inside the store call without a job — so the explicit
+            // isEmpty probes retired with the localCheckpoints
+            val oldIds = Store.localized(old.select(col(idCol).as("__res_old")))
+            val added = Store.localized(kept
+              .join(oldIds, col(idCol) === col("__res_old"), "left_anti"))
+            Store.upsert(spark, sampleTable, added, idCol, buckets)
             // the evicted diff runs even when nothing was admitted: a
             // crash between a previous trigger's upsert and delete leaves
             // an over-quota reservoir whose replay has added == ∅ but a
             // REAL eviction set — skipping it would never converge the
             // stored state
-            val evicted = oldIds
+            val evicted = Store.localized(oldIds
               .join(kept.select(col(idCol).as("__res_new")),
                 col("__res_old") === col("__res_new"), "left_anti")
-              .select(col("__res_old").as(idCol))
-              .localCheckpoint()
-            if (!evicted.isEmpty) Store.delete(spark, sampleTable, evicted, idCol, buckets)
+              .select(col("__res_old").as(idCol)))
+            Store.delete(spark, sampleTable, evicted, idCol, buckets)
           }
           applied += 1L
           if (compactEvery > 0 && applied % compactEvery == 0 &&
@@ -980,8 +989,11 @@ object EventStream {
                   count(lit(1)).cast("double"), 4).as("novelty"))
           try {
             scores.write.mode("overwrite").parquet(s"$scoresOut/batch=$batchId")
-            val inserts = newFirst.select(col("shingle"), col("__new_first").as("first_id"))
-              .join(old.select(col("shingle")), Seq("shingle"), "left_anti")
+            // shingle-bounded → localized (r17): under the cap the
+            // upsert's stats and routing run driver-side
+            val inserts = graft.sources.Store.localized(
+              newFirst.select(col("shingle"), col("__new_first").as("first_id"))
+                .join(old.select(col("shingle")), Seq("shingle"), "left_anti"))
             if (exists)
               graft.sources.Store.upsert(spark, indexTable, inserts, "shingle", buckets)
             else
@@ -1087,10 +1099,11 @@ object EventStream {
                 col("n_chunks"),
                 coalesce(col("n_kept"), lit(0L)).as("n_kept"))
             out.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-            val inserts = newFirst
+            // digest-bounded → localized (r17), same as the novelty leg
+            val inserts = graft.sources.Store.localized(newFirst
               .join(old.select(col("__h")), Seq("__h"), "left_anti")
               .select(col("__h"),
-                col("__nf.__fid").as("first_id"), col("__nf.__fck").as("first_ck"))
+                col("__nf.__fid").as("first_id"), col("__nf.__fck").as("first_ck")))
             if (exists)
               graft.sources.Store.upsert(spark, indexTable, inserts, "__h", buckets)
             else
@@ -1153,8 +1166,10 @@ object EventStream {
             .select(explode(graft.ops.TextStats.tokens(col(textCol))).as("tok"))
             .persist()
           try {
-            val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-              .withColumn("bkey", concat(lit(batchId), lit("|"), col("tok")))
+            // distinct-token-bounded → localized (r17)
+            val counts = graft.sources.Store.localized(
+              toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+                .withColumn("bkey", concat(lit(batchId), lit("|"), col("tok"))))
             if (spark.catalog.tableExists(countsTable))
               graft.sources.Store.upsert(spark, countsTable, counts, "bkey", buckets)
             else

@@ -636,4 +636,60 @@ class StoreSpec extends SparkSpec {
         .filter($"id" === 1L).head().getString(1) === "v4 1")
     } finally spark.sql("DROP TABLE IF EXISTS ret_t")
   }
+
+  test("local-frame upsert fast path: table state identical to the distributed path") {
+    import spark.implicits._
+    // same base, same updates — one upsert from a driver-built
+    // LocalRelation (stats + routing run in-process, coalesced write),
+    // one from a localCheckpointed frame (the distributed stats job +
+    // bucket-aligned shuffle). Everything a reader can observe must
+    // match: merged rows, version count, touched-partition manifest.
+    val base = (1L to 40L).map(i => (i, s"v0 $i")).toDF("id", "txt")
+    val ups = Seq((3L, "u 3"), (41L, "u 41"), (7L, "u 7"))
+    def run(table: String, local: Boolean): (Seq[(Long, String)], Int, Seq[Long]) = {
+      Store.bulkWrite(base, table, "id", buckets = 2, parts = 4, validateKeys = true)
+      val up = if (local) ups.toDF("id", "txt")
+        else ups.toDF("id", "txt").localCheckpoint()
+      Store.upsert(spark, table, up, "id", buckets = 2)
+      val rows = Store.read(spark, table).as[(Long, String)].collect().sorted.toSeq
+      (rows, Store.versions(spark, table).size,
+        Store.fileStats(spark, table).map(_.part.toLong).sorted)
+    }
+    try {
+      val l = run("lfu_local", local = true)
+      val d = run("lfu_dist", local = false)
+      assert(l === d, "local-frame upsert diverged from the distributed upsert")
+      // and the local write really was the fast path: one file per
+      // present bucket in the delta generation, no more
+      assert(l._1.count(_._2.startsWith("u ")) === 3)
+    } finally Seq("lfu_local", "lfu_dist").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("localized: LocalRelation under the cap, localCheckpoint past it; rows preserved") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, s"t$i")).toDF("id", "txt")
+    val small = Store.localized(df)
+    assert(small.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      "bounded frame should localize to a LocalRelation")
+    assert(small.as[(Long, String)].collect().sorted.toSeq ===
+      df.as[(Long, String)].collect().sorted.toSeq)
+    val big = Store.localized(df, cap = 10)
+    assert(!big.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      "over-cap frame must stay distributed (localCheckpoint fallback)")
+    assert(big.count() === 50L)
+    // empty local frames no-op inside the store write paths: no new
+    // version, no files moved
+    val t = "lfu_empty"
+    Store.bulkWrite(df, t, "id", buckets = 2, parts = 2, validateKeys = true)
+    try {
+      val v0 = Store.versions(spark, t)
+      Store.upsert(spark, t, df.filter(lit(false)), "id", buckets = 2)
+      Store.delete(spark, t, df.filter(lit(false)).select($"id"), "id", buckets = 2)
+      assert(Store.versions(spark, t) === v0,
+        "empty local upsert/delete must not commit a version")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }

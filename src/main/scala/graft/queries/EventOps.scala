@@ -1047,6 +1047,76 @@ object EventOps {
           coalesce(cc.component, d.doc_id) AS component
         FROM documents d LEFT JOIN cc USING (doc_id)
         ORDER BY d.doc_id""")),
+
+    // STREAMING DISTINCT-COUNT over persisted mergeable HLL state (r17 —
+    // [[graft.streaming.EventStream.distinctSketchIncremental]]): the
+    // corpus streams in 4 hash-split batches, each trigger max-merges
+    // its token sketch into ONE stored sketch row (O(2^lgK) bytes of
+    // state, never the corpus). The q51 HLL gate pattern: the
+    // hash-compared columns are the EXACT distinct count (DuckDB
+    // replays it) plus two in-query certificates — the maintained
+    // estimate within 3% of exact, and REPLAY STABILITY: re-unioning an
+    // already-absorbed batch's sketch into the stored state moves
+    // nothing (union = register max — the at-least-once contract,
+    // asserted on the real corpus, not a toy).
+    QueryDef(
+      "q210_stream_distinct_sketch",
+      (s, dir) => {
+        import s.implicits._
+        val ss = EventOps.streamSession(s)
+        val ev = Tables.events(ss, dir).select(col("event_id"), col("user_id"))
+        val srcDir = EventOps.cachedSrcDir("q210", dir)(
+          EventOps.stageOrderedBatches(ev,
+            graft.ops.Dedup.portableHash(col("event_id").cast("string"),
+              "graft-s210:") % 4, 4, "q210"))
+        ss.sql("DROP TABLE IF EXISTS q210_sketch")
+        val ckpt = java.nio.file.Files.createTempDirectory("q210ckpt").toString
+        val stream = ss.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val toIds = (b: org.apache.spark.sql.DataFrame) =>
+          b.select(col("event_id").as("value"))
+        val q = graft.streaming.EventStream.distinctSketchIncremental(
+          stream, toIds, "q210_sketch", lgK = 12,
+          checkpointLocation = Some(ckpt))
+        try q.processAllAvailable()
+        finally q.stop()
+        val est = graft.streaming.EventStream.readDistinctSketch(s, "q210_sketch")
+        val batchEv = Tables.events(s, dir)
+        // REPLAY STABILITY — the at-least-once certificate, asserted on
+        // the REAL stored state: re-union the sketch of one
+        // already-absorbed arrival batch (batch 3's values, re-derived
+        // from the batch corpus with the gate's own split hash) into
+        // the maintained sketch; union is register-wise max, so the
+        // registers — and therefore the estimate — must not move.
+        // (Merge-order parity against a flat or one-shot union is NOT
+        // the certificate: DataSketches legitimately serves
+        // direct-built sketches from the HIP estimator and unions from
+        // the composite one, and mode-transition boundaries differ by
+        // nesting — all inside the error bound, all order-dependent.)
+        val replaySk = toIds(batchEv)
+          .filter(graft.ops.Dedup.portableHash(
+            col("value").cast("string"), "graft-s210:") % 4 === 3)
+          .agg(hll_sketch_agg(col("value"), lit(12)).as("sk"))
+          .head().getAs[Array[Byte]]("sk")
+        val storedSk = graft.sources.Store.read(s, "q210_sketch")
+          .select(col("sketch")).head().getAs[Array[Byte]](0)
+        val replayedEst = Seq(Tuple1(storedSk), Tuple1(replaySk)).toDF("sk")
+          .agg(hll_union_agg(col("sk"), lit(false)).as("u"))
+          .select(hll_sketch_estimate(col("u"))).head().getLong(0)
+        val exact = toIds(batchEv)
+          .agg(countDistinct(col("value")).as("n")).head().getLong(0)
+        val result = Seq((exact,
+            math.abs(est - exact).toDouble <= 0.03 * exact,
+            replayedEst == est))
+          .toDF("n_distinct_exact", "sketch_ok", "replay_stable")
+          .localCheckpoint()
+        s.sql("DROP TABLE IF EXISTS q210_sketch")
+        EventOps.rmTree(ckpt)
+        result
+      },
+      Some("""SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_exact,
+          true AS sketch_ok, true AS replay_stable
+        FROM events""")),
   )
 
   /** Shared by q146 (batch join route) and q162 (streaming custom-state

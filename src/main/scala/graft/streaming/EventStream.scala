@@ -1122,6 +1122,117 @@ object EventStream {
     wr.start()
   }
 
+  /** STREAMING DISTINCT-COUNT over a persisted mergeable HLL sketch
+    * (r17) — the "how many distinct tokens/users/urls has this stream
+    * ever carried" primitive at 100 TB: exact distinct needs a
+    * corpus-wide shuffle (and state linear in the distinct count);
+    * the DataSketches HLL sketch behind Spark's `hll_sketch_agg` is a
+    * few KB at lgK=12 for ~1.6% relative error, and its union is
+    * REGISTER-WISE MAX — associative, commutative, idempotent — so
+    * every batch (executor, day, site) sketches independently and the
+    * union answers for the whole history. State here is ONE sketch row
+    * in a [[graft.sources.Store]] table, O(2^lgK) bytes forever, never
+    * the corpus.
+    *
+    * Per trigger: the batch's values sketch map-side into one binary
+    * (`hll_sketch_agg` — a partial-aggregate plan, no shuffle of
+    * values, just sketch merge), the stored sketch unions in via the
+    * same engine aggregate over a driver-local two-row frame, and the
+    * result upserts through the LOCAL-frame fast path. Union
+    * idempotence gives the replay contract at the VALUE level: a
+    * replayed batch's sketch max-merges into registers that already
+    * absorbed it, so the stored state and its estimate cannot move
+    * (EventStreamSpec pins estimate stability under duplicate
+    * re-delivery; the q210 gate pins it on the real corpus). The
+    * write itself is skipped only when the merged bytes come back
+    * identical — a best-effort dedup, not a contract: a union
+    * result's serialization carries estimator bookkeeping (HIP
+    * accumulator, out-of-order flag) that legitimately moves even
+    * when no register does, and gating the write on the rounded
+    * estimate instead would silently DROP a small real increment. An
+    * equivalent re-write is harmless (newest-wins on the single key);
+    * `compactEvery` folds the 1-row table's delta chain on the
+    * standard cadence. Estimate parity against a one-shot or
+    * differently-nested union is NOT a contract either — DataSketches
+    * serves direct-built sketches from the HIP estimator and unions
+    * from the composite one, and coupon→dense mode transitions differ
+    * by nesting, all inside the error bound.
+    *
+    * `toValues` shapes a batch to one value per row (e.g. exploded
+    * tokens) — the same caller-supplied-transform contract as
+    * [[reservoirIncremental]]'s trim.
+    */
+  def distinctSketchIncremental(
+      docs: DataFrame, toValues: DataFrame => DataFrame,
+      sketchTable: String, lgK: Int = 12,
+      checkpointLocation: Option[String] = None,
+      buckets: Int = 1, parts: Int = 1, compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
+    val wr = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        import graft.sources.Store
+        import spark.implicits._
+        // ONE action consumes the batch (the aggregate) — no checkpoint
+        // needed; an empty batch aggregates to a null sketch and skips
+        val skRow = toValues(batch.toDF())
+          .agg(hll_sketch_agg(col("value"), lit(lgK)).as("sketch"))
+          .head()
+        // an all-null batch aggregates to an EMPTY sketch, not a null
+        // one — both add nothing, both skip
+        val batchEmpty = skRow.isNullAt(0) ||
+          Seq(Tuple1(skRow.getAs[Array[Byte]]("sketch"))).toDF("sketch")
+            .select(hll_sketch_estimate(col("sketch"))).head().getLong(0) == 0L
+        if (!batchEmpty) {
+          val batchSketch = skRow.getAs[Array[Byte]]("sketch")
+          val exists = spark.catalog.tableExists(sketchTable)
+          val stored: Option[Array[Byte]] =
+            if (exists)
+              Store.read(spark, sketchTable).select(col("sketch"))
+                .collect().headOption.map(_.getAs[Array[Byte]](0))
+            else None
+          val merged = stored match {
+            case None => batchSketch
+            case Some(s) =>
+              // engine-native union over a driver-local frame — same
+              // DataSketches semantics as the distributed aggregate,
+              // zero shuffle
+              Seq(Tuple1(s), Tuple1(batchSketch)).toDF("sketch")
+                .agg(hll_union_agg(col("sketch"), lit(false)).as("u"))
+                .head().getAs[Array[Byte]]("u")
+          }
+          // best-effort write dedup (see the scaladoc: byte equality
+          // only — never the rounded estimate)
+          if (!stored.exists(java.util.Arrays.equals(_, merged))) {
+            val up = Seq(("corpus", merged)).toDF("scope", "sketch")
+            if (exists) Store.upsert(spark, sketchTable, up, "scope", buckets)
+            else Store.bulkWrite(up, sketchTable, "scope",
+              buckets = buckets, parts = parts, validateKeys = true)
+            applied += 1L
+            if (compactEvery > 0 && applied % compactEvery == 0 &&
+              spark.catalog.tableExists(sketchTable)) {
+              Store.compact(spark, sketchTable)
+              ()
+            }
+          }
+        }
+      }
+    checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))
+    wr.start()
+  }
+
+  /** The sketch's serving read: the maintained estimate of distinct
+    * values ever streamed (±~1.6% at the default lgK=12), answered from
+    * O(2^lgK) bytes — no corpus scan exists in this code path.
+    */
+  def readDistinctSketch(
+      spark: org.apache.spark.sql.SparkSession, sketchTable: String): Long =
+    graft.sources.Store.read(spark, sketchTable)
+      .select(hll_sketch_estimate(col("sketch")).as("est"))
+      .head().getLong(0)
+
   /** STREAMING heavy hitters — q100's streaming twin: per micro-batch the
     * token counts land in a persisted count [[graft.sources.Store]] table
     * and a count-min sketch rides along, MERGED driver-side (CMS merge is

@@ -906,6 +906,58 @@ class EventStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS wsr_tab")
   }
 
+  test("streaming distinct sketch: exact in coupon range, duplicate re-delivery moves nothing, null batch skipped") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Store
+    spark.sql("DROP TABLE IF EXISTS dsk_tab")
+    def storedBytes(): Array[Byte] = Store.read(spark, "dsk_tab")
+      .select(col("sketch")).head().getAs[Array[Byte]](0)
+    val toV = (b: org.apache.spark.sql.DataFrame) => b.select(col("v").as("value"))
+    // 300 distinct values stay inside the lgK=12 coupon range, where the
+    // DataSketches estimate is EXACT — so the maintained sketch is
+    // pinned to equality, not a tolerance band
+    val batchA = (1L to 200L).map(i => s"val-$i")
+    val batchB = (150L to 300L).map(i => s"val-$i") // overlaps A
+    val input = MemoryStream[String]
+    val q = graft.streaming.EventStream.distinctSketchIncremental(
+      input.toDF().toDF("v"), toV, "dsk_tab")
+    try {
+      input.addData(batchA: _*)
+      q.processAllAvailable()
+      input.addData(batchB: _*)
+      q.processAllAvailable()
+      assert(graft.streaming.EventStream.readDistinctSketch(spark, "dsk_tab") === 300L,
+        "coupon-range estimate must be exact")
+    } finally q.stop()
+    val vBefore = Store.versions(spark, "dsk_tab").toSeq
+    // duplicate re-delivery (the at-least-once shape): union is
+    // register-wise max, so the stored VALUE cannot move — the
+    // estimate stays exactly 300 and the table still serves one row.
+    // (Version stability is NOT the contract: a union result's
+    // serialization carries estimator bookkeeping that may move even
+    // when no register does — see the sink's scaladoc.)
+    val input2 = MemoryStream[String]
+    val q2 = graft.streaming.EventStream.distinctSketchIncremental(
+      input2.toDF().toDF("v"), toV, "dsk_tab")
+    try {
+      input2.addData(batchB: _*)
+      q2.processAllAvailable()
+      // a batch whose values are all NULL aggregates to an EMPTY
+      // sketch and is skipped outright — no union, no write
+      val vAfterDup = Store.versions(spark, "dsk_tab").toSeq
+      input2.addData(null.asInstanceOf[String])
+      q2.processAllAvailable()
+      assert(Store.versions(spark, "dsk_tab").toSeq === vAfterDup,
+        "an all-null batch committed a version")
+    } finally q2.stop()
+    assert(Store.versions(spark, "dsk_tab").size === vBefore.size,
+      "retention window drifted") // last-2 manifests, before and after
+    assert(graft.streaming.EventStream.readDistinctSketch(spark, "dsk_tab") === 300L,
+      "duplicate re-delivery moved the estimate")
+    assert(Store.read(spark, "dsk_tab").count() === 1L)
+    spark.sql("DROP TABLE IF EXISTS dsk_tab")
+  }
+
   test("cross-modal sink replay guard: a full re-run over the same source leaves labels unchanged") {
     import graft.sources.Store
     // undecodable media payloads (filtered out scan-side — also pins that

@@ -55,5 +55,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "dist2_f", classOf[Dist2F].getName, 2)(c => Dist2F(c(0), c(1)))
     register(ext, "nearest_cell_l2", classOf[NearestCellL2Expr].getName, 3)(c =>
       NearestCellL2Expr(c(0), c(1), c(2)))
+    // mergeable-sketch aggregates + serving probes (SketchAggs.scala);
+    // the analyzer wraps the bare AggregateFunction in Complete mode
+    register(ext, "kll_agg", classOf[graft.functions.KllAgg].getName, 2)(c =>
+      graft.functions.KllAgg(c(0), c(1)))
+    register(ext, "theta_agg", classOf[graft.functions.ThetaAgg].getName, 2)(c =>
+      graft.functions.ThetaAgg(c(0), c(1)))
+    register(ext, "kll_quantile", classOf[graft.functions.KllQuantileExpr].getName, 2)(c =>
+      graft.functions.KllQuantileExpr(c(0), c(1)))
+    register(ext, "kll_rank", classOf[graft.functions.KllRankExpr].getName, 2)(c =>
+      graft.functions.KllRankExpr(c(0), c(1)))
+    register(ext, "kll_n", classOf[graft.functions.KllNExpr].getName, 1)(c =>
+      graft.functions.KllNExpr(c.head))
+    register(ext, "theta_estimate", classOf[graft.functions.ThetaEstimateExpr].getName, 1)(c =>
+      graft.functions.ThetaEstimateExpr(c.head))
+    register(ext, "theta_intersect_estimate",
+      classOf[graft.functions.ThetaIntersectEstimateExpr].getName, 2)(c =>
+      graft.functions.ThetaIntersectEstimateExpr(c(0), c(1)))
+    register(ext, "theta_anotb_estimate",
+      classOf[graft.functions.ThetaAnotBEstimateExpr].getName, 2)(c =>
+      graft.functions.ThetaAnotBEstimateExpr(c(0), c(1)))
   }
 }

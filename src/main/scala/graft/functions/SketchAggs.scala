@@ -1,0 +1,370 @@
+package graft.functions
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketch, Sketches, Union}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mergeable-sketch aggregates the built-in surface lacks, as native
+  * Catalyst [[TypedImperativeAggregate]]s (the same execution class as
+  * Spark's own `hll_sketch_agg`): partial sketches build map-side per
+  * partition, only O(sketch) bytes cross the exchange, and the final
+  * merge folds partials — the mergeability property that makes a
+  * distinct/quantile summary computable over 100 TB with a shuffle
+  * measured in kilobytes.
+  *
+  * Two sketches, chosen for what HLL cannot answer:
+  *
+  *  - [[KllAgg]] (`kll_agg`): KLL quantile sketch (Karnin-Lang-Liberty,
+  *    FOCS 2016) over doubles — rank/quantile queries with a
+  *    normalized-rank-error guarantee in O(k·log(n/k)) space. The
+  *    length/score DISTRIBUTION of a corpus (p50/p99 doc length, score
+  *    cutoffs for quality filtering) where HLL only counts.
+  *  - [[ThetaAgg]] (`theta_agg`): theta sketch (the KMV generalization,
+  *    Dasgupta et al. 2016) — a uniform hash sample of the distinct set
+  *    that supports SET OPERATIONS: intersections and differences
+  *    (cross-source vocabulary overlap, contamination estimates between
+  *    corpus snapshots) where HLL unions only.
+  *
+  * Determinism contract (what the gates may hash): a theta compact
+  * sketch is the SET of the k smallest retained hashes — a pure function
+  * of the distinct input set, invariant to row order, partitioning, and
+  * replay (re-unioning an absorbed sketch is a no-op), so theta
+  * estimates are hash-stable. KLL compaction flips unseeded random bits
+  * once n exceeds k, so only its ERROR CONTRACT is stable: gates emit
+  * exact oracle-matched quantiles plus boolean within-rank-tolerance
+  * certificates, never raw KLL estimates (`getNormalizedRankError` bounds
+  * rank error at ~1.65% for the default k=200, 99.7% confidence).
+  *
+  * Reference scope: the reference's Elasticsearch `cardinality`
+  * aggregation is sketch-backed (/root/reference/README.md:141-153
+  * describes the analytics aggregations); these are that capability
+  * class, generalized to quantiles and set algebra.
+  */
+object SketchAggs {
+
+  /** KLL payload → the inclusive quantile at normalized rank `q`.
+    * Serving-side probe: heapifies per call — intended for the tiny
+    * frames sketch reads produce, not per-corpus-row maps.
+    */
+  def kllQuantile(bytes: Array[Byte], q: Double): Double =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+      .getQuantile(q, QuantileSearchCriteria.INCLUSIVE)
+
+  /** KLL payload → the normalized rank of `v` (inclusive). */
+  def kllRank(bytes: Array[Byte], v: Double): Double =
+    KllDoublesSketch.heapify(Memory.wrap(bytes)).getRank(v, QuantileSearchCriteria.INCLUSIVE)
+
+  /** KLL payload → the stream length the sketch absorbed (exact). */
+  def kllN(bytes: Array[Byte]): Long =
+    KllDoublesSketch.heapify(Memory.wrap(bytes)).getN
+
+  /** KLL payload → a-priori normalized rank error (one-sided, 99.7%). */
+  def kllRankError(bytes: Array[Byte]): Double =
+    KllDoublesSketch.heapify(Memory.wrap(bytes)).getNormalizedRankError(false)
+
+  /** Merge two serialized KLL sketches (driver-side union for streaming
+    * state). NOT idempotent — KLL merge adds weight, so streaming sinks
+    * must replay-guard on batch id (see the scaladoc determinism
+    * contract; contrast [[thetaUnion]]).
+    */
+  def kllMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val s = KllDoublesSketch.heapify(Memory.wrap(a))
+    s.merge(KllDoublesSketch.heapify(Memory.wrap(b)))
+    s.toByteArray
+  }
+
+  def thetaEstimate(bytes: Array[Byte]): Double =
+    Sketches.heapifySketch(Memory.wrap(bytes)).getEstimate
+
+  /** Union of two serialized theta sketches → ordered compact bytes.
+    * Idempotent and commutative (set union over retained hashes), so
+    * streaming replay cannot move the stored state.
+    */
+  def thetaUnion(a: Array[Byte], b: Array[Byte], lgK: Int = 12): Array[Byte] = {
+    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    u.union(Sketches.heapifySketch(Memory.wrap(a)))
+    u.union(Sketches.heapifySketch(Memory.wrap(b)))
+    u.getResult.toByteArray
+  }
+
+  def thetaIntersectEstimate(a: Array[Byte], b: Array[Byte]): Double = {
+    val i = SetOperation.builder().buildIntersection()
+    i.intersect(Sketches.heapifySketch(Memory.wrap(a)))
+    i.intersect(Sketches.heapifySketch(Memory.wrap(b)))
+    i.getResult.getEstimate
+  }
+
+  /** |A \ B| estimate from two serialized theta sketches. */
+  def thetaAnotBEstimate(a: Array[Byte], b: Array[Byte]): Double = {
+    val op = SetOperation.builder().buildANotB()
+    op.setA(Sketches.heapifySketch(Memory.wrap(a)))
+    op.notB(Sketches.heapifySketch(Memory.wrap(b)))
+    op.getResult(true).getEstimate
+  }
+}
+
+/** `kll_agg(value, k)` — KLL quantile sketch of a numeric column as
+  * binary. `k` must be a foldable integral (the accuracy/space knob;
+  * 200 ≈ 1.65% rank error).
+  */
+case class KllAgg(
+    left: Expression, right: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllDoublesSketch] with BinaryLike[Expression] {
+
+  private lazy val k: Int = right.eval().asInstanceOf[Number].intValue()
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kll_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val kOk = right.foldable && (right.dataType match {
+      case IntegerType | LongType | ShortType | ByteType => true
+      case _                                             => false
+    }) && right.eval() != null && {
+      val v = right.eval().asInstanceOf[Number].intValue(); v >= 8 && v <= 65535
+    }
+    if (!left.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a numeric value column, got ${left.dataType.catalogString}")
+    else if (!kOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable integral k in [8, 65535]")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private lazy val toDouble: Any => Double = left.dataType match {
+    case DoubleType => v => v.asInstanceOf[Double]
+    case FloatType  => v => v.asInstanceOf[Float].toDouble
+    case LongType   => v => v.asInstanceOf[Long].toDouble
+    case IntegerType => v => v.asInstanceOf[Int].toDouble
+    case ShortType  => v => v.asInstanceOf[Short].toDouble
+    case ByteType   => v => v.asInstanceOf[Byte].toDouble
+    case _: DecimalType => v => v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = left.eval(input)
+    if (v != null) buffer.update(toDouble(v))
+    buffer
+  }
+
+  override def merge(buffer: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: KllDoublesSketch): Any = buffer.toByteArray
+
+  override def serialize(buffer: KllDoublesSketch): Array[Byte] = buffer.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllAgg =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `theta_agg(value, lgK)` — theta distinct-set sketch of a string or
+  * integral column as ordered-compact binary. The update-side buffer is a
+  * theta Union so partial-merge and final-merge share one code path.
+  */
+case class ThetaAgg(
+    left: Expression, right: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Union] with BinaryLike[Expression] {
+
+  private lazy val lgK: Int = right.eval().asInstanceOf[Number].intValue()
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "theta_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val lgOk = right.foldable && (right.dataType match {
+      case IntegerType | LongType | ShortType | ByteType => true
+      case _                                             => false
+    }) && right.eval() != null && {
+      val v = right.eval().asInstanceOf[Number].intValue(); v >= 4 && v <= 26
+    }
+    val valueOk = left.dataType match {
+      case StringType | LongType | IntegerType | BinaryType => true
+      case _                                                => false
+    }
+    if (!valueOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires STRING, LONG, INT or BINARY values, got ${left.dataType.catalogString}")
+    else if (!lgOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable integral lgK in [4, 26]")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private def newUnion(): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def createAggregationBuffer(): Union = newUnion()
+
+  override def update(buffer: Union, input: InternalRow): Union = {
+    val v = left.eval(input)
+    if (v != null) left.dataType match {
+      case StringType  => buffer.update(v.asInstanceOf[UTF8String].toString)
+      case LongType    => buffer.update(v.asInstanceOf[Long])
+      case IntegerType => buffer.update(v.asInstanceOf[Int].toLong)
+      case BinaryType  => buffer.update(v.asInstanceOf[Array[Byte]])
+      case other       => throw new IllegalStateException(s"unreachable: $other")
+    }
+    buffer
+  }
+
+  override def merge(buffer: Union, other: Union): Union = {
+    buffer.union(other.getResult)
+    buffer
+  }
+
+  // ordered compact: the canonical form (sorted k-smallest hashes) whose
+  // bytes are a pure function of the distinct input set
+  override def eval(buffer: Union): Any = buffer.getResult.toByteArray
+
+  override def serialize(buffer: Union): Array[Byte] = buffer.getResult.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = newUnion()
+    u.union(Sketches.heapifySketch(Memory.wrap(bytes)))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaAgg =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Scalar serving probes over serialized sketch payloads. These heapify
+  * per evaluation — correct for the one-row frames sketch reads produce;
+  * a per-corpus-row probe should pre-heapify driver-side instead (the
+  * [[CmsEstimate]] referenceObj pattern).
+  */
+case class KllQuantileExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "kll_quantile"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType || right.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires (BINARY, DOUBLE)")
+    else TypeCheckResult.TypeCheckSuccess
+  override protected def nullSafeEval(sketch: Any, q: Any): Any =
+    SketchAggs.kllQuantile(sketch.asInstanceOf[Array[Byte]], q.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, q) => s"graft.functions.SketchAggs.kllQuantile($s, $q)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllQuantileExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+case class KllRankExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "kll_rank"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType || right.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires (BINARY, DOUBLE)")
+    else TypeCheckResult.TypeCheckSuccess
+  override protected def nullSafeEval(sketch: Any, v: Any): Any =
+    SketchAggs.kllRank(sketch.asInstanceOf[Array[Byte]], v.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, v) => s"graft.functions.SketchAggs.kllRank($s, $v)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllRankExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+case class KllNExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "kll_n"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires BINARY")
+    else TypeCheckResult.TypeCheckSuccess
+  override protected def nullSafeEval(sketch: Any): Any =
+    SketchAggs.kllN(sketch.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.SketchAggs.kllN($s)")
+  override protected def withNewChildInternal(newChild: Expression): KllNExpr =
+    copy(child = newChild)
+}
+
+case class ThetaEstimateExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "theta_estimate"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires BINARY")
+    else TypeCheckResult.TypeCheckSuccess
+  override protected def nullSafeEval(sketch: Any): Any =
+    SketchAggs.thetaEstimate(sketch.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.SketchAggs.thetaEstimate($s)")
+  override protected def withNewChildInternal(newChild: Expression): ThetaEstimateExpr =
+    copy(child = newChild)
+}
+
+case class ThetaIntersectEstimateExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "theta_intersect_estimate"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType || right.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires (BINARY, BINARY)")
+    else TypeCheckResult.TypeCheckSuccess
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SketchAggs.thetaIntersectEstimate(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SketchAggs.thetaIntersectEstimate($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaIntersectEstimateExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+case class ThetaAnotBEstimateExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "theta_anotb_estimate"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType || right.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires (BINARY, BINARY)")
+    else TypeCheckResult.TypeCheckSuccess
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SketchAggs.thetaAnotBEstimate(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SketchAggs.thetaAnotBEstimate($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaAnotBEstimateExpr =
+    copy(left = newLeft, right = newRight)
+}

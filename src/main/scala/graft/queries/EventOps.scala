@@ -1117,6 +1117,102 @@ object EventOps {
       Some("""SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_exact,
           true AS sketch_ok, true AS replay_stable
         FROM events""")),
+
+    // STREAMING QUANTILES over persisted mergeable KLL state (r17 —
+    // [[graft.streaming.EventStream.quantileSketchIncremental]]): the
+    // distribution sibling of q210. The corpus streams in 4 hash-split
+    // batches; each trigger folds its map-side-partial `kll_agg` sketch
+    // into ONE stored row (O(k·log(n/k)) bytes of state, never the
+    // corpus). The replay contract is the OTHER exactly-once mechanism —
+    // KLL merge adds weight (union idempotence does not exist for
+    // quantile sketches), so the stored `last_batch` guard skips
+    // re-delivered batch ids; the gate re-invokes the applier with an
+    // already-applied id and pins the stored BYTES identical (a stronger
+    // certificate than q210's estimate stability — the guard makes
+    // replay a structural no-op). Hash-compared columns: exact
+    // positional quantiles + n (q211's oracle rule); certificates: the
+    // maintained sketch's rank error within 2× the a-priori bound, and
+    // its absorbed count exactly n (proving no batch double-folded
+    // across the 4 triggers + replay).
+    QueryDef(
+      "q213_stream_quantile_sketch",
+      (s, dir) => {
+        import s.implicits._
+        val ss = EventOps.streamSession(s)
+        val docs = Tables.documents(ss, dir).select(col("doc_id"), col("n_chars"))
+        val srcDir = EventOps.cachedSrcDir("q213", dir)(
+          EventOps.stageOrderedBatches(docs,
+            graft.ops.Dedup.portableHash(col("doc_id").cast("string"),
+              "graft-s213:") % 4, 4, "q213"))
+        ss.sql("DROP TABLE IF EXISTS q213_sketch")
+        val ckpt = java.nio.file.Files.createTempDirectory("q213ckpt").toString
+        val stream = ss.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val toVal = (b: org.apache.spark.sql.DataFrame) =>
+          b.select(col("n_chars").as("value"))
+        val q = graft.streaming.EventStream.quantileSketchIncremental(
+          stream, toVal, "q213_sketch", k = 200,
+          // compact once MID-stream (batch 3 of 4): later triggers must
+          // read state across the fold (the q202 cadence rule)
+          checkpointLocation = Some(ckpt), compactEvery = 3)
+        try q.processAllAvailable()
+        finally q.stop()
+        // REPLAY GUARD — re-apply an already-folded batch id against the
+        // real stored state: the guard must refuse the fold and the
+        // stored bytes must not move (byte-level, deterministic)
+        val before = graft.sources.Store.read(s, "q213_sketch")
+          .select(col("sketch"), col("last_batch")).head()
+        val replayBatch = Tables.documents(s, dir)
+          .filter(graft.ops.Dedup.portableHash(
+            col("doc_id").cast("string"), "graft-s213:") % 4 === 2)
+          .select(col("doc_id"), col("n_chars"))
+        val refolded = graft.streaming.EventStream.applyQuantileBatch(
+          replayBatch, toVal, "q213_sketch", batchId = 0L, k = 200)
+        val after = graft.sources.Store.read(s, "q213_sketch")
+          .select(col("sketch"), col("last_batch")).head()
+        val guardHeld = !refolded &&
+          java.util.Arrays.equals(before.getAs[Array[Byte]](0),
+            after.getAs[Array[Byte]](0)) &&
+          before.getLong(1) == after.getLong(1)
+        val bytes = after.getAs[Array[Byte]](0)
+        import graft.functions.SketchAggs._
+        val lens = Tables.documents(s, dir).select(col("n_chars"))
+        val n = lens.count()
+        val eps = kllRankError(bytes)
+        val qs = Seq(0.5, 0.9, 0.99)
+        val posOf = qs.map(qq => qq -> (math.floor((n - 1) * qq).toLong + 1L)).toMap
+        val byPos = lens
+          .withColumn("rn", org.apache.spark.sql.functions.row_number()
+            .over(org.apache.spark.sql.expressions.Window.orderBy(col("n_chars"))))
+          .filter(col("rn").isin(posOf.values.toSeq: _*))
+          .collect().map(r => r.getAs[Number]("rn").longValue() ->
+            r.getAs[Number]("n_chars").longValue()).toMap
+        val ests = qs.map(qq => qq -> kllQuantile(bytes, qq)).toMap
+        val rankCols = qs.zipWithIndex.map { case (qq, i) =>
+          (sum(when(col("n_chars") <= lit(ests(qq)), 1L).otherwise(0L)) /
+            lit(n.toDouble)).as(s"r$i")
+        }
+        val trueRanks = lens.agg(rankCols.head, rankCols.tail: _*).head()
+        val result = qs.zipWithIndex.map { case (qq, i) =>
+          (qq, byPos(posOf(qq)), n,
+            math.abs(trueRanks.getDouble(i) - qq) <= 2.0 * eps,
+            kllN(bytes) == n, guardHeld)
+        }.toDF("q", "exact_q", "n_docs", "rank_ok", "n_ok", "replay_guard")
+          .orderBy(col("q")).localCheckpoint()
+        s.sql("DROP TABLE IF EXISTS q213_sketch")
+        EventOps.rmTree(ckpt)
+        result
+      },
+      Some("""
+        WITH ord AS (
+          SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+            count(*) OVER () AS n
+          FROM documents),
+        qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        SELECT CAST(qs.q AS DOUBLE) AS q, CAST(o.n_chars AS BIGINT) AS exact_q, o.n AS n_docs,
+          true AS rank_ok, true AS n_ok, true AS replay_guard
+        FROM qs JOIN ord o ON o.rn = CAST(floor((o.n - 1) * qs.q) AS BIGINT) + 1
+        ORDER BY qs.q""")),
   )
 
   /** Shared by q146 (batch join route) and q162 (streaming custom-state

@@ -3262,5 +3262,195 @@ object TextOps {
         result
       },
       Some(TextOps.CrossModalOracle)),
+
+    // CORPUS QUANTILES from a mergeable KLL sketch (r17 —
+    // [[graft.functions.KllAgg]], the repo's first
+    // TypedImperativeAggregate): partial sketches build map-side per
+    // partition and only O(k·log(n/k)) bytes cross the exchange — the
+    // shape that makes "p50/p99 doc length of 100 TB" a kilobyte-shuffle
+    // query. KLL compaction is randomized (unseeded) once n > k, so the
+    // gate hashes the EXACT quantiles (positional pick both engines
+    // replay verbatim: the value at 1-indexed floor((n−1)·q)+1 of the
+    // sorted multiset — the exact half exists to GRADE the sketch; the
+    // sketch is the scale path) plus certificates of the KLL contract:
+    // the sketch's answer at each q has true normalized rank within
+    // 2× the a-priori one-sided 99.7% bound (`getNormalizedRankError`,
+    // ~1.65% at k=200 — doubled so the certificate is ~6σ, not a coin
+    // flip per run), and the absorbed count is exactly n (KLL tracks n
+    // losslessly).
+    QueryDef(
+      "q211_quantile_sketch",
+      (s, dir) => {
+        import s.implicits._
+        val lens = Tables.documents(s, dir).select(col("n_chars"))
+        val bytes = lens
+          .agg(call_function("kll_agg", col("n_chars").cast("double"), lit(200))
+            .as("sk"))
+          .head().getAs[Array[Byte]]("sk")
+        val eps = graft.functions.SketchAggs.kllRankError(bytes)
+        val n = graft.functions.SketchAggs.kllN(bytes)
+        val qs = Seq(0.5, 0.9, 0.99)
+        val posOf = qs.map(q => q -> (math.floor((n - 1) * q).toLong + 1L)).toMap
+        // the exact side: one global sort at gate scale (the oracle-replay
+        // half — a 100 TB exact quantile would itself be the KLL sketch)
+        val byPos = lens
+          .withColumn("rn", row_number().over(Window.orderBy(col("n_chars"))))
+          .filter(col("rn").isin(posOf.values.toSeq: _*))
+          .collect().map(r => r.getAs[Number]("rn").longValue() ->
+            r.getAs[Number]("n_chars").longValue()).toMap
+        val ests = qs.map(q => q -> graft.functions.SketchAggs.kllQuantile(bytes, q)).toMap
+        // true normalized ranks of the sketch's answers, one corpus pass
+        val rankCols = qs.zipWithIndex.map { case (q, i) =>
+          (sum(when(col("n_chars") <= lit(ests(q)), 1L).otherwise(0L)) /
+            lit(n.toDouble)).as(s"r$i")
+        }
+        val trueRanks = lens.agg(rankCols.head, rankCols.tail: _*).head()
+        val rows = qs.zipWithIndex.map { case (q, i) =>
+          (q, byPos(posOf(q)), n,
+            math.abs(trueRanks.getDouble(i) - q) <= 2.0 * eps,
+            n == lens.count())
+        }
+        rows.toDF("q", "exact_q", "n_docs", "rank_ok", "n_ok").orderBy(col("q"))
+      },
+      Some("""
+        WITH ord AS (
+          SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+            count(*) OVER () AS n
+          FROM documents),
+        qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        SELECT CAST(qs.q AS DOUBLE) AS q, CAST(o.n_chars AS BIGINT) AS exact_q, o.n AS n_docs,
+          true AS rank_ok, true AS n_ok
+        FROM qs JOIN ord o ON o.rn = CAST(floor((o.n - 1) * qs.q) AS BIGINT) + 1
+        ORDER BY qs.q""")),
+
+    // CROSS-SOURCE VOCABULARY OVERLAP from theta sketches (r17 —
+    // [[graft.functions.ThetaAgg]]): the set-algebra question HLL
+    // structurally cannot answer — |A∩B|, |A\B| between two corpus
+    // halves' distinct token sets — answered from two kilobyte sketches
+    // (contamination/overlap estimation between snapshots or sources at
+    // 100 TB: sketch each side independently, intersect driver-side;
+    // the distinct sets themselves never co-shuffle). A theta compact
+    // sketch is a pure function of the distinct input set (ordered
+    // k-smallest retained hashes — row order, partitioning, and replay
+    // invariant), so unlike KLL the estimates here are deterministic;
+    // the certificates assert them within 4× the a-priori RSE
+    // (1/√(k−1) ≈ 1.56% at lgK=12) of the exact counts the oracle
+    // replays. Differences use |est − exact| ≤ tol·|exact side's
+    // denominator|: A\B error scales with the SKETCHED sets' size, not
+    // the (possibly tiny) difference, so the denominator is the union.
+    QueryDef(
+      "q212_vocab_overlap_sketch",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir).filter(col("text").isNotNull)
+          .select((col("doc_id") % 2 === 0).as("even"),
+            explode(TextStats.tokens(col("text"))).as("tok"))
+        val sks = toks.groupBy(col("even"))
+          .agg(call_function("theta_agg", col("tok"), lit(12)).as("sk"))
+          .collect().map(r => r.getBoolean(0) -> r.getAs[Array[Byte]]("sk")).toMap
+        val (ska, skb) = (sks(true), sks(false))
+        // exact overlap: one membership fold over distinct tokens
+        val m = toks.groupBy(col("tok")).agg(
+            max(when(col("even"), 1).otherwise(0)).as("ina"),
+            max(when(!col("even"), 1).otherwise(0)).as("inb"))
+          .agg(
+            sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L)).as("n_inter"),
+            sum(when(col("ina") === 1 && col("inb") === 0, 1L).otherwise(0L)).as("n_a_only"),
+            sum(when(col("ina") === 0 && col("inb") === 1, 1L).otherwise(0L)).as("n_b_only"),
+            count(lit(1)).as("n_union"))
+          .head()
+        val (nInter, nAOnly, nBOnly, nUnion) =
+          (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3))
+        import graft.functions.SketchAggs._
+        val tol = 4.0 / math.sqrt((1 << 12) - 1.0)
+        def ok(est: Double, exact: Long, denom: Long): Boolean =
+          math.abs(est - exact) <= tol * denom
+        Seq((nInter, nAOnly, nBOnly, nUnion,
+            ok(thetaEstimate(thetaUnion(ska, skb, 12)), nUnion, nUnion),
+            ok(thetaIntersectEstimate(ska, skb), nInter, nUnion),
+            ok(thetaAnotBEstimate(ska, skb), nAOnly, nUnion),
+            ok(thetaAnotBEstimate(skb, ska), nBOnly, nUnion)))
+          .toDF("n_inter", "n_a_only", "n_b_only", "n_union",
+            "union_ok", "inter_ok", "a_only_ok", "b_only_ok")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT (doc_id % 2 = 0) AS even,
+            unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents WHERE text IS NOT NULL),
+        m AS (
+          SELECT tok,
+            max(CASE WHEN even THEN 1 ELSE 0 END) AS ina,
+            max(CASE WHEN NOT even THEN 1 ELSE 0 END) AS inb
+          FROM toks GROUP BY tok)
+        SELECT
+          CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_inter,
+          CAST(sum(CASE WHEN ina = 1 AND inb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+          CAST(sum(CASE WHEN ina = 0 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+          CAST(count(*) AS BIGINT) AS n_union,
+          true AS union_ok, true AS inter_ok, true AS a_only_ok, true AS b_only_ok
+        FROM m""")),
+
+    // PER-KEY QUANTILE SKETCHES (r17 — grouped [[graft.functions.KllAgg]]):
+    // the realistic production shape — an equi-depth histogram layer,
+    // one KLL sketch per group key. At 100 TB the groupBy(lang) shuffles
+    // ONE partial sketch per (partition, key), never rows: per-language
+    // length distributions of a whole corpus cost a kilobytes-per-key
+    // exchange (the ungrouped q211 machinery, keyed — same
+    // ObjectHashAggregate partial+final). Hash-compared: the exact
+    // per-group median (positional rule per PARTITION, both engines) +
+    // group sizes; certificates: each group's sketch answers p50 within
+    // 2× its a-priori rank-error bound and absorbed exactly n_docs.
+    QueryDef(
+      "q214_grouped_quantile_sketch",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.SketchAggs._
+        val docs = Tables.documents(s, dir).select(col("lang"), col("n_chars"))
+        val sks = docs.groupBy(col("lang"))
+          .agg(call_function("kll_agg", col("n_chars").cast("double"), lit(200))
+            .as("sk"))
+          .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+        val estOf = sks.map { case (l, b) => l -> kllQuantile(b, 0.5) }
+        // exact per-group median: value at 1-indexed floor((n−1)/2)+1 of
+        // each group's sorted multiset (the q211 rule, partitioned)
+        val grp = Window.partitionBy(col("lang"))
+        val exact = docs
+          .withColumn("rn", row_number().over(grp.orderBy(col("n_chars"))))
+          .withColumn("n", count(lit(1)).over(grp))
+          .filter(col("rn") ===
+            floor((col("n") - 1) * lit(0.5)).cast("long") + 1L)
+          .select(col("lang"), col("n_chars"), col("n"))
+          .collect().map(r => r.getString(0) ->
+            (r.getAs[Number]("n_chars").longValue(), r.getAs[Number]("n").longValue()))
+          .toMap
+        // true normalized rank of each group's sketch answer, one pass
+        val estCol = estOf.foldLeft(lit(Double.NaN)) { case (acc, (l, v)) =>
+          when(col("lang") === l, lit(v)).otherwise(acc)
+        }
+        val ranks = docs.withColumn("est", estCol)
+          .groupBy(col("lang"))
+          .agg((sum(when(col("n_chars") <= col("est"), 1L).otherwise(0L)) /
+            count(lit(1))).as("r"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        sks.keys.toSeq.sorted.map { l =>
+          val (p50, n) = exact(l)
+          (l, p50, n,
+            math.abs(ranks(l) - 0.5) <= 2.0 * kllRankError(sks(l)),
+            kllN(sks(l)) == n)
+        }.toDF("lang", "exact_p50", "n_docs", "rank_ok", "n_ok")
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH ord AS (
+          SELECT lang, n_chars,
+            row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+            count(*) OVER (PARTITION BY lang) AS n
+          FROM documents)
+        SELECT lang, CAST(n_chars AS BIGINT) AS exact_p50, n AS n_docs,
+          true AS rank_ok, true AS n_ok
+        FROM ord
+        WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+        ORDER BY lang""")),
   )
 }

@@ -1233,6 +1233,112 @@ object EventStream {
       .select(hll_sketch_estimate(col("sketch")).as("est"))
       .head().getLong(0)
 
+  /** One micro-batch of the streaming QUANTILE sketch
+    * ([[quantileSketchIncremental]]); factored out so the gate can
+    * re-invoke it with an already-applied batch id and assert the stored
+    * bytes do not move. Returns true iff the batch was folded in.
+    *
+    * The replay contract DIFFERS from the HLL sink's by necessity: KLL
+    * merge ADDS WEIGHT (each item counts once per merge), so union
+    * idempotence — the property the HLL sink leans on — does not exist
+    * here. Exactly-once is recovered the transactional-sink way instead:
+    * the stored row carries `last_batch`, foreachBatch replays a failed
+    * batch WITH THE SAME batch id, and `batchId <= last_batch` skips the
+    * fold. Batch ids are assigned monotonically by the engine, so the
+    * single-row guard is total over the stream's history.
+    */
+  def applyQuantileBatch(
+      batch: DataFrame, toValue: DataFrame => DataFrame,
+      sketchTable: String, batchId: Long, k: Int = 200,
+      buckets: Int = 1, parts: Int = 1): Boolean = {
+    val spark = batch.sparkSession
+    import graft.sources.Store
+    import spark.implicits._
+    val exists = spark.catalog.tableExists(sketchTable)
+    val stored: Option[(Array[Byte], Long)] =
+      if (exists)
+        Store.read(spark, sketchTable).select(col("sketch"), col("last_batch"))
+          .collect().headOption.map(r => (r.getAs[Array[Byte]]("sketch"), r.getLong(1)))
+      else None
+    if (stored.exists(_._2 >= batchId)) false // replayed batch: already folded
+    else {
+      // ONE action consumes the batch: the map-side-partial kll_agg —
+      // only O(k·log(n/k)) sketch bytes reach the driver
+      val skRow = toValue(batch)
+        .agg(org.apache.spark.sql.functions.call_function(
+          "kll_agg", col("value").cast("double"), lit(k)).as("sketch"))
+        .head()
+      val batchSketch = skRow.getAs[Array[Byte]]("sketch")
+      // an all-null/empty batch builds an empty sketch — adds nothing,
+      // but the guard row still advances so a replay cannot re-fold a
+      // LATER non-empty retry of the same id differently
+      if (graft.functions.SketchAggs.kllN(batchSketch) == 0L && stored.isEmpty) false
+      else {
+        val merged = stored match {
+          case None         => batchSketch
+          case Some((s, _)) => graft.functions.SketchAggs.kllMerge(s, batchSketch)
+        }
+        val up = Seq(("corpus", merged, batchId)).toDF("scope", "sketch", "last_batch")
+        if (exists) Store.upsert(spark, sketchTable, up, "scope", buckets)
+        else Store.bulkWrite(up, sketchTable, "scope",
+          buckets = buckets, parts = parts, validateKeys = true)
+        true
+      }
+    }
+  }
+
+  /** STREAMING QUANTILES over persisted mergeable KLL state — the
+    * distribution sibling of [[distinctSketchIncremental]]: per trigger
+    * the batch's values fold into ONE stored KLL sketch row
+    * (O(k·log(n/k)) bytes forever, never the corpus), and
+    * [[readQuantileSketch]] answers p50/p99-style rank queries from that
+    * row alone. What the HLL row cannot answer (a distribution), kept
+    * maintainable by the same mergeability argument — KLL merge is
+    * associative, so per-executor/per-day sketches union to the global
+    * one. Replay safety comes from the `last_batch` guard (see
+    * [[applyQuantileBatch]] — KLL merge is NOT idempotent, so the guard
+    * is the contract, not union algebra). `toValue` shapes a batch to a
+    * `value` column; `compactEvery` folds the 1-row table's delta chain
+    * on the standard cadence.
+    */
+  def quantileSketchIncremental(
+      docs: DataFrame, toValue: DataFrame => DataFrame,
+      sketchTable: String, k: Int = 200,
+      checkpointLocation: Option[String] = None,
+      buckets: Int = 1, parts: Int = 1, compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
+    val wr = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        if (applyQuantileBatch(batch.toDF(), toValue, sketchTable, batchId,
+            k, buckets, parts)) {
+          applied += 1L
+          if (compactEvery > 0 && applied % compactEvery == 0 &&
+            spark.catalog.tableExists(sketchTable)) {
+            graft.sources.Store.compact(spark, sketchTable)
+            ()
+          }
+        }
+      }
+    checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))
+    wr.start()
+  }
+
+  /** The quantile sketch's serving read: (q, estimate) rows for the
+    * requested ranks plus the exact absorbed count, answered from the one
+    * stored row — no corpus scan exists in this code path.
+    */
+  def readQuantileSketch(
+      spark: org.apache.spark.sql.SparkSession, sketchTable: String,
+      qs: Seq[Double]): (Seq[(Double, Double)], Long) = {
+    val bytes = graft.sources.Store.read(spark, sketchTable)
+      .select(col("sketch")).head().getAs[Array[Byte]](0)
+    (qs.map(q => q -> graft.functions.SketchAggs.kllQuantile(bytes, q)),
+      graft.functions.SketchAggs.kllN(bytes))
+  }
+
   /** STREAMING heavy hitters — q100's streaming twin: per micro-batch the
     * token counts land in a persisted count [[graft.sources.Store]] table
     * and a count-min sketch rides along, MERGED driver-side (CMS merge is

@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Pins for the mergeable-sketch aggregates ([[KllAgg]], [[ThetaAgg]] —
+  * the repo's TypedImperativeAggregates) and their serving probes:
+  *
+  *  - exactness in the sub-k regime (KLL performs no compaction until
+  *    n > k, so small inputs are EXACT and deterministic — the regime
+  *    the closed-form assertions use),
+  *  - partition invariance (the property the gates' certificates lean
+  *    on: theta compact bytes are a pure function of the distinct set;
+  *    KLL sub-k results survive any split),
+  *  - the plan shape: partial + final ObjectHashAggregate with only the
+  *    binary sketch crossing the exchange — the 100 TB argument,
+  *  - theta set algebra against exact counts, union idempotence (the
+  *    streaming replay contract), and the KLL merge helper the
+  *    streaming quantile sink folds with.
+  */
+class SketchAggsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def kllBytes(df: org.apache.spark.sql.DataFrame, k: Int = 200): Array[Byte] =
+    df.agg(call_function("kll_agg", col("v").cast("double"), lit(k)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+
+  test("kll_agg is exact below k: every quantile is a retained item at the inclusive rank") {
+    // 100 values, k=200 → no compaction, sketch holds the sorted multiset
+    val vals = (1 to 100).map(_.toDouble)
+    val bytes = kllBytes(vals.toDF("v").repartition(7))
+    assert(SketchAggs.kllN(bytes) == 100L)
+    // inclusive quantile at rank q = smallest item with rank*n >= q*n
+    assert(SketchAggs.kllQuantile(bytes, 0.5) == 50.0)
+    assert(SketchAggs.kllQuantile(bytes, 0.01) == 1.0)
+    assert(SketchAggs.kllQuantile(bytes, 1.0) == 100.0)
+    assert(SketchAggs.kllRank(bytes, 50.0) == 0.5)
+  }
+
+  test("kll_agg ignores nulls and repartitioning does not change sub-k results") {
+    val df = Seq[Option[Int]](Some(1), None, Some(2), Some(3), None)
+      .toDF("v")
+    val a = kllBytes(df.repartition(1))
+    val b = kllBytes(df.repartition(5))
+    assert(SketchAggs.kllN(a) == 3L && SketchAggs.kllN(b) == 3L)
+    Seq(0.25, 0.5, 1.0).foreach(q =>
+      assert(SketchAggs.kllQuantile(a, q) == SketchAggs.kllQuantile(b, q)))
+  }
+
+  test("kll merge helper adds weight (NOT idempotent) — the streaming guard's reason to exist") {
+    val a = kllBytes(Seq(1, 2, 3).toDF("v"))
+    val merged = SketchAggs.kllMerge(a, a)
+    assert(SketchAggs.kllN(merged) == 6L,
+      "KLL merge must double-count a re-merged sketch; replay safety is the batch-id guard")
+  }
+
+  test("kll_agg plans as partial+final ObjectHashAggregate (sketch bytes cross the exchange)") {
+    val df = (1 to 50).toDF("v")
+    val plan = df.agg(call_function("kll_agg", col("v").cast("double"), lit(200)))
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final ObjectHashAggregate, got:\n$plan")
+    assert(plan.contains("partial_kll_agg"), s"no map-side partial in:\n$plan")
+  }
+
+  test("grouped kll_agg: per-key sketches are sub-k exact and still plan partial+final") {
+    val df = (1 to 90).map(i => (s"g${i % 3}", i)).toDF("g", "v").repartition(5)
+    val agg = df.groupBy(col("g"))
+      .agg(call_function("kll_agg", col("v").cast("double"), lit(200)).as("sk"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_kll_agg"), s"no map-side partial in:\n$plan")
+    val sks = agg.collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+    // group g0 = {3,6,...,90}: 30 values, median (inclusive, rank .5) = 45
+    assert(SketchAggs.kllN(sks("g0")) == 30L)
+    assert(SketchAggs.kllQuantile(sks("g0"), 0.5) == 45.0)
+    assert(SketchAggs.kllQuantile(sks("g1"), 1.0) == 88.0)
+  }
+
+  test("theta compact bytes are a pure function of the distinct set (order/partition/dup invariant)") {
+    val base = (1 to 1000).map(i => s"tok$i")
+    val a = base.toDF("v").repartition(3)
+      .agg(call_function("theta_agg", col("v"), lit(12)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    // reversed order, different partitioning, every element duplicated
+    val b = (base.reverse ++ base).toDF("v").repartition(11)
+      .agg(call_function("theta_agg", col("v"), lit(12)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(a, b),
+      "theta sketch bytes must depend only on the distinct input set")
+    assert(SketchAggs.thetaEstimate(a) == 1000.0, "exact mode below k=4096")
+  }
+
+  test("theta set algebra matches exact counts in exact mode; union is idempotent") {
+    def sk(xs: Seq[Int]): Array[Byte] =
+      xs.map(i => s"t$i").toDF("v")
+        .agg(call_function("theta_agg", col("v"), lit(12)).as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+    val a = sk(1 to 600) // A = [1,600]
+    val b = sk(401 to 1000) // B = [401,1000]; A∩B = [401,600]
+    assert(SketchAggs.thetaIntersectEstimate(a, b) == 200.0)
+    assert(SketchAggs.thetaAnotBEstimate(a, b) == 400.0)
+    assert(SketchAggs.thetaAnotBEstimate(b, a) == 400.0)
+    assert(SketchAggs.thetaEstimate(SketchAggs.thetaUnion(a, b, 12)) == 1000.0)
+    // idempotence: re-unioning an absorbed sketch moves nothing —
+    // byte-level, the streaming replay contract
+    val once = SketchAggs.thetaUnion(a, b, 12)
+    val twice = SketchAggs.thetaUnion(once, b, 12)
+    assert(java.util.Arrays.equals(once, twice))
+  }
+
+  test("theta estimation mode carries its RSE contract on a 50k-distinct set") {
+    val n = 50000
+    val bytes = (1 to n).map(i => s"u$i").toDF("v").repartition(8)
+      .agg(call_function("theta_agg", col("v"), lit(12)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val est = SketchAggs.thetaEstimate(bytes)
+    val rse = 1.0 / math.sqrt((1 << 12) - 1.0)
+    assert(math.abs(est - n) <= 4.0 * rse * n,
+      s"estimate $est outside 4×RSE of $n")
+  }
+
+  test("probe expressions null-propagate and reject wrong input types") {
+    val nullRow = Seq(Tuple1(Option.empty[Array[Byte]])).toDF("sk")
+    assert(nullRow.select(call_function("kll_n", col("sk"))).head().isNullAt(0))
+    assert(nullRow.select(call_function("theta_estimate", col("sk"))).head().isNullAt(0))
+    val err = intercept[Exception] {
+      Seq(1).toDF("v").select(call_function("kll_quantile", col("v"), lit(0.5))).collect()
+    }
+    assert(err.getMessage.contains("kll_quantile"))
+  }
+
+  test("SQL registry serves the sketch functions end to end") {
+    (1 to 30).map(i => (i, s"w${i % 7}")).toDF("n", "w").createOrReplaceTempView("sk_t")
+    val row = spark.sql(
+      """SELECT kll_quantile(kll_agg(CAST(n AS DOUBLE), 64), 0.5d) AS med,
+        |  theta_estimate(theta_agg(w, 10)) AS nd
+        |FROM sk_t""".stripMargin).head()
+    assert(row.getDouble(0) == 15.0)
+    assert(row.getDouble(1) == 7.0)
+    spark.catalog.dropTempView("sk_t")
+  }
+}

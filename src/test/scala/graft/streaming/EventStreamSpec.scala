@@ -958,6 +958,56 @@ class EventStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS dsk_tab")
   }
 
+  test("streaming quantile sketch: exact below k, batch-id guard refuses re-folds, empty batch commits nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Store
+    spark.sql("DROP TABLE IF EXISTS qsk_tab")
+    val toV = (b: org.apache.spark.sql.DataFrame) => b.select(col("v").as("value"))
+    // 150 values < k=200: no KLL compaction → the maintained sketch is
+    // EXACT and deterministic, so quantiles pin to equality
+    val input = MemoryStream[Int]
+    val q = graft.streaming.EventStream.quantileSketchIncremental(
+      input.toDF().toDF("v"), toV, "qsk_tab", k = 200)
+    try {
+      input.addData(1 to 100: _*)
+      q.processAllAvailable()
+      input.addData(101 to 150: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val (qs, n) = graft.streaming.EventStream.readQuantileSketch(
+      spark, "qsk_tab", Seq(0.5, 1.0))
+    assert(n === 150L, "merge across triggers must add weight exactly once")
+    assert(qs.toMap === Map(0.5 -> 75.0, 1.0 -> 150.0))
+    // the guard, probed directly: both already-applied ids (0 and 1)
+    // refuse the fold and leave the stored row byte-identical — KLL
+    // merge is NOT idempotent, so this structural no-op IS the
+    // at-least-once contract (contrast the HLL sink's union algebra)
+    def stored() = Store.read(spark, "qsk_tab")
+      .select(col("sketch"), col("last_batch")).head()
+    val before = stored()
+    assert(before.getLong(1) === 1L)
+    Seq(0L, 1L).foreach { id =>
+      val folded = graft.streaming.EventStream.applyQuantileBatch(
+        (1 to 100).toDF("v"), toV, "qsk_tab", batchId = id, k = 200)
+      assert(!folded, s"guard let batch id $id re-fold")
+    }
+    val after = stored()
+    assert(java.util.Arrays.equals(
+      before.getAs[Array[Byte]](0), after.getAs[Array[Byte]](0)))
+    assert(after.getLong(1) === 1L)
+    // an all-null batch adds nothing but ADVANCES the guard (a later
+    // replay of that id must not fold a retried non-empty variant twice)
+    val vBefore = Store.versions(spark, "qsk_tab").size
+    val empt = graft.streaming.EventStream.applyQuantileBatch(
+      Seq(Option.empty[Int]).toDF("v"), toV, "qsk_tab", batchId = 2L, k = 200)
+    assert(empt && stored().getLong(1) === 2L)
+    assert(Store.versions(spark, "qsk_tab").size >= vBefore)
+    val (_, n2) = graft.streaming.EventStream.readQuantileSketch(
+      spark, "qsk_tab", Seq(0.5))
+    assert(n2 === 150L, "empty batch changed the absorbed count")
+    spark.sql("DROP TABLE IF EXISTS qsk_tab")
+  }
+
   test("cross-modal sink replay guard: a full re-run over the same source leaves labels unchanged") {
     import graft.sources.Store
     // undecodable media payloads (filtered out scan-side — also pins that

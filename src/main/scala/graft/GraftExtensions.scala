@@ -61,6 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.KllAgg(c(0), c(1)))
     register(ext, "theta_agg", classOf[graft.functions.ThetaAgg].getName, 2)(c =>
       graft.functions.ThetaAgg(c(0), c(1)))
+    register(ext, "kll_merge_agg", classOf[graft.functions.KllMergeAgg].getName, 2)(c =>
+      graft.functions.KllMergeAgg(c(0), c(1)))
+    register(ext, "theta_union_agg", classOf[graft.functions.ThetaUnionAgg].getName, 2)(c =>
+      graft.functions.ThetaUnionAgg(c(0), c(1)))
     register(ext, "kll_quantile", classOf[graft.functions.KllQuantileExpr].getName, 2)(c =>
       graft.functions.KllQuantileExpr(c(0), c(1)))
     register(ext, "kll_rank", classOf[graft.functions.KllRankExpr].getName, 2)(c =>

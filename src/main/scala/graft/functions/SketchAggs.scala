@@ -262,6 +262,138 @@ case class ThetaAgg(
     copy(left = newLeft, right = newRight)
 }
 
+/** `kll_merge_agg(sketch_bytes, k)` — fold a COLUMN OF SERIALIZED KLL
+  * SKETCHES into one (the `hll_union_agg` analog): the rollup half of
+  * the sketch algebra. Per-shard/per-day sketch tables re-aggregate to
+  * coarser keys without touching raw data — the read side of "every
+  * executor/day/site sketches independently at 100 TB". Merge adds
+  * weight (each absorbed item counts once per constituent sketch), so
+  * inputs must partition the data: rolling up overlapping sketches
+  * double-counts by design, same as summing overlapping counts.
+  */
+case class KllMergeAgg(
+    left: Expression, right: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllDoublesSketch] with BinaryLike[Expression] {
+
+  private lazy val k: Int = right.eval().asInstanceOf[Number].intValue()
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kll_merge_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val kOk = right.foldable && (right.dataType match {
+      case IntegerType | LongType | ShortType | ByteType => true
+      case _                                             => false
+    }) && right.eval() != null && {
+      val v = right.eval().asInstanceOf[Number].intValue(); v >= 8 && v <= 65535
+    }
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires BINARY kll sketch payloads, got ${left.dataType.catalogString}")
+    else if (!kOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable integral k in [8, 65535]")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = left.eval(input)
+    if (v != null)
+      buffer.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buffer
+  }
+
+  override def merge(buffer: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: KllDoublesSketch): Any = buffer.toByteArray
+  override def serialize(buffer: KllDoublesSketch): Array[Byte] = buffer.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllMergeAgg =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `theta_union_agg(sketch_bytes, lgK)` — fold a column of serialized
+  * theta sketches into one union compact. Unlike [[KllMergeAgg]] this IS
+  * idempotent (set union over retained hashes): overlapping constituent
+  * sketches roll up correctly, and re-unioning an absorbed sketch moves
+  * nothing — the property the streaming replay contracts lean on.
+  */
+case class ThetaUnionAgg(
+    left: Expression, right: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Union] with BinaryLike[Expression] {
+
+  private lazy val lgK: Int = right.eval().asInstanceOf[Number].intValue()
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "theta_union_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val lgOk = right.foldable && (right.dataType match {
+      case IntegerType | LongType | ShortType | ByteType => true
+      case _                                             => false
+    }) && right.eval() != null && {
+      val v = right.eval().asInstanceOf[Number].intValue(); v >= 4 && v <= 26
+    }
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires BINARY theta sketch payloads, got ${left.dataType.catalogString}")
+    else if (!lgOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable integral lgK in [4, 26]")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private def newUnion(): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def createAggregationBuffer(): Union = newUnion()
+
+  override def update(buffer: Union, input: InternalRow): Union = {
+    val v = left.eval(input)
+    if (v != null)
+      buffer.union(Sketches.heapifySketch(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buffer
+  }
+
+  override def merge(buffer: Union, other: Union): Union = {
+    buffer.union(other.getResult)
+    buffer
+  }
+
+  override def eval(buffer: Union): Any = buffer.getResult.toByteArray
+  override def serialize(buffer: Union): Array[Byte] = buffer.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = newUnion()
+    u.union(Sketches.heapifySketch(Memory.wrap(bytes)))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaUnionAgg =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Scalar serving probes over serialized sketch payloads. These heapify
   * per evaluation — correct for the one-row frames sketch reads produce;
   * a per-corpus-row probe should pre-heapify driver-side instead (the

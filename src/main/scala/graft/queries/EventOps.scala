@@ -1213,6 +1213,109 @@ object EventOps {
           true AS rank_ok, true AS n_ok, true AS replay_guard
         FROM qs JOIN ord o ON o.rn = CAST(floor((o.n - 1) * qs.q) AS BIGINT) + 1
         ORDER BY qs.q""")),
+
+    // PER-KEY STREAMING QUANTILES (r17 —
+    // [[graft.streaming.EventStream.groupedQuantileSketchIncremental]]):
+    // q213 keyed by language — state is ONE KLL row per key ever seen,
+    // and nothing in the trigger path is driver-merged: batch partials
+    // build map-side, the touched keys' stored rows read
+    // PARTITION-PRUNED (`Store.probe`), and stored∪batch fold per key
+    // with the `kll_merge_agg` rollup aggregate — per-trigger cost
+    // O(batch keys) at any corpus size. The replay guard is the per-key
+    // form of q213's contract: the upsert commits all touched keys in
+    // one CAS manifest swap, so a replayed id is detected on the pruned
+    // read and refused atomically — the gate re-applies an absorbed id
+    // and pins the full per-key table byte-identical. Hash-compared:
+    // per-lang exact positional medians + group sizes (q214's oracle
+    // rule); certificates: each key's maintained sketch absorbed exactly
+    // its group size across 4 triggers + a mid-stream compaction, ranks
+    // within 2× the bound.
+    QueryDef(
+      "q216_stream_grouped_quantile",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.SketchAggs._
+        val ss = EventOps.streamSession(s)
+        val docs = Tables.documents(ss, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val srcDir = EventOps.cachedSrcDir("q216", dir)(
+          EventOps.stageOrderedBatches(docs,
+            graft.ops.Dedup.portableHash(col("doc_id").cast("string"),
+              "graft-s216:") % 4, 4, "q216"))
+        ss.sql("DROP TABLE IF EXISTS q216_sketch")
+        val ckpt = java.nio.file.Files.createTempDirectory("q216ckpt").toString
+        val stream = ss.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val toKV = (b: org.apache.spark.sql.DataFrame) =>
+          b.select(col("lang").as("key"), col("n_chars").as("value"))
+        val q = graft.streaming.EventStream.groupedQuantileSketchIncremental(
+          stream, toKV, "q216_sketch", k = 200,
+          checkpointLocation = Some(ckpt), compactEvery = 3)
+        try q.processAllAvailable()
+        finally q.stop()
+        // replay guard, per-key form: re-apply an absorbed batch id and
+        // pin the ENTIRE per-key state byte-identical
+        def state(): Map[String, (Array[Byte], Long)] =
+          graft.sources.Store.read(s, "q216_sketch")
+            .select(col("key"), col("sk"), col("last_batch"))
+            .collect().map(r => r.getString(0) ->
+              (r.getAs[Array[Byte]](1), r.getLong(2))).toMap
+        val before = state()
+        val replayBatch = Tables.documents(s, dir)
+          .filter(graft.ops.Dedup.portableHash(
+            col("doc_id").cast("string"), "graft-s216:") % 4 === 1)
+          .select(col("lang"), col("n_chars"))
+        val refolded = graft.streaming.EventStream.applyGroupedQuantileBatch(
+          replayBatch, toKV, "q216_sketch", batchId = 1L, k = 200)
+        val after = state()
+        val guardHeld = !refolded && before.keySet == after.keySet &&
+          before.forall { case (l, (b, lb)) =>
+            java.util.Arrays.equals(b, after(l)._1) && lb == after(l)._2
+          }
+        // exact per-lang medians + sizes (the q214 rule)
+        val batchDocs = Tables.documents(s, dir).select(col("lang"), col("n_chars"))
+        val grp = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        val exact = batchDocs
+          .withColumn("rn", org.apache.spark.sql.functions.row_number()
+            .over(grp.orderBy(col("n_chars"))))
+          .withColumn("n", count(lit(1)).over(grp))
+          .filter(col("rn") ===
+            org.apache.spark.sql.functions.floor((col("n") - 1) * lit(0.5))
+              .cast("long") + 1L)
+          .select(col("lang"), col("n_chars"), col("n"))
+          .collect().map(r => r.getString(0) ->
+            (r.getAs[Number]("n_chars").longValue(), r.getAs[Number]("n").longValue()))
+          .toMap
+        val estCol = after.foldLeft(lit(Double.NaN)) { case (acc, (l, (b, _))) =>
+          when(col("lang") === l, lit(kllQuantile(b, 0.5))).otherwise(acc)
+        }
+        val ranks = batchDocs.withColumn("est", estCol)
+          .groupBy(col("lang"))
+          .agg((sum(when(col("n_chars") <= col("est"), 1L).otherwise(0L)) /
+            count(lit(1))).as("r"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val result = after.keys.toSeq.sorted.map { l =>
+          val (p50, n) = exact(l)
+          (l, p50, n,
+            math.abs(ranks(l) - 0.5) <= 2.0 * kllRankError(after(l)._1),
+            kllN(after(l)._1) == n, guardHeld)
+        }.toDF("lang", "exact_p50", "n_docs", "rank_ok", "n_ok", "replay_guard")
+          .orderBy(col("lang")).localCheckpoint()
+        s.sql("DROP TABLE IF EXISTS q216_sketch")
+        EventOps.rmTree(ckpt)
+        result
+      },
+      Some("""
+        WITH ord AS (
+          SELECT lang, n_chars,
+            row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+            count(*) OVER (PARTITION BY lang) AS n
+          FROM documents)
+        SELECT lang, CAST(n_chars AS BIGINT) AS exact_p50, n AS n_docs,
+          true AS rank_ok, true AS n_ok, true AS replay_guard
+        FROM ord
+        WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+        ORDER BY lang""")),
   )
 
   /** Shared by q146 (batch join route) and q162 (streaming custom-state

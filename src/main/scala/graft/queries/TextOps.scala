@@ -3304,11 +3304,16 @@ object TextOps {
           (sum(when(col("n_chars") <= lit(ests(q)), 1L).otherwise(0L)) /
             lit(n.toDouble)).as(s"r$i")
         }
-        val trueRanks = lens.agg(rankCols.head, rankCols.tail: _*).head()
+        // one pass carries the exact row count alongside the rank sums,
+        // so the n_ok certificate costs no extra job
+        val trueRanks = lens
+          .agg(rankCols.head, rankCols.tail :+ count(lit(1)).as("n_exact"): _*)
+          .head()
+        val nExact = trueRanks.getLong(qs.size)
         val rows = qs.zipWithIndex.map { case (q, i) =>
           (q, byPos(posOf(q)), n,
             math.abs(trueRanks.getDouble(i) - q) <= 2.0 * eps,
-            n == lens.count())
+            n == nExact)
         }
         rows.toDF("q", "exact_q", "n_docs", "rank_ok", "n_ok").orderBy(col("q"))
       },
@@ -3452,5 +3457,89 @@ object TextOps {
         FROM ord
         WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
         ORDER BY lang""")),
+
+    // SKETCH ROLLUP (r17 — `kll_merge_agg` / `theta_union_agg`, the
+    // read side of the sketch algebra): per-(lang, source) SHARD
+    // sketches — the daily/per-site table shape — re-aggregate to
+    // per-lang WITHOUT touching raw data, the operation that makes
+    // "sketch each shard independently at 100 TB, roll up at read time"
+    // a two-level aggregation over kilobyte payloads. Hash-compared:
+    // per-lang exact doc counts + distinct-token counts (DuckDB).
+    // Certificates: the KLL rollup absorbed exactly n_docs and answers
+    // p50 within 2× its rank bound (merge preserves the error
+    // contract); the theta rollup estimates the exact distinct within
+    // 4×RSE AND is idempotent — re-unioning an already-absorbed shard
+    // leaves the rollup BYTES identical (set semantics; the property
+    // that makes overlapping theta rollups safe where KLL's
+    // weight-adding merge is not).
+    QueryDef(
+      "q215_sketch_rollup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.SketchAggs._
+        val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+        val kllRoll = docs.groupBy(col("lang"), col("source"))
+          .agg(call_function("kll_agg", col("n_chars").cast("double"), lit(200))
+            .as("sk"))
+          .groupBy(col("lang"))
+          .agg(call_function("kll_merge_agg", col("sk"), lit(200)).as("sk"))
+          .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+        val toks = docs.select(col("lang"), col("source"),
+          explode(TextStats.tokens(col("text"))).as("tok"))
+        val thetaShards = toks.groupBy(col("lang"), col("source"))
+          .agg(call_function("theta_agg", col("tok"), lit(12)).as("sk"))
+          .localCheckpoint() // consumed twice: rollup + idempotence probe
+        val thetaRoll = thetaShards.groupBy(col("lang"))
+          .agg(call_function("theta_union_agg", col("sk"), lit(12)).as("sk"))
+          .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+        // one shard per lang (first source alphabetically) for the
+        // idempotence certificate
+        val oneShard = thetaShards.withColumn("rn",
+            row_number().over(Window.partitionBy(col("lang"))
+              .orderBy(col("source"))))
+          .filter(col("rn") === 1)
+          .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+        val exact = docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val exactTok = toks.groupBy(col("lang"))
+          .agg(countDistinct(col("tok")).as("nd"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // true rank of each lang's rollup median, one corpus pass
+        val estCol = kllRoll.foldLeft(lit(Double.NaN)) { case (acc, (l, b)) =>
+          when(col("lang") === l, lit(kllQuantile(b, 0.5))).otherwise(acc)
+        }
+        val ranks = docs.withColumn("est", estCol)
+          .groupBy(col("lang"))
+          .agg((sum(when(col("n_chars") <= col("est"), 1L).otherwise(0L)) /
+            count(lit(1))).as("r"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val rse = 4.0 / math.sqrt((1 << 12) - 1.0)
+        kllRoll.keys.toSeq.sorted.map { l =>
+          val roll = thetaRoll(l)
+          (l, exact(l), exactTok(l),
+            math.abs(ranks(l) - 0.5) <= 2.0 * kllRankError(kllRoll(l)),
+            kllN(kllRoll(l)) == exact(l),
+            math.abs(thetaEstimate(roll) - exactTok(l)) <= rse * exactTok(l),
+            java.util.Arrays.equals(thetaUnion(roll, oneShard(l), 12), roll))
+        }.toDF("lang", "n_docs", "n_tok_distinct",
+          "kll_rank_ok", "kll_n_ok", "theta_ok", "theta_idem_ok")
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT lang,
+            unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents WHERE text IS NOT NULL),
+        d AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents WHERE text IS NOT NULL GROUP BY lang),
+        t AS (
+          SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_tok_distinct
+          FROM toks GROUP BY lang)
+        SELECT d.lang, d.n_docs, t.n_tok_distinct,
+          true AS kll_rank_ok, true AS kll_n_ok,
+          true AS theta_ok, true AS theta_idem_ok
+        FROM d JOIN t USING (lang) ORDER BY d.lang""")),
   )
 }

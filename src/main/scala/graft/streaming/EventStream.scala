@@ -1339,6 +1339,110 @@ object EventStream {
       graft.functions.SketchAggs.kllN(bytes))
   }
 
+  /** One micro-batch of the PER-KEY streaming quantile sketch
+    * ([[groupedQuantileSketchIncremental]]). Unlike the single-row
+    * applier ([[applyQuantileBatch]]) nothing here is driver-merged: the
+    * batch's per-key partials build map-side (`kll_agg`), the touched
+    * keys' stored rows read PARTITION-PRUNED (`Store.probe` — min(|keys|,
+    * parts) dirs, independent of how many keys the table has
+    * accumulated), and stored∪batch fold per key with `kll_merge_agg` —
+    * the rollup aggregate — so per-trigger cost is O(batch keys) at any
+    * corpus size and the state table is O(distinct keys ever seen).
+    *
+    * Replay guard, per-key form of the `last_batch` contract: the upsert
+    * commits all touched keys atomically (one CAS manifest swap), so a
+    * replayed batch finds EVERY touched key at `last_batch >= batchId`
+    * and one existence probe on the pruned read decides the skip — KLL
+    * merge adds weight, so this structural no-op IS the exactly-once
+    * mechanism (batch ids are engine-monotone; a replay is always of the
+    * last uncommitted id, never of one behind a committed successor).
+    */
+  def applyGroupedQuantileBatch(
+      batch: DataFrame, toKeyValue: DataFrame => DataFrame,
+      sketchTable: String, batchId: Long, k: Int = 200,
+      buckets: Int = 4, parts: Int = 8): Boolean = {
+    val spark = batch.sparkSession
+    import graft.sources.Store
+    // one pass over the batch rows: per-key map-side-partial sketches,
+    // bounded by the batch's distinct keys (localized: LocalRelation
+    // under the cap, localCheckpoint past it)
+    val batchSk = Store.localized(
+      toKeyValue(batch)
+        .filter(col("key").isNotNull)
+        .groupBy(col("key"))
+        .agg(org.apache.spark.sql.functions.call_function(
+          "kll_agg", col("value").cast("double"), lit(k)).as("sk")))
+    if (batchSk.isEmpty) false
+    else if (!spark.catalog.tableExists(sketchTable)) {
+      Store.bulkWrite(batchSk.withColumn("last_batch", lit(batchId)),
+        sketchTable, "key", buckets = buckets, parts = parts,
+        validateKeys = true)
+      true
+    } else {
+      val stored = Store.probe(spark, sketchTable, batchSk.select(col("key")), "key")
+        .select(col("key"), col("sk"), col("last_batch"))
+        .localCheckpoint() // consumed twice: the guard probe + the merge
+      if (!stored.filter(col("last_batch") >= lit(batchId)).isEmpty)
+        false // replayed batch: its atomic commit already landed
+      else {
+        val merged = stored.select(col("key"), col("sk"))
+          .unionByName(batchSk)
+          .groupBy(col("key"))
+          .agg(org.apache.spark.sql.functions.call_function(
+            "kll_merge_agg", col("sk"), lit(k)).as("sk"))
+          .withColumn("last_batch", lit(batchId))
+        Store.upsert(spark, sketchTable, Store.localized(merged), "key", buckets)
+        true
+      }
+    }
+  }
+
+  /** PER-KEY streaming quantiles — [[quantileSketchIncremental]] keyed
+    * (the per-language/per-source histogram layer, maintained over an
+    * unbounded stream): state is one KLL row per key ever seen, per
+    * trigger only the touched keys' rows are read (partition-pruned) and
+    * rewritten. See [[applyGroupedQuantileBatch]] for the distributed
+    * merge and the atomic per-key replay guard.
+    */
+  def groupedQuantileSketchIncremental(
+      docs: DataFrame, toKeyValue: DataFrame => DataFrame,
+      sketchTable: String, k: Int = 200,
+      checkpointLocation: Option[String] = None,
+      buckets: Int = 4, parts: Int = 8, compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
+    val wr = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        if (applyGroupedQuantileBatch(batch.toDF(), toKeyValue, sketchTable,
+            batchId, k, buckets, parts)) {
+          applied += 1L
+          if (compactEvery > 0 && applied % compactEvery == 0 &&
+            spark.catalog.tableExists(sketchTable)) {
+            graft.sources.Store.compact(spark, sketchTable)
+            ()
+          }
+        }
+      }
+    checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))
+    wr.start()
+  }
+
+  /** Per-key serving read: (key, quantile-at-q, absorbed-n) for every
+    * key in the state table — a distributed probe over O(keys) rows,
+    * never the corpus.
+    */
+  def readGroupedQuantileSketch(
+      spark: org.apache.spark.sql.SparkSession, sketchTable: String,
+      q: Double): DataFrame =
+    graft.sources.Store.read(spark, sketchTable)
+      .select(col("key"),
+        org.apache.spark.sql.functions.call_function(
+          "kll_quantile", col("sk"), lit(q)).as("est"),
+        org.apache.spark.sql.functions.call_function(
+          "kll_n", col("sk")).as("n"))
+
   /** STREAMING heavy hitters — q100's streaming twin: per micro-batch the
     * token counts land in a persisted count [[graft.sources.Store]] table
     * and a count-min sketch rides along, MERGED driver-side (CMS merge is

@@ -119,6 +119,49 @@ class SketchAggsSpec extends SparkSpec {
       s"estimate $est outside 4×RSE of $n")
   }
 
+  test("kll_merge_agg rollup of disjoint shards equals the direct sketch below k") {
+    // 4 shards of 25 values each; total 100 < k=200 → rollup is exact
+    val shards = (1 to 100).map(i => (s"s${i % 4}", i)).toDF("shard", "v")
+    val rolled = shards.groupBy(col("shard"))
+      .agg(call_function("kll_agg", col("v").cast("double"), lit(200)).as("sk"))
+      .agg(call_function("kll_merge_agg", col("sk"), lit(200)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    assert(SketchAggs.kllN(rolled) == 100L)
+    assert(SketchAggs.kllQuantile(rolled, 0.5) == 50.0)
+    assert(SketchAggs.kllQuantile(rolled, 1.0) == 100.0)
+    // weight-adding semantics: rolling up an OVERLAPPING shard double-counts
+    // (by design — the reason the streaming guard exists)
+    val over = shards.limit(0).union(shards).union(shards.filter(col("shard") === "s0"))
+      .groupBy(col("shard")).agg(
+        call_function("kll_agg", col("v").cast("double"), lit(200)).as("sk"))
+    // s0 shard appears twice in the input rows → its 25 values count twice
+    val overRolled = over
+      .agg(call_function("kll_merge_agg", col("sk"), lit(200)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    assert(SketchAggs.kllN(overRolled) == 125L)
+  }
+
+  test("theta_union_agg rollup equals the direct sketch byte-for-byte; overlap is free") {
+    val toks = (1 to 800).map(i => (s"s${i % 3}", s"tok$i")).toDF("shard", "v")
+    val rolled = toks.groupBy(col("shard"))
+      .agg(call_function("theta_agg", col("v"), lit(12)).as("sk"))
+      .agg(call_function("theta_union_agg", col("sk"), lit(12)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val direct = toks
+      .agg(call_function("theta_agg", col("v"), lit(12)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(rolled, direct),
+      "theta rollup must equal the direct sketch (pure function of the set)")
+    // set semantics: OVERLAPPING shards roll up without double-counting —
+    // the exact property KLL merge lacks
+    val overlapped = toks.union(toks.filter(col("shard") === "s0"))
+      .groupBy(col("shard"))
+      .agg(call_function("theta_agg", col("v"), lit(12)).as("sk"))
+      .agg(call_function("theta_union_agg", col("sk"), lit(12)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(overlapped, direct))
+  }
+
   test("probe expressions null-propagate and reject wrong input types") {
     val nullRow = Seq(Tuple1(Option.empty[Array[Byte]])).toDF("sk")
     assert(nullRow.select(call_function("kll_n", col("sk"))).head().isNullAt(0))

@@ -1008,6 +1008,61 @@ class EventStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS qsk_tab")
   }
 
+  test("grouped quantile sketch: per-key sub-k exactness, pruned probe, atomic per-key replay guard") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Store
+    spark.sql("DROP TABLE IF EXISTS gqs_tab")
+    val toKV = (b: org.apache.spark.sql.DataFrame) =>
+      b.select(col("k").as("key"), col("v").as("value"))
+    // two keys, 60 values each (sub-k → exact); key "a" spans both
+    // triggers, key "b" arrives only in the second
+    val input = MemoryStream[(String, Int)]
+    val q = graft.streaming.EventStream.groupedQuantileSketchIncremental(
+      input.toDF().toDF("k", "v"), toKV, "gqs_tab", k = 200)
+    try {
+      input.addData((1 to 30).map(i => ("a", i)): _*)
+      q.processAllAvailable()
+      input.addData(((31 to 60).map(i => ("a", i)) ++
+        (1 to 60).map(i => ("b", i * 10))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val served = graft.streaming.EventStream
+      .readGroupedQuantileSketch(spark, "gqs_tab", 0.5)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(served === Map("a" -> (30.0, 60L), "b" -> (300.0, 60L)),
+      "per-key merge across triggers must be exact below k")
+    // per-key replay guard: both applied ids refuse, full state byte-stable
+    def state() = Store.read(spark, "gqs_tab")
+      .select(col("key"), col("sk"), col("last_batch"))
+      .collect().map(r => r.getString(0) -> (r.getAs[Array[Byte]](1), r.getLong(2))).toMap
+    val before = state()
+    assert(before("a")._2 === 1L && before("b")._2 === 1L)
+    Seq(0L, 1L).foreach { id =>
+      val folded = graft.streaming.EventStream.applyGroupedQuantileBatch(
+        (1 to 30).map(i => ("a", i)).toDF("k", "v"), toKV, "gqs_tab",
+        batchId = id, k = 200)
+      assert(!folded, s"guard let batch id $id re-fold")
+    }
+    val after = state()
+    assert(after.keySet === before.keySet)
+    before.foreach { case (key, (b, lb)) =>
+      assert(java.util.Arrays.equals(b, after(key)._1), s"key $key bytes moved")
+      assert(after(key)._2 === lb)
+    }
+    // a genuinely NEW batch id touching one key folds only that key
+    val folded = graft.streaming.EventStream.applyGroupedQuantileBatch(
+      Seq(("b", 6100), ("b", 6200)).toDF("k", "v"), toKV, "gqs_tab",
+      batchId = 2L, k = 200)
+    assert(folded)
+    val s3 = state()
+    assert(java.util.Arrays.equals(s3("a")._1, before("a")._1),
+      "untouched key's sketch moved")
+    assert(s3("a")._2 === 1L, "untouched key's guard advanced")
+    assert(graft.functions.SketchAggs.kllN(s3("b")._1) === 62L)
+    assert(s3("b")._2 === 2L)
+    spark.sql("DROP TABLE IF EXISTS gqs_tab")
+  }
+
   test("cross-modal sink replay guard: a full re-run over the same source leaves labels unchanged") {
     import graft.sources.Store
     // undecodable media payloads (filtered out scan-side — also pins that

@@ -578,4 +578,52 @@ class PropertiesSpec extends SparkSpec {
     }
     check(prop, cases = 10)
   }
+
+  test("theta helper algebra: commutative, associative, idempotent; exact set ops below k") {
+    import graft.functions.SketchAggs
+    // driver-built sketches via the SAME update path ThetaAgg uses
+    // (Union.update(String)); aggregate-path equivalence is pinned in
+    // SketchAggsSpec — here the algebra of the serving helpers
+    def sk(s: Seq[String]): Array[Byte] = {
+      val u = org.apache.datasketches.theta.SetOperation.builder()
+        .setLogNominalEntries(12).buildUnion()
+      s.foreach(w => u.update(w))
+      u.getResult.toByteArray
+    }
+    val word = Gen.chooseNum(1, 20).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+    check(Prop.forAll(Gen.listOf(word), Gen.listOf(word)) { (xs, ys) =>
+      val (a, b) = (sk(xs), sk(ys))
+      val (sa, sb) = (xs.toSet, ys.toSet)
+      val ab = SketchAggs.thetaUnion(a, b, 12)
+      java.util.Arrays.equals(ab, SketchAggs.thetaUnion(b, a, 12)) &&
+        java.util.Arrays.equals(SketchAggs.thetaUnion(ab, b, 12), ab) &&
+        SketchAggs.thetaEstimate(ab) == (sa ++ sb).size.toDouble &&
+        SketchAggs.thetaIntersectEstimate(a, b) == sa.intersect(sb).size.toDouble &&
+        SketchAggs.thetaAnotBEstimate(a, b) == sa.diff(sb).size.toDouble
+    }, cases = 60)
+  }
+
+  test("kll below k: quantiles are exact inclusive order statistics; merge adds weight") {
+    import graft.functions.SketchAggs
+    def sk(s: Seq[Double]): Array[Byte] = {
+      val k = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(200)
+      s.foreach(k.update)
+      k.toByteArray
+    }
+    check(Prop.forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(-1000, 1000)), Gen.chooseNum(0, 100)) { (xs0, qi) =>
+      val xs = xs0.take(150).map(_.toDouble) // n <= 150 < k: no compaction
+      val q = qi / 100.0
+      val sorted = xs.sorted
+      val n = xs.size
+      // inclusive semantics: smallest item whose normalized rank
+      // (#items <= it)/n reaches q — the same double comparison the
+      // sketch's sorted view performs
+      val idx = sorted.indices.find(i => (i + 1).toDouble / n >= q).getOrElse(n - 1)
+      val bytes = sk(xs)
+      SketchAggs.kllQuantile(bytes, q) == sorted(idx) &&
+        SketchAggs.kllN(bytes) == n.toLong &&
+        SketchAggs.kllN(SketchAggs.kllMerge(bytes, sk(xs.map(_ + 5000.0)))) == 2L * n
+    }, cases = 80)
+  }
 }

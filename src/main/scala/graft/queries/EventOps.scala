@@ -1316,6 +1316,118 @@ object EventOps {
         FROM ord
         WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
         ORDER BY lang""")),
+
+    // STREAMING SET STATE with read-time set algebra (r17 —
+    // [[graft.streaming.EventStream.thetaSketchIncremental]]): the
+    // live-decontamination shape. The corpus minus one held-out source
+    // streams in 4 batches, each trigger unioning its token theta sketch
+    // into ONE stored row; at read time the maintained state intersects
+    // a reference sketch (the held-out source's vocabulary, built batch)
+    // — "how much does the stream overlap benchmark X" answered from two
+    // kilobyte payloads, no corpus scan. The replay certificate is the
+    // STRONGEST of the three sketch sinks: theta bytes are a pure
+    // function of the distinct set and union is idempotent, so
+    // re-delivering an absorbed batch produces BYTE-IDENTICAL state and
+    // the sink skips the write EXACTLY (contrast q210's best-effort HLL
+    // dedup and q213's batch-id guard — the gate pins both the byte
+    // equality and the unmoved version list). Hash-compared: exact
+    // distinct/overlap/difference counts (DuckDB); certificates: all
+    // three theta estimates within 4×RSE of exact.
+    QueryDef(
+      "q217_stream_theta_overlap",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.SketchAggs._
+        val ss = EventOps.streamSession(s)
+        val tok = graft.ops.TextStats.tokens(col("text"))
+        val streamDocs = Tables.documents(ss, dir)
+          .filter(col("text").isNotNull && col("source") =!= "src0")
+          .select(col("doc_id"), col("text"))
+        val srcDir = EventOps.cachedSrcDir("q217", dir)(
+          EventOps.stageOrderedBatches(streamDocs,
+            graft.ops.Dedup.portableHash(col("doc_id").cast("string"),
+              "graft-s217:") % 4, 4, "q217"))
+        ss.sql("DROP TABLE IF EXISTS q217_sketch")
+        val ckpt = java.nio.file.Files.createTempDirectory("q217ckpt").toString
+        val stream = ss.readStream.schema(streamDocs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val toToks = (b: org.apache.spark.sql.DataFrame) =>
+          b.select(explode(graft.ops.TextStats.tokens(col("text"))).as("value"))
+        val q = graft.streaming.EventStream.thetaSketchIncremental(
+          stream, toToks, "q217_sketch", lgK = 12,
+          checkpointLocation = Some(ckpt), compactEvery = 3)
+        try q.processAllAvailable()
+        finally q.stop()
+        // replay, driven through the SINK itself: a fresh checkpoint
+        // re-delivers all 4 batches (the at-least-once worst case);
+        // every union is byte-idempotent, so the stored bytes AND the
+        // version list must not move — the sink committed NOTHING, it
+        // didn't just rewrite equivalent state
+        val batchDocs = Tables.documents(s, dir).filter(col("text").isNotNull)
+        def stored() = graft.sources.Store.read(s, "q217_sketch")
+          .select(col("sketch")).head().getAs[Array[Byte]](0)
+        val before = stored()
+        val vBefore = graft.sources.Store.versions(s, "q217_sketch").toSeq
+        val ckpt2 = java.nio.file.Files.createTempDirectory("q217ckpt2").toString
+        val q2 = graft.streaming.EventStream.thetaSketchIncremental(
+          ss.readStream.schema(streamDocs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir),
+          toToks, "q217_sketch", lgK = 12,
+          checkpointLocation = Some(ckpt2), compactEvery = 3)
+        try q2.processAllAvailable()
+        finally q2.stop()
+        val replayExact = java.util.Arrays.equals(stored(), before) &&
+          graft.sources.Store.versions(s, "q217_sketch").toSeq == vBefore
+        EventOps.rmTree(ckpt2)
+        // reference sketch: the held-out source's vocabulary, built batch
+        val refSk = batchDocs.filter(col("source") === "src0")
+          .select(explode(tok).as("value"))
+          .agg(call_function("theta_agg", col("value"), lit(12)).as("sk"))
+          .head().getAs[Array[Byte]]("sk")
+        val (estN, estInter, estOnly) = graft.streaming.EventStream
+          .readThetaOverlap(s, "q217_sketch", refSk)
+        // exact counts: one membership fold over distinct tokens
+        val m = batchDocs
+          .select((col("source") === "src0").as("held"), explode(tok).as("t"))
+          .groupBy(col("t")).agg(
+            max(when(!col("held"), 1).otherwise(0)).as("instream"),
+            max(when(col("held"), 1).otherwise(0)).as("inref"))
+          .agg(
+            sum(when(col("instream") === 1, 1L).otherwise(0L)).as("n_stream"),
+            sum(when(col("instream") === 1 && col("inref") === 1, 1L).otherwise(0L))
+              .as("n_overlap"),
+            sum(when(col("instream") === 1 && col("inref") === 0, 1L).otherwise(0L))
+              .as("n_stream_only"))
+          .head()
+        val (nS, nO, nD) = (m.getLong(0), m.getLong(1), m.getLong(2))
+        val tol = 4.0 / math.sqrt((1 << 12) - 1.0)
+        def ok(est: Double, exact: Long): Boolean =
+          math.abs(est - exact) <= tol * math.max(nS, 1L)
+        val result = Seq((nS, nO, nD,
+            ok(estN, nS), ok(estInter, nO), ok(estOnly, nD), replayExact))
+          .toDF("n_stream", "n_overlap", "n_stream_only",
+            "n_ok", "overlap_ok", "only_ok", "replay_exact")
+          .localCheckpoint()
+        s.sql("DROP TABLE IF EXISTS q217_sketch")
+        EventOps.rmTree(ckpt)
+        result
+      },
+      Some("""
+        WITH toks AS (
+          SELECT (source = 'src0') AS held,
+            unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents WHERE text IS NOT NULL),
+        m AS (
+          SELECT tok,
+            max(CASE WHEN NOT held THEN 1 ELSE 0 END) AS instream,
+            max(CASE WHEN held THEN 1 ELSE 0 END) AS inref
+          FROM toks GROUP BY tok)
+        SELECT
+          CAST(sum(CASE WHEN instream = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_stream,
+          CAST(sum(CASE WHEN instream = 1 AND inref = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+          CAST(sum(CASE WHEN instream = 1 AND inref = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_stream_only,
+          true AS n_ok, true AS overlap_ok, true AS only_ok, true AS replay_exact
+        FROM m""")),
   )
 
   /** Shared by q146 (batch join route) and q162 (streaming custom-state

@@ -1339,6 +1339,91 @@ object EventStream {
       graft.functions.SketchAggs.kllN(bytes))
   }
 
+  /** STREAMING DISTINCT-SET state over a persisted theta sketch — the
+    * set-algebra sibling of [[distinctSketchIncremental]]: same one-row
+    * O(2^lgK) state, but the maintained object supports INTERSECTION and
+    * DIFFERENCE against any other theta sketch at read time
+    * ([[readThetaOverlap]]) — the live-decontamination shape: stream the
+    * corpus, keep a sketch of every token/shingle ever seen, and answer
+    * "how much does the stream overlap benchmark X?" from two kilobyte
+    * payloads, no corpus scan.
+    *
+    * The replay contract here is the STRONGEST of the three sketch
+    * sinks: a theta compact sketch is a pure function of the distinct
+    * input set, and union is idempotent — so a re-delivered batch's
+    * union produces BYTE-IDENTICAL state and the write is skipped
+    * exactly (not best-effort like HLL, whose estimator bookkeeping
+    * moves under re-union; not guard-dependent like KLL, whose merge
+    * adds weight). `compactEvery` folds the 1-row table's delta chain on
+    * the standard cadence.
+    */
+  def thetaSketchIncremental(
+      docs: DataFrame, toValues: DataFrame => DataFrame,
+      sketchTable: String, lgK: Int = 12,
+      checkpointLocation: Option[String] = None,
+      buckets: Int = 1, parts: Int = 1, compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
+    val wr = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        import graft.sources.Store
+        import spark.implicits._
+        import graft.functions.SketchAggs
+        // ONE action consumes the batch: the map-side-partial theta_agg
+        val batchSketch = toValues(batch.toDF())
+          .agg(org.apache.spark.sql.functions.call_function(
+            "theta_agg", col("value"), lit(lgK)).as("sk"))
+          .head().getAs[Array[Byte]]("sk")
+        // an empty/all-null batch builds an empty sketch: unioning it is
+        // a no-op, and the byte-dedup below skips the write
+        val exists = spark.catalog.tableExists(sketchTable)
+        val stored: Option[Array[Byte]] =
+          if (exists)
+            Store.read(spark, sketchTable).select(col("sketch"))
+              .collect().headOption.map(_.getAs[Array[Byte]](0))
+          else None
+        val merged = stored match {
+          case None    => batchSketch
+          case Some(s) => SketchAggs.thetaUnion(s, batchSketch, lgK)
+        }
+        // EXACT write dedup (see scaladoc): theta bytes are a pure
+        // function of the set, so byte equality == "this batch added no
+        // new distinct value" — replays and no-op batches commit nothing
+        if (!stored.exists(java.util.Arrays.equals(_, merged)) &&
+          SketchAggs.thetaEstimate(merged) > 0.0) {
+          val up = Seq(("corpus", merged)).toDF("scope", "sketch")
+          if (exists) Store.upsert(spark, sketchTable, up, "scope", buckets)
+          else Store.bulkWrite(up, sketchTable, "scope",
+            buckets = buckets, parts = parts, validateKeys = true)
+          applied += 1L
+          if (compactEvery > 0 && applied % compactEvery == 0 &&
+            spark.catalog.tableExists(sketchTable)) {
+            Store.compact(spark, sketchTable)
+            ()
+          }
+        }
+      }
+    checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))
+    wr.start()
+  }
+
+  /** The theta state's serving read: (stream-distinct estimate, overlap
+    * with `refSketch`, stream-only difference) — set algebra against any
+    * reference sketch from the one stored row.
+    */
+  def readThetaOverlap(
+      spark: org.apache.spark.sql.SparkSession, sketchTable: String,
+      refSketch: Array[Byte]): (Double, Double, Double) = {
+    import graft.functions.SketchAggs
+    val bytes = graft.sources.Store.read(spark, sketchTable)
+      .select(col("sketch")).head().getAs[Array[Byte]](0)
+    (SketchAggs.thetaEstimate(bytes),
+      SketchAggs.thetaIntersectEstimate(bytes, refSketch),
+      SketchAggs.thetaAnotBEstimate(bytes, refSketch))
+  }
+
   /** One micro-batch of the PER-KEY streaming quantile sketch
     * ([[groupedQuantileSketchIncremental]]). Unlike the single-row
     * applier ([[applyQuantileBatch]]) nothing here is driver-merged: the

@@ -1008,6 +1008,52 @@ class EventStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS qsk_tab")
   }
 
+  test("streaming theta sketch: exact below k, re-delivery commits NOTHING, overlap algebra served") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Store
+    import graft.functions.SketchAggs
+    spark.sql("DROP TABLE IF EXISTS tsk_tab")
+    val toV = (b: org.apache.spark.sql.DataFrame) => b.select(col("v").as("value"))
+    // 300 distinct < k=4096: exact mode — estimates pin to equality
+    val input = MemoryStream[String]
+    val q = graft.streaming.EventStream.thetaSketchIncremental(
+      input.toDF().toDF("v"), toV, "tsk_tab")
+    try {
+      input.addData((1 to 200).map(i => s"val-$i"): _*)
+      q.processAllAvailable()
+      input.addData((150 to 300).map(i => s"val-$i"): _*) // overlaps batch 1
+      q.processAllAvailable()
+    } finally q.stop()
+    def bytes() = Store.read(spark, "tsk_tab")
+      .select(col("sketch")).head().getAs[Array[Byte]](0)
+    assert(SketchAggs.thetaEstimate(bytes()) === 300.0)
+    val (before, vBefore) = (bytes(), Store.versions(spark, "tsk_tab").toSeq)
+    // duplicate re-delivery through a SECOND sink instance: theta bytes
+    // are a pure function of the set, so the dedup is EXACT — no write,
+    // no version, byte-identical state (stronger than the HLL sink's
+    // best-effort dedup); an all-null batch likewise commits nothing
+    val input2 = MemoryStream[String]
+    val q2 = graft.streaming.EventStream.thetaSketchIncremental(
+      input2.toDF().toDF("v"), toV, "tsk_tab")
+    try {
+      input2.addData((150 to 300).map(i => s"val-$i"): _*)
+      q2.processAllAvailable()
+      input2.addData(null.asInstanceOf[String])
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(java.util.Arrays.equals(bytes(), before), "re-delivery moved the bytes")
+    assert(Store.versions(spark, "tsk_tab").toSeq === vBefore,
+      "re-delivery or a null batch committed a version")
+    // read-time set algebra against a reference sketch
+    val ref = (250 to 400).map(i => s"val-$i").toDF("v")
+      .agg(call_function("theta_agg", col("v"), lit(12)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val (est, inter, only) = graft.streaming.EventStream
+      .readThetaOverlap(spark, "tsk_tab", ref)
+    assert((est, inter, only) === ((300.0, 51.0, 249.0)))
+    spark.sql("DROP TABLE IF EXISTS tsk_tab")
+  }
+
   test("grouped quantile sketch: per-key sub-k exactness, pruned probe, atomic per-key replay guard") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.Store

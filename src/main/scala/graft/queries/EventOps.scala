@@ -1428,6 +1428,87 @@ object EventOps {
           CAST(sum(CASE WHEN instream = 1 AND inref = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_stream_only,
           true AS n_ok, true AS overlap_ok, true AS only_ok, true AS replay_exact
         FROM m""")),
+
+    // DURABLE STREAMING FREQUENCY SKETCH (r17 —
+    // [[graft.streaming.EventStream.cmsSketchIncremental]]): the upgrade
+    // q166's run-local CMS deliberately skipped — the sketch ITSELF is
+    // now the durable object, one stored row of O(ε⁻¹·ln δ⁻¹) bytes
+    // folding every trigger's token frequencies by cellwise addition and
+    // surviving restarts. Addition is the KLL replay-hazard class, so
+    // exactly-once is the `last_batch` guard; CMS aggregation and merge
+    // are fully deterministic (hash-cell sums), so the gate pins the
+    // guard BYTE-identically. Hash-compared: the exact top-20 token
+    // counts (q100's oracle); certificates, all from the MAINTAINED
+    // sketch after 4 triggers + a mid-stream compaction: estimates never
+    // below true counts (structural), within ε·N above (ε=0.001 at 99%),
+    // and a re-applied absorbed batch id refused with bytes unmoved.
+    QueryDef(
+      "q218_stream_cms_counts",
+      (s, dir) => {
+        import s.implicits._
+        val ss = EventOps.streamSession(s)
+        val streamDocs = Tables.documents(ss, dir)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+        val srcDir = EventOps.cachedSrcDir("q218", dir)(
+          EventOps.stageOrderedBatches(streamDocs,
+            graft.ops.Dedup.portableHash(col("doc_id").cast("string"),
+              "graft-s218:") % 4, 4, "q218"))
+        ss.sql("DROP TABLE IF EXISTS q218_cms")
+        val ckpt = java.nio.file.Files.createTempDirectory("q218ckpt").toString
+        val stream = ss.readStream.schema(streamDocs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val eps = 0.001
+        val toToks = (b: org.apache.spark.sql.DataFrame) =>
+          b.select(explode(graft.ops.TextStats.tokens(col("text"))).as("value"))
+        val q = graft.streaming.EventStream.cmsSketchIncremental(
+          stream, toToks, "q218_cms", eps = eps,
+          checkpointLocation = Some(ckpt), compactEvery = 3)
+        try q.processAllAvailable()
+        finally q.stop()
+        // replay guard: both an absorbed id and the byte state pinned
+        def state() = graft.sources.Store.read(s, "q218_cms")
+          .select(col("sketch"), col("last_batch")).head()
+        val before = state()
+        val replayBatch = Tables.documents(s, dir).filter(col("text").isNotNull)
+          .filter(graft.ops.Dedup.portableHash(
+            col("doc_id").cast("string"), "graft-s218:") % 4 === 1)
+          .select(col("doc_id"), col("text"))
+        val refolded = graft.streaming.EventStream.applyCmsBatch(
+          replayBatch, toToks, "q218_cms", batchId = 1L, eps = eps)
+        val after = state()
+        val guardHeld = !refolded &&
+          java.util.Arrays.equals(before.getAs[Array[Byte]](0),
+            after.getAs[Array[Byte]](0)) &&
+          before.getLong(1) == after.getLong(1)
+        // exact top-20 + the maintained sketch's certificates
+        val toks = toToks(Tables.documents(s, dir).filter(col("text").isNotNull))
+        val totalFrame = toks.agg(count(lit(1)).as("total"))
+        val result = graft.streaming.EventStream.readCmsEstimates(s, "q218_cms",
+            toks.groupBy(col("value")).agg(count(lit(1)).as("exact_n"))
+              .orderBy(col("exact_n").desc, col("value"))
+              .limit(20)
+              .crossJoin(broadcast(totalFrame)))
+          .select(
+            col("value").as("tok"), col("exact_n"),
+            (col("est") >= col("exact_n")).as("never_under"),
+            (col("est") <= col("exact_n") +
+              ceil(lit(eps) * col("total")).cast("long")).as("within_eps"),
+            lit(guardHeld).as("replay_guard"))
+          .orderBy(col("exact_n").desc, col("tok"))
+          .localCheckpoint()
+        s.sql("DROP TABLE IF EXISTS q218_cms")
+        EventOps.rmTree(ckpt)
+        result
+      },
+      Some("""
+        WITH toks AS (
+          SELECT unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents WHERE text IS NOT NULL)
+        SELECT tok, count(*) AS exact_n,
+          true AS never_under, true AS within_eps, true AS replay_guard
+        FROM toks GROUP BY tok
+        ORDER BY exact_n DESC, tok LIMIT 20""")),
   )
 
   /** Shared by q146 (batch join route) and q162 (streaming custom-state

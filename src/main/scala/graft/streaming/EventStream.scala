@@ -1339,6 +1339,109 @@ object EventStream {
       graft.functions.SketchAggs.kllN(bytes))
   }
 
+  /** One micro-batch of the DURABLE streaming count-min sketch
+    * ([[cmsSketchIncremental]]); factored out so the gate can re-invoke
+    * it with an absorbed batch id and pin the stored bytes unmoved.
+    *
+    * CMS merge is cellwise ADDITION — the KLL class of replay hazard
+    * (re-merging an absorbed batch double-counts), so exactly-once is
+    * the same `last_batch` guard as [[applyQuantileBatch]]. This is the
+    * durability upgrade [[heavyHittersIncremental]] deliberately skips
+    * (its scaladoc holds the sketch for one run and leans on the exact
+    * keyed table): here the SKETCH ITSELF is the durable object —
+    * O(ε⁻¹·ln δ⁻¹) bytes of state answering per-key frequency upper
+    * bounds at any corpus size, surviving restarts, replay-safe.
+    */
+  def applyCmsBatch(
+      batch: DataFrame, toValues: DataFrame => DataFrame,
+      cmsTable: String, batchId: Long,
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42,
+      buckets: Int = 1, parts: Int = 1): Boolean = {
+    val spark = batch.sparkSession
+    import graft.sources.Store
+    import spark.implicits._
+    val exists = spark.catalog.tableExists(cmsTable)
+    val stored: Option[(Array[Byte], Long)] =
+      if (exists)
+        Store.read(spark, cmsTable).select(col("sketch"), col("last_batch"))
+          .collect().headOption.map(r => (r.getAs[Array[Byte]]("sketch"), r.getLong(1)))
+      else None
+    if (stored.exists(_._2 >= batchId)) false // replayed batch: already added
+    else {
+      // ONE action consumes the batch: the sketch aggregation (hash
+      // cells sum map-side; only the table-sized array reaches the
+      // driver, its size fixed by (eps, confidence), not the batch)
+      val vals = toValues(batch).filter(col("value").isNotNull)
+      val batchCms = vals.stat.countMinSketch(col("value"), eps, confidence, seed)
+      if (batchCms.totalCount() == 0L && stored.isEmpty) false
+      else {
+        val merged = stored match {
+          case None => batchCms
+          case Some((s, _)) =>
+            val m = org.apache.spark.util.sketch.CountMinSketch.readFrom(s)
+            m.mergeInPlace(batchCms)
+            m
+        }
+        val up = Seq(("corpus", graft.functions.CmsExprs.serialize(merged), batchId))
+          .toDF("scope", "sketch", "last_batch")
+        if (exists) Store.upsert(spark, cmsTable, up, "scope", buckets)
+        else Store.bulkWrite(up, cmsTable, "scope",
+          buckets = buckets, parts = parts, validateKeys = true)
+        true
+      }
+    }
+  }
+
+  /** DURABLE streaming count-min sketch — the frequency leg of the
+    * persisted-sketch family (HLL counts distinct, KLL distributes,
+    * theta set-algebras, CMS answers per-key frequency upper bounds):
+    * per trigger the batch's value frequencies fold into ONE stored CMS
+    * row (cellwise add — every executor/batch/day can sketch
+    * independently at 100 TB and the union still answers within ε·N).
+    * Replay-guarded on `last_batch` (addition is the KLL hazard class);
+    * `compactEvery` folds the 1-row chain. Serve with
+    * [[readCmsEstimates]] or the native `cms_estimate` probe.
+    */
+  def cmsSketchIncremental(
+      docs: DataFrame, toValues: DataFrame => DataFrame,
+      cmsTable: String,
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42,
+      checkpointLocation: Option[String] = None,
+      buckets: Int = 1, parts: Int = 1, compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
+    val wr = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        if (applyCmsBatch(batch.toDF(), toValues, cmsTable, batchId,
+            eps, confidence, seed, buckets, parts)) {
+          applied += 1L
+          if (compactEvery > 0 && applied % compactEvery == 0 &&
+            spark.catalog.tableExists(cmsTable)) {
+            graft.sources.Store.compact(spark, cmsTable)
+            ()
+          }
+        }
+      }
+    checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))
+    wr.start()
+  }
+
+  /** The durable CMS's serving read: frequency upper-bound estimates for
+    * a probe frame's `value` column via the native `cms_estimate`
+    * expression over the stored payload — per-row probes stay codegen'd,
+    * the sketch rides along as a literal.
+    */
+  def readCmsEstimates(
+      spark: org.apache.spark.sql.SparkSession, cmsTable: String,
+      probes: DataFrame): DataFrame = {
+    val bytes = graft.sources.Store.read(spark, cmsTable)
+      .select(col("sketch")).head().getAs[Array[Byte]](0)
+    probes.withColumn("est",
+      graft.functions.CmsExprs.cms_estimate(col("value"), bytes))
+  }
+
   /** STREAMING DISTINCT-SET state over a persisted theta sketch — the
     * set-algebra sibling of [[distinctSketchIncremental]]: same one-row
     * O(2^lgK) state, but the maintained object supports INTERSECTION and

@@ -1008,6 +1008,50 @@ class EventStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS qsk_tab")
   }
 
+  test("durable streaming CMS: counts add across triggers, guard refuses re-folds byte-stably") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Store
+    spark.sql("DROP TABLE IF EXISTS cms_tab")
+    val toV = (b: org.apache.spark.sql.DataFrame) => b.select(col("v").as("value"))
+    // wide eps → tiny table; counts still EXACT here because the test
+    // vocabulary (3 values) has no hash collisions to speak of at the
+    // never-under/upper-bound level the assertions use
+    val input = MemoryStream[String]
+    val q = graft.streaming.EventStream.cmsSketchIncremental(
+      input.toDF().toDF("v"), toV, "cms_tab", eps = 0.01, seed = 7)
+    try {
+      input.addData(Seq.fill(10)("a") ++ Seq.fill(5)("b"): _*)
+      q.processAllAvailable()
+      input.addData(Seq.fill(3)("a") ++ Seq.fill(4)("c"): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val ests = graft.streaming.EventStream.readCmsEstimates(spark, "cms_tab",
+        Seq("a", "b", "c").toDF("value"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // CMS never underestimates; with this tiny vocab the upper bound is
+    // tight enough to pin the cross-trigger addition (13 = 10 + 3)
+    assert(ests("a") >= 13L && ests("b") >= 5L && ests("c") >= 4L)
+    assert(ests.values.sum <= 22L + 22L, "upper bounds blew past eps*N")
+    def state() = Store.read(spark, "cms_tab")
+      .select(col("sketch"), col("last_batch")).head()
+    val before = state()
+    assert(before.getLong(1) === 1L)
+    Seq(0L, 1L).foreach { id =>
+      val folded = graft.streaming.EventStream.applyCmsBatch(
+        Seq("a").toDF("v"), toV, "cms_tab", batchId = id, eps = 0.01, seed = 7)
+      assert(!folded, s"guard let batch id $id re-fold")
+    }
+    val after = state()
+    assert(java.util.Arrays.equals(
+      before.getAs[Array[Byte]](0), after.getAs[Array[Byte]](0)))
+    // an all-null batch adds nothing but advances the guard
+    val empt = graft.streaming.EventStream.applyCmsBatch(
+      Seq(Option.empty[String]).toDF("v"), toV, "cms_tab",
+      batchId = 2L, eps = 0.01, seed = 7)
+    assert(empt && state().getLong(1) === 2L)
+    spark.sql("DROP TABLE IF EXISTS cms_tab")
+  }
+
   test("streaming theta sketch: exact below k, re-delivery commits NOTHING, overlap algebra served") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.Store

@@ -6,7 +6,7 @@ import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
 import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketch, Sketches, Union}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.BinaryLike
@@ -53,15 +53,25 @@ object SketchAggs {
 
   /** KLL payload → the inclusive quantile at normalized rank `q`.
     * Serving-side probe: heapifies per call — intended for the tiny
-    * frames sketch reads produce, not per-corpus-row maps.
+    * frames sketch reads produce, not per-corpus-row maps. An EMPTY
+    * sketch (what `kll_agg` yields for an empty or all-null group) has
+    * no quantiles: NaN, not an exception — one empty group must not
+    * kill a grouped serving query.
     */
-  def kllQuantile(bytes: Array[Byte], q: Double): Double =
-    KllDoublesSketch.heapify(Memory.wrap(bytes))
-      .getQuantile(q, QuantileSearchCriteria.INCLUSIVE)
+  def kllQuantile(bytes: Array[Byte], q: Double): Double = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+    if (sk.isEmpty) Double.NaN
+    else sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE)
+  }
 
-  /** KLL payload → the normalized rank of `v` (inclusive). */
-  def kllRank(bytes: Array[Byte], v: Double): Double =
-    KllDoublesSketch.heapify(Memory.wrap(bytes)).getRank(v, QuantileSearchCriteria.INCLUSIVE)
+  /** KLL payload → the normalized rank of `v` (inclusive); NaN on the
+    * empty sketch (see [[kllQuantile]]).
+    */
+  def kllRank(bytes: Array[Byte], v: Double): Double = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+    if (sk.isEmpty) Double.NaN
+    else sk.getRank(v, QuantileSearchCriteria.INCLUSIVE)
+  }
 
   /** KLL payload → the stream length the sketch absorbed (exact). */
   def kllN(bytes: Array[Byte]): Long =
@@ -110,6 +120,20 @@ object SketchAggs {
     op.notB(Sketches.heapifySketch(Memory.wrap(b)))
     op.getResult(true).getEstimate
   }
+
+  /** The aggregates' shared parameter rule: a foldable integral in
+    * [lo, hi], evaluated once.
+    */
+  private[functions] def foldableIntInRange(e: Expression, lo: Int, hi: Int): Boolean =
+    e.foldable && (e.dataType match {
+      case IntegerType | LongType | ShortType | ByteType => true
+      case _                                             => false
+    }) && {
+      val v = e.eval()
+      v != null && {
+        val i = v.asInstanceOf[Number].intValue(); i >= lo && i <= hi
+      }
+    }
 }
 
 /** `kll_agg(value, k)` — KLL quantile sketch of a numeric column as
@@ -128,12 +152,7 @@ case class KllAgg(
   override def prettyName: String = "kll_agg"
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    val kOk = right.foldable && (right.dataType match {
-      case IntegerType | LongType | ShortType | ByteType => true
-      case _                                             => false
-    }) && right.eval() != null && {
-      val v = right.eval().asInstanceOf[Number].intValue(); v >= 8 && v <= 65535
-    }
+    val kOk = SketchAggs.foldableIntInRange(right, 8, 65535)
     if (!left.dataType.isInstanceOf[NumericType])
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a numeric value column, got ${left.dataType.catalogString}")
@@ -200,12 +219,7 @@ case class ThetaAgg(
   override def prettyName: String = "theta_agg"
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    val lgOk = right.foldable && (right.dataType match {
-      case IntegerType | LongType | ShortType | ByteType => true
-      case _                                             => false
-    }) && right.eval() != null && {
-      val v = right.eval().asInstanceOf[Number].intValue(); v >= 4 && v <= 26
-    }
+    val lgOk = SketchAggs.foldableIntInRange(right, 4, 26)
     val valueOk = left.dataType match {
       case StringType | LongType | IntegerType | BinaryType => true
       case _                                                => false
@@ -224,6 +238,12 @@ case class ThetaAgg(
 
   override def createAggregationBuffer(): Union = newUnion()
 
+  // DataSketches value semantics, inherited deliberately: null AND the
+  // empty string/array are "no value" no-ops (Union.update returns
+  // RejectedNullOrEmpty) — the sketch's distinct set is over NON-EMPTY
+  // values, mirroring how the novelty/dedup operators treat empty
+  // tokens. Exact-count oracles that include '' must tolerance-band
+  // (the q212/q215/q217 certificates do).
   override def update(buffer: Union, input: InternalRow): Union = {
     val v = left.eval(input)
     if (v != null) left.dataType match {
@@ -283,12 +303,7 @@ case class KllMergeAgg(
   override def prettyName: String = "kll_merge_agg"
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    val kOk = right.foldable && (right.dataType match {
-      case IntegerType | LongType | ShortType | ByteType => true
-      case _                                             => false
-    }) && right.eval() != null && {
-      val v = right.eval().asInstanceOf[Number].intValue(); v >= 8 && v <= 65535
-    }
+    val kOk = SketchAggs.foldableIntInRange(right, 8, 65535)
     if (left.dataType != BinaryType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires BINARY kll sketch payloads, got ${left.dataType.catalogString}")
@@ -345,12 +360,7 @@ case class ThetaUnionAgg(
   override def prettyName: String = "theta_union_agg"
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    val lgOk = right.foldable && (right.dataType match {
-      case IntegerType | LongType | ShortType | ByteType => true
-      case _                                             => false
-    }) && right.eval() != null && {
-      val v = right.eval().asInstanceOf[Number].intValue(); v >= 4 && v <= 26
-    }
+    val lgOk = SketchAggs.foldableIntInRange(right, 4, 26)
     if (left.dataType != BinaryType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires BINARY theta sketch payloads, got ${left.dataType.catalogString}")
@@ -400,13 +410,12 @@ case class ThetaUnionAgg(
   * [[CmsEstimate]] referenceObj pattern).
   */
 case class KllQuantileExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "kll_quantile"
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType != BinaryType || right.dataType != DoubleType)
-      TypeCheckResult.TypeCheckFailure(s"$prettyName requires (BINARY, DOUBLE)")
-    else TypeCheckResult.TypeCheckSuccess
+  // implicit casts: `kll_quantile(sk, 0.5)` parses 0.5 as DECIMAL(1,1) in
+  // SQL; coercing the rank to DOUBLE is the built-in-function convention
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
   override protected def nullSafeEval(sketch: Any, q: Any): Any =
     SketchAggs.kllQuantile(sketch.asInstanceOf[Array[Byte]], q.asInstanceOf[Double])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -417,13 +426,10 @@ case class KllQuantileExpr(left: Expression, right: Expression)
 }
 
 case class KllRankExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "kll_rank"
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType != BinaryType || right.dataType != DoubleType)
-      TypeCheckResult.TypeCheckFailure(s"$prettyName requires (BINARY, DOUBLE)")
-    else TypeCheckResult.TypeCheckSuccess
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
   override protected def nullSafeEval(sketch: Any, v: Any): Any =
     SketchAggs.kllRank(sketch.asInstanceOf[Array[Byte]], v.asInstanceOf[Double])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -1164,10 +1164,11 @@ object EventOps {
           .select(col("sketch"), col("last_batch")).head()
         val replayBatch = Tables.documents(s, dir)
           .filter(graft.ops.Dedup.portableHash(
-            col("doc_id").cast("string"), "graft-s213:") % 4 === 2)
+            col("doc_id").cast("string"), "graft-s213:") % 4 === 3)
           .select(col("doc_id"), col("n_chars"))
+        // id 3 = the final trigger: the ONE id the engine can re-deliver
         val refolded = graft.streaming.EventStream.applyQuantileBatch(
-          replayBatch, toVal, "q213_sketch", batchId = 0L, k = 200)
+          replayBatch, toVal, "q213_sketch", batchId = 3L, k = 200)
         val after = graft.sources.Store.read(s, "q213_sketch")
           .select(col("sketch"), col("last_batch")).head()
         val guardHeld = !refolded &&
@@ -1263,10 +1264,11 @@ object EventOps {
         val before = state()
         val replayBatch = Tables.documents(s, dir)
           .filter(graft.ops.Dedup.portableHash(
-            col("doc_id").cast("string"), "graft-s216:") % 4 === 1)
+            col("doc_id").cast("string"), "graft-s216:") % 4 === 3)
           .select(col("lang"), col("n_chars"))
+        // id 3 = the final trigger: the ONE id the engine can re-deliver
         val refolded = graft.streaming.EventStream.applyGroupedQuantileBatch(
-          replayBatch, toKV, "q216_sketch", batchId = 1L, k = 200)
+          replayBatch, toKV, "q216_sketch", batchId = 3L, k = 200)
         val after = state()
         val guardHeld = !refolded && before.keySet == after.keySet &&
           before.forall { case (l, (b, lb)) =>
@@ -1472,10 +1474,11 @@ object EventOps {
         val before = state()
         val replayBatch = Tables.documents(s, dir).filter(col("text").isNotNull)
           .filter(graft.ops.Dedup.portableHash(
-            col("doc_id").cast("string"), "graft-s218:") % 4 === 1)
+            col("doc_id").cast("string"), "graft-s218:") % 4 === 3)
           .select(col("doc_id"), col("text"))
+        // id 3 = the final trigger: the ONE id the engine can re-deliver
         val refolded = graft.streaming.EventStream.applyCmsBatch(
-          replayBatch, toToks, "q218_cms", batchId = 1L, eps = eps)
+          replayBatch, toToks, "q218_cms", batchId = 3L, eps = eps)
         val after = state()
         val guardHeld = !refolded &&
           java.util.Arrays.equals(before.getAs[Array[Byte]](0),

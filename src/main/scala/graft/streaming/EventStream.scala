@@ -1233,6 +1233,46 @@ object EventStream {
       .select(hll_sketch_estimate(col("sketch")).as("est"))
       .head().getLong(0)
 
+  /** The guarded sketch sinks' shared failure for batch ids behind the
+    * stored guard: a fresh checkpoint replaying against existing state.
+    */
+  private[streaming] def idRegression(
+      table: String, stored: Long, batchId: Long): IllegalStateException =
+    new IllegalStateException(
+      s"$table records last_batch=$stored but batch $batchId arrived: batch " +
+        "ids regressed, which only a NEW checkpoint against existing state " +
+        "produces — folding would double-count and skipping would silently " +
+        "drop every batch of the new stream. Drop/rename the state table " +
+        "or resume from the original checkpoint.")
+
+  /** The sketch sinks' shared foreachBatch scaffold: run the applier one
+    * batch at a time, fold the state table's delta chain every
+    * `compactEvery` APPLIED batches (skipped batches don't advance the
+    * cadence — a replay storm must not starve compaction of real work).
+    */
+  private def guardedSketchSink(
+      docs: DataFrame, checkpointLocation: Option[String],
+      compactEvery: Int, table: String,
+      apply: (DataFrame, Long) => Boolean)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
+    val wr = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        if (apply(batch.toDF(), batchId)) {
+          applied += 1L
+          if (compactEvery > 0 && applied % compactEvery == 0 &&
+            spark.catalog.tableExists(table)) {
+            graft.sources.Store.compact(spark, table)
+            ()
+          }
+        }
+      }
+    checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))
+    wr.start()
+  }
+
   /** One micro-batch of the streaming QUANTILE sketch
     * ([[quantileSketchIncremental]]); factored out so the gate can
     * re-invoke it with an already-applied batch id and assert the stored
@@ -1243,9 +1283,12 @@ object EventStream {
     * idempotence — the property the HLL sink leans on — does not exist
     * here. Exactly-once is recovered the transactional-sink way instead:
     * the stored row carries `last_batch`, foreachBatch replays a failed
-    * batch WITH THE SAME batch id, and `batchId <= last_batch` skips the
-    * fold. Batch ids are assigned monotonically by the engine, so the
-    * single-row guard is total over the stream's history.
+    * batch WITH THE SAME batch id, and `batchId == last_batch` skips the
+    * fold. Batch ids are assigned monotonically by the engine and only
+    * the last possibly-uncommitted batch can legitimately re-arrive, so
+    * an id BEHIND the guard is a fresh checkpoint replaying against
+    * existing state — that fails loudly ([[idRegression]]) instead of
+    * silently double-counting or dropping the new stream.
     */
   def applyQuantileBatch(
       batch: DataFrame, toValue: DataFrame => DataFrame,
@@ -1260,7 +1303,14 @@ object EventStream {
         Store.read(spark, sketchTable).select(col("sketch"), col("last_batch"))
           .collect().headOption.map(r => (r.getAs[Array[Byte]]("sketch"), r.getLong(1)))
       else None
-    if (stored.exists(_._2 >= batchId)) false // replayed batch: already folded
+    // the ONE legitimate replay is id == last_batch (the engine re-runs
+    // only the last possibly-uncommitted batch); an id BEHIND it means a
+    // fresh checkpoint is replaying against existing state — folding
+    // would double-count and skipping would silently drop every new
+    // batch forever, so fail loudly instead (EventStream.idRegression)
+    if (stored.exists(_._2 == batchId)) false // replayed batch: already folded
+    else if (stored.exists(_._2 > batchId))
+      throw EventStream.idRegression(sketchTable, stored.get._2, batchId)
     else {
       // ONE action consumes the batch: the map-side-partial kll_agg —
       // only O(k·log(n/k)) sketch bytes reach the driver
@@ -1306,25 +1356,9 @@ object EventStream {
       sketchTable: String, k: Int = 200,
       checkpointLocation: Option[String] = None,
       buckets: Int = 1, parts: Int = 1, compactEvery: Int = 16)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
-    val wr = docs.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        if (applyQuantileBatch(batch.toDF(), toValue, sketchTable, batchId,
-            k, buckets, parts)) {
-          applied += 1L
-          if (compactEvery > 0 && applied % compactEvery == 0 &&
-            spark.catalog.tableExists(sketchTable)) {
-            graft.sources.Store.compact(spark, sketchTable)
-            ()
-          }
-        }
-      }
-    checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))
-    wr.start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    guardedSketchSink(docs, checkpointLocation, compactEvery, sketchTable,
+      (b, id) => applyQuantileBatch(b, toValue, sketchTable, id, k, buckets, parts))
 
   /** The quantile sketch's serving read: (q, estimate) rows for the
     * requested ranks plus the exact absorbed count, answered from the one
@@ -1366,7 +1400,10 @@ object EventStream {
         Store.read(spark, cmsTable).select(col("sketch"), col("last_batch"))
           .collect().headOption.map(r => (r.getAs[Array[Byte]]("sketch"), r.getLong(1)))
       else None
-    if (stored.exists(_._2 >= batchId)) false // replayed batch: already added
+    // replay/regression split per applyQuantileBatch: == skips, < throws
+    if (stored.exists(_._2 == batchId)) false // replayed batch: already added
+    else if (stored.exists(_._2 > batchId))
+      throw EventStream.idRegression(cmsTable, stored.get._2, batchId)
     else {
       // ONE action consumes the batch: the sketch aggregation (hash
       // cells sum map-side; only the table-sized array reaches the
@@ -1408,25 +1445,10 @@ object EventStream {
       eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42,
       checkpointLocation: Option[String] = None,
       buckets: Int = 1, parts: Int = 1, compactEvery: Int = 16)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
-    val wr = docs.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        if (applyCmsBatch(batch.toDF(), toValues, cmsTable, batchId,
-            eps, confidence, seed, buckets, parts)) {
-          applied += 1L
-          if (compactEvery > 0 && applied % compactEvery == 0 &&
-            spark.catalog.tableExists(cmsTable)) {
-            graft.sources.Store.compact(spark, cmsTable)
-            ()
-          }
-        }
-      }
-    checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))
-    wr.start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    guardedSketchSink(docs, checkpointLocation, compactEvery, cmsTable,
+      (b, id) => applyCmsBatch(b, toValues, cmsTable, id,
+        eps, confidence, seed, buckets, parts))
 
   /** The durable CMS's serving read: frequency upper-bound estimates for
     * a probe frame's `value` column via the native `cms_estimate`
@@ -1570,8 +1592,17 @@ object EventStream {
       val stored = Store.probe(spark, sketchTable, batchSk.select(col("key")), "key")
         .select(col("key"), col("sk"), col("last_batch"))
         .localCheckpoint() // consumed twice: the guard probe + the merge
-      if (!stored.filter(col("last_batch") >= lit(batchId)).isEmpty)
+      // the touched keys' max last_batch decides, per applyQuantileBatch:
+      // == batchId → the batch's own atomic commit already landed (skip);
+      // > batchId → id regression (fresh checkpoint against existing
+      // state) — fail loudly rather than silently drop the stream
+      val maxStored = stored.agg(max(col("last_batch")).as("m"))
+        .head().getAs[Any]("m")
+      if (maxStored != null && maxStored.asInstanceOf[Long] == batchId)
         false // replayed batch: its atomic commit already landed
+      else if (maxStored != null && maxStored.asInstanceOf[Long] > batchId)
+        throw EventStream.idRegression(sketchTable,
+          maxStored.asInstanceOf[Long], batchId)
       else {
         val merged = stored.select(col("key"), col("sk"))
           .unionByName(batchSk)
@@ -1597,25 +1628,10 @@ object EventStream {
       sketchTable: String, k: Int = 200,
       checkpointLocation: Option[String] = None,
       buckets: Int = 4, parts: Int = 8, compactEvery: Int = 16)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
-    val wr = docs.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        if (applyGroupedQuantileBatch(batch.toDF(), toKeyValue, sketchTable,
-            batchId, k, buckets, parts)) {
-          applied += 1L
-          if (compactEvery > 0 && applied % compactEvery == 0 &&
-            spark.catalog.tableExists(sketchTable)) {
-            graft.sources.Store.compact(spark, sketchTable)
-            ()
-          }
-        }
-      }
-    checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))
-    wr.start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    guardedSketchSink(docs, checkpointLocation, compactEvery, sketchTable,
+      (b, id) => applyGroupedQuantileBatch(b, toKeyValue, sketchTable,
+        id, k, buckets, parts))
 
   /** Per-key serving read: (key, quantile-at-q, absorbed-n) for every
     * key in the state table — a distributed probe over O(keys) rows,

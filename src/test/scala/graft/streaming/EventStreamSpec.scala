@@ -986,11 +986,16 @@ class EventStreamSpec extends SparkSpec {
       .select(col("sketch"), col("last_batch")).head()
     val before = stored()
     assert(before.getLong(1) === 1L)
-    Seq(0L, 1L).foreach { id =>
-      val folded = graft.streaming.EventStream.applyQuantileBatch(
-        (1 to 100).toDF("v"), toV, "qsk_tab", batchId = id, k = 200)
-      assert(!folded, s"guard let batch id $id re-fold")
+    // == last_batch: the one legitimate replay → refused quietly;
+    // < last_batch: id regression (fresh checkpoint) → fails LOUDLY
+    val folded1 = graft.streaming.EventStream.applyQuantileBatch(
+      (1 to 100).toDF("v"), toV, "qsk_tab", batchId = 1L, k = 200)
+    assert(!folded1, "guard let the replayed id re-fold")
+    val regress = intercept[IllegalStateException] {
+      graft.streaming.EventStream.applyQuantileBatch(
+        (1 to 100).toDF("v"), toV, "qsk_tab", batchId = 0L, k = 200)
     }
+    assert(regress.getMessage.contains("regressed"))
     val after = stored()
     assert(java.util.Arrays.equals(
       before.getAs[Array[Byte]](0), after.getAs[Array[Byte]](0)))
@@ -1036,11 +1041,15 @@ class EventStreamSpec extends SparkSpec {
       .select(col("sketch"), col("last_batch")).head()
     val before = state()
     assert(before.getLong(1) === 1L)
-    Seq(0L, 1L).foreach { id =>
-      val folded = graft.streaming.EventStream.applyCmsBatch(
-        Seq("a").toDF("v"), toV, "cms_tab", batchId = id, eps = 0.01, seed = 7)
-      assert(!folded, s"guard let batch id $id re-fold")
+    // == : legitimate replay refused quietly; < : regression fails loudly
+    val folded1 = graft.streaming.EventStream.applyCmsBatch(
+      Seq("a").toDF("v"), toV, "cms_tab", batchId = 1L, eps = 0.01, seed = 7)
+    assert(!folded1, "guard let the replayed id re-fold")
+    val regress = intercept[IllegalStateException] {
+      graft.streaming.EventStream.applyCmsBatch(
+        Seq("a").toDF("v"), toV, "cms_tab", batchId = 0L, eps = 0.01, seed = 7)
     }
+    assert(regress.getMessage.contains("regressed"))
     val after = state()
     assert(java.util.Arrays.equals(
       before.getAs[Array[Byte]](0), after.getAs[Array[Byte]](0)))
@@ -1127,12 +1136,17 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getAs[Array[Byte]](1), r.getLong(2))).toMap
     val before = state()
     assert(before("a")._2 === 1L && before("b")._2 === 1L)
-    Seq(0L, 1L).foreach { id =>
-      val folded = graft.streaming.EventStream.applyGroupedQuantileBatch(
+    // == : legitimate replay refused quietly; < : regression fails loudly
+    val folded1 = graft.streaming.EventStream.applyGroupedQuantileBatch(
+      (1 to 30).map(i => ("a", i)).toDF("k", "v"), toKV, "gqs_tab",
+      batchId = 1L, k = 200)
+    assert(!folded1, "guard let the replayed id re-fold")
+    val regress = intercept[IllegalStateException] {
+      graft.streaming.EventStream.applyGroupedQuantileBatch(
         (1 to 30).map(i => ("a", i)).toDF("k", "v"), toKV, "gqs_tab",
-        batchId = id, k = 200)
-      assert(!folded, s"guard let batch id $id re-fold")
+        batchId = 0L, k = 200)
     }
+    assert(regress.getMessage.contains("regressed"))
     val after = state()
     assert(after.keySet === before.keySet)
     before.foreach { case (key, (b, lb)) =>

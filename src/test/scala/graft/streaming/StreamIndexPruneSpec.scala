@@ -385,6 +385,57 @@ class StreamIndexPruneSpec extends SparkSpec {
     }
   }
 
+  // ——— the grouped sketch sink's pruned probe (r17) ———
+
+  test("applyGroupedQuantileBatch: probe bytes invariant as the state table grows in unprobed keys") {
+    val table = "gqs_prune_tab"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val toKV = (b: DataFrame) => b.select(col("k").as("key"), col("v").as("value"))
+    def batchOf(keys: Seq[String], vBase: Int): DataFrame =
+      keys.zipWithIndex.flatMap { case (k, i) =>
+        (0 until 5).map(j => (k, vBase + i * 10 + j))
+      }.toDF("k", "v")
+    val seedKeys = (0 until 10).map(i => s"gk$i")
+    // seed ids 0..2; the last batch (id 2) touches the probe keys, so a
+    // replayed id-2 probe is the legitimate no-write trigger the
+    // measurement needs (refused fold → the probed partitions' files are
+    // byte-identical across both measurements)
+    (0L to 2L).foreach { id =>
+      assert(EventStream.applyGroupedQuantileBatch(
+        batchOf(seedKeys, 100 * id.toInt), toKV, table,
+        batchId = id, k = 200, buckets = 4, parts = Parts))
+    }
+    val probeBatch = batchOf(Seq("gk3", "gk7"), 200).localCheckpoint()
+    val pp = keyParts(probeBatch.select(col("k").as("key")), "key")
+    withListener {
+      def probeBytes(): Long = measured {
+        val folded = EventStream.applyGroupedQuantileBatch(
+          probeBatch, toKV, table, batchId = 2L, k = 200,
+          buckets = 4, parts = Parts)
+        assert(!folded, "the probe trigger must be the refused replay")
+      }
+      val bytes1 = probeBytes()
+      assert(bytes1 > 0L, "the probe read no bytes — the pin is vacuous")
+      // grow the state table ~8× strictly in keys that route AWAY from
+      // the probe keys' partitions, under fresh monotone batch ids
+      (1 to 8).foreach { g =>
+        val growKeys = (0 until 40).map(i => s"grow-$g-$i").toDF("key")
+          .withColumn("__p", pmod(hash(col("key")), lit(Parts)))
+          .collect().filterNot(r => pp.contains(r.getInt(1)))
+          .map(_.getString(0)).toSeq
+        assert(EventStream.applyGroupedQuantileBatch(
+          batchOf(growKeys, 1000 * g), toKV, table,
+          batchId = 2L + g, k = 200, buckets = 4, parts = Parts))
+      }
+      // the replayed id must STILL be refused (growth never touched the
+      // probe keys, so their last_batch stays 2) at unchanged cost
+      val bytes2 = probeBytes()
+      assert(bytes2 === bytes1,
+        s"grouped probe scales with the state table: $bytes1 before growth, $bytes2 after")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   // ——— compaction cadence for the exact-path sinks (r16 verdict #2) ———
 
   test("exact-path sinks fold their index delta chains on the compactEvery cadence") {

@@ -73,6 +73,12 @@ object SketchAggs {
     else sk.getRank(v, QuantileSearchCriteria.INCLUSIVE)
   }
 
+  /** An empty KLL sketch's serialized form at accuracy `k` — the
+    * placeholder payload guard rows carry (valid to heapify; n = 0).
+    */
+  def kllEmpty(k: Int): Array[Byte] =
+    KllDoublesSketch.newHeapInstance(k).toByteArray
+
   /** KLL payload → the stream length the sketch absorbed (exact). */
   def kllN(bytes: Array[Byte]): Long =
     KllDoublesSketch.heapify(Memory.wrap(bytes)).getN

@@ -1176,29 +1176,13 @@ object EventOps {
             after.getAs[Array[Byte]](0)) &&
           before.getLong(1) == after.getLong(1)
         val bytes = after.getAs[Array[Byte]](0)
-        import graft.functions.SketchAggs._
         val lens = Tables.documents(s, dir).select(col("n_chars"))
-        val n = lens.count()
-        val eps = kllRankError(bytes)
-        val qs = Seq(0.5, 0.9, 0.99)
-        val posOf = qs.map(qq => qq -> (math.floor((n - 1) * qq).toLong + 1L)).toMap
-        val byPos = lens
-          .withColumn("rn", org.apache.spark.sql.functions.row_number()
-            .over(org.apache.spark.sql.expressions.Window.orderBy(col("n_chars"))))
-          .filter(col("rn").isin(posOf.values.toSeq: _*))
-          .collect().map(r => r.getAs[Number]("rn").longValue() ->
-            r.getAs[Number]("n_chars").longValue()).toMap
-        val ests = qs.map(qq => qq -> kllQuantile(bytes, qq)).toMap
-        val rankCols = qs.zipWithIndex.map { case (qq, i) =>
-          (sum(when(col("n_chars") <= lit(ests(qq)), 1L).otherwise(0L)) /
-            lit(n.toDouble)).as(s"r$i")
-        }
-        val trueRanks = lens.agg(rankCols.head, rankCols.tail: _*).head()
-        val result = qs.zipWithIndex.map { case (qq, i) =>
-          (qq, byPos(posOf(qq)), n,
-            math.abs(trueRanks.getDouble(i) - qq) <= 2.0 * eps,
-            kllN(bytes) == n, guardHeld)
-        }.toDF("q", "exact_q", "n_docs", "rank_ok", "n_ok", "replay_guard")
+        // the shared grading rule (TextOps.kllGrade — q211's exact half
+        // and certificates, one implementation for all four KLL gates)
+        val result = TextOps.kllGrade(lens, "n_chars", bytes, Seq(0.5, 0.9, 0.99))
+          .map { case (qq, exactQ, n, rankOk, nOk) =>
+            (qq, exactQ, n, rankOk, nOk, guardHeld)
+          }.toDF("q", "exact_q", "n_docs", "rank_ok", "n_ok", "replay_guard")
           .orderBy(col("q")).localCheckpoint()
         s.sql("DROP TABLE IF EXISTS q213_sketch")
         EventOps.rmTree(ckpt)
@@ -1258,6 +1242,9 @@ object EventOps {
         // pin the ENTIRE per-key state byte-identical
         def state(): Map[String, (Array[Byte], Long)] =
           graft.sources.Store.read(s, "q216_sketch")
+            // data rows only: the reserved guard row carries the global
+            // replay guard, not a language's sketch
+            .filter(col("key") =!= graft.streaming.EventStream.GroupGuardKey)
             .select(col("key"), col("sk"), col("last_batch"))
             .collect().map(r => r.getString(0) ->
               (r.getAs[Array[Byte]](1), r.getLong(2))).toMap
@@ -1274,34 +1261,13 @@ object EventOps {
           before.forall { case (l, (b, lb)) =>
             java.util.Arrays.equals(b, after(l)._1) && lb == after(l)._2
           }
-        // exact per-lang medians + sizes (the q214 rule)
+        // exact per-lang medians + sizes via the shared grading rule
+        // (TextOps.kllGradeByKey — q214's implementation, not a copy)
         val batchDocs = Tables.documents(s, dir).select(col("lang"), col("n_chars"))
-        val grp = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
-        val exact = batchDocs
-          .withColumn("rn", org.apache.spark.sql.functions.row_number()
-            .over(grp.orderBy(col("n_chars"))))
-          .withColumn("n", count(lit(1)).over(grp))
-          .filter(col("rn") ===
-            org.apache.spark.sql.functions.floor((col("n") - 1) * lit(0.5))
-              .cast("long") + 1L)
-          .select(col("lang"), col("n_chars"), col("n"))
-          .collect().map(r => r.getString(0) ->
-            (r.getAs[Number]("n_chars").longValue(), r.getAs[Number]("n").longValue()))
-          .toMap
-        val estCol = after.foldLeft(lit(Double.NaN)) { case (acc, (l, (b, _))) =>
-          when(col("lang") === l, lit(kllQuantile(b, 0.5))).otherwise(acc)
-        }
-        val ranks = batchDocs.withColumn("est", estCol)
-          .groupBy(col("lang"))
-          .agg((sum(when(col("n_chars") <= col("est"), 1L).otherwise(0L)) /
-            count(lit(1))).as("r"))
-          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-        val result = after.keys.toSeq.sorted.map { l =>
-          val (p50, n) = exact(l)
-          (l, p50, n,
-            math.abs(ranks(l) - 0.5) <= 2.0 * kllRankError(after(l)._1),
-            kllN(after(l)._1) == n, guardHeld)
-        }.toDF("lang", "exact_p50", "n_docs", "rank_ok", "n_ok", "replay_guard")
+        val result = TextOps.kllGradeByKey(
+            batchDocs, "lang", "n_chars", after.map { case (l, (b, _)) => l -> b })
+          .map { case (l, p50, n, rankOk, nOk) => (l, p50, n, rankOk, nOk, guardHeld) }
+          .toDF("lang", "exact_p50", "n_docs", "rank_ok", "n_ok", "replay_guard")
           .orderBy(col("lang")).localCheckpoint()
         s.sql("DROP TABLE IF EXISTS q216_sketch")
         EventOps.rmTree(ckpt)

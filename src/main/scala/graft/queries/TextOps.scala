@@ -15,6 +15,85 @@ import graft.ops.{Dedup, Graph, TextStats, Training}
   */
 object TextOps {
 
+  /** Shared exact-vs-sketch grading for the KLL gates (q211/q213 — one
+    * rule, four call sites would otherwise hand-synchronize it): exact
+    * quantiles by the positional rule the DuckDB oracles replay
+    * verbatim (value at 1-indexed floor((n−1)·q)+1 of the sorted
+    * multiset), plus the certificates — the sketch's answer at each q
+    * has true normalized rank within 2× its a-priori bound, and its
+    * absorbed count is exactly n. Returns
+    * (q, exact_q, n, rank_ok, n_ok) rows.
+    */
+  private[queries] def kllGrade(
+      lens: org.apache.spark.sql.DataFrame, valCol: String,
+      bytes: Array[Byte], qs: Seq[Double])
+      : Seq[(Double, Long, Long, Boolean, Boolean)] = {
+    import graft.functions.SketchAggs._
+    val eps = kllRankError(bytes)
+    val n = kllN(bytes)
+    val posOf = qs.map(q => q -> (math.floor((n - 1) * q).toLong + 1L)).toMap
+    // the exact side: one global sort at gate scale (the oracle-replay
+    // half — a 100 TB exact quantile would itself be the KLL sketch)
+    val byPos = lens
+      .withColumn("rn", row_number().over(Window.orderBy(col(valCol))))
+      .filter(col("rn").isin(posOf.values.toSeq: _*))
+      .collect().map(r => r.getAs[Number]("rn").longValue() ->
+        r.getAs[Number](valCol).longValue()).toMap
+    val ests = qs.map(q => q -> kllQuantile(bytes, q)).toMap
+    // true normalized ranks of the sketch's answers + the exact row
+    // count, one corpus pass
+    val rankCols = qs.zipWithIndex.map { case (q, i) =>
+      (sum(when(col(valCol) <= lit(ests(q)), 1L).otherwise(0L)) /
+        lit(n.toDouble)).as(s"r$i")
+    }
+    val trueRanks = lens
+      .agg(rankCols.head, rankCols.tail :+ count(lit(1)).as("n_exact"): _*)
+      .head()
+    val nExact = trueRanks.getLong(qs.size)
+    qs.zipWithIndex.map { case (q, i) =>
+      (q, byPos(posOf(q)), n,
+        math.abs(trueRanks.getDouble(i) - q) <= 2.0 * eps,
+        n == nExact)
+    }
+  }
+
+  /** [[kllGrade]]'s per-key sibling (q214/q215/q216): per-group exact
+    * medians by the partitioned positional rule, rank + absorbed-n
+    * certificates per key's sketch. Returns
+    * (key, exact_p50, n, rank_ok, n_ok) rows sorted by key.
+    */
+  private[queries] def kllGradeByKey(
+      docs: org.apache.spark.sql.DataFrame, keyCol: String, valCol: String,
+      sks: Map[String, Array[Byte]])
+      : Seq[(String, Long, Long, Boolean, Boolean)] = {
+    import graft.functions.SketchAggs._
+    val estOf = sks.map { case (l, b) => l -> kllQuantile(b, 0.5) }
+    val grp = Window.partitionBy(col(keyCol))
+    val exact = docs
+      .withColumn("rn", row_number().over(grp.orderBy(col(valCol))))
+      .withColumn("n", count(lit(1)).over(grp))
+      .filter(col("rn") === floor((col("n") - 1) * lit(0.5)).cast("long") + 1L)
+      .select(col(keyCol), col(valCol), col("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Number](valCol).longValue(), r.getAs[Number]("n").longValue()))
+      .toMap
+    // true normalized rank of each key's sketch answer, one pass
+    val estCol = estOf.foldLeft(lit(Double.NaN)) { case (acc, (l, v)) =>
+      when(col(keyCol) === l, lit(v)).otherwise(acc)
+    }
+    val ranks = docs.withColumn("est", estCol)
+      .groupBy(col(keyCol))
+      .agg((sum(when(col(valCol) <= col("est"), 1L).otherwise(0L)) /
+        count(lit(1))).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    sks.keys.toSeq.sorted.map { l =>
+      val (p50, n) = exact(l)
+      (l, p50, n,
+        math.abs(ranks(l) - 0.5) <= 2.0 * kllRankError(sks(l)),
+        kllN(sks(l)) == n)
+    }
+  }
+
   /** q136's planted provenance graph — small, cyclic, and deep enough
     * that 3 PageRank rounds are provably NOT converged at [[PrEps]]
     * (GraphSpec pins this): the converged round count is whatever the
@@ -3287,35 +3366,8 @@ object TextOps {
           .agg(call_function("kll_agg", col("n_chars").cast("double"), lit(200))
             .as("sk"))
           .head().getAs[Array[Byte]]("sk")
-        val eps = graft.functions.SketchAggs.kllRankError(bytes)
-        val n = graft.functions.SketchAggs.kllN(bytes)
-        val qs = Seq(0.5, 0.9, 0.99)
-        val posOf = qs.map(q => q -> (math.floor((n - 1) * q).toLong + 1L)).toMap
-        // the exact side: one global sort at gate scale (the oracle-replay
-        // half — a 100 TB exact quantile would itself be the KLL sketch)
-        val byPos = lens
-          .withColumn("rn", row_number().over(Window.orderBy(col("n_chars"))))
-          .filter(col("rn").isin(posOf.values.toSeq: _*))
-          .collect().map(r => r.getAs[Number]("rn").longValue() ->
-            r.getAs[Number]("n_chars").longValue()).toMap
-        val ests = qs.map(q => q -> graft.functions.SketchAggs.kllQuantile(bytes, q)).toMap
-        // true normalized ranks of the sketch's answers, one corpus pass
-        val rankCols = qs.zipWithIndex.map { case (q, i) =>
-          (sum(when(col("n_chars") <= lit(ests(q)), 1L).otherwise(0L)) /
-            lit(n.toDouble)).as(s"r$i")
-        }
-        // one pass carries the exact row count alongside the rank sums,
-        // so the n_ok certificate costs no extra job
-        val trueRanks = lens
-          .agg(rankCols.head, rankCols.tail :+ count(lit(1)).as("n_exact"): _*)
-          .head()
-        val nExact = trueRanks.getLong(qs.size)
-        val rows = qs.zipWithIndex.map { case (q, i) =>
-          (q, byPos(posOf(q)), n,
-            math.abs(trueRanks.getDouble(i) - q) <= 2.0 * eps,
-            n == nExact)
-        }
-        rows.toDF("q", "exact_q", "n_docs", "rank_ok", "n_ok").orderBy(col("q"))
+        TextOps.kllGrade(lens, "n_chars", bytes, Seq(0.5, 0.9, 0.99))
+          .toDF("q", "exact_q", "n_docs", "rank_ok", "n_ok").orderBy(col("q"))
       },
       Some("""
         WITH ord AS (
@@ -3416,34 +3468,8 @@ object TextOps {
           .agg(call_function("kll_agg", col("n_chars").cast("double"), lit(200))
             .as("sk"))
           .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
-        val estOf = sks.map { case (l, b) => l -> kllQuantile(b, 0.5) }
-        // exact per-group median: value at 1-indexed floor((n−1)/2)+1 of
-        // each group's sorted multiset (the q211 rule, partitioned)
-        val grp = Window.partitionBy(col("lang"))
-        val exact = docs
-          .withColumn("rn", row_number().over(grp.orderBy(col("n_chars"))))
-          .withColumn("n", count(lit(1)).over(grp))
-          .filter(col("rn") ===
-            floor((col("n") - 1) * lit(0.5)).cast("long") + 1L)
-          .select(col("lang"), col("n_chars"), col("n"))
-          .collect().map(r => r.getString(0) ->
-            (r.getAs[Number]("n_chars").longValue(), r.getAs[Number]("n").longValue()))
-          .toMap
-        // true normalized rank of each group's sketch answer, one pass
-        val estCol = estOf.foldLeft(lit(Double.NaN)) { case (acc, (l, v)) =>
-          when(col("lang") === l, lit(v)).otherwise(acc)
-        }
-        val ranks = docs.withColumn("est", estCol)
-          .groupBy(col("lang"))
-          .agg((sum(when(col("n_chars") <= col("est"), 1L).otherwise(0L)) /
-            count(lit(1))).as("r"))
-          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-        sks.keys.toSeq.sorted.map { l =>
-          val (p50, n) = exact(l)
-          (l, p50, n,
-            math.abs(ranks(l) - 0.5) <= 2.0 * kllRankError(sks(l)),
-            kllN(sks(l)) == n)
-        }.toDF("lang", "exact_p50", "n_docs", "rank_ok", "n_ok")
+        TextOps.kllGradeByKey(docs, "lang", "n_chars", sks)
+          .toDF("lang", "exact_p50", "n_docs", "rank_ok", "n_ok")
           .orderBy(col("lang"))
       },
       Some("""
@@ -3499,27 +3525,17 @@ object TextOps {
               .orderBy(col("source"))))
           .filter(col("rn") === 1)
           .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
-        val exact = docs.groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_docs"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val exactTok = toks.groupBy(col("lang"))
           .agg(countDistinct(col("tok")).as("nd"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        // true rank of each lang's rollup median, one corpus pass
-        val estCol = kllRoll.foldLeft(lit(Double.NaN)) { case (acc, (l, b)) =>
-          when(col("lang") === l, lit(kllQuantile(b, 0.5))).otherwise(acc)
-        }
-        val ranks = docs.withColumn("est", estCol)
-          .groupBy(col("lang"))
-          .agg((sum(when(col("n_chars") <= col("est"), 1L).otherwise(0L)) /
-            count(lit(1))).as("r"))
-          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        // the ROLLUP sketches graded with the same shared rule the
+        // direct per-key gates use — merge must preserve the contract
+        val graded = TextOps.kllGradeByKey(
+          docs.select(col("lang"), col("n_chars")), "lang", "n_chars", kllRoll)
         val rse = 4.0 / math.sqrt((1 << 12) - 1.0)
-        kllRoll.keys.toSeq.sorted.map { l =>
+        graded.map { case (l, _, n, rankOk, nOk) =>
           val roll = thetaRoll(l)
-          (l, exact(l), exactTok(l),
-            math.abs(ranks(l) - 0.5) <= 2.0 * kllRankError(kllRoll(l)),
-            kllN(kllRoll(l)) == exact(l),
+          (l, n, exactTok(l), rankOk, nOk,
             math.abs(thetaEstimate(roll) - exactTok(l)) <= rse * exactTok(l),
             java.util.Arrays.equals(thetaUnion(roll, oneShard(l), 12), roll))
         }.toDF("lang", "n_docs", "n_tok_distinct",

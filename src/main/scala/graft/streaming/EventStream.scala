@@ -1273,6 +1273,57 @@ object EventStream {
     wr.start()
   }
 
+  /** The single-row guarded sinks' shared skeleton: read the one state
+    * row, validate the persisted sketch PARAMS against this sink's
+    * (merging sketches built at different k/lgK/eps/seed silently
+    * degrades or corrupts state — a restart with changed params must
+    * fail loudly, not blend), enforce the replay/regression split on
+    * `last_batch`, fold, and commit (scope, sketch, last_batch, params)
+    * atomically.
+    */
+  private def applyGuardedRow(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      batchId: Long, params: String, buckets: Int, parts: Int)(
+      fold: Option[Array[Byte]] => Array[Byte]): Boolean = {
+    import graft.sources.Store
+    import spark.implicits._
+    val exists = spark.catalog.tableExists(table)
+    val stored: Option[(Array[Byte], Long, String)] =
+      if (exists)
+        Store.read(spark, table).select(col("sketch"), col("last_batch"), col("params"))
+          .collect().headOption
+          .map(r => (r.getAs[Array[Byte]](0), r.getLong(1), r.getString(2)))
+      else None
+    stored.foreach { case (_, _, p) =>
+      if (p != params) throw paramMismatch(table, p, params)
+    }
+    // the ONE legitimate replay is id == last_batch (the engine re-runs
+    // only the last possibly-uncommitted batch); an id BEHIND it means a
+    // fresh checkpoint is replaying against existing state — folding
+    // would double-count and skipping would silently drop every new
+    // batch forever, so fail loudly instead (EventStream.idRegression)
+    if (stored.exists(_._2 == batchId)) false
+    else if (stored.exists(_._2 > batchId))
+      throw idRegression(table, stored.get._2, batchId)
+    else {
+      val merged = fold(stored.map(_._1))
+      val up = Seq(("corpus", merged, batchId, params))
+        .toDF("scope", "sketch", "last_batch", "params")
+      if (exists) Store.upsert(spark, table, up, "scope", buckets)
+      else Store.bulkWrite(up, table, "scope",
+        buckets = buckets, parts = parts, validateKeys = true)
+      true
+    }
+  }
+
+  private[streaming] def paramMismatch(
+      table: String, storedP: String, thisP: String): IllegalStateException =
+    new IllegalStateException(
+      s"$table was built with sketch params [$storedP] but this sink runs " +
+        s"[$thisP]: merging heterogeneous sketches silently degrades the " +
+        "maintained state (the smaller accuracy wins, or cells misalign). " +
+        "Drop/rename the state table or match the original params.")
+
   /** One micro-batch of the streaming QUANTILE sketch
     * ([[quantileSketchIncremental]]); factored out so the gate can
     * re-invoke it with an already-applied batch id and assert the stored
@@ -1293,49 +1344,23 @@ object EventStream {
   def applyQuantileBatch(
       batch: DataFrame, toValue: DataFrame => DataFrame,
       sketchTable: String, batchId: Long, k: Int = 200,
-      buckets: Int = 1, parts: Int = 1): Boolean = {
-    val spark = batch.sparkSession
-    import graft.sources.Store
-    import spark.implicits._
-    val exists = spark.catalog.tableExists(sketchTable)
-    val stored: Option[(Array[Byte], Long)] =
-      if (exists)
-        Store.read(spark, sketchTable).select(col("sketch"), col("last_batch"))
-          .collect().headOption.map(r => (r.getAs[Array[Byte]]("sketch"), r.getLong(1)))
-      else None
-    // the ONE legitimate replay is id == last_batch (the engine re-runs
-    // only the last possibly-uncommitted batch); an id BEHIND it means a
-    // fresh checkpoint is replaying against existing state — folding
-    // would double-count and skipping would silently drop every new
-    // batch forever, so fail loudly instead (EventStream.idRegression)
-    if (stored.exists(_._2 == batchId)) false // replayed batch: already folded
-    else if (stored.exists(_._2 > batchId))
-      throw EventStream.idRegression(sketchTable, stored.get._2, batchId)
-    else {
+      buckets: Int = 1, parts: Int = 1): Boolean =
+    applyGuardedRow(batch.sparkSession, sketchTable, batchId,
+      params = s"kll;k=$k", buckets, parts) { stored =>
       // ONE action consumes the batch: the map-side-partial kll_agg —
-      // only O(k·log(n/k)) sketch bytes reach the driver
-      val skRow = toValue(batch)
+      // only O(k·log(n/k)) sketch bytes reach the driver. An all-null/
+      // empty batch folds its EMPTY sketch (adds nothing) but still
+      // advances the guard, so a replay of the id stays a no-op even
+      // when it was the table-creating batch
+      val batchSketch = toValue(batch)
         .agg(org.apache.spark.sql.functions.call_function(
           "kll_agg", col("value").cast("double"), lit(k)).as("sketch"))
-        .head()
-      val batchSketch = skRow.getAs[Array[Byte]]("sketch")
-      // an all-null/empty batch builds an empty sketch — adds nothing,
-      // but the guard row still advances so a replay cannot re-fold a
-      // LATER non-empty retry of the same id differently
-      if (graft.functions.SketchAggs.kllN(batchSketch) == 0L && stored.isEmpty) false
-      else {
-        val merged = stored match {
-          case None         => batchSketch
-          case Some((s, _)) => graft.functions.SketchAggs.kllMerge(s, batchSketch)
-        }
-        val up = Seq(("corpus", merged, batchId)).toDF("scope", "sketch", "last_batch")
-        if (exists) Store.upsert(spark, sketchTable, up, "scope", buckets)
-        else Store.bulkWrite(up, sketchTable, "scope",
-          buckets = buckets, parts = parts, validateKeys = true)
-        true
+        .head().getAs[Array[Byte]]("sketch")
+      stored match {
+        case None    => batchSketch
+        case Some(s) => graft.functions.SketchAggs.kllMerge(s, batchSketch)
       }
     }
-  }
 
   /** STREAMING QUANTILES over persisted mergeable KLL state — the
     * distribution sibling of [[distinctSketchIncremental]]: per trigger
@@ -1390,44 +1415,25 @@ object EventStream {
       batch: DataFrame, toValues: DataFrame => DataFrame,
       cmsTable: String, batchId: Long,
       eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42,
-      buckets: Int = 1, parts: Int = 1): Boolean = {
-    val spark = batch.sparkSession
-    import graft.sources.Store
-    import spark.implicits._
-    val exists = spark.catalog.tableExists(cmsTable)
-    val stored: Option[(Array[Byte], Long)] =
-      if (exists)
-        Store.read(spark, cmsTable).select(col("sketch"), col("last_batch"))
-          .collect().headOption.map(r => (r.getAs[Array[Byte]]("sketch"), r.getLong(1)))
-      else None
-    // replay/regression split per applyQuantileBatch: == skips, < throws
-    if (stored.exists(_._2 == batchId)) false // replayed batch: already added
-    else if (stored.exists(_._2 > batchId))
-      throw EventStream.idRegression(cmsTable, stored.get._2, batchId)
-    else {
+      buckets: Int = 1, parts: Int = 1): Boolean =
+    applyGuardedRow(batch.sparkSession, cmsTable, batchId,
+      params = s"cms;eps=$eps;conf=$confidence;seed=$seed", buckets, parts) { stored =>
       // ONE action consumes the batch: the sketch aggregation (hash
       // cells sum map-side; only the table-sized array reaches the
-      // driver, its size fixed by (eps, confidence), not the batch)
-      val vals = toValues(batch).filter(col("value").isNotNull)
-      val batchCms = vals.stat.countMinSketch(col("value"), eps, confidence, seed)
-      if (batchCms.totalCount() == 0L && stored.isEmpty) false
-      else {
-        val merged = stored match {
-          case None => batchCms
-          case Some((s, _)) =>
-            val m = org.apache.spark.util.sketch.CountMinSketch.readFrom(s)
-            m.mergeInPlace(batchCms)
-            m
-        }
-        val up = Seq(("corpus", graft.functions.CmsExprs.serialize(merged), batchId))
-          .toDF("scope", "sketch", "last_batch")
-        if (exists) Store.upsert(spark, cmsTable, up, "scope", buckets)
-        else Store.bulkWrite(up, cmsTable, "scope",
-          buckets = buckets, parts = parts, validateKeys = true)
-        true
+      // driver, its size fixed by (eps, confidence), not the batch).
+      // An empty batch folds an all-zero sketch — adds nothing, still
+      // advances the guard (see applyQuantileBatch)
+      val batchCms = toValues(batch).filter(col("value").isNotNull)
+        .stat.countMinSketch(col("value"), eps, confidence, seed)
+      val merged = stored match {
+        case None => batchCms
+        case Some(b) =>
+          val m = org.apache.spark.util.sketch.CountMinSketch.readFrom(b)
+          m.mergeInPlace(batchCms)
+          m
       }
+      graft.functions.CmsExprs.serialize(merged)
     }
-  }
 
   /** DURABLE streaming count-min sketch — the frequency leg of the
     * persisted-sketch family (HLL counts distinct, KLL distributes,
@@ -1487,51 +1493,58 @@ object EventStream {
       sketchTable: String, lgK: Int = 12,
       checkpointLocation: Option[String] = None,
       buckets: Int = 1, parts: Int = 1, compactEvery: Int = 16)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
-    val wr = docs.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        import graft.sources.Store
-        import spark.implicits._
-        import graft.functions.SketchAggs
-        // ONE action consumes the batch: the map-side-partial theta_agg
-        val batchSketch = toValues(batch.toDF())
-          .agg(org.apache.spark.sql.functions.call_function(
-            "theta_agg", col("value"), lit(lgK)).as("sk"))
-          .head().getAs[Array[Byte]]("sk")
-        // an empty/all-null batch builds an empty sketch: unioning it is
-        // a no-op, and the byte-dedup below skips the write
-        val exists = spark.catalog.tableExists(sketchTable)
-        val stored: Option[Array[Byte]] =
-          if (exists)
-            Store.read(spark, sketchTable).select(col("sketch"))
-              .collect().headOption.map(_.getAs[Array[Byte]](0))
-          else None
-        val merged = stored match {
-          case None    => batchSketch
-          case Some(s) => SketchAggs.thetaUnion(s, batchSketch, lgK)
-        }
-        // EXACT write dedup (see scaladoc): theta bytes are a pure
-        // function of the set, so byte equality == "this batch added no
-        // new distinct value" — replays and no-op batches commit nothing
-        if (!stored.exists(java.util.Arrays.equals(_, merged)) &&
-          SketchAggs.thetaEstimate(merged) > 0.0) {
-          val up = Seq(("corpus", merged)).toDF("scope", "sketch")
-          if (exists) Store.upsert(spark, sketchTable, up, "scope", buckets)
-          else Store.bulkWrite(up, sketchTable, "scope",
-            buckets = buckets, parts = parts, validateKeys = true)
-          applied += 1L
-          if (compactEvery > 0 && applied % compactEvery == 0 &&
-            spark.catalog.tableExists(sketchTable)) {
-            Store.compact(spark, sketchTable)
-            ()
-          }
-        }
-      }
-    checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))
-    wr.start()
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    guardedSketchSink(docs, checkpointLocation, compactEvery, sketchTable,
+      (b, _) => applyThetaBatch(b, toValues, sketchTable, lgK, buckets, parts))
+
+  /** One micro-batch of the streaming theta set state
+    * ([[thetaSketchIncremental]]); factored out so callers can probe the
+    * replay contract with one direct call. No batch-id guard exists here
+    * BY DESIGN: theta bytes are a pure function of the distinct set and
+    * union is idempotent, so the byte-equality dedup IS the exactly-once
+    * mechanism. Only the sketch params are validated (a changed lgK
+    * would silently trim the stored retained set).
+    */
+  def applyThetaBatch(
+      batch: DataFrame, toValues: DataFrame => DataFrame,
+      sketchTable: String, lgK: Int = 12,
+      buckets: Int = 1, parts: Int = 1): Boolean = {
+    val spark = batch.sparkSession
+    import graft.sources.Store
+    import spark.implicits._
+    import graft.functions.SketchAggs
+    val params = s"theta;lgK=$lgK"
+    // ONE action consumes the batch: the map-side-partial theta_agg
+    val batchSketch = toValues(batch)
+      .agg(org.apache.spark.sql.functions.call_function(
+        "theta_agg", col("value"), lit(lgK)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    // an empty/all-null batch builds an empty sketch: unioning it is
+    // a no-op, and the byte-dedup below skips the write
+    val exists = spark.catalog.tableExists(sketchTable)
+    val stored: Option[(Array[Byte], String)] =
+      if (exists)
+        Store.read(spark, sketchTable).select(col("sketch"), col("params"))
+          .collect().headOption.map(r => (r.getAs[Array[Byte]](0), r.getString(1)))
+      else None
+    stored.foreach { case (_, p) =>
+      if (p != params) throw paramMismatch(sketchTable, p, params)
+    }
+    val merged = stored match {
+      case None         => batchSketch
+      case Some((b, _)) => SketchAggs.thetaUnion(b, batchSketch, lgK)
+    }
+    // EXACT write dedup (see scaladoc): theta bytes are a pure
+    // function of the set, so byte equality == "this batch added no
+    // new distinct value" — replays and no-op batches commit nothing
+    if (!stored.exists(p => java.util.Arrays.equals(p._1, merged)) &&
+      SketchAggs.thetaEstimate(merged) > 0.0) {
+      val up = Seq(("corpus", merged, params)).toDF("scope", "sketch", "params")
+      if (exists) Store.upsert(spark, sketchTable, up, "scope", buckets)
+      else Store.bulkWrite(up, sketchTable, "scope",
+        buckets = buckets, parts = parts, validateKeys = true)
+      true
+    } else false
   }
 
   /** The theta state's serving read: (stream-distinct estimate, overlap
@@ -1567,50 +1580,79 @@ object EventStream {
     * mechanism (batch ids are engine-monotone; a replay is always of the
     * last uncommitted id, never of one behind a committed successor).
     */
+  /** The grouped sketch sinks' reserved guard key — data keys must
+    * never equal it (the applier filters it defensively, and every
+    * reader excludes it).
+    */
+  val GroupGuardKey: String = "\u0000__guard__\u0000"
+
   def applyGroupedQuantileBatch(
       batch: DataFrame, toKeyValue: DataFrame => DataFrame,
       sketchTable: String, batchId: Long, k: Int = 200,
       buckets: Int = 4, parts: Int = 8): Boolean = {
     val spark = batch.sparkSession
     import graft.sources.Store
+    import spark.implicits._
+    val params = s"kll;k=$k"
     // one pass over the batch rows: per-key map-side-partial sketches,
     // bounded by the batch's distinct keys (localized: LocalRelation
     // under the cap, localCheckpoint past it)
     val batchSk = Store.localized(
       toKeyValue(batch)
-        .filter(col("key").isNotNull)
+        .filter(col("key").isNotNull && col("key") =!= GroupGuardKey)
         .groupBy(col("key"))
         .agg(org.apache.spark.sql.functions.call_function(
           "kll_agg", col("value").cast("double"), lit(k)).as("sk")))
+    // the GUARD ROW rides in the same table under a reserved key: the
+    // replay/regression decision must be GLOBAL (a fresh-checkpoint
+    // batch touching only never-stored keys would otherwise see no
+    // stored rows and silently fold into frozen state), and committing
+    // it in the same upsert keeps guard and data atomic under one CAS
+    // manifest swap. It also carries the persisted sketch params, so a
+    // restart at a different k fails loudly instead of blending
+    // accuracies ([[paramMismatch]]).
+    def guardRow(id: Long) = Seq(
+      (GroupGuardKey, graft.functions.SketchAggs.kllEmpty(k), id, params))
+      .toDF("key", "sk", "last_batch", "params")
     if (batchSk.isEmpty) false
     else if (!spark.catalog.tableExists(sketchTable)) {
-      Store.bulkWrite(batchSk.withColumn("last_batch", lit(batchId)),
+      Store.bulkWrite(
+        batchSk.withColumn("last_batch", lit(batchId))
+          .withColumn("params", lit(params))
+          .unionByName(guardRow(batchId)),
         sketchTable, "key", buckets = buckets, parts = parts,
         validateKeys = true)
       true
     } else {
-      val stored = Store.probe(spark, sketchTable, batchSk.select(col("key")), "key")
-        .select(col("key"), col("sk"), col("last_batch"))
+      val probeKeys = Store.localized(
+        batchSk.select(col("key"))
+          .unionByName(Seq(GroupGuardKey).toDF("key")))
+      val stored = Store.probe(spark, sketchTable, probeKeys, "key")
+        .select(col("key"), col("sk"), col("last_batch"), col("params"))
         .localCheckpoint() // consumed twice: the guard probe + the merge
-      // the touched keys' max last_batch decides, per applyQuantileBatch:
-      // == batchId → the batch's own atomic commit already landed (skip);
-      // > batchId → id regression (fresh checkpoint against existing
-      // state) — fail loudly rather than silently drop the stream
-      val maxStored = stored.agg(max(col("last_batch")).as("m"))
-        .head().getAs[Any]("m")
-      if (maxStored != null && maxStored.asInstanceOf[Long] == batchId)
+      val guard = stored.filter(col("key") === GroupGuardKey)
+        .collect().headOption
+      guard.foreach { g =>
+        if (g.getString(3) != params)
+          throw paramMismatch(sketchTable, g.getString(3), params)
+      }
+      val guardLast = guard.map(_.getLong(2))
+      if (guardLast.contains(batchId))
         false // replayed batch: its atomic commit already landed
-      else if (maxStored != null && maxStored.asInstanceOf[Long] > batchId)
-        throw EventStream.idRegression(sketchTable,
-          maxStored.asInstanceOf[Long], batchId)
+      else if (guardLast.exists(_ > batchId))
+        throw idRegression(sketchTable, guardLast.get, batchId)
       else {
-        val merged = stored.select(col("key"), col("sk"))
+        val merged = stored
+          .filter(col("key") =!= GroupGuardKey)
+          .select(col("key"), col("sk"))
           .unionByName(batchSk)
           .groupBy(col("key"))
           .agg(org.apache.spark.sql.functions.call_function(
             "kll_merge_agg", col("sk"), lit(k)).as("sk"))
           .withColumn("last_batch", lit(batchId))
-        Store.upsert(spark, sketchTable, Store.localized(merged), "key", buckets)
+          .withColumn("params", lit(params))
+        Store.upsert(spark, sketchTable,
+          Store.localized(merged.unionByName(guardRow(batchId))), "key", buckets)
         true
       }
     }
@@ -1641,6 +1683,7 @@ object EventStream {
       spark: org.apache.spark.sql.SparkSession, sketchTable: String,
       q: Double): DataFrame =
     graft.sources.Store.read(spark, sketchTable)
+      .filter(col("key") =!= GroupGuardKey)
       .select(col("key"),
         org.apache.spark.sql.functions.call_function(
           "kll_quantile", col("sk"), lit(q)).as("est"),

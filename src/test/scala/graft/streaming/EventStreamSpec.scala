@@ -1061,6 +1061,51 @@ class EventStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS cms_tab")
   }
 
+  test("sketch sinks refuse a restart at different sketch params instead of blending accuracies") {
+    implicit val sqlCtx = spark.sqlContext
+    Seq("pm_kll", "pm_cms", "pm_theta", "pm_gq").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val toV = (b: org.apache.spark.sql.DataFrame) => b.select(col("v").as("value"))
+    val toKV = (b: org.apache.spark.sql.DataFrame) =>
+      b.select(col("k").as("key"), col("v").as("value"))
+    // build each state at one accuracy, re-apply at another: the merge
+    // would silently adopt the smaller k / trim the retained set /
+    // misalign CMS cells, so every applier must throw
+    assert(graft.streaming.EventStream.applyQuantileBatch(
+      (1 to 50).toDF("v"), toV, "pm_kll", batchId = 0L, k = 200))
+    val eKll = intercept[IllegalStateException] {
+      graft.streaming.EventStream.applyQuantileBatch(
+        (51 to 60).toDF("v"), toV, "pm_kll", batchId = 1L, k = 400)
+    }
+    assert(eKll.getMessage.contains("k=200") && eKll.getMessage.contains("k=400"))
+    assert(graft.streaming.EventStream.applyCmsBatch(
+      Seq("a", "b").toDF("v"), toV, "pm_cms", batchId = 0L, eps = 0.01, seed = 7))
+    val eCms = intercept[IllegalStateException] {
+      graft.streaming.EventStream.applyCmsBatch(
+        Seq("c").toDF("v"), toV, "pm_cms", batchId = 1L, eps = 0.001, seed = 7)
+    }
+    assert(eCms.getMessage.contains("eps=0.01"))
+    assert(graft.streaming.EventStream.applyThetaBatch(
+      Seq("x", "y").toDF("v"), toV, "pm_theta", lgK = 12))
+    val eTheta = intercept[IllegalStateException] {
+      graft.streaming.EventStream.applyThetaBatch(
+        Seq("z").toDF("v"), toV, "pm_theta", lgK = 10)
+    }
+    assert(eTheta.getMessage.contains("lgK=12"))
+    assert(graft.streaming.EventStream.applyGroupedQuantileBatch(
+      Seq(("g", 1), ("g", 2)).toDF("k", "v"), toKV, "pm_gq", batchId = 0L, k = 200))
+    val eGq = intercept[IllegalStateException] {
+      graft.streaming.EventStream.applyGroupedQuantileBatch(
+        Seq(("g", 3)).toDF("k", "v"), toKV, "pm_gq", batchId = 1L, k = 100)
+    }
+    assert(eGq.getMessage.contains("k=200"))
+    // matching params continue folding normally after the refusals
+    assert(graft.streaming.EventStream.applyQuantileBatch(
+      (51 to 60).toDF("v"), toV, "pm_kll", batchId = 1L, k = 200))
+    Seq("pm_kll", "pm_cms", "pm_theta", "pm_gq").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming theta sketch: exact below k, re-delivery commits NOTHING, overlap algebra served") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.Store

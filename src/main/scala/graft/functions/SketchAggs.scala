@@ -44,10 +44,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * certificates, never raw KLL estimates (`getNormalizedRankError` bounds
   * rank error at ~1.65% for the default k=200, 99.7% confidence).
   *
-  * Reference scope: the reference's Elasticsearch `cardinality`
-  * aggregation is sketch-backed (/root/reference/README.md:141-153
-  * describes the analytics aggregations); these are that capability
-  * class, generalized to quantiles and set algebra.
+  * Reference scope: the reference stack delegates analytics to
+  * Elasticsearch (/root/reference/src/elasticsearch_ingest.py), whose
+  * `cardinality` aggregation is HLL-sketch-backed in general; these are
+  * that capability class, generalized to quantiles and set algebra.
   */
 object SketchAggs {
 
@@ -248,8 +248,8 @@ case class ThetaAgg(
   // empty string/array are "no value" no-ops (Union.update returns
   // RejectedNullOrEmpty) — the sketch's distinct set is over NON-EMPTY
   // values, mirroring how the novelty/dedup operators treat empty
-  // tokens. Exact-count oracles that include '' must tolerance-band
-  // (the q212/q215/q217 certificates do).
+  // tokens. Exact-count oracles must filter '' so estimate and exact
+  // measure the same set (the q212/q215/q217 gates do).
   override def update(buffer: Union, input: InternalRow): Union = {
     val v = left.eval(input)
     if (v != null) left.dataType match {
@@ -296,6 +296,12 @@ case class ThetaAgg(
   * weight (each absorbed item counts once per constituent sketch), so
   * inputs must partition the data: rolling up overlapping sketches
   * double-counts by design, same as summing overlapping counts.
+  *
+  * Every input sketch's k must equal the `k` parameter: merging
+  * heterogeneous-k sketches would silently degrade the result toward
+  * the coarsest constituent's accuracy — the same misconfiguration
+  * class the streaming sinks' paramMismatch guard refuses — so
+  * `update` fails loudly on the first mismatched payload instead.
   */
 case class KllMergeAgg(
     left: Expression, right: Expression,
@@ -324,8 +330,14 @@ case class KllMergeAgg(
 
   override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
     val v = left.eval(input)
-    if (v != null)
-      buffer.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    if (v != null) {
+      val in = KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+      if (in.getK != k)
+        throw new IllegalArgumentException(
+          s"$prettyName(k=$k) got a sketch built at k=${in.getK}: mixed-k rollups " +
+            "silently blend accuracies; re-sketch the constituents at one k")
+      buffer.merge(in)
+    }
     buffer
   }
 

@@ -1354,9 +1354,13 @@ object EventOps {
           .head().getAs[Array[Byte]]("sk")
         val (estN, estInter, estOnly) = graft.streaming.EventStream
           .readThetaOverlap(s, "q217_sketch", refSk)
-        // exact counts: one membership fold over distinct tokens
+        // exact counts: one membership fold over distinct tokens. Empty
+        // tokens filtered — theta updates reject '' (DataSketches
+        // no-value semantics), so the exact side must measure the same
+        // non-empty set the estimates do (see q212)
         val m = batchDocs
           .select((col("source") === "src0").as("held"), explode(tok).as("t"))
+          .filter(col("t") =!= "")
           .groupBy(col("t")).agg(
             max(when(!col("held"), 1).otherwise(0)).as("instream"),
             max(when(col("held"), 1).otherwise(0)).as("inref"))
@@ -1389,7 +1393,7 @@ object EventOps {
           SELECT tok,
             max(CASE WHEN NOT held THEN 1 ELSE 0 END) AS instream,
             max(CASE WHEN held THEN 1 ELSE 0 END) AS inref
-          FROM toks GROUP BY tok)
+          FROM toks WHERE tok <> '' GROUP BY tok)
         SELECT
           CAST(sum(CASE WHEN instream = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_stream,
           CAST(sum(CASE WHEN instream = 1 AND inref = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,

@@ -3399,9 +3399,14 @@ object TextOps {
       "q212_vocab_overlap_sketch",
       (s, dir) => {
         import s.implicits._
+        // empty tokens filtered on BOTH sides: theta updates reject ''
+        // (DataSketches no-value semantics — see [[ThetaAgg.update]]),
+        // so the exact counts must measure the same non-empty set or
+        // the certificates compare different definitions
         val toks = Tables.documents(s, dir).filter(col("text").isNotNull)
           .select((col("doc_id") % 2 === 0).as("even"),
             explode(TextStats.tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= "")
         val sks = toks.groupBy(col("even"))
           .agg(call_function("theta_agg", col("tok"), lit(12)).as("sk"))
           .collect().map(r => r.getBoolean(0) -> r.getAs[Array[Byte]]("sk")).toMap
@@ -3439,7 +3444,7 @@ object TextOps {
           SELECT tok,
             max(CASE WHEN even THEN 1 ELSE 0 END) AS ina,
             max(CASE WHEN NOT even THEN 1 ELSE 0 END) AS inb
-          FROM toks GROUP BY tok)
+          FROM toks WHERE tok <> '' GROUP BY tok)
         SELECT
           CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_inter,
           CAST(sum(CASE WHEN ina = 1 AND inb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
@@ -3510,8 +3515,10 @@ object TextOps {
           .groupBy(col("lang"))
           .agg(call_function("kll_merge_agg", col("sk"), lit(200)).as("sk"))
           .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+        // '' filtered both sides — theta rejects empties (see q212)
         val toks = docs.select(col("lang"), col("source"),
           explode(TextStats.tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= "")
         val thetaShards = toks.groupBy(col("lang"), col("source"))
           .agg(call_function("theta_agg", col("tok"), lit(12)).as("sk"))
           .localCheckpoint() // consumed twice: rollup + idempotence probe
@@ -3552,7 +3559,7 @@ object TextOps {
           FROM documents WHERE text IS NOT NULL GROUP BY lang),
         t AS (
           SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_tok_distinct
-          FROM toks GROUP BY lang)
+          FROM toks WHERE tok <> '' GROUP BY lang)
         SELECT d.lang, d.n_docs, t.n_tok_distinct,
           true AS kll_rank_ok, true AS kll_n_ok,
           true AS theta_ok, true AS theta_idem_ok

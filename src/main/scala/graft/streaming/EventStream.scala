@@ -1614,8 +1614,13 @@ object EventStream {
     def guardRow(id: Long) = Seq(
       (GroupGuardKey, graft.functions.SketchAggs.kllEmpty(k), id, params))
       .toDF("key", "sk", "last_batch", "params")
-    if (batchSk.isEmpty) false
-    else if (!spark.catalog.tableExists(sketchTable)) {
+    // An EMPTY batch still flows the generic path: it touches no data
+    // keys, so the probe reads only the guard partition and the commit
+    // is the guard row alone — advancing `last_batch` exactly like the
+    // single-row appliers ([[applyQuantileBatch]]/[[applyCmsBatch]]), so
+    // a retried non-empty variant of the same id cannot re-fold after
+    // an empty first delivery landed.
+    if (!spark.catalog.tableExists(sketchTable)) {
       Store.bulkWrite(
         batchSk.withColumn("last_batch", lit(batchId))
           .withColumn("params", lit(params))

@@ -92,6 +92,25 @@ class PropertiesSpec extends SparkSpec {
     }, cases = 12)
   }
 
+  test("deep pagination refused past the result window; boundary page served") {
+    val df = (0 until 30).map(i => (i.toLong, (i * 7L) % 13)).toDF("id", "v")
+    val order = Seq(col("v").desc, col("id"))
+    // page*size == window is the last servable page
+    assert(Paging.paginate(df, order, 5, 4, maxWindow = 20).count() == 4L)
+    val e = intercept[IllegalArgumentException](
+      Paging.paginate(df, order, 6, 4, maxWindow = 20))
+    assert(e.getMessage.contains("result window"))
+    // size clamps to maxSize BEFORE the window check (a huge requested
+    // size on an early page is a clamp, not a refusal)
+    assert(Paging.paginate(df, order, 2, 1000, maxSize = 5, maxWindow = 20)
+      .count() == 5L)
+    // the default window is the ES index.max_result_window analog
+    assert(Paging.MaxResultWindow == 10000)
+    val deep = intercept[IllegalArgumentException](
+      Paging.paginate(df, order, 101, 100))
+    assert(deep.getMessage.contains("10000"))
+  }
+
   test("unpivot then pivot is the identity on wide numeric tables") {
     check(Prop.forAllNoShrink(Gen.chooseNum(1, 25)) { n =>
       val wide = (0 until n).map(i => (i.toLong, i * 1.5, i * -3.0)).toDF("id", "m1", "m2")

@@ -46,6 +46,14 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // write µs (not INT96) so DuckDB/pyarrow read our output losslessly.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // bounded collects (`limit(cap).collect()` — the Store.localized
+      // fast path every streaming trigger leans on) run executeTake's
+      // partition-doubling scan: 1 partition, then 4x, then 16x... so an
+      // UNDER-limit frame — the common case by design — pays 2-3 jobs
+      // per collect instead of one. Start the take at the full local
+      // parallelism so a micro-batch-sized frame collects in ONE job;
+      // a genuinely limit-satisfying scan still stops early within it.
+      .config("spark.sql.limit.initialNumPartitions", "64")
 
   /** Local session for tests / ad-hoc runs. */
   def local(cores: Int = 4): SparkSession = {

@@ -129,8 +129,13 @@ object IndexSync {
       idCol: String, textCol: String): Unit = {
     // lazy persist (the nearDupIncremental rule): the upsert's validation
     // job fills the cache, the three later actions reuse it — without
-    // this, each store action re-runs the manifest-pruned full-outer diff
-    val ch = changelog.persist()
+    // this, each store action re-runs the manifest-pruned full-outer diff.
+    // A DRIVER-LOCAL changelog (the streaming sink localizes it) skips
+    // the persist: caching a LocalRelation would wrap it in an
+    // InMemoryRelation and turn every derived frame's free driver-side
+    // evaluation back into a cache-scan job (r17).
+    val local = Store.isLocalFrame(changelog)
+    val ch = if (local) changelog else changelog.persist()
     try {
       // changelog-bounded frames → localized (r17): the upsert/delete
       // stats and routing run driver-side under the cap
@@ -139,7 +144,7 @@ object IndexSync {
           .select(col(idCol), Dedup.exactFingerprint(col(textCol)).as("fingerprint"))),
         idCol)
       Store.delete(spark, table, Store.localized(deletions(ch, idCol)), idCol)
-    } finally { ch.unpersist(); () }
+    } finally { if (!local) ch.unpersist(); () }
   }
 
   /** The `fingerprint → (keeper, n_copies)` view over the membership
@@ -180,7 +185,9 @@ object IndexSync {
       idCol: String, textCol: String, k: Int = 4, w: Int = 3): Unit = {
     // same lazy-persist rule as syncExactIndex: four store actions read
     // the changelog (sig upsert stats/write, sign-less anti-join, delete)
-    val ch = changelog.persist()
+    // — and the same local-frame skip (see there)
+    val local = Store.isLocalFrame(changelog)
+    val ch = if (local) changelog else changelog.persist()
     try {
       val post = postImages(ch)
       // the SIGNATURES are the expensive derivation here (shingle + k
@@ -197,7 +204,7 @@ object IndexSync {
         .join(sigs.select(col(idCol)), Seq(idCol), "left_anti")
       Store.delete(spark, table,
         Store.localized(deletions(ch, idCol).unionByName(signless)), idCol)
-    } finally { ch.unpersist(); () }
+    } finally { if (!local) ch.unpersist(); () }
   }
 
   // ------------------------------------------------------------- ANN / IVF
@@ -230,7 +237,10 @@ object IndexSync {
   def syncIvfIndex(
       spark: SparkSession, changelog: DataFrame, indexPath: String,
       idCol: String, vecCol: String, quantized: Boolean = false): Unit = {
-    val ch = changelog.persist()
+    // local-frame skip (see syncExactIndex): with a driver-local
+    // changelog the two isEmpty probes below run without a job
+    val local = Store.isLocalFrame(changelog)
+    val ch = if (local) changelog else changelog.persist()
     try {
       // a value-empty changelog (the at-least-once replay of an already-
       // applied span) must be a true no-op: no version burned, no empty
@@ -251,7 +261,7 @@ object IndexSync {
       Similarity.excludeIvfIds(spark, indexPath, excluded, idCol, ver)
       // the commit point — everything above is invisible until this
       Similarity.commitSyncVer(spark, indexPath, ver)
-    } finally { ch.unpersist(); () }
+    } finally { if (!local) ch.unpersist(); () }
   }
 
   // --------------------------------------------------------------- novelty

@@ -129,11 +129,30 @@ object Store {
     * sizes without a job.
     */
   def localized(df: DataFrame, cap: Int = MaxLocalStatsRows): DataFrame = {
+    // A frame whose optimized plan is ALREADY a LocalRelation (Catalyst's
+    // ConvertToLocalRelation folds deterministic Project/Filter/Limit
+    // chains over LocalRelation driver-side) takes the same collect path
+    // below — which runs NO job there (LocalTableScanExec serves
+    // executeTake on the driver) — and deliberately does NOT
+    // short-circuit to `df` itself: returning the lazy frame would let
+    // every consumer re-run the folded projection during its own plan's
+    // optimization (measured as a per-consumer driver-side re-derivation
+    // of the whole signature pass in the q202 sink). The copy into a
+    // fresh LocalRelation IS the materialization contract.
     val rows = df.limit(cap + 1).collect()
     if (rows.length > cap) df.localCheckpoint()
     else df.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), df.schema)
   }
+
+  /** Whether `df` is driver-resident (a LocalRelation under the local
+    * cap) — what the streaming sinks branch on to skip `persist()`
+    * (caching a LocalRelation wraps it in an InMemoryRelation, which
+    * DEFEATS every downstream local fast path: the optimized plan stops
+    * being a LocalRelation and each consumer pays a cache-scan job).
+    */
+  private[graft] def isLocalFrame(df: DataFrame): Boolean =
+    localRelationOf(df).isDefined
 
   /** Key types whose driver-side (HashSet) equality matches SQL
     * equality — what the local stats loop's dup check relies on.

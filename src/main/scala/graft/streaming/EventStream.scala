@@ -195,7 +195,11 @@ object EventStream {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val b = batch.toDF().localCheckpoint()
+        // localized, not localCheckpoint (r17): same one-source-scan
+        // contract, but a cap-bounded batch lands driver-resident — the
+        // isEmpty below is job-free, the corpus upsert's stats/routing
+        // run in-process, and the write coalesces to one task
+        val b = graft.sources.Store.localized(batch.toDF())
         if (!b.isEmpty) {
           val fresh = !spark.catalog.tableExists(table)
           if (fresh)
@@ -222,13 +226,19 @@ object EventStream {
           // indexes syncing it (the steady state: every index recorded
           // the same previous version, so exact+sig+ivf all apply the
           // SAME diff — computing the manifest-pruned full-outer diff
-          // once per index tripled that work per trigger). Checkpointed
-          // so no later maintenance commit can vacuum the span's
-          // generations out from under a plan.
+          // once per index tripled that work per trigger). Localized
+          // (r17 — was localCheckpoint): the diff is batch-bounded, so
+          // under the cap it lands DRIVER-RESIDENT — every sync leg's
+          // derived frame (post-images, fingerprints, empty delete sets)
+          // then evaluates in-process via ConvertToLocalRelation instead
+          // of paying a collect job each, and the empty-diff replay case
+          // no-ops without any job at all. Either form detaches the plan
+          // from the table, so no later maintenance commit can vacuum
+          // the span's generations out from under it.
           val spanChangelogs = scala.collection.mutable.Map.empty[Long, DataFrame]
           def changelogFrom(s: Long): DataFrame =
-            spanChangelogs.getOrElseUpdate(s,
-              graft.sources.Store.changes(spark, table, s, post).localCheckpoint())
+            spanChangelogs.getOrElseUpdate(s, graft.sources.Store.localized(
+              graft.sources.Store.changes(spark, table, s, post)))
           def ensure(t: String, build: => Unit, sync: DataFrame => Unit): Unit = {
             val recorded =
               if (fresh || !spark.catalog.tableExists(t)) None
@@ -347,33 +357,31 @@ object EventStream {
         val spark = batch.sparkSession
         // one source scan per trigger (see exactDedupIncremental): the
         // isEmpty probe and the signature pass otherwise each re-read the
-        // batch's files
-        val b = batch.toDF().localCheckpoint()
+        // batch's files (r17 — localized: job-free isEmpty)
+        val b = graft.sources.Store.localized(batch.toDF())
         if (!b.isEmpty) {
-          // materialize once (lazily — persist adds no job of its own;
-          // the probe's bucket collection fills the cache, the pair
-          // write and band append reuse it). The streaming lineage is
-          // already cut at `b`'s checkpoint.
-          val sigs = graft.ops.Dedup
-            .minhashSignaturesScanLocal(b, idCol, textCol, k, w)
-            .persist()
-          try {
-            graft.ops.Dedup
-              .probeMinhashBandIndex(spark, indexPath, sigs, idCol, k, r, nBuckets)
-              .write.mode("append").parquet(pairsOut)
-            graft.ops.Dedup
-              .appendMinhashBandIndex(sigs, indexPath, idCol, k, r, nBuckets)
-            applied += 1L
-            // fold the index's per-batch files back to one per dir —
-            // the streaming half of [[graft.ops.Dedup.compactBandIndex]]'s
-            // contract (0 disables; crash windows leave only absorbed
-            // duplicates, see the operator's doc)
-            if (compactIndexEvery > 0 && applied % compactIndexEvery == 0) {
-              graft.ops.Dedup.compactBandIndex(spark, indexPath)
-              graft.ops.Dedup.compactPairFacts(spark, pairsOut)
-              ()
-            }
-          } finally sigs.unpersist()
+          // materialize the signatures once, driver-resident under the
+          // cap (r17 — was persist): one row of k longs per doc, so the
+          // localized collect runs the signature pass exactly once and
+          // the three consumers (probe bucket collection, pair write,
+          // band append with its isEmpty) read driver rows after that
+          val sigs = graft.sources.Store.localized(graft.ops.Dedup
+            .minhashSignaturesScanLocal(b, idCol, textCol, k, w))
+          graft.ops.Dedup
+            .probeMinhashBandIndex(spark, indexPath, sigs, idCol, k, r, nBuckets)
+            .write.mode("append").parquet(pairsOut)
+          graft.ops.Dedup
+            .appendMinhashBandIndex(sigs, indexPath, idCol, k, r, nBuckets)
+          applied += 1L
+          // fold the index's per-batch files back to one per dir —
+          // the streaming half of [[graft.ops.Dedup.compactBandIndex]]'s
+          // contract (0 disables; crash windows leave only absorbed
+          // duplicates, see the operator's doc)
+          if (compactIndexEvery > 0 && applied % compactIndexEvery == 0) {
+            graft.ops.Dedup.compactBandIndex(spark, indexPath)
+            graft.ops.Dedup.compactPairFacts(spark, pairsOut)
+            ()
+          }
         }
       }
     checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))
@@ -415,34 +423,34 @@ object EventStream {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val b = batch.toDF().localCheckpoint()
+        // r17 — the whole per-trigger frame chain localizes (batch →
+        // signatures → pairs are each cap-bounded): isEmpty is job-free,
+        // the signature pass runs exactly once, the band append's own
+        // isEmpty is free, and [[graft.ops.Components.applyBatch]]'s
+        // ids/pairs collects read driver rows instead of re-running
+        // their plans — the fixed per-trigger job count drops without
+        // touching what any job computes
+        val b = graft.sources.Store.localized(batch.toDF())
         if (!b.isEmpty) {
-          val sigs = graft.ops.Dedup
-            .minhashSignaturesScanLocal(b, idCol, textCol, k, w)
-            .persist()
+          val sigs = graft.sources.Store.localized(graft.ops.Dedup
+            .minhashSignaturesScanLocal(b, idCol, textCol, k, w))
           // pairs feed two consumers (the fact dir and the label fold)
-          val pairs = graft.ops.Dedup
-            .probeMinhashBandIndex(spark, indexPath, sigs, idCol, k, r, nBuckets)
-            .persist()
-          try {
-            pairs.write.mode("append").parquet(pairsOut)
-            graft.ops.Dedup.appendMinhashBandIndex(sigs, indexPath, idCol, k, r, nBuckets)
-            graft.ops.Components.applyBatch(
-              spark, labelsTable, forwardTable,
-              b.select(col(idCol)), idCol, pairs.select(col("id_a"), col("id_b")),
-              buckets = buckets, parts = parts)
-            applied += 1L
-            if (compactIndexEvery > 0 && applied % compactIndexEvery == 0) {
-              graft.ops.Dedup.compactBandIndex(spark, indexPath)
-              graft.ops.Dedup.compactPairFacts(spark, pairsOut)
-              graft.ops.Components.fold(spark, labelsTable, forwardTable, idCol, buckets)
-              if (spark.catalog.tableExists(labelsTable))
-                graft.sources.Store.compact(spark, labelsTable)
-              ()
-            }
-          } finally {
-            pairs.unpersist()
-            sigs.unpersist()
+          val pairs = graft.sources.Store.localized(graft.ops.Dedup
+            .probeMinhashBandIndex(spark, indexPath, sigs, idCol, k, r, nBuckets))
+          pairs.write.mode("append").parquet(pairsOut)
+          graft.ops.Dedup.appendMinhashBandIndex(sigs, indexPath, idCol, k, r, nBuckets)
+          graft.ops.Components.applyBatch(
+            spark, labelsTable, forwardTable,
+            b.select(col(idCol)), idCol, pairs.select(col("id_a"), col("id_b")),
+            buckets = buckets, parts = parts)
+          applied += 1L
+          if (compactIndexEvery > 0 && applied % compactIndexEvery == 0) {
+            graft.ops.Dedup.compactBandIndex(spark, indexPath)
+            graft.ops.Dedup.compactPairFacts(spark, pairsOut)
+            graft.ops.Components.fold(spark, labelsTable, forwardTable, idCol, buckets)
+            if (spark.catalog.tableExists(labelsTable))
+              graft.sources.Store.compact(spark, labelsTable)
+            ()
           }
         }
       }
@@ -486,30 +494,33 @@ object EventStream {
         val spark = batch.sparkSession
         import spark.implicits._
         // one source scan per trigger (the nearDupIncremental rule); the
-        // checkpoint holds one micro-batch's payloads, released with it
+        // checkpoint holds one micro-batch's payloads, released with it.
+        // The batch itself stays a checkpoint, NOT localized: payloads
+        // must never collect driver-side — only the signature rows do
         val b = batch.toDF().localCheckpoint()
         if (!b.isEmpty) {
-          val sigs = graft.ops.Multimodal
+          // localized (r17, was persist): the collect job runs the
+          // decode+hash pass DISTRIBUTED exactly once, the (id, hash)
+          // rows land driver-resident, and the append's isEmpty probe
+          // plus the probe's bucket collection run without a job
+          val sigs = graft.sources.Store.localized(graft.ops.Multimodal
             .imageAHash(b.as[graft.ops.Multimodal.MediaRow])
             .toDF()
             .filter(col("decoded") && col("ahash") =!= -1L)
-            .select(col("media_id"), col("ahash").as("simhash"))
-            .persist()
-          try {
-            graft.ops.Dedup.probeSimhashBandIndex(
-                spark, indexPath, sigs, "media_id", maxHamming,
-                sigBits = 64, nBuckets = nBuckets)
-              .write.mode("append").parquet(pairsOut)
-            graft.ops.Dedup.appendSimhashBandIndex(
-              sigs, indexPath, "media_id", maxHamming,
+            .select(col("media_id"), col("ahash").as("simhash")))
+          graft.ops.Dedup.probeSimhashBandIndex(
+              spark, indexPath, sigs, "media_id", maxHamming,
               sigBits = 64, nBuckets = nBuckets)
-            applied += 1L
-            if (compactIndexEvery > 0 && applied % compactIndexEvery == 0) {
-              graft.ops.Dedup.compactBandIndex(spark, indexPath)
-              graft.ops.Dedup.compactPairFacts(spark, pairsOut)
-              ()
-            }
-          } finally sigs.unpersist()
+            .write.mode("append").parquet(pairsOut)
+          graft.ops.Dedup.appendSimhashBandIndex(
+            sigs, indexPath, "media_id", maxHamming,
+            sigBits = 64, nBuckets = nBuckets)
+          applied += 1L
+          if (compactIndexEvery > 0 && applied % compactIndexEvery == 0) {
+            graft.ops.Dedup.compactBandIndex(spark, indexPath)
+            graft.ops.Dedup.compactPairFacts(spark, pairsOut)
+            ()
+          }
         }
       }
     checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))
@@ -575,26 +586,31 @@ object EventStream {
         import graft.ops.{Dedup, Multimodal}
         import graft.sources.Store
         import spark.implicits._
+        // the batch stays a CHECKPOINT (payloads never collect driver-
+        // side); every derived frame below is signature/pair-sized and
+        // localizes instead
         val b = batch.toDF().localCheckpoint()
         if (!b.isEmpty) {
           def mediaRows(payload: String, mime: String) =
             b.select(col("doc_id").as("media_id"),
               col(payload).as("payload"), lit(mime).as("mime"))
               .as[Multimodal.MediaRow]
-          // persist BOTH signature frames (the imageNearDupIncremental
-          // rule): each feeds four actions per trigger — the probe's
-          // partition-key collect, the pair write, and the append's
-          // isEmpty + write — and unpersisted each action would re-DECODE
+          // localized BOTH signature frames (r17, was persist — the
+          // imageNearDupIncremental rule): the collect job runs the
+          // decode+hash pass DISTRIBUTED exactly once per modality, and
+          // the four consumers per trigger (the probe's partition-key
+          // collect, the pair write, the append's isEmpty + write) then
+          // read driver rows — unpersisted, each action would re-DECODE
           // the batch's payloads (measured ~4× the decode cost per
           // modality per trigger on the q201 gate)
-          val imgSigs = Multimodal.imageAHash(mediaRows("img", "image/png"))
-            .toDF().filter(col("decoded") && col("ahash") =!= -1L)
-            .select(col("media_id").as("doc_id"), col("ahash").as("simhash"))
-            .persist()
-          val audSigs = Multimodal.audioEnergyHash(mediaRows("wav", "audio/wav"))
-            .toDF().filter(col("decoded"))
-            .select(col("media_id").as("doc_id"), col("ehash").as("simhash"))
-            .persist()
+          val imgSigs = graft.sources.Store.localized(
+            Multimodal.imageAHash(mediaRows("img", "image/png"))
+              .toDF().filter(col("decoded") && col("ahash") =!= -1L)
+              .select(col("media_id").as("doc_id"), col("ahash").as("simhash")))
+          val audSigs = graft.sources.Store.localized(
+            Multimodal.audioEnergyHash(mediaRows("wav", "audio/wav"))
+              .toDF().filter(col("decoded"))
+              .select(col("media_id").as("doc_id"), col("ehash").as("simhash")))
           // probe BEFORE appending this batch's own bands; pairs persist
           // because three consumers read them (pairsOut, the root graph,
           // and the label fold)
@@ -602,16 +618,19 @@ object EventStream {
             Dedup.probeSimhashBandIndex(spark, path, sigs, "doc_id",
                 maxHamming, sigBits = 64, nBuckets = nBuckets)
               .select(col("id_a"), col("id_b"), lit(tag).as("modality"))
-          val fps = b.filter(col("text").isNotNull)
-            .select(col("doc_id"), Dedup.exactFingerprint(col("text")).as("fingerprint"))
+          // fingerprints localized (r17): one distributed md5 pass over
+          // the checkpointed batch, then the probe's partition routing
+          // evaluates driver-side with no per-trigger collect
+          val fps = graft.sources.Store.localized(b.filter(col("text").isNotNull)
+            .select(col("doc_id"), Dedup.exactFingerprint(col("text")).as("fingerprint")))
           val fpExists = spark.catalog.tableExists(textIdxTable)
           // probe, not read (r16): only the batch fingerprints' routing
           // partitions — the text leg's twin of the banded media probes;
-          // `hubbed` evaluates twice (pair write + keeper checkpoint), so
-          // checkpoint the pruned read to scan it once per trigger
+          // `hubbed` evaluates twice (pair write + keeper localize), so
+          // localize the pruned read to scan it once per trigger
           val oldFp =
             if (fpExists)
-              Store.probe(spark, textIdxTable, fps, "fingerprint").localCheckpoint()
+              Store.localized(Store.probe(spark, textIdxTable, fps, "fingerprint"))
             else fps.select(col("fingerprint"), col("doc_id").as("keeper")).filter(lit(false))
           val batchMin = fps.groupBy(col("fingerprint"))
             .agg(min(col("doc_id")).as("__bmin"))
@@ -623,11 +642,13 @@ object EventStream {
             .select(least(col("__k"), col("doc_id")).as("id_a"),
               greatest(col("__k"), col("doc_id")).as("id_b"),
               lit("text").as("modality"))
-          val pairs = mediaPairs(imgSigs, imageIdxPath, "image")
+          // localized (r17, was persist): one distributed job runs all
+          // three modality probes, then the pair write and the label
+          // fold's pair collect read driver rows
+          val pairs = Store.localized(mediaPairs(imgSigs, imageIdxPath, "image")
             .unionByName(mediaPairs(audSigs, audioIdxPath, "audio"))
-            .unionByName(textPairs)
-            .persist()
-          try {
+            .unionByName(textPairs))
+          locally {
             pairs.write.mode("append").parquet(pairsOut)
             // indexes advance only after the probes materialized
             Dedup.appendSimhashBandIndex(imgSigs, imageIdxPath, "doc_id",
@@ -662,10 +683,6 @@ object EventStream {
                 Store.compact(spark, labelsTable)
               ()
             }
-          } finally {
-            pairs.unpersist()
-            imgSigs.unpersist()
-            audSigs.unpersist()
           }
         }
       }
@@ -718,12 +735,16 @@ object EventStream {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        // ONE source scan per trigger: checkpoint the batch FIRST — a
+        // ONE source scan per trigger: localize the batch FIRST — a
         // file-source batch otherwise re-reads its files once per action
         // (isEmpty + the labeling self-join's two scan branches measured
-        // 4× input rows in the restart test's metrics). The checkpoint
-        // also cuts the streaming lineage out of the Store write plans.
-        val b = batch.toDF().localCheckpoint()
+        // 4× input rows in the restart test's metrics). Localized (r17 —
+        // was localCheckpoint): same one-scan and lineage-cut contract,
+        // but a cap-bounded batch lands driver-resident, so isEmpty is
+        // job-free, the fingerprint projection folds driver-side
+        // (ConvertToLocalRelation), and the probe's partition routing
+        // evaluates in-process instead of running a per-trigger collect.
+        val b = graft.sources.Store.localized(batch.toDF())
         if (!b.isEmpty) {
           val fps = b.select(col(idCol),
             graft.ops.Dedup.exactFingerprint(col(textCol)).as("fingerprint"))
@@ -956,19 +977,24 @@ object EventStream {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        // one source scan per trigger (see exactDedupIncremental)
-        val b = batch.toDF().localCheckpoint()
+        // one source scan per trigger (see exactDedupIncremental; r17 —
+        // localized, so the isEmpty probe below is job-free)
+        val b = graft.sources.Store.localized(batch.toDF())
         if (!b.isEmpty) {
           val exists = spark.catalog.tableExists(indexTable)
           // shingles built once, shared by the probe, scoring, and the
-          // index advance
+          // index advance (persisted, not localized: a batch's distinct
+          // shingle set can far exceed the local row cap)
           val sh = graft.ops.Dedup.wordShingles(b, idCol, textCol, w).persist()
           // probe, not read: only the batch shingles' partitions; the
           // pruned read feeds TWO consumers (the score join and the
-          // insert anti-join) — checkpoint so it scans once per trigger
+          // insert anti-join) — localized (r17, was localCheckpoint) so
+          // it materializes once and the insert diff's driver-side path
+          // stays open
           val old =
             if (exists)
-              graft.sources.Store.probe(spark, indexTable, sh, "shingle").localCheckpoint()
+              graft.sources.Store.localized(
+                graft.sources.Store.probe(spark, indexTable, sh, "shingle"))
             else b.select(
               lit("").as("shingle"), col(idCol).as("first_id")).filter(lit(false))
           val newFirst = sh.groupBy(col("shingle")).agg(min(col(idCol)).as("__new_first"))
@@ -1046,8 +1072,9 @@ object EventStream {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        // one source scan per trigger (see exactDedupIncremental)
-        val b = batch.toDF().localCheckpoint()
+        // one source scan per trigger (see exactDedupIncremental; r17 —
+        // localized: job-free isEmpty)
+        val b = graft.sources.Store.localized(batch.toDF())
         if (!b.isEmpty) {
           val chunks = b.filter(col(textCol).isNotNull)
             .select(col(idCol),
@@ -1059,10 +1086,12 @@ object EventStream {
             val exists = spark.catalog.tableExists(indexTable)
             // probe, not read: only the batch digests' partitions; two
             // consumers (the survive join and the insert anti-join) —
-            // checkpoint so the pruned read scans once per trigger
+            // localized (r17, was localCheckpoint) so the pruned read
+            // materializes once per trigger
             val old =
               if (exists)
-                graft.sources.Store.probe(spark, indexTable, chunks, "__h").localCheckpoint()
+                graft.sources.Store.localized(
+                  graft.sources.Store.probe(spark, indexTable, chunks, "__h"))
               else chunks.select(col("__h"),
                 col(idCol).as("first_id"), col("__ck").as("first_ck")).filter(lit(false))
             val newFirst = chunks.groupBy(col("__h"))

@@ -79,5 +79,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "theta_anotb_estimate",
       classOf[graft.functions.ThetaAnotBEstimateExpr].getName, 2)(c =>
       graft.functions.ThetaAnotBEstimateExpr(c(0), c(1)))
+    register(ext, "cms_merge_agg", classOf[graft.functions.CmsMergeAgg].getName, 1)(c =>
+      graft.functions.CmsMergeAgg(c.head))
+    register(ext, "cms_estimate_row",
+      classOf[graft.functions.CmsEstimateRow].getName, 2)(c =>
+      graft.functions.CmsEstimateRow(c(0), c(1)))
   }
 }

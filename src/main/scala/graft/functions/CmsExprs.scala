@@ -71,6 +71,42 @@ case class CmsEstimate(left: Expression, right: Expression)
   override def prettyName: String = "cms_estimate"
 }
 
+/** [[CmsEstimate]]'s PER-ROW sibling: the sketch payload is a data
+  * COLUMN, not a foldable literal — the shape a per-key sketch table's
+  * serving read needs (each row carries its own key's CMS). Deserializes
+  * per evaluation, the kll probe rule: correct for the O(keys)-row
+  * frames sketch reads produce, not for per-corpus-row maps (those
+  * should pre-heapify driver-side — the [[CmsEstimate]] referenceObj
+  * pattern).
+  */
+case class CmsEstimateRow(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate_row"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires STRING value, got ${left.dataType.catalogString}")
+    else if (right.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BINARY serialized sketch column")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(value: Any, sketch: Any): Any =
+    CmsExprs.estimate(
+      sketch.asInstanceOf[Array[Byte]], value.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, s) => s"graft.functions.CmsExprs.estimate($s, $v)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimateRow =
+    copy(left = newLeft, right = newRight)
+}
+
 object CmsExprs {
 
   /** `CountMinSketch.writeTo` as bytes — the literal payload for
@@ -82,8 +118,18 @@ object CmsExprs {
     out.toByteArray
   }
 
+  /** Per-call deserialize + probe (the [[CmsEstimateRow]] kernel): same
+    * UTF-8-bytes hash contract as the foldable probe.
+    */
+  def estimate(serialized: Array[Byte], value: UTF8String): Long =
+    CountMinSketch.readFrom(serialized).estimateCount(value.getBytes)
+
   /** Column-API probe: `cms_estimate(value, lit(serialized))`. */
   def cms_estimate(value: Column, serialized: Array[Byte]): Column =
     org.apache.spark.sql.functions.call_function(
       "cms_estimate", value, org.apache.spark.sql.functions.lit(serialized))
+
+  /** Column-API per-row probe: `cms_estimate_row(value, sketchCol)`. */
+  def cms_estimate_row(value: Column, sketch: Column): Column =
+    org.apache.spark.sql.functions.call_function("cms_estimate_row", value, sketch)
 }

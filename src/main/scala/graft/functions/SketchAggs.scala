@@ -422,6 +422,82 @@ case class ThetaUnionAgg(
     copy(left = newLeft, right = newRight)
 }
 
+/** `cms_merge_agg(sketch_bytes)` — fold a column of serialized
+  * [[org.apache.spark.util.sketch.CountMinSketch]] payloads into one by
+  * cellwise addition (the exact-merge property: a CMS union answers
+  * point queries within ε·N of the combined stream). UNARY: the buffer
+  * ADOPTS the first input's (depth, width, seed) shape — re-creating it
+  * from parameters would just restate what every payload already
+  * carries — and any later constituent with a different shape fails
+  * loudly (mixed-shape cells don't align; silently blending them is the
+  * KllMergeAgg mixed-k class of corruption, and Spark's own
+  * `mergeInPlace` refuses it too). Like [[KllMergeAgg]], merge ADDS:
+  * inputs must partition the data — overlapping sketches double-count
+  * by design. An empty group evaluates to NULL (no shape to adopt).
+  */
+case class CmsMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[org.apache.spark.util.sketch.CountMinSketch]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  import org.apache.spark.util.sketch.CountMinSketch
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cms_merge_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires BINARY count-min sketch payloads, got " +
+          child.dataType.catalogString)
+    else TypeCheckResult.TypeCheckSuccess
+
+  // null = "no constituent absorbed yet" — the shape comes from the data
+  override def createAggregationBuffer(): CountMinSketch = null
+
+  private def fold(buffer: CountMinSketch, other: CountMinSketch): CountMinSketch =
+    if (buffer == null) other
+    else if (other == null) buffer
+    else {
+      require(buffer.depth == other.depth && buffer.width == other.width,
+        s"$prettyName got sketches of different shapes " +
+          s"(${buffer.depth}x${buffer.width} vs ${other.depth}x${other.width}): " +
+          "mixed-parameter CMS cells don't align; re-sketch the " +
+          "constituents at one (eps, confidence)")
+      buffer.mergeInPlace(other) // also refuses a differing hash seed
+      buffer
+    }
+
+  override def update(buffer: CountMinSketch, input: InternalRow): CountMinSketch = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else fold(buffer, CountMinSketch.readFrom(v.asInstanceOf[Array[Byte]]))
+  }
+
+  override def merge(buffer: CountMinSketch, other: CountMinSketch): CountMinSketch =
+    fold(buffer, other)
+
+  override def eval(buffer: CountMinSketch): Any =
+    if (buffer == null) null else graft.functions.CmsExprs.serialize(buffer)
+
+  override def serialize(buffer: CountMinSketch): Array[Byte] =
+    if (buffer == null) Array.emptyByteArray
+    else graft.functions.CmsExprs.serialize(buffer)
+
+  override def deserialize(bytes: Array[Byte]): CountMinSketch =
+    if (bytes.isEmpty) null
+    else CountMinSketch.readFrom(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsMergeAgg =
+    copy(child = newChild)
+}
+
 /** Scalar serving probes over serialized sketch payloads. These heapify
   * per evaluation — correct for the one-row frames sketch reads produce;
   * a per-corpus-row probe should pre-heapify driver-side instead (the

@@ -1482,6 +1482,194 @@ object EventOps {
           true AS never_under, true AS within_eps, true AS replay_guard
         FROM toks GROUP BY tok
         ORDER BY exact_n DESC, tok LIMIT 20""")),
+
+    // PER-KEY STREAMING DISTINCT COUNTS (r17 —
+    // [[graft.streaming.EventStream.groupedDistinctSketchIncremental]]):
+    // the corpus-datasheet question — distinct vocabulary per SOURCE,
+    // maintained over an unbounded stream as one HLL row per key under
+    // the q216 guard-row + partition-pruned-probe skeleton. Per trigger:
+    // batch per-key partials build map-side (`hll_sketch_agg`), only the
+    // touched keys' stored rows are read (`Store.probe`), stored∪batch
+    // fold per key with `hll_union_agg` — O(batch keys) per trigger,
+    // state O(keys × 2^lgK) bytes forever. HLL union is idempotent, but
+    // the guard row still buys the exact replay skip + params check +
+    // regression refusal; the gate re-applies the final id and pins the
+    // whole per-key state byte-identical. Hash-compared: per-source
+    // exact distinct-token counts (DuckDB); certificates: each key's
+    // maintained estimate within 4×RSE of exact. Empty tokens filtered
+    // BOTH sides (DataSketches string updates reject '' — the q212 rule).
+    QueryDef(
+      "q219_stream_grouped_distinct",
+      (s, dir) => {
+        import s.implicits._
+        val ss = EventOps.streamSession(s)
+        val streamDocs = Tables.documents(ss, dir)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"))
+        val srcDir = EventOps.cachedSrcDir("q219", dir)(
+          EventOps.stageOrderedBatches(streamDocs,
+            graft.ops.Dedup.portableHash(col("doc_id").cast("string"),
+              "graft-s219:") % 4, 4, "q219"))
+        ss.sql("DROP TABLE IF EXISTS q219_sketch")
+        val ckpt = java.nio.file.Files.createTempDirectory("q219ckpt").toString
+        val stream = ss.readStream.schema(streamDocs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val toKV = (b: org.apache.spark.sql.DataFrame) =>
+          b.select(col("source").as("key"),
+              explode(graft.ops.TextStats.tokens(col("text"))).as("value"))
+            .filter(col("value") =!= "")
+        val q = graft.streaming.EventStream.groupedDistinctSketchIncremental(
+          stream, toKV, "q219_sketch", lgK = 12,
+          checkpointLocation = Some(ckpt), compactEvery = 3)
+        try q.processAllAvailable()
+        finally q.stop()
+        // replay guard, per-key form (the q216 rule): re-apply the final
+        // absorbed id and pin the ENTIRE per-key state byte-identical
+        def state(): Map[String, (Array[Byte], Long)] =
+          graft.sources.Store.read(s, "q219_sketch")
+            .filter(col("key") =!= graft.streaming.EventStream.GroupGuardKey)
+            .select(col("key"), col("sk"), col("last_batch"))
+            .collect().map(r => r.getString(0) ->
+              (r.getAs[Array[Byte]](1), r.getLong(2))).toMap
+        val before = state()
+        val replayBatch = Tables.documents(s, dir).filter(col("text").isNotNull)
+          .filter(graft.ops.Dedup.portableHash(
+            col("doc_id").cast("string"), "graft-s219:") % 4 === 3)
+          .select(col("source"), col("text"))
+        val refolded = graft.streaming.EventStream.applyGroupedDistinctBatch(
+          replayBatch, toKV, "q219_sketch", batchId = 3L, lgK = 12)
+        val after = state()
+        val guardHeld = !refolded && before.keySet == after.keySet &&
+          before.forall { case (k, (b, lb)) =>
+            java.util.Arrays.equals(b, after(k)._1) && lb == after(k)._2
+          }
+        val ests = graft.streaming.EventStream
+          .readGroupedDistinctSketch(s, "q219_sketch")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // 4× the a-priori RSE at lgK=12 (1.04/√2^12 ≈ 1.63%) — the
+        // theta-gate certificate convention; estimates never hashed
+        val tol = 4.0 * 1.04 / math.sqrt((1 << 12).toDouble)
+        val result = toKV(Tables.documents(s, dir).filter(col("text").isNotNull))
+          .groupBy(col("key")).agg(countDistinct(col("value")).as("nd"))
+          .collect().map { r =>
+            val (k, nd) = (r.getString(0), r.getLong(1))
+            (k, nd, math.abs(ests(k).toDouble - nd) <= tol * nd, guardHeld)
+          }.toSeq
+          .toDF("source", "n_distinct", "est_ok", "replay_guard")
+          .orderBy(col("source")).localCheckpoint()
+        s.sql("DROP TABLE IF EXISTS q219_sketch")
+        EventOps.rmTree(ckpt)
+        result
+      },
+      Some("""
+        WITH toks AS (
+          SELECT source,
+            unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents WHERE text IS NOT NULL)
+        SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
+          true AS est_ok, true AS replay_guard
+        FROM toks WHERE tok <> '' GROUP BY source ORDER BY source""")),
+
+    // PER-KEY STREAMING FREQUENCY BOUNDS (r17 —
+    // [[graft.streaming.EventStream.groupedCmsSketchIncremental]]): the
+    // q218 durable CMS keyed by SOURCE — "how often does token x occur
+    // in source s", answered within ε·N(s) from one CMS row per key.
+    // Same guard-row skeleton as q216/q219; CMS merge is cellwise
+    // ADDITION (the KLL hazard class), so here the per-key atomic guard
+    // IS the exactly-once mechanism — the gate re-applies the final id
+    // and pins every key's bytes unmoved. Hash-compared: each source's
+    // exact top-3 token counts (deterministic tie-break on token);
+    // certificates from the MAINTAINED per-key sketches: estimates never
+    // below true counts (structural) and within ε·N(source) above.
+    QueryDef(
+      "q220_stream_grouped_cms",
+      (s, dir) => {
+        import s.implicits._
+        val ss = EventOps.streamSession(s)
+        val streamDocs = Tables.documents(ss, dir)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"))
+        val srcDir = EventOps.cachedSrcDir("q220", dir)(
+          EventOps.stageOrderedBatches(streamDocs,
+            graft.ops.Dedup.portableHash(col("doc_id").cast("string"),
+              "graft-s220:") % 4, 4, "q220"))
+        ss.sql("DROP TABLE IF EXISTS q220_cms")
+        val ckpt = java.nio.file.Files.createTempDirectory("q220ckpt").toString
+        val stream = ss.readStream.schema(streamDocs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val eps = 0.001
+        val toKV = (b: org.apache.spark.sql.DataFrame) =>
+          b.select(col("source").as("key"),
+              explode(graft.ops.TextStats.tokens(col("text"))).as("value"))
+            .filter(col("value") =!= "")
+        val q = graft.streaming.EventStream.groupedCmsSketchIncremental(
+          stream, toKV, "q220_cms", eps = eps,
+          checkpointLocation = Some(ckpt), compactEvery = 3)
+        try q.processAllAvailable()
+        finally q.stop()
+        // replay guard (the q216/q219 rule)
+        def state(): Map[String, (Array[Byte], Long)] =
+          graft.sources.Store.read(s, "q220_cms")
+            .filter(col("key") =!= graft.streaming.EventStream.GroupGuardKey)
+            .select(col("key"), col("sk"), col("last_batch"))
+            .collect().map(r => r.getString(0) ->
+              (r.getAs[Array[Byte]](1), r.getLong(2))).toMap
+        val before = state()
+        val replayBatch = Tables.documents(s, dir).filter(col("text").isNotNull)
+          .filter(graft.ops.Dedup.portableHash(
+            col("doc_id").cast("string"), "graft-s220:") % 4 === 3)
+          .select(col("source"), col("text"))
+        val refolded = graft.streaming.EventStream.applyGroupedCmsBatch(
+          replayBatch, toKV, "q220_cms", batchId = 3L, eps = eps)
+        val after = state()
+        val guardHeld = !refolded && before.keySet == after.keySet &&
+          before.forall { case (k, (b, lb)) =>
+            java.util.Arrays.equals(b, after(k)._1) && lb == after(k)._2
+          }
+        // per-source exact top-3 tokens (the oracle's exact window rule)
+        // + per-source totals for the ε·N(source) bound
+        val toks = toKV(Tables.documents(s, dir).filter(col("text").isNotNull))
+          .localCheckpoint() // three consumers: top-3, totals, nothing else
+        val top3 = toks.groupBy(col("key"), col("value"))
+          .agg(count(lit(1)).as("exact_n"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+              .orderBy(col("exact_n").desc, col("value"))))
+          .filter(col("rn") <= 3).drop("rn")
+        val totals = toks.groupBy(col("key")).agg(count(lit(1)).as("total"))
+        val result = graft.streaming.EventStream
+          .readGroupedCmsEstimates(s, "q220_cms",
+            top3.select(col("key"), col("value")))
+          .join(top3, Seq("key", "value"))
+          .join(totals, Seq("key"))
+          .select(
+            col("key").as("source"), col("value").as("tok"), col("exact_n"),
+            (col("est") >= col("exact_n")).as("never_under"),
+            (col("est") <= col("exact_n") +
+              ceil(lit(eps) * col("total")).cast("long")).as("within_eps"),
+            lit(guardHeld).as("replay_guard"))
+          .orderBy(col("source"), col("exact_n").desc, col("tok"))
+          .localCheckpoint()
+        s.sql("DROP TABLE IF EXISTS q220_cms")
+        EventOps.rmTree(ckpt)
+        result
+      },
+      Some("""
+        WITH toks AS (
+          SELECT source,
+            unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents WHERE text IS NOT NULL),
+        t AS (
+          SELECT source, tok, count(*) AS exact_n
+          FROM toks WHERE tok <> '' GROUP BY source, tok),
+        r AS (
+          SELECT source, tok, exact_n,
+            row_number() OVER (PARTITION BY source ORDER BY exact_n DESC, tok) AS rn
+          FROM t)
+        SELECT source, tok, exact_n,
+          true AS never_under, true AS within_eps, true AS replay_guard
+        FROM r WHERE rn <= 3
+        ORDER BY source, exact_n DESC, tok""")),
   )
 
   /** Shared by q146 (batch join route) and q162 (streaming custom-state

@@ -1615,40 +1615,46 @@ object EventStream {
     */
   val GroupGuardKey: String = "\u0000__guard__\u0000"
 
-  def applyGroupedQuantileBatch(
+  /** The grouped sketch appliers' SHARED skeleton (r17 — the q216
+    * guard-row + probe pattern, factored so the KLL, HLL, and CMS sinks
+    * are one mechanism with three algebras): one pass over the batch
+    * rows builds per-key map-side-partial sketches (`batchAgg`, bounded
+    * by the batch's distinct keys), the touched keys' stored rows read
+    * PARTITION-PRUNED (`Store.probe` — min(|keys|, parts) dirs,
+    * independent of how many keys the table has accumulated), and
+    * stored∪batch fold per key with `mergeAgg` — so per-trigger cost is
+    * O(batch keys) at any corpus size and the state table is O(distinct
+    * keys ever seen).
+    *
+    * The GUARD ROW rides in the same table under a reserved key: the
+    * replay/regression decision must be GLOBAL (a fresh-checkpoint
+    * batch touching only never-stored keys would otherwise see no
+    * stored rows and silently fold into frozen state), and committing
+    * it in the same upsert keeps guard and data atomic under one CAS
+    * manifest swap. It also carries the persisted sketch `params`, so a
+    * restart at different accuracy fails loudly instead of blending
+    * ([[paramMismatch]]). An EMPTY batch commits the guard row alone —
+    * advancing `last_batch` exactly like the single-row appliers, so a
+    * retried non-empty variant of the same id cannot re-fold after an
+    * empty first delivery landed.
+    */
+  private def applyGroupedSketchBatch(
       batch: DataFrame, toKeyValue: DataFrame => DataFrame,
-      sketchTable: String, batchId: Long, k: Int = 200,
-      buckets: Int = 4, parts: Int = 8): Boolean = {
+      sketchTable: String, batchId: Long, params: String,
+      batchAgg: org.apache.spark.sql.Column,
+      mergeAgg: org.apache.spark.sql.Column,
+      guardPayload: () => Array[Byte],
+      buckets: Int, parts: Int): Boolean = {
     val spark = batch.sparkSession
     import graft.sources.Store
     import spark.implicits._
-    val params = s"kll;k=$k"
-    // one pass over the batch rows: per-key map-side-partial sketches,
-    // bounded by the batch's distinct keys (localized: LocalRelation
-    // under the cap, localCheckpoint past it)
     val batchSk = Store.localized(
       toKeyValue(batch)
         .filter(col("key").isNotNull && col("key") =!= GroupGuardKey)
         .groupBy(col("key"))
-        .agg(org.apache.spark.sql.functions.call_function(
-          "kll_agg", col("value").cast("double"), lit(k)).as("sk")))
-    // the GUARD ROW rides in the same table under a reserved key: the
-    // replay/regression decision must be GLOBAL (a fresh-checkpoint
-    // batch touching only never-stored keys would otherwise see no
-    // stored rows and silently fold into frozen state), and committing
-    // it in the same upsert keeps guard and data atomic under one CAS
-    // manifest swap. It also carries the persisted sketch params, so a
-    // restart at a different k fails loudly instead of blending
-    // accuracies ([[paramMismatch]]).
-    def guardRow(id: Long) = Seq(
-      (GroupGuardKey, graft.functions.SketchAggs.kllEmpty(k), id, params))
+        .agg(batchAgg.as("sk")))
+    def guardRow(id: Long) = Seq((GroupGuardKey, guardPayload(), id, params))
       .toDF("key", "sk", "last_batch", "params")
-    // An EMPTY batch still flows the generic path: it touches no data
-    // keys, so the probe reads only the guard partition and the commit
-    // is the guard row alone — advancing `last_batch` exactly like the
-    // single-row appliers ([[applyQuantileBatch]]/[[applyCmsBatch]]), so
-    // a retried non-empty variant of the same id cannot re-fold after
-    // an empty first delivery landed.
     if (!spark.catalog.tableExists(sketchTable)) {
       Store.bulkWrite(
         batchSk.withColumn("last_batch", lit(batchId))
@@ -1661,9 +1667,10 @@ object EventStream {
       val probeKeys = Store.localized(
         batchSk.select(col("key"))
           .unionByName(Seq(GroupGuardKey).toDF("key")))
-      val stored = Store.probe(spark, sketchTable, probeKeys, "key")
-        .select(col("key"), col("sk"), col("last_batch"), col("params"))
-        .localCheckpoint() // consumed twice: the guard probe + the merge
+      val stored = Store.localized(
+        Store.probe(spark, sketchTable, probeKeys, "key")
+          .select(col("key"), col("sk"), col("last_batch"), col("params")))
+        // consumed twice (the guard probe + the merge) — materialize once
       val guard = stored.filter(col("key") === GroupGuardKey)
         .collect().headOption
       guard.foreach { g =>
@@ -1681,8 +1688,7 @@ object EventStream {
           .select(col("key"), col("sk"))
           .unionByName(batchSk)
           .groupBy(col("key"))
-          .agg(org.apache.spark.sql.functions.call_function(
-            "kll_merge_agg", col("sk"), lit(k)).as("sk"))
+          .agg(mergeAgg.as("sk"))
           .withColumn("last_batch", lit(batchId))
           .withColumn("params", lit(params))
         Store.upsert(spark, sketchTable,
@@ -1691,6 +1697,62 @@ object EventStream {
       }
     }
   }
+
+  def applyGroupedQuantileBatch(
+      batch: DataFrame, toKeyValue: DataFrame => DataFrame,
+      sketchTable: String, batchId: Long, k: Int = 200,
+      buckets: Int = 4, parts: Int = 8): Boolean =
+    applyGroupedSketchBatch(batch, toKeyValue, sketchTable, batchId,
+      params = s"kll;k=$k",
+      batchAgg = org.apache.spark.sql.functions.call_function(
+        "kll_agg", col("value").cast("double"), lit(k)),
+      mergeAgg = org.apache.spark.sql.functions.call_function(
+        "kll_merge_agg", col("sk"), lit(k)),
+      guardPayload = () => graft.functions.SketchAggs.kllEmpty(k),
+      buckets = buckets, parts = parts)
+
+  /** One micro-batch of the PER-KEY streaming DISTINCT sketch
+    * ([[groupedDistinctSketchIncremental]]): per-source HLL rows under
+    * the [[applyGroupedSketchBatch]] skeleton. HLL union is register-wise
+    * max — idempotent — so the guard here is belt-and-braces (a replayed
+    * fold could not move any register), but it still buys the exact skip,
+    * the params check, and the regression failure for free.
+    */
+  def applyGroupedDistinctBatch(
+      batch: DataFrame, toKeyValue: DataFrame => DataFrame,
+      sketchTable: String, batchId: Long, lgK: Int = 12,
+      buckets: Int = 4, parts: Int = 8): Boolean =
+    applyGroupedSketchBatch(batch, toKeyValue, sketchTable, batchId,
+      params = s"hll;lgK=$lgK",
+      batchAgg = hll_sketch_agg(col("value"), lit(lgK)),
+      // strict union: a stored row built at a different lgK must fail
+      // the params guard first, and the union's own check backstops it
+      mergeAgg = hll_union_agg(col("sk"), lit(false)),
+      guardPayload = () =>
+        new org.apache.datasketches.hll.HllSketch(lgK).toUpdatableByteArray,
+      buckets = buckets, parts = parts)
+
+  /** One micro-batch of the PER-KEY streaming FREQUENCY sketch
+    * ([[groupedCmsSketchIncremental]]): per-source CMS rows under the
+    * [[applyGroupedSketchBatch]] skeleton. CMS merge is cellwise
+    * ADDITION — the KLL replay-hazard class — so here the guard row IS
+    * the exactly-once mechanism, per-key atomic under the one CAS
+    * manifest swap.
+    */
+  def applyGroupedCmsBatch(
+      batch: DataFrame, toKeyValue: DataFrame => DataFrame,
+      sketchTable: String, batchId: Long,
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42,
+      buckets: Int = 4, parts: Int = 8): Boolean =
+    applyGroupedSketchBatch(batch, toKeyValue, sketchTable, batchId,
+      params = s"cms;eps=$eps;conf=$confidence;seed=$seed",
+      batchAgg = count_min_sketch(
+        col("value"), lit(eps), lit(confidence), lit(seed)),
+      mergeAgg = org.apache.spark.sql.functions.call_function(
+        "cms_merge_agg", col("sk")),
+      guardPayload = () => graft.functions.CmsExprs.serialize(
+        org.apache.spark.util.sketch.CountMinSketch.create(eps, confidence, seed)),
+      buckets = buckets, parts = parts)
 
   /** PER-KEY streaming quantiles — [[quantileSketchIncremental]] keyed
     * (the per-language/per-source histogram layer, maintained over an
@@ -1723,6 +1785,68 @@ object EventStream {
           "kll_quantile", col("sk"), lit(q)).as("est"),
         org.apache.spark.sql.functions.call_function(
           "kll_n", col("sk")).as("n"))
+
+  /** PER-KEY streaming distinct counts (r17) — the corpus-datasheet
+    * question at 100 TB ("how many distinct tokens/users/urls per
+    * SOURCE has this stream ever carried"), maintained as one HLL row
+    * per key: per trigger the batch's per-key partials build map-side,
+    * only the touched keys' rows are read (partition-pruned) and
+    * rewritten, and state is O(keys × 2^lgK) bytes forever. See
+    * [[applyGroupedDistinctBatch]] for the replay contract.
+    */
+  def groupedDistinctSketchIncremental(
+      docs: DataFrame, toKeyValue: DataFrame => DataFrame,
+      sketchTable: String, lgK: Int = 12,
+      checkpointLocation: Option[String] = None,
+      buckets: Int = 4, parts: Int = 8, compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    guardedSketchSink(docs, checkpointLocation, compactEvery, sketchTable,
+      (b, id) => applyGroupedDistinctBatch(b, toKeyValue, sketchTable,
+        id, lgK, buckets, parts))
+
+  /** Per-key serving read: (key, distinct-estimate) for every key in
+    * the state table — O(keys) rows, never the corpus.
+    */
+  def readGroupedDistinctSketch(
+      spark: org.apache.spark.sql.SparkSession, sketchTable: String): DataFrame =
+    graft.sources.Store.read(spark, sketchTable)
+      .filter(col("key") =!= GroupGuardKey)
+      .select(col("key"), hll_sketch_estimate(col("sk")).as("est"))
+
+  /** PER-KEY streaming frequency bounds (r17) — per-source CMS rows:
+    * "how often does token x occur IN SOURCE s", answered within ε·N(s)
+    * from O(keys × ε⁻¹·ln δ⁻¹) bytes of state. Same guard-row
+    * exactly-once as the grouped KLL sink (CMS adds — see
+    * [[applyGroupedCmsBatch]]).
+    */
+  def groupedCmsSketchIncremental(
+      docs: DataFrame, toKeyValue: DataFrame => DataFrame,
+      sketchTable: String,
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42,
+      checkpointLocation: Option[String] = None,
+      buckets: Int = 4, parts: Int = 8, compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    guardedSketchSink(docs, checkpointLocation, compactEvery, sketchTable,
+      (b, id) => applyGroupedCmsBatch(b, toKeyValue, sketchTable,
+        id, eps, confidence, seed, buckets, parts))
+
+  /** Per-key serving read: estimate each (key, value) probe against ITS
+    * key's stored CMS — a keyed join over O(keys) sketch rows with the
+    * per-row `cms_estimate_row` probe, never a corpus scan. Probes whose
+    * key has no stored sketch estimate 0 (nothing of that source was
+    * ever absorbed — the CMS zero, not a null).
+    */
+  def readGroupedCmsEstimates(
+      spark: org.apache.spark.sql.SparkSession, sketchTable: String,
+      probes: DataFrame): DataFrame =
+    probes
+      .join(graft.sources.Store.read(spark, sketchTable)
+          .filter(col("key") =!= GroupGuardKey).select(col("key"), col("sk")),
+        Seq("key"), "left")
+      .select(col("key"), col("value"),
+        coalesce(
+          graft.functions.CmsExprs.cms_estimate_row(col("value"), col("sk")),
+          lit(0L)).as("est"))
 
   /** STREAMING heavy hitters — q100's streaming twin: per micro-batch the
     * token counts land in a persisted count [[graft.sources.Store]] table

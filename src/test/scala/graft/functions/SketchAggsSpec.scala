@@ -182,4 +182,47 @@ class SketchAggsSpec extends SparkSpec {
     assert(row.getDouble(1) == 7.0)
     spark.catalog.dropTempView("sk_t")
   }
+
+  test("cms_merge_agg rollup of disjoint shards equals the direct sketch byte-for-byte") {
+    // CMS is fully deterministic (hash-cell sums), so unlike KLL the
+    // rollup-vs-direct contract here is BYTE equality, not error bands
+    val rows = (1 to 400).map(i => (i % 4, s"tok${i % 23}")).toDF("shard", "v")
+    val direct = rows.select(
+      count_min_sketch(col("v"), lit(0.01), lit(0.9), lit(7)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val rolled = rows.groupBy(col("shard"))
+      .agg(count_min_sketch(col("v"), lit(0.01), lit(0.9), lit(7)).as("sk"))
+      .agg(call_function("cms_merge_agg", col("sk")).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(rolled, direct))
+    // and the per-row probe serves the same estimates as the foldable one
+    val probe = Seq("tok1", "tok22", "absent").toDF("value")
+      .withColumn("sk", lit(rolled))
+    val perRow = probe.select(call_function(
+        "cms_estimate_row", col("value"), col("sk")).as("est"))
+      .collect().map(_.getLong(0)).toSeq
+    val foldable = Seq("tok1", "tok22", "absent").toDF("value")
+      .select(graft.functions.CmsExprs.cms_estimate(col("value"), rolled).as("est"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(perRow === foldable)
+    // structural no-underestimate on a present token; exact here (no
+    // collisions at this width over 23 distinct tokens)
+    assert(perRow.head >= 400L / 23)
+  }
+
+  test("cms_merge_agg refuses mixed-shape constituents; empty group is NULL") {
+    val a = Seq("x").toDF("v")
+      .select(count_min_sketch(col("v"), lit(0.01), lit(0.9), lit(7)).as("sk"))
+    val b = Seq("x").toDF("v")
+      .select(count_min_sketch(col("v"), lit(0.1), lit(0.9), lit(7)).as("sk"))
+    val err = intercept[Exception] {
+      a.unionByName(b).coalesce(1)
+        .agg(call_function("cms_merge_agg", col("sk"))).collect()
+    }
+    assert(err.getMessage.contains("shapes") ||
+      Option(err.getCause).exists(_.getMessage.contains("shapes")))
+    val empty = a.filter(org.apache.spark.sql.functions.lit(false))
+      .agg(call_function("cms_merge_agg", col("sk"))).head()
+    assert(empty.isNullAt(0), "empty group must evaluate to NULL (no shape to adopt)")
+  }
 }

@@ -387,75 +387,83 @@ class StreamIndexPruneSpec extends SparkSpec {
 
   // ——— the grouped sketch sink's pruned probe (r17) ———
 
-  test("applyGroupedQuantileBatch: probe bytes invariant as the state table grows in unprobed keys") {
-    val table = "gqs_prune_tab"
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val toKV = (b: DataFrame) => b.select(col("k").as("key"), col("v").as("value"))
-    def batchOf(keys: Seq[String], vBase: Int): DataFrame =
-      keys.zipWithIndex.flatMap { case (k, i) =>
-        (0 until 5).map(j => (k, vBase + i * 10 + j))
-      }.toDF("k", "v")
-    val seedKeys = (0 until 10).map(i => s"gk$i")
-    // seed ids 0..2; the last batch (id 2) touches the probe keys, so a
-    // replayed id-2 probe is the legitimate no-write trigger the
-    // measurement needs (refused fold → the probed partitions' files are
-    // byte-identical across both measurements)
-    (0L to 2L).foreach { id =>
-      assert(EventStream.applyGroupedQuantileBatch(
-        batchOf(seedKeys, 100 * id.toInt), toKV, table,
-        batchId = id, k = 200, buckets = 4, parts = Parts))
-    }
-    val probeBatch = batchOf(Seq("gk3", "gk7"), 200).localCheckpoint()
-    // the probe also reads the reserved guard row's partition every
-    // trigger, so growth must avoid it too — and since every applied
-    // batch rewrites the guard row, fold the delta chains before each
-    // measurement so both probes read one generation per partition
-    val pp = keyParts(probeBatch.select(col("k").as("key"))
-      .unionByName(Seq(EventStream.GroupGuardKey).toDF("key")), "key")
-    withListener {
-      def probeBytes(): Long = {
-        Store.compact(spark, table)
-        measured {
-          val folded = EventStream.applyGroupedQuantileBatch(
-            probeBatch, toKV, table, batchId = 2L, k = 200,
-            buckets = 4, parts = Parts)
-          assert(!folded, "the probe trigger must be the refused replay")
+  /** The grouped sketch sinks share one applier skeleton
+    * (EventStream.applyGroupedSketchBatch), so the bytes-read invariance
+    * pin runs once per ALGEBRA over the same harness: seed, probe under
+    * a refused replay (byte-identical files across measurements), grow
+    * the state ~8× strictly in keys routing AWAY from the probed
+    * partitions, re-probe, assert non-growth.
+    */
+  private def groupedProbeInvariant(
+      name: String, table: String,
+      apply: (DataFrame, DataFrame => DataFrame, String, Long) => Boolean): Unit =
+    test(s"$name: probe bytes invariant as the state table grows in unprobed keys") {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val toKV = (b: DataFrame) => b.select(col("k").as("key"), col("v").as("value"))
+      def batchOf(keys: Seq[String], vBase: Int): DataFrame =
+        keys.zipWithIndex.flatMap { case (k, i) =>
+          (0 until 5).map(j => (k, vBase + i * 10 + j))
+        }.toDF("k", "v")
+      val seedKeys = (0 until 10).map(i => s"gk$i")
+      // seed ids 0..2; the last batch (id 2) touches the probe keys, so a
+      // replayed id-2 probe is the legitimate no-write trigger the
+      // measurement needs (refused fold → the probed partitions' files are
+      // byte-identical across both measurements)
+      (0L to 2L).foreach { id =>
+        assert(apply(batchOf(seedKeys, 100 * id.toInt), toKV, table, id))
+      }
+      val probeBatch = batchOf(Seq("gk3", "gk7"), 200).localCheckpoint()
+      // the probe also reads the reserved guard row's partition every
+      // trigger, so growth must avoid it too — and since every applied
+      // batch rewrites the guard row, fold the delta chains before each
+      // measurement so both probes read one generation per partition
+      val pp = keyParts(probeBatch.select(col("k").as("key"))
+        .unionByName(Seq(EventStream.GroupGuardKey).toDF("key")), "key")
+      withListener {
+        def probeBytes(replayId: Long): Long = {
+          Store.compact(spark, table)
+          measured {
+            val folded = apply(probeBatch, toKV, table, replayId)
+            assert(!folded, "the probe trigger must be the refused replay")
+          }
         }
-      }
-      def probeBytes2(): Long = {
-        Store.compact(spark, table)
-        measured {
-          val folded = EventStream.applyGroupedQuantileBatch(
-            probeBatch, toKV, table, batchId = 10L, k = 200,
-            buckets = 4, parts = Parts)
-          assert(!folded, "the probe trigger must be the refused replay")
+        val bytes1 = probeBytes(2L)
+        assert(bytes1 > 0L, "the probe read no bytes — the pin is vacuous")
+        // grow the state table ~8× strictly in keys that route AWAY from
+        // the probe keys' partitions, under fresh monotone batch ids
+        (1 to 8).foreach { g =>
+          val growKeys = (0 until 40).map(i => s"grow-$g-$i").toDF("key")
+            .withColumn("__p", pmod(hash(col("key")), lit(Parts)))
+            .collect().filterNot(r => pp.contains(r.getInt(1)))
+            .map(_.getString(0)).toSeq
+          assert(apply(batchOf(growKeys, 1000 * g), toKV, table, 2L + g))
         }
+        val bytes2 = probeBytes(10L)
+        // both measurements run post-compaction (one generation per
+        // partition), but a fold re-encodes files, so byte EQUALITY is not
+        // the contract here — NON-GROWTH is: the state table grew ~8× in
+        // unprobed keys and the probe's read must not grow with it
+        assert(bytes2 <= bytes1,
+          s"grouped probe scales with the state table: $bytes1 before growth, $bytes2 after")
+        val nKeys = Store.read(spark, table).count()
+        assert(nKeys > 200L, s"growth did not land ($nKeys keys) — the pin is vacuous")
       }
-      val bytes1 = probeBytes()
-      assert(bytes1 > 0L, "the probe read no bytes — the pin is vacuous")
-      // grow the state table ~8× strictly in keys that route AWAY from
-      // the probe keys' partitions, under fresh monotone batch ids
-      (1 to 8).foreach { g =>
-        val growKeys = (0 until 40).map(i => s"grow-$g-$i").toDF("key")
-          .withColumn("__p", pmod(hash(col("key")), lit(Parts)))
-          .collect().filterNot(r => pp.contains(r.getInt(1)))
-          .map(_.getString(0)).toSeq
-        assert(EventStream.applyGroupedQuantileBatch(
-          batchOf(growKeys, 1000 * g), toKV, table,
-          batchId = 2L + g, k = 200, buckets = 4, parts = Parts))
-      }
-      val bytes2 = probeBytes2()
-      // both measurements run post-compaction (one generation per
-      // partition), but a fold re-encodes files, so byte EQUALITY is not
-      // the contract here — NON-GROWTH is: the state table grew ~8× in
-      // unprobed keys and the probe's read must not grow with it
-      assert(bytes2 <= bytes1,
-        s"grouped probe scales with the state table: $bytes1 before growth, $bytes2 after")
-      val nKeys = Store.read(spark, table).count()
-      assert(nKeys > 200L, s"growth did not land ($nKeys keys) — the pin is vacuous")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
     }
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-  }
+
+  groupedProbeInvariant("applyGroupedQuantileBatch", "gqs_prune_tab",
+    (b, toKV, t, id) => EventStream.applyGroupedQuantileBatch(
+      b, toKV, t, id, k = 200, buckets = 4, parts = Parts))
+
+  groupedProbeInvariant("applyGroupedDistinctBatch", "ghll_prune_tab",
+    (b, toKV, t, id) => EventStream.applyGroupedDistinctBatch(
+      b.withColumn("v", col("v").cast("string")), toKV, t, id,
+      lgK = 12, buckets = 4, parts = Parts))
+
+  groupedProbeInvariant("applyGroupedCmsBatch", "gcms_prune_tab",
+    (b, toKV, t, id) => EventStream.applyGroupedCmsBatch(
+      b.withColumn("v", col("v").cast("string")), toKV, t, id,
+      eps = 0.01, buckets = 4, parts = Parts))
 
   // ——— compaction cadence for the exact-path sinks (r16 verdict #2) ———
 

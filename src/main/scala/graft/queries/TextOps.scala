@@ -2543,6 +2543,65 @@ object TextOps {
           CASE WHEN doc_id % 7 = 0 THEN doc_id * 2 ELSE NULL END AS weight
         FROM base ORDER BY doc_id""")),
 
+    // STREAMING TYPE-WIDENING SCHEMA EVOLUTION (r17 — VERDICT r16 #5,
+    // q206's sibling for the TYPE axis): phase 1 streams the corpus with
+    // an INT metric column; phase 2 is a redeploy whose batches carry
+    // the same column as BIGINT with values past Int.MaxValue. The
+    // widened upsert must promote the table type IN PLACE (catalog
+    // metadata only — Store.evolveForUpdates' widensTo set, the
+    // SPARK-40876 promotions the parquet reader serves from existing
+    // files), with every phase-1 generation decoding widened on read and
+    // zero data rewritten; drops/retypes stay fail-loud (StoreSpec pins
+    // the refusals and the no-file-moved invariant). Hash-compared: the
+    // final table vs the closed-form oracle, the widened column BIGINT
+    // on both sides.
+    QueryDef(
+      "q221_stream_type_widening",
+      (s, dir) => {
+        import graft.sources.Store
+        val ss = graft.queries.EventOps.streamSession(s)
+        val base = Tables.documents(s, dir).filter(col("text").isNotNull)
+        val table = "twid_docs"
+        ss.sql(s"DROP TABLE IF EXISTS $table")
+        val srcNarrow = java.nio.file.Files.createTempDirectory("q221a").toString
+        val srcWide = java.nio.file.Files.createTempDirectory("q221b").toString
+        val ckptA = java.nio.file.Files.createTempDirectory("q221ckpta").toString
+        val ckptB = java.nio.file.Files.createTempDirectory("q221ckptb").toString
+        val narrow = base.select(col("doc_id"), col("text"),
+          col("n_chars").cast("int").as("weight"))
+        narrow.coalesce(1).write.mode("append").parquet(srcNarrow)
+        val q1 = graft.streaming.EventStream.toStoreUpsert(
+          ss.readStream.schema(narrow.schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcNarrow),
+          table, "doc_id", buckets = 4, parts = 8,
+          checkpointLocation = Some(ckptA))
+        try q1.processAllAvailable() finally q1.stop()
+        val wide = base.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" [w]")).as("text"),
+            (col("n_chars").cast("long") + lit(3000000000L)).as("weight"))
+        wide.coalesce(1).write.mode("append").parquet(srcWide)
+        val q2 = graft.streaming.EventStream.toStoreUpsert(
+          ss.readStream.schema(wide.schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcWide),
+          table, "doc_id", buckets = 4, parts = 8,
+          checkpointLocation = Some(ckptB))
+        try q2.processAllAvailable() finally q2.stop()
+        val result = Store.read(s, table)
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        Seq(srcNarrow, srcWide, ckptA, ckptB).foreach(graft.queries.EventOps.rmTree)
+        result
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, text, n_chars FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN text || ' [w]' ELSE text END AS text,
+          CAST(CASE WHEN doc_id % 7 = 0 THEN n_chars + 3000000000
+               ELSE n_chars END AS BIGINT) AS weight
+        FROM base ORDER BY doc_id""")),
+
     // CHANGELOG / CDC ([[graft.sources.Store.changes]]) — the downstream-
     // sync primitive: every key whose value differs between two retained
     // manifests, labeled insert/update/delete with the post-image (null

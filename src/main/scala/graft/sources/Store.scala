@@ -391,33 +391,81 @@ object Store {
   private def userColumns(t: DataFrame): Seq[String] =
     t.columns.toSeq.filterNot(c => c == PartCol || c == GenCol || c == DelCol)
 
-  /** ADDITIVE SCHEMA EVOLUTION (r13 verdict #4 → r15): an upsert batch
-    * may carry columns the table does not have yet. They are added as
-    * NULLABLE columns via ALTER TABLE ADD COLUMNS — data files are
-    * immutable and parquet projects by NAME, so every existing
-    * generation reads the new column as NULL with no rewrite — and a
-    * `_schema-<v>.txt` sidecar records the column list each manifest
-    * version serves, so [[readVersion]] returns the PRE-evolution shape
-    * for pre-evolution versions. Additive ONLY, loud otherwise: a shared
-    * column whose type differs is rejected here, and a batch MISSING an
-    * existing column fails the staged select (a keyed upsert's
-    * post-image must carry the whole row — silently NULL-filling a
-    * misspelled column is how corpora rot). Sidecars are tiny, written
-    * once per evolution, and never vacuumed. Columns can never be
-    * dropped or retyped in place — that is a rebuild ([[bulkWrite]]),
-    * which is what keeps every retained snapshot readable forever.
+  /** The lossless in-place type WIDENINGS [[evolveForUpdates]] accepts
+    * (r17 — VERDICT r16 #5): exactly the promotions the parquet reader
+    * serves from existing files with no rewrite (SPARK-40876: INT32
+    * pages decode as LONG, FLOAT as DOUBLE, in the vectorized reader).
+    * Everything else remains a fail-loud rebuild.
+    */
+  private def widensTo(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _                       => false
+    }
+  }
+
+  /** SCHEMA EVOLUTION (r13 verdict #4 → r15 additive; r17 widening): an
+    * upsert batch may carry columns the table does not have yet, or a
+    * WIDER type for a column it has. New columns are added as NULLABLE
+    * via ALTER TABLE ADD COLUMNS — data files are immutable and parquet
+    * projects by NAME, so every existing generation reads the new column
+    * as NULL with no rewrite — and a `_schema-<v>.txt` sidecar records
+    * the column list each manifest version serves, so [[readVersion]]
+    * returns the PRE-evolution shape for pre-evolution versions. A
+    * shared column arriving int→long or float→double WIDENS the table
+    * type in place (catalog metadata only — old generations' narrower
+    * pages decode widened on read, [[widensTo]]); time travel serves
+    * pre-widening versions at the widened type with unchanged values (a
+    * lossless upcast). The ID column never widens in place: the layout
+    * routes and buckets on murmur3 of the key AT ITS TYPE, so a widened
+    * key would stop finding its own rows — that is a rebuild. A batch
+    * carrying a NARROWER type than the table (the replay of a
+    * pre-widening batch after the widening landed) is accepted — the
+    * staged insert upcasts losslessly. Everything else stays loud: true
+    * retypes are rejected here, and a batch MISSING an existing column
+    * fails the staged select (a keyed upsert's post-image must carry
+    * the whole row — silently NULL-filling a misspelled column is how
+    * corpora rot). Sidecars are tiny, written once per evolution, never
+    * vacuumed. Columns can never be dropped or arbitrarily retyped in
+    * place — that is a rebuild ([[bulkWrite]]), which is what keeps
+    * every retained snapshot readable forever.
     */
   private def evolveForUpdates(
       spark: SparkSession, name: String, updates: DataFrame): Unit = {
     val t = spark.table(name)
     val tableTypes = t.schema.fields.map(f => f.name -> f.dataType).toMap
-    val clash = updates.schema.fields.filter(f =>
+    val differing = updates.schema.fields.filter(f =>
       tableTypes.get(f.name).exists(_.catalogString != f.dataType.catalogString))
+    val toWiden = differing.filter(f => widensTo(tableTypes(f.name), f.dataType))
+    val clash = differing.filterNot(f =>
+      widensTo(tableTypes(f.name), f.dataType) ||
+        widensTo(f.dataType, tableTypes(f.name)))
     require(clash.isEmpty,
-      s"type change rejected for $name (evolution is additive-only; rebuild " +
-        s"via bulkWrite to retype): ${clash.map(f =>
+      s"type change rejected for $name (evolution is additive or widening " +
+        s"int->long / float->double only; rebuild via bulkWrite to retype): " +
+        clash.map(f =>
           s"${f.name}: ${tableTypes(f.name).catalogString} -> " +
-            f.dataType.catalogString).mkString(", ")}")
+            f.dataType.catalogString).mkString(", "))
+    if (toWiden.nonEmpty) {
+      val idCol = idColOf(spark, name)
+      require(!toWiden.exists(_.name == idCol),
+        s"cannot widen the id column '$idCol' of $name in place: routing and " +
+          "bucketing hash the key AT ITS TYPE (murmur3 of int 7 != long 7), " +
+          "so a widened key would stop finding its own rows — rebuild via " +
+          "bulkWrite to re-key")
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+      val cat = spark.sessionState.catalog
+      val widenMap = toWiden.map(f => f.name -> f.dataType).toMap
+      val newData = org.apache.spark.sql.types.StructType(
+        cat.getTableMetadata(ident).dataSchema.fields.map(f =>
+          widenMap.get(f.name).map(dt => f.copy(dataType = dt)).getOrElse(f)))
+      cat.alterTableDataSchema(ident, newData)
+      spark.catalog.refreshTable(name)
+    }
     val extras = updates.schema.fields.filterNot(f => tableTypes.contains(f.name))
     if (extras.nonEmpty) {
       val loc = tableLocation(spark, name)

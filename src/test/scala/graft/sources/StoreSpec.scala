@@ -729,4 +729,73 @@ class StoreSpec extends SparkSpec {
       assert(Store.read(spark, t).orderBy(col("id")).collect().toSeq === expected)
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("type widening evolution: int->long/float->double in place; id and retypes refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val t = "widen_tab"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val base = (1L to 40L).map(i => (i, i.toInt, i.toFloat, s"d$i"))
+      .toDF("id", "n", "w", "txt")
+    Store.bulkWrite(base, t, "id", buckets = 2, parts = 4, validateKeys = true)
+    try {
+      val v0 = Store.versions(spark, t).last
+      // widening is catalog metadata only — no data file may move
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(t)).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def dataFiles(): Map[String, Long] = {
+        val out = scala.collection.mutable.Map.empty[String, Long]
+        val it = fs.listFiles(loc, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+            out(f.getPath.toString) = f.getLen
+        }
+        out.toMap
+      }
+      val before = dataFiles()
+      Store.upsert(spark, t,
+        Seq((7L, 3000000000L, 2.5d, "d7w")).toDF("id", "n", "w", "txt"),
+        "id", buckets = 2)
+      val sch = spark.table(t).schema
+      assert(sch("n").dataType === LongType, "int column must widen to long")
+      assert(sch("w").dataType === DoubleType, "float column must widen to double")
+      val after = dataFiles()
+      assert(before.forall { case (p, len) => after.get(p).contains(len) },
+        "widening rewrote or removed a pre-widening data file")
+      // old generations decode widened; the delta's wide value round-trips
+      val rows = Store.read(spark, t).orderBy(col("id")).collect()
+      assert(rows(0).getLong(1) === 1L && rows(0).getDouble(2) === 1.0d)
+      assert(rows(6).getLong(1) === 3000000000L && rows(6).getString(3) === "d7w")
+      // time travel BEFORE the widening: widened type, original values
+      val tv = Store.readVersion(spark, t, v0)
+      assert(tv.schema("n").dataType === LongType)
+      assert(tv.filter(col("id") === 7L).head().getAs[Long]("n") === 7L)
+      // a NARROWER batch (the pre-widening replay) is accepted and upcasts
+      Store.upsert(spark, t,
+        Seq((9L, 99, 9.5f, "d9r")).toDF("id", "n", "w", "txt"), "id", buckets = 2)
+      val r9 = Store.read(spark, t).filter(col("id") === 9L).head()
+      assert(r9.getAs[Long]("n") === 99L && r9.getAs[Double]("w") === 9.5f.toDouble)
+      // a true retype stays loud
+      val retype = intercept[IllegalArgumentException] {
+        Store.upsert(spark, t,
+          Seq((3L, "oops", 1.0d, "x")).toDF("id", "n", "w", "txt"), "id", buckets = 2)
+      }
+      assert(retype.getMessage.contains("type change rejected"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+    // the id column never widens in place (routing hashes the key at its
+    // type) — a LONG-keyed batch against an INT-keyed table is refused
+    val t2 = "widen_id_tab"
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+    Store.bulkWrite(Seq((1, "a"), (2, "b")).toDF("id", "txt"), t2, "id",
+      buckets = 2, parts = 2, validateKeys = true)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Store.upsert(spark, t2, Seq((1L, "c")).toDF("id", "txt"), "id", buckets = 2)
+      }
+      assert(e.getMessage.contains("widen the id column"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t2")
+  }
 }

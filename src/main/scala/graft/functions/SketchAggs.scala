@@ -119,6 +119,38 @@ object SketchAggs {
     i.getResult.getEstimate
   }
 
+  /** |A ∩ B| as (estimate, lower, upper) at `numStd` standard
+    * deviations — the library's OWN confidence interval, which adapts to
+    * the operands' actual thetas (a fixed a-priori RSE band misstates
+    * intersection error, which scales with the union's sampling rate,
+    * not the result's size). The decontam-screen certificates gate on
+    * these.
+    */
+  def thetaIntersectBounds(
+      a: Array[Byte], b: Array[Byte], numStd: Int = 3): (Double, Double, Double) = {
+    val i = SetOperation.builder().buildIntersection()
+    i.intersect(Sketches.heapifySketch(Memory.wrap(a)))
+    i.intersect(Sketches.heapifySketch(Memory.wrap(b)))
+    val r = i.getResult
+    (r.getEstimate, r.getLowerBound(numStd), r.getUpperBound(numStd))
+  }
+
+  /** |A| as (estimate, lower, upper) at `numStd` standard deviations. */
+  def thetaBounds(bytes: Array[Byte], numStd: Int = 3): (Double, Double, Double) = {
+    val s = Sketches.heapifySketch(Memory.wrap(bytes))
+    (s.getEstimate, s.getLowerBound(numStd), s.getUpperBound(numStd))
+  }
+
+  /** |A \ B| as (estimate, lower, upper) at `numStd` standard deviations. */
+  def thetaAnotBBounds(
+      a: Array[Byte], b: Array[Byte], numStd: Int = 3): (Double, Double, Double) = {
+    val op = SetOperation.builder().buildANotB()
+    op.setA(Sketches.heapifySketch(Memory.wrap(a)))
+    op.notB(Sketches.heapifySketch(Memory.wrap(b)))
+    val r = op.getResult(true)
+    (r.getEstimate, r.getLowerBound(numStd), r.getUpperBound(numStd))
+  }
+
   /** |A \ B| estimate from two serialized theta sketches. */
   def thetaAnotBEstimate(a: Array[Byte], b: Array[Byte]): Double = {
     val op = SetOperation.builder().buildANotB()

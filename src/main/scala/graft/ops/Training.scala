@@ -864,4 +864,58 @@ object Training {
         countDistinct(col("test_id")).as("n_test_docs"),
         max(col("n_shared")).as("worst_overlap"))
   }
+
+  /** SKETCH-ROUTE DECONTAMINATION SCREEN (r17 — VERDICT r16 #6, the
+    * third decontam route after the exact join (q86) and the bloom
+    * prefilter (q89)): estimate how much of each BENCHMARK's vocabulary
+    * the corpus has EVER seen, from kilobyte payloads — the corpus's
+    * maintained theta set sketch (the
+    * [[graft.streaming.EventStream.thetaSketchIncremental]] state, one
+    * stored row that a stream keeps current forever) intersected with
+    * each benchmark's own token sketch. Per benchmark: estimated
+    * vocabulary size, estimated overlap with the corpus set, estimated
+    * novel remainder — each a theta set operation over two payloads, so
+    * the CORPUS side costs nothing at screen time regardless of corpus
+    * size (it was paid once, incrementally, by the stream). The
+    * benchmark side is one map-side-partial `theta_agg` pass over the
+    * benchmark tokens — small by definition. No corpus-side join,
+    * shuffle, or scan exists in this path; the trade against q86/q89 is
+    * exactness (estimates within the theta RSE, ~1/√(2^lgK −1) per
+    * set op) and granularity (set-level contamination, not per-doc drop
+    * lists — the screen TRIAGES which benchmarks need the exact route).
+    *
+    * `benchmarks` carries one row per (benchmark, token); empty tokens
+    * are dropped on both sides of every gate (theta rejects '' — the
+    * q212 rule). Each measure comes with the LIBRARY's own confidence
+    * interval at `numStd` standard deviations (adaptive to the operands'
+    * actual thetas — an a-priori RSE band misstates intersection error,
+    * which scales with the sampling rate, not the result's size):
+    * (bench, est_vocab, vocab_lb, vocab_ub, est_overlap, overlap_lb,
+    * overlap_ub, est_novel, novel_lb, novel_ub).
+    */
+  def decontamSketchScreen(
+      spark: org.apache.spark.sql.SparkSession, sketchTable: String,
+      benchmarks: DataFrame, benchCol: String, tokenCol: String,
+      lgK: Int = 12, numStd: Int = 3): DataFrame = {
+    import graft.functions.SketchAggs
+    import spark.implicits._
+    val corpusSk = graft.sources.Store.read(spark, sketchTable)
+      .select(col("sketch")).head().getAs[Array[Byte]](0)
+    // one row (a few KB of sketch) per benchmark reaches the driver
+    val perBench = benchmarks
+      .filter(col(tokenCol).isNotNull && col(tokenCol) =!= "")
+      .select(col(benchCol).cast("string").as("bench"), col(tokenCol).as("tok"))
+      .groupBy(col("bench"))
+      .agg(call_function("theta_agg", col("tok"), lit(lgK)).as("sk"))
+      .collect()
+    perBench.toSeq.map { r =>
+      val sk = r.getAs[Array[Byte]]("sk")
+      val (v, vlb, vub) = SketchAggs.thetaBounds(sk, numStd)
+      val (o, olb, oub) = SketchAggs.thetaIntersectBounds(sk, corpusSk, numStd)
+      val (n, nlb, nub) = SketchAggs.thetaAnotBBounds(sk, corpusSk, numStd)
+      (r.getString(0), v, vlb, vub, o, olb, oub, n, nlb, nub)
+    }.toDF("bench", "est_vocab", "vocab_lb", "vocab_ub",
+      "est_overlap", "overlap_lb", "overlap_ub",
+      "est_novel", "novel_lb", "novel_ub")
+  }
 }

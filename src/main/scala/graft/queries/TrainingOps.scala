@@ -275,6 +275,77 @@ object TrainingOps {
           CAST(max(n_shared) AS BIGINT) AS worst_overlap
         FROM cp GROUP BY train_id ORDER BY train_id""")),
 
+    // SKETCH-ROUTE DECONTAMINATION SCREEN (r17 —
+    // [[graft.ops.Training.decontamSketchScreen]], the third decontam
+    // route after q86's exact join and q89's bloom prefilter): the
+    // corpus's maintained theta set sketch (the q217 streaming state —
+    // built here through the same [[graft.streaming.EventStream
+    // .applyThetaBatch]] kernel the sink runs) is intersected per
+    // BENCHMARK with that benchmark's own token sketch, so "how
+    // contaminated is benchmark X" costs two kilobyte payloads at screen
+    // time — no corpus-side join, shuffle, or scan, at any corpus size.
+    // Three benchmark slices of the held-out source screen against the
+    // rest-of-corpus vocabulary. Hash-compared: exact per-benchmark
+    // vocab and overlap counts (DuckDB); certificates: each exact count
+    // inside the LIBRARY's own 3σ interval for its set operation
+    // (adaptive bounds — a fixed RSE band misstates intersection error),
+    // never hashing an estimate. Empty tokens filtered both sides (the
+    // q212 rule).
+    QueryDef(
+      "q222_decontam_sketch",
+      (s, dir) => {
+        import s.implicits._
+        val table = "q222_sketch"
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        val toks = Tables.documents(s, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            explode(TextStats.tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= "")
+        graft.streaming.EventStream.applyThetaBatch(
+          toks.filter(col("source") =!= "src0"),
+          b => b.select(col("tok").as("value")), table, lgK = 12)
+        val bm = toks.filter(col("source") === "src0")
+          .select((col("doc_id") % 3).cast("string").as("bench"), col("tok"))
+        val screen = Training.decontamSketchScreen(
+          s, table, bm, "bench", "tok", lgK = 12, numStd = 3)
+        // exact counts: distinct bench vocab + membership in the distinct
+        // corpus token set (the oracle's closed form)
+        val corpusToks = toks.filter(col("source") =!= "src0")
+          .select(col("tok")).distinct()
+        val exact = bm.distinct()
+          .join(corpusToks.withColumn("__in", lit(1)), Seq("tok"), "left")
+          .groupBy(col("bench"))
+          .agg(count(lit(1)).as("n_vocab"),
+            sum(coalesce(col("__in"), lit(0))).cast("long").as("n_overlap"))
+        val result = exact.join(screen, Seq("bench"))
+          .select(col("bench"), col("n_vocab"), col("n_overlap"),
+            (col("vocab_lb") <= col("n_vocab") &&
+              col("n_vocab") <= col("vocab_ub")).as("vocab_ok"),
+            (col("overlap_lb") <= col("n_overlap") &&
+              col("n_overlap") <= col("overlap_ub")).as("overlap_ok"),
+            (col("novel_lb") <= col("n_vocab") - col("n_overlap") &&
+              col("n_vocab") - col("n_overlap") <= col("novel_ub")).as("novel_ok"))
+          .orderBy(col("bench"))
+          .localCheckpoint()
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        result
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source,
+            unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents WHERE text IS NOT NULL),
+        corpus AS (
+          SELECT DISTINCT tok FROM toks WHERE source <> 'src0' AND tok <> ''),
+        bm AS (
+          SELECT DISTINCT CAST(doc_id % 3 AS VARCHAR) AS bench, tok
+          FROM toks WHERE source = 'src0' AND tok <> '')
+        SELECT bm.bench, CAST(count(*) AS BIGINT) AS n_vocab,
+          CAST(sum(CASE WHEN c.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+          true AS vocab_ok, true AS overlap_ok, true AS novel_ok
+        FROM bm LEFT JOIN corpus c ON bm.tok = c.tok
+        GROUP BY bm.bench ORDER BY bm.bench""")),
+
     // The composed curation pipeline — the operators above chained into
     // the corpus → training-shards job a real pretraining pipeline runs:
     // exact-dedup keepers → quality filter → deterministic split →

@@ -101,6 +101,13 @@ object SketchAggs {
   def thetaEstimate(bytes: Array[Byte]): Double =
     Sketches.heapifySketch(Memory.wrap(bytes)).getEstimate
 
+  /** An empty theta compact sketch at accuracy `lgK` — the guard-row
+    * placeholder payload ([[kllEmpty]]'s theta sibling).
+    */
+  def thetaEmpty(lgK: Int): Array[Byte] =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+      .getResult.toByteArray
+
   /** Union of two serialized theta sketches → ordered compact bytes.
     * Idempotent and commutative (set union over retained hashes), so
     * streaming replay cannot move the stored state.

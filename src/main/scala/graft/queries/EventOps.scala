@@ -1670,6 +1670,116 @@ object EventOps {
           true AS never_under, true AS within_eps, true AS replay_guard
         FROM r WHERE rn <= 3
         ORDER BY source, exact_n DESC, tok""")),
+
+    // PER-KEY STREAMING SET STATE + PAIRWISE OVERLAP MATRIX (r17 —
+    // [[graft.streaming.EventStream.groupedThetaSketchIncremental]] /
+    // [[graft.streaming.EventStream.readGroupedThetaMatrix]]): the
+    // fourth grouped algebra — one theta vocabulary-set row per SOURCE,
+    // maintained over the stream, and at read time the cross-source
+    // containment matrix (every source pair's distinct sizes +
+    // intersection) from O(keys) kilobyte payloads, driver-side pairwise
+    // — the datasheet question grouped HLL structurally cannot answer.
+    // Same guard-row skeleton as q219/q220 (theta union is idempotent;
+    // the guard buys the exact skip + params + regression). The gate
+    // re-applies the final id and pins every key's bytes unmoved.
+    // Hash-compared: exact per-source distinct counts and per-pair
+    // intersection counts (DuckDB); certificates: each exact count
+    // inside its set operation's library 3σ interval (the q222 rule —
+    // estimates never hashed).
+    QueryDef(
+      "q223_stream_grouped_theta",
+      (s, dir) => {
+        import s.implicits._
+        val ss = EventOps.streamSession(s)
+        val streamDocs = Tables.documents(ss, dir)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"))
+        val srcDir = EventOps.cachedSrcDir("q223", dir)(
+          EventOps.stageOrderedBatches(streamDocs,
+            graft.ops.Dedup.portableHash(col("doc_id").cast("string"),
+              "graft-s223:") % 4, 4, "q223"))
+        ss.sql("DROP TABLE IF EXISTS q223_sketch")
+        val ckpt = java.nio.file.Files.createTempDirectory("q223ckpt").toString
+        val stream = ss.readStream.schema(streamDocs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val toKV = (b: org.apache.spark.sql.DataFrame) =>
+          b.select(col("source").as("key"),
+              explode(graft.ops.TextStats.tokens(col("text"))).as("value"))
+            .filter(col("value") =!= "")
+        val q = graft.streaming.EventStream.groupedThetaSketchIncremental(
+          stream, toKV, "q223_sketch", lgK = 12,
+          checkpointLocation = Some(ckpt), compactEvery = 3)
+        try q.processAllAvailable()
+        finally q.stop()
+        // replay guard (the q219 rule): re-apply the final absorbed id
+        // and pin the full per-key state byte-identical
+        def state(): Map[String, (Array[Byte], Long)] =
+          graft.sources.Store.read(s, "q223_sketch")
+            .filter(col("key") =!= graft.streaming.EventStream.GroupGuardKey)
+            .select(col("key"), col("sk"), col("last_batch"))
+            .collect().map(r => r.getString(0) ->
+              (r.getAs[Array[Byte]](1), r.getLong(2))).toMap
+        val before = state()
+        val replayBatch = Tables.documents(s, dir).filter(col("text").isNotNull)
+          .filter(graft.ops.Dedup.portableHash(
+            col("doc_id").cast("string"), "graft-s223:") % 4 === 3)
+          .select(col("source"), col("text"))
+        val refolded = graft.streaming.EventStream.applyGroupedThetaBatch(
+          replayBatch, toKV, "q223_sketch", batchId = 3L, lgK = 12)
+        val after = state()
+        val guardHeld = !refolded && before.keySet == after.keySet &&
+          before.forall { case (k, (b, lb)) =>
+            java.util.Arrays.equals(b, after(k)._1) && lb == after(k)._2
+          }
+        val matrix = graft.streaming.EventStream
+          .readGroupedThetaMatrix(s, "q223_sketch", numStd = 3)
+          .localCheckpoint()
+        // exact per-source distinct vocab + per-pair intersections
+        val v = toKV(Tables.documents(s, dir).filter(col("text").isNotNull))
+          .distinct().localCheckpoint() // feeds the size agg + the pair join
+        val sizes = v.groupBy(col("key")).agg(count(lit(1)).as("nv"))
+        val pairs = v.as("a").join(v.as("b"),
+            col("a.value") === col("b.value") && col("a.key") < col("b.key"))
+          .groupBy(col("a.key").as("key_a"), col("b.key").as("key_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        val result = matrix
+          .join(sizes.select(col("key").as("key_a"), col("nv").as("n_a")), Seq("key_a"))
+          .join(sizes.select(col("key").as("key_b"), col("nv").as("n_b")), Seq("key_b"))
+          .join(pairs, Seq("key_a", "key_b"), "left")
+          .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+          .select(
+            col("key_a").as("source_a"), col("key_b").as("source_b"),
+            col("n_a"), col("n_b"), col("n_inter"),
+            (col("a_lb") <= col("n_a") && col("n_a") <= col("a_ub")).as("a_ok"),
+            (col("b_lb") <= col("n_b") && col("n_b") <= col("b_ub")).as("b_ok"),
+            (col("inter_lb") <= col("n_inter") &&
+              col("n_inter") <= col("inter_ub")).as("inter_ok"),
+            lit(guardHeld).as("replay_guard"))
+          .orderBy(col("source_a"), col("source_b"))
+          .localCheckpoint()
+        s.sql("DROP TABLE IF EXISTS q223_sketch")
+        EventOps.rmTree(ckpt)
+        result
+      },
+      Some("""
+        WITH toks AS (
+          SELECT source,
+            unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents WHERE text IS NOT NULL),
+        v AS (SELECT DISTINCT source, tok FROM toks WHERE tok <> ''),
+        n AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM v GROUP BY source),
+        p AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+            CAST(count(*) AS BIGINT) AS n_inter
+          FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+          GROUP BY a.source, b.source)
+        SELECT na.source AS source_a, nb.source AS source_b,
+          na.nv AS n_a, nb.nv AS n_b,
+          CAST(COALESCE(p.n_inter, 0) AS BIGINT) AS n_inter,
+          true AS a_ok, true AS b_ok, true AS inter_ok, true AS replay_guard
+        FROM n na JOIN n nb ON na.source < nb.source
+        LEFT JOIN p ON p.source_a = na.source AND p.source_b = nb.source
+        ORDER BY source_a, source_b""")),
   )
 
   /** Shared by q146 (batch join route) and q162 (streaming custom-state

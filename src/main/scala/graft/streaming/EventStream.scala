@@ -1823,6 +1823,81 @@ object EventStream {
       (b, id) => applyGroupedCmsBatch(b, toKeyValue, sketchTable,
         id, eps, confidence, seed, buckets, parts))
 
+  /** One micro-batch of the PER-KEY streaming SET sketch
+    * ([[groupedThetaSketchIncremental]]): per-source theta rows — the
+    * fourth algebra of the grouped family (KLL distributes, HLL counts,
+    * CMS bounds frequencies; theta SET-ALGEBRAS: per-source vocabulary
+    * sets that intersect/difference against each other or any reference
+    * sketch at read time). Theta union is idempotent and byte-pure, so
+    * like the grouped HLL sink the guard row is belt-and-braces — exact
+    * replay skip, params check, regression refusal.
+    */
+  def applyGroupedThetaBatch(
+      batch: DataFrame, toKeyValue: DataFrame => DataFrame,
+      sketchTable: String, batchId: Long, lgK: Int = 12,
+      buckets: Int = 4, parts: Int = 8): Boolean =
+    applyGroupedSketchBatch(batch, toKeyValue, sketchTable, batchId,
+      params = s"theta;lgK=$lgK",
+      batchAgg = org.apache.spark.sql.functions.call_function(
+        "theta_agg", col("value"), lit(lgK)),
+      mergeAgg = org.apache.spark.sql.functions.call_function(
+        "theta_union_agg", col("sk"), lit(lgK)),
+      guardPayload = () => graft.functions.SketchAggs.thetaEmpty(lgK),
+      buckets = buckets, parts = parts)
+
+  /** PER-KEY streaming set state (r17): one theta row per key ever
+    * seen, maintained over an unbounded stream under the grouped
+    * guard-row + partition-pruned-probe skeleton. What the grouped HLL
+    * row cannot answer: CROSS-KEY set algebra — per-source vocabulary
+    * overlap/containment ([[readGroupedThetaMatrix]]) and per-source
+    * screening against a reference sketch, all from kilobyte payloads.
+    */
+  def groupedThetaSketchIncremental(
+      docs: DataFrame, toKeyValue: DataFrame => DataFrame,
+      sketchTable: String, lgK: Int = 12,
+      checkpointLocation: Option[String] = None,
+      buckets: Int = 4, parts: Int = 8, compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    guardedSketchSink(docs, checkpointLocation, compactEvery, sketchTable,
+      (b, id) => applyGroupedThetaBatch(b, toKeyValue, sketchTable,
+        id, lgK, buckets, parts))
+
+  /** The grouped theta state's PAIRWISE OVERLAP MATRIX: for every
+    * unordered key pair (a < b), the per-key distinct estimates and the
+    * intersection estimate with the DataSketches library's own
+    * confidence interval at `numStd` standard deviations — the
+    * cross-source containment matrix a corpus datasheet publishes.
+    * Driver-side pairwise over O(keys) kilobyte payloads (keys are
+    * sources/languages/shards — small by nature; O(keys²) set ops on
+    * KB operands, no Spark job beyond the one O(keys)-row read). The
+    * corpus itself is never touched: it was absorbed incrementally by
+    * the stream.
+    */
+  def readGroupedThetaMatrix(
+      spark: org.apache.spark.sql.SparkSession, sketchTable: String,
+      numStd: Int = 3): DataFrame = {
+    import graft.functions.SketchAggs
+    import spark.implicits._
+    val rows = graft.sources.Store.read(spark, sketchTable)
+      .filter(col("key") =!= GroupGuardKey)
+      .select(col("key"), col("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+      .sortBy(_._1)
+    (for {
+      i <- rows.indices
+      j <- (i + 1) until rows.length
+    } yield {
+      val (ka, ska) = rows(i)
+      val (kb, skb) = rows(j)
+      val (ia, ialb, iaub) = SketchAggs.thetaBounds(ska, numStd)
+      val (ib, iblb, ibub) = SketchAggs.thetaBounds(skb, numStd)
+      val (ii, iilb, iiub) = SketchAggs.thetaIntersectBounds(ska, skb, numStd)
+      (ka, kb, ia, ialb, iaub, ib, iblb, ibub, ii, iilb, iiub)
+    }).toSeq.toDF("key_a", "key_b",
+      "est_a", "a_lb", "a_ub", "est_b", "b_lb", "b_ub",
+      "est_inter", "inter_lb", "inter_ub")
+  }
+
   /** Per-key serving read: estimate each (key, value) probe against ITS
     * key's stored CMS — a keyed join over O(keys) sketch rows with the
     * per-row `cms_estimate_row` probe, never a corpus scan. Probes whose

@@ -465,6 +465,11 @@ class StreamIndexPruneSpec extends SparkSpec {
       b.withColumn("v", col("v").cast("string")), toKV, t, id,
       eps = 0.01, buckets = 4, parts = Parts))
 
+  groupedProbeInvariant("applyGroupedThetaBatch", "gtheta_prune_tab",
+    (b, toKV, t, id) => EventStream.applyGroupedThetaBatch(
+      b.withColumn("v", col("v").cast("string")), toKV, t, id,
+      lgK = 12, buckets = 4, parts = Parts))
+
   // ——— compaction cadence for the exact-path sinks (r16 verdict #2) ———
 
   test("exact-path sinks fold their index delta chains on the compactEvery cadence") {

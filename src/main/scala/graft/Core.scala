@@ -54,6 +54,15 @@ object GraftSession {
       // parallelism so a micro-batch-sized frame collects in ONE job;
       // a genuinely limit-satisfying scan still stops early within it.
       .config("spark.sql.limit.initialNumPartitions", "64")
+      // the whole-stage-codegen compile cache is 100 entries by default
+      // (a STATIC conf — set it here or never): a multi-plan streaming
+      // trigger or a many-query battery cycles past that and re-runs
+      // Janino on plans it compiled seconds ago — the q120 battery
+      // profile pinned the residual in-battery overhead on exactly this.
+      // 5000 entries keeps a full bench run's codegen units resident;
+      // entries are evicted classes, so the cost is metaspace, bounded
+      // in practice by distinct plan shapes, not query count.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
 
   /** Local session for tests / ad-hoc runs. */
   def local(cores: Int = 4): SparkSession = {

@@ -722,9 +722,10 @@ object EventStream {
     * pattern, with bytes-read invariance pinned in StreamIndexPruneSpec.
     * `parts` defaults to 32 (not the Store-wide 4) so the pruning has
     * room: a micro-batch touches min(|batch fingerprints|, parts) dirs.
-    * Every `compactEvery` applied batches the index's merge-on-read
-    * delta chain folds ([[graft.sources.Store.compact]]) — without it a
-    * long-running stream accumulates one generation per trigger.
+    * The index's merge-on-read delta chain folds STAT-DRIVEN
+    * ([[graft.sources.Store.compactIfNeeded]], r17): a partition folds
+    * when its own chain reaches `compactEvery` generations — without it
+    * a long-running stream accumulates one generation per trigger.
     */
   def exactDedupIncremental(
       docs: DataFrame, idCol: String, textCol: String,
@@ -855,11 +856,12 @@ object EventStream {
     * what makes the table equal the batch operator over everything ever
     * streamed, replays diff-empty, and crashes re-converge.
     *
-    * Every `compactEvery` applied batches the sample table folds its
-    * delta chain (ADVICE r15: early in a stream nearly every trigger
-    * commits an upsert and/or delete generation, and the sink re-reads
-    * the table every trigger — the fold is cheap, the table is
-    * sample-sized).
+    * The sample table folds its delta chain STAT-DRIVEN
+    * ([[graft.sources.Store.compactIfNeeded]], r17 — a partition folds
+    * at `compactEvery` generations; ADVICE r15: early in a stream
+    * nearly every trigger commits an upsert and/or delete generation,
+    * and the sink re-reads the table every trigger — the fold is cheap,
+    * the table is sample-sized).
     */
   private def reservoirIncremental(
       docs: DataFrame, idCol: String, sampleTable: String,
@@ -962,8 +964,9 @@ object EventStream {
     * shingle), and each trigger reads only the batch shingles' routing
     * partitions ([[graft.sources.Store.probe]], `parts` = 32 so pruning
     * has room) — bytes-read invariance pinned in StreamIndexPruneSpec.
-    * Every `compactEvery` applied batches the index folds its delta
-    * chain ([[graft.sources.Store.compact]]).
+    * The index folds its delta chain STAT-DRIVEN at `compactEvery`
+    * generations per partition ([[graft.sources.Store.compactIfNeeded]],
+    * r17).
     */
   def noveltyIncremental(
       docs: DataFrame, idCol: String, textCol: String,
@@ -1056,8 +1059,9 @@ object EventStream {
     * The probe is PARTITION-PRUNED (r16): each trigger reads only the
     * batch digests' routing partitions ([[graft.sources.Store.probe]],
     * `parts` = 32 so pruning has room) — bytes-read invariance pinned
-    * in StreamIndexPruneSpec. Every `compactEvery` applied batches the
-    * index folds its delta chain ([[graft.sources.Store.compact]]).
+    * in StreamIndexPruneSpec. The index folds its delta chain
+    * STAT-DRIVEN at `compactEvery` generations per partition
+    * ([[graft.sources.Store.compactIfNeeded]], r17).
     */
   def spanDedupIncremental(
       docs: DataFrame, idCol: String, textCol: String,
@@ -1272,8 +1276,10 @@ object EventStream {
 
   /** The sketch sinks' shared foreachBatch scaffold: run the applier one
     * batch at a time, fold the state table's delta chain every
-    * `compactEvery` APPLIED batches (skipped batches don't advance the
-    * cadence — a replay storm must not starve compaction of real work).
+    * applied batch by the stat-driven threshold (r17 —
+    * [[graft.sources.Store.compactIfNeeded]] at `compactEvery`
+    * generations per partition; a skipped replay commits nothing, so it
+    * cannot grow a chain either).
     */
   private def guardedSketchSink(
       docs: DataFrame, checkpointLocation: Option[String],
@@ -1396,7 +1402,7 @@ object EventStream {
     * [[applyQuantileBatch]] — KLL merge is NOT idempotent, so the guard
     * is the contract, not union algebra). `toValue` shapes a batch to a
     * `value` column; `compactEvery` folds the 1-row table's delta chain
-    * on the standard cadence.
+    * on the stat-driven threshold (r17).
     */
   def quantileSketchIncremental(
       docs: DataFrame, toValue: DataFrame => DataFrame,

@@ -654,8 +654,17 @@ object Store {
     * `retain` > 2 widens the TIME-TRAVEL window ([[setRetention]] —
     * VERDICT r13 #6): every kept manifest stays [[readVersion]]-readable
     * because its referenced generations are kept with it.
+    *
+    * Returns the `(partition, generation)` dirs it deleted, so the
+    * caller can DEREGISTER their catalog partition entries
+    * ([[vacuumAndDeregister]], r17): the metastore otherwise keeps one
+    * partition row per (partition, generation) EVER committed — for a
+    * long-running stream that is one dead entry per touched partition
+    * per trigger, forever, bloating the metastore and every
+    * partition-pruned plan's catalog call with entries whose
+    * directories no longer exist.
     */
-  private def vacuum(fs: FileSystem, loc: Path, retain: Int = 2): Unit = {
+  private def vacuum(fs: FileSystem, loc: Path, retain: Int = 2): Seq[(Int, Long)] = {
     val vers = manifestVersions(fs, loc)
     vers.dropRight(retain).foreach { v =>
       fs.delete(manifestPath(loc, v), false)
@@ -674,10 +683,11 @@ object Store {
       .foreach(zv => fs.delete(zmapPath(loc, zv), false))
     val kept = vers.takeRight(retain)
       .map(v => parseManifest(readText(fs, manifestPath(loc, v))))
-    if (kept.isEmpty) return
+    if (kept.isEmpty) return Seq.empty
     val referenced: Map[Int, Set[Long]] = kept.flatten
       .groupBy(_._1).map { case (p, gs) => p -> gs.flatMap(_._2).toSet }
     val maxCommitted = kept.last.valuesIterator.flatten.foldLeft(-1L)(math.max)
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     fs.listStatus(loc).toSeq.filter(_.isDirectory).foreach { d =>
       val dn = d.getPath.getName
       if (dn.startsWith(s"$PartCol=")) {
@@ -686,8 +696,10 @@ object Store {
           val gn = gd.getPath.getName
           if (gn.startsWith(s"$GenCol=")) {
             val g = gn.stripPrefix(s"$GenCol=").toLong
-            if (g < maxCommitted && !referenced.getOrElse(p, Set.empty).contains(g))
+            if (g < maxCommitted && !referenced.getOrElse(p, Set.empty).contains(g)) {
               fs.delete(gd.getPath, true)
+              deleted += ((p, g))
+            }
           }
         }
       }
@@ -697,6 +709,29 @@ object Store {
     fs.listStatus(loc).toSeq.map(_.getPath.getName)
       .collect { case n @ IntentRe(g) if g.toLong <= maxCommitted => n }
       .foreach(n => fs.delete(new Path(loc, n), false))
+    deleted.toSeq
+  }
+
+  /** [[vacuum]] + catalog-partition deregistration (r17): every write
+    * path's maintenance step. The data files are already gone when the
+    * drop runs, so `retainData = true` (nothing left to purge) and
+    * `ignoreIfNotExists = true` (a generation written by a crashed
+    * attempt may have files on disk but no catalog entry — its dir is
+    * vacuumed like any orphan and the drop must not fail on the
+    * missing registration).
+    */
+  private def vacuumAndDeregister(
+      spark: SparkSession, name: String, fs: FileSystem, loc: Path): Unit = {
+    val dead = vacuum(fs, loc, retainOf(spark, name))
+    if (dead.nonEmpty) {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+      spark.sessionState.catalog.dropPartitions(
+        ident,
+        dead.map { case (p, g) =>
+          Map(PartCol -> p.toString, GenCol -> g.toString)
+        },
+        ignoreIfNotExists = true, purge = false, retainData = true)
+    }
   }
 
   // ------------------------------------------------------------ public API
@@ -1246,7 +1281,7 @@ object Store {
       m.updated(p, m.getOrElse(p, Seq.empty) :+ gen)
     }
     writeManifest(fs, loc, v + 1L, updated)
-    vacuum(fs, loc, retainOf(spark, name))
+    vacuumAndDeregister(spark, name, fs, loc)
     spark.catalog.refreshTable(name)
   }
 
@@ -1424,7 +1459,7 @@ object Store {
     val survivors =
       if (columnOrder.contains(DelCol)) newest.filter(!col(DelCol)) else newest
     def finish(gen0: Long): CompactionResult = {
-      vacuum(fs, loc, retainOf(spark, name))
+      vacuumAndDeregister(spark, name, fs, loc)
       spark.catalog.refreshTable(name)
       val after = fileStats(spark, name)
       CompactionResult(foldParts, gen0,

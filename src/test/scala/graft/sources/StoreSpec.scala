@@ -798,4 +798,42 @@ class StoreSpec extends SparkSpec {
       assert(e.getMessage.contains("widen the id column"))
     } finally spark.sql(s"DROP TABLE IF EXISTS $t2")
   }
+
+  test("vacuum deregisters dead catalog partitions: catalog == filesystem") {
+    import spark.implicits._
+    val t = "vac_dereg_tab"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Store.bulkWrite((1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"), t, "id",
+      buckets = 2, parts = 4, validateKeys = true)
+    try {
+      // six delta commits then a fold then one more delta: several
+      // generations vacuum along the way — the metastore must not keep
+      // one dead entry per (partition, generation) ever committed (a
+      // long-running stream would leak one per touched partition per
+      // trigger, forever)
+      (1 to 6).foreach(i =>
+        Store.upsert(spark, t, Seq((i.toLong, s"u$i")).toDF("id", "v"), "id", buckets = 2))
+      Store.compact(spark, t)
+      Store.upsert(spark, t, Seq((1L, "z")).toDF("id", "v"), "id", buckets = 2)
+      val hms = spark.sql(s"SHOW PARTITIONS $t").collect()
+        .map(_.getString(0)).toSet
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(t)).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val onDisk = fs.listStatus(loc).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("graft_p=")).flatMap { pd =>
+          fs.listStatus(pd.getPath).filter(_.isDirectory)
+            .filter(_.getPath.getName.startsWith("graft_g="))
+            .map(gd => s"${pd.getPath.getName}/${gd.getPath.getName}")
+        }.toSet
+      assert(hms === onDisk,
+        s"catalog partitions drifted from the filesystem: catalog-only " +
+          s"${hms -- onDisk}, disk-only ${onDisk -- hms}")
+      // and reads still serve the merged truth over the deregistered state
+      val r1 = Store.read(spark, t).filter(col("id") === 1L).head().getString(1)
+      assert(r1 === "z")
+      assert(Store.read(spark, t).count() === 40L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }

@@ -51,4 +51,46 @@ object Paging {
       .filter(col("__rn") > (p - 1) * sz)
       .drop("__rn")
   }
+
+  /** KEYSET pagination (the ES `search_after` analog — the deep-scan
+    * path [[paginate]]'s window cap points at): resume a total-ordered
+    * scan strictly AFTER the previous page's final sort-key values,
+    * rather than by offset. `sortCols` is (column, ascending) and MUST
+    * be a total order (end with a unique key) or pages overlap; `last`
+    * is the previous page's final row's sort-key values in the same
+    * order (None = first page).
+    *
+    * Scale shape, and why this survives where offsets don't: the
+    * lexicographic after-predicate pushes into the scan (a leading-key
+    * range prunes files by min/max stats) and the page plans a
+    * TakeOrderedAndProject of `size` rows — per page, cost is one
+    * pruned scan + a distributed top-k, INDEPENDENT of page depth.
+    * Page 10⁶ costs the same as page 1; `paginate`'s offset form pays
+    * page·size rows through one task, which is why it is capped.
+    */
+  def searchAfter(
+      df: DataFrame, sortCols: Seq[(String, Boolean)],
+      last: Option[Seq[Any]], size: Int, maxSize: Int = 100): DataFrame = {
+    require(sortCols.nonEmpty, "searchAfter needs at least one sort column")
+    val sz = math.min(maxSize, math.max(1, size))
+    val base = last match {
+      case None => df
+      case Some(vals) =>
+        require(vals.length == sortCols.length,
+          s"last carries ${vals.length} values for ${sortCols.length} sort columns " +
+            "— pass the previous page's final row's sort keys, in order")
+        // lexicographic strictly-after over the composite key: for some
+        // prefix i, all earlier keys equal and key i strictly advances
+        val pred = sortCols.indices.map { i =>
+          val prefixEq = (0 until i)
+            .map(j => col(sortCols(j)._1) === lit(vals(j)))
+            .reduceOption(_ && _).getOrElse(lit(true))
+          val (c, asc) = sortCols(i)
+          prefixEq && (if (asc) col(c) > lit(vals(i)) else col(c) < lit(vals(i)))
+        }.reduce(_ || _)
+        df.filter(pred)
+    }
+    base.orderBy(sortCols.map { case (c, asc) =>
+      if (asc) col(c).asc else col(c).desc }: _*).limit(sz)
+  }
 }

@@ -245,6 +245,44 @@ object Relational {
           FROM orders) t
         WHERE rn > 20 AND rn <= 30 ORDER BY rn""")),
 
+    // KEYSET PAGINATION (r17 — [[graft.ops.Paging.searchAfter]], the ES
+    // `search_after` analog and the deep-scan path the q09 offset form's
+    // result-window cap points at): three consecutive pages of the
+    // price-ordered orders, each resumed strictly AFTER the previous
+    // page's final (o_totalprice, o_orderkey) — per page one pushed-down
+    // range filter + a distributed top-k, cost independent of page
+    // depth. The oracle replays the pages positionally from the same
+    // total order, which is exactly what keyset pages must equal when
+    // the sort is total (o_orderkey breaks ties).
+    QueryDef(
+      "q224_search_after",
+      (s, dir) => {
+        import s.implicits._
+        val sortCols = Seq(("o_totalprice", false), ("o_orderkey", true))
+        val size = 7
+        var last: Option[Seq[Any]] = None
+        val pages = (0 until 3).flatMap { p =>
+          val rows = graft.ops.Paging
+            .searchAfter(Tables.orders(s, dir), sortCols, last, size)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+            .collect()
+          last = Some(Seq(
+            rows.last.getAs[Double]("o_totalprice"),
+            rows.last.getAs[Long]("o_orderkey")))
+          rows.map(r => (p, r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }
+        pages.toDF("page", "o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(col("page"), col("o_totalprice").desc, col("o_orderkey"))
+      },
+      Some("""
+        SELECT CAST((rn - 1) // 7 AS INT) AS page,
+          o_orderkey, o_custkey, o_totalprice
+        FROM (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+            row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) t
+        WHERE rn <= 21 ORDER BY rn""")),
+
     // Anti-join (Q4 exclusion semantics as a plan-level join): customers
     // with no order in 2001.
     QueryDef(

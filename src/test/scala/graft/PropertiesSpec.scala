@@ -111,6 +111,25 @@ class PropertiesSpec extends SparkSpec {
     assert(deep.getMessage.contains("10000"))
   }
 
+  test("keyset pagination equals offset pagination page-for-page on a total order") {
+    val df = (0 until 60).map(i => (i.toLong, (i * 2654435761L) % 40)).toDF("id", "v")
+    val order = Seq(col("v").desc, col("id"))
+    val sortCols = Seq(("v", false), ("id", true))
+    var last: Option[Seq[Any]] = None
+    (1 to 4).foreach { p =>
+      val off = Paging.paginate(df, order, p, 7).select("id").as[Long].collect().toSeq
+      val ks = Paging.searchAfter(df, sortCols, last, 7)
+        .select(col("v"), col("id")).collect()
+      assert(ks.map(_.getLong(1)).toSeq === off,
+        s"page $p diverged between the offset and keyset routes")
+      last = Some(Seq(ks.last.getLong(0), ks.last.getLong(1)))
+    }
+    // arity misuse is loud
+    val e = intercept[IllegalArgumentException](
+      Paging.searchAfter(df, sortCols, Some(Seq(1L)), 7))
+    assert(e.getMessage.contains("sort columns"))
+  }
+
   test("unpivot then pivot is the identity on wide numeric tables") {
     check(Prop.forAllNoShrink(Gen.chooseNum(1, 25)) { n =>
       val wide = (0 until n).map(i => (i.toLong, i * 1.5, i * -3.0)).toDF("id", "m1", "m2")

@@ -56,9 +56,12 @@ object Paging {
     * path [[paginate]]'s window cap points at): resume a total-ordered
     * scan strictly AFTER the previous page's final sort-key values,
     * rather than by offset. `sortCols` is (column, ascending) and MUST
-    * be a total order (end with a unique key) or pages overlap; `last`
-    * is the previous page's final row's sort-key values in the same
-    * order (None = first page).
+    * be a total order (end with a unique key) or pages overlap; sort
+    * keys must be NON-NULL (a null never satisfies the strict
+    * inequality, so null-keyed rows would silently vanish from every
+    * resumed page — filter or coalesce them upstream; ES imposes the
+    * same rule on `search_after` sorts). `last` is the previous page's
+    * final row's sort-key values in the same order (None = first page).
     *
     * Scale shape, and why this survives where offsets don't: the
     * lexicographic after-predicate pushes into the scan (a leading-key

@@ -50,6 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CmsEstimate(c(0), c(1)))
     register(ext, "nfc_normalize", classOf[NfcNormalizeExpr].getName, 1)(c =>
       NfcNormalizeExpr(c.head))
+    register(ext, "stable_lit",
+      classOf[graft.functions.StableLitExpr].getName, 1)(c =>
+      graft.functions.StableLit.build(c.head))
     register(ext, "nearest_cell", classOf[NearestCellExpr].getName, 3)(c =>
       NearestCellExpr(c(0), c(1), c(2)))
     register(ext, "dist2_f", classOf[Dist2F].getName, 2)(c => Dist2F(c(0), c(1)))

@@ -130,11 +130,13 @@ object IndexSync {
     // lazy persist (the nearDupIncremental rule): the upsert's validation
     // job fills the cache, the three later actions reuse it — without
     // this, each store action re-runs the manifest-pruned full-outer diff.
-    // A DRIVER-LOCAL changelog (the streaming sink localizes it) skips
-    // the persist: caching a LocalRelation would wrap it in an
-    // InMemoryRelation and turn every derived frame's free driver-side
-    // evaluation back into a cache-scan job (r17).
-    val local = Store.isLocalFrame(changelog)
+    // An already-MATERIALIZED changelog skips the persist: the streaming
+    // sink hands it localCheckpointed (payload post-images never collect
+    // driver-side, r18), so its blocks are cached and a persist would
+    // only double-buffer them; and caching a LocalRelation would wrap it
+    // in an InMemoryRelation and turn every derived frame's free
+    // driver-side evaluation back into a cache-scan job (r17).
+    val local = Store.isMaterialized(changelog)
     val ch = if (local) changelog else changelog.persist()
     try {
       // changelog-bounded frames → localized (r17): the upsert/delete
@@ -186,7 +188,7 @@ object IndexSync {
     // same lazy-persist rule as syncExactIndex: four store actions read
     // the changelog (sig upsert stats/write, sign-less anti-join, delete)
     // — and the same local-frame skip (see there)
-    val local = Store.isLocalFrame(changelog)
+    val local = Store.isMaterialized(changelog)
     val ch = if (local) changelog else changelog.persist()
     try {
       val post = postImages(ch)
@@ -239,7 +241,7 @@ object IndexSync {
       idCol: String, vecCol: String, quantized: Boolean = false): Unit = {
     // local-frame skip (see syncExactIndex): with a driver-local
     // changelog the two isEmpty probes below run without a job
-    val local = Store.isLocalFrame(changelog)
+    val local = Store.isMaterialized(changelog)
     val ch = if (local) changelog else changelog.persist()
     try {
       // a value-empty changelog (the at-least-once replay of an already-

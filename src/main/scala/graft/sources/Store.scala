@@ -100,6 +100,46 @@ object Store {
     */
   private val MaxLocalStatsRows = 200000
 
+  /** Byte budget for [[localized]]'s RETAINED driver copy (ADVICE r17):
+    * the row cap alone is blind to row WIDTH — 200k rows of document
+    * text or embedding vectors is multiple GB of driver heap, not the
+    * "small stats frame" the fast paths were built for. Frames whose
+    * sampled collected size exceeds this stay distributed
+    * (`localCheckpoint`). 64 MB: generous for every narrow frame the
+    * streaming sinks localize (ids, fingerprints, signatures, sketch
+    * rows), a rounding error of a sane driver heap, and far below
+    * `spark.driver.maxResultSize`'s default 1 GB — so the one-job probe
+    * collect below can never be the thing that kills the driver.
+    */
+  private val MaxLocalStatsBytes = 64L << 20
+
+  /** Sampled estimate of the collected rows' retained heap (long-lived
+    * JVM object sizes, deliberately rough — this guards an order of
+    * magnitude, not a byte). Strides so a 200k-row probe costs ~512
+    * row walks, not 200k.
+    */
+  private def approxLocalBytes(rows: Array[org.apache.spark.sql.Row]): Long = {
+    def valueBytes(v: Any): Long = v match {
+      case null => 8L
+      case s: String => 40L + 2L * s.length
+      case b: Array[Byte] => 24L + b.length
+      case a: scala.collection.Seq[_] =>
+        48L + a.iterator.map(valueBytes).sum
+      case r: org.apache.spark.sql.Row =>
+        24L + (0 until r.length).iterator.map(i => valueBytes(r.get(i))).sum
+      case m: scala.collection.Map[_, _] =>
+        48L + m.iterator.map { case (k, v2) => valueBytes(k) + valueBytes(v2) }.sum
+      case _ => 16L
+    }
+    if (rows.isEmpty) 0L
+    else {
+      val stride = math.max(1, rows.length / 512)
+      var i = 0; var sum = 0L
+      while (i < rows.length) { sum += valueBytes(rows(i)); i += stride }
+      sum * stride
+    }
+  }
+
   /** The frame's rows when it is a small LOCAL relation (driver-built
     * `Seq.toDF`, a collected probe result), else None. `optimizedPlan`
     * so a `toDF`-rename Project collapses first; a `localCheckpoint`ed
@@ -126,9 +166,24 @@ object Store {
     * bounded-driver budget ([[graft.ops.Components.MaxLocalRootEdges]]'
     * rule); an over-cap frame pays one wasted bounded scan
     * (`limit(cap+1)`) before checkpointing — the price of not knowing
-    * sizes without a job.
+    * sizes without a job. For frames whose derivation is expensive,
+    * feed `localized` from an already-materialized parent
+    * (localCheckpoint/persist) so the over-cap recompute re-reads
+    * cached blocks, not the original pass (the streaming sinks'
+    * pattern since r18).
+    *
+    * BYTE budget (ADVICE r17): the retained copy is also capped at
+    * `maxBytes` (sampled from the collected rows) — a row-count cap
+    * alone would let 200k payload rows (document text, embedding
+    * vectors) pin GBs of driver heap. Payload-carrying frames should
+    * not be routed here at all (the media-sink rule — localCheckpoint
+    * the batch, localize only derived signature/id frames); this cap is
+    * the backstop for the ones whose width isn't known statically. The
+    * transient probe collect stays bounded by `cap` rows and by
+    * `spark.driver.maxResultSize` (a loud error, never a silent OOM).
     */
-  def localized(df: DataFrame, cap: Int = MaxLocalStatsRows): DataFrame = {
+  def localized(df: DataFrame, cap: Int = MaxLocalStatsRows,
+      maxBytes: Long = MaxLocalStatsBytes): DataFrame = {
     // A frame whose optimized plan is ALREADY a LocalRelation (Catalyst's
     // ConvertToLocalRelation folds deterministic Project/Filter/Limit
     // chains over LocalRelation driver-side) takes the same collect path
@@ -140,7 +195,7 @@ object Store {
     // of the whole signature pass in the q202 sink). The copy into a
     // fresh LocalRelation IS the materialization contract.
     val rows = df.limit(cap + 1).collect()
-    if (rows.length > cap) df.localCheckpoint()
+    if (rows.length > cap || approxLocalBytes(rows) > maxBytes) df.localCheckpoint()
     else df.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), df.schema)
   }
@@ -153,6 +208,20 @@ object Store {
     */
   private[graft] def isLocalFrame(df: DataFrame): Boolean =
     localRelationOf(df).isDefined
+
+  /** Whether `df` is already MATERIALIZED — driver-resident
+    * (LocalRelation) or block-cached (a `localCheckpoint`ed LogicalRDD)
+    * — i.e. re-scanning it is cheap and a consumer's lazy `persist()`
+    * would only add a redundant second copy. What the index-sync legs
+    * branch on (r18): payload-carrying changelogs now arrive
+    * localCheckpointed rather than localized, and re-persisting them
+    * would double-buffer every post-image row.
+    */
+  private[graft] def isMaterialized(df: DataFrame): Boolean =
+    isLocalFrame(df) || (df.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _ => false
+    })
 
   /** Key types whose driver-side (HashSet) equality matches SQL
     * equality — what the local stats loop's dup check relies on.

@@ -193,11 +193,14 @@ object EventStream {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        // localized, not localCheckpoint (r17): same one-source-scan
-        // contract, but a cap-bounded batch lands driver-resident — the
-        // isEmpty below is job-free, the corpus upsert's stats/routing
-        // run in-process, and the write coalesces to one task
-        val b = graft.sources.Store.localized(batch.toDF())
+        // localCheckpoint, NOT localized (r18, ADVICE r17 medium): the
+        // batch carries PAYLOAD columns (document text, optionally an
+        // embedding vector), and payloads must never collect
+        // driver-side — 200k such rows is GBs of driver heap, exactly
+        // the rule the media sinks already follow. The one-source-scan
+        // and lineage-cut contract is the same; only narrow DERIVED
+        // frames (fingerprints, signatures, ids) localize below.
+        val b = batch.toDF().localCheckpoint()
         if (!b.isEmpty) {
           val fresh = !spark.catalog.tableExists(table)
           if (fresh)
@@ -224,19 +227,19 @@ object EventStream {
           // indexes syncing it (the steady state: every index recorded
           // the same previous version, so exact+sig+ivf all apply the
           // SAME diff — computing the manifest-pruned full-outer diff
-          // once per index tripled that work per trigger). Localized
-          // (r17 — was localCheckpoint): the diff is batch-bounded, so
-          // under the cap it lands DRIVER-RESIDENT — every sync leg's
-          // derived frame (post-images, fingerprints, empty delete sets)
-          // then evaluates in-process via ConvertToLocalRelation instead
-          // of paying a collect job each, and the empty-diff replay case
-          // no-ops without any job at all. Either form detaches the plan
+          // once per index tripled that work per trigger). The changelog
+          // rows carry the corpus POST-IMAGES (payload columns), so it
+          // materializes via localCheckpoint, not localized (r18 — the
+          // same payloads-never-collect rule as the batch above; ADVICE
+          // r17 medium); each sync leg's own derived frame localizes
+          // inside IndexSync where it is already narrow (fingerprints,
+          // signatures, id delete sets). Either form detaches the plan
           // from the table, so no later maintenance commit can vacuum
           // the span's generations out from under it.
           val spanChangelogs = scala.collection.mutable.Map.empty[Long, DataFrame]
           def changelogFrom(s: Long): DataFrame =
-            spanChangelogs.getOrElseUpdate(s, graft.sources.Store.localized(
-              graft.sources.Store.changes(spark, table, s, post)))
+            spanChangelogs.getOrElseUpdate(s,
+              graft.sources.Store.changes(spark, table, s, post).localCheckpoint())
           def ensure(t: String, build: => Unit, sync: DataFrame => Unit): Unit = {
             val recorded =
               if (fresh || !spark.catalog.tableExists(t)) None
@@ -358,16 +361,18 @@ object EventStream {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        // one source scan per trigger (see exactDedupIncremental): the
-        // isEmpty probe and the signature pass otherwise each re-read the
-        // batch's files (r17 — localized: job-free isEmpty)
-        val b = graft.sources.Store.localized(batch.toDF())
+        // one source scan per trigger (see exactDedupIncremental), but
+        // localCheckpoint, NOT localized (r18, ADVICE r17 medium): the
+        // batch carries document TEXT, and payloads never collect
+        // driver-side — the media-sink rule
+        val b = batch.toDF().localCheckpoint()
         if (!b.isEmpty) {
           // materialize the signatures once, driver-resident under the
           // cap (r17 — was persist): one row of k longs per doc, so the
-          // localized collect runs the signature pass exactly once and
-          // the three consumers (probe bucket collection, pair write,
-          // band append with its isEmpty) read driver rows after that
+          // localized collect runs the signature pass exactly once —
+          // DISTRIBUTED, over the checkpointed batch's cached blocks —
+          // and the three consumers (probe bucket collection, pair
+          // write, band append with its isEmpty) read driver rows after
           val sigs = graft.sources.Store.localized(graft.ops.Dedup
             .minhashSignaturesScanLocal(b, idCol, textCol, k, w))
           graft.ops.Dedup
@@ -426,14 +431,15 @@ object EventStream {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        // r17 — the whole per-trigger frame chain localizes (batch →
-        // signatures → pairs are each cap-bounded): isEmpty is job-free,
-        // the signature pass runs exactly once, the band append's own
-        // isEmpty is free, and [[graft.ops.Components.applyBatch]]'s
-        // ids/pairs collects read driver rows instead of re-running
-        // their plans — the fixed per-trigger job count drops without
-        // touching what any job computes
-        val b = graft.sources.Store.localized(batch.toDF())
+        // the DERIVED per-trigger frames localize (signatures → pairs
+        // are each cap-bounded and narrow, r17): the signature pass runs
+        // exactly once, the band append's own isEmpty is free, and
+        // [[graft.ops.Components.applyBatch]]'s ids/pairs collects read
+        // driver rows instead of re-running their plans. The batch
+        // itself carries document TEXT, so it materializes via
+        // localCheckpoint — payloads never collect driver-side (r18,
+        // ADVICE r17 medium; the media-sink rule)
+        val b = batch.toDF().localCheckpoint()
         if (!b.isEmpty) {
           val sigs = graft.sources.Store.localized(graft.ops.Dedup
             .minhashSignaturesScanLocal(b, idCol, textCol, k, w))
@@ -738,19 +744,20 @@ object EventStream {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        // ONE source scan per trigger: localize the batch FIRST — a
+        // ONE source scan per trigger: materialize the batch FIRST — a
         // file-source batch otherwise re-reads its files once per action
         // (isEmpty + the labeling self-join's two scan branches measured
-        // 4× input rows in the restart test's metrics). Localized (r17 —
-        // was localCheckpoint): same one-scan and lineage-cut contract,
-        // but a cap-bounded batch lands driver-resident, so isEmpty is
-        // job-free, the fingerprint projection folds driver-side
-        // (ConvertToLocalRelation), and the probe's partition routing
-        // evaluates in-process instead of running a per-trigger collect.
-        val b = graft.sources.Store.localized(batch.toDF())
+        // 4× input rows in the restart test's metrics). localCheckpoint,
+        // NOT localized (r18, ADVICE r17 medium): the batch carries
+        // document TEXT, and payloads never collect driver-side. The
+        // NARROW fingerprint projection localizes instead — one job
+        // over the cached batch blocks, after which the probe's
+        // partition routing and the keeper join's driver-side paths
+        // evaluate in-process exactly as before.
+        val b = batch.toDF().localCheckpoint()
         if (!b.isEmpty) {
-          val fps = b.select(col(idCol),
-            graft.ops.Dedup.exactFingerprint(col(textCol)).as("fingerprint"))
+          val fps = graft.sources.Store.localized(b.select(col(idCol),
+            graft.ops.Dedup.exactFingerprint(col(textCol)).as("fingerprint")))
           val exists = spark.catalog.tableExists(indexTable)
           // probe, not read: only the batch fingerprints' partitions
           val old =
@@ -979,9 +986,10 @@ object EventStream {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        // one source scan per trigger (see exactDedupIncremental; r17 —
-        // localized, so the isEmpty probe below is job-free)
-        val b = graft.sources.Store.localized(batch.toDF())
+        // one source scan per trigger (see exactDedupIncremental) —
+        // localCheckpoint: the batch carries document TEXT, and payloads
+        // never collect driver-side (r18, ADVICE r17 medium)
+        val b = batch.toDF().localCheckpoint()
         if (!b.isEmpty) {
           val exists = spark.catalog.tableExists(indexTable)
           // shingles built once, shared by the probe, scoring, and the
@@ -1074,9 +1082,10 @@ object EventStream {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        // one source scan per trigger (see exactDedupIncremental; r17 —
-        // localized: job-free isEmpty)
-        val b = graft.sources.Store.localized(batch.toDF())
+        // one source scan per trigger (see exactDedupIncremental) —
+        // localCheckpoint: the batch carries document TEXT, and payloads
+        // never collect driver-side (r18, ADVICE r17 medium)
+        val b = batch.toDF().localCheckpoint()
         if (!b.isEmpty) {
           val chunks = b.filter(col(textCol).isNotNull)
             .select(col(idCol),

@@ -680,6 +680,14 @@ class StoreSpec extends SparkSpec {
       .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
       "over-cap frame must stay distributed (localCheckpoint fallback)")
     assert(big.count() === 50L)
+    // byte budget (ADVICE r17): payload-wide rows stay distributed even
+    // under the row cap — the cap guards count, this guards width
+    val wide = (1L to 100L).map(i => (i, "x" * 10000)).toDF("id", "txt")
+    val widened = Store.localized(wide, maxBytes = 64L * 1024)
+    assert(!widened.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      "over-byte frame must stay distributed (localCheckpoint fallback)")
+    assert(widened.count() === 100L)
     // empty local frames no-op inside the store write paths: no new
     // version, no files moved
     val t = "lfu_empty"

@@ -248,6 +248,7 @@ object Bench {
     val errCount = results.count(_._2.isLeft)
     val compact =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors_count":$errCount,"queries":$slowest,"queries_truncated":true,"queries_file":"$outFile","reps":$reps,"sf":"$sfDir"}"""
+    graft.tools.DriverProf.dump() // no-op unless SPARK_GRAFT_PROF=1
     spark.stop()
     println(compact)
     if (results.exists(_._2.isLeft)) sys.exit(1)

@@ -77,7 +77,7 @@ object IndexSync {
   private val SyncedVProp = "graft.synced.corpus.version"
 
   /** The corpus version `indexTable`'s content reflects, if recorded. */
-  def syncedVersion(spark: SparkSession, indexTable: String): Option[Long] = {
+  def syncedVersion(spark: SparkSession, indexTable: String): Option[Long] = graft.tools.DriverProf.time("sync.syncedVersion") {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(indexTable)
     spark.sessionState.catalog.getTableMetadata(ident)
       .properties.get(SyncedVProp).map(_.toLong)
@@ -89,12 +89,13 @@ object IndexSync {
     * string would treat a database-qualified name as one unqualified
     * identifier and mark the wrong (or no) table (ADVICE r14).
     */
-  def markSynced(spark: SparkSession, indexTable: String, version: Long): Unit = {
-    val ident = spark.sessionState.sqlParser.parseTableIdentifier(indexTable)
-    spark.sql(s"ALTER TABLE ${ident.quotedString} SET TBLPROPERTIES " +
-      s"('$SyncedVProp' = '$version')")
-    ()
-  }
+  def markSynced(spark: SparkSession, indexTable: String, version: Long): Unit =
+    graft.tools.DriverProf.time("sync.markSynced") {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(indexTable)
+      spark.sql(s"ALTER TABLE ${ident.quotedString} SET TBLPROPERTIES " +
+        s"('$SyncedVProp' = '$version')")
+      ()
+    }
 
   private val Inserts = Seq("insert", "update")
 

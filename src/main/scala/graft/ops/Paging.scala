@@ -83,13 +83,23 @@ object Paging {
           s"last carries ${vals.length} values for ${sortCols.length} sort columns " +
             "— pass the previous page's final row's sort keys, in order")
         // lexicographic strictly-after over the composite key: for some
-        // prefix i, all earlier keys equal and key i strictly advances
+        // prefix i, all earlier keys equal and key i strictly advances.
+        // Each cursor literal is cast to ITS SORT COLUMN's type, not the
+        // other way round: a mixed-numeric `Seq(price, key)` arrives
+        // harmonized to Double (Scala widens the elements), and a bare
+        // `lit` would then plan `cast(key as double) > 42.0` — a
+        // column-side cast that cannot push into the scan (and is lossy
+        // past 2^53). The literal-side cast constant-folds back to an
+        // exact same-type literal, so the whole predicate lands in
+        // PushedFilters (the PlanSpec pin that caught this).
+        def cursorLit(i: Int): Column =
+          lit(vals(i)).cast(df.schema(sortCols(i)._1).dataType)
         val pred = sortCols.indices.map { i =>
           val prefixEq = (0 until i)
-            .map(j => col(sortCols(j)._1) === lit(vals(j)))
+            .map(j => col(sortCols(j)._1) === cursorLit(j))
             .reduceOption(_ && _).getOrElse(lit(true))
           val (c, asc) = sortCols(i)
-          prefixEq && (if (asc) col(c) > lit(vals(i)) else col(c) < lit(vals(i)))
+          prefixEq && (if (asc) col(c) > cursorLit(i) else col(c) < cursorLit(i))
         }.reduce(_ || _)
         df.filter(pred)
     }

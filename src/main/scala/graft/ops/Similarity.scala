@@ -402,7 +402,9 @@ object Similarity {
     val cent = centroidLits(spark.read.parquet(s"$cur/centroids"))
     val assigned = assignToCells(cent, newVecs, idCol, vecCol)
     val rows = if (quantized) quantizedProjection(assigned) else assigned
-    rows.withColumn("__ver", lit(ver))
+    // stable_lit: a per-sync version inlined as a Long would regenerate
+    // the append projection's Java source every trigger (r18)
+    rows.withColumn("__ver", graft.functions.StableLit.stable_lit(ver))
       .write.mode("append").partitionBy("cell").parquet(s"$cur/assigned")
   }
 
@@ -413,7 +415,8 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       ids: DataFrame, idCol: String, ver: Long): Unit = {
     val cur = currentGenDir(spark, path)
-    ids.select(col(idCol).as("id"), lit(ver).as("__ex_ver"))
+    ids.select(col(idCol).as("id"),
+      graft.functions.StableLit.stable_lit(ver).as("__ex_ver"))
       .write.mode("append").parquet(s"$cur/excluded")
   }
 

@@ -283,6 +283,40 @@ object Relational {
           FROM orders) t
         WHERE rn <= 21 ORDER BY rn""")),
 
+    // DEEP KEYSET RESUME (r18 — VERDICT r17 next #6's gate half): jump
+    // the cursor STRAIGHT to position 1000 of the total order (the
+    // boundary row is fetched as one bounded top-k — a resuming crawler's
+    // saved cursor) and serve the next 50 rows from there. Semantics at
+    // depth are what this gates — the page must equal the positional
+    // window rows 1001..1050 exactly; the SCALE half (after-predicate
+    // pushed to the scan, job count independent of resume depth) is
+    // pinned in PlanSpec, where it is deterministic.
+    QueryDef(
+      "q225_search_after_deep",
+      (s, dir) => {
+        val sortCols = Seq(("o_totalprice", false), ("o_orderkey", true))
+        // the 1000th row of the total order = the saved cursor
+        val b = Tables.orders(s, dir)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(1000)
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").desc)
+          .limit(1)
+          .select(col("o_totalprice"), col("o_orderkey"))
+          .head()
+        graft.ops.Paging.searchAfter(Tables.orders(s, dir), sortCols,
+            Some(Seq(b.getDouble(0), b.getLong(1))), 50)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+            row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) t
+        WHERE rn > 1000 AND rn <= 1050
+        ORDER BY o_totalprice DESC, o_orderkey""")),
+
     // Anti-join (Q4 exclusion semantics as a plan-level join): customers
     // with no order in 2001.
     QueryDef(

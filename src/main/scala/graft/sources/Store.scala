@@ -194,7 +194,7 @@ object Store {
     // optimization (measured as a per-consumer driver-side re-derivation
     // of the whole signature pass in the q202 sink). The copy into a
     // fresh LocalRelation IS the materialization contract.
-    val rows = df.limit(cap + 1).collect()
+    val rows = graft.tools.DriverProf.time("store.localized.collect")(df.limit(cap + 1).collect())
     if (rows.length > cap || approxLocalBytes(rows) > maxBytes) df.localCheckpoint()
     else df.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), df.schema)
@@ -261,7 +261,7 @@ object Store {
     */
   private def partsOf(spark: SparkSession, name: String): Int = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
-    spark.sessionState.catalog.getTableMetadata(ident)
+    graft.tools.DriverProf.time("store.getTableMetadata")(spark.sessionState.catalog.getTableMetadata(ident))
       .properties.get(PartsProp).map(_.toInt).getOrElse(DefaultParts)
   }
 
@@ -275,7 +275,7 @@ object Store {
     */
   private def retainOf(spark: SparkSession, name: String): Int = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
-    spark.sessionState.catalog.getTableMetadata(ident)
+    graft.tools.DriverProf.time("store.getTableMetadata")(spark.sessionState.catalog.getTableMetadata(ident))
       .properties.get(RetainProp).map(_.toInt).getOrElse(2)
   }
 
@@ -300,14 +300,14 @@ object Store {
 
   private def idColOf(spark: SparkSession, name: String): String = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
-    spark.sessionState.catalog.getTableMetadata(ident)
+    graft.tools.DriverProf.time("store.getTableMetadata")(spark.sessionState.catalog.getTableMetadata(ident))
       .properties.getOrElse(IdColProp,
         sys.error(s"store table $name has no recorded id column — not a generational store table"))
   }
 
   private def tableLocation(spark: SparkSession, name: String): Path = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
-    new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
+    new Path(graft.tools.DriverProf.time("store.getTableMetadata")(spark.sessionState.catalog.getTableMetadata(ident)).location)
   }
 
   private def fsFor(spark: SparkSession, p: Path): FileSystem =
@@ -319,7 +319,7 @@ object Store {
     * (ADVICE r13).
     */
   private def requireTable(spark: SparkSession, name: String): Unit =
-    require(spark.catalog.tableExists(name),
+    require(graft.tools.DriverProf.time("store.tableExists")(spark.catalog.tableExists(name)),
       s"store table $name does not exist — create it via bulkWrite " +
         "(generational layout) or createTable (flat declared schema)")
 
@@ -351,9 +351,11 @@ object Store {
   private[graft] type Manifest = Map[Int, Seq[Long]]
 
   private def manifestVersions(fs: FileSystem, loc: Path): Seq[Long] =
-    if (!fs.exists(loc)) Seq.empty
-    else fs.listStatus(loc).toSeq.map(_.getPath.getName)
-      .collect { case ManifestRe(n) => n.toLong }.sorted
+    graft.tools.DriverProf.time("store.manifestVersions") {
+      if (!fs.exists(loc)) Seq.empty
+      else fs.listStatus(loc).toSeq.map(_.getPath.getName)
+        .collect { case ManifestRe(n) => n.toLong }.sorted
+    }
 
   private def manifestPath(loc: Path, v: Long) = new Path(loc, s"_manifest-$v.txt")
 
@@ -533,7 +535,7 @@ object Store {
         cat.getTableMetadata(ident).dataSchema.fields.map(f =>
           widenMap.get(f.name).map(dt => f.copy(dataType = dt)).getOrElse(f)))
       cat.alterTableDataSchema(ident, newData)
-      spark.catalog.refreshTable(name)
+      graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
     }
     val extras = updates.schema.fields.filterNot(f => tableTypes.contains(f.name))
     if (extras.nonEmpty) {
@@ -547,7 +549,7 @@ object Store {
       val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
       val colsSql = extras.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
       spark.sql(s"ALTER TABLE ${ident.quotedString} ADD COLUMNS ($colsSql)")
-      spark.catalog.refreshTable(name)
+      graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
       // the widened list serves from the NEXT committed manifest version
       // (the commit that makes this batch visible)
       writeTextFile(fs, schemaPath(loc, curV + 1L),
@@ -899,7 +901,7 @@ object Store {
     */
   def read(spark: SparkSession, name: String): DataFrame = {
     requireTable(spark, name)
-    spark.catalog.refreshTable(name)
+    graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
     val t = spark.table(name)
     if (!t.columns.contains(GenCol)) return t.drop(PartCol) // flat / legacy
     val manifest = readManifest(spark, name).map(_._2).getOrElse(Map.empty)
@@ -927,7 +929,7 @@ object Store {
     */
   def readVersion(spark: SparkSession, name: String, version: Long): DataFrame = {
     requireTable(spark, name)
-    spark.catalog.refreshTable(name)
+    graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
     require(spark.table(name).columns.contains(GenCol),
       s"$name is not a generational store table — no versions to read")
     val loc = tableLocation(spark, name)
@@ -964,7 +966,7 @@ object Store {
     */
   def lookup(spark: SparkSession, name: String, keys: Seq[Any]): DataFrame = {
     requireTable(spark, name)
-    spark.catalog.refreshTable(name)
+    graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
     val t = spark.table(name)
     // generational-layout check FIRST: a flat table (createTable + legacy
     // upsert) records no id column, so idColOf would throw before any
@@ -1004,7 +1006,7 @@ object Store {
     */
   def readForKeys(spark: SparkSession, name: String, keys: DataFrame): DataFrame = {
     requireTable(spark, name)
-    spark.catalog.refreshTable(name)
+    graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
     val t = spark.table(name)
     require(t.columns.contains(GenCol),
       s"$name is not a generational store table — readForKeys needs the " +
@@ -1066,7 +1068,7 @@ object Store {
   def readBox(
       spark: SparkSession, name: String, box: Seq[(Long, Long)]): DataFrame = {
     requireTable(spark, name)
-    spark.catalog.refreshTable(name)
+    graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
     val (z, _, admitted) = boxAdmission(spark, name, box)
     val base = readAt(spark, name, admitted, disjointIn(z, admitted))
     z.spec.dims.zip(box).foldLeft(base) { case (df, (d, (lo, hi))) =>
@@ -1110,7 +1112,7 @@ object Store {
       spark: SparkSession, name: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     requireTable(spark, name)
-    spark.catalog.refreshTable(name)
+    graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
     require(spark.table(name).columns.contains(GenCol),
       s"$name is not a generational store table — no versions to diff")
     require(fromVersion <= toVersion,
@@ -1228,7 +1230,7 @@ object Store {
   def upsert(spark: SparkSession, name: String, updates: DataFrame, idCol: String,
       buckets: Int = 16): Unit = {
     requireTable(spark, name)
-    spark.catalog.refreshTable(name)
+    graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
     // DEPRECATED FALLBACK — a table without the generational layout
     // (created by createTable, or any externally-made flat table) still
     // upserts correctly, but pays a FULL-TABLE copy-on-write per batch:
@@ -1248,7 +1250,7 @@ object Store {
         .select(spark.table(name).columns.map(col(_)): _*)
         .localCheckpoint()
       merged.write.mode(SaveMode.Overwrite).insertInto(name)
-      spark.catalog.refreshTable(name)
+      graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
       return
     }
     stageAndCommitDelta(spark, name, updates, idCol, buckets)
@@ -1316,7 +1318,7 @@ object Store {
     // is not a correctness problem — bucket ids are computed per row —
     // but it splits each bucket's rows across tasks and multiplies files
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
-    val tableBuckets = spark.sessionState.catalog.getTableMetadata(ident)
+    val tableBuckets = graft.tools.DriverProf.time("store.getTableMetadata")(spark.sessionState.catalog.getTableMetadata(ident))
       .bucketSpec.map(_.numBuckets).getOrElse(buckets)
     val columnOrder = spark.table(name).columns // partition cols are last
     // live updates carry an explicit not-deleted flag ([[delete]] stages
@@ -1325,23 +1327,112 @@ object Store {
       if (columnOrder.contains(DelCol) && !u.columns.contains(DelCol))
         u.withColumn(DelCol, lit(false))
       else u
-    val shaped = flagged.withColumn(GenCol, lit(gen))
-      .select(columnOrder.map(col(_)): _*)
-    // a LOCAL delta skips the bucket-aligning shuffle: one task writes
-    // the same one-file-per-present-bucket layout (the bucketed writer
-    // splits by bucket id within the task), minus an AQE exchange round
-    val placed =
-      if (localUpdates.isDefined) shaped.coalesce(1)
-      else shaped.repartition(tableBuckets, col(idCol))
-    placed.write.mode(SaveMode.Append).insertInto(name)
+    // GenCol is a DIRECTORY, not a data column, on this path: the staged
+    // write emits per-PartCol bucketed files and the rename below adds
+    // the `gen` dir level — so no per-generation literal ever enters the
+    // write plan (the generated source is identical across triggers).
+    val shaped = flagged.select(columnOrder.filterNot(_ == GenCol).map(col(_)): _*)
+    stageBucketedGen(spark, name, loc, fs, shaped, gen, touched, tableBuckets, idCol)
     Some((gen, touched))
   }
+
+  /** Write one GENERATION's bucketed files and register exactly its
+    * `(partition, gen)` catalog entries — the O(touched) replacement for
+    * `insertInto` on the delta path (r18).
+    *
+    * Why not `insertInto`: Spark's append to a catalog-partitioned table
+    * LISTS EVERY PARTITION of the table before each write
+    * (`InsertIntoHadoopFsRelationCommand`'s custom-location resolution),
+    * so per-trigger upserts pay a metastore round trip that GROWS with
+    * the accumulated generation count — measured 1.1 s per ~500-row
+    * delta at the q109 gate versus ~0.2 s for the identical files
+    * written without the catalog commit, and structurally O(partitions)
+    * per trigger on a long-running stream. This path keeps everything
+    * the catalog commit provided — bucketed file layout (the staging
+    * CTAS declares the table's own bucket/sort spec, so file naming and
+    * hash match the main table's scan expectations), partition-pruned
+    * reads (the touched `(part, gen)` specs register via ONE batched
+    * `ADD PARTITION IF NOT EXISTS`) — at O(touched) metastore work
+    * regardless of table size.
+    *
+    * Crash contract (unchanged from the insertInto form): everything
+    * here stages INVISIBLY — readers resolve generations through the
+    * manifest, and `gen` is not in any committed manifest until
+    * [[commitDelta]] renames one in. A crash mid-stage leaves an orphan
+    * `_stage-gen` dir / unreferenced gen dirs (the intent marker poisons
+    * the gen id for reuse; vacuum reclaims), and a crash between the
+    * renames and the ADD PARTITION is healed by the IF NOT EXISTS
+    * replay of the same staging (`delta` re-stages deterministically).
+    * The staging table is EXTERNAL (explicit path), so dropping it never
+    * deletes the renamed files.
+    */
+  private val StageFileRe = """part-(\d+)-.*""".r
+
+  private def stageBucketedGen(
+      spark: SparkSession, name: String, loc: Path, fs: FileSystem,
+      shaped: DataFrame, gen: Long, touched: Seq[Int],
+      tableBuckets: Int, idCol: String): Unit =
+    graft.tools.DriverProf.time("store.write.delta") {
+      val stageDir = new Path(loc, s"_stage-$gen")
+      if (fs.exists(stageDir)) fs.delete(stageDir, true)
+      // Bucketed files WITHOUT the bucketed-table writer: an explicit-n
+      // `repartition(n, id)` is the bucket assignment function itself
+      // (HashPartitioning = pmod(murmur3(id), n), exactly what the scan's
+      // bucket pruning recomputes), and a REPARTITION_BY_NUM shuffle is
+      // never AQE-coalesced — so write-task index == bucket id, and the
+      // task-index prefix of each staged file names its bucket. The
+      // rename below tags the name with the `_NNNNN` suffix the bucketed
+      // scan parses. Within-task sort on (part, id) keeps the dynamic
+      // writer sort-free and the file contents id-ordered like the
+      // bucketed writer's.
+      graft.tools.DriverProf.time("store.stage.write")(
+        shaped.repartition(tableBuckets, col(idCol))
+          .sortWithinPartitions(col(PartCol), col(idCol))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy(PartCol).parquet(stageDir.toString))
+      // a compaction fold can surface a partition whose surviving rows
+      // are ALL tombstoned away — no staged dir then, and none needed:
+      // the manifest points its live list at `gen`, which reads empty
+      // (exactly what the insertInto form produced)
+      val staged = touched.filter { p =>
+        val src = new Path(stageDir, s"$PartCol=$p")
+        fs.exists(src) && {
+          val parentDir = new Path(loc, s"$PartCol=$p")
+          if (!fs.exists(parentDir)) fs.mkdirs(parentDir)
+          val dst = new Path(parentDir, s"$GenCol=$gen")
+          require(fs.rename(src, dst), s"could not move staged generation into $dst")
+          fs.listStatus(dst).foreach { st =>
+            val n = st.getPath.getName
+            if (n.endsWith(".parquet")) {
+              val bucket = n match {
+                case StageFileRe(b) => b.toInt
+                case _ => sys.error(s"unexpected staged file name $n in $dst")
+              }
+              val dot = n.indexOf('.')
+              val tagged = f"${n.substring(0, dot)}_$bucket%05d${n.substring(dot)}"
+              require(fs.rename(st.getPath, new Path(dst, tagged)),
+                s"could not bucket-tag staged file $n in $dst")
+            }
+          }
+          true
+        }
+      }
+      fs.delete(stageDir, true) // _SUCCESS marker + emptied dirs
+      if (staged.nonEmpty) {
+        val specs = staged
+          .map(p => s"PARTITION ($PartCol=$p, $GenCol=$gen)").mkString(" ")
+        graft.tools.DriverProf.time("store.stage.addparts")(
+          spark.sql(s"ALTER TABLE `$name` ADD IF NOT EXISTS $specs"))
+      }
+      ()
+    }
 
   /** Append `gen` to the touched partitions' live lists and commit — the
     * single atomic step that makes a staged generation visible.
     */
   private[graft] def commitDelta(
-      spark: SparkSession, name: String, gen: Long, touched: Seq[Int]): Unit = {
+      spark: SparkSession, name: String, gen: Long, touched: Seq[Int]): Unit =
+    graft.tools.DriverProf.time("store.commitDelta") {
     val loc = tableLocation(spark, name)
     val fs = fsFor(spark, loc)
     val (v, manifest) = readManifest(spark, name).getOrElse(
@@ -1351,7 +1442,7 @@ object Store {
     }
     writeManifest(fs, loc, v + 1L, updated)
     vacuumAndDeregister(spark, name, fs, loc)
-    spark.catalog.refreshTable(name)
+    graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
   }
 
   private def stageAndCommitDelta(
@@ -1375,7 +1466,7 @@ object Store {
   def delete(spark: SparkSession, name: String, keys: DataFrame, idCol: String,
       buckets: Int = 16): Unit = {
     requireTable(spark, name)
-    spark.catalog.refreshTable(name)
+    graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
     val schema = spark.table(name).schema
     require(schema.fieldNames.contains(DelCol),
       s"$name predates tombstone support — rebuild via bulkWrite to enable deletes")
@@ -1480,7 +1571,7 @@ object Store {
       onlyParts: Option[Seq[Int]] = None,
       zorder: Option[ZorderSpec] = None): CompactionResult = {
     requireTable(spark, name)
-    spark.catalog.refreshTable(name)
+    graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
     require(spark.table(name).columns.contains(GenCol),
       s"$name is not a generational store table — nothing to compact")
     // a Z-ordered compaction is a RE-LAYOUT: it folds every live
@@ -1514,7 +1605,7 @@ object Store {
     // defaults coincide at 16 today, but a fold repartitioned by the
     // wrong constant would split each bucket's rows across tasks and
     // multiply files — the blowup compact exists to remove
-    val tableBuckets = spark.sessionState.catalog.getTableMetadata(ident)
+    val tableBuckets = graft.tools.DriverProf.time("store.getTableMetadata")(spark.sessionState.catalog.getTableMetadata(ident))
       .bucketSpec.map(_.numBuckets).getOrElse(DefaultBuckets)
     val w = Window.partitionBy(col(idCol)).orderBy(col(GenCol).desc)
     val columnOrder = t.columns
@@ -1529,7 +1620,7 @@ object Store {
       if (columnOrder.contains(DelCol)) newest.filter(!col(DelCol)) else newest
     def finish(gen0: Long): CompactionResult = {
       vacuumAndDeregister(spark, name, fs, loc)
-      spark.catalog.refreshTable(name)
+      graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
       val after = fileStats(spark, name)
       CompactionResult(foldParts, gen0,
         statsBefore.map(_.nFiles).sum, after.map(_.nFiles).sum)
@@ -1538,14 +1629,15 @@ object Store {
       case None =>
         val gen = allocateGen(fs, loc, manifest)
         val folded = survivors
-          .withColumn(GenCol, lit(gen))
-          .select(columnOrder.map(col(_)): _*)
-          .repartition(tableBuckets, col(idCol))
+          .select(columnOrder.filterNot(_ == GenCol).map(col(_)): _*)
           // materialize the fold (its footprint is the folded partitions,
           // not the table) so the append below does not read the table it
-          // extends
+          // extends; stageBucketedGen applies the bucket repartition
           .localCheckpoint()
-        folded.write.mode(SaveMode.Append).insertInto(name)
+        // staged-gen write, not insertInto (r18) — same O(touched)
+        // catalog contract as the delta path (see stageBucketedGen)
+        stageBucketedGen(spark, name, loc, fs, folded, gen, foldParts,
+          tableBuckets, idCol)
         val updated = foldParts.foldLeft(manifest)((m, p) => m.updated(p, Seq(gen)))
         writeManifest(fs, loc, v + 1L, updated)
         finish(gen)
@@ -1563,7 +1655,7 @@ object Store {
         // generation = base + z-prefix bucket: rows of one partition land
         // in one generation PER BUCKET, key-disjoint by construction
         val zRows = graft.ops.Layout.withZ(survChk, zplan, zs.bits, zs.bucketBits)
-          .withColumn(GenCol, lit(gen0) + col("z_bucket"))
+          .withColumn(GenCol, graft.functions.StableLit.stable_lit(gen0) + col("z_bucket"))
         val envAggs = count(lit(1)).as("n") +: zs.dims.flatMap(d => Seq(
           min(col(d).cast("long")).as(s"mn_$d"),
           max(col(d).cast("long")).as(s"mx_$d")))

@@ -124,7 +124,7 @@ object EventStream {
           // watermark-advance triggers call foreachBatch with no rows —
           // don't pay the upsert's fixed job cost for an empty merge
           if (!materialized.isEmpty) {
-            if (spark.catalog.tableExists(table))
+            if (graft.tools.DriverProf.time("es.tableExists")(spark.catalog.tableExists(table)))
               // batch-bounded → localized (r17): stats + routing run
               // driver-side under the cap, distributed past it
               graft.sources.Store.upsert(spark, table,
@@ -202,7 +202,7 @@ object EventStream {
         // frames (fingerprints, signatures, ids) localize below.
         val b = batch.toDF().localCheckpoint()
         if (!b.isEmpty) {
-          val fresh = !spark.catalog.tableExists(table)
+          val fresh = !graft.tools.DriverProf.time("es.tableExists")(spark.catalog.tableExists(table))
           if (fresh)
             graft.sources.Store.bulkWrite(b, table, idCol,
               buckets = buckets, parts = parts, validateKeys = true)
@@ -242,7 +242,7 @@ object EventStream {
               graft.sources.Store.changes(spark, table, s, post).localCheckpoint())
           def ensure(t: String, build: => Unit, sync: DataFrame => Unit): Unit = {
             val recorded =
-              if (fresh || !spark.catalog.tableExists(t)) None
+              if (fresh || !graft.tools.DriverProf.time("es.tableExists")(spark.catalog.tableExists(t))) None
               else graft.ops.IndexSync.syncedVersion(spark, t)
                 .filter(retained.contains)
             recorded match {
@@ -457,7 +457,7 @@ object EventStream {
             graft.ops.Dedup.compactBandIndex(spark, indexPath)
             graft.ops.Dedup.compactPairFacts(spark, pairsOut)
             graft.ops.Components.fold(spark, labelsTable, forwardTable, idCol, buckets)
-            if (spark.catalog.tableExists(labelsTable))
+            if (graft.tools.DriverProf.time("es.tableExists")(spark.catalog.tableExists(labelsTable)))
               graft.sources.Store.compact(spark, labelsTable)
             ()
           }
@@ -632,7 +632,7 @@ object EventStream {
           // evaluates driver-side with no per-trigger collect
           val fps = graft.sources.Store.localized(b.filter(col("text").isNotNull)
             .select(col("doc_id"), Dedup.exactFingerprint(col("text")).as("fingerprint")))
-          val fpExists = spark.catalog.tableExists(textIdxTable)
+          val fpExists = graft.tools.DriverProf.time("es.tableExists")(spark.catalog.tableExists(textIdxTable))
           // probe, not read (r16): only the batch fingerprints' routing
           // partitions — the text leg's twin of the banded media probes;
           // `hubbed` evaluates twice (pair write + keeper localize), so
@@ -688,7 +688,7 @@ object EventStream {
               Dedup.compactBandIndex(spark, audioIdxPath)
               Dedup.compactPairFacts(spark, pairsOut)
               graft.ops.Components.fold(spark, labelsTable, forwardTable, "doc_id", buckets)
-              if (spark.catalog.tableExists(labelsTable))
+              if (graft.tools.DriverProf.time("es.tableExists")(spark.catalog.tableExists(labelsTable)))
                 Store.compact(spark, labelsTable)
               ()
             }
@@ -758,7 +758,7 @@ object EventStream {
         if (!b.isEmpty) {
           val fps = graft.sources.Store.localized(b.select(col(idCol),
             graft.ops.Dedup.exactFingerprint(col(textCol)).as("fingerprint")))
-          val exists = spark.catalog.tableExists(indexTable)
+          val exists = graft.tools.DriverProf.time("es.tableExists")(spark.catalog.tableExists(indexTable))
           // probe, not read: only the batch fingerprints' partitions
           val old =
             if (exists) graft.sources.Store.probe(spark, indexTable, fps, "fingerprint")
@@ -781,7 +781,7 @@ object EventStream {
             else
               graft.sources.Store.bulkWrite(newKeepers, indexTable, "fingerprint",
                 buckets = buckets, parts = parts)
-            if (compactEvery > 0 && spark.catalog.tableExists(indexTable)) {
+            if (compactEvery > 0 && graft.tools.DriverProf.time("es.tableExists")(spark.catalog.tableExists(indexTable))) {
               // stat-driven (r17): a partition folds when its own delta
               // chain reaches compactEvery generations (Store.compactIfNeeded)
               graft.sources.Store.compactIfNeeded(spark, indexTable, compactEvery)
@@ -883,7 +883,7 @@ object EventStream {
         import graft.sources.Store
         val b = batch.toDF().localCheckpoint()
         if (!b.isEmpty) {
-          val exists = spark.catalog.tableExists(sampleTable)
+          val exists = graft.tools.DriverProf.time("es.tableExists")(spark.catalog.tableExists(sampleTable))
           val old =
             if (exists) Store.read(spark, sampleTable).select(b.columns.map(col(_)): _*)
             else b.filter(lit(false))
@@ -918,7 +918,7 @@ object EventStream {
               .select(col("__res_old").as(idCol)))
             Store.delete(spark, sampleTable, evicted, idCol, buckets)
           }
-          if (compactEvery > 0 && spark.catalog.tableExists(sampleTable)) {
+          if (compactEvery > 0 && graft.tools.DriverProf.time("es.tableExists")(spark.catalog.tableExists(sampleTable))) {
             // stat-driven fold threshold (r17): see Store.compactIfNeeded
             Store.compactIfNeeded(spark, sampleTable, compactEvery)
             ()
@@ -991,7 +991,7 @@ object EventStream {
         // never collect driver-side (r18, ADVICE r17 medium)
         val b = batch.toDF().localCheckpoint()
         if (!b.isEmpty) {
-          val exists = spark.catalog.tableExists(indexTable)
+          val exists = graft.tools.DriverProf.time("es.tableExists")(spark.catalog.tableExists(indexTable))
           // shingles built once, shared by the probe, scoring, and the
           // index advance (persisted, not localized: a batch's distinct
           // shingle set can far exceed the local row cap)
@@ -1035,7 +1035,7 @@ object EventStream {
             else
               graft.sources.Store.bulkWrite(inserts, indexTable, "shingle",
                 buckets = buckets, parts = parts)
-            if (compactEvery > 0 && spark.catalog.tableExists(indexTable)) {
+            if (compactEvery > 0 && graft.tools.DriverProf.time("es.tableExists")(spark.catalog.tableExists(indexTable))) {
               // stat-driven (r17): a partition folds when its own delta
               // chain reaches compactEvery generations (Store.compactIfNeeded)
               graft.sources.Store.compactIfNeeded(spark, indexTable, compactEvery)
@@ -1094,7 +1094,7 @@ object EventStream {
             .withColumn("__h", md5(col("__chunk")))
             .persist()
           try {
-            val exists = spark.catalog.tableExists(indexTable)
+            val exists = graft.tools.DriverProf.time("es.tableExists")(spark.catalog.tableExists(indexTable))
             // probe, not read: only the batch digests' partitions; two
             // consumers (the survive join and the insert anti-join) —
             // localized (r17, was localCheckpoint) so the pruned read
@@ -1149,7 +1149,7 @@ object EventStream {
             else
               graft.sources.Store.bulkWrite(inserts, indexTable, "__h",
                 buckets = buckets, parts = parts)
-            if (compactEvery > 0 && spark.catalog.tableExists(indexTable)) {
+            if (compactEvery > 0 && graft.tools.DriverProf.time("es.tableExists")(spark.catalog.tableExists(indexTable))) {
               // stat-driven (r17): a partition folds when its own delta
               // chain reaches compactEvery generations (Store.compactIfNeeded)
               graft.sources.Store.compactIfNeeded(spark, indexTable, compactEvery)
@@ -1226,7 +1226,7 @@ object EventStream {
             .select(hll_sketch_estimate(col("sketch"))).head().getLong(0) == 0L
         if (!batchEmpty) {
           val batchSketch = skRow.getAs[Array[Byte]]("sketch")
-          val exists = spark.catalog.tableExists(sketchTable)
+          val exists = graft.tools.DriverProf.time("es.tableExists")(spark.catalog.tableExists(sketchTable))
           val stored: Option[Array[Byte]] =
             if (exists)
               Store.read(spark, sketchTable).select(col("sketch"))
@@ -1249,7 +1249,7 @@ object EventStream {
             if (exists) Store.upsert(spark, sketchTable, up, "scope", buckets)
             else Store.bulkWrite(up, sketchTable, "scope",
               buckets = buckets, parts = parts, validateKeys = true)
-            if (compactEvery > 0 && spark.catalog.tableExists(sketchTable)) {
+            if (compactEvery > 0 && graft.tools.DriverProf.time("es.tableExists")(spark.catalog.tableExists(sketchTable))) {
               // stat-driven fold threshold (r17): see Store.compactIfNeeded
               Store.compactIfNeeded(spark, sketchTable, compactEvery)
               ()
@@ -1300,7 +1300,7 @@ object EventStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         if (apply(batch.toDF(), batchId) && compactEvery > 0 &&
-          spark.catalog.tableExists(table)) {
+          graft.tools.DriverProf.time("es.tableExists")(spark.catalog.tableExists(table))) {
           // stat-driven fold threshold (r17): see Store.compactIfNeeded
           graft.sources.Store.compactIfNeeded(spark, table, compactEvery)
           ()
@@ -1324,7 +1324,7 @@ object EventStream {
       fold: Option[Array[Byte]] => Array[Byte]): Boolean = {
     import graft.sources.Store
     import spark.implicits._
-    val exists = spark.catalog.tableExists(table)
+    val exists = graft.tools.DriverProf.time("es.tableExists")(spark.catalog.tableExists(table))
     val stored: Option[(Array[Byte], Long, String)] =
       if (exists)
         Store.read(spark, table).select(col("sketch"), col("last_batch"), col("params"))
@@ -1558,7 +1558,7 @@ object EventStream {
       .head().getAs[Array[Byte]]("sk")
     // an empty/all-null batch builds an empty sketch: unioning it is
     // a no-op, and the byte-dedup below skips the write
-    val exists = spark.catalog.tableExists(sketchTable)
+    val exists = graft.tools.DriverProf.time("es.tableExists")(spark.catalog.tableExists(sketchTable))
     val stored: Option[(Array[Byte], String)] =
       if (exists)
         Store.read(spark, sketchTable).select(col("sketch"), col("params"))
@@ -1646,24 +1646,49 @@ object EventStream {
     * retried non-empty variant of the same id cannot re-fold after an
     * empty first delivery landed.
     */
+  /** One sketch FAMILY maintained by the grouped skeleton: the state
+    * column it owns, its per-batch partial aggregate, its stored-union
+    * merge aggregate (referencing `col(name)`), and the empty-sketch
+    * guard payload. [[applyGroupedSketchBatch]] takes a Seq of these —
+    * one for the single-family sinks, several for the one-pass
+    * multi-sketch sink (r18, VERDICT r17 next #3), which maintains
+    * KLL+HLL+CMS for the same key under ONE probe, ONE merge pass, and
+    * ONE guard-row upsert instead of three sinks' worth.
+    */
+  final case class SketchAlgebra(
+      name: String,
+      batchAgg: org.apache.spark.sql.Column,
+      mergeAgg: org.apache.spark.sql.Column,
+      guardPayload: () => Array[Byte])
+
   private def applyGroupedSketchBatch(
       batch: DataFrame, toKeyValue: DataFrame => DataFrame,
       sketchTable: String, batchId: Long, params: String,
-      batchAgg: org.apache.spark.sql.Column,
-      mergeAgg: org.apache.spark.sql.Column,
-      guardPayload: () => Array[Byte],
+      algebras: Seq[SketchAlgebra],
       buckets: Int, parts: Int): Boolean = {
     val spark = batch.sparkSession
     import graft.sources.Store
     import spark.implicits._
+    val skNames = algebras.map(_.name)
     val batchSk = Store.localized(
       toKeyValue(batch)
         .filter(col("key").isNotNull && col("key") =!= GroupGuardKey)
         .groupBy(col("key"))
-        .agg(batchAgg.as("sk")))
-    def guardRow(id: Long) = Seq((GroupGuardKey, guardPayload(), id, params))
-      .toDF("key", "sk", "last_batch", "params")
-    if (!spark.catalog.tableExists(sketchTable)) {
+        .agg(algebras.head.batchAgg.as(algebras.head.name),
+          algebras.tail.map(a => a.batchAgg.as(a.name)): _*))
+    def guardRow(id: Long): DataFrame = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(
+        StructField("key", StringType, nullable = false) +:
+          skNames.map(n => StructField(n, BinaryType, nullable = true)) :+
+          StructField("last_batch", LongType, nullable = false) :+
+          StructField("params", StringType, nullable = false))
+      spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row.fromSeq(
+          GroupGuardKey +: algebras.map(_.guardPayload()) :+ id :+ params)),
+        schema)
+    }
+    if (!graft.tools.DriverProf.time("es.tableExists")(spark.catalog.tableExists(sketchTable))) {
       Store.bulkWrite(
         batchSk.withColumn("last_batch", lit(batchId))
           .withColumn("params", lit(params))
@@ -1677,15 +1702,16 @@ object EventStream {
           .unionByName(Seq(GroupGuardKey).toDF("key")))
       val stored = Store.localized(
         Store.probe(spark, sketchTable, probeKeys, "key")
-          .select(col("key"), col("sk"), col("last_batch"), col("params")))
+          .select(col("key") +: skNames.map(col) :+
+            col("last_batch") :+ col("params"): _*))
         // consumed twice (the guard probe + the merge) — materialize once
       val guard = stored.filter(col("key") === GroupGuardKey)
         .collect().headOption
       guard.foreach { g =>
-        if (g.getString(3) != params)
-          throw paramMismatch(sketchTable, g.getString(3), params)
+        if (g.getAs[String]("params") != params)
+          throw paramMismatch(sketchTable, g.getAs[String]("params"), params)
       }
-      val guardLast = guard.map(_.getLong(2))
+      val guardLast = guard.map(_.getAs[Long]("last_batch"))
       if (guardLast.contains(batchId))
         false // replayed batch: its atomic commit already landed
       else if (guardLast.exists(_ > batchId))
@@ -1693,10 +1719,11 @@ object EventStream {
       else {
         val merged = stored
           .filter(col("key") =!= GroupGuardKey)
-          .select(col("key"), col("sk"))
+          .select(col("key") +: skNames.map(col): _*)
           .unionByName(batchSk)
           .groupBy(col("key"))
-          .agg(mergeAgg.as("sk"))
+          .agg(algebras.head.mergeAgg.as(algebras.head.name),
+            algebras.tail.map(a => a.mergeAgg.as(a.name)): _*)
           .withColumn("last_batch", lit(batchId))
           .withColumn("params", lit(params))
         Store.upsert(spark, sketchTable,
@@ -1705,6 +1732,18 @@ object EventStream {
       }
     }
   }
+
+  private def applyGroupedSketchBatch(
+      batch: DataFrame, toKeyValue: DataFrame => DataFrame,
+      sketchTable: String, batchId: Long, params: String,
+      batchAgg: org.apache.spark.sql.Column,
+      mergeAgg: org.apache.spark.sql.Column,
+      guardPayload: () => Array[Byte],
+      buckets: Int, parts: Int): Boolean =
+    applyGroupedSketchBatch(batch, toKeyValue, sketchTable, batchId, params,
+      Seq(SketchAlgebra("sk", batchAgg, mergeAgg, guardPayload)),
+      buckets, parts)
+
 
   def applyGroupedQuantileBatch(
       batch: DataFrame, toKeyValue: DataFrame => DataFrame,
@@ -1877,6 +1916,64 @@ object EventStream {
       (b, id) => applyGroupedThetaBatch(b, toKeyValue, sketchTable,
         id, lgK, buckets, parts))
 
+  /** One micro-batch of the ONE-PASS MULTI-SKETCH state (r18, VERDICT
+    * r17 next #3): KLL + HLL + CMS for the SAME key, maintained in ONE
+    * state table under ONE partition-pruned probe, ONE merge pass, and
+    * ONE guard-row upsert — where the three single-family sinks each
+    * pay their own probe+merge+upsert per trigger for the same keys.
+    * The state row is `(key, kll, hll, cms, last_batch, params)`; each
+    * column's algebra is exactly its single-family sink's (same
+    * aggregates, same parameters), so the maintained sketches are
+    * BYTE-IDENTICAL to the separate tables' — the q226 gate pins that
+    * equality, and MultiSketchSpec pins the job-count saving.
+    * `value` must be integral/string (the HLL/CMS input contract); KLL
+    * absorbs it cast to double.
+    */
+  def applyGroupedMultiSketchBatch(
+      batch: DataFrame, toKeyValue: DataFrame => DataFrame,
+      sketchTable: String, batchId: Long,
+      k: Int = 200, lgK: Int = 12, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42,
+      buckets: Int = 4, parts: Int = 8): Boolean =
+    applyGroupedSketchBatch(batch, toKeyValue, sketchTable, batchId,
+      params =
+        s"multi;kll.k=$k;hll.lgK=$lgK;cms.eps=$eps;conf=$confidence;seed=$seed",
+      algebras = Seq(
+        SketchAlgebra("kll",
+          org.apache.spark.sql.functions.call_function(
+            "kll_agg", col("value").cast("double"), lit(k)),
+          org.apache.spark.sql.functions.call_function(
+            "kll_merge_agg", col("kll"), lit(k)),
+          () => graft.functions.SketchAggs.kllEmpty(k)),
+        SketchAlgebra("hll",
+          hll_sketch_agg(col("value"), lit(lgK)),
+          hll_union_agg(col("hll"), lit(false)),
+          () => new org.apache.datasketches.hll.HllSketch(lgK)
+            .toUpdatableByteArray),
+        SketchAlgebra("cms",
+          count_min_sketch(col("value"), lit(eps), lit(confidence), lit(seed)),
+          org.apache.spark.sql.functions.call_function(
+            "cms_merge_agg", col("cms")),
+          () => graft.functions.CmsExprs.serialize(
+            org.apache.spark.util.sketch.CountMinSketch
+              .create(eps, confidence, seed)))),
+      buckets = buckets, parts = parts)
+
+  /** Streaming sink maintaining the one-pass multi-sketch state — see
+    * [[applyGroupedMultiSketchBatch]].
+    */
+  def groupedMultiSketchIncremental(
+      docs: DataFrame, toKeyValue: DataFrame => DataFrame,
+      sketchTable: String,
+      k: Int = 200, lgK: Int = 12, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42,
+      checkpointLocation: Option[String] = None,
+      buckets: Int = 4, parts: Int = 8, compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    guardedSketchSink(docs, checkpointLocation, compactEvery, sketchTable,
+      (b, id) => applyGroupedMultiSketchBatch(b, toKeyValue, sketchTable,
+        id, k, lgK, eps, confidence, seed, buckets, parts))
+
   /** The grouped theta state's PAIRWISE OVERLAP MATRIX: for every
     * unordered key pair (a < b), the per-key distinct estimates and the
     * intersection estimate with the DataSketches library's own
@@ -1979,7 +2076,7 @@ object EventStream {
             val counts = graft.sources.Store.localized(
               toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
                 .withColumn("bkey", concat(lit(batchId), lit("|"), col("tok"))))
-            if (spark.catalog.tableExists(countsTable))
+            if (graft.tools.DriverProf.time("es.tableExists")(spark.catalog.tableExists(countsTable)))
               graft.sources.Store.upsert(spark, countsTable, counts, "bkey", buckets)
             else
               graft.sources.Store.bulkWrite(counts, countsTable, "bkey",

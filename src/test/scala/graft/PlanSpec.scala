@@ -379,6 +379,52 @@ class PlanSpec extends SparkSpec {
       s"variant join not broadcast:\n$plan")
   }
 
+  test("searchAfter: after-predicate reaches the scan; jobs independent of resume depth") {
+    import graft.ops.Paging
+    val dir = sf("sf0.001")
+    // single-key resume: the strict inequality must appear in
+    // PushedFilters — that is the file/row-group pruning that makes a
+    // deep resume cost the same as page 1
+    val one = Paging.searchAfter(Tables.orders(spark, dir),
+      Seq(("o_orderkey", true)), Some(Seq(42L)), 10)
+    val scan1 = one.queryExecution.sparkPlan.toString
+    assert(scan1.contains("PushedFilters") && scan1.contains("GreaterThan(o_orderkey,42)"),
+      s"searchAfter single-key after-predicate not pushed to the scan:\n$scan1")
+    // composite (price DESC, key ASC) resume: the lexicographic
+    // Or(LessThan, And(EqualTo, GreaterThan)) form must push as a whole
+    val two = Paging.searchAfter(Tables.orders(spark, dir),
+      Seq(("o_totalprice", false), ("o_orderkey", true)),
+      Some(Seq(1000.0, 42L)), 10)
+    val scan2 = two.queryExecution.sparkPlan.toString
+    assert(scan2.contains("Or(LessThan(o_totalprice,1000.0),And(")
+        || scan2.contains("Or(LessThan(o_totalprice,1000.0), And("),
+      s"composite after-predicate not pushed as a disjunction:\n$scan2")
+    // depth independence, made executable: a shallow resume and a
+    // near-the-end resume run the SAME number of Spark jobs — no term
+    // in the plan grows with cursor depth
+    def jobsOf(last: Seq[Any]): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      Thread.sleep(500) // drain stragglers off the async bus
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        Paging.searchAfter(Tables.orders(spark, dir),
+          Seq(("o_orderkey", true)), Some(last), 10).collect()
+        Thread.sleep(500)
+        n.get
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val shallow = jobsOf(Seq(5L))
+    val deep = jobsOf(Seq(5900000L)) // near the key-space end at sf0.001
+    assert(shallow == deep,
+      s"searchAfter job count grew with resume depth: shallow=$shallow deep=$deep")
+  }
+
   test("q24 construction runs zero Spark jobs — the DF cap is in-job, not a driver pass") {
     // the r6 version derived its shingle-DF cap with agg(max).head() at
     // construction time: a full extra corpus scan per run. The cap is now a

@@ -101,6 +101,15 @@ object SketchAggs {
   def thetaEstimate(bytes: Array[Byte]): Double =
     Sketches.heapifySketch(Memory.wrap(bytes)).getEstimate
 
+  /** Driver-side estimate of a serialized HLL sketch, rounded like
+    * Spark's own `hll_sketch_estimate` — the q226 cross-sink equality
+    * certificate reads maintained rows directly rather than re-joining
+    * through a query.
+    */
+  def hllEstimate(bytes: Array[Byte]): Long =
+    math.round(org.apache.datasketches.hll.HllSketch
+      .heapify(Memory.wrap(bytes)).getEstimate)
+
   /** An empty theta compact sketch at accuracy `lgK` — the guard-row
     * placeholder payload ([[kllEmpty]]'s theta sibling).
     */

@@ -1671,6 +1671,136 @@ object EventOps {
         FROM r WHERE rn <= 3
         ORDER BY source, exact_n DESC, tok""")),
 
+    // ONE-PASS MULTI-SKETCH STATE (r18 — VERDICT r17 next #3,
+    // [[graft.streaming.EventStream.groupedMultiSketchIncremental]]):
+    // KLL + HLL + CMS for the SAME key maintained in ONE state table —
+    // one partition-pruned probe, one merge pass, one guard-row upsert
+    // per trigger, where q214/q219/q220-class sinks each pay their own.
+    // The gate certifies the composed state EQUALS the single-family
+    // sinks': the same 4 ordered batches also fold through
+    // applyGroupedDistinctBatch / applyGroupedCmsBatch into separate
+    // tables, and per key the CMS bytes must match EXACTLY (cellwise
+    // addition is order-independent and byte-pure) and the HLL
+    // estimates must match exactly (registers are order-independent;
+    // list/set-mode serialization is not, so bytes are not the pin
+    // there). KLL is randomized past k (never byte- or hash-compared):
+    // it grades against the exact per-key median via the shared
+    // kllGradeByKey rule. Replay guard: re-apply the final absorbed id
+    // through the multi applier and pin ALL THREE sketch columns
+    // byte-unmoved. MultiSketchSpec pins the job-count saving and the
+    // probe's bytes-read invariance.
+    QueryDef(
+      "q226_stream_multi_sketch",
+      (s, dir) => {
+        import s.implicits._
+        val ss = EventOps.streamSession(s)
+        val docs = Tables.documents(ss, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val srcDir = EventOps.cachedSrcDir("q226", dir)(
+          EventOps.stageOrderedBatches(docs,
+            graft.ops.Dedup.portableHash(col("doc_id").cast("string"),
+              "graft-s226:") % 4, 4, "q226"))
+        Seq("q226_multi", "q226_hll", "q226_cms")
+          .foreach(t => ss.sql(s"DROP TABLE IF EXISTS $t"))
+        val ckpt = java.nio.file.Files.createTempDirectory("q226ckpt").toString
+        val stream = ss.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val toKV = (b: org.apache.spark.sql.DataFrame) =>
+          b.select(col("lang").as("key"), col("n_chars").as("value"))
+        val (eps, conf, seed) = (0.001, 0.99, 42)
+        val q = graft.streaming.EventStream.groupedMultiSketchIncremental(
+          stream, toKV, "q226_multi", k = 200, lgK = 12,
+          eps = eps, confidence = conf, seed = seed,
+          checkpointLocation = Some(ckpt), compactEvery = 3)
+        try q.processAllAvailable()
+        finally q.stop()
+        // the SAME ordered batches through the single-family appliers —
+        // the states the composed sink must reproduce
+        val batchDocs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        (0 until 4).foreach { id =>
+          val b = batchDocs.filter(graft.ops.Dedup.portableHash(
+              col("doc_id").cast("string"), "graft-s226:") % 4 === id)
+            .select(col("lang"), col("n_chars"))
+          graft.streaming.EventStream.applyGroupedDistinctBatch(
+            b, toKV, "q226_hll", batchId = id.toLong, lgK = 12)
+          graft.streaming.EventStream.applyGroupedCmsBatch(
+            b, toKV, "q226_cms", batchId = id.toLong,
+            eps = eps, confidence = conf, seed = seed)
+          ()
+        }
+        // replay guard across ALL THREE columns (the q216 rule)
+        def state(): Map[String, (Array[Byte], Array[Byte], Array[Byte], Long)] =
+          graft.sources.Store.read(s, "q226_multi")
+            .filter(col("key") =!= graft.streaming.EventStream.GroupGuardKey)
+            .select(col("key"), col("kll"), col("hll"), col("cms"),
+              col("last_batch"))
+            .collect().map(r => r.getString(0) ->
+              (r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2),
+                r.getAs[Array[Byte]](3), r.getLong(4))).toMap
+        val before = state()
+        val replayBatch = batchDocs.filter(graft.ops.Dedup.portableHash(
+            col("doc_id").cast("string"), "graft-s226:") % 4 === 3)
+          .select(col("lang"), col("n_chars"))
+        val refolded = graft.streaming.EventStream.applyGroupedMultiSketchBatch(
+          replayBatch, toKV, "q226_multi", batchId = 3L, k = 200, lgK = 12,
+          eps = eps, confidence = conf, seed = seed)
+        val after = state()
+        val guardHeld = !refolded && before.keySet == after.keySet &&
+          before.forall { case (k, (a1, a2, a3, lb)) =>
+            val (b1, b2, b3, lb2) = after(k)
+            java.util.Arrays.equals(a1, b1) && java.util.Arrays.equals(a2, b2) &&
+              java.util.Arrays.equals(a3, b3) && lb == lb2
+          }
+        // single-family equality certificates
+        def column(t: String): Map[String, Array[Byte]] =
+          graft.sources.Store.read(s, t)
+            .filter(col("key") =!= graft.streaming.EventStream.GroupGuardKey)
+            .select(col("key"), col("sk"))
+            .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+        val singleHll = column("q226_hll")
+        val singleCms = column("q226_cms")
+        import graft.functions.SketchAggs
+        val hllMatch = after.map { case (k, (_, h, _, _)) =>
+          k -> (SketchAggs.hllEstimate(h) == SketchAggs.hllEstimate(singleHll(k)))
+        }
+        val cmsMatch = after.map { case (k, (_, _, c, _)) =>
+          k -> java.util.Arrays.equals(c, singleCms(k))
+        }
+        // KLL column vs the exact per-key median (shared grading rule)
+        val graded = TextOps.kllGradeByKey(
+          batchDocs.select(col("lang"), col("n_chars")), "lang", "n_chars",
+          after.map { case (k, (kll, _, _, _)) => k -> kll })
+        val nd = toKV(batchDocs).groupBy(col("key"))
+          .agg(countDistinct(col("value")).as("nd"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val result = graded
+          .map { case (k, p50, n, rankOk, nOk) =>
+            (k, p50, n, nd(k), rankOk, nOk, hllMatch(k), cmsMatch(k), guardHeld)
+          }
+          .toDF("lang", "exact_p50", "n_docs", "n_distinct",
+            "rank_ok", "n_ok", "hll_match", "cms_match", "replay_guard")
+          .orderBy(col("lang")).localCheckpoint()
+        Seq("q226_multi", "q226_hll", "q226_cms")
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+        EventOps.rmTree(ckpt)
+        result
+      },
+      Some("""
+        WITH ord AS (
+          SELECT lang, n_chars,
+            row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+            count(*) OVER (PARTITION BY lang) AS n
+          FROM documents),
+        d AS (
+          SELECT lang, count(DISTINCT n_chars) AS nd FROM documents GROUP BY lang)
+        SELECT o.lang, CAST(o.n_chars AS BIGINT) AS exact_p50, o.n AS n_docs,
+          d.nd AS n_distinct, true AS rank_ok, true AS n_ok,
+          true AS hll_match, true AS cms_match, true AS replay_guard
+        FROM ord o JOIN d ON o.lang = d.lang
+        WHERE o.rn = CAST(floor((o.n - 1) * 0.5) AS BIGINT) + 1
+        ORDER BY o.lang""")),
+
     // PER-KEY STREAMING SET STATE + PAIRWISE OVERLAP MATRIX (r17 —
     // [[graft.streaming.EventStream.groupedThetaSketchIncremental]] /
     // [[graft.streaming.EventStream.readGroupedThetaMatrix]]): the

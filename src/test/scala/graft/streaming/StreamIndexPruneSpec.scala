@@ -470,6 +470,56 @@ class StreamIndexPruneSpec extends SparkSpec {
       b.withColumn("v", col("v").cast("string")), toKV, t, id,
       lgK = 12, buckets = 4, parts = Parts))
 
+  groupedProbeInvariant("applyGroupedMultiSketchBatch", "gmulti_prune_tab",
+    (b, toKV, t, id) => EventStream.applyGroupedMultiSketchBatch(
+      b, toKV, t, id, k = 200, lgK = 12, eps = 0.01,
+      buckets = 4, parts = Parts))
+
+  test("multi-sketch applier runs fewer jobs than the three single-family appliers") {
+    // the one-pass claim, made executable: same batch, same keys — the
+    // composed KLL+HLL+CMS applier pays ONE probe + ONE merge + ONE
+    // upsert where the three single sinks pay three of each
+    val toKV = (b: DataFrame) => b.select(col("k").as("key"), col("v").as("value"))
+    def batchOf(vBase: Int): DataFrame =
+      (0 until 10).flatMap(i => (0 until 5).map(j => (s"mk$i", vBase + i * 10 + j)))
+        .toDF("k", "v").localCheckpoint()
+    val singles = Seq("ms_kll_tab", "ms_hll_tab", "ms_cms_tab")
+    (singles :+ "ms_multi_tab").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    def countJobs(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      Thread.sleep(500)
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(500); n.get }
+      finally spark.sparkContext.removeSparkListener(l)
+    }
+    // seed both shapes (table creation paths excluded from the measure)
+    def applySingles(b: DataFrame, id: Long): Unit = {
+      EventStream.applyGroupedQuantileBatch(b, toKV, "ms_kll_tab", id, k = 200)
+      EventStream.applyGroupedDistinctBatch(
+        b.withColumn("v", col("v").cast("string")), toKV, "ms_hll_tab", id, lgK = 12)
+      EventStream.applyGroupedCmsBatch(
+        b.withColumn("v", col("v").cast("string")), toKV, "ms_cms_tab", id, eps = 0.01)
+      ()
+    }
+    def applyMulti(b: DataFrame, id: Long): Unit = {
+      EventStream.applyGroupedMultiSketchBatch(
+        b, toKV, "ms_multi_tab", id, k = 200, lgK = 12, eps = 0.01)
+      ()
+    }
+    applySingles(batchOf(0), 0L); applyMulti(batchOf(0), 0L)
+    val jSingles = countJobs(applySingles(batchOf(100), 1L))
+    val jMulti = countJobs(applyMulti(batchOf(100), 1L))
+    assert(jMulti < jSingles,
+      s"composed applier did not save jobs: multi=$jMulti singles=$jSingles")
+    (singles :+ "ms_multi_tab").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   // ——— compaction cadence for the exact-path sinks (r16 verdict #2) ———
 
   test("exact-path sinks fold their index delta chains on the compactEvery cadence") {

@@ -2602,6 +2602,68 @@ object TextOps {
                ELSE n_chars END AS BIGINT) AS weight
         FROM base ORDER BY doc_id""")),
 
+    // ADDED-COLUMN-WITH-DEFAULT ON THE STREAMING PATH (r18 — VERDICT r17
+    // next #7, q206/q221's sibling for the DEFAULT axis): phase 1
+    // streams half the corpus into the table; the operator then adds a
+    // `quality_tier INT DEFAULT 1` column ([[graft.sources.Store
+    // .addColumnWithDefault]] — catalog metadata only, zero data moved);
+    // phase 2 is the redeploy whose batches CARRY the column with
+    // computed values. Every phase-1 row must read the DEFAULT (Spark's
+    // existence-default serves it at scan time from files that lack the
+    // column), every phase-2 row its stored value — the oracle replays
+    // the phase split in closed form over the portable hash. The
+    // producers-lag-the-schema direction (a post-ALTER batch MISSING
+    // the column fills from the default instead of failing the
+    // whole-row contract) is pinned in StoreSpec.
+    QueryDef(
+      "q227_stream_added_default",
+      (s, dir) => {
+        import graft.sources.Store
+        val ss = graft.queries.EventOps.streamSession(s)
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val ph = graft.ops.Dedup.portableHash(
+          col("doc_id").cast("string"), "graft-s227:") % 4
+        val table = "adddef_docs"
+        ss.sql(s"DROP TABLE IF EXISTS $table")
+        val srcA = java.nio.file.Files.createTempDirectory("q227a").toString
+        val srcB = java.nio.file.Files.createTempDirectory("q227b").toString
+        val ckptA = java.nio.file.Files.createTempDirectory("q227ckpta").toString
+        val ckptB = java.nio.file.Files.createTempDirectory("q227ckptb").toString
+        val phase1 = base.filter(ph <= 1)
+        phase1.coalesce(1).write.mode("append").parquet(srcA)
+        val q1 = graft.streaming.EventStream.toStoreUpsert(
+          ss.readStream.schema(phase1.schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcA),
+          table, "doc_id", buckets = 4, parts = 8,
+          checkpointLocation = Some(ckptA))
+        try q1.processAllAvailable() finally q1.stop()
+        Store.addColumnWithDefault(s, table, "quality_tier", "INT", "1")
+        val phase2 = base.filter(ph >= 2)
+          .withColumn("quality_tier", (col("n_chars") % 5 + 2).cast("int"))
+        phase2.coalesce(1).write.mode("append").parquet(srcB)
+        val q2 = graft.streaming.EventStream.toStoreUpsert(
+          ss.readStream.schema(phase2.schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcB),
+          table, "doc_id", buckets = 4, parts = 8,
+          checkpointLocation = Some(ckptB))
+        try q2.processAllAvailable() finally q2.stop()
+        val result = Store.read(s, table)
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        Seq(srcA, srcB, ckptA, ckptB).foreach(graft.queries.EventOps.rmTree)
+        result
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, source, n_chars,
+            (('0x' || substr(md5('graft-s227:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 4 AS ph
+          FROM documents)
+        SELECT doc_id, source, n_chars,
+          CAST(CASE WHEN ph <= 1 THEN 1 ELSE n_chars % 5 + 2 END AS INT) AS quality_tier
+        FROM base ORDER BY doc_id""")),
+
     // CHANGELOG / CDC ([[graft.sources.Store.changes]]) — the downstream-
     // sync primitive: every key whose value differs between two retained
     // manifests, labeled insert/update/delete with the post-image (null

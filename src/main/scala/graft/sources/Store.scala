@@ -518,11 +518,20 @@ object Store {
   private def widensTo(
       from: org.apache.spark.sql.types.DataType,
       to: org.apache.spark.sql.types.DataType): Boolean = {
-    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    import org.apache.spark.sql.types._
     (from, to) match {
-      case (IntegerType, LongType) => true
+      // INT32-physical parquet pages (byte/short/int) decode at any
+      // wider integral width, and at double (every int32 is exact in a
+      // double); FLOAT decodes as double. Each promotion verified
+      // against this build's vectorized reader (StoreSpec widening
+      // matrix, r18 — the r17 set was int->long / float->double only).
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
       case (FloatType, DoubleType) => true
-      case _                       => false
+      // long->double is NOT here: longs past 2^53 lose precision, so
+      // that "widening" silently corrupts keys/counters — rebuild.
+      case _ => false
     }
   }
 
@@ -563,8 +572,9 @@ object Store {
       widensTo(tableTypes(f.name), f.dataType) ||
         widensTo(f.dataType, tableTypes(f.name)))
     require(clash.isEmpty,
-      s"type change rejected for $name (evolution is additive or widening " +
-        s"int->long / float->double only; rebuild via bulkWrite to retype): " +
+      s"type change rejected for $name (evolution is additive or lossless " +
+        s"widening — byte/short/int up to long or double, float->double; " +
+        s"rebuild via bulkWrite to retype): " +
         clash.map(f =>
           s"${f.name}: ${tableTypes(f.name).catalogString} -> " +
             f.dataType.catalogString).mkString(", "))
@@ -602,6 +612,39 @@ object Store {
       writeTextFile(fs, schemaPath(loc, curV + 1L),
         userColumns(spark.table(name)).mkString("\n"))
     }
+  }
+
+  /** ADD a column WITH A DECLARED DEFAULT (r18 — VERDICT r17 next #7's
+    * second half): `ALTER TABLE ... ADD COLUMNS (col type DEFAULT d)`.
+    * Existing generations' files lack the column and read the DEFAULT at
+    * scan time (Spark's existence-default column metadata — no rewrite,
+    * the same no-data-moves contract as additive evolution); new batches
+    * may carry the column explicitly; and a batch MISSING it is filled
+    * with the default at stage time instead of failing the whole-row
+    * contract ([[stageDelta]]) — so the column can be added BEFORE its
+    * producers learn to emit it, which is the order streaming deploys
+    * actually happen in. Sidecar bookkeeping matches additive evolution,
+    * so time travel serves pre-evolution versions at the pre-evolution
+    * shape. `defaultSql` must be a constant-foldable SQL expression.
+    */
+  def addColumnWithDefault(
+      spark: SparkSession, name: String, column: String,
+      dataTypeSql: String, defaultSql: String): Unit = {
+    requireTable(spark, name)
+    val t = spark.table(name)
+    require(!t.columns.contains(column),
+      s"$name already has a column named $column")
+    val loc = tableLocation(spark, name)
+    val fs = fsFor(spark, loc)
+    val curV = manifestVersions(fs, loc).lastOption.getOrElse(0L)
+    if (schemaVersions(fs, loc).isEmpty)
+      writeTextFile(fs, schemaPath(loc, 0L), userColumns(t).mkString("\n"))
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    spark.sql(s"ALTER TABLE ${ident.quotedString} ADD COLUMNS " +
+      s"(`$column` $dataTypeSql DEFAULT $defaultSql)")
+    graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
+    writeTextFile(fs, schemaPath(loc, curV + 1L),
+      userColumns(spark.table(name)).mkString("\n"))
   }
 
   // ------------------------------------------------------------ zmap sidecar
@@ -1374,11 +1417,23 @@ object Store {
       if (columnOrder.contains(DelCol) && !u.columns.contains(DelCol))
         u.withColumn(DelCol, lit(false))
       else u
+    // a batch MISSING a column the table has fails the staged select
+    // below (the whole-row contract: silently NULL-filling a misspelled
+    // column is how corpora rot); a column added WITH A DECLARED DEFAULT
+    // ([[addColumnWithDefault]]) is the sanctioned exception — fill it
+    // from its own default so pre-evolution producers keep streaming
+    val withDefaults = spark.table(name).schema.fields
+      .filter(f => !flagged.columns.contains(f.name) &&
+        f.name != PartCol && f.name != GenCol && f.name != DelCol &&
+        f.metadata.contains("CURRENT_DEFAULT"))
+      .foldLeft(flagged)((df, f) => df.withColumn(f.name,
+        org.apache.spark.sql.functions.expr(
+          f.metadata.getString("CURRENT_DEFAULT")).cast(f.dataType)))
     // GenCol is a DIRECTORY, not a data column, on this path: the staged
     // write emits per-PartCol bucketed files and the rename below adds
     // the `gen` dir level — so no per-generation literal ever enters the
     // write plan (the generated source is identical across triggers).
-    val shaped = flagged.select(columnOrder.filterNot(_ == GenCol).map(col(_)): _*)
+    val shaped = withDefaults.select(columnOrder.filterNot(_ == GenCol).map(col(_)): _*)
     stageBucketedGen(spark, name, loc, fs, shaped, gen, touched, tableBuckets, idCol)
     Some((gen, touched))
   }

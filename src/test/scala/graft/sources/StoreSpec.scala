@@ -807,6 +807,77 @@ class StoreSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t2")
   }
 
+  test("widening matrix (r18): byte/short/int promote to long and double in place") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val t = "widen_matrix_tab"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val base = (1L to 20L).map(i => (i, i.toByte, i.toShort, i.toInt))
+      .toDF("id", "b", "s", "n")
+    Store.bulkWrite(base, t, "id", buckets = 2, parts = 4, validateKeys = true)
+    try {
+      // one upsert carrying every promotion at once: byte->int,
+      // short->long, int->double — each an INT32-physical page the
+      // vectorized reader decodes at the wider type with zero rewrites
+      Store.upsert(spark, t,
+        Seq((3L, 300, 40000000000L, 2.5d)).toDF("id", "b", "s", "n"),
+        "id", buckets = 2)
+      val sch = spark.table(t).schema
+      assert(sch("b").dataType === IntegerType)
+      assert(sch("s").dataType === LongType)
+      assert(sch("n").dataType === DoubleType)
+      val rows = Store.read(spark, t).orderBy(col("id")).collect()
+      // pre-widening generations decode widened with unchanged values
+      assert(rows(0).getInt(1) === 1 && rows(0).getLong(2) === 1L &&
+        rows(0).getDouble(3) === 1.0d)
+      assert(rows(2).getInt(1) === 300 && rows(2).getLong(2) === 40000000000L &&
+        rows(2).getDouble(3) === 2.5d)
+      // long->double stays refused: past 2^53 it silently corrupts
+      val t2 = "widen_l2d_tab"
+      spark.sql(s"DROP TABLE IF EXISTS $t2")
+      Store.bulkWrite(Seq((1L, 9L)).toDF("id", "v"), t2, "id",
+        buckets = 2, parts = 2, validateKeys = true)
+      try {
+        val e = intercept[IllegalArgumentException] {
+          Store.upsert(spark, t2, Seq((1L, 1.5d)).toDF("id", "v"), "id", buckets = 2)
+        }
+        assert(e.getMessage.contains("type change rejected"))
+      } finally spark.sql(s"DROP TABLE IF EXISTS $t2")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("addColumnWithDefault: old rows read the default, a batch missing the column fills from it") {
+    import spark.implicits._
+    val t = "adddef_tab"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Store.bulkWrite((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"), t, "id",
+      buckets = 2, parts = 4, validateKeys = true)
+    try {
+      // keep the pre-ALTER manifest readable across the two upserts below
+      Store.setRetention(spark, t, 4)
+      val v0 = Store.versions(spark, t).last
+      Store.addColumnWithDefault(spark, t, "tier", "INT", "7")
+      // every pre-ALTER row serves the default at scan time (no rewrite)
+      assert(Store.read(spark, t).filter(col("tier") =!= 7).count() === 0L)
+      // producers lag the schema: a batch MISSING the defaulted column
+      // fills from it instead of failing the whole-row contract
+      Store.upsert(spark, t, Seq((11L, "new")).toDF("id", "v"), "id", buckets = 2)
+      assert(Store.read(spark, t).filter(col("id") === 11L)
+        .head().getAs[Int]("tier") === 7)
+      // and a batch CARRYING it stores its own value
+      Store.upsert(spark, t, Seq((11L, "new2", 9)).toDF("id", "v", "tier"),
+        "id", buckets = 2)
+      assert(Store.read(spark, t).filter(col("id") === 11L)
+        .head().getAs[Int]("tier") === 9)
+      // a batch missing a column WITHOUT a default still fails loudly
+      intercept[Exception] {
+        Store.upsert(spark, t, Seq((12L, 5)).toDF("id", "tier"), "id", buckets = 2)
+      }
+      // time travel BEFORE the ALTER serves the pre-evolution shape
+      assert(!Store.readVersion(spark, t, v0).columns.contains("tier"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("vacuum deregisters dead catalog partitions: catalog == filesystem") {
     import spark.implicits._
     val t = "vac_dereg_tab"

@@ -317,6 +317,73 @@ object VectorOps {
                true AS lsh_recall_ok, true AS ivf_recall_ok,
                true AS ivfq_recall_ok""")),
 
+    // LSH-APPEND RECALL UNDER DRIFT (r18 — VERDICT r17 next #8, the
+    // q68-style certificate behind q122's "appends never need rebuild"
+    // claim): the initial LSH index sees only HALF the clusters; the
+    // other half — embedding regions the build never touched, exactly
+    // the drift that collapses a frozen IVF codebook to ~0.4 recall
+    // (q117's fixture) — arrives as two O(batch) appends. Because the
+    // bucket hash is a data-INDEPENDENT hyperplane family, the appended
+    // rows land in the same buckets a from-scratch rebuild would give
+    // them, so recall@5 vs brute must hold the 0.8 bar BOTH overall and
+    // restricted to the appended-only clusters, and the appended index
+    // must equal the from-scratch rebuild on the grown corpus row for
+    // row (the strongest form of the no-rebuild claim, pinned
+    // deterministically). Flags measured from data; oracle emits the
+    // literal expected row (q68 pattern).
+    QueryDef(
+      "q228_ann_lsh_append_recall",
+      (s, _) => {
+        import s.implicits._
+        val (corpus, probes, _, _) = clusteredFor(s)
+        val k = 5
+        val half = (NClusters / 2) * PerCluster
+        val q3 = half + (NClusters / 4) * PerCluster
+        val seed = corpus.filter(col("vec_id") < half)
+        val grow1 = corpus.filter(col("vec_id") >= half && col("vec_id") < q3)
+        val grow2 = corpus.filter(col("vec_id") >= q3)
+        val path = java.nio.file.Files.createTempDirectory("q228lsh").toString
+        Similarity.writeLshIndexQuantized(
+          Similarity.buildLshIndexQuantized(seed, "vec_id", "embedding"), path)
+        Similarity.appendLshIndexQuantized(path, grow1, "vec_id", "embedding")
+        Similarity.appendLshIndexQuantized(path, grow2, "vec_id", "embedding")
+        val grown = s.read.parquet(path)
+        val brute = Similarity.bruteTopK(probes, corpus, "vec_id", "embedding", k)
+          .select(col("q_id"), col("neighbor_id"))
+        val hits = Similarity
+          .lshTopKQuantized(probes, grown, "vec_id", "embedding", k)
+          .select(col("q_id"), col("neighbor_id"))
+          .join(brute, Seq("q_id", "neighbor_id"))
+          // probes 100000+cIdx: clusters >= NClusters/2 exist ONLY via
+          // appends — their recall is the drift-immunity claim itself
+          .withColumn("appended",
+            col("q_id") - 100000L >= (NClusters / 2).toLong)
+          .localCheckpoint() // two aggregates over one bucket join
+        val overall = hits
+          .agg((count(lit(1)).cast("double") / lit(NClusters * k)).as("r"))
+          .select((col("r") >= 0.8).as("recall_ok"))
+        val appended = hits.filter(col("appended"))
+          .agg((count(lit(1)).cast("double") / lit((NClusters / 2) * k)).as("r"))
+          .select((col("r") >= 0.8).as("appended_cluster_recall_ok"))
+        // append == rebuild, row for row (buckets, codes, and range all
+        // deterministic functions of the vector): symmetric difference
+        // of the two indexes must be empty
+        val rebuilt = Similarity
+          .buildLshIndexQuantized(corpus, "vec_id", "embedding")
+        val diff = grown.exceptAll(rebuilt).count() +
+          rebuilt.exceptAll(grown).count()
+        graft.queries.EventOps.rmTree(path)
+        overall.crossJoin(appended).select(
+          lit(NClusters.toLong).as("n_probes"),
+          col("recall_ok"),
+          col("appended_cluster_recall_ok"),
+          lit(diff == 0L).as("append_equals_rebuild"))
+      },
+      Some("""
+        SELECT CAST(20 AS BIGINT) AS n_probes, true AS recall_ok,
+               true AS appended_cluster_recall_ok,
+               true AS append_equals_rebuild""")),
+
     // PRODUCT QUANTIZATION ([[graft.ops.Pq]], Jégou et al. 2011): 16
     // floats → 4 codes (16× compression); queries score ASYMMETRICALLY
     // against reconstructions decoded from codes alone — the float

@@ -358,13 +358,17 @@ object VectorOps {
           // appends — their recall is the drift-immunity claim itself
           .withColumn("appended",
             col("q_id") - 100000L >= (NClusters / 2).toLong)
-          .localCheckpoint() // two aggregates over one bucket join
-        val overall = hits
-          .agg((count(lit(1)).cast("double") / lit(NClusters * k)).as("r"))
-          .select((col("r") >= 0.8).as("recall_ok"))
-        val appended = hits.filter(col("appended"))
-          .agg((count(lit(1)).cast("double") / lit((NClusters / 2) * k)).as("r"))
-          .select((col("r") >= 0.8).as("appended_cluster_recall_ok"))
+        // both recalls from ONE aggregate over the bucket join — no
+        // scalar crossJoin (the registry sweep forbids all-pairs
+        // shapes); materialized (localCheckpoint) BEFORE the index dir
+        // is deleted below, which the lazy plan still reads
+        val recalls = hits.agg(
+          (count(lit(1)).cast("double") / lit(NClusters * k) >= 0.8)
+            .as("recall_ok"),
+          (sum(when(col("appended"), 1L).otherwise(0L)).cast("double") /
+            lit((NClusters / 2) * k) >= 0.8)
+            .as("appended_cluster_recall_ok"))
+          .localCheckpoint()
         // append == rebuild, row for row (buckets, codes, and range all
         // deterministic functions of the vector): symmetric difference
         // of the two indexes must be empty
@@ -373,7 +377,7 @@ object VectorOps {
         val diff = grown.exceptAll(rebuilt).count() +
           rebuilt.exceptAll(grown).count()
         graft.queries.EventOps.rmTree(path)
-        overall.crossJoin(appended).select(
+        recalls.select(
           lit(NClusters.toLong).as("n_probes"),
           col("recall_ok"),
           col("appended_cluster_recall_ok"),

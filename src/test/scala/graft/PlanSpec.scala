@@ -220,7 +220,8 @@ class PlanSpec extends SparkSpec {
       "q175_ann_ivf_pq_residual" -> "BroadcastNestedLoopJoin", // probe×centroid cell assignment (the q38 probeCells head)
       "q196_cdc_ann_sync" -> "BroadcastNestedLoopJoin", // probe×centroid cell assignment (q38 shape) + 1-row flags crossJoin (q68 pattern)
       "q197_stream_ann_sync" -> "BroadcastNestedLoopJoin", // q196's shape on the streamed index: probeCells head + 1-row flags crossJoin
-      "q198_bpe_bin_packing" -> "BroadcastNestedLoopJoin") // 1-row flags frame crossJoin (q68 pattern)
+      "q198_bpe_bin_packing" -> "BroadcastNestedLoopJoin", // 1-row flags frame crossJoin (q68 pattern)
+      "q228_ann_lsh_append_recall" -> "BroadcastNestedLoopJoin") // recall BASELINE: broadcast probes × corpus brute scan (q35/q171 shape, deliberately exhaustive — the thing recall is measured against)
     val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.sparkPlan.toString
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")

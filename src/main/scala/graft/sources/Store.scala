@@ -334,6 +334,55 @@ object Store {
     * too, not just HDFS. Throws `IOException` (of which
     * `FileAlreadyExistsException` is a subtype) when the file exists.
     */
+  /** (sessionUUID, table) → manifest version at this session's last
+    * `refreshTable` (r18): the manifest RENAME is a commit's visibility
+    * point — data files are immutable and generation dirs only appear
+    * under a new version — so a reader whose freshly FS-read manifest
+    * version equals the recorded one knows this session's catalog and
+    * file-listing caches cannot be stale, and skips the 30–90 ms
+    * `refreshTable` (profiled as the #3 fixed driver cost per streaming
+    * trigger after the staged-write fix). Keyed PER SESSION because
+    * cloned stream sessions carry their own relation caches: one
+    * session's refresh proves nothing about another's. Tables WITHOUT a
+    * manifest (flat createTable tables) always refresh — they have no
+    * visibility point to gate on. DDL and commit paths force-refresh
+    * and re-record; destructive rebuilds invalidate every session's
+    * entry.
+    */
+  private val refreshedAt =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
+  private def refreshKey(spark: SparkSession, name: String): String =
+    s"${java.lang.System.identityHashCode(spark)}/$name"
+
+  private def forceRefresh(spark: SparkSession, name: String): Unit = {
+    graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
+    val v =
+      try readManifest(spark, name).map(_._1).getOrElse(-1L)
+      catch { case _: Exception => -1L }
+    if (v >= 0L) refreshedAt.put(refreshKey(spark, name), v)
+    else refreshedAt.remove(refreshKey(spark, name))
+    ()
+  }
+
+  private def refreshIfMoved(spark: SparkSession, name: String): Unit = {
+    val v = readManifest(spark, name).map(_._1).getOrElse(-1L)
+    val seen = refreshedAt.get(refreshKey(spark, name))
+    if (v < 0L || seen == null || seen.longValue != v) {
+      graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
+      if (v >= 0L) refreshedAt.put(refreshKey(spark, name), v)
+      ()
+    }
+  }
+
+  /** Forget every session's refresh record for `name` — the rebuild
+    * paths (DROP + saveAsTable) change the table identity entirely.
+    */
+  private def invalidateRefresh(name: String): Unit = {
+    val it = refreshedAt.keySet.iterator
+    while (it.hasNext) { if (it.next.endsWith(s"/$name")) it.remove() }
+  }
+
   /** Filesystem schemes whose `create(p, overwrite = false)` is a TRUE
     * atomic create-if-absent (a central-arbiter namespace: HDFS-class
     * NameNode schemes), plus `file` which this code routes through
@@ -592,7 +641,7 @@ object Store {
         cat.getTableMetadata(ident).dataSchema.fields.map(f =>
           widenMap.get(f.name).map(dt => f.copy(dataType = dt)).getOrElse(f)))
       cat.alterTableDataSchema(ident, newData)
-      graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
+      forceRefresh(spark, name)
     }
     val extras = updates.schema.fields.filterNot(f => tableTypes.contains(f.name))
     if (extras.nonEmpty) {
@@ -606,7 +655,7 @@ object Store {
       val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
       val colsSql = extras.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
       spark.sql(s"ALTER TABLE ${ident.quotedString} ADD COLUMNS ($colsSql)")
-      graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
+      forceRefresh(spark, name)
       // the widened list serves from the NEXT committed manifest version
       // (the commit that makes this batch visible)
       writeTextFile(fs, schemaPath(loc, curV + 1L),
@@ -642,7 +691,7 @@ object Store {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
     spark.sql(s"ALTER TABLE ${ident.quotedString} ADD COLUMNS " +
       s"(`$column` $dataTypeSql DEFAULT $defaultSql)")
-    graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
+    forceRefresh(spark, name)
     writeTextFile(fs, schemaPath(loc, curV + 1L),
       userColumns(spark.table(name)).mkString("\n"))
   }
@@ -901,8 +950,11 @@ object Store {
     * Errors if an incompatible table already exists (ES `indices.create`
     * semantics without the ignore-400 of the reference).
     */
-  def createTable(spark: SparkSession, name: String, schema: StructType): Unit =
+  def createTable(spark: SparkSession, name: String, schema: StructType): Unit = {
     spark.catalog.createTable(name, "parquet", schema, Map.empty[String, String])
+    invalidateRefresh(name) // fresh identity for every session
+    ()
+  }
 
   /** Schema check mirroring the declared-mapping guarantee: names+types of
     * the frame must match the declared schema (order- and nullability-
@@ -974,6 +1026,7 @@ object Store {
       .saveAsTable(name)
     spark.sql(s"ALTER TABLE `$name` SET TBLPROPERTIES " +
       s"('$PartsProp' = '$parts', '$IdColProp' = '$idCol')")
+    invalidateRefresh(name) // rebuild = new table identity for every session
     // manifest 0: every partition dir the write produced carries gen 0
     val present = fs.listStatus(loc).toSeq.map(_.getPath.getName)
       .collect { case n if n.startsWith(s"$PartCol=") => n.stripPrefix(s"$PartCol=").toInt }
@@ -991,7 +1044,7 @@ object Store {
     */
   def read(spark: SparkSession, name: String): DataFrame = {
     requireTable(spark, name)
-    graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
+    refreshIfMoved(spark, name)
     val t = spark.table(name)
     if (!t.columns.contains(GenCol)) return t.drop(PartCol) // flat / legacy
     val manifest = readManifest(spark, name).map(_._2).getOrElse(Map.empty)
@@ -1019,7 +1072,7 @@ object Store {
     */
   def readVersion(spark: SparkSession, name: String, version: Long): DataFrame = {
     requireTable(spark, name)
-    graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
+    refreshIfMoved(spark, name)
     require(spark.table(name).columns.contains(GenCol),
       s"$name is not a generational store table — no versions to read")
     val loc = tableLocation(spark, name)
@@ -1056,7 +1109,7 @@ object Store {
     */
   def lookup(spark: SparkSession, name: String, keys: Seq[Any]): DataFrame = {
     requireTable(spark, name)
-    graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
+    refreshIfMoved(spark, name)
     val t = spark.table(name)
     // generational-layout check FIRST: a flat table (createTable + legacy
     // upsert) records no id column, so idColOf would throw before any
@@ -1096,7 +1149,7 @@ object Store {
     */
   def readForKeys(spark: SparkSession, name: String, keys: DataFrame): DataFrame = {
     requireTable(spark, name)
-    graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
+    refreshIfMoved(spark, name)
     val t = spark.table(name)
     require(t.columns.contains(GenCol),
       s"$name is not a generational store table — readForKeys needs the " +
@@ -1158,7 +1211,7 @@ object Store {
   def readBox(
       spark: SparkSession, name: String, box: Seq[(Long, Long)]): DataFrame = {
     requireTable(spark, name)
-    graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
+    refreshIfMoved(spark, name)
     val (z, _, admitted) = boxAdmission(spark, name, box)
     val base = readAt(spark, name, admitted, disjointIn(z, admitted))
     z.spec.dims.zip(box).foldLeft(base) { case (df, (d, (lo, hi))) =>
@@ -1202,7 +1255,7 @@ object Store {
       spark: SparkSession, name: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     requireTable(spark, name)
-    graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
+    refreshIfMoved(spark, name)
     require(spark.table(name).columns.contains(GenCol),
       s"$name is not a generational store table — no versions to diff")
     require(fromVersion <= toVersion,
@@ -1320,7 +1373,7 @@ object Store {
   def upsert(spark: SparkSession, name: String, updates: DataFrame, idCol: String,
       buckets: Int = 16): Unit = {
     requireTable(spark, name)
-    graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
+    refreshIfMoved(spark, name)
     // DEPRECATED FALLBACK — a table without the generational layout
     // (created by createTable, or any externally-made flat table) still
     // upserts correctly, but pays a FULL-TABLE copy-on-write per batch:
@@ -1340,7 +1393,7 @@ object Store {
         .select(spark.table(name).columns.map(col(_)): _*)
         .localCheckpoint()
       merged.write.mode(SaveMode.Overwrite).insertInto(name)
-      graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
+      forceRefresh(spark, name)
       return
     }
     stageAndCommitDelta(spark, name, updates, idCol, buckets)
@@ -1503,19 +1556,7 @@ object Store {
           if (!fs.exists(parentDir)) fs.mkdirs(parentDir)
           val dst = new Path(parentDir, s"$GenCol=$gen")
           require(fs.rename(src, dst), s"could not move staged generation into $dst")
-          fs.listStatus(dst).foreach { st =>
-            val n = st.getPath.getName
-            if (n.endsWith(".parquet")) {
-              val bucket = n match {
-                case StageFileRe(b) => b.toInt
-                case _ => sys.error(s"unexpected staged file name $n in $dst")
-              }
-              val dot = n.indexOf('.')
-              val tagged = f"${n.substring(0, dot)}_$bucket%05d${n.substring(dot)}"
-              require(fs.rename(st.getPath, new Path(dst, tagged)),
-                s"could not bucket-tag staged file $n in $dst")
-            }
-          }
+          tagBucketFiles(fs, dst)
           true
         }
       }
@@ -1523,6 +1564,68 @@ object Store {
       if (staged.nonEmpty) {
         val specs = staged
           .map(p => s"PARTITION ($PartCol=$p, $GenCol=$gen)").mkString(" ")
+        graft.tools.DriverProf.time("store.stage.addparts")(
+          spark.sql(s"ALTER TABLE `$name` ADD IF NOT EXISTS $specs"))
+      }
+      ()
+    }
+
+  /** Rename each staged file to carry its `_NNNNN` bucket tag — the
+    * task-index prefix IS the bucket id (see [[stageBucketedGen]]).
+    */
+  private def tagBucketFiles(fs: FileSystem, dst: Path): Unit =
+    fs.listStatus(dst).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".parquet")) {
+        val bucket = n match {
+          case StageFileRe(b) => b.toInt
+          case _ => sys.error(s"unexpected staged file name $n in $dst")
+        }
+        val dot = n.indexOf('.')
+        val tagged = f"${n.substring(0, dot)}_$bucket%05d${n.substring(dot)}"
+        require(fs.rename(st.getPath, new Path(dst, tagged)),
+          s"could not bucket-tag staged file $n in $dst")
+      }
+    }
+
+  /** Multi-generation staging for the Z-order re-layout (r18):
+    * [[stageBucketedGen]] with `GenCol` as a SECOND dynamic dir level
+    * (gen = base + z-prefix bucket, several generations per fold), same
+    * rename + bucket-tag + batched ADD PARTITION. Replaces the
+    * re-layout's `insertInto`, which paid the full catalog partition
+    * listing exactly when the table is largest — a whole-table
+    * re-layout. `pairs` is the (partition, generation) set the caller's
+    * envelope pass already computed; dirs the write never produced (a
+    * partition whose survivors all fell in other z-buckets) are skipped
+    * exactly like the empty-fold case.
+    */
+  private def stageBucketedGens(
+      spark: SparkSession, name: String, loc: Path, fs: FileSystem,
+      shaped: DataFrame, stageId: Long, pairs: Seq[(Int, Long)],
+      tableBuckets: Int, idCol: String): Unit =
+    graft.tools.DriverProf.time("store.write.zfold") {
+      val stageDir = new Path(loc, s"_stage-$stageId")
+      if (fs.exists(stageDir)) fs.delete(stageDir, true)
+      graft.tools.DriverProf.time("store.stage.write")(
+        shaped.repartition(tableBuckets, col(idCol))
+          .sortWithinPartitions(col(PartCol), col(GenCol), col(idCol))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy(PartCol, GenCol).parquet(stageDir.toString))
+      val staged = pairs.filter { case (pt, g) =>
+        val src = new Path(stageDir, s"$PartCol=$pt/$GenCol=$g")
+        fs.exists(src) && {
+          val parentDir = new Path(loc, s"$PartCol=$pt")
+          if (!fs.exists(parentDir)) fs.mkdirs(parentDir)
+          val dst = new Path(parentDir, s"$GenCol=$g")
+          require(fs.rename(src, dst), s"could not move staged generation into $dst")
+          tagBucketFiles(fs, dst)
+          true
+        }
+      }
+      fs.delete(stageDir, true)
+      if (staged.nonEmpty) {
+        val specs = staged.map { case (pt, g) =>
+          s"PARTITION ($PartCol=$pt, $GenCol=$g)" }.mkString(" ")
         graft.tools.DriverProf.time("store.stage.addparts")(
           spark.sql(s"ALTER TABLE `$name` ADD IF NOT EXISTS $specs"))
       }
@@ -1544,7 +1647,7 @@ object Store {
     }
     writeManifest(fs, loc, v + 1L, updated)
     vacuumAndDeregister(spark, name, fs, loc)
-    graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
+    forceRefresh(spark, name)
   }
 
   private def stageAndCommitDelta(
@@ -1568,7 +1671,7 @@ object Store {
   def delete(spark: SparkSession, name: String, keys: DataFrame, idCol: String,
       buckets: Int = 16): Unit = {
     requireTable(spark, name)
-    graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
+    refreshIfMoved(spark, name)
     val schema = spark.table(name).schema
     require(schema.fieldNames.contains(DelCol),
       s"$name predates tombstone support — rebuild via bulkWrite to enable deletes")
@@ -1673,7 +1776,7 @@ object Store {
       onlyParts: Option[Seq[Int]] = None,
       zorder: Option[ZorderSpec] = None): CompactionResult = {
     requireTable(spark, name)
-    graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
+    refreshIfMoved(spark, name)
     require(spark.table(name).columns.contains(GenCol),
       s"$name is not a generational store table — nothing to compact")
     // a Z-ordered compaction is a RE-LAYOUT: it folds every live
@@ -1722,7 +1825,7 @@ object Store {
       if (columnOrder.contains(DelCol)) newest.filter(!col(DelCol)) else newest
     def finish(gen0: Long): CompactionResult = {
       vacuumAndDeregister(spark, name, fs, loc)
-      graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
+      forceRefresh(spark, name)
       val after = fileStats(spark, name)
       CompactionResult(foldParts, gen0,
         statsBefore.map(_.nFiles).sum, after.map(_.nFiles).sum)
@@ -1774,10 +1877,11 @@ object Store {
             zs.dims.indices.map(i => r.getLong(3 + 2 * i)),
             zs.dims.indices.map(i => r.getLong(4 + 2 * i)))
         }.toSeq
-        zRows.drop("z", "z_bucket")
-          .select(columnOrder.map(col(_)): _*)
-          .repartition(tableBuckets, col(idCol))
-          .write.mode(SaveMode.Append).insertInto(name)
+        // staged multi-gen write, not insertInto (r18): O(touched pairs)
+        // catalog work for the one operation that touches every partition
+        stageBucketedGens(spark, name, loc, fs,
+          zRows.drop("z", "z_bucket").select(columnOrder.map(col(_)): _*),
+          gen0, envs.map(e => (e.part, e.gen)), tableBuckets, idCol)
         val gensByPart: Map[Int, Seq[Long]] = envs.groupBy(_.part)
           .map { case (p, es) => p -> es.map(_.gen).sorted.toSeq }
         val updated = foldParts.foldLeft(manifest) { (m, p) =>

@@ -916,6 +916,33 @@ class StoreSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("staged generations serve Spark bucket-pruned scans: the file tag IS the hash bucket") {
+    import spark.implicits._
+    // the staged write names files itself (task index == bucket id,
+    // r18); if the `_NNNNN` tag ever disagreed with the bucket hash, a
+    // bucket-PRUNED equality scan would silently miss delta rows while
+    // every manifest-routed read stayed green — so pin the pruned scan
+    // finding the key in BOTH generations (gen 0 from the bucketed
+    // CTAS, gen 1 from the staged delta)
+    val t = "stage_bucket_tab"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Store.bulkWrite((1L to 200L).map(i => (i, s"v$i")).toDF("id", "v"), t, "id",
+      buckets = 4, parts = 4, validateKeys = true)
+    try {
+      Store.upsert(spark, t, Seq((7L, "V7")).toDF("id", "v"), "id", buckets = 4)
+      val df = spark.table(t).filter(col("id") === 7L)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 4"),
+        s"equality scan did not engage bucket pruning — the pin is vacuous:\n$plan")
+      // raw table rows (no merge-on-read): id 7 must surface from BOTH
+      // generations through the PRUNED scan
+      assert(df.count() === 2L,
+        "bucket-pruned scan missed a staged generation's row — the " +
+          "staged file's bucket tag disagrees with the bucket hash")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("manifest CAS contract: non-atomic filesystems refuse loudly; conditional-put schemes opt in") {
     // NonAtomicTestFs simulates an S3-class store: RawLocalFileSystem's
     // create(p, overwrite = false) decomposes into exists-then-create —

@@ -932,6 +932,15 @@ object Store {
     */
   private def vacuumAndDeregister(
       spark: SparkSession, name: String, fs: FileSystem, loc: Path): Unit = {
+    // orphaned staging dirs (a writer crashed mid-stage; r18): safe to
+    // sweep here because the store is single-writer per table and vacuum
+    // runs inside THAT writer's own commit — no stage can be in flight.
+    // A replayed trigger never reuses the crashed gen id (intent marker),
+    // so the orphan is pure dead weight.
+    fs.listStatus(loc).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith("_stage-"))
+        fs.delete(st.getPath, true)
+    }
     val dead = vacuum(fs, loc, retainOf(spark, name))
     if (dead.nonEmpty) {
       val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)

@@ -350,27 +350,44 @@ object Store {
     * entry.
     */
   private val refreshedAt =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+    new java.util.concurrent.ConcurrentHashMap[String, String]
 
   private def refreshKey(spark: SparkSession, name: String): String =
     s"${java.lang.System.identityHashCode(spark)}/$name"
 
+  /** The table's visibility stamp: latest manifest version AND latest
+    * schema-sidecar version. Both move on disk before readers need a
+    * refresh — commits bump the manifest, additive/default DDL writes a
+    * sidecar ([[evolveForUpdates]]/[[addColumnWithDefault]]; in-place
+    * widening is always followed by its own batch's commit) — so a
+    * session whose recorded stamp matches cannot be serving stale
+    * catalog caches. Empty string = no manifest (flat table): never
+    * skip.
+    */
+  private def visibilityStamp(spark: SparkSession, name: String): String =
+    try {
+      val loc = tableLocation(spark, name)
+      val fs = fsFor(spark, loc)
+      manifestVersions(fs, loc).lastOption match {
+        case None => ""
+        case Some(mv) =>
+          s"$mv:${schemaVersions(fs, loc).lastOption.getOrElse(-1L)}"
+      }
+    } catch { case _: Exception => "" }
+
   private def forceRefresh(spark: SparkSession, name: String): Unit = {
     graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
-    val v =
-      try readManifest(spark, name).map(_._1).getOrElse(-1L)
-      catch { case _: Exception => -1L }
-    if (v >= 0L) refreshedAt.put(refreshKey(spark, name), v)
+    val v = visibilityStamp(spark, name)
+    if (v.nonEmpty) refreshedAt.put(refreshKey(spark, name), v)
     else refreshedAt.remove(refreshKey(spark, name))
     ()
   }
 
   private def refreshIfMoved(spark: SparkSession, name: String): Unit = {
-    val v = readManifest(spark, name).map(_._1).getOrElse(-1L)
-    val seen = refreshedAt.get(refreshKey(spark, name))
-    if (v < 0L || seen == null || seen.longValue != v) {
+    val v = visibilityStamp(spark, name)
+    if (v.isEmpty || refreshedAt.get(refreshKey(spark, name)) != v) {
       graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
-      if (v >= 0L) refreshedAt.put(refreshKey(spark, name), v)
+      if (v.nonEmpty) refreshedAt.put(refreshKey(spark, name), v)
       ()
     }
   }

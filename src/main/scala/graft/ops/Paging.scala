@@ -56,12 +56,25 @@ object Paging {
     * path [[paginate]]'s window cap points at): resume a total-ordered
     * scan strictly AFTER the previous page's final sort-key values,
     * rather than by offset. `sortCols` is (column, ascending) and MUST
-    * be a total order (end with a unique key) or pages overlap; sort
-    * keys must be NON-NULL (a null never satisfies the strict
-    * inequality, so null-keyed rows would silently vanish from every
-    * resumed page — filter or coalesce them upstream; ES imposes the
-    * same rule on `search_after` sorts). `last` is the previous page's
-    * final row's sort-key values in the same order (None = first page).
+    * be a total order (end with a unique key) or pages overlap. `last`
+    * is the previous page's final row's sort-key values in the same
+    * order (None = first page).
+    *
+    * NULL sort keys (r19 — VERDICT r18 next #7): by default sort keys
+    * must be NON-NULL (a null never satisfies the strict inequality, so
+    * null-keyed rows would silently vanish from every resumed page —
+    * filter or coalesce them upstream; ES imposes the same rule on
+    * `search_after` sorts). Real corpora have nullable sort columns, so
+    * `nullsLast = true` turns on explicit NULLS LAST keyset semantics
+    * instead: each column orders its non-null values first (asc or
+    * desc), then its null bucket. "Strictly after" then reads: a
+    * non-null cursor value is advanced past by a greater/lesser value
+    * OR by entering the null bucket (`col IS NULL`); a NULL cursor
+    * value is the last bucket — nothing advances past it at that
+    * column, and prefix equality against it means `col IS NULL`. The
+    * whole predicate remains source-translatable (Or/And of
+    * comparisons and IsNull), so it still lands in PushedFilters —
+    * PlanSpec pins this over a parquet with real nulls.
     *
     * Scale shape, and why this survives where offsets don't: the
     * lexicographic after-predicate pushes into the scan (a leading-key
@@ -73,7 +86,8 @@ object Paging {
     */
   def searchAfter(
       df: DataFrame, sortCols: Seq[(String, Boolean)],
-      last: Option[Seq[Any]], size: Int, maxSize: Int = 100): DataFrame = {
+      last: Option[Seq[Any]], size: Int, maxSize: Int = 100,
+      nullsLast: Boolean = false): DataFrame = {
     require(sortCols.nonEmpty, "searchAfter needs at least one sort column")
     val sz = math.min(maxSize, math.max(1, size))
     val base = last match {
@@ -82,6 +96,9 @@ object Paging {
         require(vals.length == sortCols.length,
           s"last carries ${vals.length} values for ${sortCols.length} sort columns " +
             "— pass the previous page's final row's sort keys, in order")
+        require(nullsLast || vals.forall(_ != null),
+          "null cursor values need nullsLast = true (the default strict " +
+            "inequality would silently drop the null bucket from every page)")
         // lexicographic strictly-after over the composite key: for some
         // prefix i, all earlier keys equal and key i strictly advances.
         // Each cursor literal is cast to ITS SORT COLUMN's type, not the
@@ -94,16 +111,30 @@ object Paging {
         // PushedFilters (the PlanSpec pin that caught this).
         def cursorLit(i: Int): Column =
           lit(vals(i)).cast(df.schema(sortCols(i)._1).dataType)
-        val pred = sortCols.indices.map { i =>
-          val prefixEq = (0 until i)
-            .map(j => col(sortCols(j)._1) === cursorLit(j))
-            .reduceOption(_ && _).getOrElse(lit(true))
+        def prefixEq(i: Int): Column = (0 until i)
+          .map { j =>
+            if (vals(j) == null) col(sortCols(j)._1).isNull
+            else col(sortCols(j)._1) === cursorLit(j)
+          }
+          .reduceOption(_ && _).getOrElse(lit(true))
+        def advances(i: Int): Column = {
           val (c, asc) = sortCols(i)
-          prefixEq && (if (asc) col(c) > cursorLit(i) else col(c) < cursorLit(i))
-        }.reduce(_ || _)
+          if (vals(i) == null) {
+            // the null bucket is this column's LAST value — nothing
+            // strictly advances past it here; only a later column can
+            // (via prefix equality `col IS NULL`)
+            lit(false)
+          } else {
+            val cmp = if (asc) col(c) > cursorLit(i) else col(c) < cursorLit(i)
+            if (nullsLast) cmp || col(c).isNull else cmp
+          }
+        }
+        val pred = sortCols.indices.map(i => prefixEq(i) && advances(i))
+          .reduce(_ || _)
         df.filter(pred)
     }
     base.orderBy(sortCols.map { case (c, asc) =>
-      if (asc) col(c).asc else col(c).desc }: _*).limit(sz)
+      if (nullsLast) { if (asc) col(c).asc_nulls_last else col(c).desc_nulls_last }
+      else if (asc) col(c).asc else col(c).desc }: _*).limit(sz)
   }
 }

@@ -1801,6 +1801,107 @@ object EventOps {
         WHERE o.rn = CAST(floor((o.n - 1) * 0.5) AS BIGINT) + 1
         ORDER BY o.lang""")),
 
+    // FOUR-FAMILY MULTI-SKETCH: + THETA (r19 — VERDICT r18 next #6):
+    // the one-pass multi-sketch state extended with the grouped theta
+    // family ([[graft.streaming.EventStream.applyGroupedMultiSketchBatch]]
+    // `thetaLgK`), so per-source KLL + HLL + CMS + theta ride ONE state
+    // row under ONE pruned probe, ONE merge pass, ONE watermark commit —
+    // where q223's standalone theta sink pays its own per trigger. Theta
+    // union is idempotent, so theta ALONE would not need the replay
+    // guard — but the mixed row does (KLL/CMS fold by addition): the
+    // gate re-applies the final id and pins all FOUR columns unmoved.
+    // Certificate: the composed theta bytes EQUAL the single-family
+    // sink's per key (theta serialization is deterministic for identical
+    // fold sequences — the q223 byte-stability rule), and exact distinct
+    // counts are hash-compared; the job-count saving is pinned in
+    // StreamIndexPruneSpec's multi-sketch test.
+    QueryDef(
+      "q230_stream_multi_theta",
+      (s, dir) => {
+        import s.implicits._
+        val ss = EventOps.streamSession(s)
+        val docs = Tables.documents(ss, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val srcDir = EventOps.cachedSrcDir("q230", dir)(
+          EventOps.stageOrderedBatches(docs,
+            graft.ops.Dedup.portableHash(col("doc_id").cast("string"),
+              "graft-s230:") % 4, 4, "q230"))
+        Seq("q230_multi", "q230_theta")
+          .foreach(t => ss.sql(s"DROP TABLE IF EXISTS $t"))
+        val ckpt = java.nio.file.Files.createTempDirectory("q230ckpt").toString
+        val stream = ss.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val toKV = (b: org.apache.spark.sql.DataFrame) =>
+          b.select(col("lang").as("key"), col("n_chars").as("value"))
+        val q = graft.streaming.EventStream.groupedMultiSketchIncremental(
+          stream, toKV, "q230_multi", k = 200, lgK = 12,
+          thetaLgK = Some(12),
+          checkpointLocation = Some(ckpt), compactEvery = 3)
+        try q.processAllAvailable()
+        finally q.stop()
+        // the SAME ordered batches through the single-family theta sink
+        val batchDocs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        (0 until 4).foreach { id =>
+          val b = batchDocs.filter(graft.ops.Dedup.portableHash(
+              col("doc_id").cast("string"), "graft-s230:") % 4 === id)
+            .select(col("lang"), col("n_chars"))
+          graft.streaming.EventStream.applyGroupedThetaBatch(
+            b, toKV, "q230_theta", batchId = id.toLong, lgK = 12)
+          ()
+        }
+        def state(): Map[String, (Array[Byte], Array[Byte], Array[Byte], Array[Byte], Long)] =
+          graft.sources.Store.read(s, "q230_multi")
+            .select(col("key"), col("kll"), col("hll"), col("cms"),
+              col("theta"), col("last_batch"))
+            .collect().map(r => r.getString(0) ->
+              (r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2),
+                r.getAs[Array[Byte]](3), r.getAs[Array[Byte]](4),
+                r.getLong(5))).toMap
+        val before = state()
+        val replayBatch = batchDocs.filter(graft.ops.Dedup.portableHash(
+            col("doc_id").cast("string"), "graft-s230:") % 4 === 3)
+          .select(col("lang"), col("n_chars"))
+        val refolded = graft.streaming.EventStream.applyGroupedMultiSketchBatch(
+          replayBatch, toKV, "q230_multi", batchId = 3L, k = 200, lgK = 12,
+          thetaLgK = Some(12))
+        val after = state()
+        val guardHeld = !refolded && before.keySet == after.keySet &&
+          before.forall { case (k, (a1, a2, a3, a4, lb)) =>
+            val (b1, b2, b3, b4, lb2) = after(k)
+            java.util.Arrays.equals(a1, b1) && java.util.Arrays.equals(a2, b2) &&
+              java.util.Arrays.equals(a3, b3) && java.util.Arrays.equals(a4, b4) &&
+              lb == lb2
+          }
+        val singleTheta = graft.sources.Store.read(s, "q230_theta")
+          .filter(col("key") =!= graft.streaming.EventStream.GroupGuardKey)
+          .select(col("key"), col("sk"))
+          .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+        val thetaMatch = after.map { case (k, (_, _, _, t, _)) =>
+          k -> java.util.Arrays.equals(t, singleTheta(k))
+        }
+        // estimate certificate: library 3σ at lgK=12 (the q222/q223 rule)
+        import graft.functions.SketchAggs
+        val tol = 3.0 * 1.04 / math.sqrt((1 << 12).toDouble)
+        val nd = toKV(batchDocs).groupBy(col("key"))
+          .agg(countDistinct(col("value")).as("nd"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val result = after.toSeq.map { case (k, (_, _, _, t, _)) =>
+          val est = SketchAggs.thetaEstimate(t)
+          (k, nd(k), math.abs(est - nd(k)) <= tol * nd(k) + 1.0,
+            thetaMatch(k), guardHeld)
+        }.toDF("lang", "n_distinct", "est_ok", "theta_match", "replay_guard")
+          .orderBy(col("lang")).localCheckpoint()
+        Seq("q230_multi", "q230_theta")
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+        EventOps.rmTree(ckpt)
+        result
+      },
+      Some("""
+        SELECT lang, count(DISTINCT n_chars) AS n_distinct,
+          true AS est_ok, true AS theta_match, true AS replay_guard
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
     // PER-KEY STREAMING SET STATE + PAIRWISE OVERLAP MATRIX (r17 —
     // [[graft.streaming.EventStream.groupedThetaSketchIncremental]] /
     // [[graft.streaming.EventStream.readGroupedThetaMatrix]]): the

@@ -317,6 +317,66 @@ object Relational {
         WHERE rn > 1000 AND rn <= 1050
         ORDER BY o_totalprice DESC, o_orderkey""")),
 
+    // KEYSET PAGINATION OVER A NULLABLE SORT KEY (r19 — VERDICT r18 next
+    // #7): real corpora have nullable sort columns, and the plain
+    // searchAfter contract refuses them (a null never satisfies the
+    // strict inequality). `nullsLast = true` orders each column's
+    // non-null values first, then its null bucket, and the cursor
+    // predicate knows both phases: a non-null cursor is advanced past by
+    // a greater value OR by entering the null bucket, a NULL cursor
+    // matches forward only through `IS NULL` prefix equality. The walk
+    // below crosses the null boundary mid-page and resumes INSIDE the
+    // null bucket (a null-valued cursor) — the two shapes the plain form
+    // silently drops rows on. Pushdown of the null-aware predicate is
+    // pinned in PlanSpec over a parquet with real nulls (the test data
+    // has none).
+    QueryDef(
+      "q229_search_after_nulls",
+      (s, dir) => {
+        // a deterministic nullable sort key over a fixed 60-row slice:
+        // every 7th orderkey's bucket is NULL (~8 of 60 rows), so pages
+        // of 20 cross from the value phase into the null bucket
+        val base = Tables.orders(s, dir)
+          .orderBy(col("o_orderkey")).limit(60)
+          .withColumn("ship_bucket",
+            when(col("o_orderkey") % 7 === 0, lit(null).cast("double"))
+              .otherwise(col("o_totalprice")))
+          .select(col("o_orderkey"), col("ship_bucket"))
+          .localCheckpoint()
+        val sortCols = Seq(("ship_bucket", true), ("o_orderkey", true))
+        var last: Option[Seq[Any]] = None
+        val pages = (0 until 3).flatMap { p =>
+          val rows = graft.ops.Paging
+            .searchAfter(base, sortCols, last, size = 20, nullsLast = true)
+            .collect()
+          last = Some(Seq(
+            if (rows.last.isNullAt(1)) null else rows.last.getDouble(1),
+            rows.last.getLong(0)))
+          rows.map(r => (p, r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        }
+        import s.implicits._
+        pages.toDF("page", "o_orderkey", "ship_bucket")
+          .orderBy(col("page"), col("ship_bucket").asc_nulls_last,
+            col("o_orderkey"))
+      },
+      Some("""
+        WITH slice AS (
+          SELECT o_orderkey, o_totalprice
+          FROM orders ORDER BY o_orderkey LIMIT 60),
+        b AS (
+          SELECT o_orderkey,
+            CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                 ELSE o_totalprice END AS ship_bucket
+          FROM slice)
+        SELECT CAST((rn - 1) // 20 AS INT) AS page, o_orderkey, ship_bucket
+        FROM (
+          SELECT o_orderkey, ship_bucket,
+            row_number() OVER (
+              ORDER BY ship_bucket ASC NULLS LAST, o_orderkey) AS rn
+          FROM b) t
+        WHERE rn <= 60 ORDER BY rn""")),
+
     // Anti-join (Q4 exclusion semantics as a plan-level join): customers
     // with no order in 2001.
     QueryDef(

@@ -183,7 +183,21 @@ object Store {
     * `spark.driver.maxResultSize` (a loud error, never a silent OOM).
     */
   def localized(df: DataFrame, cap: Int = MaxLocalStatsRows,
-      maxBytes: Long = MaxLocalStatsBytes): DataFrame = {
+      maxBytes: Long = MaxLocalStatsBytes, assumeLarge: Boolean = false): DataFrame = {
+    // CARDINALITY SHORT-CIRCUIT (r19 — VERDICT r18 next #8): the over-cap
+    // path's residual cost was the probe collect running the plan once
+    // before localCheckpoint ran it again. When the caller KNOWS the
+    // frame is over-cap (`assumeLarge`) or the optimizer already knows
+    // (a plan-stat rowCount past the cap — free to read, present for
+    // driver-resident plans and under CBO), skip the probe entirely and
+    // checkpoint in ONE computation. There is no free cardinality for an
+    // arbitrary distributed plan, so the default keeps the bounded probe
+    // — cheap for the under-cap frames that are this helper's whole
+    // point — and the probe's one wasted bounded scan remains only where
+    // neither the caller nor the stats could know better.
+    if (assumeLarge ||
+        df.queryExecution.optimizedPlan.stats.rowCount.exists(_ > cap))
+      return df.localCheckpoint()
     // A frame whose optimized plan is ALREADY a LocalRelation (Catalyst's
     // ConvertToLocalRelation folds deterministic Project/Filter/Limit
     // chains over LocalRelation driver-side) takes the same collect path
@@ -334,7 +348,7 @@ object Store {
     * too, not just HDFS. Throws `IOException` (of which
     * `FileAlreadyExistsException` is a subtype) when the file exists.
     */
-  /** (sessionUUID, table) → manifest version at this session's last
+  /** session → (table → manifest version) at this session's last
     * `refreshTable` (r18): the manifest RENAME is a commit's visibility
     * point — data files are immutable and generation dirs only appear
     * under a new version — so a reader whose freshly FS-read manifest
@@ -348,12 +362,35 @@ object Store {
     * visibility point to gate on. DDL and commit paths force-refresh
     * and re-record; destructive rebuilds invalidate every session's
     * entry.
+    *
+    * Keyed by the SESSION OBJECT in a weak-identity map (ADVICE r18):
+    * the previous identityHashCode-string key could collide across two
+    * live sessions (one session's refresh silently marking another's
+    * stale caches fresh — a stale-read hazard), and entries for closed
+    * stream sessions accumulated for the JVM lifetime. A WeakHashMap
+    * keys on reference identity here (SparkSession keeps Object equals)
+    * so collisions are impossible, and a session's whole record is
+    * reclaimed by GC when the session dies. The inner value map holds
+    * only strings — no strong path back to the session key.
     */
-  private val refreshedAt =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val refreshedAt: java.util.Map[
+      SparkSession, java.util.concurrent.ConcurrentHashMap[String, String]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[
+        SparkSession, java.util.concurrent.ConcurrentHashMap[String, String]])
 
-  private def refreshKey(spark: SparkSession, name: String): String =
-    s"${java.lang.System.identityHashCode(spark)}/$name"
+  private def sessionRefreshes(
+      spark: SparkSession): java.util.concurrent.ConcurrentHashMap[String, String] =
+    refreshedAt.computeIfAbsent(
+      spark, _ => new java.util.concurrent.ConcurrentHashMap[String, String])
+
+  /** Test hook (StoreSpec): whether THIS session holds a refresh record
+    * for `name` — proves per-session gating independence.
+    */
+  private[graft] def refreshRecorded(spark: SparkSession, name: String): Boolean = {
+    val m = refreshedAt.get(spark)
+    m != null && m.containsKey(name)
+  }
 
   /** The table's visibility stamp: latest manifest version AND latest
     * schema-sidecar version. Both move on disk before readers need a
@@ -378,16 +415,16 @@ object Store {
   private def forceRefresh(spark: SparkSession, name: String): Unit = {
     graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
     val v = visibilityStamp(spark, name)
-    if (v.nonEmpty) refreshedAt.put(refreshKey(spark, name), v)
-    else refreshedAt.remove(refreshKey(spark, name))
+    if (v.nonEmpty) sessionRefreshes(spark).put(name, v)
+    else sessionRefreshes(spark).remove(name)
     ()
   }
 
   private def refreshIfMoved(spark: SparkSession, name: String): Unit = {
     val v = visibilityStamp(spark, name)
-    if (v.isEmpty || refreshedAt.get(refreshKey(spark, name)) != v) {
+    if (v.isEmpty || sessionRefreshes(spark).get(name) != v) {
       graft.tools.DriverProf.time("store.refreshTable")(spark.catalog.refreshTable(name))
-      if (v.nonEmpty) refreshedAt.put(refreshKey(spark, name), v)
+      if (v.nonEmpty) sessionRefreshes(spark).put(name, v)
       ()
     }
   }
@@ -395,10 +432,10 @@ object Store {
   /** Forget every session's refresh record for `name` — the rebuild
     * paths (DROP + saveAsTable) change the table identity entirely.
     */
-  private def invalidateRefresh(name: String): Unit = {
-    val it = refreshedAt.keySet.iterator
-    while (it.hasNext) { if (it.next.endsWith(s"/$name")) it.remove() }
-  }
+  private def invalidateRefresh(name: String): Unit =
+    refreshedAt.synchronized {
+      refreshedAt.values.forEach(m => { m.remove(name); () })
+    }
 
   /** Filesystem schemes whose `create(p, overwrite = false)` is a TRUE
     * atomic create-if-absent (a central-arbiter namespace: HDFS-class
@@ -477,26 +514,67 @@ object Store {
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
+  /** Commit-carried table metadata (r19 — VERDICT r18 next #3): small
+    * `key=value` pairs that ride IN the manifest file, so they move
+    * atomically with the partition map under the same CAS rename. The
+    * streaming sketch sinks keep their exactly-once watermark
+    * (`last_batch`) and accuracy params here instead of in a guard ROW:
+    * an empty trigger then advances the watermark with a metadata-only
+    * manifest version — ZERO generation files — where the guard row
+    * cost one guard generation per empty trigger, forever, on a quiet
+    * stream. Meta lines are `!key=value` (values may contain `=`); every
+    * commit path carries the previous version's meta forward unchanged
+    * unless the caller overrides keys.
+    */
+  private[graft] type ManifestMeta = Map[String, String]
+
   private def parseManifest(s: String): Manifest =
-    s.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+    s.split("\n").iterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("!")).map { line =>
       val Array(p, gs) = line.split(":", 2)
       p.toInt -> gs.split(",").iterator.filter(_.nonEmpty).map(_.toLong).toSeq
     }.toMap
 
-  private def renderManifest(m: Manifest): String =
-    m.toSeq.sortBy(_._1).map { case (p, gs) => s"$p:${gs.mkString(",")}" }
+  private def parseMeta(s: String): ManifestMeta =
+    s.split("\n").iterator.map(_.trim)
+      .filter(l => l.startsWith("!") && l.contains("=")).map { line =>
+        val eq = line.indexOf('=')
+        line.substring(1, eq) -> line.substring(eq + 1)
+      }.toMap
+
+  private def renderManifest(m: Manifest, meta: ManifestMeta = Map.empty): String = {
+    val metaLines = meta.toSeq.sortBy(_._1).map { case (k, v) =>
+      require(!k.contains("=") && !k.contains("\n") && !v.contains("\n"),
+        s"manifest meta key/value must be single-line, key '=' -free: $k")
+      s"!$k=$v"
+    }
+    (metaLines ++ m.toSeq.sortBy(_._1).map { case (p, gs) => s"$p:${gs.mkString(",")}" })
       .mkString("\n")
+  }
 
   /** Latest committed manifest, or None for a pre-generational/absent
     * layout. Package-visible for the crash-window spec.
     */
   private[graft] def readManifest(
-      spark: SparkSession, name: String): Option[(Long, Manifest)] = {
+      spark: SparkSession, name: String): Option[(Long, Manifest)] =
+    readManifestFull(spark, name).map { case (v, m, _) => (v, m) }
+
+  private[graft] def readManifestFull(
+      spark: SparkSession, name: String): Option[(Long, Manifest, ManifestMeta)] = {
     val loc = tableLocation(spark, name)
     val fs = fsFor(spark, loc)
-    manifestVersions(fs, loc).lastOption
-      .map(v => v -> parseManifest(readText(fs, manifestPath(loc, v))))
+    manifestVersions(fs, loc).lastOption.map { v =>
+      val text = readText(fs, manifestPath(loc, v))
+      (v, parseManifest(text), parseMeta(text))
+    }
   }
+
+  /** The latest committed manifest's metadata pairs (empty for flat /
+    * pre-meta tables). Driver-side file read, no Spark job — the sketch
+    * sinks' replay guard reads its watermark here.
+    */
+  def manifestMeta(spark: SparkSession, name: String): ManifestMeta =
+    readManifestFull(spark, name).map(_._3).getOrElse(Map.empty)
 
   /** Atomic manifest commit, GUARDED BY EXCLUSIVE CREATE (r12 verdict
     * #4): write `_manifest-V.txt.tmp`, claim version V by exclusively
@@ -524,7 +602,8 @@ object Store {
     * vacuumed as usual).
     */
   private[graft] def writeManifest(
-      fs: FileSystem, loc: Path, v: Long, m: Manifest): Unit = {
+      fs: FileSystem, loc: Path, v: Long, m: Manifest,
+      meta: ManifestMeta = Map.empty): Unit = {
     val lock = new Path(loc, s"_manifest-$v.lock")
     try exclusiveCreate(fs, lock)
     catch {
@@ -549,7 +628,7 @@ object Store {
     }
     val tmp = new Path(loc, s"_manifest-$v.txt.tmp")
     val out = fs.create(tmp, true)
-    out.write(renderManifest(m).getBytes("UTF-8"))
+    out.write(renderManifest(m, meta).getBytes("UTF-8"))
     out.close()
     require(fs.rename(tmp, manifestPath(loc, v)),
       s"manifest commit rename failed for version $v")
@@ -1002,7 +1081,8 @@ object Store {
   def bulkWrite(
       df: DataFrame, name: String, idCol: String,
       declared: Option[StructType] = None, buckets: Int = 16,
-      parts: Int = DefaultParts, validateKeys: Boolean = false): Unit = {
+      parts: Int = DefaultParts, validateKeys: Boolean = false,
+      meta: ManifestMeta = Map.empty): Unit = {
     declared.foreach { s =>
       require(conforms(df, s), s"schema does not conform to declared mapping for $name")
     }
@@ -1050,13 +1130,14 @@ object Store {
       .bucketBy(buckets, idCol)
       .sortBy(idCol)
       .saveAsTable(name)
-    spark.sql(s"ALTER TABLE `$name` SET TBLPROPERTIES " +
+    val qname = spark.sessionState.sqlParser.parseTableIdentifier(name).quotedString
+    spark.sql(s"ALTER TABLE $qname SET TBLPROPERTIES " +
       s"('$PartsProp' = '$parts', '$IdColProp' = '$idCol')")
     invalidateRefresh(name) // rebuild = new table identity for every session
     // manifest 0: every partition dir the write produced carries gen 0
     val present = fs.listStatus(loc).toSeq.map(_.getPath.getName)
       .collect { case n if n.startsWith(s"$PartCol=") => n.stripPrefix(s"$PartCol=").toInt }
-    writeManifest(fs, loc, 0L, present.map(_ -> Seq(0L)).toMap)
+    writeManifest(fs, loc, 0L, present.map(_ -> Seq(0L)).toMap, meta)
   }
 
   /** Read a store table: resolve the latest manifest, scan only live
@@ -1397,7 +1478,7 @@ object Store {
     * Single-writer per table (manifest counter), as the object doc says.
     */
   def upsert(spark: SparkSession, name: String, updates: DataFrame, idCol: String,
-      buckets: Int = 16): Unit = {
+      buckets: Int = 16, metaUpdates: ManifestMeta = Map.empty): Unit = {
     requireTable(spark, name)
     refreshIfMoved(spark, name)
     // DEPRECATED FALLBACK — a table without the generational layout
@@ -1420,9 +1501,11 @@ object Store {
         .localCheckpoint()
       merged.write.mode(SaveMode.Overwrite).insertInto(name)
       forceRefresh(spark, name)
+      require(metaUpdates.isEmpty,
+        s"$name is a flat table — manifest meta needs the generational layout")
       return
     }
-    stageAndCommitDelta(spark, name, updates, idCol, buckets)
+    stageAndCommitDelta(spark, name, updates, idCol, buckets, metaUpdates)
   }
 
   /** The upsert's two halves, separable so StoreSpec can simulate a crash
@@ -1539,11 +1622,14 @@ object Store {
     * Crash contract (unchanged from the insertInto form): everything
     * here stages INVISIBLY — readers resolve generations through the
     * manifest, and `gen` is not in any committed manifest until
-    * [[commitDelta]] renames one in. A crash mid-stage leaves an orphan
-    * `_stage-gen` dir / unreferenced gen dirs (the intent marker poisons
-    * the gen id for reuse; vacuum reclaims), and a crash between the
-    * renames and the ADD PARTITION is healed by the IF NOT EXISTS
-    * replay of the same staging (`delta` re-stages deterministically).
+    * [[commitDelta]] renames one in. A crash anywhere before the commit
+    * — mid-stage, or between the renames and the ADD PARTITION — leaves
+    * only invisible debris: an orphan `_stage-gen` dir and/or renamed
+    * gen dirs (possibly with partitions registered) that NO manifest
+    * references. Recovery never reuses the crashed gen id (its intent
+    * marker poisons it); replay stages a FRESH generation, and the
+    * crashed one's dirs and registered partitions are reclaimed by
+    * [[vacuumAndDeregister]] on the next commit.
     * The staging table is EXTERNAL (explicit path), so dropping it never
     * deletes the renamed files.
     */
@@ -1590,8 +1676,12 @@ object Store {
       if (staged.nonEmpty) {
         val specs = staged
           .map(p => s"PARTITION ($PartCol=$p, $GenCol=$gen)").mkString(" ")
+        // quotedString, not a raw backtick: a db-qualified `db.t` backticked
+        // whole becomes ONE identifier and the ADD PARTITION fails
+        // (the ADVICE-r14 bug class, fixed here like markSynced)
+        val qn = spark.sessionState.sqlParser.parseTableIdentifier(name).quotedString
         graft.tools.DriverProf.time("store.stage.addparts")(
-          spark.sql(s"ALTER TABLE `$name` ADD IF NOT EXISTS $specs"))
+          spark.sql(s"ALTER TABLE $qn ADD IF NOT EXISTS $specs"))
       }
       ()
     }
@@ -1652,8 +1742,9 @@ object Store {
       if (staged.nonEmpty) {
         val specs = staged.map { case (pt, g) =>
           s"PARTITION ($PartCol=$pt, $GenCol=$g)" }.mkString(" ")
+        val qn = spark.sessionState.sqlParser.parseTableIdentifier(name).quotedString
         graft.tools.DriverProf.time("store.stage.addparts")(
-          spark.sql(s"ALTER TABLE `$name` ADD IF NOT EXISTS $specs"))
+          spark.sql(s"ALTER TABLE $qn ADD IF NOT EXISTS $specs"))
       }
       ()
     }
@@ -1662,25 +1753,57 @@ object Store {
     * single atomic step that makes a staged generation visible.
     */
   private[graft] def commitDelta(
-      spark: SparkSession, name: String, gen: Long, touched: Seq[Int]): Unit =
+      spark: SparkSession, name: String, gen: Long, touched: Seq[Int],
+      metaUpdates: ManifestMeta = Map.empty): Unit =
     graft.tools.DriverProf.time("store.commitDelta") {
     val loc = tableLocation(spark, name)
     val fs = fsFor(spark, loc)
-    val (v, manifest) = readManifest(spark, name).getOrElse(
+    val (v, manifest, meta) = readManifestFull(spark, name).getOrElse(
       sys.error(s"generational store table $name has no manifest"))
     val updated = touched.foldLeft(manifest) { (m, p) =>
       m.updated(p, m.getOrElse(p, Seq.empty) :+ gen)
     }
-    writeManifest(fs, loc, v + 1L, updated)
+    writeManifest(fs, loc, v + 1L, updated, meta ++ metaUpdates)
     vacuumAndDeregister(spark, name, fs, loc)
     forceRefresh(spark, name)
   }
 
+  /** Metadata-only commit: a new manifest version with the SAME
+    * partition/generation map and updated meta pairs — zero generation
+    * files, zero Spark jobs. The streaming sketch sinks' empty-trigger
+    * watermark advance (r19): where the guard-row form staged one guard
+    * generation per empty trigger, this moves one small text file.
+    */
+  def commitMetaOnly(
+      spark: SparkSession, name: String, metaUpdates: ManifestMeta): Unit =
+    graft.tools.DriverProf.time("store.commitMetaOnly") {
+      val loc = tableLocation(spark, name)
+      val fs = fsFor(spark, loc)
+      val (v, manifest, meta) = readManifestFull(spark, name).getOrElse(
+        sys.error(s"generational store table $name has no manifest"))
+      writeManifest(fs, loc, v + 1L, manifest, meta ++ metaUpdates)
+      vacuumAndDeregister(spark, name, fs, loc)
+      // no data file moved, so this session's caches stay valid — advance
+      // an EXISTING record to the new stamp so the next read skips the
+      // needless refresh; an absent record stays absent (it may be absent
+      // because a rebuild invalidated it, and claiming freshness here
+      // would skip a refresh that rebuild made necessary)
+      val stamp = visibilityStamp(spark, name)
+      if (stamp.nonEmpty)
+        sessionRefreshes(spark).computeIfPresent(name, (_, _) => stamp)
+      ()
+    }
+
   private def stageAndCommitDelta(
       spark: SparkSession, name: String, updates: DataFrame, idCol: String,
-      buckets: Int): Unit =
-    stageDelta(spark, name, updates, idCol, buckets).foreach {
-      case (gen, touched) => commitDelta(spark, name, gen, touched)
+      buckets: Int, metaUpdates: ManifestMeta = Map.empty): Unit =
+    stageDelta(spark, name, updates, idCol, buckets) match {
+      case Some((gen, touched)) =>
+        commitDelta(spark, name, gen, touched, metaUpdates)
+      case None =>
+        // empty batch: nothing staged, but caller-supplied meta (the
+        // sketch watermark) must still land
+        if (metaUpdates.nonEmpty) commitMetaOnly(spark, name, metaUpdates)
     }
 
   /** Keyed DELETE (the ES `delete(id=...)` / right-to-erasure analog): the
@@ -1823,7 +1946,7 @@ object Store {
         statsBefore.map(_.nFiles).sum, statsBefore.map(_.nFiles).sum)
     val loc = tableLocation(spark, name)
     val fs = fsFor(spark, loc)
-    val (v, manifest) = readManifest(spark, name).getOrElse(
+    val (v, manifest, carriedMeta) = readManifestFull(spark, name).getOrElse(
       sys.error(s"generational store table $name has no manifest"))
     val idCol = idColOf(spark, name)
     val foldParts = folds.map(_.part)
@@ -1870,7 +1993,7 @@ object Store {
         stageBucketedGen(spark, name, loc, fs, folded, gen, foldParts,
           tableBuckets, idCol)
         val updated = foldParts.foldLeft(manifest)((m, p) => m.updated(p, Seq(gen)))
-        writeManifest(fs, loc, v + 1L, updated)
+        writeManifest(fs, loc, v + 1L, updated, carriedMeta)
         finish(gen)
 
       case Some(zs) =>
@@ -1941,7 +2064,7 @@ object Store {
         out.close()
         require(fs.rename(ztmp, zmapPath(loc, v + 1L)),
           s"zmap sidecar rename failed for version ${v + 1L}")
-        writeManifest(fs, loc, v + 1L, updated)
+        writeManifest(fs, loc, v + 1L, updated, carriedMeta)
         finish(gen0)
     }
   }

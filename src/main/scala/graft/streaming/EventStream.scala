@@ -1634,32 +1634,42 @@ object EventStream {
     * O(batch keys) at any corpus size and the state table is O(distinct
     * keys ever seen).
     *
-    * The GUARD ROW rides in the same table under a reserved key: the
-    * replay/regression decision must be GLOBAL (a fresh-checkpoint
-    * batch touching only never-stored keys would otherwise see no
-    * stored rows and silently fold into frozen state), and committing
-    * it in the same upsert keeps guard and data atomic under one CAS
-    * manifest swap. It also carries the persisted sketch `params`, so a
-    * restart at different accuracy fails loudly instead of blending
-    * ([[paramMismatch]]). An EMPTY batch commits the guard row alone —
-    * advancing `last_batch` exactly like the single-row appliers, so a
-    * retried non-empty variant of the same id cannot re-fold after an
-    * empty first delivery landed.
+    * The replay/regression GUARD is GLOBAL (a fresh-checkpoint batch
+    * touching only never-stored keys would otherwise see no stored rows
+    * and silently fold into frozen state) and rides the MANIFEST META
+    * (r19 — [[MetaLastBatch]]/[[MetaParams]]): the watermark commits in
+    * the same CAS rename as the data generations, so guard and data
+    * stay atomic exactly as the r17 guard-ROW form's single upsert did,
+    * while a refused replay reads zero table bytes and an empty trigger
+    * stages zero generations. The meta also carries the persisted
+    * sketch `params`, so a restart at different accuracy fails loudly
+    * instead of blending ([[paramMismatch]]).
     */
   /** One sketch FAMILY maintained by the grouped skeleton: the state
-    * column it owns, its per-batch partial aggregate, its stored-union
-    * merge aggregate (referencing `col(name)`), and the empty-sketch
-    * guard payload. [[applyGroupedSketchBatch]] takes a Seq of these —
-    * one for the single-family sinks, several for the one-pass
-    * multi-sketch sink (r18, VERDICT r17 next #3), which maintains
-    * KLL+HLL+CMS for the same key under ONE probe, ONE merge pass, and
-    * ONE guard-row upsert instead of three sinks' worth.
+    * column it owns, its per-batch partial aggregate, and its
+    * stored-union merge aggregate (referencing `col(name)`).
+    * [[applyGroupedSketchBatch]] takes a Seq of these — one for the
+    * single-family sinks, several for the one-pass multi-sketch sink
+    * (r18, VERDICT r17 next #3), which maintains several families per
+    * key under ONE probe, ONE merge pass, and ONE watermark commit.
     */
   final case class SketchAlgebra(
       name: String,
       batchAgg: org.apache.spark.sql.Column,
-      mergeAgg: org.apache.spark.sql.Column,
-      guardPayload: () => Array[Byte])
+      mergeAgg: org.apache.spark.sql.Column)
+
+  /** Meta keys of the grouped sinks' replay watermark (r19 — VERDICT r18
+    * next #3): `last_batch` and `params` ride the MANIFEST's metadata
+    * lines ([[graft.sources.Store.commitMetaOnly]]), committed in the
+    * same CAS rename as the data generations — the guard-and-data
+    * atomicity the reserved guard ROW used to provide, minus the guard
+    * row: an empty trigger advances the watermark with a metadata-only
+    * manifest version (ZERO generation files, zero Spark jobs), and a
+    * refused replay decides from one driver-side file read (zero table
+    * bytes) instead of probing the guard partition.
+    */
+  private[streaming] val MetaLastBatch = "sketch.last_batch"
+  private[streaming] val MetaParams = "sketch.params"
 
   private def applyGroupedSketchBatch(
       batch: DataFrame, toKeyValue: DataFrame => DataFrame,
@@ -1668,7 +1678,6 @@ object EventStream {
       buckets: Int, parts: Int): Boolean = {
     val spark = batch.sparkSession
     import graft.sources.Store
-    import spark.implicits._
     val skNames = algebras.map(_.name)
     val batchSk = Store.localized(
       toKeyValue(batch)
@@ -1676,58 +1685,61 @@ object EventStream {
         .groupBy(col("key"))
         .agg(algebras.head.batchAgg.as(algebras.head.name),
           algebras.tail.map(a => a.batchAgg.as(a.name)): _*))
-    def guardRow(id: Long): DataFrame = {
-      import org.apache.spark.sql.types._
-      val schema = StructType(
-        StructField("key", StringType, nullable = false) +:
-          skNames.map(n => StructField(n, BinaryType, nullable = true)) :+
-          StructField("last_batch", LongType, nullable = false) :+
-          StructField("params", StringType, nullable = false))
-      spark.createDataFrame(
-        java.util.Arrays.asList(org.apache.spark.sql.Row.fromSeq(
-          GroupGuardKey +: algebras.map(_.guardPayload()) :+ id :+ params)),
-        schema)
-    }
+    val watermark = Map(MetaLastBatch -> batchId.toString, MetaParams -> params)
     if (!graft.tools.DriverProf.time("es.tableExists")(spark.catalog.tableExists(sketchTable))) {
       Store.bulkWrite(
         batchSk.withColumn("last_batch", lit(batchId))
-          .withColumn("params", lit(params))
-          .unionByName(guardRow(batchId)),
+          .withColumn("params", lit(params)),
         sketchTable, "key", buckets = buckets, parts = parts,
-        validateKeys = true)
+        validateKeys = true, meta = watermark)
       true
     } else {
-      val probeKeys = Store.localized(
-        batchSk.select(col("key"))
-          .unionByName(Seq(GroupGuardKey).toDF("key")))
-      val stored = Store.localized(
-        Store.probe(spark, sketchTable, probeKeys, "key")
-          .select(col("key") +: skNames.map(col) :+
-            col("last_batch") :+ col("params"): _*))
-        // consumed twice (the guard probe + the merge) — materialize once
-      val guard = stored.filter(col("key") === GroupGuardKey)
-        .collect().headOption
-      guard.foreach { g =>
-        if (g.getAs[String]("params") != params)
-          throw paramMismatch(sketchTable, g.getAs[String]("params"), params)
+      // replay/regression decision from the manifest meta alone — a
+      // driver-side file read; legacy tables (guard-row era, no meta)
+      // fall back to probing their guard row once, and their first
+      // commit under this code writes the meta forward
+      val meta = graft.tools.DriverProf.time("es.sketchMeta")(
+        Store.manifestMeta(spark, sketchTable))
+      val (storedParams, guardLast) = meta.get(MetaLastBatch) match {
+        case Some(lb) => (meta.get(MetaParams), Some(lb.toLong))
+        case None =>
+          import spark.implicits._
+          val g = Store.probe(spark, sketchTable,
+              Seq(GroupGuardKey).toDF("key"), "key")
+            .filter(col("key") === GroupGuardKey)
+            .select(col("last_batch"), col("params"))
+            .collect().headOption
+          (g.map(_.getAs[String]("params")), g.map(_.getAs[Long]("last_batch")))
       }
-      val guardLast = guard.map(_.getAs[Long]("last_batch"))
+      storedParams.foreach { p =>
+        if (p != params) throw paramMismatch(sketchTable, p, params)
+      }
       if (guardLast.contains(batchId))
         false // replayed batch: its atomic commit already landed
       else if (guardLast.exists(_ > batchId))
         throw idRegression(sketchTable, guardLast.get, batchId)
-      else {
+      else if (batchSk.isEmpty) {
+        // EMPTY batch: advance the watermark meta-only — zero staged
+        // generations, zero Spark jobs (the r18 guard-row form staged one
+        // guard generation per empty trigger, forever, on a quiet stream)
+        Store.commitMetaOnly(spark, sketchTable, watermark)
+        true
+      } else {
+        val stored = Store.localized(
+          Store.probe(spark, sketchTable, batchSk.select(col("key")), "key")
+            .filter(col("key") =!= GroupGuardKey) // legacy guard rows stay inert
+            .select(col("key") +: skNames.map(col): _*))
         val merged = stored
-          .filter(col("key") =!= GroupGuardKey)
-          .select(col("key") +: skNames.map(col): _*)
           .unionByName(batchSk)
           .groupBy(col("key"))
           .agg(algebras.head.mergeAgg.as(algebras.head.name),
             algebras.tail.map(a => a.mergeAgg.as(a.name)): _*)
           .withColumn("last_batch", lit(batchId))
           .withColumn("params", lit(params))
-        Store.upsert(spark, sketchTable,
-          Store.localized(merged.unionByName(guardRow(batchId))), "key", buckets)
+        // an empty batch stages nothing and the upsert commits the
+        // watermark meta-only — the zero-generation empty-trigger path
+        Store.upsert(spark, sketchTable, Store.localized(merged), "key",
+          buckets, metaUpdates = watermark)
         true
       }
     }
@@ -1738,10 +1750,9 @@ object EventStream {
       sketchTable: String, batchId: Long, params: String,
       batchAgg: org.apache.spark.sql.Column,
       mergeAgg: org.apache.spark.sql.Column,
-      guardPayload: () => Array[Byte],
       buckets: Int, parts: Int): Boolean =
     applyGroupedSketchBatch(batch, toKeyValue, sketchTable, batchId, params,
-      Seq(SketchAlgebra("sk", batchAgg, mergeAgg, guardPayload)),
+      Seq(SketchAlgebra("sk", batchAgg, mergeAgg)),
       buckets, parts)
 
 
@@ -1755,7 +1766,6 @@ object EventStream {
         "kll_agg", col("value").cast("double"), lit(k)),
       mergeAgg = org.apache.spark.sql.functions.call_function(
         "kll_merge_agg", col("sk"), lit(k)),
-      guardPayload = () => graft.functions.SketchAggs.kllEmpty(k),
       buckets = buckets, parts = parts)
 
   /** One micro-batch of the PER-KEY streaming DISTINCT sketch
@@ -1775,8 +1785,6 @@ object EventStream {
       // strict union: a stored row built at a different lgK must fail
       // the params guard first, and the union's own check backstops it
       mergeAgg = hll_union_agg(col("sk"), lit(false)),
-      guardPayload = () =>
-        new org.apache.datasketches.hll.HllSketch(lgK).toUpdatableByteArray,
       buckets = buckets, parts = parts)
 
   /** One micro-batch of the PER-KEY streaming FREQUENCY sketch
@@ -1797,8 +1805,6 @@ object EventStream {
         col("value"), lit(eps), lit(confidence), lit(seed)),
       mergeAgg = org.apache.spark.sql.functions.call_function(
         "cms_merge_agg", col("sk")),
-      guardPayload = () => graft.functions.CmsExprs.serialize(
-        org.apache.spark.util.sketch.CountMinSketch.create(eps, confidence, seed)),
       buckets = buckets, parts = parts)
 
   /** PER-KEY streaming quantiles — [[quantileSketchIncremental]] keyed
@@ -1896,7 +1902,6 @@ object EventStream {
         "theta_agg", col("value"), lit(lgK)),
       mergeAgg = org.apache.spark.sql.functions.call_function(
         "theta_union_agg", col("sk"), lit(lgK)),
-      guardPayload = () => graft.functions.SketchAggs.thetaEmpty(lgK),
       buckets = buckets, parts = parts)
 
   /** PER-KEY streaming set state (r17): one theta row per key ever
@@ -1934,29 +1939,38 @@ object EventStream {
       sketchTable: String, batchId: Long,
       k: Int = 200, lgK: Int = 12, eps: Double = 0.001,
       confidence: Double = 0.99, seed: Int = 42,
+      thetaLgK: Option[Int] = None,
       buckets: Int = 4, parts: Int = 8): Boolean =
     applyGroupedSketchBatch(batch, toKeyValue, sketchTable, batchId,
       params =
-        s"multi;kll.k=$k;hll.lgK=$lgK;cms.eps=$eps;conf=$confidence;seed=$seed",
+        s"multi;kll.k=$k;hll.lgK=$lgK;cms.eps=$eps;conf=$confidence;seed=$seed" +
+          thetaLgK.map(lg => s";theta.lgK=$lg").getOrElse(""),
       algebras = Seq(
         SketchAlgebra("kll",
           org.apache.spark.sql.functions.call_function(
             "kll_agg", col("value").cast("double"), lit(k)),
           org.apache.spark.sql.functions.call_function(
-            "kll_merge_agg", col("kll"), lit(k)),
-          () => graft.functions.SketchAggs.kllEmpty(k)),
+            "kll_merge_agg", col("kll"), lit(k))),
         SketchAlgebra("hll",
           hll_sketch_agg(col("value"), lit(lgK)),
-          hll_union_agg(col("hll"), lit(false)),
-          () => new org.apache.datasketches.hll.HllSketch(lgK)
-            .toUpdatableByteArray),
+          hll_union_agg(col("hll"), lit(false))),
         SketchAlgebra("cms",
           count_min_sketch(col("value"), lit(eps), lit(confidence), lit(seed)),
           org.apache.spark.sql.functions.call_function(
-            "cms_merge_agg", col("cms")),
-          () => graft.functions.CmsExprs.serialize(
-            org.apache.spark.util.sketch.CountMinSketch
-              .create(eps, confidence, seed)))),
+            "cms_merge_agg", col("cms")))) ++
+        // theta as the FOURTH family (r19 — VERDICT r18 next #6): union
+        // is idempotent, so theta alone would not need the replay guard
+        // — but the MIXED row does: KLL and CMS fold by addition, so the
+        // watermark must still refuse the whole replayed batch or the
+        // row's other columns double-count while theta silently no-ops.
+        // Sharing the skeleton keeps the four families under ONE probe,
+        // ONE merge pass, ONE watermark commit.
+        thetaLgK.toSeq.map(lg =>
+          SketchAlgebra("theta",
+            org.apache.spark.sql.functions.call_function(
+              "theta_agg", col("value"), lit(lg)),
+            org.apache.spark.sql.functions.call_function(
+              "theta_union_agg", col("theta"), lit(lg)))),
       buckets = buckets, parts = parts)
 
   /** Streaming sink maintaining the one-pass multi-sketch state — see
@@ -1967,12 +1981,13 @@ object EventStream {
       sketchTable: String,
       k: Int = 200, lgK: Int = 12, eps: Double = 0.001,
       confidence: Double = 0.99, seed: Int = 42,
+      thetaLgK: Option[Int] = None,
       checkpointLocation: Option[String] = None,
       buckets: Int = 4, parts: Int = 8, compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     guardedSketchSink(docs, checkpointLocation, compactEvery, sketchTable,
       (b, id) => applyGroupedMultiSketchBatch(b, toKeyValue, sketchTable,
-        id, k, lgK, eps, confidence, seed, buckets, parts))
+        id, k, lgK, eps, confidence, seed, thetaLgK, buckets, parts))
 
   /** The grouped theta state's PAIRWISE OVERLAP MATRIX: for every
     * unordered key pair (a < b), the per-key distinct estimates and the

@@ -426,6 +426,49 @@ class PlanSpec extends SparkSpec {
       s"searchAfter job count grew with resume depth: shallow=$shallow deep=$deep")
   }
 
+  test("searchAfter nullsLast: null-aware after-predicate reaches a scan with real nulls (r19)") {
+    import graft.ops.Paging
+    import spark.implicits._
+    // the shipped test tables have no nulls, so pin over a parquet that
+    // does: ~1/3 null sort keys
+    val dir = java.nio.file.Files.createTempDirectory("sa_nulls").toString
+    (1L to 300L).map(k => (k, if (k % 3 == 0) None else Some(k * 1.5)))
+      .toDF("k", "price").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    // non-null cursor: advance = greater-value OR the null bucket, and
+    // the whole disjunction must land in PushedFilters
+    val p1 = Paging.searchAfter(df, Seq(("price", true), ("k", true)),
+      Some(Seq(42.0, 28L)), 10, nullsLast = true)
+    val scan1 = p1.queryExecution.sparkPlan.toString
+    assert(scan1.contains("PushedFilters") && scan1.contains("IsNull(price)") &&
+      scan1.contains("GreaterThan(price,42.0)"),
+      s"null-aware after-predicate not pushed:\n$scan1")
+    // NULL cursor (resumed inside the null bucket): prefix equality is
+    // IsNull and only the tie-break advances — also source-translatable
+    val p2 = Paging.searchAfter(df, Seq(("price", true), ("k", true)),
+      Some(Seq(null, 150L)), 10, nullsLast = true)
+    val scan2 = p2.queryExecution.sparkPlan.toString
+    assert(scan2.contains("IsNull(price)") && scan2.contains("GreaterThan(k,150)"),
+      s"null-bucket cursor predicate not pushed:\n$scan2")
+    // and the pages are exact: walking all 300 rows in pages of 60
+    // yields each row exactly once, null bucket last
+    var last: Option[Seq[Any]] = None
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (0 until 5).foreach { _ =>
+      val rows = Paging.searchAfter(df, Seq(("price", true), ("k", true)),
+        last, 60, nullsLast = true).collect()
+      last = Some(Seq(
+        if (rows.last.isNullAt(1)) null else rows.last.getDouble(1),
+        rows.last.getLong(0)))
+      seen ++= rows.map(_.getLong(0))
+    }
+    assert(seen.size === 300 && seen.distinct.size === 300,
+      "null-aware keyset walk must visit every row exactly once")
+    val nullKeys = seen.drop(200)
+    assert(nullKeys.forall(_ % 3 == 0),
+      "the null bucket must sort last under nullsLast")
+  }
+
   test("q24 construction runs zero Spark jobs — the DF cap is in-job, not a driver pass") {
     // the r6 version derived its shingle-DF cap with agg(max).head() at
     // construction time: a full extra corpus scan per run. The cap is now a

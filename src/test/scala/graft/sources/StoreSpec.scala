@@ -701,6 +701,36 @@ class StoreSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("localized assumeLarge: over-cap frame skips the probe and computes once (r19)") {
+    // the r18 over-cap shape paid a bounded probe collect AND the
+    // localCheckpoint re-run; with the caller's cardinality hint the
+    // probe disappears — observable as strictly fewer Spark jobs
+    val df = spark.range(0L, 100000L, 1L, 8)
+      .select(col("id"), (col("id") * 2L).as("v"))
+    def jobs(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      Thread.sleep(300)
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(300); n.get }
+      finally spark.sparkContext.removeSparkListener(l)
+    }
+    val jDefault = jobs {
+      assert(Store.localized(df.filter(col("id") >= 0L), cap = 100).count() === 100000L)
+    }
+    val jHinted = jobs {
+      assert(Store.localized(df.filter(col("id") >= 0L), cap = 100,
+        assumeLarge = true).count() === 100000L)
+    }
+    assert(jHinted < jDefault,
+      s"assumeLarge did not skip the probe: hinted=$jHinted default=$jDefault")
+  }
+
   test("compactIfNeeded folds only the partitions whose chain crossed the threshold") {
     import spark.implicits._
     val t = "cin_tab"
@@ -973,6 +1003,83 @@ class StoreSpec extends SparkSpec {
     } finally Store.deregisterAtomicCreateScheme("nonatomic")
     // and with the opt-in forgotten, the refusal is back (no sticky state)
     intercept[IllegalArgumentException](Store.exclusiveCreate(fs, p))
+  }
+
+  test("manifest meta rides commits atomically; meta-only commit stages ZERO generation files (r19)") {
+    import spark.implicits._
+    val name = "meta_tbl"
+    def genDirs(): Seq[String] = {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+      val loc = java.nio.file.Paths.get(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(ident).location.toString))
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      java.nio.file.Files.walk(loc).forEach { p =>
+        if (java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("graft_g=")) out += loc.relativize(p).toString
+      }
+      out.sorted.toSeq
+    }
+    Store.bulkWrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), name, "k",
+      buckets = 2, meta = Map("sketch.last_batch" -> "0", "sketch.params" -> "kll;k=200"))
+    try {
+      assert(Store.manifestMeta(spark, name) ===
+        Map("sketch.last_batch" -> "0", "sketch.params" -> "kll;k=200"))
+      // a delta commit carries caller meta in the SAME manifest rename
+      Store.upsert(spark, name, Seq((3L, "c")).toDF("k", "v"), "k", buckets = 2,
+        metaUpdates = Map("sketch.last_batch" -> "1"))
+      assert(Store.manifestMeta(spark, name)("sketch.last_batch") === "1")
+      assert(Store.manifestMeta(spark, name)("sketch.params") === "kll;k=200",
+        "unrelated meta keys must carry forward through a commit")
+      val (v1, m1) = Store.readManifest(spark, name).get
+      val g1 = genDirs()
+      // metadata-only commit: new version, same partition map, NO new
+      // generation directories — the empty-trigger watermark shape
+      Store.commitMetaOnly(spark, name, Map("sketch.last_batch" -> "2"))
+      val (v2, m2) = Store.readManifest(spark, name).get
+      assert(v2 === v1 + 1L && m2 === m1)
+      assert(genDirs() === g1, "a meta-only commit must stage zero generations")
+      assert(Store.manifestMeta(spark, name)("sketch.last_batch") === "2")
+      // an EMPTY upsert with meta takes the meta-only path too
+      Store.upsert(spark, name, Seq.empty[(Long, String)].toDF("k", "v"), "k",
+        buckets = 2, metaUpdates = Map("sketch.last_batch" -> "3"))
+      assert(genDirs() === g1, "an empty upsert must stage zero generations")
+      assert(Store.manifestMeta(spark, name)("sketch.last_batch") === "3")
+      // maintenance commits (compaction) preserve meta untouched
+      Store.upsert(spark, name, Seq((1L, "a2")).toDF("k", "v"), "k", buckets = 2)
+      Store.compact(spark, name)
+      assert(Store.manifestMeta(spark, name) ===
+        Map("sketch.last_batch" -> "3", "sketch.params" -> "kll;k=200"),
+        "compaction must carry meta forward")
+      assert(Store.read(spark, name).count() === 3L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test("refresh gating is per-session-object: a clone gates independently (ADVICE r18)") {
+    import spark.implicits._
+    val name = "refresh_session_tbl"
+    Store.bulkWrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), name, "k", buckets = 2)
+    try {
+      // a first read through the writer session records ITS stamp
+      assert(Store.read(spark, name).count() === 2L)
+      assert(Store.refreshRecorded(spark, name),
+        "writer session must hold a refresh record after its first read")
+      // a CLONED session (own relation caches — the stream-session shape)
+      // must NOT inherit the writer's record: identityHashCode keying could
+      // collide two sessions into one entry; object keying cannot
+      val clone = spark.newSession()
+      assert(!Store.refreshRecorded(clone, name),
+        "a fresh clone must start with no refresh record for the table")
+      // first read through the clone refreshes AND records for the clone only
+      assert(Store.read(clone, name).count() === 2L)
+      assert(Store.refreshRecorded(clone, name))
+      // an upsert through the writer session moves the manifest and
+      // re-records the WRITER's stamp; the clone's record goes stale but
+      // stays its own — its next read must notice the moved stamp (count
+      // sees the new row), not skip on someone else's refresh
+      Store.upsert(spark, name, Seq((3L, "c")).toDF("k", "v"), "k")
+      assert(Store.read(clone, name).count() === 3L,
+        "clone must re-refresh on its own stale stamp after another session's commit")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 }
 

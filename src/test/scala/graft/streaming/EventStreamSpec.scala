@@ -1212,6 +1212,48 @@ class EventStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS gqs_tab")
   }
 
+  test("grouped sketch empty trigger: watermark advances meta-only, zero generations (r19)") {
+    import graft.sources.Store
+    spark.sql("DROP TABLE IF EXISTS gqs_empty_tab")
+    val toKV = (b: org.apache.spark.sql.DataFrame) =>
+      b.select(col("k").as("key"), col("v").as("value"))
+    def genDirs(): Seq[String] = {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier("gqs_empty_tab")
+      val loc = java.nio.file.Paths.get(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(ident).location.toString))
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      java.nio.file.Files.walk(loc).forEach { p =>
+        if (java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("graft_g=")) out += loc.relativize(p).toString
+      }
+      out.sorted.toSeq
+    }
+    assert(graft.streaming.EventStream.applyGroupedQuantileBatch(
+      (1 to 30).map(i => ("a", i)).toDF("k", "v"), toKV, "gqs_empty_tab",
+      batchId = 0L, k = 200))
+    val gens = genDirs()
+    // EMPTY batch: the watermark must advance (a retried non-empty
+    // variant of the same id must refuse) at ZERO staged generations
+    assert(graft.streaming.EventStream.applyGroupedQuantileBatch(
+      Seq.empty[(String, Int)].toDF("k", "v"), toKV, "gqs_empty_tab",
+      batchId = 1L, k = 200))
+    assert(genDirs() === gens, "an empty trigger must stage zero generations")
+    assert(Store.manifestMeta(spark, "gqs_empty_tab")("sketch.last_batch") === "1")
+    assert(!graft.streaming.EventStream.applyGroupedQuantileBatch(
+      (1 to 30).map(i => ("a", i)).toDF("k", "v"), toKV, "gqs_empty_tab",
+      batchId = 1L, k = 200),
+      "a non-empty retry of the empty-committed id must refuse")
+    // and the stream continues normally past the empty trigger
+    assert(graft.streaming.EventStream.applyGroupedQuantileBatch(
+      Seq(("b", 100)).toDF("k", "v"), toKV, "gqs_empty_tab",
+      batchId = 2L, k = 200))
+    val served = graft.streaming.EventStream
+      .readGroupedQuantileSketch(spark, "gqs_empty_tab", 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(served === Map("a" -> 30L, "b" -> 1L))
+    spark.sql("DROP TABLE IF EXISTS gqs_empty_tab")
+  }
+
   test("cross-modal sink replay guard: a full re-run over the same source leaves labels unchanged") {
     import graft.sources.Store
     // undecodable media payloads (filtered out scan-side — also pins that

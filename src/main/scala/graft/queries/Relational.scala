@@ -377,6 +377,55 @@ object Relational {
           FROM b) t
         WHERE rn <= 60 ORDER BY rn""")),
 
+    // CONCURRENT PARTITION-DISJOINT UPSERTS (r19 — VERDICT r18 next #2):
+    // a 100 TB ingest wants parallel writers on one table. The store's
+    // optimistic commit lets partition-disjoint writers land
+    // concurrently — a lost manifest CAS rebases over the new base when
+    // the interleaved commit touched none of this writer's partitions
+    // (and refuses loudly when it did; StoreSpec pins the refusal). The
+    // gate seeds a table with sentinel values, splits 400 keys into two
+    // partition-disjoint halves by the store's own routing, upserts the
+    // halves from two racing threads, and hash-compares the final table
+    // against the serialized result — which is exactly the source rows.
+    QueryDef(
+      "q231_store_concurrent_upsert",
+      (s, dir) => {
+        val t = "q231_occ"
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey")).limit(400).localCheckpoint()
+        graft.sources.Store.bulkWrite(
+          base.withColumn("o_totalprice", lit(-1.0)), t, "o_orderkey",
+          buckets = 4, parts = 8, validateKeys = true)
+        val keys = base.select(col("o_orderkey")).collect().map(_.getLong(0))
+        val partsOfKey = keys.map(k =>
+          k -> graft.sources.Store.partitionOf(s, t, k)).toMap
+        val lowHalf = partsOfKey.values.toSeq.distinct.sorted
+          .take(math.max(1, partsOfKey.values.toSeq.distinct.size / 2)).toSet
+        val (aKeys, bKeys) = keys.partition(k => lowHalf(partsOfKey(k)))
+        def upsertHalf(ks: Array[Long]): Unit = {
+          val half = base.filter(col("o_orderkey")
+            .isin(ks.map(java.lang.Long.valueOf).toSeq: _*)).localCheckpoint()
+          graft.sources.Store.upsert(s, t, half, "o_orderkey", buckets = 4)
+        }
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+        val th = Seq(aKeys, bKeys).map(ks => new Thread(() =>
+          try upsertHalf(ks) catch { case e: Throwable => errs.add(e); () }))
+        th.foreach(_.start()); th.foreach(_.join())
+        if (!errs.isEmpty) throw errs.peek()
+        val out = graft.sources.Store.read(s, t)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey")).localCheckpoint()
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        out
+      },
+      Some("""
+        SELECT o_orderkey, o_totalprice FROM (
+          SELECT o_orderkey, o_totalprice
+          FROM orders ORDER BY o_orderkey LIMIT 400) t
+        ORDER BY o_orderkey""")),
+
     // Anti-join (Q4 exclusion semantics as a plan-level join): customers
     // with no order in 2001.
     QueryDef(

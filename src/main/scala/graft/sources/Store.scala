@@ -61,9 +61,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    one file per (partition, bucket), committed as a fresh generation
   *    by the same atomic manifest step.
   *
-  * Single-writer per table: writers race only on the manifest counter, so
-  * serialize upserts/compactions per table (the streaming sink does — one
-  * micro-batch at a time). Readers need no coordination ever.
+  * Writer concurrency (r19): PARTITION-DISJOINT writer threads may
+  * upsert one table concurrently — a commit that loses the manifest CAS
+  * rebases over the new base when the interleaved commits touched none
+  * of its partitions, and refuses loudly when they did (the lost-update
+  * class). The contract is per-JVM (see [[inFlightGens]]); CROSS-process
+  * writers remain single-writer per table — their racing commits still
+  * fail loudly via the CAS, but their in-flight staging is invisible to
+  * this process's vacuum. Compactions serialize with everything (the
+  * maintenance writer). Readers need no coordination ever.
   */
 object Store {
 
@@ -384,6 +390,18 @@ object Store {
     refreshedAt.computeIfAbsent(
       spark, _ => new java.util.concurrent.ConcurrentHashMap[String, String])
 
+  /** Test/gate hook: the hash-prefix routing partition of `key` under
+    * `name`'s layout — what a partition-disjoint writer split computes.
+    */
+  private[graft] def partitionOf(spark: SparkSession, name: String, key: Any): Int = {
+    val idType = spark.table(name).schema(idColOf(spark, name)).dataType
+    val internal = key match {
+      case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case other => other
+    }
+    partEvaluator(idType, idType, partsOf(spark, name))(internal)
+  }
+
   /** Test hook (StoreSpec): whether THIS session holds a refresh record
     * for `name` — proves per-session gating independence.
     */
@@ -560,6 +578,19 @@ object Store {
     readManifestFull(spark, name).map { case (v, m, _) => (v, m) }
 
   private[graft] def readManifestFull(
+      spark: SparkSession, name: String): Option[(Long, Manifest, ManifestMeta)] = {
+    // commit-group read-your-writes: a manifest read is a READ — flush
+    // this table's deferred commits first (no-op outside a group)
+    flushPending(spark, name)
+    readManifestRaw(spark, name)
+  }
+
+  /** The flush-free manifest read: for the STAGE and COMMIT paths
+    * themselves, which must see the committed state without forcing a
+    * deferred same-table commit (staging against pending gens is safe —
+    * intent markers keep allocation monotone past them).
+    */
+  private def readManifestRaw(
       spark: SparkSession, name: String): Option[(Long, Manifest, ManifestMeta)] = {
     val loc = tableLocation(spark, name)
     val fs = fsFor(spark, loc)
@@ -936,17 +967,75 @@ object Store {
     * gets its intent marker, so a crashed attempt poisons none of them
     * for reuse.
     */
+  /** IN-FLIGHT generation registry (r19 — VERDICT r18 next #2): the ids
+    * this JVM's writers have allocated but not yet committed, keyed by
+    * qualified table location. Vacuum must never reclaim another LIVE
+    * writer's staging dirs, renamed-but-uncommitted generation dirs, or
+    * intent markers — under the r18 single-writer contract "a stage in
+    * flight during vacuum" was impossible, but optimistic concurrent
+    * commits make it the normal case. Process-local on purpose: the
+    * optimistic-commit contract is per-JVM (partition-disjoint writer
+    * THREADS on one table — the parallel-backfill shape); CROSS-process
+    * concurrent writers keep the single-writer-per-table contract — the
+    * manifest CAS still race-detects their commits, but each process's
+    * vacuum would treat the other's in-flight staging as crash debris.
+    */
+  private val inFlightGens = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[Long, Manifest]]
+
+  private def inFlightKey(fs: FileSystem, loc: Path): String =
+    fs.makeQualified(loc).toString
+
+  private def inFlightFor(fs: FileSystem, loc: Path)
+      : java.util.concurrent.ConcurrentHashMap[Long, Manifest] =
+    inFlightGens.computeIfAbsent(inFlightKey(fs, loc),
+      _ => new java.util.concurrent.ConcurrentHashMap[Long, Manifest])
+
+  private def liveGenSet(fs: FileSystem, loc: Path): java.util.Set[Long] = {
+    val m = inFlightGens.get(inFlightKey(fs, loc))
+    if (m == null) java.util.Collections.emptySet[Long]()
+    else new java.util.HashSet[Long](m.keySet)
+  }
+
+  private def releaseGens(fs: FileSystem, loc: Path, gens: Seq[Long]): Unit = {
+    val s = inFlightGens.get(inFlightKey(fs, loc))
+    if (s != null) gens.foreach(s.remove)
+    ()
+  }
+
   private def allocateGenRange(
       fs: FileSystem, loc: Path, manifest: Manifest, count: Int): Long = {
     val committedMax = manifest.valuesIterator.flatten.foldLeft(-1L)(math.max)
-    val intentMax =
-      if (!fs.exists(loc)) -1L
-      else fs.listStatus(loc).toSeq.map(_.getPath.getName)
-        .collect { case IntentRe(n) => n.toLong }.foldLeft(-1L)(math.max)
-    val base = math.max(committedMax, intentMax) + 1L
-    (0 until count).foreach(i =>
-      fs.create(new Path(loc, s"_intent-${base + i}"), false).close())
-    base
+    var attempts = 0
+    while (attempts < 32) {
+      val intentMax =
+        if (!fs.exists(loc)) -1L
+        else fs.listStatus(loc).toSeq.map(_.getPath.getName)
+          .collect { case IntentRe(n) => n.toLong }.foldLeft(-1L)(math.max)
+      val base = math.max(committedMax, intentMax) + 1L
+      // ATOMIC claim (r19): the bare create(overwrite = false) decomposes
+      // into exists-then-create on a local FS, so two racing writers
+      // could claim the same id; exclusiveCreate is the same CAS
+      // primitive the manifest lock uses. A partial range claim that
+      // loses a later id simply rescans — its claimed intents poison
+      // those ids (never reused) and retire via vacuum like any crashed
+      // attempt's.
+      try {
+        (0 until count).foreach(i =>
+          exclusiveCreate(fs, new Path(loc, s"_intent-${base + i}")))
+        // register with the ALLOCATION-TIME manifest snapshot: the
+        // commit's conflict check compares each touched partition's gen
+        // list against this base — a concurrent commit to the same
+        // partitions between stage and commit is the lost-update shape
+        // and refuses; disjoint interleaved commits rebase
+        (0 until count).foreach(i => inFlightFor(fs, loc).put(base + i, manifest))
+        return base
+      } catch {
+        case _: java.io.IOException => attempts += 1 // lost a claim; rescan
+      }
+    }
+    sys.error(s"could not allocate a generation id under $loc after 32 attempts " +
+      "— writer contention is pathological or intent markers cannot be created")
   }
 
   /** Reclaim everything no live reader can need: manifests older than the
@@ -971,6 +1060,10 @@ object Store {
     * directories no longer exist.
     */
   private def vacuum(fs: FileSystem, loc: Path, retain: Int = 2): Seq[(Int, Long)] = {
+    // another writer's allocated-but-uncommitted generations (r19):
+    // their staging dirs, renamed gen dirs, and intent markers are NOT
+    // debris — skip them everywhere below
+    val live = liveGenSet(fs, loc)
     val vers = manifestVersions(fs, loc)
     vers.dropRight(retain).foreach { v =>
       fs.delete(manifestPath(loc, v), false)
@@ -1002,7 +1095,8 @@ object Store {
           val gn = gd.getPath.getName
           if (gn.startsWith(s"$GenCol=")) {
             val g = gn.stripPrefix(s"$GenCol=").toLong
-            if (g < maxCommitted && !referenced.getOrElse(p, Set.empty).contains(g)) {
+            if (g < maxCommitted && !live.contains(g) &&
+              !referenced.getOrElse(p, Set.empty).contains(g)) {
               fs.delete(gd.getPath, true)
               deleted += ((p, g))
             }
@@ -1011,9 +1105,12 @@ object Store {
       }
     }
     // intents at or below the committed high-water mark no longer guard
-    // anything (allocation already clears that mark via the manifest)
+    // anything (allocation already clears that mark via the manifest) —
+    // unless their gen is another writer's in-flight allocation, which
+    // can sit below a faster writer's committed max
     fs.listStatus(loc).toSeq.map(_.getPath.getName)
-      .collect { case n @ IntentRe(g) if g.toLong <= maxCommitted => n }
+      .collect { case n @ IntentRe(g)
+        if g.toLong <= maxCommitted && !live.contains(g.toLong) => n }
       .foreach(n => fs.delete(new Path(loc, n), false))
     deleted.toSeq
   }
@@ -1028,13 +1125,18 @@ object Store {
     */
   private def vacuumAndDeregister(
       spark: SparkSession, name: String, fs: FileSystem, loc: Path): Unit = {
-    // orphaned staging dirs (a writer crashed mid-stage; r18): safe to
-    // sweep here because the store is single-writer per table and vacuum
-    // runs inside THAT writer's own commit — no stage can be in flight.
-    // A replayed trigger never reuses the crashed gen id (intent marker),
-    // so the orphan is pure dead weight.
+    // orphaned staging dirs (a writer crashed mid-stage; r18): sweepable
+    // because no LIVE stage can be in flight for them — under r19's
+    // optimistic concurrency that is no longer "any stage dir" but "any
+    // stage dir whose gen is not another in-JVM writer's in-flight
+    // allocation" (the registry above; a replayed trigger never reuses a
+    // crashed gen id, so what is left really is dead weight)
+    val liveStages = liveGenSet(fs, loc)
     fs.listStatus(loc).foreach { st =>
-      if (st.isDirectory && st.getPath.getName.startsWith("_stage-"))
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("_stage-") &&
+        !scala.util.Try(n.stripPrefix("_stage-").toLong).toOption
+          .exists(liveStages.contains))
         fs.delete(st.getPath, true)
     }
     val dead = vacuum(fs, loc, retainOf(spark, name))
@@ -1520,7 +1622,9 @@ object Store {
     evolveForUpdates(spark, name, updates)
     val loc = tableLocation(spark, name)
     val fs = fsFor(spark, loc)
-    val manifest = readManifest(spark, name).map(_._2).getOrElse(
+    // RAW read: staging must not force a same-table commit-group flush
+    // (allocation is intent-monotone past pending gens)
+    val manifest = readManifestRaw(spark, name).map(_._2).getOrElse(
       sys.error(s"generational store table $name has no manifest — rebuild via bulkWrite"))
     val parts = partsOf(spark, name)
     val u = withPart(updates, idCol, parts)
@@ -1596,7 +1700,10 @@ object Store {
     // the `gen` dir level — so no per-generation literal ever enters the
     // write plan (the generated source is identical across triggers).
     val shaped = withDefaults.select(columnOrder.filterNot(_ == GenCol).map(col(_)): _*)
-    stageBucketedGen(spark, name, loc, fs, shaped, gen, touched, tableBuckets, idCol)
+    // a failed stage releases its in-flight claim so vacuum can reclaim
+    // the partial write instead of guarding it for the JVM lifetime
+    try stageBucketedGen(spark, name, loc, fs, shaped, gen, touched, tableBuckets, idCol)
+    catch { case e: Throwable => releaseGens(fs, loc, Seq(gen)); throw e }
     Some((gen, touched))
   }
 
@@ -1635,6 +1742,70 @@ object Store {
     */
   private val StageFileRe = """part-(\d+)-.*""".r
 
+  /** ZERO-SHUFFLE staging for DRIVER-LOCAL delta frames (r19): the
+    * staged write's `repartition(buckets, id)` exists only to make
+    * write-task index == bucket id; for a LocalRelation batch (the
+    * streaming sinks' localized keeper/signature/sketch frames) the
+    * bucket assignment — `pmod(murmur3(id), buckets)`, the exact
+    * HashPartitioning function the scan's bucket pruning recomputes —
+    * evaluates DRIVER-side ([[partEvaluator]]), so the rows can be
+    * grouped into bucket-indexed slices and parallelized with slice i ==
+    * bucket i: same file layout, same `part-i` naming, same within-file
+    * (part, id) order, ONE mapper-only job instead of a two-stage
+    * shuffle (DriverProf measured the shuffle form at ~325 ms per
+    * ~500-row delta — pure fixed cost at micro-batch scale). Distributed
+    * or non-simple-keyed frames keep the repartition path unchanged.
+    */
+  private def prebucketedLocal(
+      spark: SparkSession, shaped: DataFrame, idCol: String,
+      buckets: Int): Option[DataFrame] =
+    localRelationOf(shaped).flatMap { _ =>
+      import org.apache.spark.sql.types._
+      val schema = shaped.schema
+      val idIdx = schema.fields.indexWhere(_.name.equalsIgnoreCase(idCol))
+      val partIdx = schema.fields.indexWhere(_.name == PartCol)
+      val kt = if (idIdx >= 0) schema.fields(idIdx).dataType else NullType
+      // types whose EXTERNAL row value feeds Murmur3Hash.eval unchanged
+      // (internal == external repr); Date/Timestamp/Decimal differ and
+      // keep the shuffle path
+      val hashSafe = kt match {
+        case ByteType | ShortType | IntegerType | LongType |
+          FloatType | DoubleType | BooleanType | StringType => true
+        case _ => false
+      }
+      if (idIdx < 0 || partIdx < 0 || !hashSafe) None
+      else {
+        val rows = shaped.collect() // LocalRelation plan: driver-served
+        val route = partEvaluator(kt, kt, buckets)
+        def hashKey(r: org.apache.spark.sql.Row): Any = kt match {
+          case StringType =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(idIdx))
+          case _ => r.get(idIdx)
+        }
+        val idOrd: Ordering[org.apache.spark.sql.Row] = kt match {
+          case ByteType    => Ordering.by(_.getByte(idIdx))
+          case ShortType   => Ordering.by(_.getShort(idIdx))
+          case IntegerType => Ordering.by(_.getInt(idIdx))
+          case LongType    => Ordering.by(_.getLong(idIdx))
+          case FloatType   => Ordering.by(_.getFloat(idIdx))
+          case DoubleType  => Ordering.by(_.getDouble(idIdx))
+          case BooleanType => Ordering.by(_.getBoolean(idIdx))
+          case _           => Ordering.by(_.getString(idIdx))
+        }
+        val byBucket = Array.fill(buckets)(
+          scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row])
+        rows.foreach(r => byBucket(route(hashKey(r))) += r)
+        val ord = Ordering.by((r: org.apache.spark.sql.Row) => r.getInt(partIdx))
+          .orElse(idOrd)
+        val slices = byBucket.map(_.sorted(ord).toSeq).toIndexedSeq
+        // parallelize(seq of length n, n) puts element i in partition i
+        // — task index IS the bucket id, no shuffle
+        val rdd = spark.sparkContext.parallelize(slices, buckets)
+          .mapPartitions(_.flatMap(_.iterator))
+        Some(spark.createDataFrame(rdd, schema))
+      }
+    }
+
   private def stageBucketedGen(
       spark: SparkSession, name: String, loc: Path, fs: FileSystem,
       shaped: DataFrame, gen: Long, touched: Seq[Int],
@@ -1653,8 +1824,9 @@ object Store {
       // writer sort-free and the file contents id-ordered like the
       // bucketed writer's.
       graft.tools.DriverProf.time("store.stage.write")(
-        shaped.repartition(tableBuckets, col(idCol))
-          .sortWithinPartitions(col(PartCol), col(idCol))
+        prebucketedLocal(spark, shaped, idCol, tableBuckets)
+          .getOrElse(shaped.repartition(tableBuckets, col(idCol))
+            .sortWithinPartitions(col(PartCol), col(idCol)))
           .write.mode(SaveMode.Overwrite)
           .partitionBy(PartCol).parquet(stageDir.toString))
       // a compaction fold can surface a partition whose surviving rows
@@ -1752,18 +1924,164 @@ object Store {
   /** Append `gen` to the touched partitions' live lists and commit — the
     * single atomic step that makes a staged generation visible.
     */
+  // ------------------------------------------------------------ commit group
+
+  /** Per-trigger COMMIT GROUP (r19 — VERDICT r18 next #1): a composed
+    * streaming sink writes several store tables per micro-batch (the
+    * cross-modal sink: text index + labels + forward), each upsert
+    * paying an independent manifest commit + vacuum + refresh
+    * mid-trigger. Inside `Store.commitGroup { ... }` those commits
+    * DEFER: deltas stage normally (files move, partitions register —
+    * all invisible until a manifest references them), and the group
+    * flushes at the end in one tight sweep — consecutive commits of the
+    * SAME table collapse into ONE manifest version + ONE vacuum + ONE
+    * refresh, and different tables' commits land back-to-back instead
+    * of interleaved with the trigger's Spark jobs (the narrowest
+    * cross-table inconsistency window short of a shared manifest).
+    *
+    * Correctness: any read of a table with pending commits FLUSHES that
+    * table first (the [[requireTable]]/[[readManifestFull]] chokepoints
+    * every read entry passes through), so within-trigger read-your-
+    * writes is preserved exactly. A crash mid-group loses only
+    * uncommitted staged generations — the same contract as the
+    * sequential form's crash between two commits; the sinks' replay
+    * watermarks already cover partial-trigger delivery.
+    *
+    * Thread-local, non-nesting, single-writer per table as ever.
+    */
+  private final class CommitGroup {
+    val pending = new java.util.LinkedHashMap[String,
+      (scala.collection.mutable.ArrayBuffer[(Long, Seq[Int])],
+        scala.collection.mutable.LinkedHashMap[String, String])]
+  }
+
+  private val activeGroup = new ThreadLocal[CommitGroup]
+
+  def commitGroup[T](spark: SparkSession)(body: => T): T = {
+    require(activeGroup.get == null, "commit groups do not nest")
+    val g = new CommitGroup
+    activeGroup.set(g)
+    try {
+      val r = body
+      graft.tools.DriverProf.time("store.commitGroup.flush") {
+        while (!g.pending.isEmpty)
+          flushPending(spark, g.pending.keySet.iterator.next)
+      }
+      r
+    } finally activeGroup.remove()
+  }
+
+  /** Commit `name`'s deferred deltas now (no-op without an active group
+    * or pending entry). Pops the entry FIRST so the commit's own
+    * manifest read does not re-enter.
+    */
+  private def flushPending(spark: SparkSession, name: String): Unit = {
+    val g = activeGroup.get
+    if (g != null) {
+      val entry = g.pending.remove(name)
+      if (entry != null) {
+        val (gens, meta) = entry
+        commitDeltasNow(spark, name, gens.toSeq, meta.toMap)
+      }
+    }
+  }
+
   private[graft] def commitDelta(
       spark: SparkSession, name: String, gen: Long, touched: Seq[Int],
-      metaUpdates: ManifestMeta = Map.empty): Unit =
+      metaUpdates: ManifestMeta = Map.empty): Unit = {
+    val g = activeGroup.get
+    if (g != null) {
+      val entry = g.pending.computeIfAbsent(name, _ =>
+        (scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Int])],
+          scala.collection.mutable.LinkedHashMap.empty[String, String]))
+      entry._1 += ((gen, touched))
+      entry._2 ++= metaUpdates
+      ()
+    } else commitDeltasNow(spark, name, Seq((gen, touched)), metaUpdates)
+  }
+
+  /** The immediate multi-delta commit: ONE manifest version appends all
+    * `gens` in order, ONE vacuum, ONE refresh — a single deferred
+    * upsert degenerates to exactly the r18 commit.
+    *
+    * OPTIMISTIC under concurrency (r19 — VERDICT r18 next #2): a
+    * 100 TB ingest wants partition-disjoint writers on one table (the
+    * parallel-backfill shape), so losing the manifest CAS is no longer
+    * terminal. On a lost race the commit re-reads the new latest
+    * manifest and checks whether the interleaved commits touched any of
+    * ITS partitions: DISJOINT → rebase (re-apply this delta over the
+    * new base and retry — the staged files and registered partitions
+    * are untouched, only the manifest line moves), OVERLAPPING → loud
+    * refusal, because an overlapping concurrent writer may have merged
+    * against a pre-image this commit invalidates (the lost-update class
+    * the single-writer contract existed to prevent), and its staged
+    * generation is released for vacuum. Writer threads must share this
+    * JVM (see [[inFlightGens]]); cross-process writers keep the
+    * single-writer contract.
+    */
+  private def commitDeltasNow(
+      spark: SparkSession, name: String, gens: Seq[(Long, Seq[Int])],
+      metaUpdates: ManifestMeta): Unit =
     graft.tools.DriverProf.time("store.commitDelta") {
     val loc = tableLocation(spark, name)
     val fs = fsFor(spark, loc)
-    val (v, manifest, meta) = readManifestFull(spark, name).getOrElse(
-      sys.error(s"generational store table $name has no manifest"))
-    val updated = touched.foldLeft(manifest) { (m, p) =>
-      m.updated(p, m.getOrElse(p, Seq.empty) :+ gen)
+    val snaps = Option(inFlightGens.get(inFlightKey(fs, loc)))
+    var attempt = 0
+    var committed = false
+    try {
+      while (!committed) {
+        val (v, manifest, meta) = readManifestRaw(spark, name).getOrElse(
+          sys.error(s"generational store table $name has no manifest"))
+        // CONFLICT CHECK against each gen's STAGE-TIME snapshot: if any
+        // of this delta's partitions gained generations since its stage
+        // read, an overlapping writer committed in between — this
+        // writer's merge may be based on a pre-image that commit
+        // replaced (the lost-update class), so refuse loudly. A change
+        // confined to OTHER partitions is the disjoint-writer case:
+        // commit (or rebase, below) proceeds.
+        gens.foreach { case (gen, touched) =>
+          snaps.flatMap(s => Option(s.get(gen))).foreach { snap =>
+            val overlap = touched.filter(p =>
+              manifest.getOrElse(p, Seq.empty) != snap.getOrElse(p, Seq.empty))
+            if (overlap.nonEmpty)
+              throw new IllegalStateException(
+                s"concurrent writers touched overlapping partitions of $name " +
+                  s"(${overlap.sorted.mkString(", ")}): generation $gen was " +
+                  "staged against a pre-image another commit has since " +
+                  "replaced — partition-disjoint writers rebase automatically; " +
+                  "overlapping writers must serialize")
+          }
+        }
+        val updated = gens.foldLeft(manifest) { case (m0, (gen, touched)) =>
+          touched.foldLeft(m0) { (m, p) =>
+            m.updated(p, m.getOrElse(p, Seq.empty) :+ gen)
+          }
+        }
+        try {
+          writeManifest(fs, loc, v + 1L, updated, meta ++ metaUpdates)
+          committed = true
+        } catch {
+          case e: IllegalStateException =>
+            attempt += 1
+            if (attempt >= 16)
+              throw new IllegalStateException(
+                s"cannot claim manifest version for $name after $attempt " +
+                  "lost races — writer contention is pathological, or a " +
+                  "crashed writer's manifest lock needs manual removal " +
+                  "(remove the lock after confirming no writer is live)", e)
+            // brief backoff, then the loop re-reads the new base: the
+            // snapshot conflict check above refuses overlap, a disjoint
+            // interleaved commit rebases, and a crashed lock exhausts
+            // the bounded retries loudly
+            Thread.sleep(10L * attempt)
+        }
+      }
+    } finally {
+      // success: the gens are referenced, intents retire via vacuum.
+      // refusal/failure: the staged generation is abandoned — release it
+      // so vacuum reclaims the orphan instead of guarding it forever.
+      releaseGens(fs, loc, gens.map(_._1))
     }
-    writeManifest(fs, loc, v + 1L, updated, meta ++ metaUpdates)
     vacuumAndDeregister(spark, name, fs, loc)
     forceRefresh(spark, name)
   }
@@ -1775,11 +2093,21 @@ object Store {
     * generation per empty trigger, this moves one small text file.
     */
   def commitMetaOnly(
-      spark: SparkSession, name: String, metaUpdates: ManifestMeta): Unit =
+      spark: SparkSession, name: String, metaUpdates: ManifestMeta): Unit = {
+    val g = activeGroup.get
+    if (g != null) {
+      // deferred like any commit: the meta rides the table's flush
+      // (its own version if no delta is pending)
+      val entry = g.pending.computeIfAbsent(name, _ =>
+        (scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Int])],
+          scala.collection.mutable.LinkedHashMap.empty[String, String]))
+      entry._2 ++= metaUpdates
+      return
+    }
     graft.tools.DriverProf.time("store.commitMetaOnly") {
       val loc = tableLocation(spark, name)
       val fs = fsFor(spark, loc)
-      val (v, manifest, meta) = readManifestFull(spark, name).getOrElse(
+      val (v, manifest, meta) = readManifestRaw(spark, name).getOrElse(
         sys.error(s"generational store table $name has no manifest"))
       writeManifest(fs, loc, v + 1L, manifest, meta ++ metaUpdates)
       vacuumAndDeregister(spark, name, fs, loc)
@@ -1793,6 +2121,7 @@ object Store {
         sessionRefreshes(spark).computeIfPresent(name, (_, _) => stamp)
       ()
     }
+  }
 
   private def stageAndCommitDelta(
       spark: SparkSession, name: String, updates: DataFrame, idCol: String,
@@ -1993,7 +2322,8 @@ object Store {
         stageBucketedGen(spark, name, loc, fs, folded, gen, foldParts,
           tableBuckets, idCol)
         val updated = foldParts.foldLeft(manifest)((m, p) => m.updated(p, Seq(gen)))
-        writeManifest(fs, loc, v + 1L, updated, carriedMeta)
+        try writeManifest(fs, loc, v + 1L, updated, carriedMeta)
+        finally releaseGens(fs, loc, Seq(gen))
         finish(gen)
 
       case Some(zs) =>
@@ -2064,7 +2394,8 @@ object Store {
         out.close()
         require(fs.rename(ztmp, zmapPath(loc, v + 1L)),
           s"zmap sidecar rename failed for version ${v + 1L}")
-        writeManifest(fs, loc, v + 1L, updated, carriedMeta)
+        try writeManifest(fs, loc, v + 1L, updated, carriedMeta)
+        finally releaseGens(fs, loc, (0 until nBuckets).map(gen0 + _))
         finish(gen0)
     }
   }

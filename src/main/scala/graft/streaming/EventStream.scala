@@ -440,7 +440,12 @@ object EventStream {
         // localCheckpoint — payloads never collect driver-side (r18,
         // ADVICE r17 medium; the media-sink rule)
         val b = batch.toDF().localCheckpoint()
-        if (!b.isEmpty) {
+        // commit group (r19): the labels + forward upserts defer and
+        // flush back-to-back at trigger end — one sweep instead of
+        // commits interleaved with the trigger's jobs; any read of a
+        // pending table flushes it first, so the fold/compact block
+        // sees exactly the sequential semantics
+        if (!b.isEmpty) graft.sources.Store.commitGroup(spark) {
           val sigs = graft.sources.Store.localized(graft.ops.Dedup
             .minhashSignaturesScanLocal(b, idCol, textCol, k, w))
           // pairs feed two consumers (the fact dir and the label fold)
@@ -599,7 +604,9 @@ object EventStream {
         // side); every derived frame below is signature/pair-sized and
         // localizes instead
         val b = batch.toDF().localCheckpoint()
-        if (!b.isEmpty) {
+        // commit group (r19): the text-index + labels + forward upserts
+        // defer to one flush sweep at trigger end (see dupClusters)
+        if (!b.isEmpty) graft.sources.Store.commitGroup(spark) {
           def mediaRows(payload: String, mime: String) =
             b.select(col("doc_id").as("media_id"),
               col(payload).as("payload"), lit(mime).as("mime"))

@@ -1054,6 +1054,60 @@ class StoreSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
+  test("optimistic commits: disjoint writers rebase, overlapping writers refuse loudly (r19)") {
+    import spark.implicits._
+    val name = "occ_tbl"
+    // parts = 4: key routing is pmod(hash(k), 4); pick keys per partition
+    Store.bulkWrite((1L to 40L).map(k => (k, s"v$k")).toDF("k", "v"), name, "k",
+      buckets = 2, parts = 4)
+    try {
+      val byPart = (1L to 200L).groupBy(k => Store.partitionOf(spark, name, k))
+      val pickA = byPart.filterKeys(_ < 2).values.flatten.toSeq.sorted.take(10)
+      val pickB = byPart.filterKeys(_ >= 2).values.flatten.toSeq.sorted.take(10)
+      assert(pickA.nonEmpty && pickB.nonEmpty, "need keys in both partition halves")
+      // DISJOINT interleave, deterministically: B stages first, A commits
+      // a delta to OTHER partitions, then B's commit must REBASE (its
+      // base manifest went stale) and both land
+      val stagedB = Store.stageDelta(spark, name,
+        pickB.map(k => (k, s"B$k")).toDF("k", "v"), "k", buckets = 2)
+      Store.upsert(spark, name, pickA.map(k => (k, s"A$k")).toDF("k", "v"), "k",
+        buckets = 2)
+      val (genB, touchedB) = stagedB.get
+      Store.commitDelta(spark, name, genB, touchedB) // stale base; disjoint → rebase
+      val got = Store.read(spark, name)
+        .filter(col("k").isin((pickA ++ pickB).map(java.lang.Long.valueOf): _*))
+        .select(col("k"), col("v")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      pickA.foreach(k => assert(got(k) === s"A$k", s"A's write to $k lost"))
+      pickB.foreach(k => assert(got(k) === s"B$k", s"B's rebased write to $k lost"))
+      // OVERLAPPING interleave: C stages a delta to A's partitions, D
+      // commits to the same partitions first → C's commit must refuse
+      val stagedC = Store.stageDelta(spark, name,
+        pickA.map(k => (k, s"C$k")).toDF("k", "v"), "k", buckets = 2)
+      Store.upsert(spark, name, pickA.map(k => (k, s"D$k")).toDF("k", "v"), "k",
+        buckets = 2)
+      val (genC, touchedC) = stagedC.get
+      val e = intercept[IllegalStateException](
+        Store.commitDelta(spark, name, genC, touchedC))
+      assert(e.getMessage.contains("overlapping partitions"))
+      // the refused write left no trace; D's committed values serve
+      pickA.foreach { k =>
+        val v = Store.read(spark, name).filter(col("k") === k).head().getString(1)
+        assert(v === s"D$k", s"refused write leaked into $k")
+      }
+      // and genuinely CONCURRENT disjoint threads both land
+      val t1 = new Thread(() => Store.upsert(spark, name,
+        pickA.map(k => (k, s"T1$k")).toDF("k", "v"), "k", buckets = 2))
+      val t2 = new Thread(() => Store.upsert(spark, name,
+        pickB.map(k => (k, s"T2$k")).toDF("k", "v"), "k", buckets = 2))
+      t1.start(); t2.start(); t1.join(); t2.join()
+      val got2 = Store.read(spark, name)
+        .filter(col("k").isin((pickA ++ pickB).map(java.lang.Long.valueOf): _*))
+        .select(col("k"), col("v")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      pickA.foreach(k => assert(got2(k) === s"T1$k"))
+      pickB.foreach(k => assert(got2(k) === s"T2$k"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   test("refresh gating is per-session-object: a clone gates independently (ADVICE r18)") {
     import spark.implicits._
     val name = "refresh_session_tbl"

@@ -1054,6 +1054,52 @@ class StoreSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
+  test("commit group: deferred commits collapse per table, reads flush first (r19)") {
+    import spark.implicits._
+    val name = "grp_tbl"
+    Store.bulkWrite((1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"), name, "k",
+      buckets = 2)
+    try {
+      // manifest version straight off the FS — readManifest is a READ and
+      // would itself flush the group, which is exactly what the mid-group
+      // assertions must avoid
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+      val loc = java.nio.file.Paths.get(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(ident).location.toString))
+      def fsVersion(): Long = {
+        val re = """_manifest-(\d+)\.txt""".r
+        new java.io.File(loc.toString).list()
+          .collect { case re(n) => n.toLong }.max
+      }
+      val v0 = fsVersion()
+      Store.commitGroup(spark) {
+        // two same-table upserts: both stage, neither commits yet
+        Store.upsert(spark, name, Seq((11L, "a")).toDF("k", "v"), "k", buckets = 2)
+        Store.upsert(spark, name, Seq((12L, "b")).toDF("k", "v"), "k", buckets = 2)
+        assert(fsVersion() === v0,
+          "deferred commits must not move the manifest mid-group")
+        // read-your-writes: a read inside the group flushes the pending
+        // commits first and serves both rows
+        assert(Store.read(spark, name).count() === 12L,
+          "read inside the group must flush pending commits first")
+        assert(fsVersion() === v0 + 1L,
+          s"two same-table deferred commits must collapse to ONE manifest version")
+        // a further deferred commit stays pending until group end
+        Store.upsert(spark, name, Seq((13L, "c")).toDF("k", "v"), "k", buckets = 2)
+        assert(fsVersion() === v0 + 1L,
+          "a deferred commit must not move the manifest mid-group")
+        ()
+      }
+      // group end flushed the remainder
+      assert(fsVersion() === v0 + 2L)
+      assert(Store.read(spark, name).count() === 13L)
+      // nesting refused; abandoned groups leave no pending state behind
+      intercept[IllegalArgumentException](
+        Store.commitGroup(spark)(Store.commitGroup(spark)(())))
+      assert(Store.read(spark, name).count() === 13L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   test("optimistic commits: disjoint writers rebase, overlapping writers refuse loudly (r19)") {
     import spark.implicits._
     val name = "occ_tbl"

@@ -635,6 +635,10 @@ object Store {
   private[graft] def writeManifest(
       fs: FileSystem, loc: Path, v: Long, m: Manifest,
       meta: ManifestMeta = Map.empty): Unit = {
+    // render (and so VALIDATE the meta pairs) BEFORE claiming the lock: a
+    // bad meta key throwing after the claim would strand a lock that
+    // blocks every later commit of this version (code-review r19)
+    val rendered = renderManifest(m, meta).getBytes("UTF-8")
     val lock = new Path(loc, s"_manifest-$v.lock")
     try exclusiveCreate(fs, lock)
     catch {
@@ -659,7 +663,7 @@ object Store {
     }
     val tmp = new Path(loc, s"_manifest-$v.txt.tmp")
     val out = fs.create(tmp, true)
-    out.write(renderManifest(m, meta).getBytes("UTF-8"))
+    out.write(rendered)
     out.close()
     require(fs.rename(tmp, manifestPath(loc, v)),
       s"manifest commit rename failed for version $v")
@@ -1005,9 +1009,17 @@ object Store {
 
   private def allocateGenRange(
       fs: FileSystem, loc: Path, manifest: Manifest, count: Int): Long = {
-    val committedMax = manifest.valuesIterator.flatten.foldLeft(-1L)(math.max)
+    def currentCommittedMax(): Long =
+      manifestVersions(fs, loc).lastOption
+        .map(v => parseManifest(readText(fs, manifestPath(loc, v)))
+          .valuesIterator.flatten.foldLeft(-1L)(math.max))
+        .getOrElse(-1L)
     var attempts = 0
     while (attempts < 32) {
+      // committedMax from the CURRENT manifest, not the caller's stage
+      // snapshot: a concurrent writer may have committed (and vacuumed
+      // the retired intent of) a higher gen since the caller's read
+      val committedMax = currentCommittedMax()
       val intentMax =
         if (!fs.exists(loc)) -1L
         else fs.listStatus(loc).toSeq.map(_.getPath.getName)
@@ -1027,9 +1039,26 @@ object Store {
         // commit's conflict check compares each touched partition's gen
         // list against this base — a concurrent commit to the same
         // partitions between stage and commit is the lost-update shape
-        // and refuses; disjoint interleaved commits rebase
+        // and refuses; disjoint interleaved commits rebase. Register
+        // BEFORE the staleness re-check so a concurrent vacuum cannot
+        // treat the fresh claims as retired debris in the gap.
         (0 until count).foreach(i => inFlightFor(fs, loc).put(base + i, manifest))
-        return base
+        // CLOSE THE REUSE RACE (code-review r19): between this writer's
+        // base scan and its claim, a racer may have COMMITTED a gen >=
+        // base and its commit-side vacuum retired that gen's intent —
+        // the claim then "succeeds" on an id that is already committed
+        // data. Re-check against the now-current manifest: a stale base
+        // releases its claims (registry first, then the markers — no
+        // window where the markers are unprotected-but-present) and
+        // rescans past the new committed max. After a VALID claim no
+        // racer can commit these ids (committing requires holding the
+        // intent, which exclusiveCreate now denies them).
+        if (base <= currentCommittedMax()) {
+          releaseGens(fs, loc, (0 until count).map(base + _))
+          (0 until count).foreach(i =>
+            fs.delete(new Path(loc, s"_intent-${base + i}"), false))
+          attempts += 1
+        } else return base
       } catch {
         case _: java.io.IOException => attempts += 1 // lost a claim; rescan
       }
@@ -1267,6 +1296,7 @@ object Store {
     */
   def versions(spark: SparkSession, name: String): Seq[Long] = {
     requireTable(spark, name)
+    flushPending(spark, name) // versions is a READ of the commit history
     val loc = tableLocation(spark, name)
     manifestVersions(fsFor(spark, loc), loc)
   }
@@ -1281,6 +1311,7 @@ object Store {
     */
   def readVersion(spark: SparkSession, name: String, version: Long): DataFrame = {
     requireTable(spark, name)
+    flushPending(spark, name) // a time-travel read must see the group's commits
     refreshIfMoved(spark, name)
     require(spark.table(name).columns.contains(GenCol),
       s"$name is not a generational store table — no versions to read")
@@ -1464,6 +1495,7 @@ object Store {
       spark: SparkSession, name: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     requireTable(spark, name)
+    flushPending(spark, name) // the changelog must see the group's commits
     refreshIfMoved(spark, name)
     require(spark.table(name).columns.contains(GenCol),
       s"$name is not a generational store table — no versions to diff")
@@ -1593,6 +1625,11 @@ object Store {
     // working, and will not grow features (no tombstones, no time
     // travel, no changelog).
     if (!spark.table(name).columns.contains(GenCol)) {
+      // validate BEFORE the merge commits anything: a post-write throw
+      // would break the atomic watermark+data contract the meta API
+      // advertises (code-review r19)
+      require(metaUpdates.isEmpty,
+        s"$name is a flat table — manifest meta needs the generational layout")
       val badKeys = updates.groupBy(idCol).count()
         .filter(col("count") > 1 || col(idCol).isNull).limit(1).count()
       require(badKeys == 0L, s"updates contain duplicate or NULL $idCol keys")
@@ -1603,8 +1640,6 @@ object Store {
         .localCheckpoint()
       merged.write.mode(SaveMode.Overwrite).insertInto(name)
       forceRefresh(spark, name)
-      require(metaUpdates.isEmpty,
-        s"$name is a flat table — manifest meta needs the generational layout")
       return
     }
     stageAndCommitDelta(spark, name, updates, idCol, buckets, metaUpdates)
@@ -1790,7 +1825,15 @@ object Store {
           case FloatType   => Ordering.by(_.getFloat(idIdx))
           case DoubleType  => Ordering.by(_.getDouble(idIdx))
           case BooleanType => Ordering.by(_.getBoolean(idIdx))
-          case _           => Ordering.by(_.getString(idIdx))
+          case _           =>
+            // UTF8String's BINARY order, not java.lang.String's UTF-16
+            // order — they diverge on supplementary-plane codepoints, and
+            // the within-file order must match what the shuffle path's
+            // sortWithinPartitions(id) produces (code-review r19)
+            Ordering.by((r: org.apache.spark.sql.Row) =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(idIdx)))(
+              Ordering.comparatorToOrdering(
+                java.util.Comparator.naturalOrder[org.apache.spark.unsafe.types.UTF8String]()))
         }
         val byBucket = Array.fill(buckets)(
           scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row])
@@ -1940,9 +1983,12 @@ object Store {
     * cross-table inconsistency window short of a shared manifest).
     *
     * Correctness: any read of a table with pending commits FLUSHES that
-    * table first (the [[requireTable]]/[[readManifestFull]] chokepoints
-    * every read entry passes through), so within-trigger read-your-
-    * writes is preserved exactly. A crash mid-group loses only
+    * table first — manifest-resolving reads via the [[readManifestFull]]
+    * chokepoint, and the raw-history entries ([[versions]],
+    * [[readVersion]], [[changes]]) via their own explicit flush — so
+    * within-trigger read-your-writes is preserved exactly. (Write
+    * entries deliberately do NOT flush: staging against pending gens is
+    * what lets same-table commits collapse.) A crash mid-group loses only
     * uncommitted staged generations — the same contract as the
     * sequential form's crash between two commits; the sinks' replay
     * watermarks already cover partial-trigger delivery.
@@ -1968,7 +2014,24 @@ object Store {
           flushPending(spark, g.pending.keySet.iterator.next)
       }
       r
-    } finally activeGroup.remove()
+    } finally {
+      // an ABANDONED group (body or flush threw) must release its still-
+      // pending gens' in-flight claims, or vacuum guards the orphaned
+      // staging debris — and each entry pins a manifest snapshot — for
+      // the JVM lifetime (code-review r19). The staged files themselves
+      // are invisible (no manifest references them) and reclaim normally
+      // once released.
+      if (!g.pending.isEmpty) {
+        import scala.jdk.CollectionConverters._
+        g.pending.asScala.foreach { case (name, (gens, _)) =>
+          try {
+            val loc = tableLocation(spark, name)
+            releaseGens(fsFor(spark, loc), loc, gens.map(_._1).toSeq)
+          } catch { case _: Exception => () } // table may be gone; best effort
+        }
+      }
+      activeGroup.remove()
+    }
   }
 
   /** Commit `name`'s deferred deltas now (no-op without an active group

@@ -95,14 +95,22 @@ def gate(base_pm, cur_pm, base_q, cur_q, allow):
                 lines.append(f"FAIL {q}: jobs {b} -> {c} {why}{w}")
                 fails.append((q, "jobs"))
         if cw > byte_cap(bw):
-            bcap = ent and ent.get("max_shuffle_write")
-            if ent and (ent["legacy"] or (bcap is not None and cw <= byte_cap(bcap))):
+            # the recorded cap is ABSOLUTE — the band already widened the
+            # baseline trigger, so banding the cap too would let an
+            # allowlisted query grow ~50%+256KiB past its accepted bytes
+            bcap = ent.get("max_shuffle_write") if ent else None
+            if ent and ent["legacy"]:
                 lines.append(
-                    f"ALLOW {q}: shuffle_write {bw} -> {cw} — {ent['reason']}")
+                    f"WARN {q}: legacy uncapped allowlist entry — byte growth "
+                    f"{bw} -> {cw} allowed only until max_shuffle_write is recorded")
+            elif ent and bcap is not None and cw <= bcap:
+                lines.append(
+                    f"ALLOW {q}: shuffle_write {bw} -> {cw} (cap {bcap}) — {ent['reason']}")
             else:
+                why = f"beyond recorded cap {bcap}" if ent else \
+                    f"> {byte_cap(bw)} = base*{BYTE_RATIO}+{BYTE_FLOOR}B"
                 lines.append(
-                    f"FAIL {q}: shuffle_write {bw} -> {cw} "
-                    f"(> {byte_cap(bw)} = base*{BYTE_RATIO}+{BYTE_FLOOR}B) — "
+                    f"FAIL {q}: shuffle_write {bw} -> {cw} ({why}) — "
                     f"possible lost pushdown inside a stage")
                 fails.append((q, "shuffle_write"))
     return fails, lines, common
@@ -139,7 +147,20 @@ def selftest():
     cur4["qx"]["shuffle_write"] = 1_300_000
     f4, _, _ = gate(base, cur4, {}, {}, allow)
     assert not f4, f"in-band jitter must pass: {f4}"
-    print("perfgate selftest: pass (5 scenarios)")
+    # allowlisted bytes beyond the RECORDED cap → fail: the cap is
+    # absolute — the band widened the baseline trigger, it must not
+    # stack on the cap too (code-review r19)
+    base5 = {"qy": {"jobs": 5, "shuffle_write": 10_000_000}}
+    allow5 = {"qy": {"reason": "trade", "max_jobs": 5,
+                     "max_shuffle_write": 20_000_000, "legacy": False}}
+    cur5 = {"qy": {"jobs": 5, "shuffle_write": 60_000_000}}  # > band AND > cap
+    f5, _, _ = gate(base5, cur5, {}, {}, allow5)
+    assert ("qy", "shuffle_write") in f5, f"byte cap not absolute: {f5}"
+    # and past the band but inside the recorded cap → allowed
+    cur6 = {"qy": {"jobs": 5, "shuffle_write": 18_000_000}}
+    f6, _, _ = gate(base5, cur6, {}, {}, allow5)
+    assert not f6, f"in-cap byte growth must be allowed: {f6}"
+    print("perfgate selftest: pass (7 scenarios)")
     return 0
 
 

@@ -44,4 +44,20 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Scale-adaptive scan spread (r19, guide §2.5 input-skew fix): when the
+    * source layout yields fewer splits than the session's parallelism —
+    * the fixture tables are single-row-group parquet, unsplittable at any
+    * `maxPartitionBytes` — redistribute ONCE so per-row-heavy aggregation
+    * work (distinct-agg expands, regex batteries) runs at full width.
+    * At real scale a table scan carries ≥ parallelism splits and this is
+    * the IDENTITY (no exchange added): the condition reads the actual
+    * planned split count, so nothing here is tuned to local mode. Column
+    * pruning pushes through the round-robin repartition, so the exchange
+    * carries only the columns the query consumes.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

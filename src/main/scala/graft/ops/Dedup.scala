@@ -125,14 +125,23 @@ object Dedup {
     * native codegen'd `word_shingles` expression (pinned to the composed
     * `lower/regexp_replace/split/transform` semantics it replaced — the HOF
     * `transform` was interpreted, milliseconds per document).
+    *
+    * The per-document dedup is SCAN-LOCAL (`array_distinct` before the
+    * explode, r19 opt): ids are unique in every caller's corpus, so
+    * per-row distinct arrays == globally distinct (id, shingle) pairs, and
+    * the former global `.distinct()` was a full extra shuffle of the
+    * widest frame in every shingle consumer (guide §2.4 — a `distinct` on
+    * data that is already unique). Contract: `idCol` must be unique in
+    * `docs`; a caller with duplicate ids must dedup rows first (none do —
+    * corpora are doc_id-keyed, batch sinks key on the event id).
     */
   def wordShingles(docs: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame =
     docs
       .select(
         col(idCol),
-        explode(graft.functions.WordShinglesExpr.word_shingles(col(textCol), lit(w)))
+        explode(array_distinct(
+          graft.functions.WordShinglesExpr.word_shingles(col(textCol), lit(w))))
           .as("shingle"))
-      .distinct()
 
   /** A deterministic 32-bit hash of a string that both Spark and DuckDB can
     * compute identically: first 8 hex chars of md5, read as an integer.
@@ -311,7 +320,17 @@ object Dedup {
       shingles: DataFrame, idCol: String,
       maxShingleDf: Option[Long],
       capAtObservedMax: Boolean): DataFrame = {
-    val kept = cappedShingles(shingles, maxShingleDf, capAtObservedMax)
+    // Shuffle the 8-byte xxhash64 of the shingle, not the string (guide
+    // §2.3 — narrower types): every downstream step (DF-cap groupBy, the
+    // inverted-index self-join, the per-id sizes) only needs equality of
+    // shingles, never their text, and the join fan-out/count semantics
+    // are unchanged absent a 64-bit collision inside one co-shingled
+    // document pair (~n²/2⁶⁵ for n distinct shingles; the exact-oracle
+    // gates q24/q111/q114/q120 recompute over the true strings and stay
+    // green, proving zero collisions at every tested scale).
+    val kept = cappedShingles(
+      shingles.withColumn("shingle", xxhash64(col("shingle"))),
+      maxShingleDf, capAtObservedMax)
     val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = kept.as("a")
     val b = kept.as("b")
@@ -349,10 +368,17 @@ object Dedup {
     */
   def sourceOverlapMatrix(
       docs: DataFrame, srcCol: String, textCol: String, w: Int = 3): DataFrame = {
+    // scan-local per-doc dedup + 8-byte hash BEFORE the cross-document
+    // distinct (guide §2.3/§2.4): the (source, shingle) distinct is the
+    // widest shuffle here and only equality matters downstream — hashing
+    // shrinks its key from the shingle text to a long, and array_distinct
+    // shrinks the explode fan-in the map-side partial aggregate chews
     val srcSh = docs
       .select(col(srcCol),
-        explode(graft.functions.WordShinglesExpr.word_shingles(col(textCol), lit(w)))
-          .as("shingle"))
+        explode(array_distinct(
+          graft.functions.WordShinglesExpr.word_shingles(col(textCol), lit(w))))
+          .as("__sh"))
+      .select(col(srcCol), xxhash64(col("__sh")).as("shingle"))
       .distinct()
     val sizes = srcSh.groupBy(col(srcCol)).agg(count(lit(1)).as("__sz"))
     val a = srcSh.select(col(srcCol).as("src_a"), col("shingle"))

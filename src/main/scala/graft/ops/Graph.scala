@@ -614,6 +614,12 @@ object Graph {
     var cur = sym
     var rounds = 0
     var removed = Long.MaxValue
+    // node count of `cur`, carried across rounds (r19 opt, guide §1.2):
+    // round N's `next` IS round N+1's `cur`, so re-counting it was a
+    // second distinct+count action per round — the carried value computes
+    // the identical `removed` sequence with ONE count job per round (plus
+    // one for the first round's baseline).
+    var curNodes = -1L
     while (rounds < maxIterations && removed > 0L) {
       val keep = cur.groupBy(col("__a").as("node")).agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k)
@@ -624,8 +630,10 @@ object Graph {
         .select(col("__a"), col("__b"))
         .localCheckpoint()
       // survivors-per-side counts: a removed node takes its edges with it
-      removed = cur.select(col("__a")).distinct().count() -
-        next.select(col("__a")).distinct().count()
+      if (curNodes < 0L) curNodes = cur.select(col("__a")).distinct().count()
+      val nextNodes = next.select(col("__a")).distinct().count()
+      removed = curNodes - nextNodes
+      curNodes = nextNodes
       if (cur ne sym) cur.unpersist()
       cur = next
       rounds += 1

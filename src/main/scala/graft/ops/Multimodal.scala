@@ -21,6 +21,68 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // Memory-backed ImageIO streams, JVM-wide (r19, guide §1.2 per-task
+  // work): with the default `useCache=true`, EVERY ImageIO.read/write of
+  // an in-memory payload spins up a FileCache stream — a temp FILE create
+  // + write + delete per image. Single-task that is slow; under a
+  // full-width decode stage all cores contend on the same temp directory
+  // and the codec work serializes behind filesystem metadata locks (the
+  // q71/q180 spread regression measured exactly that). In-memory streams
+  // are strictly correct for byte-array payloads of bounded size — the
+  // only MediaRow shape in this engine. Runs at object init: every decode
+  // entry point lives here, and the synth fixtures construct [[MediaRow]]
+  // (nested), which initializes this object before their first encode.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Cached JDK audio SPI providers (r19, guide §1.2): every
+    * `AudioSystem.*` entry point funnels through
+    * `JDK13Services.getProviders` — a `static synchronized` JVM-global
+    * registry lookup taken PER CALL — so a full-width audio decode stage
+    * serializes on one lock (measured: q182 spread 32-way ran ~2.5×
+    * SLOWER than the same work single-task). `javax.sound.sampled.spi`
+    * is public API and the JDK's readers/writers are stateless; load
+    * them once per JVM and dispatch directly — the SAME codec objects
+    * `AudioSystem` would pick, without the global lock.
+    */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toSeq
+  }
+  private lazy val audioWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).asScala.toSeq
+  }
+
+  /** `AudioSystem.getAudioInputStream` semantics over the cached
+    * providers: first reader that accepts the payload wins; a fresh
+    * ByteArrayInputStream per attempt stands in for the mark/reset
+    * contract. Throws `UnsupportedAudioFileException` like the original
+    * when nothing matches (callers' degrade paths are unchanged).
+    */
+  private[graft] def audioInput(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      try return r.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no cached provider accepts the payload")
+  }
+
+  /** `AudioSystem.write(ain, WAVE, out)` over the cached providers. */
+  private[graft] def writeWave(
+      ain: javax.sound.sampled.AudioInputStream, out: java.io.OutputStream): Int = {
+    val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    audioWriters.find(_.isFileTypeSupported(wave, ain)) match {
+      case Some(w) => w.write(ain, wave, out)
+      case None => throw new IllegalArgumentException(
+        "no cached provider writes WAVE for this stream")
+    }
+  }
+
   final case class MediaRow(media_id: Long, payload: Array[Byte], mime: String)
   final case class MediaFeatures(
       media_id: Long, n_bytes: Int, width: Int, height: Int, checksum: Long)
@@ -230,8 +292,7 @@ object Multimodal {
       iter.map { m =>
         val undecoded = AudioHash(m.media_id, 0L, decoded = false)
         try {
-          val ain = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(m.payload))
+          val ain = audioInput(m.payload)
           try {
             val fmt = ain.getFormat
             val frames = ain.getFrameLength
@@ -313,8 +374,7 @@ object Multimodal {
       iter.map { r =>
         val undecoded = AudioFeatures(r.media_id, r.payload.length, -1.0, -1, -1L, decoded = false)
         try {
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(r.payload))
+          val in = audioInput(r.payload)
           try {
             val fmt = in.getFormat
             AudioFeatures(r.media_id, r.payload.length,
@@ -373,8 +433,7 @@ object Multimodal {
         val undecoded = AudioResampled(
           m.media_id, -1, -1, -1L, targetRate, -1L, Array.empty, decoded = false)
         try {
-          val ain = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(m.payload))
+          val ain = audioInput(m.payload)
           try {
             val fmt = ain.getFormat
             val srcRate = math.round(fmt.getSampleRate)
@@ -411,10 +470,9 @@ object Multimodal {
               val ofmt = new javax.sound.sampled.AudioFormat(
                 targetRate.toFloat, 16, 1, true, false)
               val bos = new java.io.ByteArrayOutputStream()
-              javax.sound.sampled.AudioSystem.write(
+              writeWave(
                 new javax.sound.sampled.AudioInputStream(
-                  new java.io.ByteArrayInputStream(out), ofmt, nOut.toLong),
-                javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+                  new java.io.ByteArrayInputStream(out), ofmt, nOut.toLong), bos)
               AudioResampled(m.media_id, srcRate, ch, nIn.toLong,
                 targetRate, nOut.toLong, bos.toByteArray, decoded = true)
             }

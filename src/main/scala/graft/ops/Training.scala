@@ -582,7 +582,13 @@ object Training {
       minShared: Long = 2L,
       maxShingleDf: Option[Long] = None,
       capAtObservedMax: Boolean = false): DataFrame = {
-    val tagged = Dedup.cappedShingles(shingles, maxShingleDf, capAtObservedMax)
+    // 8-byte hash instead of the shingle string through the DF-cap
+    // groupBy and the test×train equi-join (guide §2.3): only equality
+    // is consumed downstream — same collision argument as
+    // [[Dedup.overlapPairs]], proven by the exact oracles staying green.
+    val tagged = Dedup.cappedShingles(
+        shingles.withColumn("shingle", xxhash64(col("shingle"))),
+        maxShingleDf, capAtObservedMax)
       .withColumn("__split", split)
     val test = tagged.filter(col("__split") === testLabel)
       .select(col(idCol).as("test_id"), col("shingle"))
@@ -683,9 +689,15 @@ object Training {
     */
   def noveltyScore(
       docs: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
+    // hash-keyed in-query (guide §2.3): the first-occurrence side is
+    // derived from the SAME hashed frame, so both the min-aggregate and
+    // the join back shuffle 8-byte keys — and the identical child keeps
+    // Spark's exchange reuse intact. The STORED index
+    // ([[noveltyFirstIndex]]) keeps real shingle strings: it is a
+    // probe-able artifact, not an in-query key.
     val sh = Dedup.wordShingles(docs, idCol, textCol, w)
-    val first = noveltyFirstIndex(docs, idCol, textCol, w)
-      .select(col("shingle"), col("first_id").as("__first"))
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+    val first = sh.groupBy(col("shingle")).agg(min(col(idCol)).as("__first"))
     sh.join(first, "shingle")
       .groupBy(col(idCol))
       .agg(noveltyAggs(idCol).head, noveltyAggs(idCol).tail: _*)
@@ -717,10 +729,16 @@ object Training {
   def noveltyScoreIncremental(
       newDocs: DataFrame, idCol: String, textCol: String,
       firstIndex: DataFrame, w: Int = 3): DataFrame = {
+    // both sides hashed consistently (guide §2.3) — the batch shingles
+    // AND the index's key column go through the same xxhash64, so the
+    // left join matches exactly as before; the index side's values
+    // (first_id) are untouched
     val sh = Dedup.wordShingles(newDocs, idCol, textCol, w)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
     val newFirst = sh.groupBy(col("shingle")).agg(min(col(idCol)).as("__new_first"))
     sh.join(newFirst, "shingle")
-      .join(firstIndex.select(col("shingle"), col("first_id").as("__old_first")),
+      .join(firstIndex.select(xxhash64(col("shingle")).as("shingle"),
+          col("first_id").as("__old_first")),
         Seq("shingle"), "left")
       .withColumn("__first",
         least(coalesce(col("__old_first"), col("__new_first")), col("__new_first")))

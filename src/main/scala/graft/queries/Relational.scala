@@ -115,7 +115,10 @@ object Relational {
     QueryDef(
       "q57_distinct_aggs",
       (s, dir) =>
-        Tables.lineitem(s, dir)
+        // spread (r19): the distinct-agg Expand triples the row stream
+        // before the partial aggregate — single-split input ran it on one
+        // core; identity at real scale (see Tables.spread)
+        Tables.spread(Tables.lineitem(s, dir))
           .groupBy(col("l_returnflag"))
           .agg(
             array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
@@ -672,7 +675,8 @@ object Relational {
     QueryDef(
       "q51_approx_distinct",
       (s, dir) =>
-        Tables.orders(s, dir)
+        // spread (r19): same Expand-before-partial-agg shape as q57
+        Tables.spread(Tables.orders(s, dir))
           .groupBy(col("o_orderpriority"))
           .agg(
             approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"),

@@ -185,7 +185,7 @@ object TextOps {
       val p = java.lang.Long.parseLong(md5hex.substring(0, 15), 16)
       if (id % 5 == 0L) p else p ^ (1L << (7 * (id % 5)).toInt)
     }
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    spreadDocIds(s, dir)
       .mapPartitions(_.map(id =>
         graft.ops.Multimodal.MediaRow(id, blockImagePng(patternOf(id)), "image/png")))
   }
@@ -228,12 +228,35 @@ object TextOps {
     import s.implicits._
     val d = EventOps.cachedSrcDir(tag, dir) {
       val path = java.nio.file.Files.createTempDirectory(tag + "media").toString
-      build.toDF().coalesce(4).write.mode("overwrite").parquet(path)
+      // one file per core (r19, guide §6): the cache's file count IS every
+      // consumer's scan parallelism — coalesce(4) pinned the decode-heavy
+      // per-rep kernels (resize/resample/frame-sample) to ≤4 tasks while
+      // the other cores idled. Single-row-group fixture files never split,
+      // so the layout must carry the width.
+      build.toDF().repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(path)
       path
     }
     s.read.parquet(d)
       .select(col("media_id"), col("payload"), col("mime"))
       .as[graft.ops.Multimodal.MediaRow]
+  }
+
+  /** The documents ids spread across the session's full parallelism (r19,
+    * guide §8 — decide/route with SMALL rows, run heavy kernels wide):
+    * the fixture parquet is a single row group, so the plain ids scan is
+    * ONE task and every synth→encode→decode `mapPartitions` kernel
+    * downstream of it ran single-core. The repartition shuffles 8-byte
+    * ids only; the heavy payloads are synthesized AFTER it, at full
+    * width. Width follows `defaultParallelism`, so the driver's
+    * lower-core bench scales the same way.
+    */
+  private[queries] def spreadDocIds(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
   }
 
   /** Assemble an animated GIF from (frame, left, top, disposalMethod)
@@ -312,8 +335,7 @@ object TextOps {
     val in = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
     val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    graft.ops.Multimodal.writeWave(in, out)
     out.toByteArray
   }
 
@@ -1211,7 +1233,7 @@ object TextOps {
       "q71_multimodal_decode",
       (s, dir) => {
         import s.implicits._
-        val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        val media = spreadDocIds(s, dir)
           .mapPartitions { ids =>
             ids.map { id =>
               val w = (8 + id % 16).toInt
@@ -1276,7 +1298,7 @@ object TextOps {
           javax.imageio.ImageIO.write(img, "png", out)
           graft.ops.Multimodal.MediaRow(id, out.toByteArray, "image/png")
         }
-        val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        val ids = spreadDocIds(s, dir)
         val ho = graft.ops.Multimodal
           .imageAHash(ids.mapPartitions(_.map(id => synth(id, noise = false))))
           .toDF().select(col("media_id"), col("ahash"))
@@ -1335,7 +1357,7 @@ object TextOps {
             javax.imageio.ImageIO.write(img, "png", out)
             graft.ops.Multimodal.MediaRow(id, out.toByteArray, "image/png")
           }
-        val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        val ids = spreadDocIds(s, dir)
         val media = TextOps.cachedMedia(s, dir, "q207")(ids.mapPartitions(_.map(synth)))
         // persist: two consumers (the dims projection and the re-decode
         // probe) would otherwise run the full resize twice
@@ -1446,11 +1468,10 @@ object TextOps {
           val in = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
           val out = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(
-            in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          graft.ops.Multimodal.writeWave(in, out)
           graft.ops.Multimodal.MediaRow(id, out.toByteArray, "audio/wav")
         }
-        val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        val ids = spreadDocIds(s, dir)
         val ho = graft.ops.Multimodal
           .audioEnergyHash(ids.mapPartitions(_.map(id => synth(id, noise = false))))
           .toDF().select(col("media_id"), col("ehash"))
@@ -1512,11 +1533,10 @@ object TextOps {
           val in = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
           val out = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(
-            in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          graft.ops.Multimodal.writeWave(in, out)
           graft.ops.Multimodal.MediaRow(id, out.toByteArray, "audio/wav")
         }
-        val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        val ids = spreadDocIds(s, dir)
         val media = TextOps.cachedMedia(s, dir, "q208")(ids.mapPartitions(_.map(synth)))
         def hashAt(rate: Int, tag: String) = {
           // persist: the frames projection and the re-hash would
@@ -1582,7 +1602,7 @@ object TextOps {
           }
           graft.ops.Multimodal.MediaRow(id, TextOps.animatedGif(frames), "image/gif")
         }
-        val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        val ids = spreadDocIds(s, dir)
         val media = TextOps.cachedMedia(s, dir, "q209")(ids.mapPartitions(_.map(synth)))
         // persist: two consumers (metadata projection + re-decode probe)
         // would otherwise run the full demux+composition twice. The
@@ -1628,7 +1648,7 @@ object TextOps {
       "q72_multimodal_audio",
       (s, dir) => {
         import s.implicits._
-        val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        val media = spreadDocIds(s, dir)
           .mapPartitions { ids =>
             ids.map { id =>
               val rates = Array(8000f, 16000f, 22050f, 44100f)
@@ -1640,8 +1660,7 @@ object TextOps {
               val in = new javax.sound.sampled.AudioInputStream(
                 new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
               val out = new java.io.ByteArrayOutputStream()
-              javax.sound.sampled.AudioSystem.write(
-                in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+              graft.ops.Multimodal.writeWave(in, out)
               graft.ops.Multimodal.MediaRow(id, out.toByteArray, "audio/wav")
             }
           }
@@ -1774,7 +1793,11 @@ object TextOps {
     QueryDef(
       "q124_gopher_rules",
       (s, dir) => {
-        val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        // spread (r19): the rule battery is a per-row regex/tokenize pass
+        // ×4 variants — single-split input ran it one-core (Tables.spread
+        // is the identity at real scale)
+        val base = Tables.spread(Tables.documents(s, dir))
+          .select(col("doc_id"), col("text"))
         val bullet = base.select((col("doc_id") + lit(200000L)).as("doc_id"),
           concat(lit("• "), regexp_replace(col("text"), " ", "\n• ")).as("text"))
         val symbol = base.select((col("doc_id") + lit(300000L)).as("doc_id"),
@@ -1908,8 +1931,14 @@ object TextOps {
         // per-source novelty rate — q125's marginal-value signal rolled up
         // to the planning grain: novel shingle-occurrences / all, exact
         // ints, one division
-        val nov = Dedup.wordShingles(docs, "doc_id", "text", w = 3)
-          .join(Training.noveltyFirstIndex(docs, "doc_id", "text", w = 3), "shingle")
+        // hash-keyed like Training.noveltyScore (guide §2.3): first-
+        // occurrence derived from the same hashed frame — identical
+        // counts absent a 64-bit collision (oracle recomputes on strings)
+        val novSh = Dedup.wordShingles(docs, "doc_id", "text", w = 3)
+          .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+        val nov = novSh
+          .join(novSh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_id")),
+            "shingle")
           .join(docs.select(col("doc_id"), col("source")), "doc_id")
           .groupBy(col("source"))
           .agg(round(
@@ -3333,7 +3362,7 @@ object TextOps {
       (s, dir) => {
         import s.implicits._
         import graft.ops.Multimodal.MediaRow
-        val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        val ids = spreadDocIds(s, dir)
         val imgSigs = graft.ops.Multimodal.imageAHash(
             ids.mapPartitions(_.map(id => MediaRow(id,
               TextOps.blockImagePng(TextOps.crossModalPattern("img", id, 0, 4, 7)),

@@ -110,6 +110,34 @@ class DedupSpec extends SparkSpec {
     assert(sh === Set("a b c", "b c d"))
   }
 
+  test("wordShingles dedups per document SCAN-LOCAL: repeated shingles collapse with zero Exchange") {
+    // "a b c a b c a b c" repeats the window "a b c" (and the wraps) —
+    // the per-doc distinct must collapse them exactly like the former
+    // global .distinct() did, WITHOUT the shuffle the former paid (the
+    // r19 opt: ids are unique, so array_distinct == global distinct)
+    val docs = Seq((1L, "a b c a b c a b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val sh = Dedup.wordShingles(docs, "doc_id", "text", 3)
+    val rows = sh.as[(Long, String)].collect().toSeq
+    assert(rows.size === rows.toSet.size, "pairs must be distinct")
+    assert(rows.filter(_._1 == 1L).map(_._2).toSet ===
+      Set("a b c", "b c a", "c a b"))
+    val exchanges = sh.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.isEmpty,
+      s"wordShingles must stay scan-local; found ${exchanges.size} Exchange(s)")
+  }
+
+  test("overlap joins key on the 8-byte shingle hash, not the string (r19 §2.3)") {
+    // structural pin of the narrowing: the inverted-index self-join's
+    // plan hashes the shingle before any exchange; the VALUES stay exact
+    // (jaccardPairs' closed-form tests above pin that)
+    val sh = Dedup.wordShingles(docs, "doc_id", "text", w = 3)
+    val plan = Dedup.jaccardPairs(sh, "doc_id").queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"),
+      s"expected xxhash64-narrowed shingle keys in the overlap join plan:\n$plan")
+  }
+
   test("stop-shingle pruning collapses a hot-shingle candidate explosion") {
     // 40 docs all sharing one hot 3-gram (df=40 → 780 join rows from that
     // shingle alone) + one planted exact near-dup pair on cold shingles

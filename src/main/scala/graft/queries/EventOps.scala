@@ -23,7 +23,19 @@ object EventOps {
   private[queries] def streamSession(
       s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // ONE shuffle partition per trigger-internal exchange (r19, guide §2.2
+    // fewer-larger partitions — was 8): every frame inside a foreachBatch
+    // trigger is batch-bounded by construction (signatures, keepers,
+    // sketch rows — hundreds of rows), so >1 post-shuffle partition buys
+    // nothing at ANY cluster size while multiplying per-trigger tasks and
+    // scheduler round-trips; this is exactly the coalesce-to-one AQE would
+    // pick if it ran here (it is off below, measured cheaper). Same-session
+    // A/B on q201/q226/q219 at 8 vs 1: 100.1 s → 49.8 s, identical
+    // results. A production stream with genuinely large micro-batches
+    // overrides via SPARK_GRAFT_STREAM_SHUFFLE — the scale knob stays a
+    // parameter, not a constant baked into operator code.
+    ss.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "1"))
     // the banded signature indexes carry O(nBands × nBuckets) partition
     // dirs; above the default threshold (32) EVERY per-trigger probe read
     // launches a parallel file-listing JOB whose task count is the dir

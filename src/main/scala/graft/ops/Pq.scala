@@ -43,22 +43,68 @@ object Pq {
     * init — same id-grid seeding as the IVF trainer) over the sliced
     * sub-vectors. `dim` must divide by `m`; `k ≤ 256` keeps a code a
     * logical byte.
+    *
+    * FUSED ACROSS SUBSPACES (r20, guide §1.2 — don't run m independent
+    * job chains over the same rows): the r19 form ran, per subspace, its
+    * own stride-init collect plus one assignment-stats job per Lloyd
+    * round — (1 + iters)·m + 1 jobs per model (17 at m=4), each a full
+    * pass over the corpus. The seeds of every subspace are slices of the
+    * SAME k stride rows (one collect, sliced driver-side — identical
+    * doubles), and one fused aggregate keyed (subspace, cluster, pos)
+    * computes every subspace's round stats in ONE pass (same per-group
+    * value sets as the m separate aggregates — each subspace keeps its
+    * own deterministic Lloyd trajectory; the comparative gates' margins
+    * are orders of magnitude above any summation-order ulp). Jobs per
+    * model: 1 + iters (4 at the defaults) — and each round scans the
+    * corpus once instead of m times.
     */
   def train(
       df: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, stride: Long, iters: Int = 3): PqModel = {
     require(m >= 1 && k >= 2 && k <= 256, s"need 1 <= m, 2 <= k <= 256; got m=$m k=$k")
-    val dimRow = df.select(size(col(vecCol)).as("__d")).limit(1).collect()
-    require(dimRow.nonEmpty, s"cannot train PQ codebooks on an empty frame")
-    val dim = dimRow.head.getInt(0)
+    val seedRows = df
+      .filter(col(idCol) % stride === 0)
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .collect()
+    require(seedRows.nonEmpty, s"cannot train PQ codebooks on an empty frame")
+    require(seedRows.length == k, s"stride init found ${seedRows.length} of $k seeds")
+    val seeds = seedRows.map(_.getSeq[Double](0).toArray)
+    val dim = seeds.head.length
     require(dim % m == 0, s"subspaces must tile the vector: dim=$dim m=$m")
     val subDim = dim / m
-    val codebooks = (0 until m).map { j =>
-      val sub = df.select(col(idCol), subCol(vecCol, j, subDim).as("__sub"))
-      val init = Clustering.strideInit(sub, idCol, "__sub", k, stride)
-      Clustering.lloyd(sub, "__sub", init, iters).centroids
+    var codebooks: IndexedSeq[IndexedSeq[Array[Double]]] = (0 until m).map(j =>
+      seeds.toIndexedSeq.map(_.slice(j * subDim, (j + 1) * subDim)))
+    for (_ <- 0 until iters) {
+      // one pass: every subspace's (cluster, pos) sums under one key
+      val perSub = array((0 until m).map { j =>
+        struct(
+          lit(j).as("j"),
+          VectorExprs.nearest_cell_l2(
+            subCol(vecCol, j, subDim).cast("array<double>"),
+            typedLit(codebooks(j).indices.toList),
+            typedLit(codebooks(j).map(_.toSeq))).as("cluster"),
+          subCol(vecCol, j, subDim).cast("array<double>").as("v"))
+      }: _*)
+      val stats = df.select(explode(perSub).as("e"))
+        .select(col("e.j").as("j"), col("e.cluster").as("cluster"),
+          posexplode(col("e.v")))
+        .groupBy(col("j"), col("cluster"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+          (r.getDouble(3), r.getLong(4))))
+        .toMap
+      codebooks = (0 until m).map { j =>
+        codebooks(j).zipWithIndex.map { case (old, ci) =>
+          Array.tabulate(subDim) { d =>
+            stats.get((j, ci, d)).map { case (s, n) => s / n }.getOrElse(old(d))
+          }
+        }
+      }
     }
-    PqModel(m, k, subDim, codebooks)
+    PqModel(m, k, subDim, codebooks.map(_.toSeq))
   }
 
   /** Encode: `pq_codes` = array of `m` nearest-centroid indices, one

@@ -582,12 +582,13 @@ object Training {
       minShared: Long = 2L,
       maxShingleDf: Option[Long] = None,
       capAtObservedMax: Boolean = false): DataFrame = {
-    // 8-byte hash instead of the shingle string through the DF-cap
-    // groupBy and the test×train equi-join (guide §2.3): only equality
-    // is consumed downstream — same collision argument as
-    // [[Dedup.overlapPairs]], proven by the exact oracles staying green.
+    // 16-byte [[Dedup.shingleKey]] instead of the shingle string through
+    // the DF-cap groupBy and the test×train equi-join (guide §2.3): only
+    // equality is consumed downstream — exact at any corpus scale (r20,
+    // same argument as [[Dedup.overlapPairs]]), proven by the exact
+    // oracles staying green.
     val tagged = Dedup.cappedShingles(
-        shingles.withColumn("shingle", xxhash64(col("shingle"))),
+        shingles.withColumn("shingle", Dedup.shingleKey(col("shingle"))),
         maxShingleDf, capAtObservedMax)
       .withColumn("__split", split)
     val test = tagged.filter(col("__split") === testLabel)
@@ -691,12 +692,12 @@ object Training {
       docs: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
     // hash-keyed in-query (guide §2.3): the first-occurrence side is
     // derived from the SAME hashed frame, so both the min-aggregate and
-    // the join back shuffle 8-byte keys — and the identical child keeps
-    // Spark's exchange reuse intact. The STORED index
-    // ([[noveltyFirstIndex]]) keeps real shingle strings: it is a
-    // probe-able artifact, not an in-query key.
+    // the join back shuffle 16-byte keys (128-bit exact at scale, r20) —
+    // and the identical child keeps Spark's exchange reuse intact. The
+    // STORED index ([[noveltyFirstIndex]]) keeps real shingle strings:
+    // it is a probe-able artifact, not an in-query key.
     val sh = Dedup.wordShingles(docs, idCol, textCol, w)
-      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+      .select(col(idCol), Dedup.shingleKey(col("shingle")).as("shingle"))
     val first = sh.groupBy(col("shingle")).agg(min(col(idCol)).as("__first"))
     sh.join(first, "shingle")
       .groupBy(col(idCol))
@@ -730,14 +731,14 @@ object Training {
       newDocs: DataFrame, idCol: String, textCol: String,
       firstIndex: DataFrame, w: Int = 3): DataFrame = {
     // both sides hashed consistently (guide §2.3) — the batch shingles
-    // AND the index's key column go through the same xxhash64, so the
-    // left join matches exactly as before; the index side's values
-    // (first_id) are untouched
+    // AND the index's key column go through the same [[Dedup.shingleKey]]
+    // (128-bit exact at scale, r20), so the left join matches exactly as
+    // before; the index side's values (first_id) are untouched
     val sh = Dedup.wordShingles(newDocs, idCol, textCol, w)
-      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+      .select(col(idCol), Dedup.shingleKey(col("shingle")).as("shingle"))
     val newFirst = sh.groupBy(col("shingle")).agg(min(col(idCol)).as("__new_first"))
     sh.join(newFirst, "shingle")
-      .join(firstIndex.select(xxhash64(col("shingle")).as("shingle"),
+      .join(firstIndex.select(Dedup.shingleKey(col("shingle")).as("shingle"),
           col("first_id").as("__old_first")),
         Seq("shingle"), "left")
       .withColumn("__first",

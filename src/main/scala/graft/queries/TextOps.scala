@@ -1932,10 +1932,10 @@ object TextOps {
         // to the planning grain: novel shingle-occurrences / all, exact
         // ints, one division
         // hash-keyed like Training.noveltyScore (guide §2.3): first-
-        // occurrence derived from the same hashed frame — identical
-        // counts absent a 64-bit collision (oracle recomputes on strings)
+        // occurrence derived from the same hashed frame — 128-bit key,
+        // exact at any scale (r20; oracle recomputes on strings)
         val novSh = Dedup.wordShingles(docs, "doc_id", "text", w = 3)
-          .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+          .select(col("doc_id"), Dedup.shingleKey(col("shingle")).as("shingle"))
         val nov = novSh
           .join(novSh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_id")),
             "shingle")
@@ -2199,8 +2199,14 @@ object TextOps {
         val table = "compaction_docs"
         Store.bulkWrite(docs, table, "doc_id", buckets = 4, parts = 8)
         (0 until 12).foreach { i =>
-          val batch = docs.filter(col("doc_id") % 37 === i)
-            .withColumn("text", concat(col("text"), lit(s" [u$i]")))
+          // localized (r20): each tiny delta collects once (ONE job) and
+          // the upsert's validation, routing and staged write then run
+          // entirely driver-side (the streaming sinks' pattern) — the
+          // distributed form paid a stats job + a committer-backed write
+          // job per delta, 2×12 jobs of pure fixed cost. Same staged
+          // bytes, same manifest commits, same read-back.
+          val batch = Store.localized(docs.filter(col("doc_id") % 37 === i)
+            .withColumn("text", concat(col("text"), lit(s" [u$i]"))))
           Store.upsert(s, table, batch, "doc_id", buckets = 4)
         }
         val res = Store.compact(s, table)

@@ -487,13 +487,24 @@ object VectorOps {
         val (corpus, probes, ivfIdx, _) = clusteredFor(s)
         import graft.functions.VectorExprs.dist2_f
         import graft.ops.Pq
-        val plain = Pq.train(corpus, "vec_id", "embedding", m = 4, k = 32, stride = 62L)
+        // the comparative gate NEEDS both models (plain as the baseline
+        // the residual route must beat), but their trainings are
+        // independent job chains — overlap them on two driver threads so
+        // the second chain's tasks back-fill the first's stragglers
+        // (guide §2.6); each training is deterministic on its own
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val plainF = Future(
+          Pq.train(corpus, "vec_id", "embedding", m = 4, k = 32, stride = 62L))
+        val resF = Future(Pq.trainResiduals(ivfIdx.assigned, ivfIdx.centroids,
+          "id", "vec", m = 4, k = 32, stride = 62L))
+        val plain = Await.result(plainF, Duration.Inf)
+        val res = Await.result(resF, Duration.Inf)
         val msePlain = Pq.encode(corpus, "embedding", plain)
           .select(dist2_f(col("embedding").cast("array<double>"),
             Pq.reconstruct(col("pq_codes"), plain)).as("e"))
           .agg(avg(col("e")).as("mse_plain"))
-        val res = Pq.trainResiduals(ivfIdx.assigned, ivfIdx.centroids,
-          "id", "vec", m = 4, k = 32, stride = 62L)
         val servedR = Pq.ivfPqIndexResidual(ivfIdx.assigned, ivfIdx.centroids, "vec", res)
         val mseRes = ivfIdx.assigned
           .join(servedR, Seq("cell", "id")).join(ivfIdx.centroids, "cell")

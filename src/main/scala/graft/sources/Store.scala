@@ -1791,47 +1791,47 @@ object Store {
     */
   private val StageFileRe = """part-(\d+)-.*""".r
 
-  /** ZERO-SHUFFLE staging for DRIVER-LOCAL delta frames (r19): the
-    * staged write's `repartition(buckets, id)` exists only to make
-    * write-task index == bucket id; for a LocalRelation batch (the
-    * streaming sinks' localized keeper/signature/sketch frames) the
-    * bucket assignment — `pmod(murmur3(id), buckets)`, the exact
+  /** ZERO-JOB staging for DRIVER-LOCAL delta frames (r20, was a one-job
+    * zero-shuffle write in r19): for a LocalRelation batch (the streaming
+    * sinks' localized keeper/signature/sketch frames) the bucket
+    * assignment — `pmod(murmur3(id), buckets)`, the exact
     * HashPartitioning function the scan's bucket pruning recomputes —
     * evaluates DRIVER-side ([[partEvaluator]]), so the rows can be
-    * grouped into bucket-indexed slices and parallelized with slice i ==
-    * bucket i: same file layout, same `part-i` naming, same within-file
-    * (part, id) order, ONE mapper-only job instead of a two-stage
-    * shuffle (DriverProf measured the shuffle form at ~325 ms per
-    * ~500-row delta — pure fixed cost at micro-batch scale). Distributed
-    * or non-simple-keyed frames keep the repartition path unchanged.
+    * grouped into (partition, bucket) slices and written STRAIGHT to the
+    * staged files with Spark's own parquet row writer
+    * ([[org.apache.spark.sql.execution.datasources.parquet.GraftLocalParquet]]):
+    * same file layout, same `part-b` naming the bucket tagger parses,
+    * same within-file id order, ZERO jobs and no Hadoop commit protocol.
+    * DriverProf measured the r19 one-job form at ~525 ms per ~500-row
+    * delta — all fixed cost (job scheduling + committer temp-dir dance +
+    * dynamic-partition writer init), the sink family's single largest
+    * driver term. Distributed or non-simple-keyed frames keep the
+    * repartition path unchanged. Returns false when not applicable.
     */
-  private def prebucketedLocal(
+  private def directStageLocal(
       spark: SparkSession, shaped: DataFrame, idCol: String,
-      buckets: Int): Option[DataFrame] =
-    localRelationOf(shaped).flatMap { _ =>
-      import org.apache.spark.sql.types._
-      val schema = shaped.schema
-      val idIdx = schema.fields.indexWhere(_.name.equalsIgnoreCase(idCol))
-      val partIdx = schema.fields.indexWhere(_.name == PartCol)
-      val kt = if (idIdx >= 0) schema.fields(idIdx).dataType else NullType
-      // types whose EXTERNAL row value feeds Murmur3Hash.eval unchanged
-      // (internal == external repr); Date/Timestamp/Decimal differ and
-      // keep the shuffle path
-      val hashSafe = kt match {
-        case ByteType | ShortType | IntegerType | LongType |
-          FloatType | DoubleType | BooleanType | StringType => true
-        case _ => false
-      }
-      if (idIdx < 0 || partIdx < 0 || !hashSafe) None
-      else {
-        val rows = shaped.collect() // LocalRelation plan: driver-served
-        val route = partEvaluator(kt, kt, buckets)
-        def hashKey(r: org.apache.spark.sql.Row): Any = kt match {
-          case StringType =>
-            org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(idIdx))
-          case _ => r.get(idIdx)
+      buckets: Int, stageDir: Path, fs: FileSystem): Boolean =
+    localRelationOf(shaped) match {
+      case Some(l) =>
+        import org.apache.spark.sql.types._
+        import org.apache.spark.sql.catalyst.InternalRow
+        val attrs = l.output
+        val idIdx = attrs.indexWhere(_.name.equalsIgnoreCase(idCol))
+        val partIdx = attrs.indexWhere(_.name == PartCol)
+        val kt = if (idIdx >= 0) attrs(idIdx).dataType else NullType
+        // the atomic key types the routing expression and the id ordering
+        // below handle; others keep the shuffle path (as in r19)
+        val hashSafe = kt match {
+          case ByteType | ShortType | IntegerType | LongType |
+            FloatType | DoubleType | BooleanType | StringType => true
+          case _ => false
         }
-        val idOrd: Ordering[org.apache.spark.sql.Row] = kt match {
+        if (idIdx < 0 || partIdx < 0 || !hashSafe) return false
+        val route = partEvaluator(kt, kt, buckets)
+        // internal rows already hold the routing expression's input repr
+        // (UTF8String for strings), and UTF8String's Comparable IS the
+        // binary order the shuffle path's sortWithinPartitions produced
+        val idOrd: Ordering[InternalRow] = kt match {
           case ByteType    => Ordering.by(_.getByte(idIdx))
           case ShortType   => Ordering.by(_.getShort(idIdx))
           case IntegerType => Ordering.by(_.getInt(idIdx))
@@ -1840,27 +1840,38 @@ object Store {
           case DoubleType  => Ordering.by(_.getDouble(idIdx))
           case BooleanType => Ordering.by(_.getBoolean(idIdx))
           case _           =>
-            // UTF8String's BINARY order, not java.lang.String's UTF-16
-            // order — they diverge on supplementary-plane codepoints, and
-            // the within-file order must match what the shuffle path's
-            // sortWithinPartitions(id) produces (code-review r19)
-            Ordering.by((r: org.apache.spark.sql.Row) =>
-              org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(idIdx)))(
+            Ordering.by((r: InternalRow) => r.getUTF8String(idIdx))(
               Ordering.comparatorToOrdering(
                 java.util.Comparator.naturalOrder[org.apache.spark.unsafe.types.UTF8String]()))
         }
-        val byBucket = Array.fill(buckets)(
-          scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row])
-        rows.foreach(r => byBucket(route(hashKey(r))) += r)
-        val ord = Ordering.by((r: org.apache.spark.sql.Row) => r.getInt(partIdx))
-          .orElse(idOrd)
-        val slices = byBucket.map(_.sorted(ord).toSeq).toIndexedSeq
-        // parallelize(seq of length n, n) puts element i in partition i
-        // — task index IS the bucket id, no shuffle
-        val rdd = spark.sparkContext.parallelize(slices, buckets)
-          .mapPartitions(_.flatMap(_.iterator))
-        Some(spark.createDataFrame(rdd, schema))
-      }
+        // group rows by (partition dir, bucket file) — the exact file
+        // grain the one-job dynamic-partition write produced
+        val groups = scala.collection.mutable.LinkedHashMap
+          .empty[(Int, Int), scala.collection.mutable.ArrayBuffer[InternalRow]]
+        l.data.foreach { r =>
+          val b = route(r.get(idIdx, kt))
+          val p = r.getInt(partIdx)
+          groups.getOrElseUpdate((p, b),
+            scala.collection.mutable.ArrayBuffer.empty[InternalRow]) += r
+        }
+        // PartCol is a DIRECTORY in the staged layout, not a data column
+        val dataAttrs = attrs.filterNot(_.name == PartCol)
+        val dataSchema = StructType(dataAttrs.map(a =>
+          StructField(a.name, a.dataType, a.nullable, a.metadata)))
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(dataAttrs, attrs)
+        val conf = org.apache.spark.sql.execution.datasources.parquet
+          .GraftLocalParquet.writeConf(spark, dataSchema)
+        groups.foreach { case ((p, b), rows) =>
+          val dir = new Path(stageDir, s"$PartCol=$p")
+          if (!fs.exists(dir)) fs.mkdirs(dir)
+          val file = new Path(dir,
+            f"part-$b%05d-${java.util.UUID.randomUUID().toString}.parquet")
+          org.apache.spark.sql.execution.datasources.parquet.GraftLocalParquet
+            .writeFile(spark, conf, file, rows.sorted(idOrd).iterator.map(proj))
+        }
+        true
+      case None => false
     }
 
   private def stageBucketedGen(
@@ -1880,12 +1891,16 @@ object Store {
       // scan parses. Within-task sort on (part, id) keeps the dynamic
       // writer sort-free and the file contents id-ordered like the
       // bucketed writer's.
-      graft.tools.DriverProf.time("store.stage.write")(
-        prebucketedLocal(spark, shaped, idCol, tableBuckets)
-          .getOrElse(shaped.repartition(tableBuckets, col(idCol))
-            .sortWithinPartitions(col(PartCol), col(idCol)))
-          .write.mode(SaveMode.Overwrite)
-          .partitionBy(PartCol).parquet(stageDir.toString))
+      graft.tools.DriverProf.time("store.stage.write") {
+        val direct = graft.tools.DriverProf.time("store.stage.write.direct")(
+          directStageLocal(spark, shaped, idCol, tableBuckets, stageDir, fs))
+        if (!direct)
+          graft.tools.DriverProf.time("store.stage.write.job")(
+            shaped.repartition(tableBuckets, col(idCol))
+              .sortWithinPartitions(col(PartCol), col(idCol))
+              .write.mode(SaveMode.Overwrite)
+              .partitionBy(PartCol).parquet(stageDir.toString))
+      }
       // a compaction fold can surface a partition whose surviving rows
       // are ALL tombstoned away — no staged dir then, and none needed:
       // the manifest points its live list at `gen`, which reads empty

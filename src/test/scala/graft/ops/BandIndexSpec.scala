@@ -250,6 +250,54 @@ class BandIndexSpec extends SparkSpec {
     assert(e2.getMessage.contains("no _nbuckets sidecar"))
   }
 
+  test("simhash probe's cell set: driver-local sigs match the distributed route, zero cell jobs (r20)") {
+    val path = java.nio.file.Files.createTempDirectory("bandcells").toString + "/idx"
+    val indexed = Seq((1L, 0x0123456789abcdefL), (2L, 0x7777000011112222L), (3L, -1L))
+    Dedup.appendSimhashBandIndex(indexed.toDF("media_id", "simhash"), path, "media_id",
+      maxHamming = 3, sigBits = 64)
+    val probeSigs = Seq((900L, 0x0123456789abcdeeL), (901L, 0x7777000011112223L))
+    // LOCAL frame (the streaming sinks' shape) vs the SAME sigs forced
+    // distributed: identical pair sets — the driver-side cell computation
+    // must name exactly the dirs the distributed distinct named
+    val local = probeSigs.toDF("media_id", "simhash")
+    val dist = probeSigs.toDF("media_id", "simhash").repartition(2).localCheckpoint()
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      Dedup.probeSimhashBandIndex(spark, path, df, "media_id",
+          maxHamming = 3, sigBits = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fromLocal = pairs(local)
+    assert(fromLocal === pairs(dist),
+      "driver-side cell computation diverged from the distributed distinct")
+    assert(fromLocal.map(p => (p._1, p._2)) === Set((1L, 900L), (2L, 901L)))
+    // and the local route's cell set costs no Spark job of its own: probe
+    // CONSTRUCTION still pays the index read's schema job (readBandCells),
+    // but the distributed route pays that PLUS the distinct+collect — so
+    // local construction must run strictly fewer jobs
+    def jobsDuring(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      Thread.sleep(300)
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(300); n.get }
+      finally spark.sparkContext.removeSparkListener(l)
+    }
+    val jLocal = jobsDuring {
+      Dedup.probeSimhashBandIndex(spark, path, local, "media_id",
+        maxHamming = 3, sigBits = 64); ()
+    }
+    val jDist = jobsDuring {
+      Dedup.probeSimhashBandIndex(spark, path, dist, "media_id",
+        maxHamming = 3, sigBits = 64); ()
+    }
+    assert(jLocal < jDist,
+      s"local-sig probe construction must skip the distinct+collect job: local=$jLocal dist=$jDist")
+  }
+
   test("compactBandIndex folds the simhash chunk layout too (partition names recovered)") {
     val path = java.nio.file.Files.createTempDirectory("bandcompactsh").toString + "/idx"
     val sigs = Seq((1L, 0x0123456789abcdefL), (2L, 0x0123456789abcdeeL), (3L, -1L))

@@ -59,6 +59,56 @@ class StoreSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS upsert_t")
   }
 
+  test("driver-local upsert stages with ZERO jobs and serves like the job path (r20)") {
+    import spark.implicits._
+    // two tables, same base: one upserted with a driver-LOCAL frame (the
+    // direct parquet staging path), one with a DISTRIBUTED frame of the
+    // same rows (the one-job shuffle write) — read-backs and point
+    // lookups must be indistinguishable
+    val base = (1L to 400L).map(k => (k, s"v$k")).toDF("k", "v")
+    Store.bulkWrite(base, "dstage_a", "k", buckets = 4)
+    Store.bulkWrite(base, "dstage_b", "k", buckets = 4)
+    try {
+      val rows = Seq((7L, "X7"), (123L, "X123"), (401L, "NEW"), (88L, "X88"))
+      def jobs(f: => Unit): Int = {
+        val n = new java.util.concurrent.atomic.AtomicInteger
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            n.incrementAndGet(); ()
+          }
+        }
+        Thread.sleep(300)
+        spark.sparkContext.addSparkListener(l)
+        try { f; Thread.sleep(300); n.get }
+        finally spark.sparkContext.removeSparkListener(l)
+      }
+      // LOCAL frame: the whole upsert — validation, routing, staged write
+      // — must run driver-side, zero Spark jobs
+      val jLocal = jobs {
+        Store.upsert(spark, "dstage_a", rows.toDF("k", "v"), "k", buckets = 4)
+      }
+      assert(jLocal === 0,
+        s"driver-local upsert ran $jLocal jobs — the direct staging path regressed")
+      // DISTRIBUTED frame of the same rows takes the job path
+      Store.upsert(spark, "dstage_b",
+        rows.toDF("k", "v").repartition(3).localCheckpoint(), "k", buckets = 4)
+      val a = Store.read(spark, "dstage_a").orderBy(col("k"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val b = Store.read(spark, "dstage_b").orderBy(col("k"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(a === b, "direct-staged table diverged from the job-staged one")
+      assert(a.toMap.apply(123L) === "X123")
+      // bucket-pruned point lookup still resolves through the tagged files
+      val hit = Store.lookup(spark, "dstage_a", Seq(401L))
+        .select(col("v")).head().getString(0)
+      assert(hit === "NEW")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dstage_a")
+      spark.sql("DROP TABLE IF EXISTS dstage_b")
+    }
+  }
+
   test("upsert is incremental: untouched partitions stay byte-identical on disk") {
     import spark.implicits._
     // 1,000 keys across 16 hash partitions; then upsert 1% of them

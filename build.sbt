@@ -11,6 +11,27 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Parallel test JVMs (r20 — VERDICT r19 #2): the serial forked suite runs
+// ~18-20 min wall, which is past the driver's test budget (its r19 record
+// cut off mid-suite with no ScalaTest summary). One forked JVM PER SUITE,
+// several in flight: suites are isolated by process (each gets its own
+// SparkSession, so the listener/job-counting tests stay exact), and each
+// JVM gets a PRIVATE warehouse dir so same-named tables in two suites
+// cannot collide on disk. Concurrency 5 × local[4] sessions ≈ 20 busy
+// cores; wall collapses to roughly the longest single suite.
+Test / testGrouping := {
+  val opts = (Test / javaOptions).value.toVector
+  (Test / definedTests).value.map { t =>
+    val wh = java.nio.file.Files.createTempDirectory("graft-test-wh").toString
+    Tests.Group(t.name, Seq(t), Tests.SubProcess(
+      ForkOptions().withRunJVMOptions(opts ++ Vector(
+        s"-Dspark.sql.warehouse.dir=$wh",
+        s"-Dderby.system.home=$wh"))))
+  }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 5),
+  Tags.limitAll(15))
 // Bench/Verify print a machine-read JSON line; route the forked JVM's
 // stdout straight through (no "[info] " prefix, which breaks the
 // driver's JSON parse — BENCH_r01/r02 both recorded parsed:null).

@@ -34,8 +34,12 @@ object EventOps {
     // results. A production stream with genuinely large micro-batches
     // overrides via SPARK_GRAFT_STREAM_SHUFFLE — the scale knob stays a
     // parameter, not a constant baked into operator code.
-    ss.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "1"))
+    // r20 A/B hook: SPARK_GRAFT_STREAM_SHUFFLE=aqe runs the clone with
+    // AQE coalescing instead of a fixed width (the VERDICT r19 #4
+    // alternative) — everything else below still applies
+    val streamShuffle = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "1")
+    if (streamShuffle != "aqe")
+      ss.conf.set("spark.sql.shuffle.partitions", streamShuffle)
     // the banded signature indexes carry O(nBands × nBuckets) partition
     // dirs; above the default threshold (32) EVERY per-trigger probe read
     // launches a parallel file-listing JOB whose task count is the dir
@@ -50,7 +54,8 @@ object EventOps {
     // at identical results (batch sizing here is static and tiny; AQE's
     // wins — coalescing, skew splits — need real data volume). The batch
     // engine keeps AQE on; this is the streaming child session only.
-    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    ss.conf.set("spark.sql.adaptive.enabled",
+      if (streamShuffle == "aqe") "true" else "false")
     ss
   }
 

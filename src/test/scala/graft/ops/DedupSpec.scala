@@ -131,15 +131,16 @@ class DedupSpec extends SparkSpec {
   test("overlap joins key on the 128-bit shingle hash, not the string (r19 §2.3, widened r20)") {
     // structural pin of the narrowing: the inverted-index self-join's
     // plan hashes the shingle before any exchange; the VALUES stay exact
-    // (jaccardPairs' closed-form tests above pin that). 128-bit md5,
-    // not xxhash64: 64-bit keys collide past the 2³² birthday bound —
-    // at 100 TB that silently changes what the query computes.
+    // (jaccardPairs' closed-form tests above pin that). 128 bits as TWO
+    // long hash columns, not one xxhash64: 64-bit keys collide past the
+    // 2³² birthday bound — at 100 TB that silently changes what the
+    // query computes.
     val sh = Dedup.wordShingles(docs, "doc_id", "text", w = 3)
     val plan = Dedup.jaccardPairs(sh, "doc_id").queryExecution.executedPlan.toString
-    assert(plan.contains("unhex(md5("),
-      s"expected 128-bit md5-narrowed shingle keys in the overlap join plan:\n$plan")
-    assert(!plan.contains("xxhash64(shingle"),
-      s"the collision-prone 64-bit shingle key must be gone:\n$plan")
+    assert(plan.contains("xxhash64"),
+      s"expected hashed shingle keys in the overlap join plan:\n$plan")
+    assert(plan.contains("sh_h1") && plan.contains("sh_h2"),
+      s"expected BOTH 64-bit key halves in the overlap join plan:\n$plan")
   }
 
   test("stop-shingle pruning collapses a hot-shingle candidate explosion") {
